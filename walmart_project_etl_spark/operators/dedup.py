@@ -1,0 +1,224 @@
+"""Deduplication operators.
+
+``latest_per_key`` is the reference's only dedup (W1 window dedup before
+MERGE/SCD2, ``etl_target_loader.py:118-124`` etc.). The rest is the
+training-data-pipeline surface: exact, MinHash-LSH, SimHash, and n-gram
+Jaccard near-duplicate detection over a document corpus — all expressed as
+compositions of built-in DataFrame ops (shingle → hash → band → bucket join),
+no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# --------------------------------------------------------------- W1: window dedup
+
+def latest_per_key(df: DataFrame, keys: list[str],
+                   order_by: list[Column]) -> DataFrame:
+    """Keep one row per key by ranking order (reference W1,
+    ``etl_target_loader.py:118-124, 172-178, 221-227, 268-274, 312-316,
+    494-498``): ``ROW_NUMBER() OVER (PARTITION BY k ORDER BY ...) = 1``.
+
+    One shuffle on the key; AQE handles skewed keys. Deterministic only if
+    ``order_by`` is a total order within each key — callers append a
+    tie-breaker column when the reference's ordering is ambiguous.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1)
+              .drop("__rn"))
+
+
+# --------------------------------------------------------------- exact dedup
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact-content dedup: md5 the content, keep the lowest id per digest.
+
+    Hash-groupBy — one shuffle keyed on a 128-bit digest, uniformly
+    distributed so no skew at any scale. Returns the surviving rows.
+    """
+    digest = F.md5(F.col(content_col).cast("string"))
+    w = Window.partitionBy(digest).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1)
+              .drop("__rn"))
+
+
+# --------------------------------------------------------------- shingling
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct character k-grams of a string, as an array<string>.
+
+    Pure Column expression: ``transform(sequence(...))`` over substring —
+    no UDF, no explode needed until the caller wants one row per shingle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, k)))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of a whitespace-tokenized string."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(0), cnt - 1),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
+
+
+# --------------------------------------------------------------- MinHash + LSH
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature: for each of ``num_hashes`` hash families, the min
+    xxhash64(shingle, family_seed) over the shingle set.
+
+    array<bigint> of length num_hashes. All JVM-side: transform + aggregate
+    over the shingle array — the classic (a*x+b) mod p family is replaced by
+    seeded xxhash64, which is a valid universal-ish family for LSH purposes.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, h + F.lit(seed)))))
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str,
+                           bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` values, hash each band, and self-join on
+    (band_index, band_hash) to emit candidate pairs (id_a < id_b).
+
+    The shuffle key is the band hash — uniformly distributed, so the
+    self-join co-partitions cleanly at any corpus size; only documents
+    sharing a band collide, keeping the join output near-linear for
+    non-pathological corpora.
+    """
+    assert bands * rows_per_band <= 1 << 16, "signature too wide"
+    banded = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
+                    b))).alias("band", "band_hash"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.band_hash") == F.col("r.band_hash"))
+                      & (F.col("l.doc") < F.col("r.doc")))
+            .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+            .distinct())
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  shingle_k: int = 5, num_hashes: int = 64,
+                  bands: int = 16, rows_per_band: int = 4,
+                  threshold: float = 0.8, seed: int = 42) -> DataFrame:
+    """Full MinHash near-dup pipeline: shingle → signature → LSH candidates →
+    signature-similarity filter. Returns pairs (id_a, id_b, est_jaccard ≥
+    threshold). Estimated Jaccard = fraction of matching signature slots.
+    """
+    sigs = df.select(
+        F.col(id_col),
+        minhash_signature(char_shingles(text_col, shingle_k), num_hashes, seed).alias("sig"))
+    cand = minhash_lsh_candidates(sigs, id_col, "sig", bands, rows_per_band)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    # estimated Jaccard = fraction of matching signature slots
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                              lambda v: v))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    (matches / F.lit(num_hashes)).alias("est_jaccard"))
+            .where(F.col("est_jaccard") >= threshold))
+
+
+# --------------------------------------------------------------- SimHash
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array, as a bigint.
+
+    For each bit position, sum ±1 weighted by each token's xxhash64 bit;
+    bit set iff the sum is positive. Expressed with transform/aggregate/
+    filter — whole computation stays in the JVM.
+    """
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc + F.when(
+            F.aggregate(
+                tokens,
+                F.lit(0).cast("long"),
+                lambda s, t: s + F.when(
+                    F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1)).otherwise(F.lit(-1)),
+            ) > 0,
+            F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(F.lit(0)))
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def simhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: signature + banded blocking on 16-bit chunks.
+
+    Two signatures within ``max_hamming`` ≤ 3 of each other must agree on at
+    least one of the four 16-bit chunks (pigeonhole) — so the self-join runs
+    on (chunk_index, chunk_value) blocks, never all-pairs.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    sigs = df.select(F.col(id_col).alias("doc"), simhash64(toks).alias("sig"))
+    chunked = sigs.select(
+        "doc", "sig",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda i: F.shiftright(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF))
+        )).alias("chunk", "chunk_val"))
+    l, r = chunked.alias("l"), chunked.alias("r")
+    pairs = (l.join(r, (F.col("l.chunk") == F.col("r.chunk"))
+                    & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+                    & (F.col("l.doc") < F.col("r.doc")))
+             .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"),
+                     hamming64(F.col("l.sig"), F.col("r.sig")).alias("hamming"))
+             .distinct())
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all candidate pairs sharing ≥1
+    shingle: explode shingles, self-join on shingle, count intersections,
+    |A∪B| = |A|+|B|−|A∩B|.
+
+    The shuffle key is the shingle — common shingles fan out, so for very
+    large corpora prefer ``minhash_dedup`` (this operator is the exact
+    oracle-checkable variant; at 100 TB run it only on LSH candidates).
+    """
+    sh = df.select(F.col(id_col).alias("doc"),
+                   char_shingles(text_col, k).alias("shingles"))
+    sized = sh.select("doc", F.size("shingles").alias("n_sh"), "shingles")
+    exploded = sized.select("doc", "n_sh", F.explode("shingles").alias("shingle"))
+    l, r = exploded.alias("l"), exploded.alias("r")
+    inter = (l.join(r, (F.col("l.shingle") == F.col("r.shingle"))
+                    & (F.col("l.doc") < F.col("r.doc")))
+             .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"),
+                      F.col("l.n_sh").alias("na"), F.col("r.n_sh").alias("nb"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))

@@ -1,0 +1,116 @@
+"""SCD Type 2 engine — pure-DataFrame rewrite of the reference's 4-step SQL
+pipeline (D2, ``etl_target_loader.py:299-479`` product / :483-656 store).
+
+Reference steps → DataFrame algebra:
+
+1. *temp stage of latest rows per key* (W1) — caller dedups the source.
+2. *UPDATE expired* — changed current rows get ``is_current=FALSE,
+   expiry_date = run_date − 1`` (reference ``EXPIRY_DATE_FOR_OLD_RECORDS``,
+   :46-49). Change detection compares an ``xxhash64`` fingerprint of the
+   tracked columns (F27) — semantically the reference's CONCAT(COALESCE…)
+   ``<>`` compare at :332-341.
+3. *INSERT new versions* — changed keys: ``effective = run_date``; brand-new
+   keys: ``effective = '2000-01-01'`` (:359-363); both get
+   ``expiry = '9999-12-31'``, ``is_current = TRUE``,
+   ``version = max(version)+1`` (J6 grouped-max join).
+4. The result is the union of (unchanged + expired + new-version) slices,
+   written back atomically — replacing in-place UPDATE (D4) with a rewrite,
+   the standard pattern on immutable storage.
+
+Known reference edge case preserved: two changes on the same ``run_date``
+give the old row ``expiry = effective − 1`` (expiry < effective); see
+SURVEY §7.3.
+
+Scale: one shuffle on the natural key for the join + one for the window;
+dimension-sized data. The fingerprint compare keeps the shuffled payload to
+key + 64-bit hash until the final select.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from walmart_project_etl_spark.functions.rules import (FAR_FUTURE_EXPIRY,
+                                                       SCD2_BACKFILL_EFFECTIVE,
+                                                       change_fingerprint)
+
+
+def scd2_apply(dim: DataFrame | None, source: DataFrame, key: str,
+               tracked_cols: list[str], surrogate_col: str,
+               run_date: str, now_ts: Column) -> DataFrame:
+    """Apply one SCD2 load of ``source`` (one row per ``key``) onto ``dim``.
+
+    Returns the full new dimension table (all versions, all keys).
+    """
+    run_d = F.lit(run_date).cast("date")
+    yesterday = F.date_sub(run_d, 1)
+    far_future = F.lit(FAR_FUTURE_EXPIRY).cast("date")
+    backfill = F.lit(SCD2_BACKFILL_EFFECTIVE).cast("date")
+
+    if dim is None:
+        # first load: every key is brand-new, version 1, backfilled effective
+        w = Window.orderBy(key)
+        return source.select(
+            F.row_number().over(w).alias(surrogate_col),
+            key, *tracked_cols,
+            backfill.alias("effective_date"),
+            far_future.alias("expiry_date"),
+            F.lit(True).alias("is_current"),
+            F.lit(1).alias("version"),
+            now_ts.alias("insertion_date"),
+            now_ts.alias("modification_date"),
+        )
+
+    src_fp = source.select(
+        key, *[F.col(c).alias(f"__src_{c}") for c in tracked_cols],
+        change_fingerprint(*tracked_cols).alias("__src_fp"))
+
+    dim_fp = dim.withColumn("__fp", change_fingerprint(*tracked_cols))
+    current = dim_fp.where(F.col("is_current"))
+    history = dim_fp.where(~F.col("is_current"))
+
+    # classify: join current rows ⟗ source on key (J5 change-detection join)
+    cmp = current.join(src_fp, key, "full_outer")
+    changed_keys = cmp.where(
+        F.col(surrogate_col).isNotNull() & F.col("__src_fp").isNotNull()
+        & (F.col("__fp") != F.col("__src_fp"))).select(key)
+    new_keys = cmp.where(F.col(surrogate_col).isNull()).select(key)
+
+    # step 2: expire changed current rows (D4 UPDATE → rewrite)
+    expired = (current.join(changed_keys, key, "left_semi")
+               .withColumn("is_current", F.lit(False))
+               .withColumn("expiry_date", yesterday)
+               .withColumn("modification_date", now_ts))
+    unchanged_current = current.join(changed_keys, key, "left_anti")
+
+    # step 3: insert new versions (changed keys) + version-1 rows (new keys)
+    max_versions = dim.groupBy(key).agg(F.max("version").alias("__max_v"))  # J6
+    to_insert = (src_fp
+                 .join(changed_keys.withColumn("__is_changed", F.lit(True)), key, "left")
+                 .join(new_keys.withColumn("__is_new", F.lit(True)), key, "left")
+                 .where(F.col("__is_changed").isNotNull() | F.col("__is_new").isNotNull())
+                 .join(max_versions, key, "left"))
+    max_key = dim.agg(F.max(surrogate_col)).collect()[0][0] or 0
+    inserts = to_insert.select(
+        (F.lit(max_key) + F.row_number().over(Window.orderBy(key)))
+        .cast("int").alias(surrogate_col),
+        F.col(key),
+        *[F.col(f"__src_{c}").alias(c) for c in tracked_cols],
+        F.when(F.col("__is_changed").isNotNull(), run_d)     # J7 expired-set join
+         .otherwise(backfill).alias("effective_date"),
+        far_future.alias("expiry_date"),
+        F.lit(True).alias("is_current"),
+        (F.coalesce(F.col("__max_v"), F.lit(0)) + 1).alias("version"),
+        now_ts.alias("insertion_date"),
+        now_ts.alias("modification_date"),
+    )
+
+    out_cols = [surrogate_col, key, *tracked_cols,
+                "effective_date", "expiry_date", "is_current", "version",
+                "insertion_date", "modification_date"]
+    return (history.select(*out_cols)
+            .unionByName(unchanged_current.select(*out_cols))
+            .unionByName(expired.select(*out_cols))
+            .unionByName(inserts.select(*out_cols)))

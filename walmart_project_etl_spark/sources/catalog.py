@@ -1,0 +1,93 @@
+"""Layered parquet storage: the Spark replacement for the reference's three
+Snowflake databases (ODS_DB / STAGING_DB / TARGET_DB, ``etl_ods_tables.py:29-31``).
+
+Tables live at ``<root>/<layer>/<table>/`` as parquet directories; writes are
+atomic at directory granularity (write to ``<table>__tmp`` then rename would be
+needed on object stores — on HDFS-like stores Spark's commit protocol already
+gives task/job atomicity, and overwrite mode replaces the directory in one
+job commit).
+
+Also hosts the testdata catalog: the driver's TPC-H-ish parquet tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = ("region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def load_testdata(spark: SparkSession, sf_dir: str,
+                  tables: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables from an sf directory."""
+    return {t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")) for t in tables}
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each testdata table as a temp view (for spark.sql access)."""
+    for name, df in load_testdata(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+class Warehouse:
+    """Minimal three-layer parquet warehouse (S3/S4/S6/S7/S8 sinks).
+
+    Replaces the reference's dict-of-connections + temp-table INSERT machinery
+    (``etl_ods_loader.py:34-76``): in Spark a write is partition-parallel and
+    needs no batching knobs (reference ``BATCH_SIZE``, ``config.py:60``).
+    """
+
+    LAYERS = ("ods", "stg", "tgt")
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, layer: str, table: str) -> str:
+        assert layer in self.LAYERS, layer
+        return os.path.join(self.root, layer, table)
+
+    def write(self, layer: str, table: str, df: DataFrame,
+              mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            # facts partitioned by date key → partition pruning for the BI
+            # queries and bounded task size at 100 TB
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(layer, table))
+
+    def append(self, layer: str, table: str, df: DataFrame,
+               partition_by: list[str] | None = None) -> None:
+        self.write(layer, table, df, mode="append", partition_by=partition_by)
+
+    def read(self, layer: str, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(layer, table))
+
+    def exists(self, layer: str, table: str) -> bool:
+        p = self.path(layer, table)
+        return os.path.exists(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p))
+
+    def truncate(self, layer: str, table: str) -> None:
+        """S7: TRUNCATE (reference ``dags/walmart_etl_pipeline_dag.py:153-178``)
+        = overwrite with an empty frame of the same schema."""
+        if self.exists(layer, table):
+            df = self.read(layer, table)
+            df.limit(0).write.mode("overwrite").parquet(self.path(layer, table))
+
+    def drop(self, layer: str, table: str) -> None:
+        """S8: DROP TABLE (reference ``drop_all_tables.py:7-50``)."""
+        import shutil
+
+        p = self.path(layer, table)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+    def drop_all(self) -> None:
+        import shutil
+
+        if os.path.exists(self.root):
+            shutil.rmtree(self.root)

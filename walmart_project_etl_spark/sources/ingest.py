@@ -1,0 +1,70 @@
+"""Source-CSV ingestion (operators S1/S2 + date parsing F4).
+
+Reference behavior reproduced (``etl_ods_loader.py:173-195``):
+- header row, explicit schema (no sampling-based inference pass — one scan,
+  deterministic types at any data size),
+- empty strings → NULL,
+- multi-format date parsing with null-on-failure.
+
+Quoted fields with embedded commas/quotes (product names like
+``"...13 1/8""W x 12 1/4""D"``) are handled by the standard CSV quote/escape
+options.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from walmart_project_etl_spark.functions import rules
+from walmart_project_etl_spark.schemas import SOURCE_CSV_SCHEMA
+
+# canonical snake_case names for the 25 CSV columns
+_RENAME = {
+    "City": "city",
+    "Customer Age": "customer_age",
+    "Customer Name": "customer_name",
+    "Customer Segment": "customer_segment",
+    "Discount": "discount",
+    "Number of Records": "number_of_records",
+    "Order Date": "order_date",
+    "Order ID": "order_id",
+    "Order Priority": "order_priority",
+    "Order Quantity": "order_quantity",
+    "Product Base Margin": "product_base_margin",
+    "Product Category": "product_category",
+    "Product Container": "product_container",
+    "Product Name": "product_name",
+    "Product Sub-Category": "product_sub_category",
+    "Profit": "profit",
+    "Region": "region",
+    "Row ID": "row_id",
+    "Sales": "sales",
+    "Ship Date": "ship_date_raw",
+    "Ship Mode": "ship_mode",
+    "Shipping Cost": "shipping_cost",
+    "State": "state",
+    "Unit Price": "unit_price",
+    "Zip Code": "zip_code",
+}
+
+
+def read_source_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1+S2: read the denormalized retail CSV with canonical column names.
+
+    Returns one row per order line with parsed ``order_date`` / ``ship_date``
+    DateType columns (F4 multi-format parse, reference
+    ``etl_ods_loader.py:208-224``).
+    """
+    raw = (spark.read
+           .option("header", True)
+           .option("quote", '"')
+           .option("escape", '"')
+           .option("nullValue", "")        # S2: '' → NULL (ref :187-195)
+           .schema(SOURCE_CSV_SCHEMA)
+           .csv(path))
+    df = raw.select([F.col(src).alias(dst) for src, dst in _RENAME.items()])
+    return (df
+            .withColumn("order_date", rules.parse_date_multi(F.col("order_date")))
+            .withColumn("ship_date", rules.parse_date_multi(F.col("ship_date_raw")))
+            .drop("ship_date_raw"))
