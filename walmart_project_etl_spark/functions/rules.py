@@ -64,7 +64,7 @@ def fiscal_quarter(col: Column | str) -> Column:
 def safe_int_cast(col: Column | str) -> Column:
     """F7: string → int with null-on-failure (reference
     ``etl_staging_loader.py:270-278`` try/except → None)."""
-    return F.try_cast(_c(col).cast("string"), "double").cast("int")
+    return _c(col).cast("string").try_cast("double").cast("int")
 
 
 def age_group(age: Column | str) -> Column:

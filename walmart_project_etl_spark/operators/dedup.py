@@ -99,14 +99,23 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str,
     sharing a band collide, keeping the join output near-linear for
     non-pathological corpora.
     """
-    assert bands * rows_per_band <= 1 << 16, "signature too wide"
+    sig_len = bands * rows_per_band
+    # fail loudly if the signature is narrower than bands*rows_per_band —
+    # F.slice would silently yield short band arrays whose hashes collide
+    # across all docs (near-all-pairs candidate explosion)
+    guard = F.when(F.size(F.col(sig_col)) < sig_len,
+                   F.raise_error(F.concat(
+                       F.lit(f"minhash_lsh_candidates: signature shorter than "
+                             f"bands*rows_per_band={sig_len}: "),
+                       F.size(F.col(sig_col)).cast("string")))
+                   ).otherwise(F.col(sig_col))
     banded = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.xxhash64(
-                    F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
+                    F.slice(guard, b * rows_per_band + 1, rows_per_band),
                     b))).alias("band", "band_hash"))
     left = banded.alias("l")
     right = banded.alias("r")
@@ -143,25 +152,37 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
 
 # --------------------------------------------------------------- SimHash
 
-def simhash64(tokens: Column) -> Column:
+def simhash64(tokens: Column, num_bits: int = 64) -> Column:
     """64-bit SimHash of a token array, as a bigint.
 
     For each bit position, sum ±1 weighted by each token's xxhash64 bit;
-    bit set iff the sum is positive. Expressed with transform/aggregate/
-    filter — whole computation stays in the JVM.
+    bit set iff the sum is positive. One JVM-side ``aggregate`` pass over the
+    token array accumulates all 64 signed bit-counts at once (``zip_with``
+    against the per-token bit vector), then a Python-level fold assembles the
+    signature — bit positions are Python int literals because
+    ``F.shiftright``'s ``numBits`` only accepts ints, not Columns.
     """
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(63)),
-        F.lit(0).cast("long"),
-        lambda acc, bit: acc + F.when(
-            F.aggregate(
-                tokens,
-                F.lit(0).cast("long"),
-                lambda s, t: s + F.when(
-                    F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1)).otherwise(F.lit(-1)),
-            ) > 0,
-            F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(F.lit(0)))
+    bits = list(range(num_bits))
+    zeros = F.array(*[F.lit(0).cast("long") for _ in bits])
+
+    def token_bits(h: Column) -> Column:
+        return F.array(*[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+             .otherwise(F.lit(-1)).cast("long")
+            for b in bits])
+
+    counts = F.aggregate(
+        F.transform(tokens, lambda t: F.xxhash64(t)),
+        zeros,
+        lambda acc, h: F.zip_with(acc, token_bits(h), lambda a, x: a + x))
+
+    sig = F.lit(0).cast("long")
+    for b in bits:
+        # bit 63 of a signed long is the sign bit: 1<<63 overflows, use min-long
+        weight = -(1 << 63) if b == 63 else (1 << b)
+        sig = sig + F.when(F.element_at(counts, b + 1) > 0,
+                           F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
 
 
 def hamming64(a: Column | str, b: Column | str) -> Column:
@@ -183,10 +204,10 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str,
     sigs = df.select(F.col(id_col).alias("doc"), simhash64(toks).alias("sig"))
     chunked = sigs.select(
         "doc", "sig",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(3)),
-            lambda i: F.shiftright(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF))
-        )).alias("chunk", "chunk_val"))
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)  # Python ints — shiftright numBits must be int
+        ])).alias("chunk", "chunk_val"))
     l, r = chunked.alias("l"), chunked.alias("r")
     pairs = (l.join(r, (F.col("l.chunk") == F.col("r.chunk"))
                     & (F.col("l.chunk_val") == F.col("r.chunk_val"))

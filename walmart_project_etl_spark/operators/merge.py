@@ -44,15 +44,18 @@ def scd1_merge(target: DataFrame | None, source: DataFrame, key: str,
 
     src = source.select(key, *[F.col(c).alias(f"__src_{c}") for c in update_cols],
                         F.lit(True).alias("__src_present"))
-    joined = target.join(src, key, "full_outer")
+    # max existing surrogate, computed IN-PLAN (1-row agg, broadcast cross
+    # join) — no driver-side collect, no extra job per merge
+    max_key_df = target.agg(
+        F.coalesce(F.max(surrogate_col), F.lit(0)).alias("__max_key"))
+    joined = target.join(src, key, "full_outer").crossJoin(F.broadcast(max_key_df))
 
     matched = F.col(surrogate_col).isNotNull() & F.col("__src_present")
     is_new = F.col(surrogate_col).isNull()
 
-    max_key = target.agg(F.max(surrogate_col)).collect()[0][0] or 0
     new_key = F.when(
         is_new,
-        F.lit(max_key) + F.row_number().over(Window.partitionBy(is_new).orderBy(key))
+        F.col("__max_key") + F.row_number().over(Window.partitionBy(is_new).orderBy(key))
     ).otherwise(F.col(surrogate_col))
 
     cols = [new_key.cast("int").alias(surrogate_col), F.col(key)]

@@ -92,9 +92,13 @@ def scd2_apply(dim: DataFrame | None, source: DataFrame, key: str,
                  .join(new_keys.withColumn("__is_new", F.lit(True)), key, "left")
                  .where(F.col("__is_changed").isNotNull() | F.col("__is_new").isNotNull())
                  .join(max_versions, key, "left"))
-    max_key = dim.agg(F.max(surrogate_col)).collect()[0][0] or 0
+    # max existing surrogate computed in-plan (broadcast 1-row agg) — no
+    # driver-side collect
+    max_key_df = dim.agg(
+        F.coalesce(F.max(surrogate_col), F.lit(0)).alias("__max_key"))
+    to_insert = to_insert.crossJoin(F.broadcast(max_key_df))
     inserts = to_insert.select(
-        (F.lit(max_key) + F.row_number().over(Window.orderBy(key)))
+        (F.col("__max_key") + F.row_number().over(Window.orderBy(key)))
         .cast("int").alias(surrogate_col),
         F.col(key),
         *[F.col(f"__src_{c}").alias(c) for c in tracked_cols],

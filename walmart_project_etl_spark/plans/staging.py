@@ -36,8 +36,22 @@ def _audit(df: DataFrame, batch_id: str, ts) -> DataFrame:
 
 def _surrogate(name: str, *order_by: str) -> Column:
     """Deterministic auto-increment replacement (reference
-    ``etl_staging_tables.py:54`` etc.)."""
+    ``etl_staging_tables.py:54`` etc.). DIMENSIONS ONLY: ``row_number`` over a
+    global order funnels all rows through one partition — fine for
+    dimension-sized data, never used on facts (see ``_fact_key``)."""
     return F.row_number().over(Window.orderBy(*order_by)).alias(name)
+
+
+def _fact_key(name: str, id_col: str) -> Column:
+    """Fact surrogate key: 64-bit hash of the business id.
+
+    Facts keep hash identity instead of a global sequence (reference
+    auto-increment, ``etl_staging_tables.py:182``) — a ``row_number()`` with
+    no partition would move ALL fact rows through a single task, the exact
+    bottleneck that kills a 100 TB load. xxhash64 is deterministic,
+    collision-negligible at warehouse scale, and fully parallel.
+    """
+    return F.xxhash64(F.col(id_col)).alias(name)
 
 
 def _unique_key_map(dim: DataFrame, natural: str, surrogate: str) -> DataFrame:
@@ -75,7 +89,9 @@ def build_stg_customer(ods_customer: DataFrame, batch_id: str, ts) -> DataFrame:
     return _audit(ods_customer.select(
         _surrogate("customer_key", "customer_id"),
         "customer_id",
-        F.coalesce(F.trim("customer_name"), F.lit("Unknown")).alias("customer_name"),
+        # null-OR-blank → 'Unknown' (reference `or 'Unknown'` treats '' as falsy)
+        F.when(F.col("customer_name").isNull() | (F.trim("customer_name") == ""),
+               F.lit("Unknown")).otherwise(F.trim("customer_name")).alias("customer_name"),
         age.alias("customer_age"),
         rules.age_group(age).alias("age_group"),
         rules.default_if_null("customer_segment", "Unknown").alias("customer_segment"),
@@ -198,7 +214,7 @@ def build_stg_sales(ods_sales: DataFrame, stg_date: DataFrame, stg_customer: Dat
     shipc = F.coalesce(F.col("shipping_cost").cast("double"), F.lit(0.0))
     disc_amt = rules.discount_amount(amount, disc)
     return _audit(f.select(
-        _surrogate("sales_key", "sale_id"),
+        _fact_key("sales_key", "sale_id"),
         "sale_id", "order_id", "row_id",
         "transaction_date_key", "product_key", "store_key", "customer_key",
         rules.default_if_null("order_priority", "Standard").alias("order_priority"),
@@ -241,7 +257,7 @@ def build_stg_returns(ods_returns: DataFrame, stg_date: DataFrame, stg_product: 
     qty = F.coalesce(F.col("quantity_returned"), F.lit(0))
     days = rules.days_since_sale("return_date", "original_sale_date")
     return _audit(f.select(
-        _surrogate("return_key", "return_id"),
+        _fact_key("return_key", "return_id"),
         "return_id", "return_date_key", "product_key", "store_key", "reason_key",
         rules.default_if_null("reason_code", "UNKNOWN").alias("reason_code"),
         amount.cast("decimal(12,2)").alias("return_amount"),
@@ -277,7 +293,7 @@ def build_stg_inventory(ods_inventory: DataFrame, stg_date: DataFrame,
     max_s = F.coalesce(F.col("max_stock_level"), F.lit(0))
     reorder = F.coalesce(F.col("reorder_point"), F.lit(0))
     return _audit(f.select(
-        _surrogate("inventory_key", "inventory_id"),
+        _fact_key("inventory_key", "inventory_id"),
         "inventory_id", "date_key", "product_key", "store_key",
         stock.alias("stock_level"),
         min_s.alias("min_stock_level"),
