@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship multiway star join at sf0.001;
+``queries``/``oracle_sql`` expose every implemented operator from
+SURVEY.md §2 plus the LLM-pipeline surface, backed by
+``walmart_project_etl_spark.queries`` (one module per domain:
+core relational ops, scalar rules, reference-CSV pipeline, LLM ops).
 """
 
 from __future__ import annotations
@@ -13,26 +13,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from walmart_project_etl_spark.queries import registry
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the J8 multiway star join —
+    revenue by region × order priority across 7 tables."""
+    from walmart_project_etl_spark.queries.core import QUERIES
+    fn, _ = QUERIES["j08_multiway_fact_join"]
+    return fn(spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ LLM surface).
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Each callable takes (spark, sf_dir) and returns a DataFrame; every
+    computed column is aliased identically to its oracle twin.
     """
-    return {}
+    return {name: fn for name, (fn, _oracle) in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for operators whose output
+    depends on engine-internal xxhash64 — driver records rows-only)."""
+    return {name: oracle for name, (_fn, oracle) in registry().items()
+            if oracle is not None}

@@ -19,6 +19,17 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _round2(col: Column, scale: int = 2) -> Column:
+    """HALF_UP rounding routed through decimal(28,8).
+
+    ``F.round`` on a raw double rounds its shortest decimal representation
+    (HALF_UP), which other engines cannot reproduce bit-for-bit at .xx5
+    boundaries. The decimal route keeps the same HALF_UP semantics while
+    being exactly reproducible (and oracle-testable) everywhere.
+    """
+    return F.round(col.cast("decimal(28,8)"), scale).cast("double")
+
+
 # ---------------------------------------------------------------- dates (F3-F6)
 
 def date_parts(col: Column | str) -> dict[str, Column]:
@@ -98,7 +109,7 @@ def margin_percentage(margin: Column | str, price: Column | str) -> Column:
     """F11: round(margin/price*100, 2) if price>0 else 0
     (reference ``etl_staging_loader.py:383-384``)."""
     m, p = _c(margin), _c(price)
-    return F.when(p > 0, F.round(m / p * 100.0, 2)).otherwise(F.lit(0.0))
+    return F.when(p > 0, _round2(m / p * 100.0)).otherwise(F.lit(0.0))
 
 
 def is_high_margin(margin_pct: Column | str, threshold: float = 30.0) -> Column:
@@ -177,26 +188,26 @@ def is_within_30_days(days: Column | str) -> Column:
 def avg_return_price(amount: Column | str, qty: Column | str) -> Column:
     """F23: round(amount/qty, 2) if qty>0 else 0 (reference ``etl_staging_loader.py:1050-1051``)."""
     a, q = _c(amount), _c(qty)
-    return F.when(q > 0, F.round(a / q, 2)).otherwise(F.lit(0.0))
+    return F.when(q > 0, _round2(a / q)).otherwise(F.lit(0.0))
 
 
 # -------------------------------------------------------- sales rules (F18-F21)
 
 def discount_amount(sales: Column | str, discount: Column | str) -> Column:
     """F18: round(sales*discount, 2) (reference ``etl_staging_loader.py:841``)."""
-    return F.round(_c(sales) * _c(discount), 2)
+    return _round2(_c(sales) * _c(discount))
 
 
 def net_revenue(sales: Column | str, disc_amount: Column | str) -> Column:
     """F19: round(sales − discount_amount, 2) (reference ``etl_staging_loader.py:843``)."""
-    return F.round(_c(sales) - _c(disc_amount), 2)
+    return _round2(_c(sales) - _c(disc_amount))
 
 
 def profit_margin(profit: Column | str, sales: Column | str) -> Column:
     """F20: round(profit/sales*100, 2) if sales>0 else 0
     (reference ``etl_staging_loader.py:844``)."""
     p, s = _c(profit), _c(sales)
-    return F.when(s > 0, F.round(p / s * 100.0, 2)).otherwise(F.lit(0.0))
+    return F.when(s > 0, _round2(p / s * 100.0)).otherwise(F.lit(0.0))
 
 
 def is_profitable(profit: Column | str) -> Column:

@@ -1,0 +1,72 @@
+"""Event-stream operators (batch formulations over the ``events`` table).
+
+Sessionization, tumbling-window aggregation, and latest-event dedup — the
+batch twins of the Structured Streaming surface in
+``walmart_project_etl_spark.streaming``. Batch and stream share semantics;
+the streaming module reuses the same window spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+               gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the user's
+    inter-event gap exceeds ``gap_minutes``. Adds ``session_id`` (per-user
+    ordinal) — one shuffle on the user key, then two window passes over the
+    same partitioning (Catalyst reuses the exchange).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # exact microsecond arithmetic — a seconds cast truncates fractions and
+    # misclassifies gaps within a second of the threshold
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    return (events
+            .withColumn("__new_session", is_new)
+            .withColumn("session_id",
+                        F.sum("__new_session").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0)))
+            .drop("__new_session"))
+
+
+def session_stats(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+                  gap_minutes: int = 30) -> DataFrame:
+    """Per-session: event count, duration seconds, value sum."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    us = F.unix_micros(F.col(ts_col))
+    return (s.groupBy(user_col, "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.floor((F.max(us) - F.min(us)) / 1_000_000)
+                  .cast("long").alias("duration_seconds"),
+                 F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+                  .cast("double").alias("sum_value")))
+
+
+def tumbling_window_agg(events: DataFrame, ts_col: str = "ts",
+                        window_duration: str = "1 hour",
+                        extra_keys: list[str] | None = None) -> DataFrame:
+    """Tumbling event-time window aggregation via ``F.window`` — identical
+    spec to the streaming version (windows align to the epoch)."""
+    keys = [F.window(ts_col, window_duration).alias("win")] + [
+        F.col(k) for k in (extra_keys or [])]
+    return (events.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+                  .cast("double").alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    *(extra_keys or []), "n_events", "sum_value"))
+
+
+def latest_event_per_key(events: DataFrame, keys: list[str],
+                         ts_col: str = "ts",
+                         tiebreak: str = "event_id") -> DataFrame:
+    """Latest event per key (W1 shape on the stream table)."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(ts_col), F.desc(tiebreak))
+    return (events.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))

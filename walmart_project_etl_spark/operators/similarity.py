@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the driver north star:
+
+- **Brute-force cosine top-k** — the exact baseline. One broadcast of the
+  query set against a full scan of the corpus; the dot product is a pure
+  Column expression (``zip_with`` + ``aggregate``), no UDF, so the scan is
+  whole-stage codegen'd. Cost O(N·Q·d) — right up to a few thousand queries
+  over billions of rows, since it is one embarrassingly parallel pass.
+
+- **Random-hyperplane LSH (SimHash for vectors)** — the scale path. Each
+  vector gets a ``n_planes``-bit signature from the signs of dot products
+  with seeded deterministic hyperplanes; banding the signature buckets the
+  corpus so candidate generation is a hash join on band values, never
+  all-pairs. Recall tunable via (planes, bands); candidates re-ranked by
+  exact cosine.
+
+Everything is deterministic: hyperplanes derive from xxhash64(seed, plane,
+dim) so any cluster size/rerun produces identical buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two numeric arrays (double)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity in double precision; 0.0 when either norm is 0."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def _as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k: for each query vector, the k nearest corpus vectors by
+    cosine (excluding self-matches on id). Ties pinned by corpus id.
+
+    Plan shape: broadcast(queries) × corpus scan → window top-k per query.
+    The only shuffle is the per-query top-k (k·Q rows after the window's
+    partial rank pushdown at the map side).
+    """
+    q = F.broadcast(queries.select(
+        F.col(query_id_col),
+        _as_double(vec_col).alias("__qvec")))
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__cvec"))
+    scored = (c.crossJoin(q)
+              .where(F.col(id_col) != F.col(query_id_col))
+              .select(query_id_col, id_col,
+                      F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6)
+                       .alias("cosine_sim")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select(query_id_col, id_col, "cosine_sim", F.col("__rn").alias("rank")))
+
+
+def _hyperplane(dim: int, plane: int, seed: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j ∈ [-0.5, 0.5)
+    derived from xxhash64(seed, plane, j)."""
+    return F.array(*[
+        (F.pmod(F.xxhash64(F.lit(seed), F.lit(plane), F.lit(j)), F.lit(1_000_000))
+         / 1_000_000.0 - 0.5)
+        for j in range(dim)])
+
+
+def rh_lsh_signature(vec: Column, dim: int, n_planes: int = 16,
+                     seed: int = 42) -> Column:
+    """Random-hyperplane signature: bit p = sign(vec · plane_p), packed into
+    an int. n_planes ≤ 31 to stay in a positive int."""
+    assert n_planes <= 31
+    sig = F.lit(0)
+    for p in range(n_planes):
+        bit = F.when(dot(vec, _hyperplane(dim, p, seed)) >= 0, F.lit(1 << p)) \
+               .otherwise(F.lit(0))
+        sig = sig + bit
+    return sig
+
+
+def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id", dim: int = 64,
+                 n_planes: int = 16, n_bands: int = 4, seed: int = 42) -> DataFrame:
+    """Approximate top-k: bucket corpus + queries by LSH signature bands,
+    generate candidates via band-equality join, re-rank exact cosine.
+
+    The candidate join shuffles on (band, band_bits) — uniformly distributed
+    buckets, so it scales linearly with corpus size; no all-pairs blowup.
+    Recall < 1 by design; raise n_planes/n_bands for more.
+    """
+    assert n_planes % n_bands == 0
+    bits_per_band = n_planes // n_bands
+    mask = (1 << bits_per_band) - 1
+
+    def banded(df: DataFrame, ident: str) -> DataFrame:
+        v = _as_double(vec_col)
+        sig = rh_lsh_signature(v, dim, n_planes, seed)
+        return (df.select(F.col(ident), v.alias("__vec"), sig.alias("__sig"))
+                .select(ident, "__vec",
+                        F.posexplode(F.array(*[
+                            F.shiftright(F.col("__sig"), b * bits_per_band)
+                             .bitwiseAND(F.lit(mask))
+                            for b in range(n_bands)])).alias("band", "band_bits")))
+
+    cb = banded(corpus, id_col)
+    qb = banded(queries, query_id_col)
+    cand = (qb.alias("q").join(cb.alias("c"),
+                               (F.col("q.band") == F.col("c.band"))
+                               & (F.col("q.band_bits") == F.col("c.band_bits"))
+                               & (F.col(f"q.{query_id_col}") != F.col(f"c.{id_col}")))
+            .select(F.col(f"q.{query_id_col}").alias(query_id_col),
+                    F.col(f"c.{id_col}").alias(id_col),
+                    F.col("q.__vec").alias("__qvec"),
+                    F.col("c.__vec").alias("__cvec"))
+            .dropDuplicates([query_id_col, id_col]))
+    scored = cand.select(
+        query_id_col, id_col,
+        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select(query_id_col, id_col, "cosine_sim", F.col("__rn").alias("rank")))

@@ -1,0 +1,140 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — language ID,
+quality scoring, token counting, and document fingerprinting run at full
+scan speed over a 100 TB corpus; nothing here drops to Python per row.
+
+These are new surface beyond the reference (driver north star): the
+reference has no text pipeline, so the designs follow standard corpus-prep
+practice (C4/RefinedWeb-style heuristics) expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ------------------------------------------------------------- token counting
+
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    """Tokens = maximal runs of non-whitespace. 0 for empty/blank strings."""
+    c = F.trim(_c(col))
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.size(F.split(c, r"\s+")))
+
+
+def regex_token_count(col: Column | str) -> Column:
+    """BPE-ish pre-tokenizer count: letter runs, digit runs, and single
+    punctuation marks each count as one token (regexp is RE2/Java-portable)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+# ------------------------------------------------------------- quality signals
+
+def text_stats(col: Column | str) -> dict[str, Column]:
+    """Per-document quality signals: lengths, token counts, ratios.
+
+    Ratios are rounded to 6 places so downstream comparisons are stable.
+    """
+    c = _c(col)
+    n_chars = F.length(c)
+    n_tokens = whitespace_token_count(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    n_space = F.length(F.regexp_replace(c, r"[^ \t\n]", ""))
+    safe = F.greatest(n_chars, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_alpha": n_alpha,
+        "n_digit": n_digit,
+        "n_punct": n_punct,
+        "alpha_ratio": F.round(n_alpha / safe, 6),
+        "digit_ratio": F.round(n_digit / safe, 6),
+        "punct_ratio": F.round(n_punct / safe, 6),
+        "space_ratio": F.round(n_space / safe, 6),
+        "mean_token_len": F.round(
+            (n_chars - n_space) / F.greatest(n_tokens, F.lit(1)), 6),
+    }
+
+
+def quality_score(col: Column | str,
+                  min_chars: int = 50, max_chars: int = 100_000) -> Column:
+    """Composite [0,1] quality score: length window + alpha ratio +
+    mean-token-length sanity (2..12 chars) + punctuation sanity (<15%).
+
+    Weights are fixed and documented so the score is reproducible; each
+    component contributes 0.25.
+    """
+    s = text_stats(col)
+    length_ok = (s["n_chars"] >= min_chars) & (s["n_chars"] <= max_chars)
+    alpha_ok = s["alpha_ratio"] >= 0.6
+    tok_ok = (s["mean_token_len"] >= 2.0) & (s["mean_token_len"] <= 12.0)
+    punct_ok = s["punct_ratio"] <= 0.15
+    comps = [length_ok, alpha_ok, tok_ok, punct_ok]
+    score = sum(F.when(c, F.lit(0.25)).otherwise(F.lit(0.0)) for c in comps)
+    return F.round(score, 2)
+
+
+# ------------------------------------------------------------- language ID
+
+# tiny per-language stopword lexicons (top function words)
+_LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+}
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang`` (lowercased match)."""
+    toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    sw = F.array(*[F.lit(w) for w in _LANG_STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(col: Column | str, min_hits: int = 1) -> Column:
+    """Heuristic language ID:
+
+    1. CJK if >30% of chars are in the CJK unified block;
+    2. else the language whose stopword lexicon hits the most tokens
+       (ties broken by fixed language order en,de,es,fr);
+    3. 'unknown' when no lexicon reaches ``min_hits``.
+    """
+    c = _c(col)
+    n_cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+    cjk_ratio = n_cjk / F.greatest(F.length(c), F.lit(1))
+    hits = {lang: stopword_hits(c, lang) for lang in _LANG_STOPWORDS}
+    best = F.greatest(*hits.values())
+    guess = F.lit("unknown")
+    # reversed so the FIRST language in the dict wins ties
+    for lang in reversed(list(_LANG_STOPWORDS)):
+        guess = F.when(hits[lang] == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best < min_hits, F.lit("unknown")).otherwise(guess)
+    return F.when(cjk_ratio > 0.3, F.lit("zh")).otherwise(guess)
+
+
+# ------------------------------------------------------------- fingerprinting
+
+def doc_fingerprint(col: Column | str, k: int = 8) -> Column:
+    """Content fingerprint: lexicographic MIN of the md5 hex digests of all
+    character k-grams — a 1-permutation MinHash. Near-identical documents
+    share fingerprints with probability ≈ Jaccard similarity of their
+    shingle sets; exact duplicates always match.
+
+    md5-based (not xxhash64) so external engines can reproduce it.
+    """
+    c = _c(col)
+    n = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(F.substring(c, i, k)))
+    return F.array_min(grams)

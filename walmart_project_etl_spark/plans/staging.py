@@ -133,7 +133,7 @@ def build_stg_product(ods_product: DataFrame, ods_supplier: DataFrame,
 def build_stg_store(ods_store: DataFrame, batch_id: str, ts) -> DataFrame:
     """stg_store (reference :455-545): market derivation (F14) + defaults."""
     return _audit(ods_store.select(
-        _surrogate("store_key", "store_id", "zip_code", "state"),
+        _surrogate("store_key", "store_id", "zip_code", "state", "region"),
         "store_id",
         rules.default_if_null("store_name", "Unknown Store").alias("store_name"),
         rules.default_if_null("location", "Unknown").alias("location"),

@@ -1,0 +1,670 @@
+"""Relational operator queries (SURVEY §2.1-2.7) over the driver testdata.
+
+Each §2 operator (S=scan/sink, P=projection/filter, J=join, A=aggregate,
+W=window, O=sort/limit, U=set op) gets a named query plus a DuckDB oracle.
+The TPC-H-ish tables are proxies: the query exercises the *same Spark
+expression/operator shape* the ETL plans use, with a closed-form SQL twin.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from walmart_project_etl_spark.operators.dedup import latest_per_key
+from walmart_project_etl_spark.operators.interval_join import interval_join
+from walmart_project_etl_spark.operators.merge import scd1_merge
+from walmart_project_etl_spark.operators.scd2 import scd2_apply
+
+from .util import dsum, sql_dsum, t
+
+QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+# --------------------------------------------------------------- S: scans/sinks
+
+@q("s02_empty_string_to_null",
+   """SELECT count(*) AS n_rows,
+             count(nullif(trim(source), '')) AS n_nonblank_source,
+             count(nullif(substr(text, 1, 0), '')) AS n_nonblank_empty
+      FROM documents""")
+def s02_empty_string_to_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: ''→NULL normalization (reference ``etl_ods_loader.py:187-195``)."""
+    d = t(spark, sf_dir, "documents")
+    blank_to_null = lambda c: F.when(F.trim(c) == "", None).otherwise(F.trim(c))  # noqa: E731
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(blank_to_null(F.col("source"))).alias("n_nonblank_source"),
+        F.count(blank_to_null(F.substring("text", 1, 0))).alias("n_nonblank_empty"))
+
+
+@q("s03_table_scan", "SELECT r_regionkey, r_name FROM region")
+def s03_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: warehouse table scan (reference ``etl_staging_loader.py:137-145``)."""
+    return t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@q("s04_parquet_sink_roundtrip",
+   f"""SELECT count(*) AS n_rows, {sql_dsum('o_totalprice', 'sum_price')}
+      FROM orders WHERE o_orderstatus = 'F'""")
+def s04_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5: bulk sink — write partition-parallel parquet, read back, verify
+    nothing was lost (replaces the reference's 10k/50k-row batched INSERTs,
+    ``etl_ods_loader.py:34-76``, ``etl_staging_loader.py:1259-1292``)."""
+    path = os.path.join(tempfile.gettempdir(), "wpe_sink_roundtrip")
+    t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F") \
+        .write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.agg(F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "sum_price"))
+
+
+@q("s06_ddl_create_insert",
+   """SELECT CAST(10 AS INT) AS date_id, CAST('2026-01-05' AS VARCHAR) AS full_date,
+             CAST('Monday' AS VARCHAR) AS day_of_week
+      UNION ALL SELECT 11, '2026-01-06', 'Tuesday'""")
+def s06_ddl_create_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: DDL create + insert path — declared StructType schema, typed empty
+    table, append (reference ``etl_ods_tables.py:222-234`` create_all).
+    Dates compared as ISO strings (engine-portable)."""
+    from pyspark.sql.types import (DateType, IntegerType, StringType,
+                                   StructField, StructType)
+    schema = StructType([StructField("date_id", IntegerType()),
+                         StructField("full_date", DateType()),
+                         StructField("day_of_week", StringType())])
+    empty = spark.createDataFrame([], schema)
+    import datetime
+    rows = spark.createDataFrame(
+        [(10, datetime.date(2026, 1, 5), "Monday"),
+         (11, datetime.date(2026, 1, 6), "Tuesday")], schema)
+    return empty.unionByName(rows).withColumn(
+        "full_date", F.date_format("full_date", "yyyy-MM-dd"))
+
+
+@q("s07_truncate",
+   "SELECT CAST(0 AS BIGINT) AS n_after_truncate, CAST(2 AS BIGINT) AS n_cols")
+def s07_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: TRUNCATE = overwrite-with-empty, schema preserved
+    (reference ``dags/walmart_etl_pipeline_dag.py:153-178``)."""
+    from walmart_project_etl_spark.sources.catalog import Warehouse
+    wh = Warehouse(spark, os.path.join(tempfile.gettempdir(), "wpe_wh_trunc"))
+    wh.write("stg", "probe", t(spark, sf_dir, "region"))
+    wh.truncate("stg", "probe")
+    back = wh.read("stg", "probe")
+    return back.agg(F.count(F.lit(1)).alias("n_after_truncate")).select(
+        "n_after_truncate", F.lit(len(back.columns)).cast("long").alias("n_cols"))
+
+
+@q("s08_drop", "SELECT false AS exists_after_drop, true AS existed_before")
+def s08_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: DROP TABLE (reference ``drop_all_tables.py:7-50``)."""
+    from walmart_project_etl_spark.sources.catalog import Warehouse
+    wh = Warehouse(spark, os.path.join(tempfile.gettempdir(), "wpe_wh_drop"))
+    wh.write("ods", "probe", t(spark, sf_dir, "region"))
+    before = wh.exists("ods", "probe")
+    wh.drop("ods", "probe")
+    return spark.createDataFrame(
+        [(wh.exists("ods", "probe"), before)],
+        "exists_after_drop boolean, existed_before boolean")
+
+
+@q("s09_temp_view",
+   """SELECT o_orderpriority, count(*) AS n FROM orders
+      WHERE o_totalprice > 200000 GROUP BY o_orderpriority""")
+def s09_temp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: temp view + spark.sql over it (reference temp_product_stage,
+    ``etl_target_loader.py:304-317``)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("wpe_tmp_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n FROM wpe_tmp_orders
+        WHERE o_totalprice > 200000 GROUP BY o_orderpriority""")
+
+
+# ------------------------------------------------- P: projections/filters
+
+@q("p01_projection_rename",
+   """SELECT o_orderkey AS order_key, o_orderpriority AS priority,
+             o_totalprice AS total_price
+      FROM orders WHERE o_orderstatus = 'O'""")
+def p01_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: column projection + rename (reference ``etl_ods_loader.py:405-408``)."""
+    return (t(spark, sf_dir, "orders")
+            .where(F.col("o_orderstatus") == "O")
+            .select(F.col("o_orderkey").alias("order_key"),
+                    F.col("o_orderpriority").alias("priority"),
+                    F.col("o_totalprice").alias("total_price")))
+
+
+@q("p02_distinct_nonnull_dates",
+   """SELECT DISTINCT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day
+      FROM orders WHERE o_orderdate IS NOT NULL""")
+def p02_distinct_nonnull_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: dropna().unique() on date columns (reference :201-203)."""
+    return (t(spark, sf_dir, "orders")
+            .select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"))
+            .where(F.col("order_day").isNotNull())
+            .distinct())
+
+
+@q("p03_null_filter",
+   """SELECT count(*) AS n_valid FROM lineitem
+      WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL""")
+def p03_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: skip rows with missing required fields (reference :557-560)."""
+    return (t(spark, sf_dir, "lineitem")
+            .where(F.col("l_shipdate").isNotNull() & F.col("l_quantity").isNotNull())
+            .agg(F.count(F.lit(1)).alias("n_valid")))
+
+
+@q("p04_date_membership_semi_join",
+   """SELECT count(*) AS n_kept, round(sum(CAST(l_quantity AS DECIMAL(28,6))),2)::DOUBLE AS sum_qty
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) IN
+            (SELECT DISTINCT CAST(o_orderdate AS DATE) FROM orders)""")
+def p04_date_membership_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: date-membership filter as a broadcast LEFT SEMI join — the
+    reference's ``available_dates`` set probe (``etl_ods_loader.py:533-542``)."""
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "ship_day", F.col("l_shipdate").cast("date"))
+    days = (t(spark, sf_dir, "orders")
+            .select(F.col("o_orderdate").cast("date").alias("ship_day")).distinct())
+    kept = li.join(F.broadcast(days), "ship_day", "left_semi")
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"), dsum("l_quantity", "sum_qty"))
+
+
+@q("p05_skip_missing_dim_key",
+   f"""SELECT count(*) AS n_resolved, {sql_dsum('l_extendedprice', 'sum_price')}
+      FROM lineitem JOIN (SELECT p_partkey FROM part WHERE p_size > 40) big
+      ON lineitem.l_partkey = big.p_partkey""")
+def p05_skip_missing_dim_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: drop fact rows whose dim lookup failed — left join + IS NOT NULL
+    (reference ``etl_staging_loader.py:825-831``)."""
+    li = t(spark, sf_dir, "lineitem")
+    dim = (t(spark, sf_dir, "part").where(F.col("p_size") > 40)
+           .select(F.col("p_partkey").alias("l_partkey"),
+                   F.lit(True).alias("__dim_ok")))
+    joined = li.join(F.broadcast(dim), "l_partkey", "left")
+    return (joined.where(F.col("__dim_ok").isNotNull())
+            .agg(F.count(F.lit(1)).alias("n_resolved"),
+                 dsum("l_extendedprice", "sum_price")))
+
+
+@q("p06_boolean_flag_filters",
+   """SELECT count(*) AS n_high_discount,
+             (SELECT count(*) FROM lineitem WHERE l_returnflag = 'R') AS n_returned
+      FROM lineitem WHERE l_discount > 0.05""")
+def p06_boolean_flag_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: boolean-flag verification filters (reference
+    ``etl_staging_loader.py:1352-1381``) — derive flags then filter on them."""
+    li = (t(spark, sf_dir, "lineitem")
+          .withColumn("is_high_discount", F.col("l_discount") > 0.05)
+          .withColumn("is_returned", F.col("l_returnflag") == "R"))
+    return (li.agg(
+        F.sum(F.when(F.col("is_high_discount"), 1).otherwise(0)).alias("n_high_discount"),
+        F.sum(F.when(F.col("is_returned"), 1).otherwise(0)).alias("n_returned")))
+
+
+@q("p07_rn1_filter",
+   f"""SELECT count(*) AS n_latest, {sql_dsum('l_extendedprice', 'sum_price')}
+      FROM (SELECT * FROM lineitem
+            QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_shipdate DESC, l_linenumber DESC) = 1)""")
+def p07_rn1_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/W1: keep latest row per key via ROW_NUMBER()=1 (reference
+    ``etl_target_loader.py:118-124``)."""
+    li = t(spark, sf_dir, "lineitem")
+    latest = latest_per_key(li, ["l_orderkey"],
+                            [F.desc("l_shipdate"), F.desc("l_linenumber")])
+    return latest.agg(F.count(F.lit(1)).alias("n_latest"),
+                      dsum("l_extendedprice", "sum_price"))
+
+
+# --------------------------------------------------------------- J: joins
+
+@q("j01_left_equi_join",
+   """SELECT n_name, r_name FROM nation LEFT JOIN region
+      ON nation.n_regionkey = region.r_regionkey""")
+def j01_left_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left equi enrich join (reference ``etl_staging_loader.py:354-361``)."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    return n.join(r, "n_regionkey", "left").select("n_name", "r_name")
+
+
+@q("j02_broadcast_key_map_join",
+   f"""SELECT p_brand, count(*) AS n, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+      FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""")
+def j02_broadcast_key_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: the reference's in-memory {key→row} dict probe IS a broadcast hash
+    join (``etl_ods_loader.py:482-524``)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    return (li.join(F.broadcast(p), "l_partkey")
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")))
+
+
+@q("j03_anti_join_fk_check",
+   """SELECT (SELECT count(*) FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+             AS n_customers_no_orders,
+             (SELECT count(*) FROM orders
+              WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+             AS n_orphan_orders""")
+def j03_anti_join_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: anti-join referential-integrity checks (reference
+    ``etl_ods_loader.py:904-982``)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    n1 = c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti") \
+          .agg(F.count(F.lit(1)).alias("n_customers_no_orders"))
+    n2 = o.join(c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti") \
+          .agg(F.count(F.lit(1)).alias("n_orphan_orders"))
+    return n1.crossJoin(n2)
+
+
+_J04_ORACLE = """
+WITH tgt AS (
+  SELECT row_number() OVER (ORDER BY c_custkey) AS customer_sk,
+         c_custkey, c_name, c_acctbal AS bal
+  FROM customer WHERE c_custkey <= 1000),
+src AS (
+  SELECT c_custkey, c_name, c_acctbal + 100 AS bal
+  FROM customer WHERE c_custkey BETWEEN 500 AND 1500),
+mx AS (SELECT max(customer_sk) AS m FROM tgt),
+matched AS (
+  SELECT tgt.customer_sk, tgt.c_custkey, src.c_name, src.bal,
+         TIMESTAMP '2026-01-01' AS insertion_date,
+         TIMESTAMP '2026-02-01' AS modification_date
+  FROM tgt JOIN src USING (c_custkey)),
+untouched AS (
+  SELECT customer_sk, c_custkey, c_name, bal,
+         TIMESTAMP '2026-01-01', TIMESTAMP '2026-01-01'
+  FROM tgt ANTI JOIN src USING (c_custkey)),
+inserted AS (
+  SELECT (SELECT m FROM mx) + row_number() OVER (ORDER BY c_custkey) AS customer_sk,
+         c_custkey, c_name, bal, TIMESTAMP '2026-02-01', TIMESTAMP '2026-02-01'
+  FROM src ANTI JOIN tgt USING (c_custkey))
+SELECT customer_sk::INT AS customer_sk, c_custkey, c_name, bal,
+       insertion_date, modification_date
+FROM (SELECT * FROM matched UNION ALL SELECT * FROM untouched
+      UNION ALL SELECT * FROM inserted)
+"""
+
+
+@q("j04_d01_scd1_merge", _J04_ORACLE)
+def j04_d01_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/D1: MERGE upsert semantics — initial load then second-run merge
+    (update matched, insert new, keep untouched; reference
+    ``etl_target_loader.py:86-151``)."""
+    cust = t(spark, sf_dir, "customer")
+    src1 = (cust.where(F.col("c_custkey") <= 1000)
+            .select("c_custkey", "c_name", F.col("c_acctbal").alias("bal")))
+    ts1 = F.lit("2026-01-01").cast("timestamp")
+    target = scd1_merge(None, src1, "c_custkey", ["c_name", "bal"], "customer_sk", ts1)
+    src2 = (cust.where(F.col("c_custkey").between(500, 1500))
+            .select("c_custkey", "c_name", (F.col("c_acctbal") + 100).alias("bal")))
+    ts2 = F.lit("2026-02-01").cast("timestamp")
+    merged = scd1_merge(target, src2, "c_custkey", ["c_name", "bal"], "customer_sk", ts2)
+    return merged.select(F.col("customer_sk").cast("int").alias("customer_sk"),
+                         "c_custkey", "c_name", "bal",
+                         "insertion_date", "modification_date")
+
+
+_J05_ORACLE = """
+WITH base AS (SELECT c_custkey, c_name, c_acctbal AS bal, c_mktsegment AS seg
+              FROM customer WHERE c_custkey <= 100),
+extra AS (SELECT c_custkey, c_name, c_acctbal AS bal, c_mktsegment AS seg
+          FROM customer WHERE c_custkey BETWEEN 101 AND 120),
+v1 AS (SELECT row_number() OVER (ORDER BY c_custkey) AS dim_sk, base.* FROM base),
+expired AS (   -- changed keys: version 1 expired at run2 - 1 day
+  SELECT dim_sk, c_custkey, c_name, bal, seg,
+         '2000-01-01' AS effective_date, '2026-01-31' AS expiry_date,
+         false AS is_current, 1 AS version,
+         TIMESTAMP '2026-01-02' AS insertion_date, TIMESTAMP '2026-02-01' AS modification_date
+  FROM v1 WHERE c_custkey <= 50),
+stayed AS (    -- unchanged keys: version 1 still current
+  SELECT dim_sk, c_custkey, c_name, bal, seg,
+         '2000-01-01', '9999-12-31', true, 1,
+         TIMESTAMP '2026-01-02', TIMESTAMP '2026-01-02'
+  FROM v1 WHERE c_custkey > 50),
+inserts AS (   -- run 2 inserts: changed keys (v2) + brand-new keys (v1)
+  SELECT (SELECT count(*) FROM base) + row_number() OVER (ORDER BY c_custkey) AS dim_sk,
+         c_custkey, c_name,
+         CASE WHEN c_custkey <= 50 THEN bal + 50 ELSE bal END AS bal, seg,
+         CASE WHEN c_custkey <= 50 THEN '2026-02-01' ELSE '2000-01-01' END,
+         '9999-12-31', true,
+         CASE WHEN c_custkey <= 50 THEN 2 ELSE 1 END,
+         TIMESTAMP '2026-02-01', TIMESTAMP '2026-02-01'
+  FROM (SELECT * FROM base WHERE c_custkey <= 50 UNION ALL SELECT * FROM extra))
+SELECT dim_sk::INT AS dim_sk, c_custkey, c_name, bal, seg, effective_date,
+       expiry_date, is_current, version, insertion_date, modification_date
+FROM (SELECT * FROM expired UNION ALL SELECT * FROM stayed UNION ALL SELECT * FROM inserts)
+"""
+
+
+@q("j05_j06_j07_d02_scd2_two_run", _J05_ORACLE)
+def j05_scd2_two_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/J6/J7/D2/D4: full SCD2 pipeline across two runs — change-detection
+    join, grouped-max version join, expired-set classification, expiry
+    rewrite (reference ``etl_target_loader.py:299-479``)."""
+    cust = t(spark, sf_dir, "customer")
+    tracked = ["c_name", "bal", "seg"]
+    src1 = (cust.where(F.col("c_custkey") <= 100)
+            .select("c_custkey", "c_name", F.col("c_acctbal").alias("bal"),
+                    F.col("c_mktsegment").alias("seg")))
+    dim1 = scd2_apply(None, src1, "c_custkey", tracked, "dim_sk",
+                      "2026-01-02", F.lit("2026-01-02").cast("timestamp"))
+    src2 = (cust.where(F.col("c_custkey") <= 120)
+            .select("c_custkey", "c_name",
+                    F.when(F.col("c_custkey") <= 50, F.col("c_acctbal") + 50)
+                     .otherwise(F.col("c_acctbal")).alias("bal"),
+                    F.col("c_mktsegment").alias("seg")))
+    dim2 = scd2_apply(dim1, src2, "c_custkey", tracked, "dim_sk",
+                      "2026-02-01", F.lit("2026-02-01").cast("timestamp"))
+    return (dim2
+            .withColumn("effective_date", F.date_format("effective_date", "yyyy-MM-dd"))
+            .withColumn("expiry_date", F.date_format("expiry_date", "yyyy-MM-dd")))
+
+
+@q("j06_grouped_max_lookup_join",
+   """SELECT o_custkey, o_orderkey AS max_price_orderkey, o_totalprice AS max_price
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) = 1""")
+def j06_grouped_max_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: grouped-max lookup join — per key, the row holding MAX(value)
+    (reference ``etl_target_loader.py:376-383``)."""
+    o = t(spark, sf_dir, "orders")
+    mx = o.groupBy("o_custkey").agg(F.max("o_totalprice").alias("max_price"))
+    # join back, pin ties to lowest orderkey
+    cand = o.join(mx, (o.o_custkey == mx.o_custkey)
+                  & (o.o_totalprice == mx.max_price)).drop(mx.o_custkey)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (cand.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+            .select("o_custkey", F.col("o_orderkey").alias("max_price_orderkey"),
+                    F.col("max_price")))
+
+
+@q("j08_multiway_fact_join",
+   f"""SELECT r_name, o_orderpriority, count(*) AS n,
+              {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY r_name, o_orderpriority""")
+def j08_multiway_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: multi-way fact-load join, 7 tables (reference
+    ``etl_target_loader.py:711-759``) — small dims broadcast, fact streams."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    df = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey))
+    return (df.groupBy("r_name", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")))
+
+
+@q("j09_interval_join_scd2",
+   f"""WITH dim AS (
+        SELECT s_suppkey AS l_suppkey, s_name, 'v1' AS version_label,
+               DATE '1900-01-01' AS eff, DATE '1997-12-31' AS exp FROM supplier
+        UNION ALL
+        SELECT s_suppkey, s_name, 'v2', DATE '1998-01-01', DATE '9999-12-31' FROM supplier)
+      SELECT version_label, count(*) AS n, {sql_dsum('l_quantity', 'sum_qty')}
+      FROM lineitem JOIN dim
+        ON lineitem.l_suppkey = dim.l_suppkey
+       AND CAST(l_shipdate AS DATE) BETWEEN dim.eff AND dim.exp
+      GROUP BY version_label""")
+def j09_interval_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: SCD2 temporal key resolution — equi join on the natural key with
+    the validity range as residual filter (reference
+    ``etl_target_loader.py:750-758``)."""
+    s = t(spark, sf_dir, "supplier")
+    v1 = s.select(F.col("s_suppkey").alias("l_suppkey"), "s_name",
+                  F.lit("v1").alias("version_label"),
+                  F.lit("1900-01-01").cast("date").alias("eff"),
+                  F.lit("1997-12-31").cast("date").alias("exp"))
+    v2 = s.select(F.col("s_suppkey").alias("l_suppkey"), "s_name",
+                  F.lit("v2").alias("version_label"),
+                  F.lit("1998-01-01").cast("date").alias("eff"),
+                  F.lit("9999-12-31").cast("date").alias("exp"))
+    dim = v1.unionByName(v2)
+    fact = t(spark, sf_dir, "lineitem").withColumn(
+        "ship_day", F.col("l_shipdate").cast("date"))
+    joined = interval_join(fact, dim, "l_suppkey", "ship_day", "eff", "exp")
+    return (joined.groupBy("version_label")
+            .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")))
+
+
+@q("j10_optional_dim_left_join",
+   """SELECT count(*) AS n_rows, count(s_name) AS n_matched,
+             count(*) - count(s_name) AS n_unmatched
+      FROM lineitem LEFT JOIN (SELECT s_suppkey, s_name FROM supplier
+                               WHERE s_acctbal > 5000) rich
+      ON lineitem.l_suppkey = rich.s_suppkey""")
+def j10_optional_dim_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: optional-dimension left join, NULLs preserved (reference
+    ``etl_target_loader.py:738-741``)."""
+    li = t(spark, sf_dir, "lineitem")
+    rich = (t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 5000)
+            .select(F.col("s_suppkey").alias("l_suppkey"), "s_name"))
+    j = li.join(F.broadcast(rich), "l_suppkey", "left")
+    return j.agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count("s_name").alias("n_matched"),
+                 (F.count(F.lit(1)) - F.count("s_name")).alias("n_unmatched"))
+
+
+# --------------------------------------------------------------- A: aggregations
+
+@q("a01_groupby_mode",
+   """SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+      FROM (SELECT c_mktsegment, o_orderpriority, count(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderpriority)
+      QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY n DESC, o_orderpriority) = 1""")
+def a01_groupby_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: group-by mode with pinned tie-break (reference customer
+    most-common-location, ``etl_ods_loader.py:262-270``)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"),
+                                            "c_mktsegment")
+    counts = (o.join(F.broadcast(c), "o_custkey")
+              .groupBy("c_mktsegment", "o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (counts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("c_mktsegment", F.col("o_orderpriority").alias("mode_priority"), "n"))
+
+
+@q("a02_groupby_first",
+   """SELECT first_priority, count(*) AS n_customers FROM (
+        SELECT o_orderpriority AS first_priority FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) = 1)
+      GROUP BY first_priority""")
+def a02_groupby_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: group-by first with pinned order (reference first age/segment per
+    customer, ``etl_ods_loader.py:268-269``)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    firsts = (o.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+              .select(F.col("o_orderpriority").alias("first_priority")))
+    return firsts.groupBy("first_priority").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@q("a03_distinct_count_per_group",
+   """SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments,
+             count(*) AS n_customers
+      FROM customer GROUP BY c_nationkey""")
+def a03_distinct_count_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: COUNT(DISTINCT) per group (reference multi-city customers,
+    ``etl_ods_loader.py:300-303``)."""
+    return (t(spark, sf_dir, "customer")
+            .groupBy("c_nationkey")
+            .agg(F.countDistinct("c_mktsegment").alias("n_segments"),
+                 F.count(F.lit(1)).alias("n_customers")))
+
+
+@q("a04_count_star_tables",
+   """SELECT 'customer' AS tbl, count(*) AS n FROM customer
+      UNION ALL SELECT 'orders', count(*) FROM orders
+      UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+      UNION ALL SELECT 'part', count(*) FROM part""")
+def a04_count_star_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: COUNT(*) table stats (reference ``etl_ods_loader.py:894-899``)."""
+    parts = []
+    for name in ("customer", "orders", "lineitem", "part"):
+        parts.append(t(spark, sf_dir, name).agg(
+            F.lit(name).alias("tbl"), F.count(F.lit(1)).alias("n")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@q("a05_count_distinct",
+   """SELECT count(DISTINCT l_suppkey) AS n_suppliers,
+             count(DISTINCT CAST(l_shipdate AS DATE)) AS n_ship_days
+      FROM lineitem""")
+def a05_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: global COUNT(DISTINCT) (reference ``etl_ods_loader.py:995-999``)."""
+    return (t(spark, sf_dir, "lineitem")
+            .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+                 F.countDistinct(F.col("l_shipdate").cast("date")).alias("n_ship_days")))
+
+
+@q("a06_max_per_group",
+   """SELECT o_custkey, max(o_totalprice) AS max_price FROM orders GROUP BY o_custkey""")
+def a06_max_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: MAX per group (reference SELECT k, MAX(version),
+    ``etl_target_loader.py:376-383``)."""
+    return (t(spark, sf_dir, "orders").groupBy("o_custkey")
+            .agg(F.max("o_totalprice").alias("max_price")))
+
+
+@q("a07_minmax_month_span",
+   """SELECT l_returnflag,
+             (year(max(l_shipdate))*12 + month(max(l_shipdate)))
+           - (year(min(l_shipdate))*12 + month(min(l_shipdate))) AS months_span
+      FROM lineitem GROUP BY l_returnflag""")
+def a07_minmax_month_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: MIN/MAX + month-difference aggregate (reference
+    ``etl_ods_loader.py:1006-1014``). Month arithmetic is done on integer
+    year*12+month so Spark and the oracle agree exactly."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag").agg(
+        ((F.year(F.max("l_shipdate")) * 12 + F.month(F.max("l_shipdate")))
+         - (F.year(F.min("l_shipdate")) * 12 + F.month(F.min("l_shipdate"))))
+        .alias("months_span")))
+
+
+@q("a08_conditional_ratio",
+   """SELECT l_linestatus,
+             round(100.0 * sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                   / count(*), 2) AS pct_high_discount,
+             round(100.0 * sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   / count(*), 2) AS pct_returned
+      FROM lineitem GROUP BY l_linestatus""")
+def a08_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: conditional-count ratios (reference high-margin %, profitable %,
+    ``etl_staging_loader.py:1349-1381``)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_linestatus").agg(
+        F.round(100.0 * F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+                / F.count(F.lit(1)), 2).alias("pct_high_discount"),
+        F.round(100.0 * F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+                / F.count(F.lit(1)), 2).alias("pct_returned")))
+
+
+@q("a09_distinct_rows",
+   "SELECT DISTINCT p_brand, p_type FROM part")
+def a09_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: distinct set semantics (reference ``etl_ods_loader.py:314-316``)."""
+    return t(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
+
+
+# ------------------------------------------------ W/O/U: window, sort, set ops
+
+@q("w01_window_dedup_latest",
+   """SELECT o_custkey, o_orderkey AS latest_orderkey, o_totalprice AS latest_price
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""")
+def w01_window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ROW_NUMBER dedup-latest before MERGE (reference
+    ``etl_target_loader.py:118-124``)."""
+    o = t(spark, sf_dir, "orders")
+    latest = latest_per_key(o, ["o_custkey"],
+                            [F.desc("o_orderdate"), F.desc("o_orderkey")])
+    return latest.select("o_custkey", F.col("o_orderkey").alias("latest_orderkey"),
+                         F.col("o_totalprice").alias("latest_price"))
+
+
+@q("o01_orderby_limit_topk",
+   """SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
+def o01_orderby_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: ORDER BY + LIMIT top-k → TakeOrderedAndProject, no full sort
+    (reference latest-5000-sales, ``etl_ods_loader.py:679-686``)."""
+    return (t(spark, sf_dir, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .select("o_orderkey", "o_totalprice").limit(100))
+
+
+@q("o02_full_sort",
+   "SELECT n_nationkey, n_name FROM nation ORDER BY n_name")
+def o02_full_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: full sort (reference ``etl_staging_loader.py:143``)."""
+    return t(spark, sf_dir, "nation").select("n_nationkey", "n_name").orderBy("n_name")
+
+
+@q("o03_recent_slice",
+   """SELECT DISTINCT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day
+      FROM orders ORDER BY order_day DESC LIMIT 30""")
+def o03_recent_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: most-recent-N slice of sorted distinct dates (reference
+    ``etl_ods_loader.py:785-789``)."""
+    return (t(spark, sf_dir, "orders")
+            .select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"))
+            .distinct().orderBy(F.desc("order_day")).limit(30))
+
+
+@q("u01_union_distinct",
+   """SELECT d AS day FROM (
+        SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d FROM orders
+        UNION SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem)""")
+def u01_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union + distinct of two date sets (reference
+    ``etl_ods_loader.py:199-203``)."""
+    a = t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+    b = t(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"))
+    return a.union(b).distinct()

@@ -1,0 +1,367 @@
+"""LLM training-data pipeline queries over documents/embeddings/events.
+
+Driver north-star surface: dedup (exact / MinHash-LSH / SimHash / n-gram
+Jaccard), similarity search (brute-force + LSH ANN), text analysis
+(lang-id, quality, token counts, fingerprints), multimodal plumbing, and
+the streaming twins. Oracles replicate the exact operator semantics in
+DuckDB SQL; xxhash64-dependent operators are rows-only (noted per query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from walmart_project_etl_spark.operators import (dedup, events, multimodal,
+                                                 similarity, text)
+
+from .util import events_dir, events_t, t
+
+QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies at doc_id+100000 — gives dedup something to
+    deduplicate (the driver corpus is all-distinct)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return d.unionByName(copies)
+
+
+_DUPES_SQL = """(SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0)"""
+
+
+@q("dedup_exact",
+   f"""SELECT min(doc_id) AS doc_id FROM {_DUPES_SQL} corpus
+      GROUP BY md5(text)""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 digest group, keep lowest id (hash-groupBy — one
+    uniform shuffle, no skew at any corpus size)."""
+    corpus = _docs_with_dupes(spark, sf_dir)
+    return dedup.exact_dedup(corpus, "text", "doc_id").select("doc_id")
+
+
+@q("dedup_ngram_jaccard",
+   """WITH pos AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id, substr(text, i::INT, 5) AS shingle FROM pos),
+      sized AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b,
+             round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+      FROM inter
+      JOIN sized sa ON sa.doc_id = id_a
+      JOIN sized sb ON sb.doc_id = id_b
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (char 5-grams, threshold 0.8).
+    Shuffle key is the shingle — documented as the LSH-candidate-only
+    variant at scale."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.8)
+
+
+@q("dedup_minhash_lsh", None)  # xxhash64 signatures — rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH banding (16×4) near-dup pairs at est-Jaccard ≥ 0.5.
+    Rows-only: signatures are xxhash64-based. The banded self-join keys on
+    uniformly-distributed band hashes — near-linear at 100 TB."""
+    corpus = _docs_with_dupes(spark, sf_dir)
+    return dedup.minhash_dedup(corpus, "doc_id", "text", threshold=0.5) \
+                .orderBy("id_a", "id_b")
+
+
+@q("dedup_simhash", None)  # xxhash64 signatures — rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dup pairs (Hamming ≤ 3) with 16-bit-chunk pigeonhole
+    blocking. Rows-only: xxhash64-based."""
+    corpus = _docs_with_dupes(spark, sf_dir)
+    return dedup.simhash_dedup(corpus, "doc_id", "text", max_hamming=3)
+
+
+# ------------------------------------------------------------- similarity
+
+_COSINE_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 7),
+c AS (SELECT vec_id, embedding FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(
+           list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+           6) AS cosine_sim
+  FROM q, c WHERE c.vec_id <> q.query_id)
+SELECT query_id, vec_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
+@q("sim_cosine_topk", _COSINE_ORACLE)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors (vec_id % 100 = 7):
+    broadcast queries × corpus scan, JVM-side zip_with/aggregate dot
+    product, per-query window top-k."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 7) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+@q("sim_lsh_ann_topk", None)  # xxhash64-derived hyperplanes — rows-only
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN (random-hyperplane signatures, 16 planes / 4 bands):
+    candidates via band-equality join, exact cosine re-rank. Rows-only:
+    hyperplanes derive from xxhash64."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 7) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.lsh_ann_topk(emb, queries, k=10)
+
+
+# ------------------------------------------------------------- text analysis
+
+@q("text_stats_quality",
+   r"""WITH s AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+               length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS n_punct,
+               length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS n_space
+        FROM documents),
+      r AS (
+        SELECT doc_id, n_chars, n_tokens,
+               round(n_alpha / greatest(n_chars, 1), 6) AS alpha_ratio,
+               round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+               round((n_chars - n_space) / greatest(n_tokens, 1), 6) AS mean_token_len
+        FROM s)
+      SELECT doc_id, n_chars, n_tokens, alpha_ratio, punct_ratio, mean_token_len,
+             round(CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 0.25 ELSE 0 END
+                 + CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0 END
+                 + CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END
+                 + CASE WHEN punct_ratio <= 0.15 THEN 0.25 ELSE 0 END, 2) AS quality
+      FROM r""")
+def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals + composite score — pure Column
+    expressions, full-scan speed."""
+    d = t(spark, sf_dir, "documents")
+    s = text.text_stats("text")
+    return d.select(
+        "doc_id", s["n_chars"].alias("n_chars"), s["n_tokens"].alias("n_tokens"),
+        s["alpha_ratio"].alias("alpha_ratio"), s["punct_ratio"].alias("punct_ratio"),
+        s["mean_token_len"].alias("mean_token_len"),
+        text.quality_score("text").alias("quality"))
+
+
+_LANGID_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+           / greatest(length(text), 1) AS cjk_ratio
+  FROM documents),
+hits AS (
+  SELECT doc_id, cjk_ratio,
+    len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS h_en,
+    len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], t))) AS h_de,
+    len(list_filter(tk, t -> list_contains(['el','la','de','que','y','en','un','es','los','por'], t))) AS h_es,
+    len(list_filter(tk, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t))) AS h_fr
+  FROM toks),
+best AS (SELECT *, greatest(h_en, h_de, h_es, h_fr) AS b FROM hits)
+SELECT lang_guess, count(*) AS n FROM (
+  SELECT CASE WHEN cjk_ratio > 0.3 THEN 'zh'
+              WHEN b < 1 THEN 'unknown'
+              WHEN h_en = b THEN 'en'
+              WHEN h_de = b THEN 'de'
+              WHEN h_es = b THEN 'es'
+              WHEN h_fr = b THEN 'fr'
+         END AS lang_guess
+  FROM best) GROUP BY lang_guess
+"""
+
+
+@q("text_langid", _LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (CJK charset ratio + stopword lexicon argmax),
+    aggregated to guess counts."""
+    d = t(spark, sf_dir, "documents")
+    return (d.select(text.lang_id("text").alias("lang_guess"))
+            .groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("text_token_counts",
+   r"""SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens
+      FROM documents""")
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    text.whitespace_token_count("text").alias("n_ws_tokens"),
+                    text.regex_token_count("text").alias("n_re_tokens"))
+
+
+@q("text_fingerprint",
+   """SELECT doc_id, min(md5(substr(text, i::INT, 8))) AS fingerprint
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+            FROM documents)
+      GROUP BY doc_id""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-md5 over char 8-grams (1-permutation
+    MinHash, engine-portable)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.doc_fingerprint("text", k=8).alias("fingerprint"))
+
+
+# ------------------------------------------------------------- events
+
+@q("events_asof_join",
+   """SELECT p.event_id, p.user_id, p.ts,
+             v.value AS last_view_value, v.ts AS last_view_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.ts >= v.ts""")
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each purchase matched to the user's most
+    recent prior view — union+window formulation, no range theta-join."""
+    from walmart_project_etl_spark.operators.interval_join import asof_join
+    ev = events_t(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view") \
+              .select("user_id", F.col("ts").alias("view_ts"),
+                      F.col("value").alias("view_value"))
+    out = asof_join(purchases, views, on="user_id",
+                    left_time="ts", right_time="view_ts",
+                    right_cols=["view_value", "view_ts"])
+    return out.select("event_id", "user_id", "ts",
+                      F.col("view_value").alias("last_view_value"),
+                      F.col("view_ts").alias("last_view_ts"))
+
+
+@q("events_sessionization",
+   """WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, count(*) AS n_events,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_seconds,
+             round(sum(CAST(value AS DECIMAL(28,6))), 2)::DOUBLE AS sum_value
+      FROM sess GROUP BY user_id, session_id""")
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): per-session stats."""
+    ev = events_t(spark, sf_dir)
+    return events.session_stats(ev, gap_minutes=30)
+
+
+_TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(28,6))), 2)::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+@q("events_tumbling_window", _TUMBLING_ORACLE)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch twin of the streaming
+    job; F.window aligns to the epoch = date_trunc('hour'))."""
+    ev = events_t(spark, sf_dir)
+    return events.tumbling_window_agg(ev, window_duration="1 hour",
+                                      extra_keys=["event_type"])
+
+
+@q("stream_tumbling_window", _TUMBLING_ORACLE)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution: file-source stream over the
+    events parquet, watermark, tumbling window, availableNow trigger,
+    memory sink. On drained bounded input it must equal the batch twin —
+    which is exactly what the oracle asserts."""
+    import os
+    from walmart_project_etl_spark.streaming import stream_tumbling_counts
+    return stream_tumbling_counts(
+        spark, events_dir(spark, sf_dir), "1 hour", "2 hours")
+
+
+@q("events_dedup_latest",
+   """SELECT user_id, event_type, event_id AS latest_event_id, value AS latest_value
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+              ORDER BY ts DESC, event_id DESC) = 1""")
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per (user, type) — W1 on the stream table."""
+    ev = events_t(spark, sf_dir)
+    latest = events.latest_event_per_key(ev, ["user_id", "event_type"])
+    return latest.select("user_id", "event_type",
+                         F.col("event_id").alias("latest_event_id"),
+                         F.col("value").alias("latest_value"))
+
+
+# ------------------------------------------------------------- multimodal
+
+@q("mm_image_meta",
+   """SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n_bytes,
+             substr(sha256(text), 1, 16) AS sha256_prefix,
+             16 + (ascii(substr(text, 1, 1)) % 240) AS width,
+             16 + (ascii(substr(text, 2, 1)) % 240) AS height,
+             3 AS n_channels
+      FROM documents""")
+def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction: binary payload → mapInPandas (Arrow
+    batches) → typed metadata. Decode is a deterministic byte-derived stub
+    (real codec integration point raises NotImplementedError; see
+    operators.multimodal)."""
+    media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
+    meta = multimodal.decode_image_meta(media)
+    return meta.select("media_id", "n_bytes", "sha256_prefix",
+                       "width", "height", "n_channels")
+
+
+@q("mm_frame_sampling",
+   """SELECT doc_id AS media_id, i::INT AS frame_index, (i::INT) * 64 AS byte_offset
+      FROM (SELECT doc_id,
+                   unnest(range(0, least(greatest((octet_length(encode(text)) // 64) - 1, 0), 15) + 1)) AS i
+            FROM documents)""")
+def mm_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled byte-offset 'frame'
+    (capped at 16), the explode shape a real video decoder would emit."""
+    media = multimodal.documents_as_media(t(spark, sf_dir, "documents"), "video")
+    return multimodal.sample_frames(media, every_n_bytes=64, max_frames=16)
+
+
+@q("mm_byte_histogram_features", None)  # list float compare — rows-only
+def mm_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram features via mapInPandas (stand-in embedding model;
+    identical Arrow plumbing). Rows-only; exactness asserted in tests/."""
+    media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media, dim=8)

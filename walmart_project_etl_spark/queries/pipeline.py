@@ -1,0 +1,524 @@
+"""End-to-end ETL pipeline queries on the reference CSV.
+
+These run the REAL plans (``sources.ingest`` → ``plans.ods`` →
+``plans.staging``) on ``/root/reference/data/walmart_data.csv`` and oracle
+them against DuckDB reading the same CSV — the strongest correctness gate:
+every hash-key, mode-pick, rule derivation, and join in the lineage must
+match SQL recomputed from the raw file.
+
+The ODS+staging frames are built once per process and materialized to a
+temp parquet warehouse; each query then reads its table back (fast), so
+the driver pays the pipeline cost once, not per query.
+
+Oracle window tie-breaks use explicit NULLS FIRST to match Spark's
+ascending-nulls-first default.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from walmart_project_etl_spark.functions import rules
+
+REFERENCE_CSV = "/root/reference/data/walmart_data.csv"
+RUN_DATE = "2025-01-01"
+BATCH_ID = "BATCH_1"
+
+QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+# DuckDB twin of sources.ingest.read_source_csv (canonical names + parsed dates)
+_SRC = f"""
+src AS (
+  SELECT "City" AS city, "Customer Age" AS customer_age,
+         "Customer Name" AS customer_name, "Customer Segment" AS customer_segment,
+         try_cast("Discount" AS DOUBLE) AS discount,
+         CAST(strptime("Order Date", '%m/%d/%Y') AS DATE) AS order_date,
+         try_cast("Order ID" AS BIGINT) AS order_id,
+         "Order Priority" AS order_priority,
+         try_cast("Order Quantity" AS INT) AS order_quantity,
+         try_cast("Product Base Margin" AS DOUBLE) AS product_base_margin,
+         "Product Category" AS product_category,
+         "Product Container" AS product_container,
+         "Product Name" AS product_name,
+         "Product Sub-Category" AS product_sub_category,
+         try_cast("Profit" AS DOUBLE) AS profit, "Region" AS region,
+         try_cast("Row ID" AS BIGINT) AS row_id,
+         try_cast("Sales" AS DOUBLE) AS sales,
+         CAST(strptime("Ship Date", '%m/%d/%Y') AS DATE) AS ship_date,
+         "Ship Mode" AS ship_mode,
+         try_cast("Shipping Cost" AS DOUBLE) AS shipping_cost,
+         "State" AS state, try_cast("Unit Price" AS DOUBLE) AS unit_price,
+         "Zip Code" AS zip_code
+  FROM read_csv('{REFERENCE_CSV}', header=true, all_varchar=true)),
+src2 AS (
+  -- ODS stores sales/profit as DECIMAL(12,2) (reference Numeric(12,2)):
+  -- replicate Spark's HALF_UP double→decimal cast via the exact
+  -- decimal(28,8) route so both engines round the same way
+  SELECT src.*, round(CAST(sales AS DECIMAL(28,8)), 2)::DOUBLE AS sales2,
+         round(CAST(profit AS DECIMAL(28,8)), 2)::DOUBLE AS profit2
+  FROM src)
+"""
+
+_WAREHOUSE: dict[str, str] = {}
+
+
+def _star(spark: SparkSession) -> str:
+    """Build ODS+staging once per process into a temp parquet warehouse."""
+    key = "root"
+    if key in _WAREHOUSE:
+        return _WAREHOUSE[key]
+    from walmart_project_etl_spark.plans.ods import build_ods
+    from walmart_project_etl_spark.plans.staging import build_staging
+    from walmart_project_etl_spark.sources.ingest import read_source_csv
+
+    root = os.path.join(tempfile.gettempdir(), "wpe_star_cache")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        src = read_source_csv(spark, REFERENCE_CSV)
+        ods = build_ods(spark, src, run_date=RUN_DATE)
+        stg = build_staging(ods, batch_id=BATCH_ID, run_date=RUN_DATE)
+        for name, df in {**ods, **stg}.items():
+            df.write.mode("overwrite").parquet(os.path.join(root, name))
+        open(marker, "w").close()
+    _WAREHOUSE[key] = root
+    return root
+
+
+def _wt(spark: SparkSession, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(_star(spark), table))
+
+
+# ----------------------------------------------------------- ingest / ODS
+
+@q("pipe_s01_s02_f04_csv_ingest",
+   f"""WITH {_SRC}
+      SELECT count(*) AS n_rows,
+             count(order_date) AS n_order_dates,
+             count(ship_date) AS n_ship_dates,
+             count(*) - count(product_base_margin) AS n_null_margin,
+             count(*) - count(customer_age) AS n_null_age,
+             round(sum(CAST(sales AS DECIMAL(28,6))), 2)::DOUBLE AS total_sales,
+             round(sum(CAST(profit AS DECIMAL(28,6))), 2)::DOUBLE AS total_profit
+      FROM src""")
+def pipe_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+F4: CSV scan with declared schema, ''→NULL, multi-format date
+    parse — end-to-end against DuckDB's own CSV reader."""
+    from walmart_project_etl_spark.sources.ingest import read_source_csv
+    src = read_source_csv(spark, REFERENCE_CSV)
+    return src.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("order_date").alias("n_order_dates"),
+        F.count("ship_date").alias("n_ship_dates"),
+        (F.count(F.lit(1)) - F.count("product_base_margin")).alias("n_null_margin"),
+        (F.count(F.lit(1)) - F.count("customer_age")).alias("n_null_age"),
+        F.round(F.sum(F.col("sales").cast("decimal(28,6)")), 2)
+         .cast("double").alias("total_sales"),
+        F.round(F.sum(F.col("profit").cast("decimal(28,6)")), 2)
+         .cast("double").alias("total_profit"))
+
+
+@q("pipe_u01_f02_f03_ods_dates",
+   f"""WITH {_SRC},
+      days AS (SELECT order_date AS full_date FROM src WHERE order_date IS NOT NULL
+               UNION SELECT ship_date FROM src WHERE ship_date IS NOT NULL)
+      SELECT year(full_date)*10000 + month(full_date)*100 + day(full_date) AS date_id,
+             CAST(full_date AS VARCHAR) AS full_date,
+             dayname(full_date) AS day_of_week,
+             day(full_date) AS day_of_month, month(full_date) AS month,
+             monthname(full_date) AS month_name, quarter(full_date) AS quarter,
+             year(full_date) AS year, false AS is_holiday
+      FROM days""")
+def pipe_ods_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODS date dim: U1 union+distinct of order/ship dates, F2 int id, F3
+    date parts (reference ``etl_ods_loader.py:197-252``)."""
+    return _wt(spark, "ods_date").select(
+        "date_id", F.date_format("full_date", "yyyy-MM-dd").alias("full_date"),
+        "day_of_week", "day_of_month", "month",
+        "month_name", "quarter", "year", "is_holiday")
+
+
+@q("pipe_a01_a02_f01_ods_customers",
+   f"""WITH {_SRC},
+      loc_counts AS (
+        SELECT customer_name, city, state, zip_code, region, count(*) AS cnt
+        FROM src GROUP BY 1,2,3,4,5),
+      primary_loc AS (
+        SELECT customer_name, city, state, zip_code, region FROM loc_counts
+        QUALIFY row_number() OVER (PARTITION BY customer_name
+                ORDER BY cnt DESC, city NULLS FIRST, state NULLS FIRST,
+                         zip_code NULLS FIRST, region NULLS FIRST) = 1),
+      firsts AS (
+        SELECT customer_name, customer_age, customer_segment FROM src
+        QUALIFY row_number() OVER (PARTITION BY customer_name
+                ORDER BY row_id NULLS FIRST) = 1)
+      SELECT concat('CUST_', substr(md5(p.customer_name), 1, 14)) AS customer_id,
+             p.customer_name, f.customer_age, f.customer_segment,
+             p.city, p.state, p.zip_code, p.region
+      FROM primary_loc p JOIN firsts f USING (customer_name)""")
+def pipe_ods_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODS customer dim: A1 mode location (pinned tie-break), A2 first
+    age/segment by row_id, F1 hash id (reference
+    ``etl_ods_loader.py:254-304``)."""
+    return _wt(spark, "ods_customer").select(
+        "customer_id", "customer_name", "customer_age", "customer_segment",
+        "city", "state", "zip_code", "region")
+
+
+@q("pipe_a09_f01_ods_products",
+   f"""WITH {_SRC}
+      SELECT DISTINCT concat('PROD_', substr(md5(product_name), 1, 14)) AS product_id,
+             product_name, product_category, product_sub_category,
+             product_container, product_base_margin,
+             CAST(unit_price AS DECIMAL(10,2)) AS unit_price
+      FROM src""")
+def pipe_ods_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODS product dim: A9 distinct projection + F1 hash id (supplier pick
+    is xxhash-based, checked rows-only elsewhere; reference
+    ``etl_ods_loader.py:398-449``)."""
+    return _wt(spark, "ods_product").select(
+        "product_id", "product_name", "product_category", "product_sub_category",
+        "product_container", "product_base_margin", "unit_price").distinct()
+
+
+@q("pipe_f01_ods_stores",
+   f"""WITH {_SRC}
+      SELECT DISTINCT
+             concat('STORE_', substr(md5(concat(city, ' Store')), 1, 14)) AS store_id,
+             concat(city, ' Store') AS store_name,
+             concat_ws(', ', city, state) AS location,
+             city, state, zip_code, region
+      FROM src""")
+def pipe_ods_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODS store dim: distinct location tuples; id hashes the CITY only so
+    one city with several zips keeps duplicate store_ids (reference
+    ``etl_ods_loader.py:451-480``)."""
+    return _wt(spark, "ods_store").select(
+        "store_id", "store_name", "location", "city", "state", "zip_code", "region")
+
+
+@q("pipe_p03_p04_ods_sales",
+   f"""WITH {_SRC}
+      SELECT count(*) AS n_sales,
+             count(DISTINCT concat('CUST_', substr(md5(customer_name),1,14))) AS n_customers,
+             count(DISTINCT concat('PROD_', substr(md5(product_name),1,14))) AS n_products,
+             round(sum(CAST(sales2 AS DECIMAL(28,6))), 2)::DOUBLE AS total_sales,
+             round(sum(CAST(profit2 AS DECIMAL(28,6))), 2)::DOUBLE AS total_profit,
+             sum(order_quantity) AS total_quantity
+      FROM src2 WHERE order_date IS NOT NULL AND ship_date IS NOT NULL""")
+def pipe_ods_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODS sales fact: P3 null-date filter + P4 date-membership semi-join +
+    in-plan key resolution; golden totals vs raw CSV (reference
+    ``etl_ods_loader.py:526-615``)."""
+    s = _wt(spark, "ods_sales")
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sales"),
+        F.countDistinct("customer_id").alias("n_customers"),
+        F.countDistinct("product_id").alias("n_products"),
+        F.round(F.sum(F.col("sales_amount").cast("decimal(28,6)")), 2)
+         .cast("double").alias("total_sales"),
+        F.round(F.sum(F.col("profit").cast("decimal(28,6)")), 2)
+         .cast("double").alias("total_profit"),
+        F.sum("order_quantity").alias("total_quantity"))
+
+
+# ----------------------------------------------------------- staging rules
+
+@q("pipe_f07_f08_stg_customer_ages",
+   f"""WITH {_SRC},
+      firsts AS (
+        SELECT customer_name, customer_age FROM src
+        QUALIFY row_number() OVER (PARTITION BY customer_name
+                ORDER BY row_id NULLS FIRST) = 1),
+      aged AS (SELECT try_cast(customer_age AS DOUBLE)::INT AS age FROM firsts)
+      SELECT CASE WHEN age IS NULL THEN 'Unknown'
+                  WHEN age < 18 THEN 'Under 18' WHEN age < 35 THEN '18-34'
+                  WHEN age < 50 THEN '35-49' WHEN age < 65 THEN '50-64'
+                  ELSE '65+' END AS age_group, count(*) AS n
+      FROM aged GROUP BY age_group""")
+def pipe_stg_customer_ages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging customer: F7 safe cast + F8 age buckets over the canonical
+    per-customer age (reference ``etl_staging_loader.py:270-292``)."""
+    c = _wt(spark, "stg_customer")
+    return c.groupBy("age_group").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q("pipe_f11_f13_stg_products",
+   f"""WITH {_SRC},
+      prod AS (SELECT DISTINCT product_name, product_category, product_sub_category,
+                      product_container, product_base_margin, unit_price FROM src),
+      x AS (SELECT coalesce(unit_price, 0) AS price,
+                   coalesce(product_base_margin, 0) AS margin FROM prod),
+      y AS (SELECT CASE WHEN price > 0 THEN round(margin / price * 100.0, 2)
+                        ELSE 0.0 END AS margin_percentage,
+                   CASE WHEN price < 10 THEN 'Low' WHEN price < 50 THEN 'Medium'
+                        WHEN price < 100 THEN 'High' ELSE 'Premium' END AS price_tier
+            FROM x)
+      SELECT price_tier, margin_percentage > 30.0 AS is_high_margin, count(*) AS n,
+             round(sum(CAST(margin_percentage AS DECIMAL(28,6))), 2)::DOUBLE
+               AS sum_margin_pct
+      FROM y GROUP BY price_tier, is_high_margin""")
+def pipe_stg_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging product: F11 margin %, F12 high-margin flag, F13 price tier
+    (reference ``etl_staging_loader.py:383-397``)."""
+    p = _wt(spark, "stg_product")
+    return (p.groupBy("price_tier", "is_high_margin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("margin_percentage").cast("decimal(28,6)")), 2)
+                  .cast("double").alias("sum_margin_pct")))
+
+
+@q("pipe_f14_stg_store_markets",
+   f"""WITH {_SRC},
+      st AS (SELECT DISTINCT city, state, zip_code, region FROM src),
+      m AS (SELECT coalesce(region, 'Unknown') AS region FROM st)
+      SELECT CASE WHEN region IS NULL THEN 'Unknown'
+                  WHEN lower(region) IN ('east','northeast','southeast') THEN 'East Coast'
+                  WHEN lower(region) IN ('west','northwest','southwest','pacific') THEN 'West Coast'
+                  WHEN lower(region) IN ('central','midwest','north central','south central') THEN 'Central'
+                  WHEN lower(region) IN ('south','southwest','southeast') THEN 'South'
+                  ELSE 'Other' END AS market, count(*) AS n
+      FROM m GROUP BY market""")
+def pipe_stg_store_markets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging store: F14 market derivation with the reference's
+    branch-shadowing order (reference ``etl_staging_loader.py:485-497``)."""
+    s = _wt(spark, "stg_store")
+    return s.groupBy("market").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q("pipe_f18_f21_stg_sales_metrics",
+   f"""WITH {_SRC},
+      x AS (SELECT coalesce(sales2, 0) AS amount,
+                   coalesce(discount, 0) AS disc,
+                   coalesce(profit2, 0) AS profit
+            FROM src2 WHERE order_date IS NOT NULL AND ship_date IS NOT NULL),
+      y AS (SELECT amount,
+                   round(CAST(amount * disc AS DECIMAL(28,8)), 2)::DOUBLE AS discount_amount,
+                   profit FROM x),
+      z AS (SELECT amount AS gross_revenue,
+                   round(CAST(amount - discount_amount AS DECIMAL(28,8)), 2)::DOUBLE AS net_revenue,
+                   discount_amount, profit,
+                   CASE WHEN amount > 0
+                        THEN round(CAST(profit / amount * 100.0 AS DECIMAL(28,8)), 2)::DOUBLE
+                        ELSE 0.0 END AS profit_margin,
+                   profit > 0 AS is_profitable
+            FROM y)
+      SELECT is_profitable, count(*) AS n,
+             round(sum(CAST(gross_revenue AS DECIMAL(28,6))), 2)::DOUBLE AS sum_gross,
+             round(sum(CAST(net_revenue AS DECIMAL(28,6))), 2)::DOUBLE AS sum_net,
+             round(sum(CAST(discount_amount AS DECIMAL(28,6))), 2)::DOUBLE AS sum_discount,
+             round(sum(CAST(profit_margin AS DECIMAL(28,6))), 2)::DOUBLE AS sum_margin
+      FROM z GROUP BY is_profitable""")
+def pipe_stg_sales_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging sales fact: F18-F21 revenue metrics through the full
+    ODS→staging lineage (reference ``etl_staging_loader.py:841-845``)."""
+    s = _wt(spark, "stg_sales")
+    return (s.groupBy("is_profitable").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("gross_revenue").cast("decimal(28,6)")), 2)
+         .cast("double").alias("sum_gross"),
+        F.round(F.sum(F.col("net_revenue").cast("decimal(28,6)")), 2)
+         .cast("double").alias("sum_net"),
+        F.round(F.sum(F.col("discount_amount").cast("decimal(28,6)")), 2)
+         .cast("double").alias("sum_discount"),
+        F.round(F.sum(F.col("profit_margin").cast("decimal(28,6)")), 2)
+         .cast("double").alias("sum_margin")))
+
+
+# ----------------------------------------------------------- BI acceptance
+
+@q("pipe_bi_kpi_totals",
+   f"""WITH {_SRC}
+      SELECT round(sum(CAST(sales2 AS DECIMAL(28,6))), 2)::DOUBLE AS total_sales,
+             round(sum(CAST(profit2 AS DECIMAL(28,6))), 2)::DOUBLE AS total_profit,
+             sum(order_quantity) AS total_quantity, count(*) AS n_sales
+      FROM src2 WHERE order_date IS NOT NULL AND ship_date IS NOT NULL""")
+def pipe_bi_kpi_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI KPI card totals (reference ``BUSINESS_REQUIREMENTS.md:35-38``;
+    note the doc's published numbers do NOT match its own CSV — golden
+    values are CSV-derived, see VERDICT r1 §wrong-6)."""
+    s = _wt(spark, "stg_sales")
+    return s.agg(
+        F.round(F.sum(F.col("sales_amount").cast("decimal(28,6)")), 2)
+         .cast("double").alias("total_sales"),
+        F.round(F.sum(F.col("profit").cast("decimal(28,6)")), 2)
+         .cast("double").alias("total_profit"),
+        F.sum("order_quantity").alias("total_quantity"),
+        F.count(F.lit(1)).alias("n_sales"))
+
+
+@q("pipe_bi_sales_by_category",
+   f"""WITH {_SRC}
+      SELECT product_category, count(*) AS n,
+             round(sum(CAST(sales2 AS DECIMAL(28,6))), 2)::DOUBLE AS total_sales
+      FROM src2 WHERE order_date IS NOT NULL AND ship_date IS NOT NULL
+      GROUP BY product_category""")
+def pipe_bi_sales_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI: sales by product category via fact→product-dim join
+    (reference ``BUSINESS_REQUIREMENTS.md:10-11``)."""
+    s = _wt(spark, "stg_sales")
+    p = _wt(spark, "stg_product").select("product_key", "product_category")
+    return (s.join(F.broadcast(p), "product_key")
+            .groupBy("product_category")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("sales_amount").cast("decimal(28,6)")), 2)
+                  .cast("double").alias("total_sales")))
+
+
+@q("pipe_bi_sales_by_state",
+   f"""WITH {_SRC}
+      SELECT state, round(sum(CAST(sales2 AS DECIMAL(28,6))), 2)::DOUBLE AS total_sales
+      FROM src2 WHERE order_date IS NOT NULL AND ship_date IS NOT NULL
+      GROUP BY state""")
+def pipe_bi_sales_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI: sales by transaction state (reference BUSINESS_REQUIREMENTS)."""
+    s = _wt(spark, "ods_sales")
+    return (s.groupBy(F.col("transaction_state").alias("state"))
+            .agg(F.round(F.sum(F.col("sales_amount").cast("decimal(28,6)")), 2)
+                 .cast("double").alias("total_sales")))
+
+
+@q("pipe_bi_sales_by_segment",
+   f"""WITH {_SRC},
+      firsts AS (SELECT customer_name, customer_segment FROM src
+                 QUALIFY row_number() OVER (PARTITION BY customer_name
+                         ORDER BY row_id NULLS FIRST) = 1)
+      SELECT coalesce(f.customer_segment, 'Unknown') AS customer_segment,
+             round(sum(CAST(s.sales2 AS DECIMAL(28,6))), 2)::DOUBLE AS total_sales
+      FROM src2 s JOIN firsts f USING (customer_name)
+      WHERE s.order_date IS NOT NULL AND s.ship_date IS NOT NULL
+      GROUP BY 1""")
+def pipe_bi_sales_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI: sales by customer segment via fact→customer-dim join (segment is
+    the customer's canonical first-row segment, not the line's)."""
+    s = _wt(spark, "stg_sales")
+    c = _wt(spark, "stg_customer").select("customer_key", "customer_segment")
+    return (s.join(F.broadcast(c), "customer_key")
+            .groupBy("customer_segment")
+            .agg(F.round(F.sum(F.col("sales_amount").cast("decimal(28,6)")), 2)
+                 .cast("double").alias("total_sales")))
+
+
+@q("pipe_bi_sales_by_shipmode",
+   f"""WITH {_SRC}
+      SELECT coalesce(ship_mode, 'Standard') AS ship_mode,
+             round(sum(CAST(sales2 AS DECIMAL(28,6))), 2)::DOUBLE AS total_sales,
+             count(*) AS n
+      FROM src2 WHERE order_date IS NOT NULL AND ship_date IS NOT NULL
+      GROUP BY 1""")
+def pipe_bi_sales_by_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI: sales by ship mode (F10 default applied in staging)."""
+    s = _wt(spark, "stg_sales")
+    return (s.groupBy("ship_mode")
+            .agg(F.round(F.sum(F.col("sales_amount").cast("decimal(28,6)")), 2)
+                 .cast("double").alias("total_sales"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@q("pipe_bi_profit_by_year",
+   f"""WITH {_SRC}
+      SELECT year(order_date) AS year,
+             round(sum(CAST(profit2 AS DECIMAL(28,6))), 2)::DOUBLE AS total_profit
+      FROM src2 WHERE order_date IS NOT NULL AND ship_date IS NOT NULL
+      GROUP BY 1""")
+def pipe_bi_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI: profit by year via fact→date-dim join (exercises the
+    transaction_date_key resolution)."""
+    s = _wt(spark, "stg_sales")
+    d = _wt(spark, "stg_date").select(
+        F.col("date_key").alias("transaction_date_key"), "year")
+    return (s.join(F.broadcast(d), "transaction_date_key")
+            .groupBy("year")
+            .agg(F.round(F.sum(F.col("profit").cast("decimal(28,6)")), 2)
+                 .cast("double").alias("total_profit")))
+
+
+@q("pipe_bi_sales_by_agegroup",
+   f"""WITH {_SRC},
+      firsts AS (SELECT customer_name, customer_age FROM src
+                 QUALIFY row_number() OVER (PARTITION BY customer_name
+                         ORDER BY row_id NULLS FIRST) = 1),
+      aged AS (SELECT customer_name,
+                      try_cast(customer_age AS DOUBLE)::INT AS age FROM firsts),
+      grp AS (SELECT customer_name,
+                     CASE WHEN age IS NULL THEN 'Unknown'
+                          WHEN age < 18 THEN 'Under 18' WHEN age < 35 THEN '18-34'
+                          WHEN age < 50 THEN '35-49' WHEN age < 65 THEN '50-64'
+                          ELSE '65+' END AS age_group FROM aged)
+      SELECT g.age_group,
+             round(sum(CAST(s.sales2 AS DECIMAL(28,6))), 2)::DOUBLE AS total_sales
+      FROM src2 s JOIN grp g USING (customer_name)
+      WHERE s.order_date IS NOT NULL AND s.ship_date IS NOT NULL
+      GROUP BY g.age_group""")
+def pipe_bi_sales_by_agegroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI: sales by customer age group (F7/F8 through the dim join)."""
+    s = _wt(spark, "stg_sales")
+    c = _wt(spark, "stg_customer").select("customer_key", "age_group")
+    return (s.join(F.broadcast(c), "customer_key")
+            .groupBy("age_group")
+            .agg(F.round(F.sum(F.col("sales_amount").cast("decimal(28,6)")), 2)
+                 .cast("double").alias("total_sales")))
+
+
+@q("pipe_bi_net_revenue_by_region",
+   f"""WITH {_SRC},
+      canon AS (SELECT city, region FROM (SELECT DISTINCT city, state, zip_code, region FROM src)
+                QUALIFY row_number() OVER (PARTITION BY city
+                        ORDER BY zip_code NULLS FIRST, state NULLS FIRST,
+                                 region NULLS FIRST) = 1),
+      x AS (SELECT coalesce(c.region, 'Unknown') AS region,
+                   round(CAST(coalesce(s.sales2,0)
+                         - round(CAST(coalesce(s.sales2,0) * coalesce(s.discount,0)
+                                 AS DECIMAL(28,8)), 2)
+                         AS DECIMAL(28,8)), 2)::DOUBLE AS net_revenue
+            FROM src2 s JOIN canon c USING (city)
+            WHERE s.order_date IS NOT NULL AND s.ship_date IS NOT NULL)
+      SELECT region, round(sum(CAST(net_revenue AS DECIMAL(28,6))), 2)::DOUBLE
+               AS total_net_revenue
+      FROM x GROUP BY region""")
+def pipe_bi_net_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI: net revenue by store region — the store dim collapses duplicate
+    city-hash ids to one canonical row (J2 dict-collapse semantics,
+    pinned), so region comes from that canonical store."""
+    s = _wt(spark, "stg_sales")
+    st = _wt(spark, "stg_store").select("store_key", "region")
+    return (s.join(F.broadcast(st), "store_key")
+            .groupBy("region")
+            .agg(F.round(F.sum(F.col("net_revenue").cast("decimal(28,6)")), 2)
+                 .cast("double").alias("total_net_revenue")))
+
+
+@q("pipe_bi_returns_by_category", None)  # synthetic returns are xxhash-seeded
+def pipe_bi_returns_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI: returns by product category. Rows-only — the returns fact is
+    synthesized with seeded xxhash draws (F31), not reproducible in SQL."""
+    r = _wt(spark, "stg_returns")
+    p = _wt(spark, "stg_product").select("product_key", "product_category")
+    return (r.join(F.broadcast(p), "product_key")
+            .groupBy("product_category")
+            .agg(F.count(F.lit(1)).alias("n_returns"),
+                 F.round(F.sum(F.col("return_amount").cast("decimal(28,6)")), 2)
+                  .cast("double").alias("total_returned")))
+
+
+@q("pipe_f31_f32_synthetic_facts", None)  # xxhash-seeded — rows-only
+def pipe_synthetic_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F31/F32 + O1/O3: synthetic returns (~10% of latest 5000 sales) and
+    bounded inventory grid (30 dates × ≤100 products × ≤50 stores).
+    Rows-only; volume bounds asserted in tests/."""
+    r = _wt(spark, "ods_returns")
+    i = _wt(spark, "ods_inventory")
+    return r.agg(F.count(F.lit(1)).alias("n_returns")).crossJoin(
+        i.agg(F.count(F.lit(1)).alias("n_inventory"),
+              F.countDistinct("inventory_date").alias("n_snapshot_days")))

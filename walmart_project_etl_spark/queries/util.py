@@ -1,0 +1,93 @@
+"""Shared helpers for the oracle-checked query surface.
+
+Determinism rules used throughout (so the driver's order-insensitive
+value-hash matches DuckDB bit-for-bit):
+
+- **Sums of doubles go through decimal.** Float addition is
+  order-dependent; at 32 shuffle partitions Spark's partial sums would
+  differ from DuckDB's sequential sum in the low bits. Casting the addend
+  to ``decimal(28,6)`` makes the aggregation exact in both engines; the
+  final ``round(_, 2)::double`` is then bit-identical.
+- **Every computed column is aliased identically** in the Spark plan and
+  the oracle SQL (driver compares columns sorted by name).
+- **Ranking ties are pinned** with a unique tiebreak column so top-k sets
+  are well-defined.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (S3 table scan)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_EVENTS_CACHE: dict[str, str] = {}
+
+
+def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, converting its TIMESTAMP(NANOS) column.
+
+    The driver's events parquet stores nanosecond timestamps, which Spark's
+    parquet reader rejects (``PARQUET_TYPE_ILLEGAL``). We read the nanos as
+    LONG (legacy conf), truncate to micros (``div 1000`` — exactly DuckDB's
+    ns→µs truncation), and materialize a micros copy per process so
+    downstream queries (and the file-source *stream*, which needs a
+    directory) read a normal parquet dir.
+    """
+    if sf_dir in _EVENTS_CACHE:
+        return spark.read.parquet(_EVENTS_CACHE[sf_dir])
+    import hashlib
+    import tempfile
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "wpe_events_us_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            conv = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            conv.write.mode("overwrite").parquet(out)
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    _EVENTS_CACHE[sf_dir] = out
+    return spark.read.parquet(out)
+
+
+def events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the micros-converted events directory (for streaming)."""
+    events_t(spark, sf_dir)
+    return _EVENTS_CACHE[sf_dir]
+
+
+def round2(col: Column, scale: int = 2) -> Column:
+    """Cross-engine-deterministic HALF_UP rounding of a double expression.
+
+    ``F.round`` on a raw double rounds the double's shortest decimal
+    representation while DuckDB rounds the binary value — they disagree on
+    exact .xx5 boundaries. Routing through ``decimal(28,8)`` (boundary-free
+    for the bounded-denominator rationals in this data) then rounding the
+    exact decimal makes both engines produce the same bits.
+    """
+    return F.round(col.cast("decimal(28,8)"), scale).cast("double")
+
+
+def sql_round2(expr: str, scale: int = 2) -> str:
+    """DuckDB twin of :func:`round2`."""
+    return f"round(CAST(({expr}) AS DECIMAL(28,8)), {scale})::DOUBLE"
+
+
+def dsum(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Exact decimal-routed sum of a double column → round → double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(28,6)")), scale).cast("double").alias(alias)
+
+
+def sql_dsum(expr: str, alias: str, scale: int = 2) -> str:
+    """DuckDB twin of :func:`dsum`."""
+    return f"round(sum(CAST({expr} AS DECIMAL(28,6))), {scale})::DOUBLE AS {alias}"

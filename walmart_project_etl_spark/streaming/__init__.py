@@ -1,0 +1,17 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY §2.10); this module is the driver
+north-star extension: the same event-table semantics as
+``operators.events``, expressed as an incremental Structured Streaming
+pipeline — file source → watermark → windowed aggregation → sink.
+
+Design for scale: the file source lists incrementally; watermark bounds
+state (late events beyond the watermark are dropped, state for closed
+windows is evicted); ``availableNow`` gives batch-bounded runs for
+backfill with identical code. The same queries run against Kafka by
+swapping the reader — nothing else changes.
+"""
+
+from .jobs import stream_latest_per_user, stream_tumbling_counts
+
+__all__ = ["stream_tumbling_counts", "stream_latest_per_user"]
