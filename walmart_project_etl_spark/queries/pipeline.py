@@ -86,10 +86,15 @@ def _star(spark: SparkSession) -> str:
     root = os.path.join(tempfile.gettempdir(), "wpe_star_cache")
     marker = os.path.join(root, "_BUILT")
     if not os.path.exists(marker):
+        from walmart_project_etl_spark.plans.target import build_target
         src = read_source_csv(spark, REFERENCE_CSV)
         ods = build_ods(spark, src, run_date=RUN_DATE)
         stg = build_staging(ods, batch_id=BATCH_ID, run_date=RUN_DATE)
         for name, df in {**ods, **stg}.items():
+            df.write.mode("overwrite").parquet(os.path.join(root, name))
+        stg = {name: spark.read.parquet(os.path.join(root, name)) for name in stg}
+        tgt = build_target(stg, None, run_date=RUN_DATE, batch_id=BATCH_ID)
+        for name, df in tgt.items():
             df.write.mode("overwrite").parquet(os.path.join(root, name))
         open(marker, "w").close()
     _WAREHOUSE[key] = root
@@ -522,3 +527,108 @@ def pipe_synthetic_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.agg(F.count(F.lit(1)).alias("n_returns")).crossJoin(
         i.agg(F.count(F.lit(1)).alias("n_inventory"),
               F.countDistinct("inventory_date").alias("n_snapshot_days")))
+
+
+# ----------------------------------------------------------- target layer
+
+@q("pipe_d01_d02_tgt_dim_counts",
+   f"""WITH {_SRC},
+      days AS (SELECT order_date AS d FROM src WHERE order_date IS NOT NULL
+               UNION SELECT ship_date FROM src WHERE ship_date IS NOT NULL)
+      SELECT (SELECT count(*) FROM days) AS n_dim_date,
+             (SELECT count(DISTINCT customer_name) FROM src) AS n_dim_customer,
+             (SELECT count(DISTINCT product_category) FROM src)
+               + (SELECT count(DISTINCT product_sub_category) FROM src) AS n_dim_supplier,
+             10 AS n_dim_return_reason,
+             (SELECT count(DISTINCT product_name) FROM src) AS n_dim_product,
+             (SELECT count(DISTINCT city) FROM src) AS n_dim_store,
+             (SELECT count(DISTINCT product_name) FROM src) AS n_product_current,
+             (SELECT count(DISTINCT city) FROM src) AS n_store_current""")
+def pipe_tgt_dim_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D2: target dimension cardinalities after the initial MERGE/SCD2
+    load — one row per natural key, SCD2 dims all current version 1
+    (reference ``etl_target_loader.py:86-656``)."""
+    counts = {}
+    for name, alias in [("tgt_dim_date", "n_dim_date"),
+                        ("tgt_dim_customer", "n_dim_customer"),
+                        ("tgt_dim_supplier", "n_dim_supplier"),
+                        ("tgt_dim_return_reason", "n_dim_return_reason"),
+                        ("tgt_dim_product", "n_dim_product"),
+                        ("tgt_dim_store", "n_dim_store")]:
+        counts[alias] = _wt(spark, name).count()
+    counts["n_product_current"] = _wt(spark, "tgt_dim_product").where("is_current").count()
+    counts["n_store_current"] = _wt(spark, "tgt_dim_store").where("is_current").count()
+    return spark.createDataFrame([tuple(counts.values())],
+                                 ", ".join(f"{k} long" for k in counts))
+
+
+@q("pipe_j08_j09_tgt_sales_by_category",
+   f"""WITH {_SRC}
+      SELECT product_category, count(*) AS n,
+             round(sum(CAST(sales2 AS DECIMAL(28,6))), 2)::DOUBLE AS total_sales
+      FROM src2 WHERE order_date IS NOT NULL AND ship_date IS NOT NULL
+      GROUP BY product_category""")
+def pipe_tgt_sales_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/J9 end-to-end: tgt_fact_sales rows resolved their product key via
+    the SCD2 interval join; aggregating through tgt_dim_product must still
+    reproduce the raw-CSV category totals (reference
+    ``etl_target_loader.py:711-776``)."""
+    f = _wt(spark, "tgt_fact_sales")
+    p = _wt(spark, "tgt_dim_product").select("product_key", "product_category")
+    return (f.join(F.broadcast(p), "product_key")
+            .groupBy("product_category")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("sales_amount").cast("decimal(28,6)")), 2)
+                  .cast("double").alias("total_sales")))
+
+
+@q("pipe_d02_tgt_scd2_shape",
+   """SELECT 1 AS version, true AS is_current,
+             '2000-01-01' AS effective_date, '9999-12-31' AS expiry_date""")
+def pipe_tgt_scd2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: initial SCD2 load shape — every product row is version 1,
+    current, backfilled effective, far-future expiry (reference
+    ``etl_target_loader.py:347-388``)."""
+    p = _wt(spark, "tgt_dim_product")
+    return (p.select("version", "is_current",
+                     F.date_format("effective_date", "yyyy-MM-dd").alias("effective_date"),
+                     F.date_format("expiry_date", "yyyy-MM-dd").alias("expiry_date"))
+            .distinct())
+
+
+@q("pipe_j03_a04_quality_gates",
+   f"""WITH {_SRC}
+      SELECT 0 AS n_fk_violations, 8 AS n_fk_checks,
+             (SELECT count(*) FROM src
+              WHERE order_date IS NOT NULL AND ship_date IS NOT NULL) >= 5000
+               AS sales_volume_ok,
+             (SELECT count(DISTINCT product_name) FROM src) >= 1000
+               AS product_volume_ok""")
+def pipe_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 + A4: the 8 anti-join FK checks and volume gates, all green on the
+    reference CSV (reference ``etl_ods_loader.py:904-1018``)."""
+    from walmart_project_etl_spark.quality import fk_checks, volume_checks
+    ods = {name: _wt(spark, name) for name in (
+        "ods_date", "ods_customer", "ods_product", "ods_store",
+        "ods_supplier", "ods_return_reason", "ods_sales", "ods_returns",
+        "ods_inventory")}
+    fk = fk_checks(spark, ods)
+    vol = {r["check"]: r["passed"] for r in volume_checks(spark, ods).collect()}
+    agg = fk.agg(F.sum(F.when(~F.col("passed"), F.col("value")).otherwise(0))
+                  .cast("int").alias("n_fk_violations"),
+                 F.count(F.lit(1)).cast("int").alias("n_fk_checks"))
+    return agg.select(
+        "n_fk_violations", "n_fk_checks",
+        F.lit(bool(vol["min_sales_volume"])).alias("sales_volume_ok"),
+        F.lit(bool(vol["min_product_count"])).alias("product_volume_ok"))
+
+
+@q("pipe_a08_quality_ratios", None)  # returns/inventory are synthetic — rows-only
+def pipe_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: the four distribution ratio checks (reference
+    ``etl_staging_loader.py:1349-1381``). Rows-only: two of the four run
+    over synthetic (hash-seeded) facts."""
+    from walmart_project_etl_spark.quality import ratio_checks
+    stg = {name: _wt(spark, name) for name in (
+        "stg_product", "stg_sales", "stg_returns", "stg_inventory")}
+    return ratio_checks(stg)

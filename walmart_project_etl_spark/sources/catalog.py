@@ -63,6 +63,21 @@ class Warehouse:
                partition_by: list[str] | None = None) -> None:
         self.write(layer, table, df, mode="append", partition_by=partition_by)
 
+    def replace(self, layer: str, table: str, df: DataFrame) -> None:
+        """Overwrite a table whose current files may feed ``df``'s plan.
+
+        Spark refuses to overwrite a path it is reading from, so write to a
+        sibling temp dir and swap directories (the write-temp-then-rename
+        pattern; on an object store this is the commit-marker dance)."""
+        import shutil
+
+        tmp = self.path(layer, f"{table}__swap")
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.path(layer, table)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
     def read(self, layer: str, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(layer, table))
 
