@@ -1,0 +1,237 @@
+"""Operator-level tests: SCD1/SCD2, interval/as-of joins, dedup,
+similarity, text, multimodal, sessionization."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from walmart_project_etl_spark.operators import (dedup, events, merge,
+                                                 multimodal, scd2, similarity,
+                                                 text)
+from walmart_project_etl_spark.operators.interval_join import (asof_join,
+                                                               interval_join)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_scd1_merge_update_insert_keep(spark):
+    ts1 = F.lit("2026-01-01").cast("timestamp")
+    ts2 = F.lit("2026-02-01").cast("timestamp")
+    src1 = spark.createDataFrame([("A", 1.0), ("B", 2.0)], "k string, v double")
+    t1 = merge.scd1_merge(None, src1, "k", ["v"], "sk", ts1)
+    src2 = spark.createDataFrame([("B", 20.0), ("C", 3.0)], "k string, v double")
+    t2 = {r["k"]: r for r in merge.scd1_merge(t1, src2, "k", ["v"], "sk", ts2).collect()}
+    assert t2["A"]["v"] == 1.0 and str(t2["A"]["modification_date"]).startswith("2026-01")
+    assert t2["B"]["v"] == 20.0 and str(t2["B"]["modification_date"]).startswith("2026-02")
+    assert str(t2["B"]["insertion_date"]).startswith("2026-01")  # preserved
+    assert t2["C"]["sk"] == 3  # max existing (2) + 1
+
+
+def test_scd2_change_new_unchanged(spark):
+    ts = F.lit("2026-01-02").cast("timestamp")
+    src1 = spark.createDataFrame([("A", "x"), ("B", "y")], "k string, attr string")
+    d1 = scd2.scd2_apply(None, src1, "k", ["attr"], "sk", "2026-01-02", ts)
+    assert {(r["k"], r["version"], r["is_current"]) for r in d1.collect()} == {
+        ("A", 1, True), ("B", 1, True)}
+
+    src2 = spark.createDataFrame([("A", "x2"), ("B", "y"), ("C", "z")],
+                                 "k string, attr string")
+    d2 = scd2.scd2_apply(d1, src2, "k", ["attr"], "sk",
+                         "2026-02-01", F.lit("2026-02-01").cast("timestamp"))
+    rows = {(r["k"], r["version"]): r for r in d2.collect()}
+    assert len(rows) == 4  # A v1+v2, B v1, C v1
+    assert rows[("A", 1)]["is_current"] is False
+    assert str(rows[("A", 1)]["expiry_date"]) == "2026-01-31"
+    assert rows[("A", 2)]["is_current"] is True
+    assert str(rows[("A", 2)]["effective_date"]) == "2026-02-01"
+    assert str(rows[("A", 2)]["expiry_date"]) == "9999-12-31"
+    assert rows[("B", 1)]["is_current"] is True
+    assert str(rows[("C", 1)]["effective_date"]) == "2000-01-01"  # backfill
+
+
+def test_scd2_same_day_double_change_edge(spark):
+    """Reference edge (SURVEY §7.3): two changes on one run_date give the
+    expired row expiry = effective - 1 (expiry < effective) — preserved."""
+    ts = F.lit("2026-03-01").cast("timestamp")
+    src1 = spark.createDataFrame([("A", "x")], "k string, attr string")
+    d1 = scd2.scd2_apply(None, src1, "k", ["attr"], "sk", "2026-03-01", ts)
+    src2 = spark.createDataFrame([("A", "x2")], "k string, attr string")
+    d2 = scd2.scd2_apply(d1, src2, "k", ["attr"], "sk", "2026-03-01", ts)
+    src3 = spark.createDataFrame([("A", "x3")], "k string, attr string")
+    d3 = scd2.scd2_apply(d2, src3, "k", ["attr"], "sk", "2026-03-01", ts)
+    rows = sorted(d3.collect(), key=lambda r: r["version"])
+    assert [r["version"] for r in rows] == [1, 2, 3]
+    v2 = rows[1]
+    assert str(v2["effective_date"]) == "2026-03-01"
+    assert str(v2["expiry_date"]) == "2026-02-28"  # expiry < effective, as reference
+
+
+def test_interval_join_resolves_correct_version(spark):
+    dim = spark.createDataFrame(
+        [("P", "v1", "2000-01-01", "2026-01-31"),
+         ("P", "v2", "2026-02-01", "9999-12-31")],
+        "k string, label string, eff string, exp string") \
+        .select("k", "label", F.col("eff").cast("date").alias("eff"),
+                F.col("exp").cast("date").alias("exp"))
+    fact = spark.createDataFrame(
+        [(1, "P", "2026-01-15"), (2, "P", "2026-02-15"), (3, "P", "2026-02-01")],
+        "id int, k string, d string").select("id", "k", F.col("d").cast("date").alias("d"))
+    out = {r["id"]: r["label"]
+           for r in interval_join(fact, dim, "k", "d", "eff", "exp").collect()}
+    assert out == {1: "v1", 2: "v2", 3: "v2"}  # boundaries inclusive
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 50)], "id int, k string, t long") \
+        .select("id", "k", F.timestamp_seconds("t").alias("t"))
+    right = spark.createDataFrame(
+        [("u", 100, "a"), ("u", 200, "b")], "k string, t long, v string") \
+        .select("k", F.timestamp_seconds("t").alias("rt"), "v")
+    out = {r["id"]: r["v"] for r in asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        right_cols=["v"]).collect()}
+    assert out == {1: "a", 2: "b", 3: None}  # t=100 matches rt=100 (inclusive)
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other")], "doc_id int, text string")
+    kept = {r["doc_id"] for r in dedup.exact_dedup(df, "text", "doc_id").collect()}
+    assert kept == {1, 2}
+
+
+def test_minhash_finds_near_dupes_not_distinct(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark and parquet files " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id int, text string")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_dedup(df, "doc_id", "text", threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_blocking_finds_all_close_pairs(spark):
+    """The 16-bit-chunk pigeonhole blocking must find every pair with
+    Hamming ≤ 3 that a brute-force signature compare finds (identical docs
+    are Hamming 0 — always found); unrelated docs stay out."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    near = base + "iota"  # single trailing token tweak
+    far = "totally unrelated words nothing shared here at all " * 6
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, far), (4, near)], "doc_id int, text string")
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.simhash_dedup(df, "doc_id", "text", max_hamming=3).collect()}
+    # brute-force oracle over the same signatures
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sigs = df.select(F.col("doc_id").alias("doc"), dedup.simhash64(toks).alias("sig"))
+    l, r = sigs.alias("l"), sigs.alias("r")
+    brute = {(row["a"], row["b"]) for row in
+             l.join(r, F.col("l.doc") < F.col("r.doc"))
+              .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"),
+                      dedup.hamming64(F.col("l.sig"), F.col("r.sig")).alias("h"))
+              .where(F.col("h") <= 3).collect()}
+    assert got == brute
+    assert (1, 2) in got       # identical docs, Hamming 0
+    assert (1, 3) not in got   # unrelated
+
+
+def test_ngram_jaccard_exact_value(spark):
+    df = spark.createDataFrame([(1, "abcd"), (2, "bcde")], "doc_id int, text string")
+    # k=2 shingles: {ab,bc,cd} vs {bc,cd,de} → J = 2/4 = 0.5
+    rows = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=2, threshold=0.4).collect()
+    assert len(rows) == 1 and rows[0]["jaccard"] == 0.5
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(30, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    queries = df.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = [(r["vec_id"], r["cosine_sim"])
+           for r in similarity.cosine_topk(df, queries, k=5)
+           .orderBy("rank").collect()]
+    v = vecs.astype("float64")
+    sims = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    order = [i for i in np.argsort(-sims) if i != 0][:5]
+    assert [g[0] for g in got] == order
+    for (gid, gsim) in got:
+        assert math.isclose(gsim, round(float(sims[gid]), 6), abs_tol=1e-6)
+
+
+def test_lsh_ann_recall_reasonable(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where("vec_id % 100 = 7").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    approx = similarity.lsh_ann_topk(emb, queries, k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, recall  # ANN: tunable, must be far above random (~2%)
+
+
+def test_text_stats_and_quality(spark):
+    df = spark.createDataFrame([(1, "Hello world, this is a test. " * 4)],
+                               "doc_id int, text string")
+    s = text.text_stats("text")
+    row = df.select(s["n_tokens"].alias("nt"), s["alpha_ratio"].alias("ar"),
+                    text.quality_score("text").alias("q")).collect()[0]
+    assert row["nt"] == 24
+    assert 0.6 <= row["ar"] <= 1.0
+    assert row["q"] == 1.0
+    empty = spark.createDataFrame([(1, "")], "doc_id int, text string")
+    assert empty.select(text.whitespace_token_count("text").alias("v")) \
+                .collect()[0]["v"] == 0
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it was happy"),
+         (2, "der hund ist nicht mit der katze auf dem sofa"),
+         (3, "el perro es un animal que vive en la casa"),
+         (4, "无线电法国别研究无线电法国别研究无线电法国别研究"),
+         (5, "zzz qqq xxx")],
+        "doc_id int, text string")
+    got = {r["doc_id"]: r["lang"]
+           for r in df.select("doc_id", text.lang_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "zh", 5: "unknown"}
+
+
+def test_multimodal_feature_matches_numpy(spark):
+    import numpy as np
+    docs = spark.createDataFrame([(1, "abcXYZ 123!@#")], "doc_id long, text string")
+    media = multimodal.documents_as_media(docs)
+    feat = multimodal.extract_features(media, dim=8).collect()[0]["feature"]
+    data = np.frombuffer(b"abcXYZ 123!@#", dtype=np.uint8)
+    hist = np.bincount(data // 32, minlength=8)[:8]
+    hist = hist / hist.sum()
+    assert feat == pytest.approx([round(float(v), 6) for v in hist])
+
+
+def test_multimodal_real_decode_is_explicit_stub(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = multimodal.documents_as_media(docs)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_meta(media, real_decode=True)
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [(1, "u", 0), (2, "u", 60), (3, "u", 60 + 31 * 60), (4, "v", 0)]
+    df = spark.createDataFrame(rows, "event_id int, user_id string, t long") \
+        .select("event_id", "user_id", F.timestamp_seconds("t").alias("ts"),
+                F.lit(1.0).alias("value"))
+    out = {r["event_id"]: r["session_id"]
+           for r in events.sessionize(df, "user_id", "ts", 30).collect()}
+    assert out[1] == 1 and out[2] == 1  # 60s gap, same session
+    assert out[3] == 2                  # 31min gap, new session
+    assert out[4] == 1                  # other user restarts at 1

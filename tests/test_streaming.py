@@ -1,0 +1,38 @@
+"""Structured Streaming jobs must agree with their batch twins on a
+drained bounded input."""
+
+from __future__ import annotations
+
+import pytest
+
+from walmart_project_etl_spark.operators import events as ev_ops
+from walmart_project_etl_spark.queries.util import events_dir, events_t
+from walmart_project_etl_spark.streaming import (stream_latest_per_user,
+                                                 stream_tumbling_counts)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return events_t(spark, SF_DIR)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark, events):
+    batch = ev_ops.tumbling_window_agg(events, "ts", "1 hour", ["event_type"])
+    stream = stream_tumbling_counts(spark, events_dir(spark, SF_DIR),
+                                    "1 hour", "2 hours")
+    cols = ["window_start", "window_end", "event_type", "n_events", "sum_value"]
+    assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_stream_latest_equals_batch(spark, events):
+    batch = ev_ops.latest_event_per_key(events, ["user_id"]) \
+        .select("user_id", "event_id")
+    stream = stream_latest_per_user(spark, events_dir(spark, SF_DIR)) \
+        .select("user_id", "event_id")
+    assert _rows(batch, ["user_id", "event_id"]) == _rows(stream, ["user_id", "event_id"])

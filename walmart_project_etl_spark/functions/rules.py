@@ -52,7 +52,7 @@ def parse_date_multi(col: Column | str) -> Column:
     c = _c(col)
     return F.coalesce(F.try_to_timestamp(c, F.lit("M/d/yyyy")).cast("date"),
                       F.try_to_timestamp(c, F.lit("yyyy-MM-dd")).cast("date"),
-                      c.cast("date"))
+                      c.try_cast("date"))  # null-on-failure (ANSI-safe)
 
 
 def is_weekend(col: Column | str) -> Column:
