@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "total_wall_seconds", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query materializes fully via the noop sink (count() would let
+Catalyst prune the work). Queries come straight from the driver-contract
+registry so the benchmark measures exactly what correctness verified.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# breadth over the operator families; heavy hitters first so JVM warmup
+# noise lands on the big joins, not the micro queries
+BENCH_QUERIES = [
+    "j08_multiway_fact_join",      # 7-table star join
+    "j09_interval_join_scd2",      # SCD2 temporal key resolution
+    "j02_broadcast_key_map_join",  # broadcast dim probe + agg
+    "p04_date_membership_semi_join",
+    "p07_rn1_filter",              # window dedup over the fact
+    "w01_window_dedup_latest",
+    "a01_groupby_mode",
+    "a05_count_distinct",
+    "a08_conditional_ratio",
+    "o01_orderby_limit_topk",
+    "u01_union_distinct",
+    "j05_j06_j07_d02_scd2_two_run",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_lsh_ann_topk",
+    "text_stats_quality",
+    "text_fingerprint",
+    "events_sessionization",
+    "events_tumbling_window",
+    "events_asof_join",
+    "mm_image_meta",
+]
+
+
+def main() -> int:
+    from walmart_project_etl_spark.queries import registry
+    from walmart_project_etl_spark.session import get_spark
+
+    spark = get_spark("wpe-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+
+    sf = 0.1
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _oracle = reg[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({"metric": "total_wall_seconds", "value": total,
+                      "unit": "sec", "queries": timings, "sf": sf}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,17 +75,40 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
 # --------------------------------------------------------------- MinHash + LSH
 
 def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
-    """MinHash signature: for each of ``num_hashes`` hash families, the min
-    xxhash64(shingle, family_seed) over the shingle set.
+    """MinHash signature as a pure Column expression: for each of
+    ``num_hashes`` hash families, the min xxhash64(shingle, family_seed)
+    over the shingle set (array<bigint> of length num_hashes).
 
-    array<bigint> of length num_hashes. All JVM-side: transform + aggregate
-    over the shingle array — the classic (a*x+b) mod p family is replaced by
-    seeded xxhash64, which is a valid universal-ish family for LSH purposes.
+    NOTE: fine for small shingle sets / tests; for corpus-scale signature
+    computation prefer :func:`minhash_signatures` — the nested
+    per-family×per-shingle lambda here makes Catalyst evaluate a huge
+    expression tree per row, while the exploded groupBy form hashes each
+    shingle once per family in straight-line codegen.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda h: F.array_min(
             F.transform(shingles, lambda s: F.xxhash64(s, h + F.lit(seed)))))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       shingle_k: int = 5, num_hashes: int = 64,
+                       seed: int = 42) -> DataFrame:
+    """Corpus-scale MinHash: explode distinct shingles to one row each,
+    hash per family, aggregate per-document minimums into the signature
+    array — one shuffle on the doc id, each shingle hashed exactly
+    ``num_hashes`` times, whole-stage codegen throughout. This is the shape
+    that survives 100 TB (the pure-Column variant re-expands the shingle
+    array per family)."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(char_shingles(text_col, shingle_k)).alias("__shingle"))
+    mins = [F.min(F.xxhash64(F.col("__shingle"), F.lit(seed + h))).alias(f"__m{h}")
+            for h in range(num_hashes)]
+    agg = exploded.groupBy(id_col).agg(*mins)
+    return agg.select(F.col(id_col),
+                      F.array(*[F.col(f"__m{h}") for h in range(num_hashes)])
+                       .alias("sig"))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, sig_col: str,
@@ -135,9 +158,8 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     signature-similarity filter. Returns pairs (id_a, id_b, est_jaccard ≥
     threshold). Estimated Jaccard = fraction of matching signature slots.
     """
-    sigs = df.select(
-        F.col(id_col),
-        minhash_signature(char_shingles(text_col, shingle_k), num_hashes, seed).alias("sig"))
+    sigs = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes, seed)
+    sigs = sigs.persist()  # reused by candidates + both re-rank joins
     cand = minhash_lsh_candidates(sigs, id_col, "sig", bands, rows_per_band)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -185,6 +207,28 @@ def simhash64(tokens: Column, num_bits: int = 64) -> Column:
     return sig
 
 
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-scale SimHash: explode tokens, hash each once, aggregate the
+    64 signed bit-counts as plain SUM aggregates, fold into the signature.
+    One shuffle on the doc id, straight-line codegen — the per-row
+    array-aggregate variant (:func:`simhash64`) evaluates a 64-wide
+    zip_with per token inside one giant expression."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    exploded = (df.select(F.col(id_col).alias("doc"),
+                          F.explode(toks).alias("__t"))
+                .select("doc", F.xxhash64("__t").alias("__h")))
+    sums = [F.sum(F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1,
+                         F.lit(1)).otherwise(F.lit(-1))).alias(f"__b{b}")
+            for b in range(64)]
+    agg = exploded.groupBy("doc").agg(*sums)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        weight = -(1 << 63) if b == 63 else (1 << b)
+        sig = sig + F.when(F.col(f"__b{b}") > 0,
+                           F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc", sig.alias("sig"))
+
+
 def hamming64(a: Column | str, b: Column | str) -> Column:
     """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
     ca = F.col(a) if isinstance(a, str) else a
@@ -200,8 +244,7 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str,
     least one of the four 16-bit chunks (pigeonhole) — so the self-join runs
     on (chunk_index, chunk_value) blocks, never all-pairs.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    sigs = df.select(F.col(id_col).alias("doc"), simhash64(toks).alias("sig"))
+    sigs = simhash_signatures(df, id_col, text_col)
     chunked = sigs.select(
         "doc", "sig",
         F.posexplode(F.array(*[

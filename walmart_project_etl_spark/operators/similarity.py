@@ -15,8 +15,9 @@ Two tiers, per the driver north star:
   all-pairs. Recall tunable via (planes, bands); candidates re-ranked by
   exact cosine.
 
-Everything is deterministic: hyperplanes derive from xxhash64(seed, plane,
-dim) so any cluster size/rerun produces identical buckets.
+Everything is deterministic: hyperplanes come from a seeded RNG at
+plan-build time (literal arrays), so any cluster size/rerun produces
+identical buckets.
 """
 
 from __future__ import annotations
@@ -74,12 +75,15 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def _hyperplane(dim: int, plane: int, seed: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component j ∈ [-0.5, 0.5)
-    derived from xxhash64(seed, plane, j)."""
-    return F.array(*[
-        (F.pmod(F.xxhash64(F.lit(seed), F.lit(plane), F.lit(j)), F.lit(1_000_000))
-         / 1_000_000.0 - 0.5)
-        for j in range(dim)])
+    """Deterministic pseudo-random hyperplane as a LITERAL float array.
+
+    Components come from a seeded Python RNG at plan-build time — embedding
+    plain literals keeps the signature expression to pure arithmetic
+    (an xxhash64-per-component variant made Catalyst evaluate 16×64 hash
+    calls per row; constant at plan build is free)."""
+    import random
+    rng = random.Random(f"{seed}:{plane}")  # str seeds hash deterministically
+    return F.array(*[F.lit(rng.uniform(-0.5, 0.5)) for _ in range(dim)])
 
 
 def rh_lsh_signature(vec: Column, dim: int, n_planes: int = 16,
