@@ -261,6 +261,29 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str,
     return pairs.where(F.col("hamming") <= max_hamming)
 
 
+# --------------------------------------------------------------- embedding cosine
+
+def embedding_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
+                           threshold: float = 0.95) -> DataFrame:
+    """Embedding-based near-duplicate pairs: (id_a, id_b, cosine_sim) for
+    all pairs with cosine ≥ threshold.
+
+    This is the EXACT all-pairs baseline (O(N²) — oracle-checkable and fine
+    up to ~10⁵ vectors); at corpus scale generate candidates with
+    ``similarity.lsh_ann_topk``'s banding and re-rank only bucket-mates.
+    """
+    from walmart_project_etl_spark.operators.similarity import _as_double, cosine
+
+    v = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    pairs = (a.join(b, F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+                      .alias("cosine_sim")))
+    return pairs.where(F.col("cosine_sim") >= threshold)
+
+
 # --------------------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

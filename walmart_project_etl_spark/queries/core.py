@@ -122,9 +122,11 @@ def s08_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
    """SELECT o_orderpriority, count(*) AS n FROM orders
       WHERE o_totalprice > 200000 GROUP BY o_orderpriority""")
 def s09_temp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S9: temp view + spark.sql over it (reference temp_product_stage,
-    ``etl_target_loader.py:304-317``)."""
-    t(spark, sf_dir, "orders").createOrReplaceTempView("wpe_tmp_orders")
+    """S9: cached temp view + spark.sql over it (reference
+    temp_product_stage materialized once and reused 3×,
+    ``etl_target_loader.py:304-317`` — .cache() is the Spark equivalent)."""
+    orders = t(spark, sf_dir, "orders").cache()
+    orders.createOrReplaceTempView("wpe_tmp_orders")
     return spark.sql("""
         SELECT o_orderpriority, count(*) AS n FROM wpe_tmp_orders
         WHERE o_totalprice > 200000 GROUP BY o_orderpriority""")

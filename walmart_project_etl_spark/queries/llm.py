@@ -125,11 +125,31 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=10)
 
 
-@q("sim_lsh_ann_topk", None)  # xxhash64-derived hyperplanes — rows-only
+_EMB_COSINE_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+               6) AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.3
+"""
+
+
+@q("dedup_embedding_cosine", _EMB_COSINE_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline at
+    threshold 0.3; LSH-bucketed candidates are the scale path)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.3)
+
+
+@q("sim_lsh_ann_topk", None)  # seeded-hyperplane signatures — rows-only
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN (random-hyperplane signatures, 16 planes / 4 bands):
     candidates via band-equality join, exact cosine re-rank. Rows-only:
-    hyperplanes derive from xxhash64."""
+    the seeded hyperplane draws are engine-internal."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 7) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")

@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table (S3 table scan)."""
+    """Load one driver testdata table (S3 table scan).
+
+    Pins the session timezone to UTC — the oracle (DuckDB) treats the
+    parquet timestamps as naive wall times, so a driver session running in
+    another zone would shift every date_format/window/epoch derivation.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -19,7 +19,8 @@ def get_spark(app_name: str = "walmart-project-etl-spark",
     - AQE enabled: runtime coalescing of shuffle partitions, skew-join
       splitting, and dynamic broadcast conversion — the knobs that keep the
       same plan healthy from sf0.001 to 100 TB.
-    - Arrow enabled for the Pandas-UDF operators (similarity / multimodal).
+    - Arrow enabled for the mapInPandas multimodal operators (the only
+      Python hop in the engine; everything else is JVM Column expressions).
     - ``spark.sql.session.timeZone=UTC`` so date/timestamp semantics are
       deterministic and match the DuckDB oracle.
     """
