@@ -30,6 +30,21 @@ def test_stream_tumbling_equals_batch(spark, events):
     assert _rows(batch, cols) == _rows(stream, cols)
 
 
+def test_stateful_user_stats_equals_batch(spark, events):
+    """applyInPandasWithState running stats drained with availableNow must
+    equal the batch groupBy."""
+    import pyspark.sql.functions as F
+    from walmart_project_etl_spark.streaming.stateful import stream_user_stats
+    stream = stream_user_stats(spark, events_dir(spark, SF_DIR))
+    batch = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.round(F.col("value").cast("decimal(28,6)"), 6)), 2)
+         .cast("double").alias("sum_value"),
+        F.max("ts").alias("last_ts"))
+    cols = ["user_id", "n_events", "sum_value", "last_ts"]
+    assert _rows(stream.select(*cols), cols) == _rows(batch.select(*cols), cols)
+
+
 def test_stream_latest_equals_batch(spark, events):
     batch = ev_ops.latest_event_per_key(events, ["user_id"]) \
         .select("user_id", "event_id")

@@ -670,3 +670,33 @@ def u01_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = t(spark, sf_dir, "lineitem").select(
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"))
     return a.union(b).distinct()
+
+
+@q("d03_fact_append_idempotent",
+   f"""SELECT count(*) AS n_after_rerun, count(*) AS n_single_batch
+      FROM orders WHERE o_orderstatus = 'P'""")
+def d03_fact_append_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: fact append made idempotent — re-loading the same batch id
+    replaces that batch's rows instead of duplicating them (improves on the
+    reference's acknowledged duplicate-on-rerun,
+    ``etl_target_loader.py:1023-1030``). Both columns equal ⇒ the rerun did
+    not double the fact."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "wpe_d03_fact")
+    shutil.rmtree(path, ignore_errors=True)
+    batch = (t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+             .withColumn("etl_batch_id", F.lit("B1")))
+    batch.write.mode("append").parquet(path)                   # load 1
+    existing = spark.read.parquet(path).where("etl_batch_id <> 'B1'")
+    merged = existing.unionByName(batch)                        # re-run, same batch
+    tmp = path + "__new"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    after = spark.read.parquet(path)
+    return (after.agg(F.count(F.lit(1)).alias("n_after_rerun"))
+            .crossJoin(after.where("etl_batch_id = 'B1'")
+                       .agg(F.count(F.lit(1)).alias("n_single_batch"))))

@@ -385,3 +385,46 @@ def mm_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical Arrow plumbing). Rows-only; exactness asserted in tests/."""
     media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
     return multimodal.extract_features(media, dim=8)
+
+
+_SLIDING_ORACLE = """
+WITH w AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL 30 MINUTE, ts)
+           - unnest([INTERVAL 0 MINUTE, INTERVAL 30 MINUTE]) AS window_start
+  FROM events)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+       event_type, count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(28,6))), 2)::DOUBLE AS sum_value
+FROM w GROUP BY 1, 2, 3
+"""
+
+
+@q("events_sliding_window", _SLIDING_ORACLE)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h window, 30 min slide) — every event
+    lands in two overlapping windows; F.window's epoch alignment equals
+    time_bucket(30 min) minus the slide offsets."""
+    ev = events_t(spark, sf_dir)
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+                  .cast("double").alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
+@q("stream_stateful_user_stats",
+   """SELECT user_id, count(*) AS n_events,
+             round(sum(CAST(round(CAST(value AS DECIMAL(28,6)), 6) AS DECIMAL(28,6))), 2)::DOUBLE
+               AS sum_value,
+             max(ts) AS last_ts
+      FROM events GROUP BY user_id""")
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL custom stateful streaming operator: per-user running stats via
+    applyInPandasWithState (Arrow batches + state store), drained with
+    availableNow — final state must equal the batch groupBy."""
+    from walmart_project_etl_spark.streaming.stateful import stream_user_stats
+    return stream_user_stats(spark, events_dir(spark, sf_dir))

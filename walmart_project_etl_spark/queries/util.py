@@ -25,11 +25,15 @@ from pyspark.sql import functions as F
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (S3 table scan).
 
-    Pins the session timezone to UTC — the oracle (DuckDB) treats the
-    parquet timestamps as naive wall times, so a driver session running in
-    another zone would shift every date_format/window/epoch derivation.
+    Pins runtime confs a foreign driver session might set differently:
+    UTC timezone (the DuckDB oracle treats parquet timestamps as naive wall
+    times — another zone shifts every date/window/epoch derivation), AQE on,
+    and a sane shuffle-partition count (a default-200 session would spend
+    more time on task overhead than on this data).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
