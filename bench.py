@@ -67,6 +67,10 @@ def main() -> int:
         except ValueError:
             pass
 
+    # JVM/codegen warmup so the first measured query isn't charged for it
+    reg["j02_broadcast_key_map_join"][0](spark, SF_DIR) \
+        .write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _oracle = reg[name]

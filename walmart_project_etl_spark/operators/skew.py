@@ -1,0 +1,61 @@
+"""Skew-mitigation operators: salting for hot keys.
+
+AQE's skew-join splitting (enabled in ``session.get_spark``) handles most
+runtime skew; these explicit operators are for the cases AQE can't fix —
+a groupBy where one key holds half the data (partial aggregation helps but
+the final reduce still lands on one task for non-algebraic aggregates),
+and a join where the hot side must be spread before the shuffle.
+
+Both are pure DataFrame compositions: salt = deterministic hash-derived
+bucket, so results are reproducible at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(n_salts: int, *cols: Column | str) -> Column:
+    """Deterministic salt in [0, n_salts) from row content (xxhash64) —
+    reproducible, unlike F.rand-based salting."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.pmod(F.xxhash64(*cs), F.lit(n_salts)).cast("int")
+
+
+def salted_sum(df: DataFrame, keys: list[str], value_cols: list[str],
+               n_salts: int = 16, salt_on: list[str] | None = None) -> DataFrame:
+    """Two-phase salted SUM/COUNT aggregation.
+
+    Phase 1 groups by (keys + salt) — the hot key's rows spread over
+    ``n_salts`` reducers; phase 2 merges the ``n_salts`` partials per key.
+    Counts ride along as ``n_rows``. Sums are decimal-routed so the
+    two-phase result is bit-identical to a single-phase sum.
+    """
+    salt_cols = salt_on or value_cols
+    salted = df.withColumn("__salt", _salt(n_salts, *salt_cols))
+    partial = (salted.groupBy(*keys, "__salt")
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    *[F.sum(F.col(c).cast("decimal(28,6)")).alias(f"__s_{c}")
+                      for c in value_cols]))
+    return (partial.groupBy(*keys)
+            .agg(F.sum("__n").alias("n_rows"),
+                 *[F.round(F.sum(f"__s_{c}"), 2).cast("double").alias(f"sum_{c}")
+                   for c in value_cols]))
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Skewed equi-join: salt the big side, replicate the small side once
+    per salt value, join on (key, salt).
+
+    Use when the small side is too large to broadcast AND the big side has
+    hot keys; the replication factor is ``n_salts`` on the small side only.
+    """
+    # salt from full row content — deterministic at any parallelism
+    # (identical rows share a salt, which is harmless)
+    big_s = big.withColumn("__salt", _salt(n_salts, *big.columns))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    out = big_s.join(small_s, [key, "__salt"], how)
+    return out.drop("__salt")

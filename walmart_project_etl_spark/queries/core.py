@@ -220,13 +220,24 @@ def p06_boolean_flag_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
    f"""SELECT count(*) AS n_latest, {sql_dsum('l_extendedprice', 'sum_price')}
       FROM (SELECT * FROM lineitem
             QUALIFY row_number() OVER (PARTITION BY l_orderkey
-                    ORDER BY l_shipdate DESC, l_linenumber DESC) = 1)""")
+                    ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey,
+                             l_suppkey, l_quantity, l_extendedprice,
+                             l_discount, l_tax, l_returnflag, l_linestatus) = 1)""")
 def p07_rn1_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/W1: keep latest row per key via ROW_NUMBER()=1 (reference
-    ``etl_target_loader.py:118-124``)."""
+    ``etl_target_loader.py:118-124``).
+
+    The synthetic lineitem has duplicate (l_orderkey, l_linenumber) pairs,
+    so the ordering spans every remaining column — a tie-break that is not
+    a total order makes the winner partition-layout-dependent (this bit us:
+    the two engines picked different rows among full ties)."""
     li = t(spark, sf_dir, "lineitem")
     latest = latest_per_key(li, ["l_orderkey"],
-                            [F.desc("l_shipdate"), F.desc("l_linenumber")])
+                            [F.desc("l_shipdate"), F.desc("l_linenumber"),
+                             F.asc("l_partkey"), F.asc("l_suppkey"),
+                             F.asc("l_quantity"), F.asc("l_extendedprice"),
+                             F.asc("l_discount"), F.asc("l_tax"),
+                             F.asc("l_returnflag"), F.asc("l_linestatus")])
     return latest.agg(F.count(F.lit(1)).alias("n_latest"),
                       dsum("l_extendedprice", "sum_price"))
 
@@ -700,3 +711,37 @@ def d03_fact_append_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (after.agg(F.count(F.lit(1)).alias("n_after_rerun"))
             .crossJoin(after.where("etl_batch_id = 'B1'")
                        .agg(F.count(F.lit(1)).alias("n_single_batch"))))
+
+
+@q("skew_salted_aggregate",
+   """SELECT l_returnflag, count(*) AS n_rows,
+             round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2)::DOUBLE
+               AS sum_l_extendedprice,
+             round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2)::DOUBLE
+               AS sum_l_quantity
+      FROM lineitem GROUP BY l_returnflag""")
+def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew mitigation: two-phase salted aggregation over a 3-key column
+    (every key is hot) — must be bit-identical to the plain groupBy. The
+    salt spreads each hot key over 16 reducers before the final merge."""
+    from walmart_project_etl_spark.operators.skew import salted_sum
+    li = t(spark, sf_dir, "lineitem")
+    return salted_sum(li, ["l_returnflag"],
+                      ["l_extendedprice", "l_quantity"], n_salts=16)
+
+
+@q("skew_salted_join",
+   f"""SELECT o_orderpriority, count(*) AS n,
+             {sql_dsum('l_extendedprice', 'revenue')}
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""")
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew mitigation: salted equi-join (big side salted from row content,
+    small side replicated per salt) — same result as the plain join."""
+    from walmart_project_etl_spark.operators.skew import salted_join
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    joined = salted_join(li, o, "l_orderkey", n_salts=8)
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "revenue")))
