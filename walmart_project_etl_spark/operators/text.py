@@ -25,8 +25,17 @@ TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def whitespace_token_count(col: Column | str) -> Column:
-    """Tokens = maximal runs of non-whitespace. 0 for empty/blank strings."""
-    c = F.trim(_c(col))
+    """Tokens = maximal runs of non-whitespace. 0 for empty/blank strings.
+
+    Whitespace means ASCII ``\\s`` (space/tab/newline/CR/FF/VT) — the
+    portable definition shared by Java regex and RE2. Unicode spaces
+    (U+00A0 etc.) are NOT delimiters, deliberately: Python ``str.split``
+    would split on them, so a Python reference must use
+    ``re.split(r'\\s+', s, flags=re.ASCII)``. Stripping is regex-based:
+    ``F.trim`` only removes 0x20, which would leave trailing tabs/newlines
+    to produce phantom empty tokens.
+    """
+    c = F.regexp_replace(_c(col), r"^\s+|\s+$", "")
     return F.when(F.length(c) == 0, F.lit(0)).otherwise(
         F.size(F.split(c, r"\s+")))
 

@@ -162,8 +162,9 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
    r"""WITH s AS (
         SELECT doc_id,
                length(text) AS n_chars,
-               CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(
+                         regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
                length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS n_punct,
                length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS n_space
@@ -229,8 +230,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("text_token_counts",
    r"""SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+             CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_ws_tokens,
              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens
       FROM documents""")
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

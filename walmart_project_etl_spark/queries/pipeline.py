@@ -86,17 +86,39 @@ def _star(spark: SparkSession) -> str:
     root = os.path.join(tempfile.gettempdir(), "wpe_star_cache")
     marker = os.path.join(root, "_BUILT")
     if not os.path.exists(marker):
-        from walmart_project_etl_spark.plans.target import build_target
-        src = read_source_csv(spark, REFERENCE_CSV)
-        ods = build_ods(spark, src, run_date=RUN_DATE)
-        stg = build_staging(ods, batch_id=BATCH_ID, run_date=RUN_DATE)
-        for name, df in {**ods, **stg}.items():
-            df.write.mode("overwrite").parquet(os.path.join(root, name))
-        stg = {name: spark.read.parquet(os.path.join(root, name)) for name in stg}
-        tgt = build_target(stg, None, run_date=RUN_DATE, batch_id=BATCH_ID)
-        for name, df in tgt.items():
-            df.write.mode("overwrite").parquet(os.path.join(root, name))
-        open(marker, "w").close()
+        # cross-process build lock (atomic mkdir): if the driver runs
+        # queries in parallel processes, exactly one builds, others wait
+        import time
+        lock = root + ".lock"
+        os.makedirs(root, exist_ok=True)
+        try:
+            os.mkdir(lock)
+            owner = True
+        except FileExistsError:
+            owner = False
+        if owner:
+            try:
+                from walmart_project_etl_spark.plans.target import build_target
+                src = read_source_csv(spark, REFERENCE_CSV)
+                ods = build_ods(spark, src, run_date=RUN_DATE)
+                stg = build_staging(ods, batch_id=BATCH_ID, run_date=RUN_DATE)
+                for name, df in {**ods, **stg}.items():
+                    df.write.mode("overwrite").parquet(os.path.join(root, name))
+                stg = {name: spark.read.parquet(os.path.join(root, name))
+                       for name in stg}
+                tgt = build_target(stg, None, run_date=RUN_DATE, batch_id=BATCH_ID)
+                for name, df in tgt.items():
+                    df.write.mode("overwrite").parquet(os.path.join(root, name))
+                open(marker, "w").close()
+            finally:
+                os.rmdir(lock)
+        else:
+            deadline = time.time() + 900
+            while not os.path.exists(marker) and time.time() < deadline:
+                time.sleep(2)
+            if not os.path.exists(marker):
+                raise TimeoutError("star-cache build by another process "
+                                   "did not finish within 15 min")
     _WAREHOUSE[key] = root
     return root
 

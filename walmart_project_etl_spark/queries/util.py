@@ -58,13 +58,30 @@ def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         "wpe_events_us_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        import time
+        lock = out + ".lock"  # cross-process guard (atomic mkdir)
         try:
-            raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-            conv = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            conv.write.mode("overwrite").parquet(out)
-        finally:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+            os.mkdir(lock)
+            owner = True
+        except FileExistsError:
+            owner = False
+        if owner:
+            try:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                try:
+                    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+                    conv = raw.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+                    conv.write.mode("overwrite").parquet(out)
+                finally:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+            finally:
+                os.rmdir(lock)
+        else:
+            deadline = time.time() + 300
+            while not os.path.exists(os.path.join(out, "_SUCCESS")) \
+                    and time.time() < deadline:
+                time.sleep(1)
     _EVENTS_CACHE[sf_dir] = out
     return spark.read.parquet(out)
 
