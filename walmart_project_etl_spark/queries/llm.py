@@ -430,3 +430,90 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow — final state must equal the batch groupBy."""
     from walmart_project_etl_spark.streaming.stateful import stream_user_stats
     return stream_user_stats(spark, events_dir(spark, sf_dir))
+
+
+# ------------------------------------------------------------- OLAP extensions
+
+@q("olap_pivot_event_values",
+   """SELECT user_id,
+             round(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(28,6)) ELSE 0 END), 2)::DOUBLE AS click_value,
+             round(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(28,6)) ELSE 0 END), 2)::DOUBLE AS view_value,
+             round(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,6)) ELSE 0 END), 2)::DOUBLE AS purchase_value
+      FROM events GROUP BY user_id""")
+def olap_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user value sums by event type as columns (explicit value
+    list → deterministic schema; Catalyst rewrites to conditional aggs —
+    exactly the CASE form the oracle states)."""
+    ev = events_t(spark, sf_dir)
+    piv = (ev.groupBy("user_id")
+           .pivot("event_type", ["click", "view", "purchase"])
+           .agg(F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+                 .cast("double")))
+    return piv.select(
+        "user_id",
+        F.coalesce("click", F.lit(0.0)).alias("click_value"),
+        F.coalesce("view", F.lit(0.0)).alias("view_value"),
+        F.coalesce("purchase", F.lit(0.0)).alias("purchase_value"))
+
+
+@q("olap_rollup_lineitem",
+   """SELECT l_returnflag, l_linestatus,
+             grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+             count(*) AS n,
+             round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2)::DOUBLE AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
+def olap_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping id: per-(flag,status), per-flag subtotals, and
+    the grand total in one pass (partial aggregation handles all levels —
+    no extra scans at any scale)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg((F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+                 .alias("gid"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("l_quantity").cast("decimal(28,6)")), 2)
+                  .cast("double").alias("sum_qty")))
+
+
+@q("olap_percentiles",
+   """SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+      FROM lineitem GROUP BY l_returnflag""")
+def olap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (the at-scale variant is
+    percentile_approx — same call shape, sketch-based)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95")))
+
+
+@q("stream_session_window",
+   """WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+      SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+      FROM sess GROUP BY user_id, session_id""")
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming sessionization via the native session_window
+    (30-min gap) with a watermark, drained with availableNow — must equal
+    the batch lag+cumsum gap sessionization."""
+    from walmart_project_etl_spark.streaming.jobs import (EVENTS_SCHEMA,
+                                                          _run_available_now)
+    ev = (spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+          .load(events_dir(spark, sf_dir))
+          .withWatermark("ts", "2 hours"))
+    agg = (ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    out = _run_available_now(agg, "stream_session")
+    return out.select("user_id", F.col("win.start").alias("session_start"),
+                      "n_events")
