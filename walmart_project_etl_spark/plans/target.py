@@ -123,10 +123,10 @@ def _with_natural_keys(fact: DataFrame, stg: dict[str, DataFrame],
 
 
 def _resolve_scd2_key(fact: DataFrame, dim: DataFrame, natural: str,
-                      date_col: str, key_out: str) -> DataFrame:
+                      surrogate: str, date_col: str, key_out: str) -> DataFrame:
     """J9: resolve an SCD2 surrogate via natural key + validity interval."""
     d = dim.select(F.col(natural), F.col("effective_date"), F.col("expiry_date"),
-                   F.col(dim.columns[0]).alias(key_out))  # surrogate is col 0
+                   F.col(surrogate).alias(key_out))
     joined = interval_join(fact, d, natural, date_col,
                            "effective_date", "expiry_date", how="left")
     return joined.drop("effective_date", "expiry_date")
@@ -159,9 +159,9 @@ def build_fact_sales(stg: dict[str, DataFrame], tgt: dict[str, DataFrame],
           .join(dim_date_ship, "s_date_id", "left")
           .join(dim_cust, "customer_id", "left"))
     f = _resolve_scd2_key(f, tgt["tgt_dim_product"], "product_id",
-                          "txn_date", "product_key_t")
+                          "product_key", "txn_date", "product_key_t")
     f = _resolve_scd2_key(f, tgt["tgt_dim_store"], "store_id",
-                          "txn_date", "store_key_t")
+                          "store_key", "txn_date", "store_key_t")
     return f.select(
         "sales_key", "sale_id", "order_id", "row_id",
         F.col("transaction_date_key_t").alias("transaction_date_key"),
@@ -205,9 +205,9 @@ def build_fact_returns(stg: dict[str, DataFrame], tgt: dict[str, DataFrame],
           .join(dim_odate, "o_date_id", "left")
           .join(dim_reason, "reason_code_nat", "left"))
     f = _resolve_scd2_key(f, tgt["tgt_dim_product"], "product_id",
-                          "ret_date", "product_key_t")
+                          "product_key", "ret_date", "product_key_t")
     f = _resolve_scd2_key(f, tgt["tgt_dim_store"], "store_id",
-                          "ret_date", "store_key_t")
+                          "store_key", "ret_date", "store_key_t")
     return f.select(
         "return_key", "return_id",
         F.col("return_date_key_t").alias("return_date_key"),
@@ -245,9 +245,9 @@ def build_fact_inventory(stg: dict[str, DataFrame], tgt: dict[str, DataFrame],
         F.col("date_key").alias("last_restock_date_key_t")))
     f = f.join(dim_idate, "i_date_id", "left").join(dim_rsdate, "rs_date_id", "left")
     f = _resolve_scd2_key(f, tgt["tgt_dim_product"], "product_id",
-                          "inv_date", "product_key_t")
+                          "product_key", "inv_date", "product_key_t")
     f = _resolve_scd2_key(f, tgt["tgt_dim_store"], "store_id",
-                          "inv_date", "store_key_t")
+                          "store_key", "inv_date", "store_key_t")
     return f.select(
         "inventory_key", "inventory_id",
         F.col("date_key_t").alias("date_key"),
