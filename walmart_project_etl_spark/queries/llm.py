@@ -517,3 +517,20 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_available_now(agg, "stream_session")
     return out.select("user_id", F.col("win.start").alias("session_start"),
                       "n_events")
+
+
+@q("events_json_extract",
+   """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+             count(*) AS n,
+             sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+      FROM events GROUP BY k_bucket""")
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON field extraction with a declared schema
+    (from_json — stays in the JVM, pushable into codegen; the scale-path
+    alternative to string get_json_object per access)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    ev = events_t(spark, sf_dir)
+    parsed = ev.withColumn(
+        "__p", F.from_json("props", StructType([StructField("k", IntegerType())])))
+    return (parsed.groupBy((F.col("__p.k") % 10).alias("k_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("__p.k").alias("sum_k")))
