@@ -235,3 +235,16 @@ def test_sessionize_gap_splits(spark):
     assert out[1] == 1 and out[2] == 1  # 60s gap, same session
     assert out[3] == 2                  # 31min gap, new session
     assert out[4] == 1                  # other user restarts at 1
+
+
+def test_ivf_ann_recall_beats_random(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where("vec_id % 100 = 7").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    approx = similarity.ivf_ann_topk(emb, queries, k=10,
+                                     n_clusters=8, n_probe=3)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, recall  # probing 3/8 cells; far above random ~2%

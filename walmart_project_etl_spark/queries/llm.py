@@ -534,3 +534,14 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__p", F.from_json("props", StructType([StructField("k", IntegerType())])))
     return (parsed.groupBy((F.col("__p.k") % 10).alias("k_bucket"))
             .agg(F.count(F.lit(1)).alias("n"), F.sum("__p.k").alias("sum_k")))
+
+
+@q("sim_ivf_ann_topk", None)  # KMeans centroids are engine-internal — rows-only
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: KMeans coarse quantizer (16 cells), probe the 4
+    nearest cells per query, exact cosine re-rank — the FAISS recipe as
+    DataFrame ops. Rows-only; recall vs brute force asserted in tests/."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 7) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_ann_topk(emb, queries, k=10)
