@@ -248,3 +248,17 @@ def test_ivf_ann_recall_beats_random(spark):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.3, recall  # probing 3/8 cells; far above random ~2%
+
+
+def test_multimodal_resize_stub_grid(spark):
+    docs = spark.createDataFrame([(1, "abcdefgh" * 16)], "doc_id long, text string")
+    media = multimodal.documents_as_media(docs)
+    row = multimodal.resize_images(media, target_w=4, target_h=4).collect()[0]
+    assert (row["width"], row["height"]) == (4, 4)
+    assert len(row["pixels"]) == 16
+    data = ("abcdefgh" * 16).encode()
+    stride = max(len(data) // 16, 1)
+    assert list(row["pixels"]) == [data[min(i * stride, len(data) - 1)]
+                                   for i in range(16)]
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, real_decode=True)

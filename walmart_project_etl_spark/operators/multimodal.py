@@ -117,6 +117,45 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(featurize, FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, target_w: int = 8, target_h: int = 8,
+                  real_decode: bool = False) -> DataFrame:
+    """Resize plumbing via mapInPandas: payload → (media_id, width, height,
+    pixels array). The real path (decode + interpolate, e.g. PIL
+    ``Image.resize``) raises NotImplementedError in this container; the
+    stub produces a deterministic stride-sampled byte grid with the exact
+    schema/batching a real resizer would emit."""
+    if real_decode:
+        raise NotImplementedError(
+            "real image resize needs a codec (e.g. Pillow); stub path "
+            "stride-samples payload bytes into the target grid")
+
+    from pyspark.sql.types import ArrayType
+
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", ArrayType(IntegerType())),
+    ])
+    n_px = target_w * target_h
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if not data:
+                    px = [0] * n_px
+                else:
+                    stride = max(len(data) // n_px, 1)
+                    px = [data[min(i * stride, len(data) - 1)] for i in range(n_px)]
+                rows.append((int(mid), target_w, target_h, px))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return media.select("media_id", "payload").mapInPandas(resize, out_schema)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 64,
                   max_frames: int = 16) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emit every Nth byte

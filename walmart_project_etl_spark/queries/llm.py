@@ -545,3 +545,12 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 100 == 7) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.ivf_ann_topk(emb, queries, k=10)
+
+
+@q("mm_resize_images", None)  # Arrow/pandas path — rows-only
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: payload → fixed 8×8 pixel grid via mapInPandas
+    (stride-sampled stub; real interpolation is the codec integration
+    point). Rows-only; grid exactness asserted in tests/."""
+    media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
+    return multimodal.resize_images(media, target_w=8, target_h=8)
