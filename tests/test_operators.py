@@ -262,3 +262,21 @@ def test_multimodal_resize_stub_grid(spark):
                                    for i in range(16)]
     with pytest.raises(NotImplementedError):
         multimodal.resize_images(media, real_decode=True)
+
+
+def test_sketch_approx_aggs_error_bounds(spark):
+    from walmart_project_etl_spark.queries.llm import sketch_approx_aggs
+    approx = {r["l_returnflag"]: r
+              for r in sketch_approx_aggs(spark, SF_DIR).collect()}
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact = {r["l_returnflag"]: r for r in
+             li.groupBy("l_returnflag")
+               .agg(F.countDistinct("l_orderkey").alias("n"),
+                    F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"))
+               .collect()}
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_orders"] - e["n"]) <= max(0.05 * e["n"], 2), flag
+        # accuracy=10000 → rank error ≤ n/10000; generous envelope on value
+        assert abs(a["approx_p50"] - e["p50"]) <= 0.05 * e["p50"], flag

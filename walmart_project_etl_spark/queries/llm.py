@@ -475,6 +475,74 @@ def olap_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double").alias("sum_qty")))
 
 
+@q("olap_time_rollup_events",
+   """WITH e AS (SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, value
+                 FROM events)
+      SELECT y, m, d,
+             grouping(y) * 4 + grouping(m) * 2 + grouping(d) AS gid,
+             count(*) AS n_events,
+             round(sum(CAST(value AS DECIMAL(28,6))), 2)::DOUBLE AS sum_value
+      FROM e GROUP BY ROLLUP (y, m, d)""")
+def olap_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: day, month, year and
+    grand-total aggregates of the event stream in ONE pass (ROLLUP compiles
+    to Expand + partial agg — no re-scan per granularity; at 100 TB this is
+    the continuous-aggregate build, shuffling only the post-combine partial
+    rows)."""
+    ev = events_t(spark, sf_dir).select(
+        F.year("ts").alias("y"), F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"), "value")
+    return (ev.rollup("y", "m", "d")
+            .agg((F.grouping("y") * 4 + F.grouping("m") * 2 + F.grouping("d"))
+                 .alias("gid"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+                  .cast("double").alias("sum_value")))
+
+
+@q("j11_range_band_join",
+   """WITH bands(band, lo, hi) AS (VALUES
+        ('b900', 900.0, 925.0), ('b925', 925.0, 950.0),
+        ('b950', 950.0, 975.0), ('b975', 975.0, 1000.0))
+      SELECT band, count(*) AS n_parts,
+             round(sum(CAST(p_retailprice AS DECIMAL(28,6))), 2)::DOUBLE
+               AS sum_price
+      FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+      GROUP BY band""")
+def j11_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: fact rows land in value bands via a broadcast
+    theta-join. The band dim is tiny by construction, so the right 100 TB
+    plan is BroadcastNestedLoopJoin (zero fact shuffle) — never a
+    sort-merge over a range predicate."""
+    p = t(spark, sf_dir, "part")
+    bands = F.broadcast(spark.createDataFrame(
+        [("b900", 900.0, 925.0), ("b925", 925.0, 950.0),
+         ("b950", 950.0, 975.0), ("b975", 975.0, 1000.0)],
+        "band string, lo double, hi double"))
+    cond = (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi)
+    return (p.join(bands, cond)
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.round(F.sum(F.col("p_retailprice").cast("decimal(28,6)")), 2)
+                  .cast("double").alias("sum_price")))
+
+
+@q("sketch_approx_aggs", None)  # sketch estimates — rows-only by nature
+def sketch_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sketch path: HyperLogLog++ distinct counts and
+    quantile-sketch medians per group — single pass, fixed-size state per
+    group regardless of data volume (the exact twins are a05 /
+    olap_percentiles). Estimates are engine-specific, so the driver check
+    is rows-only; tests/ bounds the relative error against the exact
+    values."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_orderkey", rsd=0.01)
+                  .alias("approx_orders"),
+                 F.percentile_approx("l_extendedprice", F.lit(0.5),
+                                     F.lit(10000)).alias("approx_p50")))
+
+
 @q("olap_percentiles",
    """SELECT l_returnflag,
              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
