@@ -51,3 +51,15 @@ def test_stream_latest_equals_batch(spark, events):
     stream = stream_latest_per_user(spark, events_dir(spark, SF_DIR)) \
         .select("user_id", "event_id")
     assert _rows(batch, ["user_id", "event_id"]) == _rows(stream, ["user_id", "event_id"])
+
+
+def test_stream_dedup_within_watermark_collapses_doubles(spark, events):
+    from walmart_project_etl_spark.streaming import \
+        stream_dedup_within_watermark
+    out = stream_dedup_within_watermark(spark, events_dir(spark, SF_DIR))
+    n_src = events.count()
+    assert out.count() == n_src                      # doubles collapsed
+    assert out.select("event_id").distinct().count() == n_src
+    # surviving rows carry the source values intact
+    src = events.select("event_id", "user_id", "event_type", "value")
+    assert out.exceptAll(src).count() == 0

@@ -432,6 +432,19 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_user_stats(spark, events_dir(spark, sf_dir))
 
 
+@q("stream_dedup_watermark",
+   "SELECT event_id, user_id, event_type, value FROM events")
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming dedup: the event stream doubled by self-union (an
+    at-least-once source) and collapsed via dropDuplicatesWithinWatermark
+    on event_id — state bounded by the watermark horizon. Drained with
+    availableNow, the output must be exactly the distinct source rows
+    (event_id is unique in the corpus), which is what the oracle asserts."""
+    from walmart_project_etl_spark.streaming import \
+        stream_dedup_within_watermark
+    return stream_dedup_within_watermark(spark, events_dir(spark, sf_dir))
+
+
 # ------------------------------------------------------------- OLAP extensions
 
 @q("olap_pivot_event_values",

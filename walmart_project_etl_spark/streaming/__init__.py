@@ -12,6 +12,8 @@ backfill with identical code. The same queries run against Kafka by
 swapping the reader — nothing else changes.
 """
 
-from .jobs import stream_latest_per_user, stream_tumbling_counts
+from .jobs import (stream_dedup_within_watermark, stream_latest_per_user,
+                   stream_tumbling_counts)
 
-__all__ = ["stream_tumbling_counts", "stream_latest_per_user"]
+__all__ = ["stream_tumbling_counts", "stream_latest_per_user",
+           "stream_dedup_within_watermark"]

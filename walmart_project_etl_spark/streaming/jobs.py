@@ -39,13 +39,14 @@ def _read_events_stream(spark: SparkSession, path: str) -> DataFrame:
             .load(path))
 
 
-def _run_available_now(result: DataFrame, query_name: str) -> DataFrame:
+def _run_available_now(result: DataFrame, query_name: str,
+                       output_mode: str = "complete") -> DataFrame:
     spark = result.sparkSession
     name = f"{query_name}_{uuid.uuid4().hex[:8]}"
     q = (result.writeStream
          .format("memory")
          .queryName(name)
-         .outputMode("complete")
+         .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
@@ -87,3 +88,22 @@ def stream_latest_per_user(spark: SparkSession, events_path: str,
                       F.col("latest.event_id").alias("event_id"),
                       F.col("latest.event_type").alias("event_type"),
                       F.col("latest.value").alias("value"))
+
+
+def stream_dedup_within_watermark(spark: SparkSession, events_path: str,
+                                  watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: the incoming stream is doubled (self-union —
+    simulating an at-least-once source that redelivers every event) and
+    collapsed back with ``dropDuplicatesWithinWatermark`` keyed on
+    event_id. State for an id is held only until the watermark passes its
+    event time, so state size is bounded by (watermark × arrival rate) —
+    the property that makes streaming dedup viable at 100 TB/day, unlike
+    an unbounded ``dropDuplicates``."""
+    ev = _read_events_stream(spark, events_path)
+    doubled = ev.unionByName(ev)
+    deduped = (doubled.withWatermark("ts", watermark)
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    out = _run_available_now(
+        deduped.select("event_id", "user_id", "event_type", "value"),
+        "stream_dedup", output_mode="append")
+    return out
