@@ -81,3 +81,27 @@ def test_whole_stage_codegen_covers_rules(spark):
     plan = _plan(q)
     assert "codegen id" in plan  # formatted mode's WholeStageCodegen marker
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key at the same bucket count
+    must sort-merge-join with NO Exchange (the pre-paid-shuffle pattern for
+    repeated fact-to-fact joins at 100 TB)."""
+    from walmart_project_etl_spark.sources.catalog import Warehouse
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    wh.write_bucketed("stg", "lineitem_b", li, "l_orderkey", n_buckets=4)
+    wh.write_bucketed("stg", "orders_b",
+                      orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+                      "l_orderkey", n_buckets=4)
+    a, b = wh.read_table("stg", "lineitem_b"), wh.read_table("stg", "orders_b")
+    joined = (a.hint("merge").join(b, "l_orderkey")
+              .select("l_orderkey", "l_quantity", "o_totalprice"))
+    plan = _plan(joined, "simple")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    n = joined.count()
+    assert n == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    for t in ("stg_lineitem_b", "stg_orders_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

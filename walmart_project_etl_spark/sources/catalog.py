@@ -78,8 +78,34 @@ class Warehouse:
             shutil.rmtree(final)
         os.rename(tmp, final)
 
+    def write_bucketed(self, layer: str, table: str, df: DataFrame,
+                       key: str, n_buckets: int = 8) -> None:
+        """Bucketed+sorted catalog table for repeated co-located joins: both
+        sides bucketed on the join key at the same bucket count join with
+        NO exchange and NO sort (plan verified in
+        ``tests/test_scale_plans.py::test_bucketed_join_is_shuffle_free``).
+        At 100 TB this pre-pays the fact-to-fact shuffle once at write time
+        — the improvement the reference lists but never builds
+        (``ETL_IMPLEMENTATION_DETAILS.md:120-135`` "index management").
+        Bucketing needs a catalog entry (bucket metadata lives in the table
+        definition, not in parquet), hence ``saveAsTable`` with an explicit
+        path rather than a bare ``parquet()`` write."""
+        name = f"{layer}_{table}"
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.mode("overwrite")
+           .option("path", self.path(layer, table))
+           .bucketBy(n_buckets, key)
+           .sortBy(key)
+           .format("parquet")
+           .saveAsTable(name))
+
     def read(self, layer: str, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(layer, table))
+
+    def read_table(self, layer: str, table: str) -> DataFrame:
+        """Catalog read — required for bucketed tables (a path read loses
+        the bucket spec and re-shuffles)."""
+        return self.spark.table(f"{layer}_{table}")
 
     def exists(self, layer: str, table: str) -> bool:
         p = self.path(layer, table)
