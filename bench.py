@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "events_tumbling_window",
     "events_asof_join",
     "mm_image_meta",
+    "olap_time_rollup_events",
+    "j11_range_band_join",
 ]
 
 
