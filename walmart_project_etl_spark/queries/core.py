@@ -132,6 +132,48 @@ def s09_temp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > 200000 GROUP BY o_orderpriority""")
 
 
+@q("s10_partitioned_scan_pruning",
+   f"""SELECT count(*) AS n_rows, {sql_dsum('l_quantity', 'sum_qty')}
+      FROM lineitem WHERE year(l_shipdate) = 1997""")
+def s10_partitioned_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned fact layout: write the fact partitioned by ship
+    year, read back with a partition filter — the scan touches only the
+    1997 directory (PartitionFilters, asserted in
+    ``tests/test_scale_plans.py``), which is what makes date-ranged BI
+    queries sublinear at 100 TB."""
+    path = os.path.join(tempfile.gettempdir(), "wpe_part_pruning")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_quantity", F.year("l_shipdate").alias("ship_year"))
+    li.write.partitionBy("ship_year").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).where(F.col("ship_year") == 1997)
+    return back.agg(F.count(F.lit(1)).alias("n_rows"),
+                    dsum("l_quantity", "sum_qty"))
+
+
+@q("j12_bucketed_colocated_join",
+   f"""SELECT o_orderpriority, count(*) AS n_items,
+             {sql_dsum('l_quantity', 'sum_qty')}
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""")
+def j12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written bucketed+sorted on the
+    join key, then sort-merge-joined with ZERO exchange and zero sort
+    (plan asserted in ``tests/test_scale_plans.py``) — the pre-paid
+    shuffle for repeated fact-to-fact joins at 100 TB."""
+    from walmart_project_etl_spark.sources.catalog import Warehouse
+    wh = Warehouse(spark, os.path.join(tempfile.gettempdir(), "wpe_bucket_demo"))
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    wh.write_bucketed("stg", "li_bucketed", li, "l_orderkey", n_buckets=8)
+    wh.write_bucketed("stg", "orders_bucketed", o, "l_orderkey", n_buckets=8)
+    j = (wh.read_table("stg", "li_bucketed").hint("merge")
+         .join(wh.read_table("stg", "orders_bucketed"), "l_orderkey"))
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 dsum("l_quantity", "sum_qty")))
+
+
 # ------------------------------------------------- P: projections/filters
 
 @q("p01_projection_rename",
