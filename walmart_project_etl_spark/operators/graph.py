@@ -1,0 +1,102 @@
+"""Graph operators for dup-cluster resolution.
+
+Near-duplicate detection (``operators/dedup.py``) emits *pairs*; turning
+pairs into keep/drop decisions needs the transitive closure — if A~B and
+B~C, then {A,B,C} is one cluster even when A and C are not directly
+similar. This module computes connected components over the pair graph
+and labels every member with the cluster's canonical (minimum) id, the
+standard final step of a corpus-dedup pipeline (cf. the MinHash dedup
+stages of C4/RefinedWeb).
+
+Spark-first design: min-label propagation as an iterative sequence of
+DataFrame joins/aggregations. Each round is one shuffle keyed on vertex
+id (uniform — doc ids), and ``localCheckpoint`` truncates the lineage so
+the plan does not grow with iterations. Convergence is O(component
+diameter) rounds; dup clusters are shallow by construction (members are
+all near-copies of one ancestor), so at 100 TB this is a handful of
+rounds, each a linear shuffle — the same shape Google's large-star /
+small-star MapReduce CC algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond") reduces to on low-diameter graphs.
+
+Beyond-reference surface: the reference repo has no graph stage; its
+dedup (ROW_NUMBER in ``etl_staging_loader.py``) never needs closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each vertex of an undirected graph with min reachable id.
+
+    Parameters
+    ----------
+    edges : DataFrame with two integer-ish vertex-id columns. Treated as
+        undirected; duplicates/self-loops are fine.
+    max_iter : hard cap on propagation rounds (raises if the graph has a
+        component whose diameter exceeds it — a sign the input is not a
+        dup-pair graph).
+
+    Returns ``(id, component)`` where ``component`` is the minimum vertex
+    id reachable from ``id``. Deterministic: the fixpoint is unique, so
+    partitioning/scheduling cannot change the answer.
+    """
+    e = edges.select(F.col(src).cast("long").alias("a"),
+                     F.col(dst).cast("long").alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+           .where(F.col("a") != F.col("b")).distinct() \
+           .localCheckpoint(eager=True)
+
+    labels = sym.select(F.col("a").alias("id")).distinct() \
+                .withColumn("component", F.col("id")) \
+                .localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels, sym["b"] == labels["id"])
+                      .groupBy("a").agg(F.min("component").alias("nbr_min")))
+        new_labels = (labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+                            .select(labels["id"],
+                                    F.least("component",
+                                            F.coalesce("nbr_min", "component"))
+                                     .alias("component"))
+                            .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "component diameter too large for a dup-pair graph")
+
+
+def cluster_dedup(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    left: str = "id_a",
+    right: str = "id_b",
+) -> DataFrame:
+    """Full dedup decision from near-dup pairs: every document labeled
+    with its cluster id and a keep flag (canonical = min id per cluster;
+    documents in no pair keep themselves).
+
+    ``all_ids`` supplies the singleton universe so the output covers the
+    whole corpus, not just paired docs.
+    """
+    cc = connected_components(pairs, src=left, dst=right)
+    ids = all_ids.select(F.col(id_col).cast("long").alias("id")).distinct()
+    labeled = (ids.join(cc, "id", "left")
+                  .select(F.col("id").alias(id_col),
+                          F.coalesce("component", "id").alias("cluster_id")))
+    return labeled.withColumn(
+        "is_canonical", (F.col(id_col) == F.col("cluster_id")).cast("boolean"))

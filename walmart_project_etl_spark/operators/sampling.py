@@ -1,0 +1,99 @@
+"""Deterministic sampling operators for training-data curation.
+
+Corpus assembly needs reproducible subsets: stratified samples per
+language/source, stable train/val/test splits, and weighted mixtures of
+corpora. Random() is the wrong tool on a cluster — resampling on retry,
+different rows per partitioning. Everything here derives its "randomness"
+from md5 of the row's own key, so any engine (and any rerun, at any
+parallelism) selects the identical rows.
+
+Shapes at 100 TB: hash-split and mixture are pure narrow filters (scan
+speed, no shuffle). Stratified sampling shuffles once on the stratum key
+to rank within strata; strata counts are computed in the same window pass.
+For very hot strata (one language = 40% of the corpus) the rank window is
+the bottleneck — the documented fallback is a two-pass scan (count per
+stratum, then filter on hash < cutoff) which trades exactness of the
+fraction for zero shuffle.
+
+Beyond-reference surface: the reference samples with ``ORDER BY
+RANDOM()`` (``etl_ods_loader.py:684-695``) — non-reproducible by design;
+these operators are its deterministic replacements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_hash(*cols: Column | str) -> Column:
+    """Deterministic pseudo-random ranking key: md5 over the row key.
+
+    md5 (not xxhash64) so external engines can reproduce the selection
+    bit-for-bit; the cost is visible only at sample time, not in hot paths.
+    """
+    cs = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
+          for c in cols]
+    return F.md5(F.concat_ws("|", *cs))
+
+
+def hash_bucket(*cols: Column | str, buckets: int = 100) -> Column:
+    """Uniform bucket in [0, buckets) from the md5 of the row key.
+
+    First 8 hex chars → int (32 bits is plenty for percentage splits).
+    Oracle twin: ``('0x' || substr(md5(k), 1, 8))::BIGINT % buckets``.
+    """
+    return (F.conv(F.substring(rank_hash(*cols), 1, 8), 16, 10)
+             .cast("long") % buckets)
+
+
+def hash_split(df: DataFrame, key: str, splits: dict[str, int],
+               salt: str = "") -> DataFrame:
+    """Assign each row a stable split label by hash bucket.
+
+    ``splits`` maps label → percentage (must sum to 100), e.g.
+    ``{"train": 90, "val": 5, "test": 5}``. Rows move between splits only
+    if their key changes — append-only corpora keep historic assignments.
+    """
+    assert sum(splits.values()) == 100, "split percentages must sum to 100"
+    b = hash_bucket(F.concat_ws("#", F.lit(salt), F.col(key).cast("string")))
+    expr: Column | None = None
+    lo = 0
+    for label, pct in splits.items():
+        cond = (b >= lo) & (b < lo + pct)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        lo += pct
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(df: DataFrame, stratum: str, fraction: float,
+                      key: str) -> DataFrame:
+    """Keep exactly ``ceil(n_s * fraction)`` rows of every stratum.
+
+    Rows are ranked inside each stratum by ``rank_hash(key, text-ish
+    columns)`` so the selection is uniform yet reproducible. One shuffle
+    on the stratum key; rank and stratum size come from the same window
+    exchange.
+    """
+    rk = rank_hash(F.col(key))
+    w = Window.partitionBy(stratum).orderBy(rk, F.col(key))
+    cnt = Window.partitionBy(stratum)
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(cnt))
+              .where(F.col("_rn") <= F.ceil(F.col("_n") * fraction))
+              .drop("_rn", "_n"))
+
+
+def weighted_mixture(df: DataFrame, source: str, key: str,
+                     weights: dict[str, int]) -> DataFrame:
+    """Downsample each source to its mixture percentage via hash buckets.
+
+    ``weights`` maps source value → keep-percentage in [0,100]; sources
+    absent from the map are dropped. Pure narrow filter — no shuffle, no
+    state — so it composes with any upstream scan for free.
+    """
+    b = hash_bucket(F.col(key))
+    keep: Column = F.lit(False)
+    for s, pct in weights.items():
+        keep = keep | ((F.col(source) == s) & (b < pct))
+    return df.where(keep)

@@ -18,9 +18,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import core, funcs, llm, pipeline
+from . import core, funcs, llm, pipeline, trainprep
 
-_MODULES = (core, funcs, pipeline, llm)
+_MODULES = (core, funcs, pipeline, llm, trainprep)
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

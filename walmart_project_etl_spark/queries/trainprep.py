@@ -1,0 +1,150 @@
+"""Training-data curation queries: dup clustering, deterministic sampling,
+corpus text prep, and embedding aggregation.
+
+Beyond-reference surface (driver north star). Every oracle replicates the
+operator's exact semantics in DuckDB SQL — including the iterative
+connected-components labeling, whose oracle is a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from walmart_project_etl_spark.operators import dedup, graph, sampling
+
+from .util import t
+
+QUERIES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------- dup clustering
+
+def _chained_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus two generations of near-copies (suffix-mutated), so
+    the dup-pair graph has genuine multi-member components to close over."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    gen1 = d.select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" extra tail words here"))
+                     .alias("text"))
+    gen2 = d.select((F.col("doc_id") + 200000).alias("doc_id"),
+                    F.concat(F.col("text"),
+                             F.lit(" extra tail words here and then some more"))
+                     .alias("text"))
+    return d.unionByName(gen1).unionByName(gen2)
+
+
+_CHAINED_SQL = """(SELECT doc_id, text FROM documents
+   UNION ALL
+   SELECT doc_id + 100000, text || ' extra tail words here' FROM documents
+   UNION ALL
+   SELECT doc_id + 200000, text || ' extra tail words here and then some more'
+   FROM documents)"""
+
+# 5-gram Jaccard pairs over the chained corpus (same operator semantics as
+# dedup_ngram_jaccard, threshold 0.6)
+_PAIRS_SQL = f"""
+  WITH RECURSIVE corpus AS (SELECT * FROM {_CHAINED_SQL} c),
+  pos AS (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+    FROM corpus),
+  sh AS (SELECT DISTINCT doc_id, substr(text, i::INT, 5) AS shingle FROM pos),
+  sized AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id),
+  pairs AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sized sa ON sa.doc_id = id_a
+    JOIN sized sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.6)"""
+
+
+@q("dedup_cluster_components",
+   _PAIRS_SQL + """,
+  edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+  reach AS (
+    SELECT a AS id, a AS r FROM edges
+    UNION
+    SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+  cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+  SELECT c.doc_id, coalesce(cc.component, c.doc_id) AS cluster_id,
+         coalesce(cc.component, c.doc_id) = c.doc_id AS is_canonical
+  FROM (SELECT doc_id FROM """ + _CHAINED_SQL + """ u) c
+  LEFT JOIN cc ON cc.id = c.doc_id""")
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster resolution: 5-gram Jaccard pairs → connected components
+    (iterative min-label propagation) → canonical-per-cluster keep flags.
+
+    The oracle computes the identical transitive closure with a recursive
+    CTE — an exact check of the iterative algorithm's fixpoint. Spark side
+    is O(diameter) shuffle rounds on vertex id; dup clusters are shallow,
+    so this is a handful of linear passes at any corpus size.
+    """
+    corpus = _chained_corpus(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text",
+                                      k=5, threshold=0.6).select("id_a", "id_b")
+    return graph.cluster_dedup(pairs, corpus, "doc_id")
+
+
+# ---------------------------------------------------- deterministic sampling
+
+@q("sample_stratified",
+   """SELECT doc_id, lang FROM documents
+      QUALIFY row_number() OVER (
+          PARTITION BY lang
+          ORDER BY md5(doc_id::VARCHAR) NULLS FIRST, doc_id NULLS FIRST)
+        <= ceil(count(*) OVER (PARTITION BY lang) * 0.2)""")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20% per-language sample, ranked by md5 of the doc id — uniform
+    yet bit-reproducible on any engine, any parallelism, any rerun."""
+    d = t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(d, "lang", 0.2, "doc_id") \
+        .select("doc_id", "lang")
+
+
+@q("sample_hash_split",
+   """SELECT doc_id,
+             CASE WHEN b < 90 THEN 'train'
+                  WHEN b < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5('#' || doc_id::VARCHAR), 1, 8))::BIGINT
+                     % 100 AS b
+            FROM documents)""")
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 90/5/5 train/val/test assignment from md5 hash buckets —
+    append-only corpora never reshuffle historic rows between splits."""
+    d = t(spark, sf_dir, "documents")
+    return sampling.hash_split(d, "doc_id",
+                               {"train": 90, "val": 5, "test": 5}) \
+        .select("doc_id", "split")
+
+
+_MIX_WEIGHTS = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
+
+
+@q("sample_weighted_mixture",
+   """SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+        FROM documents)
+      WHERE (source = 'src0' AND b < 100) OR (source = 'src1' AND b < 75)
+         OR (source = 'src2' AND b < 50) OR (source = 'src3' AND b < 25)""")
+def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture (100/75/50/25% of four sources, rest
+    dropped) as a pure narrow filter — zero shuffle at any scale."""
+    d = t(spark, sf_dir, "documents")
+    return sampling.weighted_mixture(d, "source", "doc_id", _MIX_WEIGHTS) \
+        .select("doc_id", "source")
