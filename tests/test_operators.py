@@ -280,3 +280,42 @@ def test_sketch_approx_aggs_error_bounds(spark):
         assert abs(a["approx_orders"] - e["n"]) <= max(0.05 * e["n"], 2), flag
         # accuracy=10000 → rank error ≤ n/10000; generous envelope on value
         assert abs(a["approx_p50"] - e["p50"]) <= 0.05 * e["p50"], flag
+
+
+def test_normalize_text_collapses_formatting_variants(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello\r\nworld\t"), (3, "  HELLO WORLD ")],
+        "doc_id long, text string")
+    out = docs.select(text.normalize_text("text").alias("n")).collect()
+    assert {r["n"] for r in out} == {"hello world"}
+
+
+def test_redact_pii_placeholders(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail bob.smith+x@sub.example.co.uk now"),
+         (2, "server at 192.168.001.1 port 80"),
+         (3, "call +1 (555) 010-1234 today"),
+         (4, "no pii here at all")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["r"] for r in
+           docs.select("doc_id", text.redact_pii("text").alias("r")).collect()}
+    assert out[1] == "mail [EMAIL] now"
+    assert out[2] == "server at [IP] port 80"
+    assert out[3] == "call [PHONE] today"
+    assert out[4] == "no pii here at all"
+
+
+def test_gopher_flags_closed_form(spark):
+    good = "the quick brown fox and the lazy dog ran to the old mill"
+    docs = spark.createDataFrame(
+        [(1, good),                       # passes every rule
+         (2, "too few"),                  # len_ok fails (2 tokens)
+         (3, "1234 5678 9999 0000 1111 2222")],  # alpha/stopword fail
+        "doc_id long, text string")
+    fl = text.gopher_flags("text")
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *[fl[k].alias(k) for k in
+                    ("len_ok", "alpha_ok", "stopword_ok", "keep")]).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["len_ok"] is False and rows[2]["keep"] is False
+    assert rows[3]["alpha_ok"] is False and rows[3]["stopword_ok"] is False

@@ -133,6 +133,75 @@ def lang_id(col: Column | str, min_hits: int = 1) -> Column:
     return F.when(cjk_ratio > 0.3, F.lit("zh")).otherwise(guess)
 
 
+# ------------------------------------------------------------- normalization
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for dedup/tokenization: lowercase, control
+    chars → space, whitespace runs collapsed to one space, ends trimmed.
+
+    Pure regexp Columns (RE2/Java-portable escapes only) — scan-speed at
+    any corpus size; the usual first stage before shingling so that
+    formatting-only variants (CRLF, double spaces, tabs) dedup together.
+    """
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+# ------------------------------------------------------------- PII redaction
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Mask emails, phone-number-shaped digit runs, and IPv4 literals with
+    typed placeholders — the standard scrub pass before corpus release.
+
+    Patterns are RE2-compatible (no backrefs/lookaround) so the same
+    regexes run in Spark (Java), DuckDB, and Go/C++ tooling. Order
+    matters: emails first (their local part would otherwise survive as a
+    "phone" fragment), then IPs (dotted digits), then phones.
+    """
+    c = F.regexp_replace(_c(col), EMAIL_RE, "[EMAIL]")
+    c = F.regexp_replace(c, IPV4_RE, "[IP]")
+    return F.regexp_replace(c, PHONE_RE, "[PHONE]")
+
+
+# ------------------------------------------------------------- filter chain
+
+def gopher_flags(col: Column | str) -> dict[str, Column]:
+    """Gopher/C4-style per-rule keep flags (each independently reportable,
+    so curation can audit *why* documents drop, not just how many):
+
+    - ``len_ok``: 5..10,000 whitespace tokens;
+    - ``alpha_ok``: ≥60% alphabetic characters;
+    - ``mean_tok_ok``: mean token length in [2, 12];
+    - ``punct_ok``: ≤15% punctuation;
+    - ``stopword_ok``: at least one function-word hit in some lexicon
+      (CJK text passes via charset ratio instead).
+
+    ``keep`` is the conjunction. All pure Columns — one scan, no shuffle.
+    """
+    c = _c(col)
+    s = text_stats(c)
+    n_cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+    cjk_ratio = n_cjk / F.greatest(F.length(c), F.lit(1))
+    any_stop = F.greatest(*[stopword_hits(c, lang) for lang in _LANG_STOPWORDS])
+    flags = {
+        "len_ok": (s["n_tokens"] >= 5) & (s["n_tokens"] <= 10_000),
+        "alpha_ok": s["alpha_ratio"] >= 0.6,
+        "mean_tok_ok": (s["mean_token_len"] >= 2.0) & (s["mean_token_len"] <= 12.0),
+        "punct_ok": s["punct_ratio"] <= 0.15,
+        "stopword_ok": (any_stop >= 1) | (cjk_ratio > 0.3),
+    }
+    keep = flags["len_ok"] & flags["alpha_ok"] & flags["mean_tok_ok"] \
+        & flags["punct_ok"] & flags["stopword_ok"]
+    return {**flags, "keep": keep}
+
+
 # ------------------------------------------------------------- fingerprinting
 
 def doc_fingerprint(col: Column | str, k: int = 8) -> Column:

@@ -256,6 +256,112 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text.doc_fingerprint("text", k=8).alias("fingerprint"))
 
 
+@q("text_normalize",
+   r"""SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(lower(text),
+                 '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'),
+                 '^\s+|\s+$', '', 'g') AS norm_text
+      FROM documents""")
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, control chars → space,
+    whitespace collapse, trim) — the stage-0 pass before shingling so that
+    formatting-only variants dedup together. Pure regexp Columns."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.normalize_text("text").alias("norm_text"))
+
+
+_PII_ORACLE = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         'reach user' || CAST(doc_id AS VARCHAR) ||
+         '@mail.example.org at 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+         '.0.1 or 555-01' || CAST(doc_id % 90 + 10 AS VARCHAR) || ' re: ' || text
+           AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+           '\+?[0-9][0-9()\-\s]{6,}[0-9]', '[PHONE]', 'g') AS redacted
+FROM enriched
+"""
+
+
+@q("text_redact_pii", _PII_ORACLE)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: emails, IPv4 literals, phone-shaped digit runs →
+    typed placeholders. The corpus is PII-free by construction, so each doc
+    is prefixed with deterministic doc_id-derived PII that the pass must
+    catch; patterns are RE2-compatible so Spark (Java regex) and DuckDB
+    (RE2) agree byte-for-byte."""
+    d = t(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(F.lit("reach user"), F.col("doc_id").cast("string"),
+                 F.lit("@mail.example.org at 10."),
+                 (F.col("doc_id") % 200).cast("string"),
+                 F.lit(".0.1 or 555-01"),
+                 (F.col("doc_id") % 90 + 10).cast("string"),
+                 F.lit(" re: "), F.col("text")).alias("text"))
+    return enriched.select(
+        "doc_id", text.redact_pii("text").alias("redacted"))
+
+
+_GOPHER_ORACLE = r"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+              ELSE len(regexp_split_to_array(
+                   regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS n_space,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+           / greatest(length(text), 1) AS cjk_ratio,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens, cjk_ratio,
+         round(n_alpha / greatest(n_chars, 1), 6) AS alpha_ratio,
+         round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+         round((n_chars - n_space) / greatest(n_tokens, 1), 6) AS mean_token_len,
+         greatest(
+           len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))),
+           len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], t))),
+           len(list_filter(tk, t -> list_contains(['el','la','de','que','y','en','un','es','los','por'], t))),
+           len(list_filter(tk, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t)))) AS any_stop
+  FROM s),
+f AS (
+  SELECT doc_id,
+         (n_tokens BETWEEN 5 AND 10000) AS len_ok,
+         (alpha_ratio >= 0.6) AS alpha_ok,
+         (mean_token_len BETWEEN 2.0 AND 12.0) AS mean_tok_ok,
+         (punct_ratio <= 0.15) AS punct_ok,
+         (any_stop >= 1 OR cjk_ratio > 0.3) AS stopword_ok
+  FROM r)
+SELECT doc_id, len_ok::INT AS len_ok, alpha_ok::INT AS alpha_ok,
+       mean_tok_ok::INT AS mean_tok_ok, punct_ok::INT AS punct_ok,
+       stopword_ok::INT AS stopword_ok,
+       (len_ok AND alpha_ok AND mean_tok_ok AND punct_ok AND stopword_ok)::INT AS keep
+FROM f
+"""
+
+_GOPHER_COLS = ("len_ok", "alpha_ok", "mean_tok_ok", "punct_ok",
+                "stopword_ok", "keep")
+
+
+@q("text_filter_chain", _GOPHER_ORACLE)
+def text_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style curation filter chain: per-rule keep flags plus the
+    conjunction, one row per document — auditable curation (WHY a doc
+    drops, not just how many). All pure Columns, one scan, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    fl = text.gopher_flags("text")
+    return d.select(
+        "doc_id", *[fl[k].cast("int").alias(k) for k in _GOPHER_COLS])
+
+
 # ------------------------------------------------------------- events
 
 @q("events_asof_join",
