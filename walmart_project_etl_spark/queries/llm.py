@@ -145,6 +145,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.3)
 
 
+@q("dedup_embedding_lsh", None)  # seeded-hyperplane candidates — rows-only
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH banding + exact cosine
+    re-rank — the scale twin of ``dedup_embedding_cosine`` (same threshold
+    0.3, band equi-join instead of all-pairs). Rows-only: the seeded
+    hyperplane draws are engine-internal; tests pin recall ≥ 0.95 and
+    precision 1.0 against the exact variant."""
+    emb = t(spark, sf_dir, "embeddings")
+    return dedup.embedding_lsh_pairs(emb, "vec_id", "embedding", threshold=0.3)
+
+
 @q("sim_lsh_ann_topk", None)  # seeded-hyperplane signatures — rows-only
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN (random-hyperplane signatures, 16 planes / 4 bands):

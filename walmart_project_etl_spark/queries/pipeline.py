@@ -17,7 +17,6 @@ ascending-nulls-first default.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,52 +74,34 @@ _WAREHOUSE: dict[str, str] = {}
 
 
 def _star(spark: SparkSession) -> str:
-    """Build ODS+staging once per process into a temp parquet warehouse."""
+    """Build ODS+staging+target once per (process, code version) into a
+    temp parquet warehouse. ``build_once`` keys the cache dir on a hash of
+    the package sources, so outputs from an older code version are rebuilt,
+    never silently reused."""
+    from walmart_project_etl_spark.queries.util import build_once
+
     key = "root"
     if key in _WAREHOUSE:
         return _WAREHOUSE[key]
-    from walmart_project_etl_spark.plans.ods import build_ods
-    from walmart_project_etl_spark.plans.staging import build_staging
-    from walmart_project_etl_spark.sources.ingest import read_source_csv
 
-    root = os.path.join(tempfile.gettempdir(), "wpe_star_cache")
-    marker = os.path.join(root, "_BUILT")
-    if not os.path.exists(marker):
-        # cross-process build lock (atomic mkdir): if the driver runs
-        # queries in parallel processes, exactly one builds, others wait
-        import time
-        lock = root + ".lock"
-        os.makedirs(root, exist_ok=True)
-        try:
-            os.mkdir(lock)
-            owner = True
-        except FileExistsError:
-            owner = False
-        if owner:
-            try:
-                from walmart_project_etl_spark.plans.target import build_target
-                src = read_source_csv(spark, REFERENCE_CSV)
-                ods = build_ods(spark, src, run_date=RUN_DATE)
-                stg = build_staging(ods, batch_id=BATCH_ID, run_date=RUN_DATE)
-                for name, df in {**ods, **stg}.items():
-                    df.write.mode("overwrite").parquet(os.path.join(root, name))
-                stg = {name: spark.read.parquet(os.path.join(root, name))
-                       for name in stg}
-                tgt = build_target(stg, None, run_date=RUN_DATE, batch_id=BATCH_ID)
-                for name, df in tgt.items():
-                    df.write.mode("overwrite").parquet(os.path.join(root, name))
-                open(marker, "w").close()
-            finally:
-                os.rmdir(lock)
-        else:
-            deadline = time.time() + 900
-            while not os.path.exists(marker) and time.time() < deadline:
-                time.sleep(2)
-            if not os.path.exists(marker):
-                raise TimeoutError("star-cache build by another process "
-                                   "did not finish within 15 min")
-    _WAREHOUSE[key] = root
-    return root
+    def build(root: str) -> None:
+        from walmart_project_etl_spark.plans.ods import build_ods
+        from walmart_project_etl_spark.plans.staging import build_staging
+        from walmart_project_etl_spark.plans.target import build_target
+        from walmart_project_etl_spark.sources.ingest import read_source_csv
+        src = read_source_csv(spark, REFERENCE_CSV)
+        ods = build_ods(spark, src, run_date=RUN_DATE)
+        stg = build_staging(ods, batch_id=BATCH_ID, run_date=RUN_DATE)
+        for name, df in {**ods, **stg}.items():
+            df.write.mode("overwrite").parquet(os.path.join(root, name))
+        stg = {name: spark.read.parquet(os.path.join(root, name))
+               for name in stg}
+        tgt = build_target(stg, None, run_date=RUN_DATE, batch_id=BATCH_ID)
+        for name, df in tgt.items():
+            df.write.mode("overwrite").parquet(os.path.join(root, name))
+
+    _WAREHOUSE[key] = build_once("star_cache", build)
+    return _WAREHOUSE[key]
 
 
 def _wt(spark: SparkSession, table: str) -> DataFrame:
@@ -643,6 +624,82 @@ def pipe_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_fk_violations", "n_fk_checks",
         F.lit(bool(vol["min_sales_volume"])).alias("sales_volume_ok"),
         F.lit(bool(vol["min_product_count"])).alias("product_volume_ok"))
+
+
+_SCD_V1 = "/root/reference/data/scd_test_corrected.csv"
+_SCD_V2 = "/root/reference/data/scd_test_2.csv"
+
+
+def _scd_fixture(spark: SparkSession) -> str:
+    """Two full pipeline runs on the reference's canonical SCD2 fixture
+    CSVs (reference ``config.py:27-52``): run 1 initializes the warehouse,
+    run 2 (mutated Unit Price / State / Ship Date) must expire v1 rows and
+    insert v2. Built once per (process, code version)."""
+    from walmart_project_etl_spark.queries.util import build_once
+
+    key = "scd_fixture"
+    if key in _WAREHOUSE:
+        return _WAREHOUSE[key]
+
+    def build(root: str) -> None:
+        from walmart_project_etl_spark.pipeline import run_pipeline
+        wh = os.path.join(root, "wh")
+        # tiny fixtures violate the volume gates by design
+        run_pipeline(spark, _SCD_V1, wh, run_date="2025-01-01",
+                     batch_id="R1", enforce_quality=False)
+        run_pipeline(spark, _SCD_V2, wh, run_date="2025-02-01",
+                     batch_id="R2", enforce_quality=False)
+
+    _WAREHOUSE[key] = build_once("scd_fixture", build)
+    return _WAREHOUSE[key]
+
+
+@q("pipe_d02_scd_fixture",
+   f"""WITH r1 AS (
+        SELECT DISTINCT "Product Name" AS product_name,
+               CAST(try_cast("Unit Price" AS DOUBLE) AS DECIMAL(10,2)) AS unit_price,
+               "Product Category" AS cat, "Product Sub-Category" AS subcat,
+               "Product Container" AS cont,
+               try_cast("Product Base Margin" AS DOUBLE) AS margin
+        FROM read_csv('{_SCD_V1}', header=true, all_varchar=true)),
+      r2 AS (
+        SELECT DISTINCT "Product Name" AS product_name,
+               CAST(try_cast("Unit Price" AS DOUBLE) AS DECIMAL(10,2)) AS unit_price,
+               "Product Category" AS cat, "Product Sub-Category" AS subcat,
+               "Product Container" AS cont,
+               try_cast("Product Base Margin" AS DOUBLE) AS margin
+        FROM read_csv('{_SCD_V2}', header=true, all_varchar=true)),
+      j AS (
+        SELECT r1.product_name, r1.unit_price AS up1, r2.unit_price AS up2,
+               (r1.unit_price IS DISTINCT FROM r2.unit_price
+                OR r1.cat IS DISTINCT FROM r2.cat
+                OR r1.subcat IS DISTINCT FROM r2.subcat
+                OR r1.cont IS DISTINCT FROM r2.cont
+                OR r1.margin IS DISTINCT FROM r2.margin) AS changed
+        FROM r1 JOIN r2 USING (product_name))
+      SELECT concat('PROD_', substr(md5(product_name), 1, 14)) AS product_id,
+             1 AS version, NOT changed AS is_current,
+             '2000-01-01' AS effective_date,
+             CASE WHEN changed THEN '2025-01-31' ELSE '9999-12-31' END AS expiry_date,
+             up1::DOUBLE AS unit_price
+      FROM j
+      UNION ALL
+      SELECT concat('PROD_', substr(md5(product_name), 1, 14)),
+             2, true, '2025-02-01', '9999-12-31', up2::DOUBLE
+      FROM j WHERE changed""")
+def pipe_scd_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 end-to-end on the reference's own SCD2 test scenario: after two
+    runs, changed products carry an expired v1 ([2000-01-01, run2−1 day])
+    and a current v2 (effective run2). The oracle re-derives versioning
+    from the two raw CSVs (change = any tracked SQL-reproducible attribute
+    differs). Reference ``etl_target_loader.py:299-513``."""
+    p = spark.read.parquet(
+        os.path.join(_scd_fixture(spark), "wh", "tgt", "tgt_dim_product"))
+    return p.select(
+        "product_id", "version", "is_current",
+        F.date_format("effective_date", "yyyy-MM-dd").alias("effective_date"),
+        F.date_format("expiry_date", "yyyy-MM-dd").alias("expiry_date"),
+        F.col("unit_price").cast("double").alias("unit_price"))
 
 
 @q("pipe_a08_quality_ratios", None)  # returns/inventory are synthetic — rows-only

@@ -37,6 +37,67 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_CODE_VERSION: str | None = None
+
+
+def code_version() -> str:
+    """Hash of every ``.py`` source in the package — temp-dir warehouse
+    caches key on it, so outputs built by an OLDER code version are rebuilt
+    instead of silently reused (a stale ``_BUILT`` marker could otherwise
+    mask regressions or fail queries against new code)."""
+    global _CODE_VERSION
+    if _CODE_VERSION is None:
+        import hashlib
+
+        import walmart_project_etl_spark as pkg
+        root = os.path.dirname(os.path.abspath(pkg.__file__))
+        h = hashlib.md5()
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    h.update(fn.encode())
+                    with open(os.path.join(dirpath, fn), "rb") as fh:
+                        h.update(fh.read())
+        _CODE_VERSION = h.hexdigest()[:10]
+    return _CODE_VERSION
+
+
+def build_once(name: str, build, marker_file: str = "_BUILT",
+               timeout: float = 900.0) -> str:
+    """Build a temp-dir artifact exactly once per (code version, name),
+    safely across processes: atomic-mkdir lock elects one builder, waiters
+    poll for the marker. Returns the artifact root directory."""
+    import tempfile
+    import time
+    root = os.path.join(tempfile.gettempdir(), f"wpe_{name}_{code_version()}")
+    marker = os.path.join(root, marker_file)
+    if os.path.exists(marker):
+        return root
+    lock = root + ".lock"
+    os.makedirs(root, exist_ok=True)
+    try:
+        os.mkdir(lock)
+        owner = True
+    except FileExistsError:
+        owner = False
+    if owner:
+        try:
+            build(root)
+            open(marker, "w").close()
+        finally:
+            os.rmdir(lock)
+    else:
+        deadline = time.time() + timeout
+        while not os.path.exists(marker) and time.time() < deadline:
+            time.sleep(1)
+        if not os.path.exists(marker):
+            raise TimeoutError(
+                f"{name}: build by another process did not finish "
+                f"within {timeout:.0f}s")
+    return root
+
+
 _EVENTS_CACHE: dict[str, str] = {}
 
 
@@ -53,35 +114,20 @@ def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir in _EVENTS_CACHE:
         return spark.read.parquet(_EVENTS_CACHE[sf_dir])
     import hashlib
-    import tempfile
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "wpe_events_us_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        import time
-        lock = out + ".lock"  # cross-process guard (atomic mkdir)
+
+    def build(out: str) -> None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
-            os.mkdir(lock)
-            owner = True
-        except FileExistsError:
-            owner = False
-        if owner:
-            try:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                try:
-                    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-                    conv = raw.withColumn(
-                        "ts", F.timestamp_micros(F.expr("ts div 1000")))
-                    conv.write.mode("overwrite").parquet(out)
-                finally:
-                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-            finally:
-                os.rmdir(lock)
-        else:
-            deadline = time.time() + 300
-            while not os.path.exists(os.path.join(out, "_SUCCESS")) \
-                    and time.time() < deadline:
-                time.sleep(1)
+            raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            conv = raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+            conv.write.mode("overwrite").parquet(out)
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+
+    out = build_once(
+        "events_us_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        build, marker_file="_SUCCESS", timeout=300.0)
     _EVENTS_CACHE[sf_dir] = out
     return spark.read.parquet(out)
 
