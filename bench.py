@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "mm_image_meta",
     "olap_time_rollup_events",
     "j11_range_band_join",
+    # end-to-end star pipeline (ingest→ODS→staging→target→BI agg) with a
+    # COLD warehouse cache — guards the pipeline plans, not just micro ops
+    "pipe_bi_sales_by_category",
 ]
 
 
@@ -76,6 +79,11 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _oracle = reg[name]
+        if name.startswith("pipe_"):
+            # time the full pipeline build, not a warm cache hit
+            from walmart_project_etl_spark.queries.pipeline import \
+                invalidate_star_cache
+            invalidate_star_cache()
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()

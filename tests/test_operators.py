@@ -22,12 +22,15 @@ def test_scd1_merge_update_insert_keep(spark):
     ts2 = F.lit("2026-02-01").cast("timestamp")
     src1 = spark.createDataFrame([("A", 1.0), ("B", 2.0)], "k string, v double")
     t1 = merge.scd1_merge(None, src1, "k", ["v"], "sk", ts1)
+    t1_rows = {r["k"]: r for r in t1.collect()}
     src2 = spark.createDataFrame([("B", 20.0), ("C", 3.0)], "k string, v double")
     t2 = {r["k"]: r for r in merge.scd1_merge(t1, src2, "k", ["v"], "sk", ts2).collect()}
     assert t2["A"]["v"] == 1.0 and str(t2["A"]["modification_date"]).startswith("2026-01")
     assert t2["B"]["v"] == 20.0 and str(t2["B"]["modification_date"]).startswith("2026-02")
     assert str(t2["B"]["insertion_date"]).startswith("2026-01")  # preserved
-    assert t2["C"]["sk"] == 3  # max existing (2) + 1
+    # hash surrogates: unique per key, stable across merges
+    assert len({r["sk"] for r in t2.values()}) == 3
+    assert t2["B"]["sk"] == t1_rows["B"]["sk"]
 
 
 def test_scd2_change_new_unchanged(spark):

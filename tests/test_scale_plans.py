@@ -117,3 +117,31 @@ def test_embedding_lsh_dedup_is_band_join_not_all_pairs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band" in plan  # the equi-join key is the band hash
+
+
+def test_no_single_partition_exchange_in_dim_builds(spark):
+    """Surrogate keys are identity hashes everywhere (staging dims, SCD1
+    merge, SCD2 apply): no dim-build plan may contain a single-partition
+    exchange — the global row_number-sequence bottleneck."""
+    from walmart_project_etl_spark.operators.merge import scd1_merge
+    from walmart_project_etl_spark.operators.scd2 import scd2_apply
+    from walmart_project_etl_spark.plans.staging import (build_stg_customer,
+                                                         build_stg_store)
+    ts = F.lit("2026-01-01").cast("timestamp")
+    cust = spark.createDataFrame(
+        [("C1", "Alice", "44", "Corporate", "Napa", "CA", "94559", "West")],
+        "customer_id string, customer_name string, customer_age string, "
+        "customer_segment string, city string, state string, zip_code string, "
+        "region string")
+    store = spark.createDataFrame(
+        [("S1", "Napa Store", "Napa, CA", "Napa", "CA", "94559", "West")],
+        "store_id string, store_name string, location string, city string, "
+        "state string, zip_code string, region string")
+    src = spark.createDataFrame([("K1", "v", 1.0)], "k string, a string, b double")
+    dim1 = scd1_merge(None, src, "k", ["a", "b"], "sk", ts)
+    dim2 = scd1_merge(dim1, src, "k", ["a", "b"], "sk", ts)
+    s1 = scd2_apply(None, src, "k", ["a", "b"], "sk", "2026-01-01", ts)
+    s2 = scd2_apply(s1, src, "k", ["a", "b"], "sk", "2026-02-01", ts)
+    for df in (build_stg_customer(cust, "B1", ts),
+               build_stg_store(store, "B1", ts), dim1, dim2, s1, s2):
+        assert "SinglePartition" not in _plan(df)

@@ -87,14 +87,25 @@ def inventory_id(product: Column | str = "product_id", store: Column | str = "st
     return md5_key("INV", product, store, date)
 
 
-def surrogate_key(order_by: list[Column | str]) -> Column:
-    """Deterministic dense integer surrogate key via row_number.
+def hash_surrogate(*identity: Column | str) -> Column:
+    """Deterministic 60-bit surrogate key from the md5 of the identity tuple.
 
     Replacement for the reference's DB auto-increment surrogate keys
-    (``etl_staging_tables.py:54`` etc.). ``row_number`` over a global order is
-    a single-partition shuffle — acceptable for dimension tables (small);
-    facts keep hash keys instead (no global sequence bottleneck at 100 TB).
-    """
-    from pyspark.sql.window import Window
+    (``etl_staging_tables.py:54`` etc.) that needs NO global sequence: every
+    row derives its key from its own identity columns, so key generation is
+    embarrassingly parallel (a ``row_number()`` over a global order — the
+    obvious emulation — funnels every row through one task, the exact
+    bottleneck that kills a large load). md5 is reproducible in standard SQL
+    (DuckDB: ``('0x' || substr(md5(x), 1, 15))::BIGINT``), so surrogate
+    values stay oracle-checkable; 60 bits keeps the value positive in a
+    BIGINT with collision probability ~n²/2⁶¹ — negligible for
+    dimension-sized n.
 
-    return F.row_number().over(Window.orderBy(*order_by))
+    NULL semantics follow ``concat_ws`` (null components are skipped) in
+    both engines; callers whose identity tuples can contain nulls should
+    coalesce them to sentinels first.
+    """
+    parts = [(F.col(c) if isinstance(c, str) else c).cast("string")
+             for c in identity]
+    return F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15),
+                  16, 10).cast("long")

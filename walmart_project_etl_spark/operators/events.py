@@ -14,13 +14,18 @@ from pyspark.sql.window import Window
 
 
 def sessionize(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
-               gap_minutes: int = 30) -> DataFrame:
+               gap_minutes: int = 30, tiebreak: str = "event_id") -> DataFrame:
     """Gap-based sessionization: a new session starts when the user's
     inter-event gap exceeds ``gap_minutes``. Adds ``session_id`` (per-user
     ordinal) — one shuffle on the user key, then two window passes over the
     same partitioning (Catalyst reuses the exchange).
+
+    ``tiebreak`` (a per-user-unique column) totalizes the window order so
+    rows with equal (user, ts) get partition-layout-independent lag/cumsum
+    results — the same p07-style determinism rule as
+    :func:`latest_event_per_key`.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
     # exact microsecond arithmetic — a seconds cast truncates fractions and
     # misclassifies gaps within a second of the threshold
     us = F.unix_micros(F.col(ts_col))
@@ -35,9 +40,9 @@ def sessionize(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
 
 
 def session_stats(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
-                  gap_minutes: int = 30) -> DataFrame:
+                  gap_minutes: int = 30, tiebreak: str = "event_id") -> DataFrame:
     """Per-session: event count, duration seconds, value sum."""
-    s = sessionize(events, user_col, ts_col, gap_minutes)
+    s = sessionize(events, user_col, ts_col, gap_minutes, tiebreak)
     us = F.unix_micros(F.col(ts_col))
     return (s.groupBy(user_col, "session_id")
             .agg(F.count(F.lit(1)).alias("n_events"),

@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from walmart_project_etl_spark.functions.keys import hash_surrogate
 
 
 def scd1_merge(target: DataFrame | None, source: DataFrame, key: str,
@@ -26,17 +27,17 @@ def scd1_merge(target: DataFrame | None, source: DataFrame, key: str,
 
     - matched rows: tracked columns take the source value,
       ``modification_date`` = now, ``insertion_date`` preserved;
-    - unmatched source rows: inserted with a fresh surrogate key
-      (max existing + row_number) and insertion = modification = now;
+    - unmatched source rows: inserted with a fresh surrogate key —
+      ``hash_surrogate(key)``, fully parallel (no max+row_number sequence,
+      which would funnel inserts through one task) and stable across runs;
     - unmatched target rows: kept untouched.
 
     ``source`` must already be deduplicated to one row per key (W1 —
     use ``operators.dedup.latest_per_key``).
     """
     if target is None:
-        w = Window.orderBy(key)
         return source.select(
-            F.row_number().over(w).alias(surrogate_col),
+            hash_surrogate(key).alias(surrogate_col),
             key, *update_cols,
             now_ts.alias("insertion_date"),
             now_ts.alias("modification_date"),
@@ -44,21 +45,16 @@ def scd1_merge(target: DataFrame | None, source: DataFrame, key: str,
 
     src = source.select(key, *[F.col(c).alias(f"__src_{c}") for c in update_cols],
                         F.lit(True).alias("__src_present"))
-    # max existing surrogate, computed IN-PLAN (1-row agg, broadcast cross
-    # join) — no driver-side collect, no extra job per merge
-    max_key_df = target.agg(
-        F.coalesce(F.max(surrogate_col), F.lit(0)).alias("__max_key"))
-    joined = target.join(src, key, "full_outer").crossJoin(F.broadcast(max_key_df))
+    joined = target.join(src, key, "full_outer")
 
     matched = F.col(surrogate_col).isNotNull() & F.col("__src_present")
     is_new = F.col(surrogate_col).isNull()
 
-    new_key = F.when(
-        is_new,
-        F.col("__max_key") + F.row_number().over(Window.partitionBy(is_new).orderBy(key))
-    ).otherwise(F.col(surrogate_col))
+    # existing rows keep their key; new rows derive theirs from the natural
+    # key — same function as the initial load, so re-runs are idempotent
+    new_key = F.coalesce(F.col(surrogate_col), hash_surrogate(key))
 
-    cols = [new_key.cast("int").alias(surrogate_col), F.col(key)]
+    cols = [new_key.alias(surrogate_col), F.col(key)]
     for c in update_cols:
         cols.append(F.when(is_new | matched, F.col(f"__src_{c}"))
                      .otherwise(F.col(c)).alias(c))

@@ -30,8 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from walmart_project_etl_spark.functions.keys import hash_surrogate
 from walmart_project_etl_spark.functions.rules import (FAR_FUTURE_EXPIRY,
                                                        SCD2_BACKFILL_EFFECTIVE,
                                                        change_fingerprint)
@@ -50,10 +50,10 @@ def scd2_apply(dim: DataFrame | None, source: DataFrame, key: str,
     backfill = F.lit(SCD2_BACKFILL_EFFECTIVE).cast("date")
 
     if dim is None:
-        # first load: every key is brand-new, version 1, backfilled effective
-        w = Window.orderBy(key)
+        # first load: every key is brand-new, version 1, backfilled effective;
+        # surrogate = hash(key, version) — parallel, stable, no global window
         return source.select(
-            F.row_number().over(w).alias(surrogate_col),
+            hash_surrogate(key, F.lit(1)).alias(surrogate_col),
             key, *tracked_cols,
             backfill.alias("effective_date"),
             far_future.alias("expiry_date"),
@@ -92,21 +92,18 @@ def scd2_apply(dim: DataFrame | None, source: DataFrame, key: str,
                  .join(new_keys.withColumn("__is_new", F.lit(True)), key, "left")
                  .where(F.col("__is_changed").isNotNull() | F.col("__is_new").isNotNull())
                  .join(max_versions, key, "left"))
-    # max existing surrogate computed in-plan (broadcast 1-row agg) — no
-    # driver-side collect
-    max_key_df = dim.agg(
-        F.coalesce(F.max(surrogate_col), F.lit(0)).alias("__max_key"))
-    to_insert = to_insert.crossJoin(F.broadcast(max_key_df))
+    new_version = F.coalesce(F.col("__max_v"), F.lit(0)) + 1
+    # surrogate = hash(key, version): unique per dimension row, minted in
+    # parallel — no max-key lookup, no global row_number sequence
     inserts = to_insert.select(
-        (F.col("__max_key") + F.row_number().over(Window.orderBy(key)))
-        .cast("int").alias(surrogate_col),
+        hash_surrogate(F.col(key), new_version).alias(surrogate_col),
         F.col(key),
         *[F.col(f"__src_{c}").alias(c) for c in tracked_cols],
         F.when(F.col("__is_changed").isNotNull(), run_d)     # J7 expired-set join
          .otherwise(backfill).alias("effective_date"),
         far_future.alias("expiry_date"),
         F.lit(True).alias("is_current"),
-        (F.coalesce(F.col("__max_v"), F.lit(0)) + 1).alias("version"),
+        new_version.alias("version"),
         now_ts.alias("insertion_date"),
         now_ts.alias("modification_date"),
     )

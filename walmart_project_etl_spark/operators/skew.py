@@ -31,9 +31,24 @@ def salted_sum(df: DataFrame, keys: list[str], value_cols: list[str],
     ``n_salts`` reducers; phase 2 merges the ``n_salts`` partials per key.
     Counts ride along as ``n_rows``. Sums are decimal-routed so the
     two-phase result is bit-identical to a single-phase sum.
+
+    Salt choice: by default the salt is position-derived
+    (``monotonically_increasing_id``), which spreads a hot key uniformly
+    even when its rows are byte-identical — the common skew shape of a
+    constant/default value, where any content-derived hash would collapse
+    to ONE salt and silently degrade to the unsalted plan. The salt only
+    routes rows to partial aggregates; SUM/COUNT merge exactly (decimal
+    arithmetic), so the RESULT is identical under any salt assignment —
+    position-derived salting costs no determinism. Pass ``salt_on`` (a
+    high-cardinality column set, e.g. a row id) when a content-derived,
+    layout-independent salt is required.
     """
-    salt_cols = salt_on or value_cols
-    salted = df.withColumn("__salt", _salt(n_salts, *salt_cols))
+    if salt_on:
+        salt = _salt(n_salts, *salt_on)
+    else:
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                      F.lit(n_salts)).cast("int")
+    salted = df.withColumn("__salt", salt)
     partial = (salted.groupBy(*keys, "__salt")
                .agg(F.count(F.lit(1)).alias("__n"),
                     *[F.sum(F.col(c).cast("decimal(28,6)")).alias(f"__s_{c}")
@@ -51,7 +66,16 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
 
     Use when the small side is too large to broadcast AND the big side has
     hot keys; the replication factor is ``n_salts`` on the small side only.
+
+    Only ``inner`` and ``left`` are supported: with ``right``/``full``,
+    an unmatched small-side row exists in all ``n_salts`` replicas and
+    would be emitted ``n_salts`` times — silent duplicate output.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "small side is replicated per salt, so right/full would emit "
+            "unmatched small-side rows once per replica")
     # salt from full row content — deterministic at any parallelism
     # (identical rows share a salt, which is harmless)
     big_s = big.withColumn("__salt", _salt(n_salts, *big.columns))

@@ -4,18 +4,20 @@
 Design decisions vs the reference:
 
 - **Surrogate keys**: the reference uses DB auto-increment and reads the keys
-  back per table (``etl_staging_loader.py:332-343`` etc.). Here they are
-  ``row_number()`` over a pinned natural-key order — deterministic, testable,
-  and no sequence bottleneck. Dimension tables are small (≤ a few million rows
-  even at 100 TB of facts), so the single-partition window is fine; facts
-  never need a global sequence (their identity is the hash ``sale_id`` etc.).
+  back per table (``etl_staging_loader.py:332-343`` etc.). Here every key —
+  dimension AND fact — is a deterministic hash of the row's identity columns
+  (``keys.hash_surrogate`` / ``_fact_key``): embarrassingly parallel, no
+  global sequence, no single-partition window anywhere in the build. md5-
+  derived dim keys stay reproducible in the DuckDB oracles.
 - **Key-map dict probes** (J2) become broadcast hash joins. Where the
   reference's ``{natural_id → surrogate}`` dict silently collapses duplicate
   natural ids (same city ⇒ same store_id twice; same product name with two
   prices ⇒ same product_id twice), we replicate that collapse with an explicit
   ``row_number() == 1`` dedup before the join — otherwise the join would
-  duplicate fact rows. Winner is pinned to the lowest surrogate key
-  (the reference's winner is insert-order dependent; documented deviation).
+  duplicate fact rows. Winner is pinned by an explicit attribute order per
+  dim (the reference's winner is insert-order dependent; documented
+  deviation), so the DuckDB oracles can reproduce it without knowing the
+  key-hash function.
 - ``ETL_BATCH_ID`` is injected (the reference computes it at *import time*,
   ``etl_staging_loader.py:47`` — a reproducibility bug we do not copy).
 """
@@ -27,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from walmart_project_etl_spark.functions import rules
+from walmart_project_etl_spark.functions.keys import hash_surrogate
 
 
 def _audit(df: DataFrame, batch_id: str, ts) -> DataFrame:
@@ -34,12 +37,13 @@ def _audit(df: DataFrame, batch_id: str, ts) -> DataFrame:
               .withColumn("etl_timestamp", ts))
 
 
-def _surrogate(name: str, *order_by: str) -> Column:
+def _surrogate(name: str, *identity: str) -> Column:
     """Deterministic auto-increment replacement (reference
-    ``etl_staging_tables.py:54`` etc.). DIMENSIONS ONLY: ``row_number`` over a
-    global order funnels all rows through one partition — fine for
-    dimension-sized data, never used on facts (see ``_fact_key``)."""
-    return F.row_number().over(Window.orderBy(*order_by)).alias(name)
+    ``etl_staging_tables.py:54`` etc.): md5-hash of the row's identity
+    columns — fully parallel, no global window, reproducible in the DuckDB
+    oracles. The identity tuple must be unique per dimension row (it is the
+    same column set the previous row_number ordering keyed on)."""
+    return hash_surrogate(*identity).alias(name)
 
 
 def _fact_key(name: str, id_col: str) -> Column:
@@ -54,14 +58,18 @@ def _fact_key(name: str, id_col: str) -> Column:
     return F.xxhash64(F.col(id_col)).alias(name)
 
 
-def _unique_key_map(dim: DataFrame, natural: str, surrogate: str) -> DataFrame:
+def _unique_key_map(dim: DataFrame, natural: str, surrogate: str,
+                    order_by: tuple[str, ...] = ()) -> DataFrame:
     """One surrogate per natural id — replicates the reference's dict-probe
-    collapse of duplicate natural keys (see module docstring)."""
-    w = Window.partitionBy(natural).orderBy(surrogate)
-    return (dim.select(natural, surrogate)
+    collapse of duplicate natural keys (see module docstring). The winner is
+    pinned by ``order_by`` (ascending, nulls first — the attribute order the
+    pre-hash surrogate sequence sorted on, so oracle twins stay valid) with
+    the surrogate hash as final tiebreak for a total order."""
+    w = Window.partitionBy(natural).orderBy(*order_by, surrogate)
+    return (dim.select(natural, surrogate, *order_by)
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .drop("rn"))
+            .select(natural, surrogate))
 
 
 def build_stg_date(ods_date: DataFrame, batch_id: str, ts) -> DataFrame:
@@ -202,9 +210,11 @@ def build_stg_sales(ods_sales: DataFrame, stg_date: DataFrame, stg_customer: Dat
                  "_s_date_id", "date_key", "ship_date_key", required=False)
     f = _resolve(f, _unique_key_map(stg_customer, "customer_id", "customer_key"),
                  "customer_id", "customer_key", "customer_key", required=True)
-    f = _resolve(f, _unique_key_map(stg_product, "product_id", "product_key"),
+    f = _resolve(f, _unique_key_map(stg_product, "product_id", "product_key",
+                                 ("unit_price", "product_base_margin", "product_container")),
                  "product_id", "product_key", "product_key", required=True)
-    f = _resolve(f, _unique_key_map(stg_store, "store_id", "store_key"),
+    f = _resolve(f, _unique_key_map(stg_store, "store_id", "store_key",
+                                 ("zip_code", "state", "region")),
                  "store_id", "store_key", "store_key", required=True)
 
     amount = F.coalesce(F.col("sales_amount").cast("double"), F.lit(0.0))
@@ -246,9 +256,11 @@ def build_stg_returns(ods_returns: DataFrame, stg_date: DataFrame, stg_product: 
                  "_r_date_id", "date_key", "return_date_key", required=True)
     f = _resolve(f, date_map.withColumnRenamed("date_id", "_o_date_id"),
                  "_o_date_id", "date_key", "original_sale_date_key", required=False)
-    f = _resolve(f, _unique_key_map(stg_product, "product_id", "product_key"),
+    f = _resolve(f, _unique_key_map(stg_product, "product_id", "product_key",
+                                 ("unit_price", "product_base_margin", "product_container")),
                  "product_id", "product_key", "product_key", required=True)
-    f = _resolve(f, _unique_key_map(stg_store, "store_id", "store_key"),
+    f = _resolve(f, _unique_key_map(stg_store, "store_id", "store_key",
+                                 ("zip_code", "state", "region")),
                  "store_id", "store_key", "store_key", required=True)
     f = _resolve(f, _unique_key_map(stg_reason, "reason_code", "reason_key"),
                  "reason_code", "reason_key", "reason_key", required=False)
@@ -283,9 +295,11 @@ def build_stg_inventory(ods_inventory: DataFrame, stg_date: DataFrame,
                  "_i_date_id", "date_key", "date_key", required=True)
     f = _resolve(f, date_map.withColumnRenamed("date_id", "_rs_date_id"),
                  "_rs_date_id", "date_key", "last_restock_date_key", required=False)
-    f = _resolve(f, _unique_key_map(stg_product, "product_id", "product_key"),
+    f = _resolve(f, _unique_key_map(stg_product, "product_id", "product_key",
+                                 ("unit_price", "product_base_margin", "product_container")),
                  "product_id", "product_key", "product_key", required=True)
-    f = _resolve(f, _unique_key_map(stg_store, "store_id", "store_key"),
+    f = _resolve(f, _unique_key_map(stg_store, "store_id", "store_key",
+                                 ("zip_code", "state", "region")),
                  "store_id", "store_key", "store_key", required=True)
 
     stock = F.coalesce(F.col("stock_level"), F.lit(0))

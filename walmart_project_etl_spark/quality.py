@@ -25,10 +25,19 @@ def _check(spark: SparkSession, name: str, value, threshold, passed) -> DataFram
         "check string, value long, threshold double, passed boolean")
 
 
-def _anti_count(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str) -> int:
-    """J3: rows of ``fact`` whose key has no match in ``dim``."""
+def _anti_count(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str,
+                broadcast_dim: bool = True) -> int:
+    """J3: rows of ``fact`` whose key has no match in ``dim``.
+
+    ``broadcast_dim`` must only be True for genuinely dimension-sized
+    tables; fact-to-fact checks (e.g. returns→sales) pass False so AQE
+    picks the join strategy — force-broadcasting a fact-sized key set
+    would OOM the driver at scale.
+    """
     d = dim.select(F.col(dim_key).alias(fact_key)).distinct()
-    return fact.join(F.broadcast(d), fact_key, "left_anti").count()
+    if broadcast_dim:
+        d = F.broadcast(d)
+    return fact.join(d, fact_key, "left_anti").count()
 
 
 def fk_checks(spark: SparkSession, ods: dict[str, DataFrame]) -> DataFrame:
@@ -49,8 +58,9 @@ def fk_checks(spark: SparkSession, ods: dict[str, DataFrame]) -> DataFrame:
         ("product_supplier_fk",
          _anti_count(ods["ods_product"], ods["ods_supplier"],
                      "supplier_id", "supplier_id")),
-        ("returns_sale_fk",
-         _anti_count(returns, sales, "original_sale_id", "sale_id")),
+        ("returns_sale_fk",  # fact-to-fact: sale_id set is fact-sized, no broadcast
+         _anti_count(returns, sales, "original_sale_id", "sale_id",
+                     broadcast_dim=False)),
         ("returns_reason_fk",
          _anti_count(returns, ods["ods_return_reason"], "reason_code", "reason_code")),
         ("inventory_product_store_fk",

@@ -329,15 +329,16 @@ def j03_anti_join_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n1.crossJoin(n2)
 
 
+# surrogate keys are md5-hash-derived (keys.hash_surrogate) — reproducible
+# in DuckDB as ('0x' || substr(md5(key), 1, 15))::BIGINT
 _J04_ORACLE = """
 WITH tgt AS (
-  SELECT row_number() OVER (ORDER BY c_custkey) AS customer_sk,
+  SELECT ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT AS customer_sk,
          c_custkey, c_name, c_acctbal AS bal
   FROM customer WHERE c_custkey <= 1000),
 src AS (
   SELECT c_custkey, c_name, c_acctbal + 100 AS bal
   FROM customer WHERE c_custkey BETWEEN 500 AND 1500),
-mx AS (SELECT max(customer_sk) AS m FROM tgt),
 matched AS (
   SELECT tgt.customer_sk, tgt.c_custkey, src.c_name, src.bal,
          TIMESTAMP '2026-01-01' AS insertion_date,
@@ -348,10 +349,10 @@ untouched AS (
          TIMESTAMP '2026-01-01', TIMESTAMP '2026-01-01'
   FROM tgt ANTI JOIN src USING (c_custkey)),
 inserted AS (
-  SELECT (SELECT m FROM mx) + row_number() OVER (ORDER BY c_custkey) AS customer_sk,
+  SELECT ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT AS customer_sk,
          c_custkey, c_name, bal, TIMESTAMP '2026-02-01', TIMESTAMP '2026-02-01'
   FROM src ANTI JOIN tgt USING (c_custkey))
-SELECT customer_sk::INT AS customer_sk, c_custkey, c_name, bal,
+SELECT customer_sk, c_custkey, c_name, bal,
        insertion_date, modification_date
 FROM (SELECT * FROM matched UNION ALL SELECT * FROM untouched
       UNION ALL SELECT * FROM inserted)
@@ -372,8 +373,7 @@ def j04_d01_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey", "c_name", (F.col("c_acctbal") + 100).alias("bal")))
     ts2 = F.lit("2026-02-01").cast("timestamp")
     merged = scd1_merge(target, src2, "c_custkey", ["c_name", "bal"], "customer_sk", ts2)
-    return merged.select(F.col("customer_sk").cast("int").alias("customer_sk"),
-                         "c_custkey", "c_name", "bal",
+    return merged.select("customer_sk", "c_custkey", "c_name", "bal",
                          "insertion_date", "modification_date")
 
 
@@ -382,7 +382,8 @@ WITH base AS (SELECT c_custkey, c_name, c_acctbal AS bal, c_mktsegment AS seg
               FROM customer WHERE c_custkey <= 100),
 extra AS (SELECT c_custkey, c_name, c_acctbal AS bal, c_mktsegment AS seg
           FROM customer WHERE c_custkey BETWEEN 101 AND 120),
-v1 AS (SELECT row_number() OVER (ORDER BY c_custkey) AS dim_sk, base.* FROM base),
+v1 AS (SELECT ('0x' || substr(md5(c_custkey::VARCHAR || chr(31) || '1'), 1, 15))::BIGINT AS dim_sk,
+              base.* FROM base),
 expired AS (   -- changed keys: version 1 expired at run2 - 1 day
   SELECT dim_sk, c_custkey, c_name, bal, seg,
          '2000-01-01' AS effective_date, '2026-01-31' AS expiry_date,
@@ -395,7 +396,8 @@ stayed AS (    -- unchanged keys: version 1 still current
          TIMESTAMP '2026-01-02', TIMESTAMP '2026-01-02'
   FROM v1 WHERE c_custkey > 50),
 inserts AS (   -- run 2 inserts: changed keys (v2) + brand-new keys (v1)
-  SELECT (SELECT count(*) FROM base) + row_number() OVER (ORDER BY c_custkey) AS dim_sk,
+  SELECT ('0x' || substr(md5(c_custkey::VARCHAR || chr(31)
+             || CASE WHEN c_custkey <= 50 THEN '2' ELSE '1' END), 1, 15))::BIGINT AS dim_sk,
          c_custkey, c_name,
          CASE WHEN c_custkey <= 50 THEN bal + 50 ELSE bal END AS bal, seg,
          CASE WHEN c_custkey <= 50 THEN '2026-02-01' ELSE '2000-01-01' END,
@@ -403,7 +405,7 @@ inserts AS (   -- run 2 inserts: changed keys (v2) + brand-new keys (v1)
          CASE WHEN c_custkey <= 50 THEN 2 ELSE 1 END,
          TIMESTAMP '2026-02-01', TIMESTAMP '2026-02-01'
   FROM (SELECT * FROM base WHERE c_custkey <= 50 UNION ALL SELECT * FROM extra))
-SELECT dim_sk::INT AS dim_sk, c_custkey, c_name, bal, seg, effective_date,
+SELECT dim_sk, c_custkey, c_name, bal, seg, effective_date,
        expiry_date, is_current, version, insertion_date, modification_date
 FROM (SELECT * FROM expired UNION ALL SELECT * FROM stayed UNION ALL SELECT * FROM inserts)
 """
@@ -733,23 +735,20 @@ def d03_fact_append_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces that batch's rows instead of duplicating them (improves on the
     reference's acknowledged duplicate-on-rerun,
     ``etl_target_loader.py:1023-1030``). Both columns equal ⇒ the rerun did
-    not double the fact."""
-    import os
-    import shutil
-    import tempfile
+    not double the fact. All storage goes through ``Warehouse`` (append +
+    read + in-place ``replace``) — the same seam a Delta/Iceberg writer
+    would plug into."""
+    from walmart_project_etl_spark.sources.catalog import Warehouse
 
-    path = os.path.join(tempfile.gettempdir(), "wpe_d03_fact")
-    shutil.rmtree(path, ignore_errors=True)
+    wh = Warehouse(spark, os.path.join(tempfile.gettempdir(), "wpe_d03"))
+    wh.drop("tgt", "fact")
     batch = (t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
              .withColumn("etl_batch_id", F.lit("B1")))
-    batch.write.mode("append").parquet(path)                   # load 1
-    existing = spark.read.parquet(path).where("etl_batch_id <> 'B1'")
+    wh.append("tgt", "fact", batch)                             # load 1
+    existing = wh.read("tgt", "fact").where("etl_batch_id <> 'B1'")
     merged = existing.unionByName(batch)                        # re-run, same batch
-    tmp = path + "__new"
-    merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    after = spark.read.parquet(path)
+    wh.replace("tgt", "fact", merged)
+    after = wh.read("tgt", "fact")
     return (after.agg(F.count(F.lit(1)).alias("n_after_rerun"))
             .crossJoin(after.where("etl_batch_id = 'B1'")
                        .agg(F.count(F.lit(1)).alias("n_single_batch"))))

@@ -401,14 +401,14 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("events_sessionization",
    """WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                          OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
-        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sess AS (
         SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged)
       SELECT user_id, session_id, count(*) AS n_events,

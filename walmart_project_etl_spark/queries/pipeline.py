@@ -108,6 +108,21 @@ def _wt(spark: SparkSession, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(_star(spark), table))
 
 
+def invalidate_star_cache() -> None:
+    """Drop the materialized star warehouse (process cache + on-disk dir) so
+    the next ``pipe_*`` query rebuilds the FULL ingest→ODS→staging→target
+    pipeline — used by ``bench.py`` to time the end-to-end pipeline cold."""
+    import shutil
+    import tempfile
+
+    from walmart_project_etl_spark.queries.util import code_version
+
+    _WAREHOUSE.clear()
+    shutil.rmtree(os.path.join(tempfile.gettempdir(),
+                               f"wpe_star_cache_{code_version()}"),
+                  ignore_errors=True)
+
+
 # ----------------------------------------------------------- ingest / ODS
 
 @q("pipe_s01_s02_f04_csv_ingest",

@@ -86,43 +86,43 @@ ODS_SCHEMAS: dict[str, StructType] = {
 
 STG_SCHEMAS: dict[str, StructType] = {
     "stg_date": _schema(
-        "date_key:int date_id:int full_date:date day_of_week:string day_of_month:int "
+        "date_key:long date_id:int full_date:date day_of_week:string day_of_month:int "
         "month:int month_name:string quarter:int year:int is_weekend:bool is_holiday:bool "
         f"fiscal_year:int fiscal_quarter:int {_AUDIT_STG}"),
     "stg_customer": _schema(
-        "customer_key:int customer_id:string customer_name:string customer_age:int "
+        "customer_key:long customer_id:string customer_name:string customer_age:int "
         "age_group:string customer_segment:string city:string state:string zip_code:string "
         f"region:string {_AUDIT_STG}"),
     "stg_supplier": _schema(
-        "supplier_key:int supplier_id:string supplier_name:string contact_person:string "
+        "supplier_key:long supplier_id:string supplier_name:string contact_person:string "
         "email:string phone:string address:string city:string state:string zip_code:string "
         f"country:string supplier_type:string {_AUDIT_STG}"),
     "stg_product": _schema(
-        "product_key:int product_id:string product_name:string product_category:string "
+        "product_key:long product_id:string product_name:string product_category:string "
         "product_sub_category:string product_container:string unit_price:dec10 "
         "price_tier:string product_base_margin:double margin_percentage:double "
         f"is_high_margin:bool supplier_id:string supplier_name:string {_AUDIT_STG}"),
     "stg_store": _schema(
-        "store_key:int store_id:string store_name:string location:string city:string "
+        "store_key:long store_id:string store_name:string location:string city:string "
         f"state:string zip_code:string region:string market:string {_AUDIT_STG}"),
     "stg_return_reason": _schema(
-        "reason_key:int reason_code:string reason_description:string reason_category:string "
+        "reason_key:long reason_code:string reason_description:string reason_category:string "
         f"impact_level:string is_controllable:bool {_AUDIT_STG}"),
     "stg_sales": _schema(
-        "sales_key:int sale_id:string order_id:string row_id:int transaction_date_key:int "
-        "product_key:int store_key:int customer_key:int order_priority:string "
+        "sales_key:long sale_id:string order_id:string row_id:int transaction_date_key:long "
+        "product_key:long store_key:long customer_key:long order_priority:string "
         "order_quantity:int sales_amount:dec12 discount:double discount_amount:dec10 "
         "shipping_cost:dec10 gross_revenue:dec12 net_revenue:dec12 profit:dec12 "
-        f"profit_margin:double is_profitable:bool ship_date_key:int ship_mode:string {_AUDIT_STG}"),
+        f"profit_margin:double is_profitable:bool ship_date_key:long ship_mode:string {_AUDIT_STG}"),
     "stg_inventory": _schema(
-        "inventory_key:int inventory_id:string date_key:int product_key:int store_key:int "
+        "inventory_key:long inventory_id:string date_key:long product_key:long store_key:long "
         "stock_level:int min_stock_level:int max_stock_level:int reorder_point:int "
-        "last_restock_date_key:int days_of_supply:int stock_status:string "
+        "last_restock_date_key:long days_of_supply:int stock_status:string "
         f"is_in_stock:bool {_AUDIT_STG}"),
     "stg_returns": _schema(
-        "return_key:int return_id:string return_date_key:int product_key:int store_key:int "
-        "reason_key:int reason_code:string return_amount:dec12 quantity_returned:int "
-        "avg_return_price:dec10 original_sale_id:string original_sale_date_key:int "
+        "return_key:long return_id:string return_date_key:long product_key:long store_key:long "
+        "reason_key:long reason_code:string return_amount:dec12 quantity_returned:int "
+        "avg_return_price:dec10 original_sale_id:string original_sale_date_key:long "
         f"days_since_sale:int is_within_30_days:bool return_condition:string {_AUDIT_STG}"),
 }
 
@@ -133,42 +133,42 @@ _SCD2_COLS = "effective_date:date expiry_date:date is_current:bool version:int"
 
 TGT_SCHEMAS: dict[str, StructType] = {
     "tgt_dim_date": _schema(
-        "date_key:int date_id:int full_date:date day_of_week:string day_of_month:int "
+        "date_key:long date_id:int full_date:date day_of_week:string day_of_month:int "
         "month:int month_name:string quarter:int year:int is_weekend:bool is_holiday:bool "
         f"fiscal_year:int fiscal_quarter:int {_AUDIT_TGT}"),
     "tgt_dim_customer": _schema(
-        "customer_key:int customer_id:string customer_name:string customer_age:int "
+        "customer_key:long customer_id:string customer_name:string customer_age:int "
         "age_group:string customer_segment:string city:string state:string zip_code:string "
         f"region:string {_AUDIT_TGT}"),
     "tgt_dim_supplier": _schema(
-        "supplier_key:int supplier_id:string supplier_name:string supplier_type:string "
+        "supplier_key:long supplier_id:string supplier_name:string supplier_type:string "
         f"contact_name:string contact_phone:string contact_email:string {_AUDIT_TGT}"),
     "tgt_dim_return_reason": _schema(
-        "reason_key:int reason_code:string reason_description:string reason_category:string "
+        "reason_key:long reason_code:string reason_description:string reason_category:string "
         f"impact_level:string is_controllable:bool {_AUDIT_TGT}"),
     "tgt_dim_product": _schema(
-        "product_key:int product_id:string product_name:string product_category:string "
+        "product_key:long product_id:string product_name:string product_category:string "
         "product_sub_category:string product_container:string unit_price:dec10 "
         "price_tier:string product_base_margin:double margin_percentage:double "
         f"is_high_margin:bool supplier_id:string supplier_name:string {_SCD2_COLS} {_AUDIT_TGT}"),
     "tgt_dim_store": _schema(
-        "store_key:int store_id:string store_name:string location:string city:string "
+        "store_key:long store_id:string store_name:string location:string city:string "
         f"state:string zip_code:string region:string market:string {_SCD2_COLS} {_AUDIT_TGT}"),
     "tgt_fact_sales": _schema(
-        "sales_key:int sale_id:string order_id:string transaction_date_key:int "
-        "product_key:int store_key:int customer_key:int order_priority:string "
+        "sales_key:long sale_id:string order_id:string transaction_date_key:long "
+        "product_key:long store_key:long customer_key:long order_priority:string "
         "order_quantity:int sales_amount:dec12 discount:double discount_amount:dec10 "
         "shipping_cost:dec10 gross_revenue:dec12 net_revenue:dec12 profit:dec12 "
-        f"profit_margin:double is_profitable:bool ship_date_key:int ship_mode:string {_AUDIT_TGT}"),
+        f"profit_margin:double is_profitable:bool ship_date_key:long ship_mode:string {_AUDIT_TGT}"),
     "tgt_fact_inventory": _schema(
-        "inventory_key:int inventory_id:string date_key:int product_key:int store_key:int "
+        "inventory_key:long inventory_id:string date_key:long product_key:long store_key:long "
         "stock_level:int min_stock_level:int max_stock_level:int reorder_point:int "
-        "last_restock_date_key:int days_of_supply:int stock_status:string "
+        "last_restock_date_key:long days_of_supply:int stock_status:string "
         f"is_in_stock:bool {_AUDIT_TGT}"),
     "tgt_fact_returns": _schema(
-        "return_key:int return_id:string return_date_key:int product_key:int store_key:int "
-        "reason_key:int reason_code:string return_amount:dec12 quantity_returned:int "
-        "avg_return_price:dec10 original_sale_id:string original_sale_date_key:int "
+        "return_key:long return_id:string return_date_key:long product_key:long store_key:long "
+        "reason_key:long reason_code:string return_amount:dec12 quantity_returned:int "
+        "avg_return_price:dec10 original_sale_id:string original_sale_date_key:long "
         f"days_since_sale:int is_within_30_days:bool return_condition:string {_AUDIT_TGT}"),
 }
 
