@@ -338,3 +338,65 @@ def test_gopher_flags_closed_form(spark):
     assert rows[1]["keep"] is True
     assert rows[2]["len_ok"] is False and rows[2]["keep"] is False
     assert rows[3]["alpha_ok"] is False and rows[3]["stopword_ok"] is False
+
+
+def test_repetition_signals_closed_form(spark):
+    # "a b a b a b" → bigrams: [a b, b a, a b, b a, a b] = 5 total,
+    # top "a b"×3 → 0.6; every gram occurs >1 → dup frac 1.0
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),
+         (2, "w x y z")],          # 3 distinct bigrams, all unique
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            text.repetition_signals(docs, "doc_id", "text", n=2).collect()}
+    assert rows[1]["n_ngrams"] == 5
+    assert rows[1]["top_ngram_frac"] == 0.6
+    assert rows[1]["dup_ngram_frac"] == 1.0
+    assert rows[2]["n_ngrams"] == 3
+    assert rows[2]["dup_ngram_frac"] == 0.0
+
+
+def test_chunk_text_windows_cover_and_overlap(spark):
+    toks = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = sorted(text.chunk_text(docs, "doc_id", "text",
+                                 chunk_size=4, stride=3).collect(),
+                 key=lambda r: r["chunk_id"])
+    # stride 3 < size 4 → overlapping windows; last window may be short
+    assert [r["chunk_id"] for r in out] == [0, 1, 2]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[1]["chunk_text"] == "t3 t4 t5 t6"
+    assert out[2]["chunk_text"] == "t6 t7 t8 t9"
+    assert [r["n_tokens"] for r in out] == [4, 4, 4]
+    # non-overlapping exact cover: every token appears exactly once
+    flat = " ".join(r["chunk_text"] for r in sorted(
+        text.chunk_text(docs, "doc_id", "text", chunk_size=3, stride=3).collect(),
+        key=lambda r: r["chunk_id"]))
+    assert flat == " ".join(toks)
+
+
+def test_decontaminate_removes_benchmark_overlap(spark):
+    shared = "one two three four five six seven eight"
+    corpus = spark.createDataFrame(
+        [(1, f"prefix words {shared} suffix words"),   # contains the 8-gram
+         (2, "totally different content with no overlap at all here"),
+         (3, shared)],                                  # exactly the benchmark
+        "doc_id long, text string")
+    benchmark = spark.createDataFrame([(99, shared)], "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  dedup.decontaminate(corpus, benchmark, "doc_id", "text",
+                                      n=8).collect())
+    assert kept == [2]
+
+
+def test_cap_per_group_limit_and_determinism(spark):
+    from walmart_project_etl_spark.operators import sampling
+    rows = [(i, f"g{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out1 = sampling.cap_per_group(df, "source", 4, "doc_id")
+    picked1 = sorted((r["source"], r["doc_id"]) for r in out1.collect())
+    from collections import Counter
+    assert all(c == 4 for c in Counter(s for s, _ in picked1).values())
+    # deterministic under repartitioning
+    out2 = sampling.cap_per_group(df.repartition(7), "source", 4, "doc_id")
+    assert picked1 == sorted((r["source"], r["doc_id"]) for r in out2.collect())

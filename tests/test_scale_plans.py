@@ -145,3 +145,31 @@ def test_no_single_partition_exchange_in_dim_builds(spark):
     for df in (build_stg_customer(cust, "B1", ts),
                build_stg_store(store, "B1", ts), dim1, dim2, s1, s2):
         assert "SinglePartition" not in _plan(df)
+
+
+def test_decontaminate_is_broadcast_semi_probe(spark):
+    """The benchmark gram set must broadcast (eval sets are tiny) — the
+    corpus side is one scan with a broadcast left-semi probe, never a
+    shuffled join keyed on grams."""
+    from walmart_project_etl_spark.operators.dedup import decontaminate
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    plan = _plan(decontaminate(docs, bench, "doc_id", "text", n=8))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_chunk_text_is_narrow(spark):
+    """Token-window chunking is a pure narrow transform: no Exchange
+    anywhere — a 100 TB corpus chunks at scan speed."""
+    from walmart_project_etl_spark.operators.text import chunk_text
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert "Exchange" not in _plan(chunk_text(docs, "doc_id", "text", 32, 24))
+
+
+def test_cap_per_group_prunes_past_k_map_side(spark):
+    """The per-group cap must plan a WindowGroupLimit (rank filter pushed
+    below the shuffle) so a hot group streams, not sorts, its tail away."""
+    from walmart_project_etl_spark.operators.sampling import cap_per_group
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(cap_per_group(docs, "source", 10, "doc_id"))
+    assert "WindowGroupLimit" in plan

@@ -353,3 +353,31 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+# --------------------------------------------------------------- decontamination
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
+                  text_col: str, n: int = 8) -> DataFrame:
+    """Remove training documents that overlap an evaluation benchmark.
+
+    A corpus document is *contaminated* if any of its word ``n``-grams
+    appears in any benchmark document (the standard n-gram–overlap
+    decontamination rule; n≈8–13 words). Returns the clean corpus rows.
+
+    Scale shape: benchmark sets are tiny (thousands of eval questions), so
+    the distinct benchmark gram set is explicitly ``broadcast`` — the
+    corpus side is ONE scan with a broadcast left-anti probe per exploded
+    gram, then a semi-join collapse back to doc granularity. Corpus-side
+    shuffle: only the ``distinct`` on contaminated doc ids (bounded by the
+    contamination count, not the corpus).
+    """
+    bench_grams = (benchmark
+                   .select(F.explode(word_ngrams(text_col, n)).alias("__g"))
+                   .distinct())
+    corpus_grams = corpus.select(F.col(id_col),
+                                 F.explode(word_ngrams(text_col, n)).alias("__g"))
+    contaminated = (corpus_grams
+                    .join(F.broadcast(bench_grams), "__g", "left_semi")
+                    .select(id_col).distinct())
+    return corpus.join(contaminated, id_col, "left_anti")

@@ -84,6 +84,24 @@ def stratified_sample(df: DataFrame, stratum: str, fraction: float,
               .drop("_rn", "_n"))
 
 
+def cap_per_group(df: DataFrame, group: str, k: int, key: str) -> DataFrame:
+    """Keep at most ``k`` rows per group, selected uniformly-by-hash.
+
+    The per-domain/per-source cap every web-corpus build applies (one host
+    must not dominate the training mix). Ranking is ``rank_hash(key)`` with
+    the key as tiebreak — deterministic on any engine at any parallelism.
+    One shuffle on the group key; AQE's skew splitting does NOT apply to
+    window ranks, but the rank is computed with ``WindowGroupLimit``
+    pushdown (Spark ≥3.5 prunes rows past k map-side), so a hot domain
+    costs one task scanning its rows, not a sort of the whole corpus.
+    """
+    rk = rank_hash(F.col(key))
+    w = Window.partitionBy(group).orderBy(rk, F.col(key))
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= k)
+              .drop("_rn"))
+
+
 def weighted_mixture(df: DataFrame, source: str, key: str,
                      weights: dict[str, int]) -> DataFrame:
     """Downsample each source to its mixture percentage via hash buckets.

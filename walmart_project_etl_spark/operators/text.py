@@ -11,7 +11,7 @@ practice (C4/RefinedWeb-style heuristics) expressed Spark-first.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -200,6 +200,72 @@ def gopher_flags(col: Column | str) -> dict[str, Column]:
     keep = flags["len_ok"] & flags["alpha_ok"] & flags["mean_tok_ok"] \
         & flags["punct_ok"] & flags["stopword_ok"]
     return {**flags, "keep": keep}
+
+
+# ------------------------------------------------------------- repetition
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 2) -> DataFrame:
+    """Gopher-style within-document repetition signals, per document:
+
+    - ``n_ngrams``: total word ``n``-grams (all occurrences);
+    - ``top_ngram_frac``: occurrences of the single most frequent n-gram /
+      total — high values mark boilerplate/keyword-stuffed pages;
+    - ``dup_ngram_frac``: fraction of n-gram occurrences whose gram appears
+      more than once — the "duplicate n-grams" repetition filter.
+
+    Shape at 100 TB: one explode (linear in corpus token count) and one
+    shuffle keyed on ``(doc_id, gram)`` — uniform, partial-agg'd map-side;
+    the second aggregation rides the same doc_id hash. No Python, no skew:
+    a pathological single doc is bounded by its own length.
+
+    Fractions are rounded to 6 places (cross-engine stable doubles).
+    """
+    toks = F.split(F.regexp_replace(_c(text_col), r"^\s+|\s+$", ""), r"\s+")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(0), cnt - 1),
+                        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    per_gram = (df.select(F.col(id_col), F.explode(grams).alias("__g"))
+                  .groupBy(id_col, "__g")
+                  .agg(F.count(F.lit(1)).alias("__c")))
+    return (per_gram.groupBy(id_col)
+            .agg(F.sum("__c").alias("n_ngrams"),
+                 F.round(F.max("__c") / F.sum("__c"), 6).alias("top_ngram_frac"),
+                 F.round(F.sum(F.when(F.col("__c") > 1, F.col("__c"))
+                                .otherwise(F.lit(0))) / F.sum("__c"), 6)
+                  .alias("dup_ngram_frac")))
+
+
+# ------------------------------------------------------------- chunking
+
+def chunk_text(df: DataFrame, id_col: str, text_col: str,
+               chunk_size: int = 64, stride: int = 64) -> DataFrame:
+    """Split each document into fixed-size token windows for training.
+
+    Tokens are whitespace runs; chunk ``i`` covers tokens
+    ``[i*stride, i*stride + chunk_size)``; ``stride < chunk_size`` gives
+    overlapping windows. Output: one row per (doc, chunk) with
+    ``chunk_id`` (0-based), ``n_tokens``, and ``chunk_text``.
+
+    Pure narrow transformation — array ops + ``posexplode``, zero shuffle,
+    no Python: a 100 TB corpus chunks at scan speed and the output
+    partitioning inherits the input's (no re-layout before the usual
+    shuffle-free write).
+    """
+    toks = F.split(F.regexp_replace(_c(text_col), r"^\s+|\s+$", ""), r"\s+")
+    n_toks = F.size(toks)
+    # ceil((n - size)/stride) + 1 chunks, min 1 (empty doc → one empty chunk)
+    n_chunks = F.greatest(
+        F.ceil((n_toks - F.lit(chunk_size)) / F.lit(stride)).cast("int"),
+        F.lit(0)) + 1
+    chunk = F.posexplode(F.sequence(F.lit(0), n_chunks - 1))
+    out = df.select(F.col(id_col), toks.alias("__toks"),
+                    chunk.alias("chunk_id", "__i"))
+    piece = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_size)
+    return out.select(
+        id_col, "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))
 
 
 # ------------------------------------------------------------- fingerprinting

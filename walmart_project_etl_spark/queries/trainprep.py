@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from walmart_project_etl_spark.operators import dedup, graph, sampling
+from walmart_project_etl_spark.operators import dedup, graph, sampling, text
 
 from .util import t
 
@@ -130,6 +130,95 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.hash_split(d, "doc_id",
                                {"train": 90, "val": 5, "test": 5}) \
         .select("doc_id", "split")
+
+
+@q("sample_cap_per_source",
+   """SELECT doc_id, source FROM documents
+      QUALIFY row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5(doc_id::VARCHAR) NULLS FIRST, doc_id NULLS FIRST)
+        <= 10""")
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (≤10 per source, hash-uniform pick) — the
+    per-domain cap every web-corpus build applies so no host dominates."""
+    d = t(spark, sf_dir, "documents")
+    return sampling.cap_per_group(d, "source", 10, "doc_id") \
+        .select("doc_id", "source")
+
+
+# ------------------------------------------------------- repetition / chunking
+
+@q("text_repetition_signals",
+   r"""WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(text, '^\s+|\s+$', ''), '\s+') AS w
+        FROM documents),
+      grams AS (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        FROM (SELECT doc_id, w,
+                     unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+              FROM toks)),
+      per AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+      SELECT doc_id, sum(c) AS n_ngrams,
+             round(max(c)::DOUBLE / sum(c), 6) AS top_ngram_frac,
+             round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6)
+               AS dup_ngram_frac
+      FROM per GROUP BY doc_id""")
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition: word-bigram totals, top-bigram
+    coverage, and duplicate-bigram fraction per document."""
+    d = t(spark, sf_dir, "documents")
+    return text.repetition_signals(d, "doc_id", "text", n=2)
+
+
+@q("text_chunk_windows",
+   r"""WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(text, '^\s+|\s+$', ''), '\s+') AS w
+        FROM documents),
+      n AS (SELECT doc_id, w,
+                   greatest(ceil((len(w) - 32) / 24.0)::INT, 0) + 1 AS nc
+            FROM toks),
+      c AS (SELECT doc_id, w, unnest(range(0, nc)) AS chunk_id FROM n)
+      SELECT doc_id, chunk_id,
+             len(w[(chunk_id * 24 + 1)::INT:(chunk_id * 24 + 32)::INT]) AS n_tokens,
+             array_to_string(w[(chunk_id * 24 + 1)::INT:(chunk_id * 24 + 32)::INT], ' ')
+               AS chunk_text
+      FROM c""")
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking for training: 32-token windows with stride 24
+    (overlapping), one row per (doc, chunk) — a pure narrow transform."""
+    d = t(spark, sf_dir, "documents")
+    out = text.chunk_text(d, "doc_id", "text", chunk_size=32, stride=24)
+    return out.select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "chunk_text")
+
+
+@q("dedup_decontaminate",
+   r"""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents),
+      bg AS (
+        SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+        FROM (SELECT w, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+              FROM tok WHERE doc_id % 20 = 0)),
+      cg AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, w,
+                     unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+              FROM tok)),
+      bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
+      SELECT doc_id, lang, source FROM documents
+      ANTI JOIN bad USING (doc_id)""")
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs sharing any word 8-gram
+    with the 'benchmark' subset (doc_id % 20 = 0) — broadcast anti-probe,
+    the standard eval-set overlap scrub before training."""
+    d = t(spark, sf_dir, "documents")
+    benchmark = d.where(F.col("doc_id") % 20 == 0)
+    return dedup.decontaminate(d, benchmark, "doc_id", "text", n=8) \
+        .select("doc_id", "lang", "source")
 
 
 _MIX_WEIGHTS = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
