@@ -89,16 +89,21 @@ def _star(spark: SparkSession) -> str:
         from walmart_project_etl_spark.plans.staging import build_staging
         from walmart_project_etl_spark.plans.target import build_target
         from walmart_project_etl_spark.sources.ingest import read_source_csv
+
+        # materialize each layer BEFORE building the next (same staging as
+        # pipeline.run_pipeline): otherwise every staging/target write
+        # re-executes the whole CSV→ODS lineage — at 9 staging tables
+        # that's 9 redundant ODS computations (and at 100 TB, 9 scans)
+        def persist(frames: dict) -> dict:
+            for name, df in frames.items():
+                df.write.mode("overwrite").parquet(os.path.join(root, name))
+            return {name: spark.read.parquet(os.path.join(root, name))
+                    for name in frames}
+
         src = read_source_csv(spark, REFERENCE_CSV)
-        ods = build_ods(spark, src, run_date=RUN_DATE)
-        stg = build_staging(ods, batch_id=BATCH_ID, run_date=RUN_DATE)
-        for name, df in {**ods, **stg}.items():
-            df.write.mode("overwrite").parquet(os.path.join(root, name))
-        stg = {name: spark.read.parquet(os.path.join(root, name))
-               for name in stg}
-        tgt = build_target(stg, None, run_date=RUN_DATE, batch_id=BATCH_ID)
-        for name, df in tgt.items():
-            df.write.mode("overwrite").parquet(os.path.join(root, name))
+        ods = persist(build_ods(spark, src, run_date=RUN_DATE))
+        stg = persist(build_staging(ods, batch_id=BATCH_ID, run_date=RUN_DATE))
+        persist(build_target(stg, None, run_date=RUN_DATE, batch_id=BATCH_ID))
 
     _WAREHOUSE[key] = build_once("star_cache", build)
     return _WAREHOUSE[key]
