@@ -63,3 +63,20 @@ def test_stream_dedup_within_watermark_collapses_doubles(spark, events):
     # surviving rows carry the source values intact
     src = events.select("event_id", "user_id", "event_type", "value")
     assert out.exceptAll(src).count() == 0
+
+
+def test_stream_upsert_latest_equals_batch_across_batches(spark, events, tmp_path):
+    """foreachBatch warehouse upsert must converge to the batch
+    latest-per-user result — and must actually run as MULTIPLE
+    micro-batches (maxFilesPerTrigger over a multi-file source), or the
+    incremental merge is untested."""
+    import glob
+
+    from walmart_project_etl_spark.streaming import stream_upsert_latest
+    src = events_dir(spark, SF_DIR)
+    assert len(glob.glob(f"{src}/*.parquet")) >= 4  # enough files to split
+    out = stream_upsert_latest(spark, src, str(tmp_path / "wh"),
+                               max_files_per_trigger=2)
+    batch = ev_ops.latest_event_per_key(events, ["user_id"])
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    assert _rows(out, cols) == _rows(batch, cols)

@@ -451,6 +451,24 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, events_dir(spark, sf_dir), "1 hour", "2 hours")
 
 
+@q("stream_foreachbatch_upsert",
+   """SELECT user_id, event_id, ts, event_type, value FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) = 1""")
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming warehouse upsert: ``foreachBatch`` maintains a
+    latest-event-per-user dim table across micro-batches (forced to
+    several via maxFilesPerTrigger). The oracle is the batch window query
+    — the incremental merge must converge to it for any batch split."""
+    import tempfile
+
+    from walmart_project_etl_spark.streaming import stream_upsert_latest
+    out = stream_upsert_latest(
+        spark, events_dir(spark, sf_dir),
+        tempfile.mkdtemp(prefix="wpe_stream_wh_"))
+    return out.select("user_id", "event_id", "ts", "event_type", "value")
+
+
 @q("events_dedup_latest",
    """SELECT user_id, event_type, event_id AS latest_event_id, value AS latest_value
       FROM events

@@ -121,7 +121,11 @@ def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
             conv = raw.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
-            conv.write.mode("overwrite").parquet(out)
+            # several part files so file-source STREAMS over the copy in
+            # multiple micro-batches (maxFilesPerTrigger) — single-file
+            # input would collapse every streaming query to one batch and
+            # leave incremental semantics untested
+            conv.repartition(8).write.mode("overwrite").parquet(out)
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
 

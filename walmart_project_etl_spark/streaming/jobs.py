@@ -90,6 +90,61 @@ def stream_latest_per_user(spark: SparkSession, events_path: str,
                       F.col("latest.value").alias("value"))
 
 
+def stream_upsert_latest(spark: SparkSession, events_path: str,
+                         warehouse_root: str,
+                         max_files_per_trigger: int = 2) -> DataFrame:
+    """Streaming warehouse upsert: maintain a "latest event per user"
+    dimension table incrementally with ``foreachBatch``.
+
+    Each micro-batch is collapsed to its latest row per user, then merged
+    into the warehouse table as ``latest_per_key(current ∪ batch)`` — a
+    keyed upsert through the same ``Warehouse`` seam the batch SCD loads
+    use (on Delta/Iceberg the body becomes a native ``MERGE``; nothing
+    else changes). The merge is associative and order-independent, so the
+    final table is identical for ANY micro-batch partitioning of the input
+    — asserted here by forcing multiple batches via
+    ``maxFilesPerTrigger`` and checking the result against the plain
+    batch window query (the registered oracle).
+
+    At scale: each micro-batch shuffles only its own rows (latest-per-key
+    window) plus one keyed merge against the current dim; state lives in
+    the warehouse table, not the state store, so there is nothing to
+    watermark and restarts resume from the checkpoint.
+    """
+    import os
+    import tempfile
+
+    from walmart_project_etl_spark.operators.events import latest_event_per_key
+    from walmart_project_etl_spark.sources.catalog import Warehouse
+
+    wh = Warehouse(spark, warehouse_root)
+    wh.drop("tgt", "user_latest")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_latest = latest_event_per_key(batch_df, ["user_id"])
+        if wh.exists("tgt", "user_latest"):
+            merged = latest_event_per_key(
+                wh.read("tgt", "user_latest").unionByName(batch_latest),
+                ["user_id"])
+            wh.replace("tgt", "user_latest", merged)
+        else:
+            wh.write("tgt", "user_latest", batch_latest)
+
+    ev = (spark.readStream
+          .schema(EVENTS_SCHEMA)
+          .option("maxFilesPerTrigger", max_files_per_trigger)
+          .format("parquet")
+          .load(events_path))
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="wpe_stream_upsert_"), "ckpt")
+    q = (ev.writeStream
+         .foreachBatch(upsert)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return wh.read("tgt", "user_latest")
+
+
 def stream_dedup_within_watermark(spark: SparkSession, events_path: str,
                                   watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: the incoming stream is doubled (self-union —
