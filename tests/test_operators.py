@@ -400,3 +400,16 @@ def test_cap_per_group_limit_and_determinism(spark):
     # deterministic under repartitioning
     out2 = sampling.cap_per_group(df.repartition(7), "source", 4, "doc_id")
     assert picked1 == sorted((r["source"], r["doc_id"]) for r in out2.collect())
+
+
+def test_embedding_centroids_match_numpy(spark):
+    import numpy as np
+    rows = [(i % 3, [float(i), float(i * 2), -1.5 * i]) for i in range(12)]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    out = {(r["label"], r["dim_idx"]): r["centroid"]
+           for r in similarity.embedding_centroids(df, "label", "embedding").collect()}
+    for lab in range(3):
+        vecs = np.array([v for l, v in rows if l == lab])
+        want = vecs.mean(axis=0)
+        for d in range(3):
+            assert abs(out[(lab, d + 1)] - want[d]) < 1e-6

@@ -200,3 +200,24 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k)
             .select(query_id_col, id_col, "cosine_sim", F.col("__rn").alias("rank")))
+
+
+def embedding_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Mean-pooled centroid per label, flattened to (label, dim_idx, centroid).
+
+    The class-prototype / cluster-center primitive (diversity sampling,
+    nearest-centroid classification, IVF coarse quantizers). Flattened
+    form is the scalable shape: ``posexplode`` then ONE aggregation keyed
+    on (label, dim) — uniform shuffle, partial-agg'd map-side, no driver
+    collect, no per-label vector assembly until a consumer pivots the ≤
+    (labels × dims) result. Sums are decimal-routed (exact merge under any
+    partitioning); the mean is rounded to 6 places via the decimal route,
+    so the result is bit-identical on any engine at any parallelism.
+    """
+    flat = df.select(F.col(label_col),
+                     F.posexplode(F.col(vec_col)).alias("__p", "__v"))
+    mean = (F.sum(F.col("__v").cast("double").cast("decimal(28,6)"))
+             .cast("double") / F.count(F.lit(1)))
+    return (flat.groupBy(label_col, (F.col("__p") + 1).alias("dim_idx"))
+            .agg(F.round(mean.cast("decimal(28,8)"), 6).cast("double")
+                  .alias("centroid")))

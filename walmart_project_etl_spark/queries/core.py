@@ -684,6 +684,31 @@ def w01_window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("o_totalprice").alias("latest_price"))
 
 
+@q("w02_moving_average",
+   """SELECT o_custkey, o_orderkey,
+             round(CAST((sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w)::DOUBLE
+                        / (count(*) OVER w) AS DECIMAL(28,8)), 2)::DOUBLE
+               AS mavg_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""")
+def w02_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: frame-based running aggregate — 5-order moving average of order
+    value per customer, totally ordered by (date, key) so the frame is
+    engine-independent. One shuffle on the partition key; the frame sum is
+    decimal-routed so partials merge exactly."""
+    o = t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-4, 0))
+    mavg = (F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w)
+             .cast("double") / F.count(F.lit(1)).over(w))
+    return o.select("o_custkey", "o_orderkey",
+                    F.round(mavg.cast("decimal(28,8)"), 2).cast("double")
+                     .alias("mavg_price"))
+
+
 @q("o01_orderby_limit_topk",
    """SELECT o_orderkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")

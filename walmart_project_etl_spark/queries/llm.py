@@ -373,6 +373,31 @@ def text_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", *[fl[k].cast("int").alias(k) for k in _GOPHER_COLS])
 
 
+@q("text_curation_funnel",
+   f"""WITH g AS ({_GOPHER_ORACLE})
+      SELECT d.source, count(*) AS n_docs,
+             sum(g.len_ok)::BIGINT AS n_len_ok,
+             sum(g.alpha_ok)::BIGINT AS n_alpha_ok,
+             sum(g.mean_tok_ok)::BIGINT AS n_mean_tok_ok,
+             sum(g.punct_ok)::BIGINT AS n_punct_ok,
+             sum(g.stopword_ok)::BIGINT AS n_stopword_ok,
+             sum(g.keep)::BIGINT AS n_keep
+      FROM g JOIN documents d USING (doc_id)
+      GROUP BY d.source""")
+def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation audit funnel: per source, how many docs pass each filter
+    rule and the conjunction — the per-domain yield report a corpus build
+    reviews before committing a filter config. One scan + one uniform
+    groupBy on source."""
+    d = t(spark, sf_dir, "documents")
+    fl = text.gopher_flags("text")
+    flagged = d.select("source",
+                       *[fl[k].cast("int").alias(k) for k in _GOPHER_COLS])
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 *[F.sum(k).alias(f"n_{k}") for k in _GOPHER_COLS]))
+
+
 # ------------------------------------------------------------- events
 
 @q("events_asof_join",
@@ -621,6 +646,26 @@ def olap_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n"),
                  F.round(F.sum(F.col("l_quantity").cast("decimal(28,6)")), 2)
                   .cast("double").alias("sum_qty")))
+
+
+@q("olap_cube_lineitem",
+   """SELECT l_returnflag, l_linestatus,
+             grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+             count(*) AS n,
+             round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2)::DOUBLE
+               AS sum_price
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")
+def olap_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four grouping levels (cells, per-flag, per-status, grand
+    total) in ONE scan via the Expand operator — same single-pass property
+    as ROLLUP, 2^k level fanout bounded by k=2 dims."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg((F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+                 .alias("gid"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,6)")), 2)
+                  .cast("double").alias("sum_price")))
 
 
 @q("olap_time_rollup_events",

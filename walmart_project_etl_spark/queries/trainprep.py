@@ -221,6 +221,23 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
 
 
+@q("sim_embedding_centroids",
+   """WITH flat AS (
+        SELECT label, i::INT AS dim_idx, embedding[i::INT]::DOUBLE AS v
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i))
+      SELECT label, dim_idx,
+             round(CAST(sum(CAST(v AS DECIMAL(28,6)))::DOUBLE / count(*)
+                        AS DECIMAL(28,8)), 6)::DOUBLE AS centroid
+      FROM flat GROUP BY label, dim_idx""")
+def sim_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled centroid per label over the embeddings table — the
+    class-prototype primitive, flattened to (label, dim, value) rows."""
+    from walmart_project_etl_spark.operators.similarity import \
+        embedding_centroids
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_centroids(e, "label", "embedding")
+
+
 _MIX_WEIGHTS = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
 
 
