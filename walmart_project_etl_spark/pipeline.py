@@ -27,6 +27,21 @@ TARGET_TABLES = ("tgt_dim_date", "tgt_dim_customer", "tgt_dim_supplier",
                  "tgt_fact_sales", "tgt_fact_returns", "tgt_fact_inventory")
 
 
+def _parallel_writes(writes) -> None:
+    """Submit independent table writes concurrently (the reference DAG's
+    "parallel dimension loading", `ETL_IMPLEMENTATION_DETAILS.md:120-135` —
+    named there, implemented here). Spark's scheduler interleaves jobs
+    submitted from separate threads, so independent writes overlap their
+    scan/shuffle/commit phases instead of serializing; exceptions
+    propagate to the caller."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = list(writes)
+    with ThreadPoolExecutor(max_workers=min(8, max(len(writes), 1))) as ex:
+        for _ in ex.map(lambda fn: fn(), writes):
+            pass
+
+
 def run_pipeline(spark: SparkSession, csv_path: str, warehouse_root: str,
                  run_date: str, batch_id: str, seed: int = 42,
                  enforce_quality: bool = True,
@@ -38,8 +53,8 @@ def run_pipeline(spark: SparkSession, csv_path: str, warehouse_root: str,
     # CSV → ODS (reference etl_ods_loader.main)
     src = read_source_csv(spark, csv_path)
     ods = build_ods(spark, src, run_date=run_date, seed=seed)
-    for name, df in ods.items():
-        wh.write("ods", name, df)
+    _parallel_writes(
+        (lambda n=n, d=d: wh.write("ods", n, d)) for n, d in ods.items())
     ods = {name: wh.read("ods", name) for name in ods}
 
     if enforce_quality:
@@ -47,8 +62,8 @@ def run_pipeline(spark: SparkSession, csv_path: str, warehouse_root: str,
 
     # ODS → Staging (reference load_staging_layer)
     stg = build_staging(ods, batch_id=batch_id, run_date=run_date)
-    for name, df in stg.items():
-        wh.write("stg", name, df)
+    _parallel_writes(
+        (lambda n=n, d=d: wh.write("stg", n, d)) for n, d in stg.items())
     stg = {name: wh.read("stg", name) for name in stg}
 
     # Staging → Target (reference etl_target_loader.main); incremental:
@@ -62,7 +77,8 @@ def run_pipeline(spark: SparkSession, csv_path: str, warehouse_root: str,
     # delete files a later plan still needs.
     import os
     import shutil
-    for name, df in tgt.items():
+
+    def write_new(name: str, df: DataFrame) -> None:
         if name.startswith("tgt_fact_") and prior is not None:
             # D3 fact append, made idempotent: drop this batch's prior rows
             # first (overwrite-by-batch beats the reference's acknowledged
@@ -70,6 +86,9 @@ def run_pipeline(spark: SparkSession, csv_path: str, warehouse_root: str,
             existing = wh.read("tgt", name).where(f"etl_batch_id <> '{batch_id}'")
             df = existing.unionByName(df)
         df.write.mode("overwrite").parquet(wh.path("tgt", f"{name}__new"))
+
+    _parallel_writes(
+        (lambda n=n, d=d: write_new(n, d)) for n, d in tgt.items())
     for name in tgt:
         final = wh.path("tgt", name)
         if os.path.exists(final):

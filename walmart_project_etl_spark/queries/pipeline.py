@@ -95,8 +95,11 @@ def _star(spark: SparkSession) -> str:
         # re-executes the whole CSV→ODS lineage — at 9 staging tables
         # that's 9 redundant ODS computations (and at 100 TB, 9 scans)
         def persist(frames: dict) -> dict:
-            for name, df in frames.items():
-                df.write.mode("overwrite").parquet(os.path.join(root, name))
+            from walmart_project_etl_spark.pipeline import _parallel_writes
+            _parallel_writes(
+                (lambda n=n, d=d: d.write.mode("overwrite")
+                    .parquet(os.path.join(root, n)))
+                for n, d in frames.items())
             return {name: spark.read.parquet(os.path.join(root, name))
                     for name in frames}
 
