@@ -413,3 +413,58 @@ def test_embedding_centroids_match_numpy(spark):
         want = vecs.mean(axis=0)
         for d in range(3):
             assert abs(out[(lab, d + 1)] - want[d]) < 1e-6
+
+
+def test_pack_sequences_layout_invariants(spark):
+    from walmart_project_etl_spark.operators import packing
+    rows = [(i, 10 + (i * 7) % 50) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = packing.pack_sequences(df, "doc_id", "n_tokens",
+                                 capacity=64, n_groups=4).collect()
+    assert len(out) == 40
+    by_group: dict = {}
+    for r in out:
+        assert 0 <= r["pack_group"] < 4
+        assert 0 <= r["seq_offset"] < 64
+        by_group.setdefault(r["pack_group"], []).append(r)
+    for g, members in by_group.items():
+        members.sort(key=lambda r: r["doc_id"])
+        # head-to-tail: each doc starts exactly where the previous one ended
+        start = 0
+        for r in members:
+            assert r["seq_id"] == start // 64
+            assert r["seq_offset"] == start % 64
+            start += r["n_tokens"]
+    # deterministic under repartitioning
+    out2 = packing.pack_sequences(df.repartition(7), "doc_id", "n_tokens",
+                                  capacity=64, n_groups=4).collect()
+    key = lambda r: r["doc_id"]
+    assert sorted(map(tuple, out), key=lambda t: t[0]) == \
+        sorted(map(tuple, out2), key=lambda t: t[0])
+
+
+def test_incremental_exact_dedup(spark):
+    corpus = spark.createDataFrame(
+        [(0, "aaa"), (2, "bbb")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "aaa"),   # already in corpus -> dropped
+         (3, "ccc"), (5, "ccc"),  # within-batch dup -> keep lowest id
+         (7, "ddd")], "doc_id long, text string")
+    out = sorted(r["doc_id"] for r in
+                 dedup.incremental_exact_dedup(batch, corpus,
+                                               "doc_id", "text").collect())
+    assert out == [3, 7]
+
+
+def test_unigram_logprob_closed_form(spark):
+    import math
+    # corpus: "a a b" and "a c" -> counts a=3 b=1 c=1, total=5
+    df = spark.createDataFrame([(1, "a a b"), (2, "a c")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+           for r in text.unigram_logprob(df, "doc_id", "text").collect()}
+    lp = {t: round(math.log(c / 5), 6) for t, c in {"a": 3, "b": 1, "c": 1}.items()}
+    assert out[1][0] == 3
+    assert abs(out[1][1] - (2 * lp["a"] + lp["b"]) / 3) < 1e-9
+    assert out[2][0] == 2
+    assert abs(out[2][1] - (lp["a"] + lp["c"]) / 2) < 1e-9

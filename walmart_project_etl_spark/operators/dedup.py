@@ -48,6 +48,32 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
               .drop("__rn"))
 
 
+def incremental_exact_dedup(batch: DataFrame, corpus: DataFrame,
+                            id_col: str, content_col: str) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the shape every
+    continuously-ingested corpus needs (recrawls, daily dumps): never
+    re-compare the whole corpus against itself, only the delta against the
+    index.
+
+    Drops batch rows whose content digest already exists in the corpus,
+    then exact-dedups within the batch itself (keep lowest id per digest).
+    Scale shape: the corpus side reduces to a DISTINCT digest set (one
+    uniform 128-bit-key shuffle — in production this set is the persisted
+    dedup index, maintained incrementally, so the corpus scan disappears
+    entirely); the batch side is one anti-join plus one window, both keyed
+    on the digest. Batch ≪ corpus, so AQE broadcasts the batch side of the
+    anti-join when it fits.
+    """
+    digest = F.md5(F.col(content_col).cast("string"))
+    seen = corpus.select(digest.alias("__d")).distinct()
+    b = batch.withColumn("__d", digest)
+    fresh = b.join(seen, "__d", "left_anti")
+    w = Window.partitionBy("__d").orderBy(F.col(id_col))
+    return (fresh.withColumn("__rn", F.row_number().over(w))
+                 .where(F.col("__rn") == 1)
+                 .drop("__rn", "__d"))
+
+
 # --------------------------------------------------------------- shingling
 
 def char_shingles(col: Column | str, k: int = 5) -> Column:

@@ -268,6 +268,59 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str,
         F.array_join(piece, " ").alias("chunk_text"))
 
 
+# ------------------------------------------------------------- unigram LM score
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                    broadcast_vocab: bool = True) -> DataFrame:
+    """Mean per-token unigram log-probability of each document — the
+    classic cheap perplexity proxy for corpus quality filtering (documents
+    of gibberish / rare-token soup score far below fluent text).
+
+    Two stages, both shuffle-light:
+
+    1. **Vocabulary build** — explode tokens, ``groupBy(token).count()``
+       (uniform token-hash shuffle with map-side partial aggregation), then
+       per-token ``logprob = ln(count / total)``.
+    2. **Scoring** — per-(doc, token) counts joined to the vocabulary, then
+       ``sum(count * logprob) / sum(count)`` per document. The vocabulary is
+       broadcast by default (natural-language vocabularies are MBs, not
+       fact-sized), so the scoring join never shuffles on the (Zipf-skewed!)
+       token key — a token-keyed shuffle join would put every ``the`` row in
+       one partition. Pass ``broadcast_vocab=False`` to let AQE choose for
+       synthetic vocabularies larger than executor memory.
+
+    Determinism across engines: per-token logprobs are rounded to 6 places
+    and summed as exact DECIMALs, so the doc-level mean never depends on
+    floating-point summation order.
+
+    Output: one row per document — ``n_tokens`` (long) and
+    ``mean_logprob`` (double, rounded to 6).
+    """
+    toks = F.split(F.lower(F.regexp_replace(_c(text_col), r"^\s+|\s+$", "")),
+                   r"\s+")
+    doc_tok = (df.select(F.col(id_col), F.explode(toks).alias("__t"))
+                 .groupBy(id_col, "__t")
+                 .agg(F.count(F.lit(1)).alias("__c"))
+                 .persist())  # feeds both the vocab build and the scoring join
+    vocab = doc_tok.groupBy("__t").agg(F.sum("__c").alias("__vc"))
+    total = vocab.agg(F.sum("__vc").alias("__total"))
+    vocab = (vocab.crossJoin(F.broadcast(total))
+             .select("__t",
+                     F.round(F.log(F.col("__vc") / F.col("__total")), 6)
+                      .cast("decimal(20,6)").alias("__lp")))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    # mean = exact DECIMAL sum → double, then one IEEE division. Both are
+    # correctly-rounded operations any engine reproduces bit-for-bit; a
+    # decimal-domain division instead would round the quotient HALF_UP at
+    # scale 6, which engines disagree on at exact half-boundaries.
+    return (doc_tok.join(vocab, "__t")
+            .groupBy(id_col)
+            .agg(F.sum("__c").cast("long").alias("n_tokens"),
+                 (F.sum(F.col("__lp") * F.col("__c")).cast("double")
+                  / F.sum("__c").cast("double")).alias("mean_logprob")))
+
+
 # ------------------------------------------------------------- fingerprinting
 
 def doc_fingerprint(col: Column | str, k: int = 8) -> Column:

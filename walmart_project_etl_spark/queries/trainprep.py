@@ -11,7 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from walmart_project_etl_spark.operators import dedup, graph, sampling, text
+from walmart_project_etl_spark.operators import (dedup, graph, packing,
+                                                 sampling, text)
 
 from .util import t
 
@@ -236,6 +237,89 @@ def sim_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_centroids
     e = t(spark, sf_dir, "embeddings")
     return embedding_centroids(e, "label", "embedding")
+
+
+@q("sample_pack_sequences",
+   r"""WITH toks AS (
+        SELECT doc_id,
+               len(string_split_regex(regexp_replace(text, '^\s+|\s+$', ''),
+                                      '\s+'))::BIGINT AS n_tokens
+        FROM documents),
+      g AS (
+        SELECT doc_id, n_tokens,
+               ('0x' || substr(md5('#' || doc_id::VARCHAR), 1, 8))::BIGINT % 8
+                 AS pack_group
+        FROM toks),
+      s AS (
+        SELECT doc_id, pack_group, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id)
+                 - n_tokens AS strt
+        FROM g)
+      SELECT doc_id, pack_group, n_tokens,
+             CAST(strt // 64 AS BIGINT) AS seq_id,
+             CAST(strt % 64 AS BIGINT) AS seq_offset
+      FROM s""")
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-split sequence packing (capacity 64 tokens, 8 hash
+    groups): each doc gets the sequence id + token offset where it starts
+    in its group's head-to-tail token stream. The oracle replays the
+    identical hash-group + running-sum window in SQL — exact."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(
+        F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"))
+    sized = d.select("doc_id", n_tokens.cast("long").alias("n_tokens"))
+    out = packing.pack_sequences(sized, "doc_id", "n_tokens",
+                                 capacity=64, n_groups=8)
+    return out.select("doc_id", "pack_group", "n_tokens",
+                      F.col("seq_id").cast("long").alias("seq_id"),
+                      F.col("seq_offset").cast("long").alias("seq_offset"))
+
+
+@q("text_unigram_logprob",
+   r"""WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   lower(regexp_replace(text, '^\s+|\s+$', '')), '\s+')) AS t
+        FROM documents),
+      dt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+      v AS (SELECT t, sum(c) AS vc FROM dt GROUP BY t),
+      tot AS (SELECT sum(vc) AS total FROM v),
+      lp AS (SELECT t, CAST(round(ln(vc / total), 6) AS DECIMAL(20,6)) AS lp
+             FROM v, tot)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(lp * c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+               AS mean_logprob
+      FROM dt JOIN lp USING (t)
+      GROUP BY doc_id""")
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: corpus vocabulary build + per-doc mean
+    token log-probability (cheap perplexity proxy). Logprobs are rounded
+    then DECIMAL-summed so the mean is identical on any engine at any
+    summation order — the oracle is exact, not approximate."""
+    d = t(spark, sf_dir, "documents")
+    return text.unigram_logprob(d, "doc_id", "text")
+
+
+@q("dedup_incremental",
+   """WITH corpus AS (
+        SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 2 = 0),
+      b AS (
+        SELECT doc_id, lang, source, md5(text) AS d
+        FROM documents WHERE doc_id % 2 = 1),
+      fresh AS (SELECT * FROM b ANTI JOIN corpus USING (d))
+      SELECT doc_id, lang, source FROM fresh
+      QUALIFY row_number() OVER (PARTITION BY d ORDER BY doc_id) = 1""")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion dedup: the odd-id half of documents is
+    the 'new batch', deduped against the even-id 'existing corpus' by
+    content digest (anti-join on the persisted index shape), then within
+    itself. The delta-vs-index pattern every continuously-built corpus
+    runs instead of full-corpus self-dedup."""
+    d = t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    out = dedup.incremental_exact_dedup(batch, corpus, "doc_id", "text")
+    return out.select("doc_id", "lang", "source")
 
 
 _MIX_WEIGHTS = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
