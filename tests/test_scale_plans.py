@@ -173,3 +173,40 @@ def test_cap_per_group_prunes_past_k_map_side(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(cap_per_group(docs, "source", 10, "doc_id"))
     assert "WindowGroupLimit" in plan
+
+
+def test_pack_sequences_single_group_shuffle(spark):
+    """Packing plans exactly ONE Exchange — the hash-group partitioning for
+    the running-sum window; no global sort, no second shuffle."""
+    from walmart_project_etl_spark.operators.packing import pack_sequences
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sized = docs.select("doc_id", F.size(F.split("text", r"\s+"))
+                        .cast("long").alias("n_tokens"))
+    plan = _plan(pack_sequences(sized, "doc_id", "n_tokens", capacity=64),
+                 mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_unigram_logprob_scoring_join_broadcasts_vocab(spark):
+    """The Zipf-skewed token key must NEVER be a shuffle-join key: the
+    vocabulary (with logprobs) broadcasts to the per-doc token counts."""
+    from walmart_project_etl_spark.operators.text import unigram_logprob
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(unigram_logprob(docs, "doc_id", "text"))
+    assert "BroadcastHashJoin" in plan
+    # the only SortMergeJoin-able key here would be the token — forbid it
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_is_anti_join_on_digest(spark):
+    """Batch-vs-corpus dedup must plan an anti-join keyed on the content
+    digest — one uniform-key pass, no all-pairs comparison."""
+    from walmart_project_etl_spark.operators.dedup import incremental_exact_dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    plan = _plan(incremental_exact_dedup(batch, corpus, "doc_id", "text"))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

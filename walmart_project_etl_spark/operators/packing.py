@@ -52,8 +52,10 @@ def pack_sequences(df: DataFrame, id_col: str, token_count_col: str,
     w = Window.partitionBy("pack_group").orderBy(F.col(id_col))
     start = (F.sum(F.col(token_count_col)).over(w)
              - F.col(token_count_col)).cast("long")
+    # integer `div`, not floor(double division): a group's running token
+    # count can exceed 2^53, where double arithmetic would mis-bin docs
     return (df.withColumn("pack_group", grp)
               .withColumn("__start", start)
-              .withColumn("seq_id", F.floor(F.col("__start") / capacity))
+              .withColumn("seq_id", F.expr(f"__start div {int(capacity)}"))
               .withColumn("seq_offset", F.col("__start") % capacity)
               .drop("__start"))
