@@ -80,3 +80,24 @@ def test_stream_upsert_latest_equals_batch_across_batches(spark, events, tmp_pat
     batch = ev_ops.latest_event_per_key(events, ["user_id"])
     cols = ["user_id", "event_id", "ts", "event_type", "value"]
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_stream_stream_join_equals_batch(spark, events):
+    """Watermarked stream-stream interval join drained with availableNow
+    must equal the batch interval join."""
+    import pyspark.sql.functions as F
+    from walmart_project_etl_spark.streaming import \
+        stream_stream_attribution_join
+    stream = stream_stream_attribution_join(spark, events_dir(spark, SF_DIR))
+    v = events.where(F.col("event_type") == "view") \
+        .select(F.col("event_id").alias("view_id"), "user_id",
+                F.col("ts").alias("view_ts"))
+    c = events.where(F.col("event_type") == "click") \
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("cu"), F.col("ts").alias("click_ts"))
+    batch = v.join(c, (F.col("user_id") == F.col("cu"))
+                   & (F.col("click_ts") >= F.col("view_ts"))
+                   & (F.col("click_ts") <= F.col("view_ts")
+                      + F.expr("INTERVAL 1 HOUR")))
+    cols = ["view_id", "click_id", "user_id", "view_ts", "click_ts"]
+    assert _rows(batch, cols) == _rows(stream, cols)

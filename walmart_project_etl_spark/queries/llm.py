@@ -494,6 +494,23 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "ts", "event_type", "value")
 
 
+@q("stream_stream_join",
+   """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+             v.ts AS view_ts, c.ts AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON v.user_id = c.user_id
+       AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join (view→click attribution within
+    1 hour): both sides are watermarked streams whose join state evicts by
+    event time. The oracle is the equivalent batch interval join — on a
+    drained availableNow run the two must match exactly."""
+    from walmart_project_etl_spark.streaming import \
+        stream_stream_attribution_join
+    return stream_stream_attribution_join(spark, events_dir(spark, sf_dir))
+
+
 @q("events_dedup_latest",
    """SELECT user_id, event_type, event_id AS latest_event_id, value AS latest_value
       FROM events

@@ -13,7 +13,9 @@ swapping the reader — nothing else changes.
 """
 
 from .jobs import (stream_dedup_within_watermark, stream_latest_per_user,
-                   stream_tumbling_counts, stream_upsert_latest)
+                   stream_stream_attribution_join, stream_tumbling_counts,
+                   stream_upsert_latest)
 
 __all__ = ["stream_tumbling_counts", "stream_latest_per_user",
-           "stream_dedup_within_watermark", "stream_upsert_latest"]
+           "stream_dedup_within_watermark", "stream_stream_attribution_join",
+           "stream_upsert_latest"]

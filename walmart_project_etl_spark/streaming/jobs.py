@@ -145,6 +145,61 @@ def stream_upsert_latest(spark: SparkSession, events_path: str,
     return wh.read("tgt", "user_latest")
 
 
+def stream_stream_attribution_join(spark: SparkSession, events_path: str,
+                                   watermark: str = "365 days",
+                                   within: str = "1 hour",
+                                   state_partitions: int | None = 8) -> DataFrame:
+    """Watermarked stream-stream INNER join — view→click attribution: each
+    ``view`` event joins the same user's ``click`` events that occur within
+    ``within`` AFTER the view.
+
+    Both inputs are streams (no static side), the canonical hard case of
+    Structured Streaming: each side buffers rows in the state store until
+    the other side's watermark passes the end of their match-eligibility
+    window, which the time-bound join condition makes explicit — state is
+    bounded by (watermark + within) × arrival rate, not by stream length.
+    In production the watermark is the real out-of-orderness bound (hours);
+    here it exceeds the corpus span so the drained availableNow run is
+    byte-equal to the batch twin (file-source batches arrive in random ts
+    order, and exactness requires that no row is evicted before drain).
+
+    ``state_partitions`` sizes the state store: a stream-stream join keeps
+    FOUR stores per shuffle partition (KeyToNumValues + KeyWithIndexToValue
+    per side), each paying a commit per micro-batch — so the partition
+    count should track expected state volume, not the batch-query default.
+    Pass ``None`` to keep the session's shuffle-partition setting (what a
+    production cluster with real state volume would do).
+    """
+    restore = None
+    if state_partitions is not None:
+        restore = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    ev = _read_events_stream(spark, events_path)
+    views = (ev.where(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"), "user_id",
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", watermark))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("click_user"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    joined = views.join(
+        clicks,
+        F.expr(f"""user_id = click_user
+                   AND click_ts >= view_ts
+                   AND click_ts <= view_ts + INTERVAL {within}"""),
+        "inner")
+    try:
+        return _run_available_now(
+            joined.select("view_id", "click_id", "user_id",
+                          "view_ts", "click_ts"),
+            "stream_ssjoin", output_mode="append")
+    finally:
+        if restore is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", restore)
+
+
 def stream_dedup_within_watermark(spark: SparkSession, events_path: str,
                                   watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: the incoming stream is doubled (self-union —
