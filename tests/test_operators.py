@@ -468,3 +468,25 @@ def test_unigram_logprob_closed_form(spark):
     assert abs(out[1][1] - (2 * lp["a"] + lp["b"]) / 3) < 1e-9
     assert out[2][0] == 2
     assert abs(out[2][1] - (lp["a"] + lp["c"]) / 2) < 1e-9
+
+
+def test_fuzzy_blocked_pairs_finds_mutants_without_all_pairs(spark):
+    rows = [(1, "Acme Corporation"), (2, "Acme Corporatian"),   # 1 edit
+            (3, "Zenith Industrial"), (4, "Bolt Fasteners")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["id_a"], r["id_b"]): r["edit_distance"]
+           for r in dedup.fuzzy_blocked_pairs(df, "id", "name",
+                                              block_len=8, max_edit=2).collect()}
+    assert got == {(1, 2): 1}  # 3,4 in other blocks; no cross-block compare
+
+
+def test_winsorize_matches_numpy_percentile(spark):
+    import numpy as np
+    from walmart_project_etl_spark.operators.cleaning import winsorize
+    vals = [float(v) for v in (1, 2, 3, 4, 5, 6, 7, 8, 9, 1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = sorted(r["x_winsorized"]
+                 for r in winsorize(df, "x", lo=0.1, hi=0.9).collect())
+    lo, hi = np.percentile(vals, [10, 90])  # linear interpolation, same def
+    want = sorted(min(max(v, lo), hi) for v in vals)
+    assert all(abs(a - b) < 1e-9 for a, b in zip(out, want))

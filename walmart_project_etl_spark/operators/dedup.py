@@ -381,6 +381,34 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .where(F.col("jaccard") >= threshold))
 
 
+# --------------------------------------------------------------- record linkage
+
+def fuzzy_blocked_pairs(df: DataFrame, id_col: str, name_col: str,
+                        block_len: int = 16, max_edit: int = 2) -> DataFrame:
+    """Record-linkage near-duplicate pairs: entities whose normalized names
+    are within ``max_edit`` Levenshtein distance, compared ONLY inside
+    blocking buckets (shared normalized prefix of ``block_len`` chars).
+
+    The blocking self-join is the standard linkage shape at scale: the
+    shuffle key is the block, comparisons are block-local (never all-pairs),
+    and edit distance — O(len²) per pair — runs on the small candidate set.
+    Prefix blocking misses prefix-divergent duplicates by design; swap the
+    block expression for soundex/key-collapse blocking without touching the
+    join. Returns (id_a, id_b, edit_distance), id_a < id_b.
+    """
+    norm = F.lower(F.trim(F.col(name_col)))
+    b = df.select(F.col(id_col).alias("doc"), norm.alias("__n"),
+                  F.substring(norm, 1, block_len).alias("__blk"))
+    l, r = b.alias("l"), b.alias("r")
+    return (l.join(r, (F.col("l.__blk") == F.col("r.__blk"))
+                   & (F.col("l.doc") < F.col("r.doc")))
+            .select(F.col("l.doc").alias("id_a"),
+                    F.col("r.doc").alias("id_b"),
+                    F.levenshtein(F.col("l.__n"), F.col("r.__n"))
+                     .alias("edit_distance"))
+            .where(F.col("edit_distance") <= max_edit))
+
+
 # --------------------------------------------------------------- decontamination
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,

@@ -11,8 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from walmart_project_etl_spark.operators import (dedup, graph, packing,
-                                                 sampling, text)
+from walmart_project_etl_spark.operators import (cleaning, dedup, graph,
+                                                 packing, sampling, text)
 
 from .util import t
 
@@ -320,6 +320,53 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.where(F.col("doc_id") % 2 == 1)
     out = dedup.incremental_exact_dedup(batch, corpus, "doc_id", "text")
     return out.select("doc_id", "lang", "source")
+
+
+@q("dedup_fuzzy_blocked",
+   """WITH base AS (
+        SELECT s_suppkey AS id, lower(trim(s_name)) AS n FROM supplier
+        UNION ALL
+        SELECT s_suppkey + 100000, lower(trim(s_name || 'x')) FROM supplier),
+      b AS (SELECT id, n, substr(n, 1, 16) AS blk FROM base)
+      SELECT l.id AS id_a, r.id AS id_b,
+             levenshtein(l.n, r.n) AS edit_distance
+      FROM b l JOIN b r ON l.blk = r.blk AND l.id < r.id
+      WHERE levenshtein(l.n, r.n) <= 2""")
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy dedup: suppliers plus one suffix-mutated copy
+    each, blocked on a 16-char name prefix, Levenshtein ≤ 2 inside blocks.
+    Every mutated copy is found (distance 1) without any all-pairs
+    comparison — the blocking+edit-distance linkage shape."""
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    mutated = s.select((F.col("s_suppkey") + 100000).alias("s_suppkey"),
+                       F.concat(F.col("s_name"), F.lit("x")).alias("s_name"))
+    entities = s.unionByName(mutated)
+    return dedup.fuzzy_blocked_pairs(entities, "s_suppkey", "s_name",
+                                     block_len=16, max_edit=2)
+
+
+@q("clean_winsorize",
+   """WITH pct AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.01) AS p_lo,
+               quantile_cont(l_extendedprice, 0.99) AS p_hi
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+             round(CAST(least(greatest(l.l_extendedprice, p_lo), p_hi)
+                        AS DECIMAL(28,8)), 2)::DOUBLE AS clipped_price
+      FROM lineitem l JOIN pct USING (l_returnflag)""")
+def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip l_extendedprice into its return-flag
+    group's [p01, p99] band. Exact percentile bounds (one group shuffle),
+    broadcast back, narrow clip — DuckDB's quantile_cont uses the same
+    rank-interpolation definition, so the oracle is exact."""
+    li = t(spark, sf_dir, "lineitem")
+    out = cleaning.winsorize(li, "l_extendedprice",
+                             group_cols=["l_returnflag"],
+                             lo=0.01, hi=0.99, out_col="__clip")
+    from .util import round2
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag",
+                      round2(F.col("__clip")).alias("clipped_price"))
 
 
 _MIX_WEIGHTS = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
