@@ -490,3 +490,34 @@ def test_winsorize_matches_numpy_percentile(spark):
     lo, hi = np.percentile(vals, [10, 90])  # linear interpolation, same def
     want = sorted(min(max(v, lo), hi) for v in vals)
     assert all(abs(a - b) < 1e-9 for a, b in zip(out, want))
+
+
+def test_funnel_stages_strict_ordering(spark):
+    from datetime import datetime as dt
+    rows = [
+        # u1 completes all three in order
+        (1, dt(2024, 1, 1), "view"), (1, dt(2024, 1, 2), "click"),
+        (1, dt(2024, 1, 3), "purchase"),
+        # u2: purchase BEFORE click -> stops at stage 2
+        (2, dt(2024, 1, 1), "view"), (2, dt(2024, 1, 3), "click"),
+        (2, dt(2024, 1, 2), "purchase"),
+        # u3: click before view -> only stage 1 (view exists later)
+        (3, dt(2024, 1, 2), "view"), (3, dt(2024, 1, 1), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["user_id"]: r["stages_completed"]
+           for r in events.funnel_stages(df, ["view", "click", "purchase"]).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_cohort_retention_offsets(spark):
+    from datetime import datetime as dt
+    rows = [
+        (1, dt(2024, 1, 1)), (1, dt(2024, 1, 10)),   # wk0 cohort, wk0+wk1
+        (2, dt(2024, 1, 9)),                          # wk1 cohort, wk0 only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(str(r["cohort_week"]), r["week_offset"]): r["n_active_users"]
+           for r in events.cohort_retention(df).collect()}
+    assert out == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
+                   ("2024-01-08", 0): 1}

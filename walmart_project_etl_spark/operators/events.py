@@ -75,3 +75,61 @@ def latest_event_per_key(events: DataFrame, keys: list[str],
     w = Window.partitionBy(*keys).orderBy(F.desc(ts_col), F.desc(tiebreak))
     return (events.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def funnel_stages(events: DataFrame, stages: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Strict ordered-funnel analysis: for each user, the first time they
+    completed each stage IN ORDER — stage k counts only if it happens at or
+    after the user's stage-(k-1) completion (the standard conversion-funnel
+    definition, not mere per-type minimums).
+
+    One row per user who entered the funnel: ``stage{k}_ts`` per stage
+    (NULL once progression stops) and ``stages_completed``.
+
+    Shape at 100 TB: stage 1 is one user-keyed aggregation of the filtered
+    stream; each later stage re-aggregates only events of its type joined
+    against the (user-cardinality, so AQE-broadcastable) previous frontier.
+    len(stages) passes, all keyed on the same uniform user hash — no
+    windows over whole histories, no per-user state.
+    """
+    first = (events.where(F.col(type_col) == stages[0])
+             .groupBy(user_col)
+             .agg(F.min(ts_col).alias("stage1_ts")))
+    out = first
+    for k, stage in enumerate(stages[1:], start=2):
+        prev = f"stage{k - 1}_ts"
+        nxt = (events.where(F.col(type_col) == stage)
+               .join(out.select(user_col, prev), user_col)
+               .where(F.col(ts_col) >= F.col(prev))
+               .groupBy(user_col)
+               .agg(F.min(ts_col).alias(f"stage{k}_ts")))
+        out = out.join(nxt, user_col, "left")
+    completed = sum(
+        F.when(F.col(f"stage{k}_ts").isNotNull(), 1).otherwise(0)
+        for k in range(1, len(stages) + 1))
+    return out.withColumn("stages_completed",
+                          completed.cast("int"))
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    as active per (cohort_week, week_offset) cell — the classic retention
+    triangle, as two user-keyed aggregations plus a narrow date diff.
+
+    The first-seen frame is user-cardinality, so the join back onto the
+    event stream broadcasts under AQE; nothing shuffles on time.
+    """
+    wk = lambda c: F.date_trunc("week", F.col(c)).cast("date")
+    first_seen = (events.groupBy(user_col)
+                  .agg(F.min(ts_col).alias("__first")))
+    cohort = first_seen.select(user_col, wk("__first").alias("cohort_week"))
+    acts = (events.join(cohort, user_col)
+            .select(user_col, "cohort_week",
+                    (F.datediff(wk(ts_col), F.col("cohort_week")) / 7)
+                    .cast("long").alias("week_offset"))
+            .distinct())
+    return (acts.groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_active_users")))

@@ -709,6 +709,32 @@ def w02_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("mavg_price"))
 
 
+@q("w03_rank_family",
+   """SELECT o_custkey, o_orderkey,
+             ntile(4) OVER w AS price_quartile,
+             dense_rank() OVER w AS price_dense_rank,
+             percent_rank() OVER w AS price_pct_rank,
+             cume_dist() OVER w AS price_cume_dist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)""")
+def w03_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: ranking-function family over one window pass — ntile quartiles,
+    dense_rank, percent_rank, cume_dist per customer. Order is totalized
+    with the order key so ntile bucket boundaries are engine-independent;
+    percent_rank/cume_dist are small-integer ratios, so one IEEE division
+    gives identical doubles on any engine. All four ride ONE shuffle and
+    one sort on the same window spec."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"))
+
+
 @q("o01_orderby_limit_topk",
    """SELECT o_orderkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")

@@ -646,6 +646,79 @@ def olap_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("purchase", F.lit(0.0)).alias("purchase_value"))
 
 
+@q("olap_unpivot_metrics",
+   """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+             l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem""")
+def olap_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): three wide metric columns to (metric, val) long
+    form via ``DataFrame.unpivot`` — Spark's Expand node emits all three
+    rows in one scan pass, vs the oracle's three-scan UNION ALL."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric", "val")
+
+
+@q("events_funnel",
+   """WITH s1 AS (
+        SELECT user_id, min(ts) AS stage1_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS stage2_ts
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= s1.stage1_ts
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS stage3_ts
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.stage2_ts
+        GROUP BY e.user_id)
+      SELECT s1.user_id, s1.stage1_ts, s2.stage2_ts, s3.stage3_ts,
+             1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+               AS stages_completed
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered conversion funnel view→click→purchase: stage k
+    counts only at-or-after the user's stage-(k-1) completion. One
+    user-keyed aggregation per stage; the frontier frames are
+    user-cardinality so the stage joins AQE-broadcast."""
+    ev = events_t(spark, sf_dir)
+    return events.funnel_stages(ev, ["view", "click", "purchase"])
+
+
+@q("events_cohort_retention",
+   """WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+                 AS cohort_week
+        FROM events GROUP BY user_id),
+      acts AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(datediff('day', f.cohort_week,
+                             CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                    AS BIGINT) AS week_offset
+        FROM events e JOIN first_seen f USING (user_id))
+      SELECT cohort_week, week_offset, count(*) AS n_active_users
+      FROM acts GROUP BY cohort_week, week_offset""")
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-seen week
+    and counted as active per (cohort_week, week_offset) — two user-keyed
+    aggregations plus a narrow Monday-aligned date diff (exact multiples
+    of 7, so the /7 is engine-independent). cohort_week is emitted as the
+    week-start timestamp (DATE round-trips as midnight through the
+    driver's pandas canonicalization)."""
+    ev = events_t(spark, sf_dir)
+    out = events.cohort_retention(ev)
+    return out.select(F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+                      "week_offset", "n_active_users")
+
+
 @q("olap_rollup_lineitem",
    """SELECT l_returnflag, l_linestatus,
              grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
