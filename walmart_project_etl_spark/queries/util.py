@@ -102,32 +102,46 @@ _EVENTS_CACHE: dict[str, str] = {}
 
 
 def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table, converting its TIMESTAMP(NANOS) column.
+    """Load the events table, normalizing its ``ts`` column to TIMESTAMP.
 
-    The driver's events parquet stores nanosecond timestamps, which Spark's
-    parquet reader rejects (``PARQUET_TYPE_ILLEGAL``). We read the nanos as
-    LONG (legacy conf), truncate to micros (``div 1000`` — exactly DuckDB's
-    ns→µs truncation), and materialize a micros copy per process so
-    downstream queries (and the file-source *stream*, which needs a
-    directory) read a normal parquet dir.
+    The driver's events parquet has shipped with two physical ``ts``
+    encodings across testdata generations: TIMESTAMP(NANOS) (which Spark's
+    parquet reader rejects — ``PARQUET_TYPE_ILLEGAL``) and TIMESTAMP(MICROS)
+    with ``isAdjustedToUTC=false`` (which Spark reads as TIMESTAMP_NTZ).
+    Both are normalized to a session-TZ TIMESTAMP of the same wall-clock
+    values (session is pinned UTC, matching DuckDB's naive reading): nanos
+    are read as LONG (legacy conf) and truncated to micros (``div 1000`` —
+    exactly DuckDB's ns→µs truncation); NTZ micros are cast directly. The
+    result is materialized per (process, code version) so downstream
+    queries (and the file-source *stream*, which needs a directory) read a
+    normal parquet dir.
     """
     if sf_dir in _EVENTS_CACHE:
         return spark.read.parquet(_EVENTS_CACHE[sf_dir])
     import hashlib
 
     def build(out: str) -> None:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        path = os.path.join(sf_dir, "events.parquet")
         try:
-            raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-            conv = raw.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")))
-            # several part files so file-source STREAMS over the copy in
-            # multiple micro-batches (maxFilesPerTrigger) — single-file
-            # input would collapse every streaming query to one batch and
-            # leave incremental semantics untested
-            conv.repartition(8).write.mode("overwrite").parquet(out)
-        finally:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+            raw = spark.read.parquet(path)
+            # micros encoding: ts arrives as TIMESTAMP_NTZ (or already
+            # TIMESTAMP); same wall-clock under the pinned-UTC session
+            conv = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        except Exception:
+            # nanos encoding: unreadable as timestamp — take the raw int64
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            try:
+                raw = spark.read.parquet(path)
+                conv = raw.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000")))
+            finally:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # several part files so file-source STREAMS over the copy in
+        # multiple micro-batches (maxFilesPerTrigger) — single-file
+        # input would collapse every streaming query to one batch and
+        # leave incremental semantics untested
+        conv.repartition(8).write.mode("overwrite").parquet(out)
 
     out = build_once(
         "events_us_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
