@@ -347,8 +347,8 @@ def f22_f23_return_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'In Stock' END AS stock_status,
              stock > 0 AS is_in_stock,
              count(*) AS n,
-             sum(CASE WHEN stock > 0 AND min_stock > 0
-                      THEN trunc(stock / min_stock * 30)::INT ELSE 0 END) AS sum_days_supply
+             CAST(sum(CASE WHEN stock > 0 AND min_stock > 0
+                      THEN trunc(stock / min_stock * 30)::INT ELSE 0 END) AS BIGINT) AS sum_days_supply
       FROM x GROUP BY stock_status, is_in_stock""")
 def f24_f26_inventory_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F24/F25/F26: days-of-supply, stock status chain, in-stock flag

@@ -433,8 +433,8 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sess AS (
         SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged)
       SELECT user_id, session_id, count(*) AS n_events,
              (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_seconds,
@@ -558,12 +558,19 @@ def mm_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media, every_n_bytes=64, max_frames=16)
 
 
-@q("mm_byte_histogram_features", None)  # list float compare — rows-only
+@q("mm_byte_histogram_features", None)  # Arrow/pandas path — rows-only
 def mm_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram features via mapInPandas (stand-in embedding model;
-    identical Arrow plumbing). Rows-only; exactness asserted in tests/."""
+    identical Arrow plumbing). The raw array<double> column lives on the
+    operator API (tests assert exact values); the driver-facing result
+    serializes it to scalars (JSON string + length) because the harness
+    canonicalizer cannot sort list-valued columns. Rows-only."""
     media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
-    return multimodal.extract_features(media, dim=8)
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        F.to_json(F.struct(F.col("feature"))).alias("feature_json"),
+        F.size("feature").alias("feature_dim"))
 
 
 _SLIDING_ORACLE = """
@@ -873,7 +880,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("events_json_extract",
    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
              count(*) AS n,
-             sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
       FROM events GROUP BY k_bucket""")
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props: JSON field extraction with a declared schema
@@ -902,6 +909,14 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: payload → fixed 8×8 pixel grid via mapInPandas
     (stride-sampled stub; real interpolation is the codec integration
-    point). Rows-only; grid exactness asserted in tests/."""
+    point). The array<int> pixel grid stays on the operator API (tests
+    assert grid exactness); the driver-facing result serializes it to
+    scalars (xxhash64 digest + length) so the harness canonicalizer can
+    sort the rows. Rows-only."""
     media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
-    return multimodal.resize_images(media, target_w=8, target_h=8)
+    grids = multimodal.resize_images(media, target_w=8, target_h=8)
+    return grids.select(
+        "media_id", "width", "height",
+        F.xxhash64(F.concat_ws(",", F.col("pixels").cast("array<string>")))
+         .alias("pixels_hash"),
+        F.size("pixels").alias("n_pixels"))

@@ -246,7 +246,7 @@ def pipe_ods_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(DISTINCT concat('PROD_', substr(md5(product_name),1,14))) AS n_products,
              round(sum(CAST(sales2 AS DECIMAL(28,6))), 2)::DOUBLE AS total_sales,
              round(sum(CAST(profit2 AS DECIMAL(28,6))), 2)::DOUBLE AS total_profit,
-             sum(order_quantity) AS total_quantity
+             CAST(sum(order_quantity) AS BIGINT) AS total_quantity
       FROM src2 WHERE order_date IS NOT NULL AND ship_date IS NOT NULL""")
 def pipe_ods_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ODS sales fact: P3 null-date filter + P4 date-membership semi-join +
@@ -373,7 +373,7 @@ def pipe_stg_sales_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
    f"""WITH {_SRC}
       SELECT round(sum(CAST(sales2 AS DECIMAL(28,6))), 2)::DOUBLE AS total_sales,
              round(sum(CAST(profit2 AS DECIMAL(28,6))), 2)::DOUBLE AS total_profit,
-             sum(order_quantity) AS total_quantity, count(*) AS n_sales
+             CAST(sum(order_quantity) AS BIGINT) AS total_quantity, count(*) AS n_sales
       FROM src2 WHERE order_date IS NOT NULL AND ship_date IS NOT NULL""")
 def pipe_bi_kpi_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BI KPI card totals (reference ``BUSINESS_REQUIREMENTS.md:35-38``;

@@ -160,7 +160,7 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                      unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
               FROM toks)),
       per AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
-      SELECT doc_id, sum(c) AS n_ngrams,
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
              round(max(c)::DOUBLE / sum(c), 6) AS top_ngram_frac,
              round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6)
                AS dup_ngram_frac

@@ -121,27 +121,39 @@ def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     def build(out: str) -> None:
+        from pyspark.sql.types import LongType
+
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         path = os.path.join(sf_dir, "events.parquet")
+        # Dispatch on the decoded schema, not on exceptions: with
+        # nanosAsLong pinned true the read succeeds under EITHER physical
+        # encoding, and the resulting dtype says which one it was —
+        # LongType ⇒ the file was TIMESTAMP(NANOS) (truncate ns→µs, exactly
+        # DuckDB's behaviour); timestamp/TIMESTAMP_NTZ ⇒ micros (cast is a
+        # no-op wall-clock-wise under the pinned-UTC session). Exception
+        # dispatch would misfire if a foreign driver session already had
+        # nanosAsLong=true: the nanos file would read as LONG, the "micros"
+        # branch would win, and cast('timestamp') would interpret int64
+        # nanoseconds as epoch seconds — silent corruption. Genuine I/O
+        # errors (missing file, corrupt footer) now propagate directly.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
             raw = spark.read.parquet(path)
-            # micros encoding: ts arrives as TIMESTAMP_NTZ (or already
-            # TIMESTAMP); same wall-clock under the pinned-UTC session
-            conv = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-        except Exception:
-            # nanos encoding: unreadable as timestamp — take the raw int64
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            try:
-                raw = spark.read.parquet(path)
+            if isinstance(raw.schema["ts"].dataType, LongType):
                 conv = raw.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000")))
-            finally:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-        # several part files so file-source STREAMS over the copy in
-        # multiple micro-batches (maxFilesPerTrigger) — single-file
-        # input would collapse every streaming query to one batch and
-        # leave incremental semantics untested
-        conv.repartition(8).write.mode("overwrite").parquet(out)
+            else:
+                conv = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+            # several part files so file-source STREAMS over the copy in
+            # multiple micro-batches (maxFilesPerTrigger) — single-file
+            # input would collapse every streaming query to one batch and
+            # leave incremental semantics untested. Written (executed)
+            # while the conf is still pinned — the scan consults it at
+            # execution time, not just analysis.
+            conv.repartition(8).write.mode("overwrite").parquet(out)
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
 
     out = build_once(
         "events_us_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
