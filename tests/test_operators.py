@@ -172,6 +172,9 @@ def test_cosine_topk_matches_numpy(spark):
 
 
 def test_lsh_ann_recall_reasonable(spark):
+    """Top-k recall at the scale defaults (64 planes / 8-bit bands,
+    query-side multi-probe). Measured 0.94 on this seeded corpus; pinned
+    with margin — must stay far above random (~2%)."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     queries = emb.where("vec_id % 100 = 7").select(
         F.col("vec_id").alias("query_id"), "embedding")
@@ -180,14 +183,17 @@ def test_lsh_ann_recall_reasonable(spark):
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.3, recall  # ANN: tunable, must be far above random (~2%)
+    assert recall >= 0.8, recall
 
 
 def test_embedding_lsh_pairs_recall_and_precision(spark):
-    """The banded twin of the all-pairs embedding dedup: every emitted pair
-    must be a true pair (precision 1.0 — exact cosine re-rank), and recall
-    vs the exact variant must stay ≥ 0.95 at the default (16 planes,
-    8 bands) parameters."""
+    """The banded twin of the all-pairs embedding dedup, at BOTH operating
+    points: every emitted pair must be a true pair (precision 1.0 — exact
+    cosine re-rank) at the scale defaults (64 planes / 8-bit bands), with
+    partial-by-design recall at this artificially low 0.3 threshold
+    (barely-correlated pairs; measured 0.63, pinned with margin); and the
+    explicit narrow low-threshold config (16 planes / 2-bit bands, the
+    pre-scale-default shape) must keep recall ≥ 0.95."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     exact = {(r["id_a"], r["id_b"])
              for r in dedup.embedding_cosine_pairs(
@@ -196,7 +202,60 @@ def test_embedding_lsh_pairs_recall_and_precision(spark):
               for r in dedup.embedding_lsh_pairs(
                   emb, "vec_id", "embedding", threshold=0.3).collect()}
     assert approx <= exact, "LSH emitted a pair below threshold"
-    assert len(approx) / len(exact) >= 0.95, (len(approx), len(exact))
+    assert len(approx) / len(exact) >= 0.5, (len(approx), len(exact))
+    narrow = {(r["id_a"], r["id_b"])
+              for r in dedup.embedding_lsh_pairs(
+                  emb, "vec_id", "embedding", threshold=0.3,
+                  n_planes=16, n_bands=8, probe_bits=0).collect()}
+    assert narrow <= exact, "LSH emitted a pair below threshold"
+    assert len(narrow) / len(exact) >= 0.95, (len(narrow), len(exact))
+
+
+def test_embedding_lsh_planted_near_dups_recall(spark):
+    """The regime LSH banding is FOR: planted near-duplicates (cosine
+    ≥ 0.9). At the scale defaults every planted pair must be recovered —
+    wide 8-bit bands collide with high probability exactly when vectors
+    are truly close."""
+    import numpy as np
+    rng = np.random.RandomState(11)
+    base = rng.randn(120, 64)
+    rows = []
+    for i in range(120):
+        rows.append((i, [float(x) for x in base[i]]))
+    planted = set()
+    for i in range(40):  # 40 near-dups of the first 40 bases
+        noisy = base[i] + 0.05 * rng.randn(64)
+        rows.append((1000 + i, [float(x) for x in noisy]))
+        planted.add((i, 1000 + i))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.embedding_lsh_pairs(
+               df, "vec_id", "embedding", threshold=0.9).collect()}
+    truly_close = {(r["id_a"], r["id_b"])
+                   for r in dedup.embedding_cosine_pairs(
+                       df, "vec_id", "embedding", threshold=0.9).collect()}
+    hits = len(got & truly_close)
+    assert hits / len(truly_close) >= 0.9, (hits, len(truly_close))
+
+
+def test_lsh_candidates_near_linear(spark):
+    """Candidate-count scaling: with bits-per-band sized to the corpus
+    (lsh_params_for: bpb ≈ log2 N), doubling N must grow the candidate
+    set near-linearly (factor ≤ 3; pure all-pairs would be 4×) and the
+    set must stay well under all-pairs."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    counts = {}
+    for mod, label in ((2, "half"), (1, "full")):
+        sub = emb.where(f"vec_id % {mod} = 0")
+        n = sub.count()
+        n_planes, n_bands = similarity.lsh_params_for(n)
+        cand = dedup.embedding_lsh_candidates(
+            sub, "vec_id", "embedding",
+            n_planes=n_planes, n_bands=n_bands).count()
+        counts[label] = (n, cand)
+    (n_half, c_half), (n_full, c_full) = counts["half"], counts["full"]
+    assert c_full / c_half <= 3.0, counts
+    assert c_full < 0.25 * n_full * (n_full - 1) / 2, counts
 
 
 def test_text_stats_and_quality(spark):

@@ -310,44 +310,68 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
     return pairs.where(F.col("cosine_sim") >= threshold)
 
 
-def embedding_lsh_pairs(df: DataFrame, id_col: str, vec_col: str,
-                        threshold: float = 0.3, dim: int = 64,
-                        n_planes: int = 16, n_bands: int = 8,
-                        seed: int = 42) -> DataFrame:
-    """Embedding near-dup pairs via random-hyperplane LSH banding — the
-    100 TB scale path for :func:`embedding_cosine_pairs`.
+def embedding_lsh_candidates(df: DataFrame, id_col: str, vec_col: str,
+                             dim: int = 64, n_planes: int = 64,
+                             n_bands: int = 8, probe_bits: int = 1,
+                             seed: int = 42) -> DataFrame:
+    """Candidate pairs for :func:`embedding_lsh_pairs` (pre-rerank).
 
-    Candidate generation is a self-join on (band, band_bits) — uniformly
-    distributed hash buckets, so the shuffle co-partitions cleanly and the
-    output stays near-linear in corpus size (never all-pairs). Candidates
-    are re-ranked by EXACT cosine, so precision is 1.0 (every emitted pair
-    is a true pair ≥ threshold); recall < 1 by design, tunable via
-    (n_planes, n_bands) — more bands with fewer bits per band = higher
-    recall, more candidates. Defaults (16 planes, 8 bands of 2 bits) give
-    ≥0.98 recall at threshold 0.3 on the test corpus
-    (tests/test_operators.py pins this).
+    Self-join on per-band LSH codes: ``n_bands`` rows per vector keyed by
+    (band, code) over 2^(n_planes/n_bands) buckets per band — 256 at the
+    64/8 default, so a random (non-dup) pair collides in a band with
+    probability ~2^-bpb and the candidate set stays near-linear in corpus
+    size instead of all-pairs. Multi-probe (left side only) additionally
+    joins codes within Hamming distance ``probe_bits``, trading a constant
+    factor (1 + bpb per band at 1 bit) for recall on lower-similarity
+    pairs. Exposed separately so tests can pin candidate-count scaling.
     """
     from walmart_project_etl_spark.operators.similarity import (
-        _as_double, cosine, rh_lsh_signature)
+        _as_double, _probe_codes, rh_band_codes)
 
     assert n_planes % n_bands == 0
     bits_per_band = n_planes // n_bands
-    mask = (1 << bits_per_band) - 1
     v = df.select(F.col(id_col).alias("doc"), _as_double(vec_col).alias("__v"))
-    sig = rh_lsh_signature(F.col("__v"), dim, n_planes, seed)
-    banded = (v.select("doc", "__v", sig.alias("__sig"))
+    codes = rh_band_codes(F.col("__v"), dim, n_planes, n_bands, seed)
+    banded = (v.select("doc", "__v", codes.alias("__codes"))
               .select("doc", "__v",
-                      F.posexplode(F.array(*[
-                          F.shiftright(F.col("__sig"), b * bits_per_band)
-                           .bitwiseAND(F.lit(mask))
-                          for b in range(n_bands)])).alias("band", "band_bits")))
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (l.join(r, (F.col("l.band") == F.col("r.band"))
-                   & (F.col("l.band_bits") == F.col("r.band_bits"))
+                      F.posexplode(F.col("__codes")).alias("band", "code")))
+    probed = banded.select(
+        "doc", "__v", "band",
+        F.explode(_probe_codes(F.col("code"), bits_per_band, probe_bits))
+         .alias("code"))
+    l, r = probed.alias("l"), banded.alias("r")
+    return (l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.code") == F.col("r.code"))
                    & (F.col("l.doc") < F.col("r.doc")))
             .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"),
                     F.col("l.__v").alias("__va"), F.col("r.__v").alias("__vb"))
             .dropDuplicates(["id_a", "id_b"]))
+
+
+def embedding_lsh_pairs(df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.3, dim: int = 64,
+                        n_planes: int = 64, n_bands: int = 8,
+                        probe_bits: int = 1, seed: int = 42) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH banding — the
+    100 TB scale path for :func:`embedding_cosine_pairs`.
+
+    Candidates come from :func:`embedding_lsh_candidates` (band-code
+    self-join, 8-bit bands by default — near-linear, never all-pairs) and
+    are re-ranked by EXACT cosine, so precision is 1.0 (every emitted pair
+    is a true pair ≥ threshold); recall < 1 by design. The 64-plane /
+    8-band / 1-probe-bit default is tuned for the near-duplicate regime
+    (cosine ≳ 0.8, where per-band collision probability is high) — recall
+    ~1.0 on planted near-dups (tests pin ≥ 0.9). For unusually low
+    thresholds (e.g. 0.3, barely-correlated pairs) wide bands miss most
+    pairs; pass a narrow explicit config (n_planes=16, n_bands=8) and
+    accept the candidate blowup, or use the exact twin on a blocked
+    subset. tests/test_operators.py pins both operating points.
+    """
+    from walmart_project_etl_spark.operators.similarity import cosine
+
+    cand = embedding_lsh_candidates(df, id_col, vec_col, dim=dim,
+                                    n_planes=n_planes, n_bands=n_bands,
+                                    probe_bits=probe_bits, seed=seed)
     return (cand.select("id_a", "id_b",
                         F.round(cosine(F.col("__va"), F.col("__vb")), 6)
                          .alias("cosine_sim"))

@@ -22,6 +22,8 @@ identical buckets.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -157,36 +159,123 @@ def rh_lsh_signature(vec: Column, dim: int, n_planes: int = 16,
     return sig
 
 
+def rh_band_codes(vec: Column, dim: int, n_planes: int, n_bands: int,
+                  seed: int = 42) -> Column:
+    """Per-band random-hyperplane codes: ``array<int>`` of ``n_bands``
+    bucket codes, band b packing the signs of planes
+    [b·bpb, (b+1)·bpb) into one integer (bpb = n_planes // n_bands).
+
+    Packing per band (instead of one global signature) lifts the 31-plane
+    cap: wide signatures (64–128 planes) are what keep each band's bucket
+    space large (2^bpb buckets) so candidate generation stays near-linear
+    in corpus size at 100 TB — narrow bands degenerate toward all-pairs.
+
+    Implementation: ONE Arrow-batched pandas UDF doing a vectorized
+    ``sign(V · Pᵀ)`` matmul + bit-pack per batch. Wide signatures make
+    this the fast path on BOTH axes — a per-plane Column-expression
+    variant is O(planes·dim) plan nodes, which AQE re-folds on every
+    stage re-optimization (~8 s compile per 64-plane expression at zero
+    row cost), while the UDF keeps the plan O(1) and the per-row cost a
+    numpy matmul. Deterministic: planes drawn from seeded Python RNG at
+    closure build; bit order is MSB-first, self-consistent for the
+    equality joins and XOR probes that consume these codes.
+    """
+    import random
+    from pyspark.sql.functions import pandas_udf
+
+    assert n_planes % n_bands == 0
+    bpb = n_planes // n_bands
+    assert bpb <= 31
+    planes = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        rng = random.Random(f"{seed}:{p}")  # same draws as _hyperplane
+        planes[p] = [rng.uniform(-0.5, 0.5) for _ in range(dim)]
+    weights = (1 << np.arange(bpb - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        V = np.vstack([
+            np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
+            for v in vecs])
+        bits = (V @ planes.T >= 0).astype(np.int64)
+        packed = bits.reshape(len(V), n_bands, bpb) @ weights
+        return pd.Series(list(packed.astype(np.int32)))
+
+    return codes(vec)
+
+
+def lsh_params_for(corpus_size: int, n_bands: int = 8,
+                   min_bits: int = 8) -> tuple[int, int]:
+    """Size (n_planes, n_bands) to the corpus: bits-per-band ≈ log2(N).
+
+    Random-pair band collisions number ~L·N²/2^bpb; with 2^bpb ≳ N that
+    term is ≤ L·N — candidate generation stays linear in corpus size no
+    matter how big N gets (the fixed 8-bit default is near-linear only up
+    to N ~ 2^8·constant). Callers at unknown scale should do
+    ``lsh_params_for(df.count())`` once per index build — one cheap
+    metadata-backed count against a 100 TB parquet table buys a plan that
+    cannot blow up. Capped at 31 bits/band (int code space).
+    """
+    import math
+    bpb = min(max(min_bits, math.ceil(math.log2(max(corpus_size, 2)))), 31)
+    return bpb * n_bands, n_bands
+
+
+def _probe_codes(code: Column, bits_per_band: int, probe_bits: int) -> Column:
+    """Multi-probe expansion: the band code plus every code within Hamming
+    distance ``probe_bits`` (0 disables; 1 = flip each single bit). Applied
+    to the QUERY side only, so the corpus index stays one row per (vector,
+    band) — probe cost scales with the (small) query set, never the corpus.
+    """
+    probes = [code]
+    if probe_bits >= 1:
+        probes += [code.bitwiseXOR(F.lit(1 << i)) for i in range(bits_per_band)]
+    if probe_bits >= 2:
+        probes += [code.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                   for i in range(bits_per_band) for j in range(i + 1, bits_per_band)]
+    return F.array(*probes)
+
+
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  query_id_col: str = "query_id", dim: int = 64,
-                 n_planes: int = 16, n_bands: int = 4, seed: int = 42) -> DataFrame:
-    """Approximate top-k: bucket corpus + queries by LSH signature bands,
-    generate candidates via band-equality join, re-rank exact cosine.
+                 n_planes: int = 64, n_bands: int = 8, probe_bits: int = 2,
+                 seed: int = 42) -> DataFrame:
+    """Approximate top-k: bucket corpus + queries by per-band LSH codes,
+    generate candidates via band-code equality join, re-rank exact cosine.
 
-    The candidate join shuffles on (band, band_bits) — uniformly distributed
-    buckets, so it scales linearly with corpus size; no all-pairs blowup.
-    Recall < 1 by design; raise n_planes/n_bands for more.
+    Scale shape: the corpus index is ``n_bands`` rows per vector keyed by
+    (band, code) — 2^(n_planes/n_bands) buckets per band (256 at the 64/8
+    default), uniformly occupied, so the candidate join touches
+    ~n_bands·probes/2^bpb of the corpus per query instead of all of it.
+    Multi-probe (query-side only) flips up to ``probe_bits`` bits of each
+    query band code, buying recall without touching corpus-side cost —
+    the standard multi-probe LSH recipe. Recall < 1 by design; raise
+    probe_bits / n_bands for more, raise bpb for fewer candidates.
     """
     assert n_planes % n_bands == 0
     bits_per_band = n_planes // n_bands
-    mask = (1 << bits_per_band) - 1
 
-    def banded(df: DataFrame, ident: str) -> DataFrame:
+    def banded(df: DataFrame, ident: str, probes: int) -> DataFrame:
         v = _as_double(vec_col)
-        sig = rh_lsh_signature(v, dim, n_planes, seed)
-        return (df.select(F.col(ident), v.alias("__vec"), sig.alias("__sig"))
-                .select(ident, "__vec",
-                        F.posexplode(F.array(*[
-                            F.shiftright(F.col("__sig"), b * bits_per_band)
-                             .bitwiseAND(F.lit(mask))
-                            for b in range(n_bands)])).alias("band", "band_bits")))
+        codes = rh_band_codes(v, dim, n_planes, n_bands, seed)
+        out = (df.select(F.col(ident), v.alias("__vec"), codes.alias("__codes"))
+               .select(ident, "__vec",
+                       F.posexplode(F.col("__codes")).alias("band", "code")))
+        if probes:
+            out = out.select(ident, "__vec", "band",
+                             F.explode(_probe_codes(
+                                 F.col("code"), bits_per_band, probes))
+                              .alias("code"))
+        return out
 
-    cb = banded(corpus, id_col)
-    qb = banded(queries, query_id_col)
+    cb = banded(corpus, id_col, probes=0)
+    qb = banded(queries, query_id_col, probes=probe_bits)
     cand = (qb.alias("q").join(cb.alias("c"),
                                (F.col("q.band") == F.col("c.band"))
-                               & (F.col("q.band_bits") == F.col("c.band_bits"))
+                               & (F.col("q.code") == F.col("c.code"))
                                & (F.col(f"q.{query_id_col}") != F.col(f"c.{id_col}")))
             .select(F.col(f"q.{query_id_col}").alias(query_id_col),
                     F.col(f"c.{id_col}").alias(id_col),

@@ -149,18 +149,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH banding + exact cosine
     re-rank — the scale twin of ``dedup_embedding_cosine`` (same threshold
-    0.3, band equi-join instead of all-pairs). Rows-only: the seeded
-    hyperplane draws are engine-internal; tests pin recall ≥ 0.95 and
-    precision 1.0 against the exact variant."""
+    0.3, band-code equi-join at the scale defaults: 64 planes / 8 bands
+    of 8 bits / 1 probe bit — never all-pairs). Rows-only: the seeded
+    hyperplane draws are engine-internal; precision 1.0 by construction,
+    recall pinned in tests (≥0.9 on planted near-dups at the defaults;
+    partial by design at this artificially low 0.3 threshold)."""
     emb = t(spark, sf_dir, "embeddings")
     return dedup.embedding_lsh_pairs(emb, "vec_id", "embedding", threshold=0.3)
 
 
 @q("sim_lsh_ann_topk", None)  # seeded-hyperplane signatures — rows-only
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH ANN (random-hyperplane signatures, 16 planes / 4 bands):
-    candidates via band-equality join, exact cosine re-rank. Rows-only:
-    the seeded hyperplane draws are engine-internal."""
+    """LSH ANN (random-hyperplane band codes, 64 planes / 8 bands of
+    8 bits, query-side multi-probe): candidates via band-code join, exact
+    cosine re-rank. Rows-only: the seeded hyperplane draws are
+    engine-internal."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 7) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
