@@ -71,12 +71,10 @@ def run_pipeline(spark: SparkSession, csv_path: str, warehouse_root: str,
     prior = ({name: wh.read("tgt", name) for name in TARGET_TABLES}
              if all(wh.exists("tgt", name) for name in TARGET_TABLES) else None)
     tgt = build_target(stg, prior, run_date=run_date, batch_id=batch_id)
-    # Two-phase commit: every target plan reads the PRIOR dim/fact files
-    # (SCD merges, fact interval joins), so materialize all new tables to
-    # __new dirs first, then swap — replacing any table in place would
+    # Two-phase commit via the Warehouse seam: every target plan reads the
+    # PRIOR dim/fact files (SCD merges, fact interval joins), so stage all
+    # new tables first, then swap — replacing any table in place would
     # delete files a later plan still needs.
-    import os
-    import shutil
 
     def write_new(name: str, df: DataFrame) -> None:
         if name.startswith("tgt_fact_") and prior is not None:
@@ -85,15 +83,11 @@ def run_pipeline(spark: SparkSession, csv_path: str, warehouse_root: str,
             # duplicate-on-rerun, etl_target_loader.py:1023-1030)
             existing = wh.read("tgt", name).where(f"etl_batch_id <> '{batch_id}'")
             df = existing.unionByName(df)
-        df.write.mode("overwrite").parquet(wh.path("tgt", f"{name}__new"))
+        wh.stage_new("tgt", name, df)
 
     _parallel_writes(
         (lambda n=n, d=d: write_new(n, d)) for n, d in tgt.items())
-    for name in tgt:
-        final = wh.path("tgt", name)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(wh.path("tgt", f"{name}__new"), final)
+    wh.commit_staged("tgt", tgt.keys())
     tgt = {name: wh.read("tgt", name) for name in TARGET_TABLES}
 
     if clear_staging:  # S7 post-load truncate (reference DAG :153-178)

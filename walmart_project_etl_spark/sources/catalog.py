@@ -69,14 +69,31 @@ class Warehouse:
         Spark refuses to overwrite a path it is reading from, so write to a
         sibling temp dir and swap directories (the write-temp-then-rename
         pattern; on an object store this is the commit-marker dance)."""
+        self.stage_new(layer, table, df)
+        self.commit_staged(layer, [table])
+
+    def stage_new(self, layer: str, table: str, df: DataFrame) -> None:
+        """Phase 1 of a multi-table two-phase commit: materialize ``df`` to
+        the table's ``__new`` sibling dir, leaving the current files — which
+        other not-yet-written plans may still read — untouched."""
+        df.write.mode("overwrite").parquet(self.path(layer, f"{table}__new"))
+
+    def commit_staged(self, layer: str, tables) -> None:
+        """Phase 2: swap every staged ``__new`` dir into place. Called only
+        after ALL stage_new writes finished, so no live plan still needs a
+        prior file (a table-at-a-time replace would delete files a later
+        plan reads — the SCD merge / fact interval-join dependency)."""
         import shutil
 
-        tmp = self.path(layer, f"{table}__swap")
-        df.write.mode("overwrite").parquet(tmp)
-        final = self.path(layer, table)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
+        tables = list(tables)
+        staged = [self.path(layer, f"{t}__new") for t in tables]
+        missing = [p for p in staged if not os.path.exists(p)]
+        assert not missing, f"no staged dir for: {missing}"
+        for t, tmp in zip(tables, staged):
+            final = self.path(layer, t)
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
 
     def write_bucketed(self, layer: str, table: str, df: DataFrame,
                        key: str, n_buckets: int = 8) -> None:
