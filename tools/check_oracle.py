@@ -68,6 +68,28 @@ def _norm(v):
     return v
 
 
+def dtype_problems(spark_df, oracle_df):
+    """Emulate the driver's dtype-sensitive value hash: a bare integer
+    ``sum()`` oracle yields DuckDB HUGEINT → pandas float64/object, which
+    hash-mismatches Spark's int64 even when values are equal (VERDICT r3
+    §wrong-1). Integer-vs-float/object kind mismatch = error; integer
+    width differences = warning (not observed to break the driver)."""
+    out = []
+
+    def kind(dtype):
+        k = dtype.kind
+        return "O" if k in "OMU" else k  # dates arrive M (duck) vs O (spark)
+
+    for c in sorted(spark_df.columns):
+        a, b = spark_df[c].dtype, oracle_df[c].dtype
+        ka, kb = kind(a), kind(b)
+        if ka != kb and not (ka in "iu" and kb in "iu"):
+            out.append(f"DTYPE {c}: spark={a} oracle={b}")
+        elif ka in "iu" and a != b:
+            out.append(f"WARNDTYPE {c}: spark={a} oracle={b}")
+    return out
+
+
 def compare(name, spark_df, oracle_df):
     problems = []
     if len(spark_df) != len(oracle_df):
@@ -76,6 +98,9 @@ def compare(name, spark_df, oracle_df):
     if [c.lower() for c in sc] != [c.lower() for c in oc]:
         problems.append(f"columns spark={sc} oracle={oc}")
     if problems:
+        return problems
+    problems += dtype_problems(spark_df, oracle_df)
+    if any(not p.startswith("WARN") for p in problems):
         return problems
     a, b = canon(spark_df), canon(oracle_df)
     n_bad = 0
@@ -143,13 +168,13 @@ def main():
             continue
         probs = compare(name, sdf, odf)
         results[name] = probs
-        real = [p for p in probs if not p.startswith("WARNFLOAT")]
+        real = [p for p in probs if not p.startswith("WARN")]
         mark = "✓" if not real else "✗"
         print(f"{mark} {name}: {len(sdf)} rows, {time.time()-t0:.1f}s"
               + ("" if not probs else "\n    " + "\n    ".join(probs[:6])))
 
     bad = {k: v for k, v in results.items()
-           if any(not p.startswith("WARNFLOAT") for p in v)}
+           if any(not p.startswith("WARN") for p in v)}
     print(f"\n{len(results) - len(bad)}/{len(results)} green"
           + (f"; FAILING: {sorted(bad)}" if bad else ""))
     return 1 if bad else 0

@@ -212,15 +212,19 @@ def pipe_ods_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT concat('PROD_', substr(md5(product_name), 1, 14)) AS product_id,
              product_name, product_category, product_sub_category,
              product_container, product_base_margin,
-             CAST(unit_price AS DECIMAL(10,2)) AS unit_price
+             CAST(unit_price AS DECIMAL(10,2))::DOUBLE AS unit_price
       FROM src""")
 def pipe_ods_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ODS product dim: A9 distinct projection + F1 hash id (supplier pick
     is xxhash-based, checked rows-only elsewhere; reference
-    ``etl_ods_loader.py:398-449``)."""
+    ``etl_ods_loader.py:398-449``). unit_price surfaces as DOUBLE on both
+    sides (the warehouse column stays DECIMAL(10,2); a decimal output
+    arrives in pandas as object and breaks the driver's dtype-sensitive
+    hash — exact at 2 decimals either way)."""
     return _wt(spark, "ods_product").select(
         "product_id", "product_name", "product_category", "product_sub_category",
-        "product_container", "product_base_margin", "unit_price").distinct()
+        "product_container", "product_base_margin",
+        F.col("unit_price").cast("double").alias("unit_price")).distinct()
 
 
 @q("pipe_f01_ods_stores",
