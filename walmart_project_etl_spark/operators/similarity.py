@@ -134,31 +134,6 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select(query_id_col, id_col, "cosine_sim", F.col("__rn").alias("rank")))
 
 
-def _hyperplane(dim: int, plane: int, seed: int) -> Column:
-    """Deterministic pseudo-random hyperplane as a LITERAL float array.
-
-    Components come from a seeded Python RNG at plan-build time — embedding
-    plain literals keeps the signature expression to pure arithmetic
-    (an xxhash64-per-component variant made Catalyst evaluate 16×64 hash
-    calls per row; constant at plan build is free)."""
-    import random
-    rng = random.Random(f"{seed}:{plane}")  # str seeds hash deterministically
-    return F.array(*[F.lit(rng.uniform(-0.5, 0.5)) for _ in range(dim)])
-
-
-def rh_lsh_signature(vec: Column, dim: int, n_planes: int = 16,
-                     seed: int = 42) -> Column:
-    """Random-hyperplane signature: bit p = sign(vec · plane_p), packed into
-    an int. n_planes ≤ 31 to stay in a positive int."""
-    assert n_planes <= 31
-    sig = F.lit(0)
-    for p in range(n_planes):
-        bit = F.when(dot(vec, _hyperplane(dim, p, seed)) >= 0, F.lit(1 << p)) \
-               .otherwise(F.lit(0))
-        sig = sig + bit
-    return sig
-
-
 def rh_band_codes(vec: Column, dim: int, n_planes: int, n_bands: int,
                   seed: int = 42) -> Column:
     """Per-band random-hyperplane codes: ``array<int>`` of ``n_bands``
@@ -188,7 +163,7 @@ def rh_band_codes(vec: Column, dim: int, n_planes: int, n_bands: int,
     assert bpb <= 31
     planes = np.empty((n_planes, dim), dtype=np.float64)
     for p in range(n_planes):
-        rng = random.Random(f"{seed}:{p}")  # same draws as _hyperplane
+        rng = random.Random(f"{seed}:{p}")  # str seeds hash deterministically
         planes[p] = [rng.uniform(-0.5, 0.5) for _ in range(dim)]
     weights = (1 << np.arange(bpb - 1, -1, -1)).astype(np.int64)
 
