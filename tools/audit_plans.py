@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Registry-wide physical-plan audit: flags scale hazards in every
+``__spark_entry__.queries()`` entry without executing the queries.
+
+Hazards checked (the shapes that break at 100 TB):
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — all-pairs blowups,
+  unless the build side is a literal/1-row aggregate (documented pattern:
+  broadcast parameter grids and 1×1 KPI crossJoins).
+- ``Exchange SinglePartition`` — a global serialization point, unless it
+  feeds a final scalar aggregate (1-row result is the query's contract).
+- ``Sort`` with no ``TakeOrderedAndProject``/window parent on the full
+  fact — surfaced for eyeballing only (sort-based ops like SMJ are fine).
+
+Usage: python tools/audit_plans.py [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+#: queries whose plans legitimately contain a flagged shape, with why.
+ALLOW = {
+    # 1×1 aggregate crossJoins: both sides are single-row aggregates
+    "j03_anti_join_fk_check": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    "d03_fact_append_idempotent": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    "pipe_j03_a04_quality_gates": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    # broadcast literal parameter grids (bounded by n_groups × n_draws)
+    "clean_winsorize": {"BroadcastNestedLoopJoin"},
+    "f31_seeded_random_draws": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    "pipe_f31_f32_synthetic_facts": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    # brute-force exact baselines (documented: oracle twin of the LSH path)
+    "sim_cosine_topk": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    "dedup_embedding_cosine": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    # corpus-total scalars broadcast back over the corpus (1-row side)
+    "text_unigram_logprob": {"BroadcastNestedLoopJoin", "CartesianProduct",
+                             # corpus-total vocab scalar: SinglePartition
+                             # merges ~n_partitions partial sums (1 row out)
+                             "Exchange SinglePartition (non-scalar result)"},
+    "sample_weighted_mixture": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    # per-table COUNT(*) scalars unioned: each SinglePartition merges only
+    # the per-partition partial counts (≤ cores rows), then 1-row outputs
+    "a04_count_star_tables": {"Exchange SinglePartition (non-scalar result)"},
+    "pipe_a08_quality_ratios": {"Exchange SinglePartition (non-scalar result)"},
+    # broadcast literal grid over bounded limit(100)/limit(50) dim samples:
+    # GlobalLimit's single partition carries ≤100 rows into the grid
+    "f32_synthetic_inventory_levels": {
+        "BroadcastNestedLoopJoin", "CartesianProduct",
+        "Exchange SinglePartition (non-scalar result)"},
+    # non-equi band predicate by design: the band table is tiny and
+    # broadcast (README "broadcast range-band joins"); never fact×fact
+    "j11_range_band_join": {"BroadcastNestedLoopJoin"},
+}
+
+HAZARDS = ("CartesianProduct", "BroadcastNestedLoopJoin")
+SINGLE = re.compile(r"Exchange SinglePartition")
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+
+    import __spark_entry__ as entry
+    from walmart_project_etl_spark.session import get_spark
+
+    spark = get_spark("audit-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in entry.queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "simple")
+        except Exception as e:  # noqa: BLE001 — audit must cover the rest
+            bad[name] = [f"BUILD ERROR: {type(e).__name__}: {str(e)[:200]}"]
+            print(f"✗ {name}: build error ({time.time()-t0:.1f}s)")
+            continue
+        flags = []
+        for h in HAZARDS:
+            if h in plan and h not in ALLOW.get(name, set()):
+                flags.append(h)
+        # SinglePartition feeding anything but a 1-row final agg
+        single_flag = "Exchange SinglePartition (non-scalar result)"
+        if SINGLE.search(plan) and single_flag not in ALLOW.get(name, set()):
+            n_out = None
+            try:
+                n_out = len(df.columns) and df.limit(2).count()
+            except Exception:  # noqa: BLE001
+                pass
+            if n_out is None or n_out > 1:
+                flags.append(single_flag)
+        if flags:
+            bad[name] = flags
+            print(f"✗ {name}: {flags} ({time.time()-t0:.1f}s)")
+        else:
+            print(f"✓ {name} ({time.time()-t0:.1f}s)")
+
+    print(f"\n{'FAILING: ' + str(sorted(bad)) if bad else 'all plans clean'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
