@@ -580,3 +580,22 @@ def test_cohort_retention_offsets(spark):
            for r in events.cohort_retention(df).collect()}
     assert out == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
                    ("2024-01-08", 0): 1}
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """Smoothed idf = ln((N+1)/(df+1)) + 1, rounded to 6; scores are
+    decimal-exact idf·tf. Hand-checked on a 3-doc corpus."""
+    import math
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b b b")], "doc_id int, text string")
+    rows = text.tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["doc_freq"],
+                                      r["tfidf"]) for r in rows}
+    idf_ab = round(math.log(4 / 3) + 1, 6)      # df=2 for 'a' and 'b'
+    idf_c = round(math.log(4 / 2) + 1, 6)       # df=1 for 'c'
+    assert got[(1, 1)] == ("a", 2, 2, pytest.approx(2 * idf_ab, abs=1e-9))
+    assert got[(1, 2)] == ("b", 1, 2, pytest.approx(idf_ab, abs=1e-9))
+    assert got[(2, 1)] == ("c", 1, 1, pytest.approx(idf_c, abs=1e-9))
+    assert got[(2, 2)] == ("a", 1, 2, pytest.approx(idf_ab, abs=1e-9))
+    assert got[(3, 1)] == ("b", 3, 2, pytest.approx(3 * idf_ab, abs=1e-9))
+    assert (3, 2) not in got  # doc 3 has a single distinct term

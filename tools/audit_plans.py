@@ -44,6 +44,10 @@ ALLOW = {
                              # merges ~n_partitions partial sums (1 row out)
                              "Exchange SinglePartition (non-scalar result)"},
     "sample_weighted_mixture": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    # same corpus-total-scalar shape as text_unigram_logprob (n_docs is a
+    # 1-row in-plan aggregate crossJoined into the vocabulary)
+    "text_tfidf_top_terms": {"BroadcastNestedLoopJoin", "CartesianProduct",
+                             "Exchange SinglePartition (non-scalar result)"},
     # per-table COUNT(*) scalars unioned: each SinglePartition merges only
     # the per-partition partial counts (≤ cores rows), then 1-row outputs
     "a04_count_star_tables": {"Exchange SinglePartition (non-scalar result)"},

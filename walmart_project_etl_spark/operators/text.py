@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _c(col: Column | str) -> Column:
@@ -319,6 +320,54 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
             .agg(F.sum("__c").cast("long").alias("n_tokens"),
                  (F.sum(F.col("__lp") * F.col("__c")).cast("double")
                   / F.sum("__c").cast("double")).alias("mean_logprob")))
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 5,
+                    broadcast_vocab: bool = True) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/topic-surface
+    primitive (dataset exploration, near-topic grouping, quality probes).
+
+    Same two-stage shuffle-light shape as :func:`unigram_logprob`:
+
+    1. **Vocabulary build** — per-(doc, term) counts (one uniform shuffle,
+       map-side partial agg), then per-term document frequency and the
+       corpus doc count as an in-plan 1-row aggregate (no collect).
+    2. **Scoring** — smoothed idf ``ln((N+1)/(df+1)) + 1`` (sklearn's
+       formulation), rounded to 6 places and DECIMAL-multiplied by the
+       integer tf, so scores are bit-identical on any engine at any
+       parallelism; per-doc top-k via a window with the term as tiebreak.
+
+    The vocabulary rides as a broadcast by default so the Zipf-skewed term
+    key never becomes a shuffle key (see unigram_logprob's rationale).
+
+    Output: ``(id_col, term, tf bigint, doc_freq bigint, tfidf double,
+    rank int)``, ``rank ≤ k``.
+    """
+    toks = F.split(F.lower(F.regexp_replace(_c(text_col), r"^\s+|\s+$", "")),
+                   r"\s+")
+    doc_tok = (df.select(F.col(id_col), F.explode(toks).alias("__t"))
+                 .groupBy(id_col, "__t")
+                 .agg(F.count(F.lit(1)).alias("tf"))
+                 .persist())  # feeds vocab build + scoring join
+    dfreq = doc_tok.groupBy("__t").agg(F.count(F.lit(1)).alias("doc_freq"))
+    ndocs = doc_tok.agg(F.countDistinct(F.col(id_col)).alias("__n"))
+    vocab = (dfreq.crossJoin(F.broadcast(ndocs))
+             .select("__t", "doc_freq",
+                     F.round(F.log((F.col("__n") + F.lit(1.0))
+                                   / (F.col("doc_freq") + F.lit(1.0)))
+                             + F.lit(1.0), 6)
+                      .cast("decimal(20,6)").alias("__idf")))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    scored = (doc_tok.join(vocab, "__t")
+              .select(F.col(id_col), F.col("__t").alias("term"),
+                      F.col("tf").cast("long").alias("tf"),
+                      F.col("doc_freq").cast("long").alias("doc_freq"),
+                      (F.col("__idf") * F.col("tf")).cast("double")
+                       .alias("tfidf")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
 
 
 # ------------------------------------------------------------- fingerprinting

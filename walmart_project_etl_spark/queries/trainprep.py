@@ -385,3 +385,32 @@ def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return sampling.weighted_mixture(d, "source", "doc_id", _MIX_WEIGHTS) \
         .select("doc_id", "source")
+
+
+@q("text_tfidf_top_terms",
+   r"""WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   lower(regexp_replace(text, '^\s+|\s+$', '')), '\s+')) AS t
+        FROM documents),
+      dt AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+      dfreq AS (SELECT t, count(*) AS doc_freq FROM dt GROUP BY t),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+      scored AS (
+        SELECT doc_id, t AS term, CAST(tf AS BIGINT) AS tf,
+               CAST(doc_freq AS BIGINT) AS doc_freq,
+               CAST(CAST(round(ln((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0, 6)
+                         AS DECIMAL(20,6)) * tf AS DOUBLE) AS tfidf
+        FROM dt JOIN dfreq USING (t), n)
+      SELECT doc_id, term, tf, doc_freq, tfidf, CAST(rank AS INT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, term) AS rank
+            FROM scored)
+      WHERE rank <= 5""")
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (smoothed sklearn-style idf,
+    decimal-routed scoring so the oracle is exact — see
+    operators.text.tfidf_top_terms for the scale rationale: one uniform
+    doc-term shuffle, broadcast vocabulary, no Zipf-skewed shuffle key)."""
+    d = t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, "doc_id", "text", k=5)
