@@ -101,3 +101,45 @@ def test_stream_stream_join_equals_batch(spark, events):
                       + F.expr("INTERVAL 1 HOUR")))
     cols = ["view_id", "click_id", "user_id", "view_ts", "click_ts"]
     assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_stream_upsert_resumes_from_checkpoint(spark, events, tmp_path):
+    """Restart semantics: with a fixed checkpoint, a second invocation
+    must process ONLY the input files that appeared after the first run
+    (the file source's commit log), and the merged table must equal the
+    batch latest-per-user over the full input — the incremental
+    daily-ingest shape."""
+    import glob
+    import shutil
+
+    from walmart_project_etl_spark.streaming import stream_upsert_latest
+    src = events_dir(spark, SF_DIR)
+    parts = sorted(glob.glob(f"{src}/*.parquet"))
+    assert len(parts) >= 4
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    for p in parts[:2]:  # phase 1: first two files arrive
+        shutil.copy(p, inbox)
+    wh_root = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    stats1: list = []
+    stream_upsert_latest(spark, str(inbox), wh_root,
+                         max_files_per_trigger=1, checkpoint_dir=ckpt,
+                         batch_stats=stats1)
+    n_phase1 = sum(n for _, n in stats1)
+
+    for p in parts[2:]:  # phase 2: the rest arrive
+        shutil.copy(p, inbox)
+    stats2: list = []
+    out = stream_upsert_latest(spark, str(inbox), wh_root,
+                               max_files_per_trigger=1, checkpoint_dir=ckpt,
+                               reset=False, batch_stats=stats2)
+    n_phase2 = sum(n for _, n in stats2)
+
+    n_total = events.count()
+    assert n_phase1 + n_phase2 == n_total   # nothing reprocessed, nothing lost
+    assert 0 < n_phase1 < n_total           # both phases did real work
+    batch = ev_ops.latest_event_per_key(events, ["user_id"])
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    assert _rows(out, cols) == _rows(batch, cols)

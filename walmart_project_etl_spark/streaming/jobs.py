@@ -92,7 +92,10 @@ def stream_latest_per_user(spark: SparkSession, events_path: str,
 
 def stream_upsert_latest(spark: SparkSession, events_path: str,
                          warehouse_root: str,
-                         max_files_per_trigger: int = 2) -> DataFrame:
+                         max_files_per_trigger: int = 2,
+                         checkpoint_dir: str | None = None,
+                         reset: bool = True,
+                         batch_stats: list | None = None) -> DataFrame:
     """Streaming warehouse upsert: maintain a "latest event per user"
     dimension table incrementally with ``foreachBatch``.
 
@@ -110,6 +113,15 @@ def stream_upsert_latest(spark: SparkSession, events_path: str,
     window) plus one keyed merge against the current dim; state lives in
     the warehouse table, not the state store, so there is nothing to
     watermark and restarts resume from the checkpoint.
+
+    ``checkpoint_dir`` + ``reset=False`` is the restart path: the file
+    source's checkpoint remembers which input files were already
+    committed, so a re-invocation processes ONLY files that appeared
+    since the last run and merges them into the existing table — the
+    incremental daily-ingest shape (pinned by
+    ``tests/test_streaming.py::test_stream_upsert_resumes_from_checkpoint``).
+    ``batch_stats``, when given, collects (batch_id, n_rows) per
+    micro-batch (test/observability hook; adds one count job per batch).
     """
     import os
     import tempfile
@@ -118,9 +130,12 @@ def stream_upsert_latest(spark: SparkSession, events_path: str,
     from walmart_project_etl_spark.sources.catalog import Warehouse
 
     wh = Warehouse(spark, warehouse_root)
-    wh.drop("tgt", "user_latest")
+    if reset:
+        wh.drop("tgt", "user_latest")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_stats is not None:
+            batch_stats.append((batch_id, batch_df.count()))
         batch_latest = latest_event_per_key(batch_df, ["user_id"])
         if wh.exists("tgt", "user_latest"):
             merged = latest_event_per_key(
@@ -135,7 +150,8 @@ def stream_upsert_latest(spark: SparkSession, events_path: str,
           .option("maxFilesPerTrigger", max_files_per_trigger)
           .format("parquet")
           .load(events_path))
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="wpe_stream_upsert_"), "ckpt")
+    ckpt = checkpoint_dir or os.path.join(
+        tempfile.mkdtemp(prefix="wpe_stream_upsert_"), "ckpt")
     q = (ev.writeStream
          .foreachBatch(upsert)
          .option("checkpointLocation", ckpt)
