@@ -599,3 +599,20 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert got[(2, 2)] == ("a", 1, 2, pytest.approx(idf_ab, abs=1e-9))
     assert got[(3, 1)] == ("b", 3, 2, pytest.approx(3 * idf_ab, abs=1e-9))
     assert (3, 2) not in got  # doc 3 has a single distinct term
+
+
+def test_token_budget_per_group_greedy_boundary(spark):
+    """Docs are kept in md5-hash order until the running token total
+    reaches the budget; the doc that crosses the boundary is included
+    (greedy fill), everything after is dropped."""
+    import hashlib
+    from walmart_project_etl_spark.operators import sampling
+    rows = [(i, "s", 40) for i in range(1, 7)]   # 6 docs × 40 tokens
+    df = spark.createDataFrame(rows, "doc_id int, source string, n_tokens long")
+    out = sampling.token_budget_per_group(df, "source", "n_tokens",
+                                          budget=100, key="doc_id")
+    got = {r["doc_id"] for r in out.collect()}
+    order = sorted(range(1, 7),
+                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    # cum_before per position: 0, 40, 80, 120... → first THREE kept
+    assert got == set(order[:3]), (got, order)

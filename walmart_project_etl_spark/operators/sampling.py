@@ -102,6 +102,29 @@ def cap_per_group(df: DataFrame, group: str, k: int, key: str) -> DataFrame:
               .drop("_rn"))
 
 
+def token_budget_per_group(df: DataFrame, group: str, tokens: str,
+                           budget: int, key: str) -> DataFrame:
+    """Keep docs per group until the group's cumulative token count reaches
+    ``budget`` — the token-denominated mixture primitive (training mixes
+    are specified in tokens, not documents; a source of long documents
+    must not overshoot its share just because its doc count is low).
+
+    Selection order is ``rank_hash(key)`` (uniform, engine-reproducible);
+    a doc is kept iff the running token total BEFORE it is < budget, so
+    the boundary doc is included (greedy fill — the mix overshoots by at
+    most one document per source, never undershoots a reachable budget).
+    One shuffle on the group key; the running sum rides the same window
+    exchange as the ordering.
+    """
+    rk = rank_hash(F.col(key))
+    w = (Window.partitionBy(group).orderBy(rk, F.col(key))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_before = F.sum(F.col(tokens)).over(w) - F.col(tokens)
+    return (df.withColumn("_cum_before", cum_before)
+              .where(F.col("_cum_before") < budget)
+              .drop("_cum_before"))
+
+
 def weighted_mixture(df: DataFrame, source: str, key: str,
                      weights: dict[str, int]) -> DataFrame:
     """Downsample each source to its mixture percentage via hash buckets.

@@ -414,3 +414,30 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-term shuffle, broadcast vocabulary, no Zipf-skewed shuffle key)."""
     d = t(spark, sf_dir, "documents")
     return text.tfidf_top_terms(d, "doc_id", "text", k=5)
+
+
+@q("sample_token_budget",
+   r"""WITH sized AS (
+        SELECT doc_id, source,
+               len(string_split_regex(regexp_replace(text, '^\s+|\s+$', ''),
+                                      '\s+'))::BIGINT AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR) NULLS FIRST, doc_id NULLS FIRST
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+        FROM sized)
+      SELECT doc_id, source, n_tokens FROM c WHERE cum_before < 800""")
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture: greedily fill each source up to 800 tokens in
+    hash order (training mixes are token-denominated — a long-doc source
+    must not overshoot its share). Window running sum on the source key;
+    oracle replays the identical hash order + cumsum, exact."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(
+        F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"))
+    sized = d.select("doc_id", "source",
+                     n_tokens.cast("long").alias("n_tokens"))
+    return sampling.token_budget_per_group(
+        sized, "source", "n_tokens", budget=800, key="doc_id")
