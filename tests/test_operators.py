@@ -616,3 +616,15 @@ def test_token_budget_per_group_greedy_boundary(spark):
                    key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
     # cum_before per position: 0, 40, 80, 120... → first THREE kept
     assert got == set(order[:3]), (got, order)
+
+
+def test_canonical_by_score_keeps_best_member(spark):
+    from walmart_project_etl_spark.operators import graph
+    labeled = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 30), (3, 1, 30), (9, 9, 5)],
+        "doc_id long, cluster_id long, score long")
+    out = {r["doc_id"]: r["is_canonical"]
+           for r in graph.canonical_by_score(
+               labeled, "doc_id", "cluster_id", "score").collect()}
+    # highest score wins; tie between 2 and 3 → lowest id; singleton keeps
+    assert out == {1: False, 2: True, 3: False, 9: True}

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def connected_components(
@@ -100,3 +101,18 @@ def cluster_dedup(
                           F.coalesce("component", "id").alias("cluster_id")))
     return labeled.withColumn(
         "is_canonical", (F.col(id_col) == F.col("cluster_id")).cast("boolean"))
+
+
+def canonical_by_score(labeled: DataFrame, id_col: str, cluster_col: str,
+                       score_col: str) -> DataFrame:
+    """Re-flag cluster members so the HIGHEST-scoring member is canonical
+    (ties → lowest id) — the keep-the-best step after cluster resolution
+    (keep-longest / keep-highest-quality are the standard corpus rules;
+    min-id canonicals throw away the best copy whenever the best copy
+    isn't the oldest). One window on the cluster id — same shuffle key the
+    labeling already used, and ``WindowGroupLimit`` prunes past rank 1
+    map-side."""
+    w = Window.partitionBy(cluster_col).orderBy(F.desc(score_col),
+                                                F.asc(id_col))
+    return labeled.withColumn(
+        "is_canonical", (F.row_number().over(w) == 1).cast("boolean"))

@@ -441,3 +441,41 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                      n_tokens.cast("long").alias("n_tokens"))
     return sampling.token_budget_per_group(
         sized, "source", "n_tokens", budget=800, key="doc_id")
+
+
+@q("dedup_canonical_longest",
+   _PAIRS_SQL + r""",
+  edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+  reach AS (
+    SELECT a AS id, a AS r FROM edges
+    UNION
+    SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+  cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+  labeled AS (
+    SELECT c.doc_id, coalesce(cc.component, c.doc_id) AS cluster_id,
+           len(string_split_regex(regexp_replace(c.text, '^\s+|\s+$', ''),
+                                  '\s+'))::BIGINT AS n_tokens
+    FROM """ + _CHAINED_SQL + r""" c
+    LEFT JOIN cc ON cc.id = c.doc_id)
+  SELECT doc_id, cluster_id, n_tokens,
+         row_number() OVER (PARTITION BY cluster_id
+             ORDER BY n_tokens DESC, doc_id) = 1 AS is_canonical
+  FROM labeled""")
+def dedup_canonical_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-the-best dedup decision: cluster resolution (5-gram Jaccard
+    pairs → connected components) re-flagged so each cluster keeps its
+    LONGEST member (ties → lowest id) — the standard keep-longest corpus
+    rule; min-id canonicals would keep the base doc and throw away the
+    suffix-extended copies this fixture plants. Oracle replays the full
+    recursive-CTE closure + the same window, exact."""
+    corpus = _chained_corpus(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text",
+                                      k=5, threshold=0.6).select("id_a", "id_b")
+    labeled = graph.cluster_dedup(pairs, corpus, "doc_id").drop("is_canonical")
+    n_tokens = F.size(F.split(
+        F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"))
+    sized = corpus.select("doc_id", n_tokens.cast("long").alias("n_tokens"))
+    members = labeled.join(sized, "doc_id")
+    return graph.canonical_by_score(members, "doc_id", "cluster_id",
+                                    "n_tokens")
