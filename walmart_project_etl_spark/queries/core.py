@@ -837,3 +837,27 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, o, "l_orderkey", n_salts=8)
     return (joined.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "revenue")))
+
+
+@q("s11_jsonl_roundtrip",
+   """SELECT doc_id, source, lang, text FROM documents""")
+def s11_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink round-trip: documents → JSON-Lines files →
+    declared-schema scan, byte-identical to the parquet original (the
+    dominant LLM-corpus interchange format; schema declaration skips the
+    inference scan and keeps pruning/pushdown — sources.ingest)."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from walmart_project_etl_spark.sources.ingest import read_jsonl, write_jsonl
+    import hashlib
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+    path = os.path.join(tempfile.gettempdir(),
+                        "wpe_jsonl_roundtrip_"
+                        + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    write_jsonl(d, path)
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("source", StringType()),
+                         StructField("lang", StringType()),
+                         StructField("text", StringType())])
+    return read_jsonl(spark, path, schema)

@@ -68,3 +68,31 @@ def read_source_csv(spark: SparkSession, path: str) -> DataFrame:
             .withColumn("order_date", rules.parse_date_multi(F.col("order_date")))
             .withColumn("ship_date", rules.parse_date_multi(F.col("ship_date_raw")))
             .drop("ship_date_raw"))
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-Lines scan with a DECLARED schema — the dominant LLM-corpus
+    interchange format (one JSON object per line).
+
+    The explicit schema matters at scale twice over: it skips Spark's
+    sampling inference pass (a full extra scan of a 100 TB corpus), and it
+    keeps column pruning + predicate pushdown available to Catalyst (the
+    Jackson parser only materializes requested fields). Corrupt lines land
+    in the standard ``_corrupt_record`` handling (PERMISSIVE default)
+    instead of failing the scan.
+    """
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """JSON-Lines sink (one object per line, partition-parallel).
+
+    ``compression='gzip'|'zstd'`` for interchange with external tokenizer /
+    curation tooling; None writes plain text. Timestamps serialize ISO-8601,
+    so a read_jsonl round-trip with the same schema is lossless for the
+    scalar types the corpus tables use.
+    """
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
