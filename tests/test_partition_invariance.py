@@ -1,0 +1,114 @@
+"""Partitioning-invariance: the distributed-correctness property.
+
+A result that changes with input partitioning or
+``spark.sql.shuffle.partitions`` would differ between local[32] and a
+1000-executor cluster — every operator whose determinism the oracles
+rely on (hash ranks, decimal-routed sums, window tiebreaks, iterative
+components, corpus-scalar scoring) must produce IDENTICAL rows at any
+parallelism. Each representative operator runs with the input coalesced
+to 1 partition under 2 shuffle partitions, then exploded to 17
+partitions under 32 — and must match row-for-row.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _events(spark):
+    from walmart_project_etl_spark.queries.util import events_t
+    return events_t(spark, SF_DIR)
+
+
+def _sized_docs(spark):
+    d = _docs(spark)
+    n = F.size(F.split(F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""),
+                       r"\s+"))
+    return d.select("doc_id", "source", n.cast("long").alias("n_tokens"))
+
+
+def _op_sessionize(spark, df):
+    from walmart_project_etl_spark.operators import events as ev
+    return ev.session_stats(df, gap_minutes=30)
+
+
+def _op_stratified(spark, df):
+    from walmart_project_etl_spark.operators import sampling
+    return sampling.stratified_sample(df, "lang", 0.2, "doc_id") \
+        .select("doc_id", "lang")
+
+
+def _op_token_budget(spark, df):
+    from walmart_project_etl_spark.operators import sampling
+    return sampling.token_budget_per_group(df, "source", "n_tokens",
+                                           budget=800, key="doc_id")
+
+
+def _op_pack(spark, df):
+    from walmart_project_etl_spark.operators import packing
+    return packing.pack_sequences(df.select("doc_id", "n_tokens"),
+                                  "doc_id", "n_tokens",
+                                  capacity=64, n_groups=8)
+
+
+def _op_components(spark, df):
+    from walmart_project_etl_spark.operators import dedup, graph
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text",
+                                      k=5, threshold=0.6) \
+        .select("id_a", "id_b")
+    return graph.cluster_dedup(pairs, df, "doc_id")
+
+
+def _op_winsorize(spark, df):
+    from walmart_project_etl_spark.operators import cleaning
+    from walmart_project_etl_spark.queries.util import round2
+    out = cleaning.winsorize(df, "l_extendedprice",
+                             group_cols=["l_returnflag"],
+                             lo=0.01, hi=0.99, out_col="__clip")
+    return out.select("l_orderkey", "l_linenumber",
+                      round2(F.col("__clip")).alias("clipped"))
+
+
+def _op_tfidf(spark, df):
+    from walmart_project_etl_spark.operators import text
+    return text.tfidf_top_terms(df, "doc_id", "text", k=5)
+
+
+CASES = {
+    "sessionize": (_events, _op_sessionize),
+    "stratified_sample": (_docs, _op_stratified),
+    "token_budget": (_sized_docs, _op_token_budget),
+    "pack_sequences": (_sized_docs, _op_pack),
+    "cluster_components": (_docs, _op_components),
+    "winsorize": (
+        lambda spark: spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+        _op_winsorize),
+    "tfidf_top_terms": (_docs, _op_tfidf),
+}
+
+
+def _canon_rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_result_invariant_under_parallelism(spark, name):
+    load, op = CASES[name]
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        low = _canon_rows(op(spark, load(spark).coalesce(1)))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        high = _canon_rows(op(spark, load(spark).repartition(17)))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    assert low and low == high, \
+        f"{name}: result depends on partitioning/parallelism"
