@@ -628,3 +628,21 @@ def test_canonical_by_score_keeps_best_member(spark):
                labeled, "doc_id", "cluster_id", "score").collect()}
     # highest score wins; tie between 2 and 3 → lowest id; singleton keeps
     assert out == {1: False, 2: True, 3: False, 9: True}
+
+
+def test_weighted_sample_overwhelming_weight_wins(spark):
+    """Efraimidis-Spirakis: with weight 1e12 vs 1, ln(u)/w for the heavy
+    item is ~0 (the max) for any realistic hash-u, so the heavy item must
+    win k=1 in EVERY group; zero/null weights are never sampled."""
+    from walmart_project_etl_spark.operators import sampling
+    rows = []
+    for g in range(20):
+        rows.append((g * 100, f"g{g}", 10.0 ** 12))     # heavy
+        for j in range(1, 6):
+            rows.append((g * 100 + j, f"g{g}", 1.0))     # light
+        rows.append((g * 100 + 99, f"g{g}", 0.0))        # excluded
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    out = sampling.weighted_sample_per_group(df, "grp", 1, "doc_id", "w")
+    got = {r["grp"]: r["doc_id"] for r in out.collect()}
+    assert len(got) == 20
+    assert all(doc % 100 == 0 for doc in got.values()), got

@@ -102,6 +102,31 @@ def cap_per_group(df: DataFrame, group: str, k: int, key: str) -> DataFrame:
               .drop("_rn"))
 
 
+def weighted_sample_per_group(df: DataFrame, group: str, k: int, key: str,
+                              weight: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — the
+    Efraimidis–Spirakis one-pass algorithm: each row draws a uniform
+    u ∈ (0, 1] from the md5 of its key and ranks by ``ln(u) / weight``
+    (the log of u^(1/w)); the top-k ranks per group are an exact weighted
+    sample. Fully deterministic (hash-derived u, id tiebreak), one window
+    shuffle on the group key, embarrassingly parallel at any corpus size
+    — the distributed answer to "sample documents proportional to token
+    count / quality weight" that a sequential reservoir cannot give.
+    Rows with NULL or non-positive weight are excluded (zero-weight items
+    have sample probability 0).
+    """
+    # u from the first 13 hex digits (52 bits — full double precision),
+    # +1 so u is never exactly 0 (ln(0) = -inf)
+    u = ((F.conv(F.substring(rank_hash(F.col(key)), 1, 13), 16, 10)
+           .cast("double") + 1) / F.lit(float(16 ** 13)))
+    es_rank = F.log(u) / F.col(weight).cast("double")
+    w = Window.partitionBy(group).orderBy(F.desc(es_rank), F.asc(key))
+    return (df.where(F.col(weight).isNotNull() & (F.col(weight) > 0))
+              .withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= k)
+              .drop("_rn"))
+
+
 def token_budget_per_group(df: DataFrame, group: str, tokens: str,
                            budget: int, key: str) -> DataFrame:
     """Keep docs per group until the group's cumulative token count reaches

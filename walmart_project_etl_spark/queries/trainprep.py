@@ -479,3 +479,32 @@ def dedup_canonical_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = labeled.join(sized, "doc_id")
     return graph.canonical_by_score(members, "doc_id", "cluster_id",
                                     "n_tokens")
+
+
+@q("sample_weighted_without_replacement",
+   r"""WITH sized AS (
+        SELECT doc_id, source,
+               len(string_split_regex(regexp_replace(text, '^\s+|\s+$', ''),
+                                      '\s+'))::BIGINT AS n_tokens
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, source, n_tokens,
+               ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1)
+                  / 4503599627370496.0) / n_tokens AS es
+        FROM sized WHERE n_tokens > 0)
+      SELECT doc_id, source, n_tokens FROM ranked
+      QUALIFY row_number() OVER (PARTITION BY source
+                                 ORDER BY es DESC, doc_id) <= 5""")
+def sample_weighted_without_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement: 5 docs
+    per source, weight = token count (longer docs proportionally more
+    likely). Rank = ln(u)/w with u hash-derived — deterministic, one
+    window shuffle, exact oracle (both engines evaluate the identical ln
+    on the identical hash-u; ranks tie only at ~2^-52)."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(
+        F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"))
+    sized = d.select("doc_id", "source",
+                     n_tokens.cast("long").alias("n_tokens"))
+    return sampling.weighted_sample_per_group(
+        sized, "source", 5, "doc_id", "n_tokens")
