@@ -188,12 +188,13 @@ def test_lsh_ann_recall_reasonable(spark):
 
 def test_embedding_lsh_pairs_recall_and_precision(spark):
     """The banded twin of the all-pairs embedding dedup, at BOTH operating
-    points: every emitted pair must be a true pair (precision 1.0 — exact
-    cosine re-rank) at the scale defaults (64 planes / 8-bit bands), with
-    partial-by-design recall at this artificially low 0.3 threshold
-    (barely-correlated pairs; measured 0.63, pinned with margin); and the
-    explicit narrow low-threshold config (16 planes / 2-bit bands, the
-    pre-scale-default shape) must keep recall ≥ 0.95."""
+    points: precision must be 1.0 always (exact cosine re-rank), recall
+    must be ≥ 0.95 on DEFAULTS at any threshold (band width is now derived
+    from the threshold — the r4 advisory regression where the 64/8 scale
+    default silently dropped ~40% of true pairs at threshold 0.3), and the
+    explicit wide scale config (64 planes / 8-bit bands, what
+    lsh_params_for emits for big corpora) keeps its documented
+    partial-recall behaviour at low thresholds."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     exact = {(r["id_a"], r["id_b"])
              for r in dedup.embedding_cosine_pairs(
@@ -202,13 +203,52 @@ def test_embedding_lsh_pairs_recall_and_precision(spark):
               for r in dedup.embedding_lsh_pairs(
                   emb, "vec_id", "embedding", threshold=0.3).collect()}
     assert approx <= exact, "LSH emitted a pair below threshold"
-    assert len(approx) / len(exact) >= 0.5, (len(approx), len(exact))
-    narrow = {(r["id_a"], r["id_b"])
-              for r in dedup.embedding_lsh_pairs(
-                  emb, "vec_id", "embedding", threshold=0.3,
-                  n_planes=16, n_bands=8, probe_bits=0).collect()}
-    assert narrow <= exact, "LSH emitted a pair below threshold"
-    assert len(narrow) / len(exact) >= 0.95, (len(narrow), len(exact))
+    assert len(approx) / len(exact) >= 0.95, (len(approx), len(exact))
+    wide = {(r["id_a"], r["id_b"])
+            for r in dedup.embedding_lsh_pairs(
+                emb, "vec_id", "embedding", threshold=0.3,
+                n_planes=64, n_bands=8).collect()}
+    assert wide <= exact, "LSH emitted a pair below threshold"
+    assert len(wide) / len(exact) >= 0.5, (len(wide), len(exact))
+
+
+def test_lsh_params_for_threshold_monotone():
+    """Band width must grow with threshold (low thresholds → narrow
+    bands → recall held), and always stay in the packable 1..31 range."""
+    from walmart_project_etl_spark.operators.similarity import \
+        lsh_params_for_threshold
+    widths = []
+    for t in (0.1, 0.3, 0.5, 0.7, 0.9, 0.95, 0.99):
+        n_planes, n_bands = lsh_params_for_threshold(t)
+        assert n_planes % n_bands == 0
+        bpb = n_planes // n_bands
+        assert 1 <= bpb <= 31
+        widths.append(bpb)
+    assert widths == sorted(widths), widths
+    assert widths[1] == 2, widths   # the 0.3 operating point the tests pin
+    assert widths[-1] > widths[0]
+
+
+def test_rh_band_codes_null_vectors_drop_out(spark):
+    """NULL/empty embeddings must get NULL codes (explode → no rows), not
+    the zero-vector's all-ones code — otherwise every null row collides
+    into one bucket per band (quadratic candidate blowup) and cosine-0
+    pairs leak into rankings."""
+    from pyspark.sql import functions as F
+
+    from walmart_project_etl_spark.operators import similarity
+    rows = [(1, [float(i) for i in range(8)]),
+            (2, None), (3, []), (4, [float(i + 1) for i in range(8)])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = df.select(
+        "vec_id",
+        similarity.rh_band_codes(
+            similarity._as_double("embedding"), 8, 16, 4).alias("c"))
+    got = {r["vec_id"]: r["c"] for r in codes.collect()}
+    assert got[2] is None and got[3] is None
+    assert got[1] is not None and got[4] is not None
+    exploded = codes.select("vec_id", F.explode("c").alias("code"))
+    assert {r["vec_id"] for r in exploded.collect()} == {1, 4}
 
 
 def test_embedding_lsh_planted_near_dups_recall(spark):

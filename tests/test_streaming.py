@@ -143,3 +143,36 @@ def test_stream_upsert_resumes_from_checkpoint(spark, events, tmp_path):
     batch = ev_ops.latest_event_per_key(events, ["user_id"])
     cols = ["user_id", "event_id", "ts", "event_type", "value"]
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_stream_upsert_reset_guard_over_live_checkpoint(spark, events, tmp_path):
+    """Restart safety (r4 advisory): with an existing checkpoint the
+    default must KEEP the target table (reset resolves to False), and an
+    explicit reset=True over a live checkpoint must raise instead of
+    silently dropping rows the commit log already marked processed."""
+    import glob
+    import shutil
+
+    import pytest
+
+    from walmart_project_etl_spark.streaming import stream_upsert_latest
+    src = events_dir(spark, SF_DIR)
+    parts = sorted(glob.glob(f"{src}/*.parquet"))
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    shutil.copy(parts[0], inbox)
+    wh_root = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    stream_upsert_latest(spark, str(inbox), wh_root,
+                         checkpoint_dir=ckpt)          # fresh: reset→True
+    for p in parts[1:]:
+        shutil.copy(p, inbox)
+    with pytest.raises(ValueError, match="checkpoint"):
+        stream_upsert_latest(spark, str(inbox), wh_root,
+                             checkpoint_dir=ckpt, reset=True)
+    # default restart path: no reset arg, table survives, result complete
+    out = stream_upsert_latest(spark, str(inbox), wh_root,
+                               checkpoint_dir=ckpt)
+    batch = ev_ops.latest_event_per_key(events, ["user_id"])
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    assert _rows(out, cols) == _rows(batch, cols)

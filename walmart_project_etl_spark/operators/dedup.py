@@ -359,25 +359,29 @@ def embedding_lsh_candidates(df: DataFrame, id_col: str, vec_col: str,
 
 def embedding_lsh_pairs(df: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.3, dim: int = 64,
-                        n_planes: int = 64, n_bands: int = 8,
+                        n_planes: int | None = None, n_bands: int = 8,
                         probe_bits: int = 1, seed: int = 42) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH banding — the
     100 TB scale path for :func:`embedding_cosine_pairs`.
 
     Candidates come from :func:`embedding_lsh_candidates` (band-code
-    self-join, 8-bit bands by default — near-linear, never all-pairs) and
-    are re-ranked by EXACT cosine, so precision is 1.0 (every emitted pair
-    is a true pair ≥ threshold); recall < 1 by design. The 64-plane /
-    8-band / 1-probe-bit default is tuned for the near-duplicate regime
-    (cosine ≳ 0.8, where per-band collision probability is high) — recall
-    ~1.0 on planted near-dups (tests pin ≥ 0.9). For unusually low
-    thresholds (e.g. 0.3, barely-correlated pairs) wide bands miss most
-    pairs; pass a narrow explicit config (n_planes=16, n_bands=8) and
-    accept the candidate blowup, or use the exact twin on a blocked
-    subset. tests/test_operators.py pins both operating points.
+    self-join — near-linear, never all-pairs) and are re-ranked by EXACT
+    cosine, so precision is 1.0 (every emitted pair is a true pair
+    ≥ threshold); recall < 1 by design. By default the band width is
+    derived FROM ``threshold`` (``lsh_params_for_threshold``: widest band
+    whose analytic recall at the threshold is ≥ 0.95 — narrow 2-bit bands
+    at 0.3, wide 7-bit bands at 0.9), so callers at any threshold keep
+    ≥ ~0.95 recall and low-threshold calls pay their candidate cost
+    visibly rather than silently losing pairs to a wide-band default.
+    Scale callers should pass ``similarity.lsh_params_for(N)`` output
+    explicitly (candidate linearity beats the last few recall points at
+    100 TB) — tests pin both operating points.
     """
-    from walmart_project_etl_spark.operators.similarity import cosine
+    from walmart_project_etl_spark.operators.similarity import (
+        cosine, lsh_params_for_threshold)
 
+    if n_planes is None:
+        n_planes, n_bands = lsh_params_for_threshold(threshold, n_bands)
     cand = embedding_lsh_candidates(df, id_col, vec_col, dim=dim,
                                     n_planes=n_planes, n_bands=n_bands,
                                     probe_bits=probe_bits, seed=seed)
@@ -391,26 +395,82 @@ def embedding_lsh_pairs(df: DataFrame, id_col: str, vec_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         k: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all candidate pairs sharing ≥1
-    shingle: explode shingles, self-join on shingle, count intersections,
-    |A∪B| = |A|+|B|−|A∩B|.
+    """EXACT n-gram Jaccard pairs ≥ threshold, via prefix filtering
+    (Bayardo et al. AllPairs / Xiao et al. PPJoin) instead of the naive
+    explode-and-self-join-on-shingle.
 
-    The shuffle key is the shingle — common shingles fan out, so for very
-    large corpora prefer ``minhash_dedup`` (this operator is the exact
-    oracle-checkable variant; at 100 TB run it only on LSH candidates).
+    The naive plan's shuffle key is the shingle, and hot shingles (" the ")
+    appear in nearly every document — a quadratic fan-out (82M joined rows
+    from 338k shingle occurrences on a 1.5k-doc fixture) that becomes THE
+    scale killer at corpus size. Prefix filtering keeps the result exact
+    while killing the blowup:
+
+    1. Order all shingles globally RAREST-FIRST (document frequency, then
+       shingle — a strict total order).
+    2. Index only each document's first ``n − ⌈t·n⌉ + 1`` shingles in that
+       order (its *prefix*). Theorem: two sets with Jaccard ≥ t must share
+       at least one element lying in BOTH prefixes — so the prefix join
+       loses no true pair, and its join keys are by construction the
+       RAREST shingles of each doc, so hot-shingle fan-out never happens.
+    3. Verify candidates exactly: re-join the two full shingle arrays by
+       doc id (linear, uniform key) and compute the true intersection with
+       ``array_intersect`` — same jaccard arithmetic as before, so the
+       output is bit-identical to the naive plan and the DuckDB oracle.
+
+    Shingles are 64-bit-hashed (xxhash64) immediately after extraction:
+    every downstream key and array element is a long, not a string —
+    ~3× cheaper frequency agg, prefix join, and per-candidate
+    intersection, and a smaller shuffle. Set semantics are preserved
+    (distinct strings → distinct hashes) up to 2⁻⁶⁴-probability
+    collisions, the same tolerance every hash-keyed operator here
+    accepts; output values are hash-independent so the DuckDB oracle
+    still matches exactly.
+
+    Every stage is a linear shuffle (shingle-frequency agg, per-doc window,
+    candidate join on rare keys, two id-keyed verify joins); nothing is
+    all-pairs. For billion-doc corpora prefer ``minhash_dedup``
+    (probabilistic) — this operator is the exact variant.
     """
     sh = df.select(F.col(id_col).alias("doc"),
-                   char_shingles(text_col, k).alias("shingles"))
+                   F.transform(char_shingles(text_col, k),
+                               lambda x: F.xxhash64(x)).alias("shingles"))
     sized = sh.select("doc", F.size("shingles").alias("n_sh"), "shingles")
     exploded = sized.select("doc", "n_sh", F.explode("shingles").alias("shingle"))
-    l, r = exploded.alias("l"), exploded.alias("r")
-    inter = (l.join(r, (F.col("l.shingle") == F.col("r.shingle"))
-                    & (F.col("l.doc") < F.col("r.doc")))
-             .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"),
-                      F.col("l.n_sh").alias("na"), F.col("r.n_sh").alias("nb"))
-             .agg(F.count(F.lit(1)).alias("inter")))
+
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("doc").orderBy(F.asc("__df"), F.asc("shingle"))
+    prefix_len = (F.col("n_sh")
+                  - F.ceil(F.lit(float(threshold)) * F.col("n_sh")).cast("int")
+                  + F.lit(1))
+    prefix = (exploded.join(freq, "shingle")
+              .withColumn("__pos", F.row_number().over(w))
+              .where(F.col("__pos") <= prefix_len)
+              .select("doc", "shingle"))
+    cand = (prefix.alias("l")
+            .join(prefix.alias("r"), (F.col("l.shingle") == F.col("r.shingle"))
+                  & (F.col("l.doc") < F.col("r.doc")))
+            .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+            .distinct())
+    # The verify stage is CPU-bound (an array intersection per candidate)
+    # on byte-light rows, so AQE's size-based coalescing would starve it —
+    # spread candidates over every core explicitly.
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+    a = sized.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"),
+                     F.col("shingles").alias("__sa"))
+    b = sized.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"),
+                     F.col("shingles").alias("__sb"))
+    # Size filter (Jaccard ≥ t forces t ≤ na/nb ≤ 1/t) prunes before the
+    # per-row intersection — free in the fixture's uniform-length corpus,
+    # a large cut on real length-skewed ones.
+    verified = (cand.join(a, "id_a").join(b, "id_b")
+                .where((F.col("na") >= F.ceil(F.lit(float(threshold))
+                                              * F.col("nb")))
+                       & (F.col("nb") >= F.ceil(F.lit(float(threshold))
+                                                * F.col("na"))))
+                .withColumn("inter", F.size(F.array_intersect("__sa", "__sb"))))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return (verified.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 

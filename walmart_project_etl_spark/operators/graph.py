@@ -8,15 +8,20 @@ and labels every member with the cluster's canonical (minimum) id, the
 standard final step of a corpus-dedup pipeline (cf. the MinHash dedup
 stages of C4/RefinedWeb).
 
-Spark-first design: min-label propagation as an iterative sequence of
-DataFrame joins/aggregations. Each round is one shuffle keyed on vertex
-id (uniform — doc ids), and ``localCheckpoint`` truncates the lineage so
-the plan does not grow with iterations. Convergence is O(component
-diameter) rounds; dup clusters are shallow by construction (members are
-all near-copies of one ancestor), so at 100 TB this is a handful of
-rounds, each a linear shuffle — the same shape Google's large-star /
-small-star MapReduce CC algorithm (Kiveris et al., "Connected Components
-in MapReduce and Beyond") reduces to on low-diameter graphs.
+Spark-first design: min-label propagation WITH POINTER JUMPING as an
+iterative sequence of DataFrame joins/aggregations. Each round first
+takes the min label over graph neighbours, then shortcuts through the
+label graph twice (``component ← component's component`` — path
+halving, the core move of Kiveris et al.'s large-star contraction in
+"Connected Components in MapReduce and Beyond"), so a chain of length d
+resolves in O(log d) rounds instead of O(d) — plain propagation walks
+one hop per round and chain-shaped dup clusters (A~B~C~… from
+transitive near-dups) made round count, i.e. Spark-job count, the cost
+driver at small scale. Each round is a constant number of shuffles
+keyed on vertex id (uniform — doc ids), ``localCheckpoint`` truncates
+the lineage so the plan does not grow with iterations, and convergence
+is detected from the label-sum aggregate (labels only ever decrease, so
+an unchanged sum IS the fixpoint — no extra join-and-count job).
 
 Beyond-reference surface: the reference repo has no graph stage; its
 dedup (ROW_NUMBER in ``etl_staging_loader.py``) never needs closure.
@@ -56,9 +61,28 @@ def connected_components(
            .localCheckpoint(eager=True)
 
     labels = sym.select(F.col("a").alias("id")).distinct() \
-                .withColumn("component", F.col("id")) \
-                .localCheckpoint(eager=True)
+                .withColumn("component", F.col("id"))
 
+    def shortcut(lbl):
+        """Path halving: component ← min(component, component's component).
+        Every component value is itself a vertex id present in lbl, so the
+        self-join is total; labels are monotone non-increasing."""
+        tgt = lbl.select(F.col("id").alias("__cid"),
+                         F.col("component").alias("__cc"))
+        return (lbl.join(tgt, lbl["component"] == tgt["__cid"])
+                   .select("id", F.least("component", "__cc").alias("component")))
+
+    # Fingerprint = (sum, count) of labels: every label change strictly
+    # decreases some label with all others non-increasing, so the sum is
+    # strictly monotone until the fixpoint — equality IS convergence, one
+    # cheap aggregate instead of a join-and-count job per round.
+    def fingerprint(lbl):
+        row = lbl.agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+                      F.count(F.lit(1)).alias("n")).collect()[0]
+        return (row["s"], row["n"])
+
+    labels = labels.localCheckpoint(eager=True)
+    prev = fingerprint(labels)
     for _ in range(max_iter):
         nbr_min = (sym.join(labels, sym["b"] == labels["id"])
                       .groupBy("a").agg(F.min("component").alias("nbr_min")))
@@ -66,15 +90,13 @@ def connected_components(
                             .select(labels["id"],
                                     F.least("component",
                                             F.coalesce("nbr_min", "component"))
-                                     .alias("component"))
-                            .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
+                                     .alias("component")))
+        new_labels = shortcut(shortcut(new_labels)).localCheckpoint(eager=True)
+        cur = fingerprint(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur == prev:
             return labels
+        prev = cur
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "component diameter too large for a dup-pair graph")

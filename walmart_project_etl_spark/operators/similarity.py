@@ -154,6 +154,14 @@ def rh_band_codes(vec: Column, dim: int, n_planes: int, n_bands: int,
     numpy matmul. Deterministic: planes drawn from seeded Python RNG at
     closure build; bit order is MSB-first, self-consistent for the
     equality joins and XOR probes that consume these codes.
+
+    NULL/empty vectors get a NULL code array (NOT the zero-vector code:
+    that would hash every null row to the identical all-ones code in
+    every band, collapsing them into one bucket per band — a quadratic
+    candidate blowup on corpora with many missing embeddings). Consumers
+    explode the code array, and exploding NULL emits no rows, so null
+    vectors drop out of banding entirely — the correct behaviour, since
+    a missing embedding can never be a true near-neighbour.
     """
     import random
     from pyspark.sql.functions import pandas_udf
@@ -171,12 +179,16 @@ def rh_band_codes(vec: Column, dim: int, n_planes: int, n_bands: int,
     def codes(vecs: pd.Series) -> pd.Series:
         if not len(vecs):
             return pd.Series([], dtype=object)
-        V = np.vstack([
-            np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
-            for v in vecs])
-        bits = (V @ planes.T >= 0).astype(np.int64)
-        packed = bits.reshape(len(V), n_bands, bpb) @ weights
-        return pd.Series(list(packed.astype(np.int32)))
+        valid = np.array([v is not None and len(v) == dim for v in vecs])
+        out = np.full(len(vecs), None, dtype=object)
+        if valid.any():
+            V = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v, ok in zip(vecs, valid) if ok])
+            bits = (V @ planes.T >= 0).astype(np.int64)
+            packed = (bits.reshape(len(V), n_bands, bpb) @ weights).astype(np.int32)
+            for i, row in zip(np.nonzero(valid)[0], packed):
+                out[i] = row
+        return pd.Series(out)
 
     return codes(vec)
 
@@ -195,6 +207,33 @@ def lsh_params_for(corpus_size: int, n_bands: int = 8,
     """
     import math
     bpb = min(max(min_bits, math.ceil(math.log2(max(corpus_size, 2)))), 31)
+    return bpb * n_bands, n_bands
+
+
+def lsh_params_for_threshold(threshold: float, n_bands: int = 8,
+                             target_recall: float = 0.95) -> tuple[int, int]:
+    """Size (n_planes, n_bands) to a cosine THRESHOLD so banding keeps
+    recall ≥ ``target_recall`` at that threshold.
+
+    Random-hyperplane collision: a pair at cosine θ agrees on one plane
+    with probability p = 1 − arccos(θ)/π, so a bpb-bit band collides with
+    p^bpb and recall over L bands is 1 − (1 − p^bpb)^L. The widest band
+    (fewest candidates) still meeting the recall target is
+    bpb = ⌊ln(1 − (1 − R)^(1/L)) / ln(p)⌋. Low thresholds therefore get
+    NARROW bands — the honest trade: recall costs candidates, and the
+    caller who asks for barely-correlated pairs pays for them visibly
+    instead of silently losing ~40% of true pairs to a wide-band default
+    tuned for the near-dup regime. Scale callers should take the MAX of
+    this and :func:`lsh_params_for`'s corpus-sized floor, accepting the
+    documented recall loss if the two conflict.
+    """
+    import math
+    p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    p_band_needed = 1.0 - (1.0 - target_recall) ** (1.0 / n_bands)
+    if p <= 0 or p >= 1:
+        bpb = 31 if p >= 1 else 1
+    else:
+        bpb = max(1, min(int(math.log(p_band_needed) / math.log(p)), 31))
     return bpb * n_bands, n_bands
 
 

@@ -345,10 +345,14 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 5,
     """
     toks = F.split(F.lower(F.regexp_replace(_c(text_col), r"^\s+|\s+$", "")),
                    r"\s+")
+    # Feeds vocab build + scoring join. NOT persist()ed: the three
+    # consumers sit in ONE final plan, so Spark's ReuseExchange serves
+    # them all from the same shuffle files — an explicit persist would
+    # leak a cached dataset per invocation (registry/bench loops call
+    # this repeatedly and nothing ever unpersists a returned lazy plan).
     doc_tok = (df.select(F.col(id_col), F.explode(toks).alias("__t"))
                  .groupBy(id_col, "__t")
-                 .agg(F.count(F.lit(1)).alias("tf"))
-                 .persist())  # feeds vocab build + scoring join
+                 .agg(F.count(F.lit(1)).alias("tf")))
     dfreq = doc_tok.groupBy("__t").agg(F.count(F.lit(1)).alias("doc_freq"))
     ndocs = doc_tok.agg(F.countDistinct(F.col(id_col)).alias("__n"))
     vocab = (dfreq.crossJoin(F.broadcast(ndocs))

@@ -94,7 +94,7 @@ def stream_upsert_latest(spark: SparkSession, events_path: str,
                          warehouse_root: str,
                          max_files_per_trigger: int = 2,
                          checkpoint_dir: str | None = None,
-                         reset: bool = True,
+                         reset: bool | None = None,
                          batch_stats: list | None = None) -> DataFrame:
     """Streaming warehouse upsert: maintain a "latest event per user"
     dimension table incrementally with ``foreachBatch``.
@@ -114,20 +114,38 @@ def stream_upsert_latest(spark: SparkSession, events_path: str,
     the warehouse table, not the state store, so there is nothing to
     watermark and restarts resume from the checkpoint.
 
-    ``checkpoint_dir`` + ``reset=False`` is the restart path: the file
-    source's checkpoint remembers which input files were already
-    committed, so a re-invocation processes ONLY files that appeared
-    since the last run and merges them into the existing table — the
-    incremental daily-ingest shape (pinned by
+    ``checkpoint_dir`` pointing at an EXISTING checkpoint is the restart
+    path: the file source's commit log remembers which input files were
+    already processed, so a re-invocation handles ONLY files that
+    appeared since the last run and merges them into the existing table —
+    the incremental daily-ingest shape (pinned by
     ``tests/test_streaming.py::test_stream_upsert_resumes_from_checkpoint``).
-    ``batch_stats``, when given, collects (batch_id, n_rows) per
-    micro-batch (test/observability hook; adds one count job per batch).
+    ``reset`` defaults to dropping the target table only when there is NO
+    existing checkpoint; on a restart the default keeps the table, and
+    ``reset=True`` over a live checkpoint RAISES rather than silently
+    losing every row the commit log already marked processed (the table
+    would be rebuilt from post-restart files only — checkpoint state and
+    table state must never diverge). A true from-scratch rerun deletes
+    the checkpoint dir too. ``batch_stats``, when given, collects
+    (batch_id, n_rows) per micro-batch (test/observability hook; adds one
+    count job per batch).
     """
     import os
     import tempfile
 
     from walmart_project_etl_spark.operators.events import latest_event_per_key
     from walmart_project_etl_spark.sources.catalog import Warehouse
+
+    has_checkpoint = (checkpoint_dir is not None and os.path.isdir(checkpoint_dir)
+                      and bool(os.listdir(checkpoint_dir)))
+    if reset is None:
+        reset = not has_checkpoint
+    if reset and has_checkpoint:
+        raise ValueError(
+            "reset=True with a non-empty checkpoint would drop the target "
+            "table while the file-source commit log still marks old input "
+            "files as processed — silent data loss. Delete the checkpoint "
+            f"dir for a true from-scratch rerun: {checkpoint_dir}")
 
     wh = Warehouse(spark, warehouse_root)
     if reset:
