@@ -561,6 +561,31 @@ def mm_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media, every_n_bytes=64, max_frames=16)
 
 
+@q("mm_real_decode_ppm",
+   """SELECT doc_id AS media_id,
+             length(payload)::BIGINT AS n_bytes,
+             substr(sha256(payload), 1, 16) AS sha256_prefix,
+             w::INT AS width, h::INT AS height, 3 AS n_channels
+      FROM (SELECT doc_id, w, h,
+                   'P6' || chr(10) || w || ' ' || h || chr(10) || '255'
+                   || chr(10)
+                   || repeat(lpad((doc_id % 1000)::VARCHAR, 3, '0'), w * h)
+                     AS payload
+            FROM (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+                  FROM documents))""")
+def mm_real_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize binary-PPM payloads from
+    documents (pure Column expressions), then run the pure-numpy P6 header
+    parse inside the Arrow mapInPandas hop (``real_decode=True`` — no
+    byte-heuristic stub). The oracle rebuilds the identical ASCII payload
+    in SQL and checks length, sha256, and the header-parsed dimensions —
+    an exact value-match on the real codec path."""
+    media = multimodal.documents_as_ppm(t(spark, sf_dir, "documents"))
+    meta = multimodal.decode_image_meta(media, real_decode=True)
+    return meta.select("media_id", "n_bytes", "sha256_prefix",
+                       "width", "height", "n_channels")
+
+
 @q("mm_byte_histogram_features", None)  # Arrow/pandas path — rows-only
 def mm_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram features via mapInPandas (stand-in embedding model;
