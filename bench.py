@@ -50,6 +50,15 @@ BENCH_QUERIES = [
     "mm_image_meta",
     "olap_time_rollup_events",
     "j11_range_band_join",
+    # r4-new heavy operators (VERDICT r4 task 2): regressions in the
+    # newest code must be visible in the per-round bench
+    "text_tfidf_top_terms",
+    "dedup_canonical_longest",
+    "dedup_cluster_components",
+    "dedup_fuzzy_blocked",
+    "dedup_ngram_jaccard",
+    "clean_winsorize",
+    "sample_weighted_without_replacement",
     # end-to-end star pipeline (ingest→ODS→staging→target→BI agg) with a
     # COLD warehouse cache — guards the pipeline plans, not just micro ops
     "pipe_bi_sales_by_category",

@@ -1,0 +1,120 @@
+"""Unit tests for the r5 cleaning/profiling/attribution operators, each
+pinned against an independent Python/numpy reference on hand-built data."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from walmart_project_etl_spark.operators import (cleaning, dedup, events,
+                                                 profiling)
+
+
+def _num_df(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b", float(v))
+            for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8])]
+    return spark.createDataFrame(rows, "id int, g string, x double")
+
+
+def test_zscore_matches_numpy(spark):
+    import numpy as np
+    df = _num_df(spark)
+    out = {(r["g"], r["id"]): r["x_z"]
+           for r in cleaning.zscore(df, "x", group_cols=["g"]).collect()}
+    data = {(r["g"], r["id"]): r["x"] for r in df.collect()}
+    for g in ("a", "b"):
+        xs = np.array([v for (gg, _), v in data.items() if gg == g])
+        mu, sd = xs.mean(), xs.std(ddof=1)
+        for (gg, i), v in data.items():
+            if gg == g:
+                assert out[(gg, i)] == pytest.approx((v - mu) / sd, rel=1e-12)
+
+
+def test_zscore_small_group_is_null(spark):
+    df = spark.createDataFrame([(1, "solo", 5.0)], "id int, g string, x double")
+    [r] = cleaning.zscore(df, "x", group_cols=["g"]).collect()
+    assert r["x_z"] is None
+
+
+def test_quantile_bins_equal_counts(spark):
+    df = spark.range(100).select(
+        F.col("id"), F.lit("g").alias("g"), (F.col("id") % 37).alias("x"))
+    out = cleaning.quantile_bins(df, "x", 4, group_cols=["g"],
+                                 tiebreak_cols=["id"], out_col="b")
+    counts = {r["b"]: r["n"] for r in
+              out.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {1: 25, 2: 25, 3: 25, 4: 25}
+    # bins are monotone in x: max of bin k <= min of bin k+1 up to ties
+    rows = sorted((r["b"], r["x"], r["id"]) for r in out.collect())
+    xs_by_bin = {}
+    for b, x, _ in rows:
+        xs_by_bin.setdefault(b, []).append(x)
+    for b in (1, 2, 3):
+        assert max(xs_by_bin[b]) <= min(xs_by_bin[b + 1])
+
+
+def test_equi_width_histogram_counts_and_edges(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(0, 100)], "x double")
+    out = {r["bin"]: r for r in
+           cleaning.equi_width_histogram(df, "x", 10).collect()}
+    assert set(out) == set(range(10))
+    for b, r in out.items():
+        assert r["n_rows"] == 10
+        assert r["bin_lo"] == pytest.approx(b * 9.9)
+        assert r["bin_hi"] == pytest.approx((b + 1) * 9.9)
+    # max value folds into last bin; count total preserved
+    assert sum(r["n_rows"] for r in out.values()) == 100
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 10.0), (4, 30.0)], "k int, v double")
+    out = {r["col_name"]: r for r in
+           profiling.profile_columns(df, ["k", "v"]).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 0
+    assert out["k"]["n_distinct"] == 4
+    assert out["k"]["min_val"] == 1.0 and out["k"]["max_val"] == 4.0
+    assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
+    assert out["v"]["min_val"] == 10.0 and out["v"]["max_val"] == 30.0
+
+
+def test_contamination_scores_fractions(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d"),        # grams: "a b", "b c", "c d" -> 2/3 hit
+         (2, "x y z"),          # no overlap
+         (3, "a b")],           # single gram, full hit
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c q")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.contamination_scores(corpus, bench, "doc_id", "text",
+                                      n=2).collect()}
+    assert out[1]["n_grams"] == 3 and out[1]["n_contaminated"] == 2
+    assert out[1]["contamination_frac"] == pytest.approx(2 / 3)
+    assert out[2]["n_contaminated"] == 0
+    assert out[3]["contamination_frac"] == 1.0
+
+
+def test_last_touch_attribution(spark):
+    rows = [
+        # user u: click(1) .. view(2) .. purchase(3) -> attributed to 2
+        (1, "u", 100, "click"), (2, "u", 200, "view"), (3, "u", 300, "purchase"),
+        # second purchase with no intervening touch -> still view 2
+        (4, "u", 400, "purchase"),
+        # user v converts with no prior touch -> NULLs
+        (5, "v", 100, "purchase"), (6, "v", 200, "click"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, t long,"
+                               " event_type string") \
+        .select("event_id", "user_id",
+                F.timestamp_seconds("t").alias("ts"), "event_type")
+    out = {r["event_id"]: r for r in
+           events.last_touch_attribution(df, "purchase",
+                                         ["click", "view"]).collect()}
+    assert set(out) == {3, 4, 5}
+    assert out[3]["attr_touch_id"] == 2 and out[3]["attr_channel"] == "view"
+    assert out[3]["secs_since_touch"] == 100
+    assert out[4]["attr_touch_id"] == 2 and out[4]["secs_since_touch"] == 200
+    assert out[5]["attr_touch_id"] is None and out[5]["attr_channel"] is None
+    assert out[5]["secs_since_touch"] is None

@@ -336,11 +336,17 @@ def test_multimodal_feature_matches_numpy(spark):
     assert feat == pytest.approx([round(float(v), 6) for v in hist])
 
 
-def test_multimodal_real_decode_is_explicit_stub(spark):
-    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    media = multimodal.documents_as_media(docs)
+def test_multimodal_real_decode_compressed_is_explicit_stub(spark):
+    # real_decode now really decodes uncompressed PPM/PGM/BMP; compressed
+    # codecs (no image lib in this container) still fail loudly at the
+    # decode_payload dispatcher rather than returning fake dimensions
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image_meta(media, real_decode=True)
+        multimodal.decode_payload(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = multimodal.documents_as_media(docs)  # payload is not PPM/BMP
+    lazy = multimodal.decode_image_meta(media, real_decode=True)
+    with pytest.raises(Exception, match="NotImplementedError|unsupported codec"):
+        lazy.collect()
 
 
 def test_sessionize_gap_splits(spark):
@@ -378,8 +384,11 @@ def test_multimodal_resize_stub_grid(spark):
     stride = max(len(data) // 16, 1)
     assert list(row["pixels"]) == [data[min(i * stride, len(data) - 1)]
                                    for i in range(16)]
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_images(media, real_decode=True)
+    # real_decode on a non-PPM/BMP payload fails loudly at materialization
+    # (the real decoder runs executor-side; compressed/unknown codecs are
+    # the remaining NotImplementedError seam)
+    with pytest.raises(Exception, match="NotImplementedError|unsupported codec"):
+        multimodal.resize_images(media, real_decode=True).collect()
 
 
 def test_sketch_approx_aggs_error_bounds(spark):

@@ -51,6 +51,14 @@ def _op_token_budget(spark, df):
                                            budget=800, key="doc_id")
 
 
+def _op_weighted_wr(spark, df):
+    from walmart_project_etl_spark.operators import sampling
+    return sampling.weighted_sample_per_group(df, "source", k=7,
+                                              key="doc_id",
+                                              weight="n_tokens") \
+        .select("doc_id", "source")
+
+
 def _op_pack(spark, df):
     from walmart_project_etl_spark.operators import packing
     return packing.pack_sequences(df.select("doc_id", "n_tokens"),
@@ -85,6 +93,7 @@ CASES = {
     "sessionize": (_events, _op_sessionize),
     "stratified_sample": (_docs, _op_stratified),
     "token_budget": (_sized_docs, _op_token_budget),
+    "weighted_without_replacement": (_sized_docs, _op_weighted_wr),
     "pack_sequences": (_sized_docs, _op_pack),
     "cluster_components": (_docs, _op_components),
     "winsorize": (

@@ -60,6 +60,10 @@ ALLOW = {
     # non-equi band predicate by design: the band table is tiny and
     # broadcast (README "broadcast range-band joins"); never fact×fact
     "j11_range_band_join": {"BroadcastNestedLoopJoin"},
+    # global one-pass profile: the SinglePartition merges per-partition
+    # partial aggregates (≤ cores rows) into the 1-row wide profile, which
+    # stack() then unpivots to k rows — the global-aggregate contract
+    "profile_lineitem": {"Exchange SinglePartition (non-scalar result)"},
 }
 
 HAZARDS = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def winsorize(df: DataFrame, value_col: str,
@@ -47,3 +48,102 @@ def winsorize(df: DataFrame, value_col: str,
                               F.least(F.greatest(v, F.col("__lo")),
                                       F.col("__hi")))
             .drop("__lo", "__hi"))
+
+
+def zscore(df: DataFrame, value_col: str,
+           group_cols: list[str] | None = None,
+           out_col: str | None = None,
+           ddof: int = 1) -> DataFrame:
+    """Per-group standardization ``(x - mean) / std`` — the feature-scaling
+    pass before scoring/thresholding mixed-scale metrics.
+
+    The moments are accumulated in ``decimal(38,6)`` / ``decimal(38,12)``
+    (sum and sum-of-squares), NOT double: float partial sums are
+    shuffle-order-dependent, so at 32 partitions a double-summed mean
+    would differ between runs/engines in the low bits. Decimal sums are
+    exact and associative — the derived mean/std (and therefore the
+    z-score) are bit-identical at any parallelism and match a sequential
+    engine exactly. Same two-pass broadcast shape as :func:`winsorize`:
+    one shuffle for group moments, then a broadcast join + codegen'd map.
+    Groups with fewer than ``ddof + 1`` rows get NULL z-scores (std is
+    undefined), never a divide-by-zero.
+    """
+    out_col = out_col or f"{value_col}_z"
+    v = F.col(value_col)
+    # decimal(18,6) operands: the product is decimal(37,12) — inside the
+    # 38-digit cap, so the multiply is EXACT (a (28,6) operand would push
+    # the product to precision 57 and trip Spark's precision-loss scale
+    # reduction, silently truncating the sum of squares)
+    dec = v.cast("decimal(18,6)")
+    aggs = [F.sum(dec).alias("__s"),
+            F.sum(dec * dec).alias("__ss"),
+            F.count(v).alias("__n")]
+    if group_cols:
+        mom = df.groupBy(*group_cols).agg(*aggs)
+        joined = df.join(F.broadcast(mom), group_cols)
+    else:
+        mom = df.groupBy().agg(*aggs)
+        joined = df.crossJoin(F.broadcast(mom))
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    mean = s / n
+    var = (ss - s * s / n) / (n - F.lit(float(ddof)))
+    z = F.when(F.col("__n") > ddof, (v - mean) / F.sqrt(var))
+    return joined.withColumn(out_col, z).drop("__s", "__ss", "__n")
+
+
+def quantile_bins(df: DataFrame, value_col: str, k: int,
+                  group_cols: list[str] | None = None,
+                  tiebreak_cols: list[str] | None = None,
+                  out_col: str | None = None) -> DataFrame:
+    """Assign each row its k-quantile bin (1..k) per group — equal-count
+    bucketing (``ntile``) for difficulty curricula, stratified splits, and
+    monotone feature binning.
+
+    One window shuffle on the group key. The order is pinned with
+    ``tiebreak_cols`` so ties at bin boundaries are deterministic (an
+    unpinned ntile would assign boundary ties by partition arrival order —
+    a silent parallelism dependence).
+    """
+    out_col = out_col or f"{value_col}_bin"
+    order = [F.asc(value_col)] + [F.asc(c) for c in (tiebreak_cols or [])]
+    part = group_cols or []
+    w = Window.partitionBy(*part).orderBy(*order)
+    return df.withColumn(out_col, F.ntile(k).over(w))
+
+
+def equi_width_histogram(df: DataFrame, value_col: str, n_bins: int,
+                         group_cols: list[str] | None = None) -> DataFrame:
+    """Equal-width histogram of ``value_col``: bin index (0..n_bins-1),
+    inclusive bin edges, and row count — the profiling primitive behind
+    distribution dashboards and skew diagnosis at full-corpus scale.
+
+    Two passes, both single-shuffle: global (or per-group) min/max — exact,
+    order-independent — then ``floor((x-min)/width)`` binning + count.
+    Edges derive from min/max only (no float summation), so bin membership
+    is bit-stable across engines/parallelism. The top edge folds into the
+    last bin (standard right-closed top bin).
+    """
+    v = F.col(value_col).cast("double")
+    aggs = [F.min(v).alias("__mn"), F.max(v).alias("__mx")]
+    if group_cols:
+        mm = df.groupBy(*group_cols).agg(*aggs)
+        joined = df.join(F.broadcast(mm), group_cols)
+    else:
+        mm = df.groupBy().agg(*aggs)
+        joined = df.crossJoin(F.broadcast(mm))
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
+    raw = F.floor((v - F.col("__mn")) / width)
+    bin_idx = F.least(F.greatest(raw, F.lit(0)),
+                      F.lit(n_bins - 1)).cast("int")
+    keys = (group_cols or []) + ["bin"]
+    return (joined.where(v.isNotNull())
+            .withColumn("__w", width)
+            .withColumn("bin", bin_idx)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 (F.first("__mn") + F.col("bin") * F.first("__w"))
+                 .alias("bin_lo"),
+                 (F.first("__mn") + (F.col("bin") + 1) * F.first("__w"))
+                 .alias("bin_hi")))

@@ -528,3 +528,36 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
                     .join(F.broadcast(bench_grams), "__g", "left_semi")
                     .select(id_col).distinct())
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def contamination_scores(corpus: DataFrame, benchmark: DataFrame,
+                         id_col: str, text_col: str, n: int = 8) -> DataFrame:
+    """Graded contamination: per document, the fraction of its DISTINCT
+    word ``n``-grams that appear anywhere in the benchmark.
+
+    :func:`decontaminate` is binary (one shared gram → drop); real
+    curation wants the graded signal — a 2% overlap is boilerplate, an
+    80% overlap is a leaked eval question — so the threshold becomes a
+    policy decision on this score, not a property of the operator.
+
+    Same scale shape as decontaminate: the tiny distinct benchmark gram
+    set is broadcast, the corpus is ONE exploded scan, and both the hit
+    count and the total collapse in a single groupBy on the doc id (the
+    semi-join flag rides the exploded rows — no second corpus scan).
+    Returns ``(id, n_grams, n_contaminated, contamination_frac)``.
+    """
+    bench_grams = (benchmark
+                   .select(F.explode(word_ngrams(text_col, n)).alias("__g"))
+                   .distinct())
+    corpus_grams = corpus.select(F.col(id_col),
+                                 F.explode(word_ngrams(text_col, n))
+                                 .alias("__g"))
+    flagged = (corpus_grams
+               .join(F.broadcast(bench_grams.withColumn("__hit", F.lit(1))),
+                     "__g", "left"))
+    return (flagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                  .alias("n_contaminated"))
+            .withColumn("contamination_frac",
+                        F.col("n_contaminated") / F.col("n_grams")))

@@ -133,3 +133,45 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
             .distinct())
     return (acts.groupBy("cohort_week", "week_offset")
             .agg(F.count(F.lit(1)).alias("n_active_users")))
+
+
+def last_touch_attribution(events: DataFrame,
+                           conversion_type: str,
+                           touch_types: list[str],
+                           user_col: str = "user_id", ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           id_col: str = "event_id") -> DataFrame:
+    """Last-touch attribution: each conversion event credited to the
+    user's most recent STRICTLY-PRECEDING touch event (click/view/...),
+    NULL when the user converted with no prior touch.
+
+    One window shuffle on the user key; the "most recent preceding touch"
+    is ``last(touch, ignorenulls)`` over rows up to 1 before current — no
+    self-join of conversions against touches (the join formulation
+    re-shuffles both sides and explodes on users with many touches; the
+    window form is a single pass per user timeline). Order is totalized
+    with ``id_col`` so equal-timestamp events attribute deterministically
+    at any parallelism.
+
+    Returns one row per conversion: conversion id/ts plus the attributed
+    touch id, channel (its event type), and seconds since that touch.
+    """
+    w = (Window.partitionBy(user_col).orderBy(ts_col, id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_touch = F.col(type_col).isin(list(touch_types))
+    touch_id = F.last(F.when(is_touch, F.col(id_col)),
+                      ignorenulls=True).over(w)
+    touch_ts = F.last(F.when(is_touch, F.col(ts_col)),
+                      ignorenulls=True).over(w)
+    touch_ch = F.last(F.when(is_touch, F.col(type_col)),
+                      ignorenulls=True).over(w)
+    return (events
+            .withColumn("attr_touch_id", touch_id)
+            .withColumn("attr_channel", touch_ch)
+            .withColumn("secs_since_touch",
+                        F.floor((F.unix_micros(F.col(ts_col))
+                                 - F.unix_micros(touch_ts)) / 1_000_000)
+                        .cast("long"))
+            .where(F.col(type_col) == conversion_type)
+            .select(F.col(id_col), F.col(user_col), F.col(ts_col),
+                    "attr_touch_id", "attr_channel", "secs_since_touch"))

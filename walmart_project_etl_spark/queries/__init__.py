@@ -23,77 +23,77 @@ from . import core, funcs, llm, pipeline, trainprep
 _MODULES = (core, funcs, pipeline, llm, trainprep)
 
 #: Curated registration order. The driver's correctness harness records rows
-#: for (at most) the first 50 registry entries. Rounds 2+3 put driver rows on
-#: 93 entries (every operator family's representatives, the whole LLM
-#: surface); this round's window targets the never-driver-checked tail —
-#: the full pipe_* ODS→staging→target→BI family, the trainprep tail, the
-#: remaining SURVEY §2 F-rules, window/OLAP/events/streaming stragglers —
-#: plus the five r3 fixes that must re-prove (the three oracle-dtype
-#: hash-fails and the two formerly driver-uncheckable mm_* array queries).
-#: Deliberately left to local verification (tools/check_oracle.py + tests/,
-#: green both): f27/f28 (tiny deterministic stamp rules) and f30-f32 +
-#: pipe_f31_f32 + pipe_a08 + pipe_bi_returns_by_category (rows-only by
-#: design — a driver row adds only a row-count).
+#: for (at most) the first 50 registry entries. Rounds 2-4 put green driver
+#: rows on 143 distinct entries; this round's window (r5) leads with the
+#: eight entries that have never been driver-checked on current code (the
+#: five r4-new queries, j03/d03 whose code changed after their r2 rows, and
+#: the new real-codec query), then re-proves every query whose operator code
+#: was rewritten after the r4 driver run (dedup PPJoin shingle join,
+#: threshold-derived LSH banding, pointer-jumping connected components,
+#: streaming restart guard, real PPM/PGM/BMP decode), then breadth fill of
+#: the oldest surviving rows. Deliberately left to local verification
+#: (tools/check_oracle.py + tests/, green both): f30-f32 + pipe_f31_f32 +
+#: pipe_a08 + pipe_bi_returns_by_category (rows-only by design — a driver
+#: row adds only a row-count).
 _PRIORITY = (
-    # r3 fixes re-proving under the driver
-    "events_sessionization",
-    "events_json_extract",
-    "pipe_bi_kpi_totals",
+    # never driver-checked on current code (VERDICT r4 task 1)
+    "text_tfidf_top_terms",
+    "sample_token_budget",
+    "dedup_canonical_longest",
+    "s11_jsonl_roundtrip",
+    "sample_weighted_without_replacement",
+    "j03_anti_join_fk_check",
+    "d03_fact_append_idempotent",
+    "mm_real_decode_ppm",
+    # re-proofs: operators/dedup.py + graph.py rewrites (PPJoin prefix
+    # filter, threshold-derived LSH bands, pointer-jumping components)
+    "dedup_ngram_jaccard",
+    "dedup_cluster_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_incremental",
+    "dedup_decontaminate",
+    "dedup_fuzzy_blocked",
+    # re-proofs: operators/similarity.py (null-vector band codes)
+    "sim_cosine_topk",
+    "sim_lsh_ann_topk",
+    "sim_ivf_ann_topk",
+    "sim_embedding_centroids",
+    # re-proofs: operators/multimodal.py (real decode dispatcher)
+    "mm_image_meta",
+    "mm_frame_sampling",
     "mm_byte_histogram_features",
     "mm_resize_images",
-    # window family (never driver-checked)
-    "w02_moving_average",
-    "w03_rank_family",
-    # SURVEY §2 F-rules without a driver row
-    "f14_market_from_region",
-    "f15_supplier_type",
-    "f16_f17_return_reason_rules",
-    "f18_f21_sales_rules",
-    "f22_f23_return_timing",
-    "f24_f26_inventory_rules",
-    # full-pipeline ODS layer
-    "pipe_u01_f02_f03_ods_dates",
-    "pipe_a01_a02_f01_ods_customers",
-    "pipe_a09_f01_ods_products",
-    "pipe_f01_ods_stores",
-    "pipe_p03_p04_ods_sales",
-    # full-pipeline staging layer
-    "pipe_f07_f08_stg_customer_ages",
-    "pipe_f11_f13_stg_products",
-    "pipe_f14_stg_store_markets",
-    "pipe_f18_f21_stg_sales_metrics",
-    # BI acceptance queries
-    "pipe_bi_sales_by_category",
-    "pipe_bi_sales_by_state",
-    "pipe_bi_sales_by_segment",
-    "pipe_bi_sales_by_shipmode",
-    "pipe_bi_profit_by_year",
-    "pipe_bi_sales_by_agegroup",
-    "pipe_bi_net_revenue_by_region",
-    # target layer
-    "pipe_d01_d02_tgt_dim_counts",
-    "pipe_j08_j09_tgt_sales_by_category",
-    "pipe_d02_tgt_scd2_shape",
-    "pipe_j03_a04_quality_gates",
-    # events/OLAP/streaming stragglers
-    "events_funnel",
-    "events_cohort_retention",
-    "olap_cube_lineitem",
-    "olap_unpivot_metrics",
+    # re-proofs: streaming/jobs.py (checkpoint restart guard)
+    "stream_tumbling_window",
     "stream_foreachbatch_upsert",
     "stream_stream_join",
-    # text curation + trainprep tail
-    "text_curation_funnel",
-    "text_repetition_signals",
-    "text_chunk_windows",
-    "dedup_decontaminate",
-    "dedup_incremental",
-    "dedup_fuzzy_blocked",
-    "sim_embedding_centroids",
-    "sample_cap_per_source",
-    "sample_pack_sequences",
-    "text_unigram_logprob",
-    "clean_winsorize",
+    "stream_dedup_watermark",
+    "stream_stateful_user_stats",
+    "stream_session_window",
+    # first driver rows for the tiny deterministic stamp rules
+    "f27_change_fingerprint",
+    "f28_audit_stamps",
+    # breadth fill: oldest surviving rows on stable code
+    "text_stats_quality",
+    "text_langid",
+    "text_token_counts",
+    "text_filter_chain",
+    "sample_stratified",
+    "sample_hash_split",
+    "sample_weighted_mixture",
+    "events_asof_join",
+    "events_dedup_latest",
+    "events_sliding_window",
+    "olap_pivot_event_values",
+    "olap_rollup_lineitem",
+    "olap_percentiles",
+    "j11_range_band_join",
+    "sketch_approx_aggs",
+    "s10_partitioned_scan_pruning",
 )
 
 

@@ -948,3 +948,60 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64(F.concat_ws(",", F.col("pixels").cast("array<string>")))
          .alias("pixels_hash"),
         F.size("pixels").alias("n_pixels"))
+
+
+@q("events_attribution",
+   """WITH w AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_id END IGNORE NULLS)
+                 OVER lastw AS attr_touch_id,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                 OVER lastw AS attr_channel,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN ts END IGNORE NULLS)
+                 OVER lastw AS __touch_ts
+        FROM events
+        WINDOW lastw AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, ts, attr_touch_id, attr_channel,
+             CAST(floor((epoch_us(ts) - epoch_us(__touch_ts)) / 1000000)
+                  AS BIGINT) AS secs_since_touch
+      FROM w WHERE event_type = 'purchase'""")
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credited to the user's most
+    recent strictly-preceding click/view (NULL if none). Window form —
+    one shuffle on user_id, no conversions×touches self-join
+    (operators/events.py:last_touch_attribution)."""
+    ev = events_t(spark, sf_dir)
+    return events.last_touch_attribution(ev, "purchase", ["click", "view"])
+
+
+@q("olap_histogram",
+   """WITH mm AS (
+        SELECT l_returnflag, min(l_extendedprice) AS mn,
+               max(l_extendedprice) AS mx
+        FROM lineitem GROUP BY l_returnflag),
+      binned AS (
+        SELECT l.l_returnflag,
+               CAST(least(greatest(floor((l_extendedprice - mn)
+                                         / ((mx - mn) / 20.0)), 0), 19)
+                    AS INT) AS bin,
+               mn, mx
+        FROM lineitem l JOIN mm USING (l_returnflag)
+        WHERE l_extendedprice IS NOT NULL)
+      SELECT l_returnflag, bin, count(*) AS n_rows,
+             min(mn) + bin * ((min(mx) - min(mn)) / 20.0) AS bin_lo,
+             min(mn) + (bin + 1) * ((min(mx) - min(mn)) / 20.0) AS bin_hi
+      FROM binned GROUP BY l_returnflag, bin""")
+def olap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bin price histogram per return flag — the profiling
+    primitive for distribution dashboards / skew diagnosis. Edges derive
+    from min/max only (no float summation), so bin membership and edges
+    are bit-stable across engines (operators/cleaning.py:
+    equi_width_histogram)."""
+    from walmart_project_etl_spark.operators import cleaning
+    li = t(spark, sf_dir, "lineitem")
+    return cleaning.equi_width_histogram(li, "l_extendedprice", 20,
+                                         group_cols=["l_returnflag"])

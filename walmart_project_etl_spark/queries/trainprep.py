@@ -508,3 +508,125 @@ def sample_weighted_without_replacement(spark: SparkSession, sf_dir: str) -> Dat
                      n_tokens.cast("long").alias("n_tokens"))
     return sampling.weighted_sample_per_group(
         sized, "source", 5, "doc_id", "n_tokens")
+
+
+@q("clean_zscore",
+   """WITH mom AS (
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS s,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))
+                        * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS ss,
+               count(l_extendedprice) AS n
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_orderkey, l_linenumber, l.l_returnflag,
+             round(CASE WHEN n > 1 THEN
+               (l_extendedprice - s / CAST(n AS DOUBLE))
+               / sqrt((ss - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+             END, 6) AS price_z
+      FROM lineitem l JOIN mom USING (l_returnflag)""")
+def clean_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization of l_extendedprice over the return flag.
+    The moments accumulate in exact decimal (order-independent), so the
+    z-scores are parallelism-invariant; a 6-decimal round absorbs the
+    engines' last-ulp decimal→double conversion difference. Two passes,
+    broadcast moments, no second shuffle (operators/cleaning.py:zscore)."""
+    li = t(spark, sf_dir, "lineitem")
+    out = cleaning.zscore(li, "l_extendedprice",
+                          group_cols=["l_returnflag"], out_col="price_z")
+    # round(6): the decimal moments are exact, but each engine's
+    # decimal→double conversion may differ in the last ulp (~1e-16)
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag",
+                      F.round(F.col("price_z"), 6).alias("price_z"))
+
+
+@q("clean_quantile_bins",
+   """SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(ntile(10) OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) AS INT) AS price_bin
+      FROM lineitem""")
+def clean_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count decile binning of l_extendedprice per return flag
+    (difficulty-curriculum / monotone-binning primitive). Order pinned
+    with the fact's unique key so boundary ties are parallelism-proof
+    (operators/cleaning.py:quantile_bins)."""
+    li = t(spark, sf_dir, "lineitem")
+    out = cleaning.quantile_bins(li, "l_extendedprice", 10,
+                                 group_cols=["l_returnflag"],
+                                 tiebreak_cols=["l_orderkey", "l_linenumber"],
+                                 out_col="price_bin")
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag",
+                      "price_bin")
+
+
+@q("dedup_contamination_scores",
+   r"""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents),
+      bg AS (
+        SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+        FROM (SELECT w, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+              FROM tok WHERE doc_id % 20 = 0)),
+      cg AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, w,
+                     unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+              FROM tok))
+      SELECT cg.doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated,
+             CAST(sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) / count(*) AS contamination_frac
+      FROM cg LEFT JOIN bg ON cg.g = bg.g
+      GROUP BY cg.doc_id""")
+def dedup_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark contamination: per doc, the fraction of its
+    distinct word 8-grams appearing in the benchmark subset
+    (doc_id % 20 = 0) — the policy-thresholdable twin of the binary
+    decontaminate scrub (operators/dedup.py:contamination_scores)."""
+    d = t(spark, sf_dir, "documents")
+    benchmark = d.where(F.col("doc_id") % 20 == 0)
+    return dedup.contamination_scores(d, benchmark, "doc_id", "text", n=8)
+
+
+@q("profile_lineitem",
+   """SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+             CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_nulls,
+             count(DISTINCT l_quantity) AS n_distinct,
+             CAST(min(l_quantity) AS DOUBLE) AS min_val,
+             CAST(max(l_quantity) AS DOUBLE) AS max_val
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', count(*),
+             CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             count(DISTINCT l_extendedprice),
+             CAST(min(l_extendedprice) AS DOUBLE),
+             CAST(max(l_extendedprice) AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', count(*),
+             CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             count(DISTINCT l_discount),
+             CAST(min(l_discount) AS DOUBLE),
+             CAST(max(l_discount) AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', count(*),
+             CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             count(DISTINCT l_partkey),
+             CAST(min(l_partkey) AS DOUBLE),
+             CAST(max(l_partkey) AS DOUBLE)
+      FROM lineitem""")
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile of the fact table (nulls / exact distinct /
+    range per column) — the generalized form of the reference's per-table
+    quality probes (etl_quality_checks.py): k columns profiled in ONE wide
+    aggregate pass, not k scans (operators/profiling.py)."""
+    from walmart_project_etl_spark.operators import profiling
+    li = t(spark, sf_dir, "lineitem")
+    return profiling.profile_columns(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_partkey"])
