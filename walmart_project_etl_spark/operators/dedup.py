@@ -394,10 +394,21 @@ def embedding_lsh_pairs(df: DataFrame, id_col: str, vec_col: str,
 # --------------------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        k: int = 3, threshold: float = 0.5) -> DataFrame:
+                        k: int = 3, threshold: float = 0.5,
+                        unit: str = "char") -> DataFrame:
     """EXACT n-gram Jaccard pairs ≥ threshold, via prefix filtering
     (Bayardo et al. AllPairs / Xiao et al. PPJoin) instead of the naive
     explode-and-self-join-on-shingle.
+
+    ``unit`` picks the shingle alphabet: ``"char"`` (character k-grams)
+    or ``"word"`` (whitespace-token k-grams — what C4/RefinedWeb-style
+    corpus dedup uses). Prefix filtering is only as selective as the
+    shingle space is diverse: on a low-entropy corpus (tiny vocabulary,
+    e.g. templated/synthetic text) character k-grams are shared by nearly
+    every document and the candidate set degenerates toward all-pairs no
+    matter how the prefix is chosen, while word k-grams keep the space
+    ~vocabulary^k and the join linear. Prefer ``unit="word"`` for natural-
+    language dedup; ``"char"`` remains for fuzzy short-string matching.
 
     The naive plan's shuffle key is the shingle, and hot shingles (" the ")
     appear in nearly every document — a quadratic fan-out (82M joined rows
@@ -431,8 +442,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     all-pairs. For billion-doc corpora prefer ``minhash_dedup``
     (probabilistic) — this operator is the exact variant.
     """
+    shingle_fn = {"char": char_shingles, "word": word_ngrams}[unit]
     sh = df.select(F.col(id_col).alias("doc"),
-                   F.transform(char_shingles(text_col, k),
+                   F.transform(shingle_fn(text_col, k),
                                lambda x: F.xxhash64(x)).alias("shingles"))
     sized = sh.select("doc", F.size("shingles").alias("n_sh"), "shingles")
     exploded = sized.select("doc", "n_sh", F.explode("shingles").alias("shingle"))

@@ -299,10 +299,15 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
     """
     toks = F.split(F.lower(F.regexp_replace(_c(text_col), r"^\s+|\s+$", "")),
                    r"\s+")
+    # Feeds both the vocab build and the scoring join. NOT persist()ed:
+    # both consumers sit in the one returned plan, so Catalyst reuses the
+    # groupBy exchange (ReusedExchange) — an explicit persist would leak
+    # executor storage for the session lifetime because callers never
+    # unpersist a returned lazy plan (same hazard ADVICE r4 flagged for
+    # tfidf_top_terms).
     doc_tok = (df.select(F.col(id_col), F.explode(toks).alias("__t"))
                  .groupBy(id_col, "__t")
-                 .agg(F.count(F.lit(1)).alias("__c"))
-                 .persist())  # feeds both the vocab build and the scoring join
+                 .agg(F.count(F.lit(1)).alias("__c")))
     vocab = doc_tok.groupBy("__t").agg(F.sum("__c").alias("__vc"))
     total = vocab.agg(F.sum("__vc").alias("__total"))
     vocab = (vocab.crossJoin(F.broadcast(total))

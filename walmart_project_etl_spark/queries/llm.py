@@ -52,11 +52,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("dedup_ngram_jaccard",
-   """WITH pos AS (
-        SELECT doc_id, text,
-               unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
-        FROM documents),
-      sh AS (SELECT DISTINCT doc_id, substr(text, i::INT, 5) AS shingle FROM pos),
+   f"""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM {_DUPES_SQL} corpus),
+      pos AS (SELECT doc_id, w,
+                     unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+              FROM tok),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+             FROM pos),
       sized AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -67,13 +70,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM inter
       JOIN sized sa ON sa.doc_id = id_a
       JOIN sized sb ON sb.doc_id = id_b
-      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8""")
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.6""")
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (char 5-grams, threshold 0.8).
-    Shuffle key is the shingle — documented as the LSH-candidate-only
-    variant at scale."""
-    d = t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.8)
+    """Exact n-gram Jaccard near-dup pairs over the planted-dup corpus
+    (word 3-grams, threshold 0.6 — the C4/RefinedWeb-style shingle unit),
+    via the PPJoin prefix-filtered plan in operators/dedup.py. Word
+    shingles keep the prefix filter selective on low-entropy text where
+    char 5-grams are shared by nearly every document (all-pairs candidate
+    blowup — 97 s vs ~5 s at sf0.1 on this corpus)."""
+    corpus = _docs_with_dupes(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(corpus, "doc_id", "text",
+                                     k=3, threshold=0.6, unit="word")
 
 
 @q("dedup_minhash_lsh", None)  # xxhash64 signatures — rows-only

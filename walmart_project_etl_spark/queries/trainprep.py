@@ -49,15 +49,21 @@ _CHAINED_SQL = """(SELECT doc_id, text FROM documents
    SELECT doc_id + 200000, text || ' extra tail words here and then some more'
    FROM documents)"""
 
-# 5-gram Jaccard pairs over the chained corpus (same operator semantics as
-# dedup_ngram_jaccard, threshold 0.6)
+# word-3-gram Jaccard pairs over the chained corpus (same operator
+# semantics as dedup_ngram_jaccard, threshold 0.6). Word shingles, not
+# char: the synthetic corpus has a ~40-word vocabulary, so char 5-grams
+# are shared by nearly every document and the pair join degenerates
+# toward all-pairs (see ngram_jaccard_pairs docstring).
 _PAIRS_SQL = f"""
   WITH RECURSIVE corpus AS (SELECT * FROM {_CHAINED_SQL} c),
+  tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
   pos AS (
-    SELECT doc_id, text,
-           unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
-    FROM corpus),
-  sh AS (SELECT DISTINCT doc_id, substr(text, i::INT, 5) AS shingle FROM pos),
+    SELECT doc_id, w,
+           unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+    FROM tok),
+  sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+         FROM pos),
   sized AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
   inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -85,7 +91,7 @@ _PAIRS_SQL = f"""
   FROM (SELECT doc_id FROM """ + _CHAINED_SQL + """ u) c
   LEFT JOIN cc ON cc.id = c.doc_id""")
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dup-cluster resolution: 5-gram Jaccard pairs → connected components
+    """Dup-cluster resolution: word-3-gram Jaccard pairs → connected components
     (iterative min-label propagation) → canonical-per-cluster keep flags.
 
     The oracle computes the identical transitive closure with a recursive
@@ -94,8 +100,9 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this is a handful of linear passes at any corpus size.
     """
     corpus = _chained_corpus(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text",
-                                      k=5, threshold=0.6).select("id_a", "id_b")
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", k=3,
+                                      threshold=0.6, unit="word") \
+                 .select("id_a", "id_b")
     return graph.cluster_dedup(pairs, corpus, "doc_id")
 
 
@@ -463,15 +470,16 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
              ORDER BY n_tokens DESC, doc_id) = 1 AS is_canonical
   FROM labeled""")
 def dedup_canonical_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep-the-best dedup decision: cluster resolution (5-gram Jaccard
+    """Keep-the-best dedup decision: cluster resolution (word-3-gram Jaccard
     pairs → connected components) re-flagged so each cluster keeps its
     LONGEST member (ties → lowest id) — the standard keep-longest corpus
     rule; min-id canonicals would keep the base doc and throw away the
     suffix-extended copies this fixture plants. Oracle replays the full
     recursive-CTE closure + the same window, exact."""
     corpus = _chained_corpus(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text",
-                                      k=5, threshold=0.6).select("id_a", "id_b")
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", k=3,
+                                      threshold=0.6, unit="word") \
+                 .select("id_a", "id_b")
     labeled = graph.cluster_dedup(pairs, corpus, "doc_id").drop("is_canonical")
     n_tokens = F.size(F.split(
         F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"))
