@@ -1,0 +1,121 @@
+"""Unit tests for the r5 CDC / time-series / line-dedup operators on
+hand-built fixtures with independently computed expectations."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from walmart_project_etl_spark.operators import cdc, dedup, timeseries
+
+
+# ------------------------------------------------------------ snapshot_diff
+
+def _snapshots(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k int, s string, v double")
+    new = spark.createDataFrame(
+        [(2, "b", 20.0),          # unchanged
+         (3, "c2", 30.0),         # s changed
+         (4, None, 41.0),         # v changed, s null on both sides
+         (5, "e", 50.0)],         # insert
+        "k int, s string, v double")
+    return old, new
+
+
+def test_snapshot_diff_ops(spark):
+    old, new = _snapshots(spark)
+    got = {r["k"]: (r["op"], r["changed_cols"])
+           for r in cdc.snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: ("delete", []),
+        3: ("update", ["s"]),
+        4: ("update", ["v"]),
+        5: ("insert", []),
+    }  # k=2 unchanged -> absent
+
+
+def test_snapshot_diff_null_to_value_is_update(spark):
+    old = spark.createDataFrame([(1, None)], "k int, s string")
+    new = spark.createDataFrame([(1, "x")], "k int, s string")
+    [r] = cdc.snapshot_diff(old, new, ["k"]).collect()
+    assert (r["op"], r["changed_cols"]) == ("update", ["s"])
+
+
+def test_apply_diff_reaches_new_state(spark):
+    old, new = _snapshots(spark)
+    diff = cdc.snapshot_diff(old, new, ["k"])
+    applied = cdc.apply_diff(old, diff, new, ["k"])
+    assert sorted(map(tuple, applied.collect())) == \
+        sorted(map(tuple, new.collect()))
+
+
+# --------------------------------------------------------- gap_fill_forward
+
+def _d(s):
+    return datetime.date.fromisoformat(s)
+
+
+def test_gap_fill_densifies_and_carries_forward(spark):
+    df = spark.createDataFrame(
+        [("g", _d("2024-01-01"), 1), ("g", _d("2024-01-04"), 7),
+         ("h", _d("2024-03-10"), 5)],
+        "g string, d date, v int")
+    out = timeseries.gap_fill_forward(df, ["g"], "d", ["v"])
+    rows = {(r["g"], str(r["d"])): (r["v_filled"], r["is_observed"])
+            for r in out.collect()}
+    assert rows == {
+        ("g", "2024-01-01"): (1, True),
+        ("g", "2024-01-02"): (1, False),
+        ("g", "2024-01-03"): (1, False),
+        ("g", "2024-01-04"): (7, True),
+        ("h", "2024-03-10"): (5, True),   # singleton group: span of one day
+    }
+
+
+def test_gap_fill_is_observed_counts(spark):
+    df = spark.createDataFrame(
+        [("g", _d("2024-01-01"), 1), ("g", _d("2024-01-10"), 2)],
+        "g string, d date, v int")
+    out = timeseries.gap_fill_forward(df, ["g"], "d", ["v"]).collect()
+    assert len(out) == 10
+    assert sum(r["is_observed"] for r in out) == 2
+
+
+# -------------------------------------------------------------- dedup_lines
+
+def _line_corpus(spark):
+    return spark.createDataFrame(
+        [(1, "HEAD\nalpha beta\nFOOT"),
+         (2, "HEAD\ngamma delta\nFOOT"),
+         (3, "unique only")],
+        "doc_id int, text string")
+
+
+def test_dedup_lines_drops_shared_lines(spark):
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_lines(_line_corpus(spark), "doc_id", "text").collect()}
+    assert out[1]["text_clean"] == "alpha beta"
+    assert out[2]["text_clean"] == "gamma delta"
+    assert out[3]["text_clean"] == "unique only"
+    assert out[1]["n_lines"] == 3 and out[1]["n_dropped"] == 2
+    assert out[3]["n_lines"] == 1 and out[3]["n_dropped"] == 0
+
+
+def test_dedup_lines_keep_first_retains_one_copy(spark):
+    out = {r["doc_id"]: r["text_clean"] for r in
+           dedup.dedup_lines(_line_corpus(spark), "doc_id", "text",
+                             keep_first=True).collect()}
+    # doc 1 is the first occurrence of both boilerplate lines
+    assert out[1] == "HEAD\nalpha beta\nFOOT"
+    assert out[2] == "gamma delta"
+
+
+def test_dedup_lines_within_doc_repeat_not_dropped(spark):
+    # a line repeated WITHIN one doc only: doc-frequency 1, must survive
+    df = spark.createDataFrame([(1, "x\nx\ny")], "doc_id int, text string")
+    [r] = dedup.dedup_lines(df, "doc_id", "text").collect()
+    assert r["text_clean"] == "x\nx\ny"
+    assert r["n_dropped"] == 0

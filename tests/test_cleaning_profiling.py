@@ -118,3 +118,18 @@ def test_last_touch_attribution(spark):
     assert out[4]["attr_touch_id"] == 2 and out[4]["secs_since_touch"] == 200
     assert out[5]["attr_touch_id"] is None and out[5]["attr_channel"] is None
     assert out[5]["secs_since_touch"] is None
+
+
+def test_key_skew_profile(spark):
+    rows = [(i, "hot" if i < 80 else ("warm" if i < 95 else f"cold{i}"))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, k string")
+    out = {r["key_value"]: r for r in
+           profiling.key_skew_profile(df, ["k"], top_n=2).collect()}
+    assert set(out) == {"hot", "warm"}
+    hot = out["hot"]
+    assert hot["cnt"] == 80 and hot["rank"] == 1
+    assert hot["n_keys"] == 7  # hot, warm, cold95..cold99
+    assert hot["share"] == 0.8
+    assert hot["skew_ratio"] == round(80 * 7 / 100, 6)
+    assert out["warm"]["cum_share"] == 0.95

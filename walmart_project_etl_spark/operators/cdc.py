@@ -1,0 +1,73 @@
+"""Snapshot change-data-capture: diff two table states into a change feed.
+
+Beyond-reference surface, but directly motivated by the reference's load
+pattern: its SCD1/SCD2 loaders (``etl_target_loader.py:86-151``) consume a
+full re-extract every run and let MERGE discover what changed. At 100 TB a
+full-snapshot MERGE rewrites the world; the scalable pattern is to *derive*
+the insert/update/delete feed once (this operator) and apply that delta —
+which is also exactly the feed a downstream incremental consumer (indexer,
+cache, aggregate) wants.
+
+One full outer join on the business key — a single co-partitioned shuffle
+on both sides, linear at any scale, no window functions, no collect. The
+changed-column list is computed with null-safe per-column comparisons in
+the same projection (whole-stage codegen, no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Diff two snapshots of the same table into an op feed.
+
+    Returns one row per key present in either snapshot whose state
+    changed: the key columns, ``op`` ∈ {'insert','delete','update'}, and
+    ``changed_cols`` — the sorted list of compared columns whose values
+    differ (null-safe; empty for insert/delete). Unchanged keys are
+    dropped (the common case at 100 TB — the output is delta-sized, not
+    snapshot-sized).
+
+    ``compare_cols`` defaults to every shared non-key column.
+    """
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+
+    o = old.select(*keys, F.lit(True).alias("__in_old"),
+                   *[F.col(c).alias(f"__o_{c}") for c in compare_cols])
+    n = new.select(*keys, F.lit(True).alias("__in_new"),
+                   *[F.col(c).alias(f"__n_{c}") for c in compare_cols])
+    j = o.join(n, keys, "full_outer")
+
+    changed = F.array_sort(F.concat(*[
+        F.when(~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")),
+               F.array(F.lit(c))).otherwise(F.array().cast("array<string>"))
+        for c in compare_cols])) if compare_cols else \
+        F.array().cast("array<string>")
+
+    op = (F.when(F.col("__in_old").isNull(), F.lit("insert"))
+           .when(F.col("__in_new").isNull(), F.lit("delete"))
+           .when(F.size(changed) > 0, F.lit("update")))
+    return (j.select(*keys, op.alias("op"),
+                     F.when(op == "update", changed)
+                      .otherwise(F.array().cast("array<string>"))
+                      .alias("changed_cols"))
+             .where(F.col("op").isNotNull()))
+
+
+def apply_diff(target: DataFrame, diff: DataFrame, source: DataFrame,
+               keys: list[str]) -> DataFrame:
+    """Apply a :func:`snapshot_diff` feed to a target: delete the deleted
+    keys, upsert the inserted/updated keys from ``source`` (the new
+    snapshot). Equivalent to MERGE but driven by the delta — the target
+    is scanned once, and only delta keys shuffle.
+    """
+    touched = diff.select(*keys, "op")
+    kept = target.join(touched, keys, "left_anti")
+    upserts = source.join(
+        touched.where(F.col("op") != "delete").select(*keys), keys, "left_semi")
+    return kept.unionByName(upserts)

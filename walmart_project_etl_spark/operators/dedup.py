@@ -573,3 +573,60 @@ def contamination_scores(corpus: DataFrame, benchmark: DataFrame,
                   .alias("n_contaminated"))
             .withColumn("contamination_frac",
                         F.col("n_contaminated") / F.col("n_grams")))
+
+
+# --------------------------------------------------------------- line-level dedup
+
+def dedup_lines(df: DataFrame, id_col: str, text_col: str,
+                delim: str = "\n", min_count: int = 2,
+                keep_first: bool = False) -> DataFrame:
+    """Corpus-wide line-level dedup (CCNet/RefinedWeb boilerplate removal):
+    drop every line whose exact content appears in ``min_count`` or more
+    documents — cookie banners, nav bars, "subscribe" footers — and
+    reassemble each document from its surviving lines in original order.
+
+    ``keep_first=True`` instead keeps the single earliest occurrence
+    (lowest doc id, then line index) of each duplicated line — the exact
+    CCNet rule — rather than dropping all copies.
+
+    Scale shape (one linear pipeline, no all-pairs anything):
+
+    1. ``posexplode`` the split text → one row per (doc, line_idx, line).
+    2. Line-frequency ``groupBy`` on the md5 of the line — a uniform
+       128-bit shuffle key, so the classic skew trap (the empty line
+       appearing in every document) never concentrates rows: the AGGREGATE
+       is what collapses hot lines, after map-side partial aggregation.
+    3. Join the per-line doc-frequency (and, for ``keep_first``, the
+       corpus-wide first occurrence) back onto the exploded rows by
+       digest, filter, and ``collect_list(sort_array(struct(idx, line)))``
+       per doc to reassemble.
+
+    Returns ``(id_col, text_clean, n_lines, n_dropped)``; documents whose
+    every line was dropped keep an empty string.
+    """
+    c = F.col
+    lines = (df.select(c(id_col), F.posexplode(F.split(c(text_col), delim))
+                       .alias("__idx", "__line"))
+               .withColumn("__d", F.md5(c("__line"))))
+    freq = (lines.groupBy("__d")
+            .agg(F.count_distinct(c(id_col)).alias("__docs"),
+                 F.min(F.struct(c(id_col).alias("__fid"),
+                                c("__idx").alias("__fidx"))).alias("__first")))
+    joined = lines.join(freq, "__d")
+    if keep_first:
+        survives = (c("__docs") < min_count) | (
+            (c(id_col) == c("__first.__fid")) & (c("__idx") == c("__first.__fidx")))
+    else:
+        survives = c("__docs") < min_count
+    flagged = joined.select(c(id_col), "__idx", "__line",
+                            survives.alias("__keep"))
+    return (flagged.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(c("__keep"),
+                                    F.struct(c("__idx"), c("__line"))))),
+                         lambda s: s["__line"]),
+                     delim).alias("text_clean"),
+                 F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.when(~c("__keep"), 1).otherwise(0)).alias("n_dropped")))

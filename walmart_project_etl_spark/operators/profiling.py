@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -46,3 +47,45 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "(col_name, n_nulls, n_distinct, min_val, max_val)",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct",
              "min_val", "max_val")
+
+
+def key_skew_profile(df: DataFrame, key_cols: list[str],
+                     top_n: int = 10) -> DataFrame:
+    """Shuffle-skew diagnostic for a prospective join/groupBy key: the
+    ``top_n`` heaviest key values with their share of the table and the
+    skew ratio versus a perfectly uniform key.
+
+    This is the profile to run BEFORE keying a 100 TB shuffle — a
+    ``skew_ratio`` in the hundreds means the hottest key's partition will
+    straggle and the key needs salting (operators/skew.py) or AQE skew
+    handling.
+
+    One groupBy on the key (map-side partial agg collapses hot keys
+    early — counting a skewed key is cheap even when joining on it is
+    not), one single-row global aggregate broadcast back, one top-n
+    window over the key-count table (already collapsed to distinct-key
+    size). Returns ``(key_value string, cnt, share, cum_share, rank,
+    n_keys, skew_ratio)`` — ``skew_ratio`` = cnt / (n_rows / n_keys).
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.groupBy(key.alias("key_value")) \
+               .agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(F.sum("cnt").alias("__rows"),
+                        F.count(F.lit(1)).alias("__keys"))
+    # orderBy+limit -> TakeOrderedAndProject: a DISTRIBUTED top-n (each
+    # partition keeps n, driver merges n*partitions rows) — never a
+    # global sort, even with billions of distinct keys. The rank/cum-share
+    # window then runs over just these top_n rows.
+    top = counts.orderBy(F.desc("cnt"), F.asc("key_value")).limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), F.asc("key_value"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    return (ranked.crossJoin(F.broadcast(totals))
+            .select("key_value", "cnt",
+                    F.round(F.col("cnt") / F.col("__rows"), 6).alias("share"),
+                    F.round(F.sum("cnt").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0))
+                        / F.col("__rows"), 6).alias("cum_share"),
+                    "rank",
+                    F.col("__keys").alias("n_keys"),
+                    F.round(F.col("cnt") * F.col("__keys") / F.col("__rows"), 6)
+                     .alias("skew_ratio")))

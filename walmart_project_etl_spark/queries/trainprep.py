@@ -638,3 +638,177 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return profiling.profile_columns(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_partkey"])
+
+
+# ------------------------------------------------- line-level dedup / CDC / ts
+
+@q("dedup_boilerplate_lines",
+   r"""WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'SUBSCRIBE NOW' || chr(10) || text || chr(10)
+                         || 'copyright footer 2020'
+                    ELSE text END AS text
+        FROM documents),
+      lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+      pos AS (SELECT doc_id, ls,
+                     unnest(range(1, len(ls) + 1)) AS i
+              FROM lx),
+      lines AS (SELECT doc_id, i AS idx, ls[i::INT] AS line FROM pos),
+      freq AS (SELECT line, count(DISTINCT doc_id) AS docs
+               FROM lines GROUP BY line),
+      joined AS (SELECT l.doc_id, l.idx, l.line, f.docs
+                 FROM lines l JOIN freq f USING (line))
+      SELECT doc_id,
+             coalesce(string_agg(line, chr(10) ORDER BY idx)
+                        FILTER (WHERE docs < 2), '') AS text_clean,
+             count(*) AS n_lines,
+             CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+      FROM joined GROUP BY doc_id""")
+def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level dedup (CCNet/RefinedWeb boilerplate
+    removal): every line appearing in ≥2 documents is dropped and the
+    documents reassembled from the survivors. Fixture plants a shared
+    header + footer on every even doc — the operator must strip exactly
+    those while preserving each unique body (operators/dedup.py:
+    dedup_lines; one md5-keyed line shuffle, no all-pairs)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat_ws("\n", F.lit("SUBSCRIBE NOW"), F.col("text"),
+                           F.lit("copyright footer 2020")))
+         .otherwise(F.col("text")).alias("text"))
+    out = dedup.dedup_lines(corpus, "doc_id", "text", min_count=2)
+    return out.select("doc_id", "text_clean",
+                      F.col("n_lines").cast("long").alias("n_lines"),
+                      F.col("n_dropped").cast("long").alias("n_dropped"))
+
+
+@q("cdc_snapshot_diff",
+   """WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 11 <> 0),
+      new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 17 = 0 THEN 'R'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 13 <> 0),
+      j AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               o.o_orderkey IS NOT NULL AS in_old,
+               n.o_orderkey IS NOT NULL AS in_new,
+               list_sort(
+                 (CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                       THEN ['o_orderstatus'] ELSE []::VARCHAR[] END)
+                 || (CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                          THEN ['o_totalprice'] ELSE []::VARCHAR[] END)
+                 || (CASE WHEN o.o_orderpriority
+                               IS DISTINCT FROM n.o_orderpriority
+                          THEN ['o_orderpriority'] ELSE []::VARCHAR[] END))
+                 AS ch
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+      SELECT o_orderkey,
+             CASE WHEN NOT in_old THEN 'insert'
+                  WHEN NOT in_new THEN 'delete'
+                  ELSE 'update' END AS op,
+             CASE WHEN in_old AND in_new THEN array_to_string(ch, ',')
+                  ELSE '' END AS changed_cols
+      FROM j
+      WHERE (NOT in_old) OR (NOT in_new) OR len(ch) > 0""")
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC: diff yesterday's vs today's orders extract into the
+    insert/delete/update feed with per-row changed-column lists — the
+    delta-sized feed that replaces full-snapshot MERGE at 100 TB
+    (operators/cdc.py; one co-partitioned full outer join)."""
+    from walmart_project_etl_spark.operators import cdc
+    orders = t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    old = orders.where(F.col("o_orderkey") % 11 != 0).select(*cols)
+    new = orders.where(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit("R"))
+         .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2)
+         .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderpriority")
+    diff = cdc.snapshot_diff(old, new, ["o_orderkey"])
+    return diff.select("o_orderkey", "op",
+                       F.array_join("changed_cols", ",").alias("changed_cols"))
+
+
+@q("ts_gap_fill_locf",
+   """WITH sparse AS (SELECT * FROM orders WHERE o_orderkey % 50 = 0),
+      daily AS (SELECT o_orderpriority, o_orderdate,
+                       count(*) AS n_orders, max(o_totalprice) AS max_price
+                FROM sparse GROUP BY 1, 2),
+      bounds AS (SELECT o_orderpriority, min(o_orderdate) AS lo,
+                        max(o_orderdate) AS hi
+                 FROM daily GROUP BY 1),
+      spine AS (SELECT o_orderpriority,
+                       unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                              INTERVAL 1 DAY))::DATE
+                         AS o_orderdate
+                FROM bounds),
+      j AS (SELECT s.o_orderpriority, s.o_orderdate, d.n_orders, d.max_price,
+                   d.o_orderdate IS NOT NULL AS is_observed
+            FROM spine s LEFT JOIN daily d
+              USING (o_orderpriority, o_orderdate))
+      SELECT o_orderpriority, o_orderdate,
+             last_value(n_orders IGNORE NULLS) OVER w AS n_orders_filled,
+             last_value(max_price IGNORE NULLS) OVER w AS max_price_filled,
+             is_observed
+      FROM j
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward fill: a sparse per-priority daily
+    order series is expanded to every day of each priority's own span and
+    the metrics carried forward (LOCF) across the introduced gaps
+    (operators/timeseries.py — per-group sequence() spine, no global
+    calendar cross join, one window for the fill)."""
+    from walmart_project_etl_spark.operators import timeseries
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    daily = (orders.groupBy("o_orderpriority", "o_orderdate")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.max("o_totalprice").alias("max_price")))
+    out = timeseries.gap_fill_forward(daily, ["o_orderpriority"],
+                                      "o_orderdate",
+                                      ["n_orders", "max_price"])
+    return out.select("o_orderpriority", "o_orderdate", "n_orders_filled",
+                      "max_price_filled", "is_observed")
+
+
+@q("profile_key_skew",
+   """WITH counts AS (SELECT l_returnflag::VARCHAR AS key_value,
+                             count(*) AS cnt
+                      FROM lineitem GROUP BY 1),
+      tot AS (SELECT sum(cnt) AS n_rows, count(*) AS n_keys FROM counts),
+      ranked AS (SELECT key_value, cnt,
+                        row_number() OVER (ORDER BY cnt DESC, key_value)
+                          AS rank,
+                        sum(cnt) OVER (ORDER BY cnt DESC, key_value
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+                 FROM counts QUALIFY rank <= 5)
+      SELECT key_value, cnt, round(cnt / n_rows, 6) AS share,
+             round(cum / n_rows, 6) AS cum_share,
+             CAST(rank AS BIGINT) AS rank, n_keys,
+             round(cnt * n_keys / n_rows, 6) AS skew_ratio
+      FROM ranked, tot""")
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile of a prospective shuffle key (l_returnflag): top-5
+    heaviest values with share / cumulative share / skew ratio vs a
+    uniform key — the pre-join diagnostic that decides whether a key
+    needs salting (operators/profiling.py:key_skew_profile; distributed
+    TakeOrderedAndProject top-n, never a global sort)."""
+    from walmart_project_etl_spark.operators import profiling
+    li = t(spark, sf_dir, "lineitem")
+    out = profiling.key_skew_profile(li, ["l_returnflag"], top_n=5)
+    return out.select("key_value", "cnt", "share", "cum_share",
+                      F.col("rank").cast("long").alias("rank"),
+                      "n_keys", "skew_ratio")
