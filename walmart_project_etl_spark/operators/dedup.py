@@ -446,7 +446,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sh = df.select(F.col(id_col).alias("doc"),
                    F.transform(shingle_fn(text_col, k),
                                lambda x: F.xxhash64(x)).alias("shingles"))
-    sized = sh.select("doc", F.size("shingles").alias("n_sh"), "shingles")
+    # The shingle table feeds FOUR consumers (frequency agg, prefix
+    # window, and both sides of the verify join); none of them shares an
+    # exchange, so without materialization the shingling subtree — the
+    # single most expensive map in the pipeline — is recomputed once per
+    # consumer (~4× wall on a 6.7k-doc corpus). A lazy localCheckpoint
+    # computes it once into executor-local storage and is released when
+    # the plan is garbage-collected (unlike DataFrame.persist, which pins
+    # an entry in the cache manager that returned-lazy-plan callers never
+    # unpersist — the ADVICE r4 leak).
+    sized = (sh.select("doc", F.size("shingles").alias("n_sh"), "shingles")
+               .localCheckpoint(eager=False))
     exploded = sized.select("doc", "n_sh", F.explode("shingles").alias("shingle"))
 
     freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
