@@ -77,6 +77,11 @@ _PRIORITY = (
     # first driver rows for the tiny deterministic stamp rules
     "f27_change_fingerprint",
     "f28_audit_stamps",
+    # r5-new operators (exact oracles, no driver row yet)
+    "dedup_boilerplate_lines",
+    "cdc_snapshot_diff",
+    "ts_gap_fill_locf",
+    "profile_key_skew",
     # breadth fill: oldest surviving rows on stable code
     "text_stats_quality",
     "text_langid",
@@ -84,15 +89,11 @@ _PRIORITY = (
     "text_filter_chain",
     "sample_stratified",
     "sample_hash_split",
-    "sample_weighted_mixture",
     "events_asof_join",
     "events_dedup_latest",
-    "events_sliding_window",
     "olap_pivot_event_values",
     "olap_rollup_lineitem",
-    "olap_percentiles",
     "j11_range_band_join",
-    "sketch_approx_aggs",
     "s10_partitioned_scan_pruning",
 )
 

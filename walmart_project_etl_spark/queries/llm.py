@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from walmart_project_etl_spark.operators import (dedup, events, multimodal,
                                                  similarity, text)
@@ -798,6 +799,60 @@ def olap_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n"),
                  F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,6)")), 2)
                   .cast("double").alias("sum_price")))
+
+
+@q("olap_grouping_sets_orders",
+   """SELECT o_orderpriority, o_orderstatus,
+             grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS gid,
+             count(*) AS n,
+             round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2)::DOUBLE
+               AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""")
+def olap_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-priority totals, per-status totals, and
+    the grand total in ONE scan — the hand-picked-levels variant of
+    rollup/cube (same Expand + partial-agg plan, fanout = number of sets,
+    so the cost is levels x one pass, never levels x scans)."""
+    o = t(spark, sf_dir, "orders")
+    return (o.groupingSets([["o_orderpriority"], ["o_orderstatus"], []],
+                           "o_orderpriority", "o_orderstatus")
+            .agg((F.grouping("o_orderpriority") * 2
+                  + F.grouping("o_orderstatus")).alias("gid"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2)
+                  .cast("double").alias("sum_price")))
+
+
+@q("ts_yoy_growth",
+   """WITH monthly AS (
+        SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+               count(*) AS n_orders,
+               round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2)::DOUBLE
+                 AS revenue
+        FROM orders GROUP BY 1, 2)
+      SELECT y, m, n_orders, revenue,
+             lag(revenue) OVER (PARTITION BY m ORDER BY y) AS revenue_prev_yr,
+             round(revenue - lag(revenue) OVER (PARTITION BY m ORDER BY y), 2)
+               AS yoy_diff
+      FROM monthly""")
+def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year comparison: monthly revenue joined to the same month
+    one year earlier via lag() partitioned by month-of-year — no self-join,
+    one window over the (tiny) month-grain aggregate. Decimal-domain sums
+    keep the revenue exact across engines."""
+    o = t(spark, sf_dir, "orders")
+    monthly = (o.groupBy(F.year("o_orderdate").alias("y"),
+                         F.month("o_orderdate").alias("m"))
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")),
+                            2).cast("double").alias("revenue")))
+    w = Window.partitionBy("m").orderBy("y")
+    return monthly.select(
+        "y", "m", "n_orders", "revenue",
+        F.lag("revenue").over(w).alias("revenue_prev_yr"),
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2)
+         .alias("yoy_diff"))
 
 
 @q("olap_time_rollup_events",
