@@ -119,3 +119,37 @@ def test_dedup_lines_within_doc_repeat_not_dropped(spark):
     [r] = dedup.dedup_lines(df, "doc_id", "text").collect()
     assert r["text_clean"] == "x\nx\ny"
     assert r["n_dropped"] == 0
+
+
+# ---------------------------------------------------------------- compaction
+
+def test_compact_merges_small_files(spark, tmp_path):
+    from walmart_project_etl_spark.sources.catalog import Warehouse
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.range(0, 10000).selectExpr("id", "id % 7 AS k")
+    wh.write("ods", "t", df.repartition(64))  # 64 tiny files
+    import glob
+    assert len(glob.glob(f"{tmp_path}/ods/t/*.parquet")) == 64
+    n = wh.compact("ods", "t", target_file_bytes=10 * 1024 * 1024)
+    files = glob.glob(f"{tmp_path}/ods/t/*.parquet")
+    assert len(files) == n == 1
+    assert wh.read("ods", "t").count() == 10000
+
+
+def test_compact_range_clusters(spark, tmp_path):
+    from walmart_project_etl_spark.sources.catalog import Warehouse
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.range(0, 50000).selectExpr("id", "cast(id % 1000 as int) AS k")
+    wh.write("ods", "t", df.repartition(32))
+    wh.compact("ods", "t", target_file_bytes=100 * 1024, sort_cols=["k"])
+    # range clustering = per-file [min(k), max(k)] spans must not overlap
+    # (that's exactly what lets parquet footer stats skip whole files)
+    got = (wh.read("ods", "t")
+           .withColumn("f", F.input_file_name())
+           .groupBy("f")
+           .agg(F.min("k").alias("lo"), F.max("k").alias("hi")))
+    spans = sorted((r["lo"], r["hi"]) for r in got.collect())
+    assert len(spans) > 1  # target size forces a multi-file layout
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+    assert wh.read("ods", "t").count() == 50000

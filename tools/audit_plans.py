@@ -64,6 +64,13 @@ ALLOW = {
     # partial aggregates (≤ cores rows) into the 1-row wide profile, which
     # stack() then unpivots to k rows — the global-aggregate contract
     "profile_lineitem": {"Exchange SinglePartition (non-scalar result)"},
+    # top-n skew profile: TakeOrderedAndProject keeps the top-n
+    # distributed; the only SinglePartition carries those ≤ top_n rows
+    # into the rank/cum-share window, and the BNLJ is the 1-row
+    # (n_rows, n_keys) totals aggregate crossJoined back — both bounded
+    # by top_n, never data-sized
+    "profile_key_skew": {"BroadcastNestedLoopJoin",
+                         "Exchange SinglePartition (non-scalar result)"},
 }
 
 HAZARDS = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -505,6 +505,24 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "ts", "event_type", "value")
 
 
+@q("stream_static_enrich",
+   """SELECT date_trunc('hour', ts) AS window_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+             n_name, count(*) AS n_events,
+             round(sum(CAST(value AS DECIMAL(28,6))), 2)::DOUBLE AS sum_value
+      FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+      GROUP BY 1, 2, 3""")
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static join: the event stream enriched with a BROADCAST
+    nation dimension (stateless join — no state store), then watermarked
+    tumbling counts per nation (streaming/jobs.py:stream_enrich_tumbling).
+    The oracle is the equivalent batch star-join aggregation."""
+    from walmart_project_etl_spark.streaming import stream_enrich_tumbling
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return stream_enrich_tumbling(spark, events_dir(spark, sf_dir),
+                                  nation, "n_nationkey", "n_name")
+
+
 @q("stream_stream_join",
    """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
              v.ts AS view_ts, c.ts AS click_ts

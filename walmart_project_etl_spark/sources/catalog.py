@@ -116,6 +116,37 @@ class Warehouse:
            .format("parquet")
            .saveAsTable(name))
 
+    def compact(self, layer: str, table: str,
+                target_file_bytes: int = 128 * 1024 * 1024,
+                sort_cols: list[str] | None = None) -> int:
+        """Small-file compaction: rewrite the table into ~``target_file_bytes``
+        files, optionally range-clustered on ``sort_cols``.
+
+        Streaming sinks and incremental appends accrete micro-batch-sized
+        files; at 100 TB an uncompacted table means millions of sub-MB
+        files — catastrophic for scan planning (one task per file) and
+        object-store listing. Target partition count comes from the
+        table's ACTUAL on-disk bytes (filesystem metadata, no data scan);
+        with ``sort_cols`` the rewrite is ``repartitionByRange`` +
+        ``sortWithinPartitions``, which clusters the data so parquet
+        min/max footer stats make later range filters skip whole files.
+        Returns the new file-partition count. Uses the replace two-step,
+        so readers of the old files are unaffected until the swap.
+        """
+        path = self.path(layer, table)
+        total = sum(os.path.getsize(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(path) for f in fs
+                    if f.endswith(".parquet"))
+        n = max(1, -(-total // target_file_bytes))  # ceil
+        df = self.read(layer, table)
+        if sort_cols:
+            df = (df.repartitionByRange(n, *sort_cols)
+                    .sortWithinPartitions(*sort_cols))
+        else:
+            df = df.coalesce(n)  # narrow — no shuffle to merge small files
+        self.replace(layer, table, df)
+        return n
+
     def read(self, layer: str, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(layer, table))
 

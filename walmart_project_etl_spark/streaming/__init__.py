@@ -12,10 +12,10 @@ backfill with identical code. The same queries run against Kafka by
 swapping the reader — nothing else changes.
 """
 
-from .jobs import (stream_dedup_within_watermark, stream_latest_per_user,
-                   stream_stream_attribution_join, stream_tumbling_counts,
-                   stream_upsert_latest)
+from .jobs import (stream_dedup_within_watermark, stream_enrich_tumbling,
+                   stream_latest_per_user, stream_stream_attribution_join,
+                   stream_tumbling_counts, stream_upsert_latest)
 
 __all__ = ["stream_tumbling_counts", "stream_latest_per_user",
            "stream_dedup_within_watermark", "stream_stream_attribution_join",
-           "stream_upsert_latest"]
+           "stream_upsert_latest", "stream_enrich_tumbling"]

@@ -90,6 +90,37 @@ def stream_latest_per_user(spark: SparkSession, events_path: str,
                       F.col("latest.value").alias("value"))
 
 
+def stream_enrich_tumbling(spark: SparkSession, events_path: str,
+                           dim: DataFrame, dim_key: str, label_col: str,
+                           window_duration: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Stream-static enrich: join the event stream to a BROADCAST static
+    dimension (stateless — no watermark bookkeeping on the static side,
+    no state store), then tumbling-window counts per dimension label.
+
+    This is the canonical streaming star-join shape at scale: the dim is
+    broadcast once per micro-batch, so the stream side never shuffles for
+    the join; the only stateful operator is the windowed aggregation.
+    The stream's join key must be a column named ``__k`` — callers derive
+    it with ``F.pmod``/expressions before calling, or rely on the default
+    ``user_id % dim_count`` mapping the query layer uses.
+    """
+    ev = _read_events_stream(spark, events_path).withWatermark("ts", watermark)
+    n_dim = dim.count()  # static side: counting it is a one-off batch job
+    enriched = (ev.withColumn("__k", F.col("user_id") % F.lit(n_dim))
+                .join(F.broadcast(dim.select(F.col(dim_key).alias("__k"),
+                                             F.col(label_col))), "__k"))
+    agg = (enriched.groupBy(F.window("ts", window_duration).alias("win"),
+                            label_col)
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+                 .cast("double").alias("sum_value")))
+    out = _run_available_now(agg, "stream_enrich")
+    return out.select(F.col("win.start").alias("window_start"),
+                      F.col("win.end").alias("window_end"),
+                      label_col, "n_events", "sum_value")
+
+
 def stream_upsert_latest(spark: SparkSession, events_path: str,
                          warehouse_root: str,
                          max_files_per_trigger: int = 2,
