@@ -133,3 +133,28 @@ def test_key_skew_profile(spark):
     assert hot["share"] == 0.8
     assert hot["skew_ratio"] == round(80 * 7 / 100, 6)
     assert out["warm"]["cum_share"] == 0.95
+
+
+def test_mad_outliers_matches_numpy(spark):
+    import numpy as np
+    vals = [10.0, 11.0, 12.0, 10.5, 11.5, 500.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id int, x double")
+    out = {r["id"]: (r["x_rz"], r["is_outlier"])
+           for r in cleaning.mad_outliers(df, "x").collect()}
+    med = np.median(vals)
+    mad = np.median(np.abs(np.array(vals) - med))
+    for i, v in enumerate(vals):
+        rz = round(0.6745 * (v - med) / mad, 6)
+        assert abs(out[i][0] - rz) < 1e-9
+        assert out[i][1] == (abs(rz) > 3.5)
+    assert out[5][1] is True and out[0][1] is False
+
+
+def test_mad_outliers_zero_mad_is_null(spark):
+    df = spark.createDataFrame([(i, 5.0) for i in range(4)] + [(9, 99.0)],
+                               "id int, x double")
+    out = {r["id"]: (r["x_rz"], r["is_outlier"])
+           for r in cleaning.mad_outliers(df, "x").collect()}
+    # median=5, deviations [0,0,0,0,94] -> MAD=0: scores NULL, flags False
+    assert all(rz is None and flag is False for rz, flag in out.values())

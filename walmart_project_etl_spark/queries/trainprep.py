@@ -783,6 +783,34 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "max_price_filled", "is_observed")
 
 
+@q("clean_mad_outliers",
+   """WITH med AS (SELECT l_returnflag, median(l_extendedprice) AS m
+                   FROM lineitem GROUP BY 1),
+      dev AS (SELECT l.l_returnflag,
+                     median(abs(l.l_extendedprice - med.m)) AS mad
+              FROM lineitem l JOIN med USING (l_returnflag)
+              GROUP BY 1)
+      SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+             CASE WHEN dev.mad > 0
+                  THEN round(0.6745 * (l.l_extendedprice - med.m) / dev.mad, 6)
+             END AS l_extendedprice_rz,
+             coalesce(abs(round(0.6745 * (l.l_extendedprice - med.m)
+                                / dev.mad, 6)) > 3.5, FALSE) AS is_outlier
+      FROM lineitem l
+      JOIN med USING (l_returnflag) JOIN dev USING (l_returnflag)""")
+def clean_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags on l_extendedprice per return flag: modified
+    z-score 0.6745*(x - median)/MAD (Iglewicz-Hoaglin) - the center and
+    scale a single wild value cannot drag, unlike clean_zscore
+    (operators/cleaning.py:mad_outliers; two group-keyed median passes +
+    broadcast joins, oracle-exact interpolated medians)."""
+    li = t(spark, sf_dir, "lineitem")
+    out = cleaning.mad_outliers(li, "l_extendedprice",
+                                group_cols=["l_returnflag"], threshold=3.5)
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag",
+                      "l_extendedprice", "l_extendedprice_rz", "is_outlier")
+
+
 @q("profile_key_skew",
    """WITH counts AS (SELECT l_returnflag::VARCHAR AS key_value,
                              count(*) AS cnt
