@@ -89,6 +89,35 @@ def _op_tfidf(spark, df):
     return text.tfidf_top_terms(df, "doc_id", "text", k=5)
 
 
+def _op_dedup_lines(spark, df):
+    from walmart_project_etl_spark.operators import dedup
+    corpus = df.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat_ws("\n", F.lit("HDR"), F.col("text"), F.lit("FTR")))
+         .otherwise(F.col("text")).alias("text"))
+    return dedup.dedup_lines(corpus, "doc_id", "text", keep_first=True)
+
+
+def _op_gap_fill(spark, df):
+    from walmart_project_etl_spark.operators import timeseries
+    daily = (df.groupBy("o_orderpriority", "o_orderdate")
+             .agg(F.count(F.lit(1)).alias("n")))
+    return timeseries.gap_fill_forward(daily, ["o_orderpriority"],
+                                       "o_orderdate", ["n"])
+
+
+def _op_incr_agg(spark, df):
+    from walmart_project_etl_spark.operators import incremental
+    keys = ["l_returnflag", "l_linestatus"]
+    base = df.where(F.col("l_orderkey") % 3 != 0)
+    delta = df.where(F.col("l_orderkey") % 3 == 0)
+    state = incremental.merge_agg_state(
+        incremental.agg_state(base, keys, "l_extendedprice"),
+        incremental.agg_state(delta, keys, "l_extendedprice"), keys)
+    return incremental.finalize(state, keys)
+
+
 CASES = {
     "sessionize": (_events, _op_sessionize),
     "stratified_sample": (_docs, _op_stratified),
@@ -100,6 +129,13 @@ CASES = {
         lambda spark: spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
         _op_winsorize),
     "tfidf_top_terms": (_docs, _op_tfidf),
+    "dedup_lines_keep_first": (_docs, _op_dedup_lines),
+    "gap_fill_locf": (
+        lambda spark: spark.read.parquet(f"{SF_DIR}/orders.parquet"),
+        _op_gap_fill),
+    "incremental_agg": (
+        lambda spark: spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+        _op_incr_agg),
 }
 
 

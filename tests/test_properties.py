@@ -76,3 +76,32 @@ def test_pack_sequences_conserves_tokens_and_fits(spark, rows):
     for r in out:
         assert 0 <= r["seq_offset"] < 64
         assert r["seq_id"] >= 0
+
+
+def test_incremental_agg_merge_order_insensitive(spark):
+    """Folding the same batches in any order/nesting must give the exact
+    state of one full aggregation (mergeable-monoid property)."""
+    from pyspark.sql import functions as F
+
+    from walmart_project_etl_spark.operators import incremental
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    keys = ["l_returnflag"]
+    parts = [li.where(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    full = incremental.agg_state(li, keys, "l_extendedprice")
+    s012 = incremental.merge_agg_state(
+        incremental.merge_agg_state(
+            incremental.agg_state(parts[0], keys, "l_extendedprice"),
+            incremental.agg_state(parts[1], keys, "l_extendedprice"), keys),
+        incremental.agg_state(parts[2], keys, "l_extendedprice"), keys)
+    s210 = incremental.merge_agg_state(
+        incremental.agg_state(parts[2], keys, "l_extendedprice"),
+        incremental.merge_agg_state(
+            incremental.agg_state(parts[1], keys, "l_extendedprice"),
+            incremental.agg_state(parts[0], keys, "l_extendedprice"), keys),
+        keys)
+
+    def rows(df):
+        return sorted(tuple(map(str, r)) for r in
+                      incremental.finalize(df, keys).collect())
+
+    assert rows(full) == rows(s012) == rows(s210)

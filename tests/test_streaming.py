@@ -176,3 +176,24 @@ def test_stream_upsert_reset_guard_over_live_checkpoint(spark, events, tmp_path)
     batch = ev_ops.latest_event_per_key(events, ["user_id"])
     cols = ["user_id", "event_id", "ts", "event_type", "value"]
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_stream_static_enrich_equals_batch(spark, events):
+    from pyspark.sql import functions as F
+
+    from walmart_project_etl_spark.streaming import stream_enrich_tumbling
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet") \
+                  .select("n_nationkey", "n_name")
+    stream = stream_enrich_tumbling(spark, events_dir(spark, SF_DIR),
+                                    nation, "n_nationkey", "n_name")
+    batch = (events.join(F.broadcast(nation),
+                         events["user_id"] % 25 == nation["n_nationkey"])
+             .groupBy(F.window("ts", "1 hour").alias("win"), "n_name")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+                   .cast("double").alias("sum_value"))
+             .select(F.col("win.start").alias("window_start"),
+                     F.col("win.end").alias("window_end"),
+                     "n_name", "n_events", "sum_value"))
+    cols = ["window_start", "window_end", "n_name", "n_events", "sum_value"]
+    assert _rows(batch, cols) == _rows(stream, cols)

@@ -82,16 +82,16 @@ _PRIORITY = (
     "cdc_snapshot_diff",
     "ts_gap_fill_locf",
     "profile_key_skew",
+    "clean_mad_outliers",
+    "incr_agg_maintenance",
+    "stream_static_enrich",
+    "olap_grouping_sets_orders",
+    "ts_yoy_growth",
     # breadth fill: oldest surviving rows on stable code
     "text_stats_quality",
-    "text_langid",
-    "text_token_counts",
     "text_filter_chain",
     "sample_stratified",
-    "sample_hash_split",
     "events_asof_join",
-    "events_dedup_latest",
-    "olap_pivot_event_values",
     "olap_rollup_lineitem",
     "j11_range_band_join",
     "s10_partitioned_scan_pruning",

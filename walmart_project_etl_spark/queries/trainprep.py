@@ -783,6 +783,38 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "max_price_filled", "is_observed")
 
 
+@q("incr_agg_maintenance",
+   """SELECT l_returnflag, l_linestatus, count(l_extendedprice) AS n,
+             round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2)::DOUBLE
+               AS sum_v,
+             round(sum(CAST(l_extendedprice AS DECIMAL(28,6)))::DOUBLE
+                   / count(l_extendedprice), 6) AS avg_v,
+             min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v
+      FROM lineitem GROUP BY 1, 2""")
+def incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the fact is split
+    into a base load + two delta batches; each delta is aggregated
+    delta-sized and FOLDED into the mergeable per-key state (count /
+    exact decimal sum / min / max) without ever rescanning the base
+    (operators/incremental.py). The oracle is the full one-shot
+    aggregation — the folded state must equal it bit-exactly, proving
+    the merge is order-insensitive and lossless."""
+    from walmart_project_etl_spark.operators import incremental
+    li = t(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    base = li.where(F.col("l_orderkey") % 4 != 0)
+    d1 = li.where(F.col("l_orderkey") % 4 == 0) \
+           .where(F.col("l_linenumber") % 2 == 0)
+    d2 = li.where(F.col("l_orderkey") % 4 == 0) \
+           .where(F.col("l_linenumber") % 2 != 0)
+    state = incremental.agg_state(base, keys, "l_extendedprice")
+    state = incremental.merge_agg_state(
+        state, incremental.agg_state(d1, keys, "l_extendedprice"), keys)
+    state = incremental.merge_agg_state(
+        state, incremental.agg_state(d2, keys, "l_extendedprice"), keys)
+    return incremental.finalize(state, keys)
+
+
 @q("clean_mad_outliers",
    """WITH med AS (SELECT l_returnflag, median(l_extendedprice) AS m
                    FROM lineitem GROUP BY 1),
