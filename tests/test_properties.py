@@ -105,3 +105,32 @@ def test_incremental_agg_merge_order_insensitive(spark):
                       incremental.finalize(df, keys).collect())
 
     assert rows(full) == rows(s012) == rows(s210)
+
+
+def test_hll_distinct_state_merge_equals_full_sketch(spark):
+    """Union of per-batch sketches must equal the one-shot sketch exactly
+    (HLL union is lossless over identical lg_k), and the estimate must be
+    within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from walmart_project_etl_spark.operators import incremental
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    keys = ["l_returnflag"]
+    parts = [li.where(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    full = incremental.distinct_state(li, keys, "l_partkey")
+    folded = incremental.merge_distinct_state(
+        incremental.merge_distinct_state(
+            incremental.distinct_state(parts[0], keys, "l_partkey"),
+            incremental.distinct_state(parts[1], keys, "l_partkey"), keys),
+        incremental.distinct_state(parts[2], keys, "l_partkey"), keys)
+
+    est = {r["l_returnflag"]: r["approx_distinct"] for r in
+           incremental.finalize_distinct(folded, keys).collect()}
+    est_full = {r["l_returnflag"]: r["approx_distinct"] for r in
+                incremental.finalize_distinct(full, keys).collect()}
+    assert est == est_full  # merge-lossless: same estimate as one-shot
+    exact = {r["l_returnflag"]: r["n"] for r in
+             li.groupBy(*keys).agg(
+                 F.count_distinct("l_partkey").alias("n")).collect()}
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.05

@@ -194,7 +194,11 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     threshold). Estimated Jaccard = fraction of matching signature slots.
     """
     sigs = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes, seed)
-    sigs = sigs.persist()  # reused by candidates + both re-rank joins
+    # Reused by candidates + both re-rank joins; lazy localCheckpoint, not
+    # persist — a persisted returned-lazy-plan is never unpersisted by
+    # callers and would pin cache-manager storage per invocation (the
+    # ADVICE r4 leak class), while a checkpointed RDD is GC-released.
+    sigs = sigs.localCheckpoint(eager=False)
     cand = minhash_lsh_candidates(sigs, id_col, "sig", bands, rows_per_band)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))

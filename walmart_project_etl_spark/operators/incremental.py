@@ -62,3 +62,30 @@ def finalize(state: DataFrame, keys: list[str]) -> DataFrame:
         F.round(F.col("sum_dec").cast("double") / F.col("n"), 6)
          .alias("avg_v"),
         "min_v", "max_v")
+
+
+def distinct_state(df: DataFrame, keys: list[str], value_col: str,
+                   lg_k: int = 12) -> DataFrame:
+    """Mergeable per-key DISTINCT-COUNT state: a Datasketches HLL sketch
+    (binary) per key. COUNT(DISTINCT) is the one common metric a plain
+    (count, sum, min, max) state cannot maintain incrementally — exact
+    distinct state would mean storing every seen value. The sketch is
+    ~2^lg_k bytes per key with ~1.6%/sqrt(2^lg_k /1024)-ish relative
+    error, and sketches union losslessly (union of sketches == sketch of
+    the union), so delta folds commute exactly like :func:`agg_state`."""
+    return (df.groupBy(*keys)
+            .agg(F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll")))
+
+
+def merge_distinct_state(state: DataFrame, delta_state: DataFrame,
+                         keys: list[str]) -> DataFrame:
+    """Fold delta sketches into the state — union per key, never rescans
+    the base."""
+    u = state.select(*keys, "hll").unionByName(delta_state.select(*keys, "hll"))
+    return u.groupBy(*keys).agg(F.hll_union_agg("hll").alias("hll"))
+
+
+def finalize_distinct(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Estimate view over a distinct-count state."""
+    return state.select(*keys,
+                        F.hll_sketch_estimate("hll").alias("approx_distinct"))

@@ -815,6 +815,32 @@ def incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.finalize(state, keys)
 
 
+@q("incr_distinct_maintenance", None)  # HLL sketch estimate — rows-only
+def incr_distinct_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT(DISTINCT) maintenance: per-returnflag HLL
+    sketches of l_partkey built on a base load, folded with two delta
+    batches by lossless sketch union — the one common metric a
+    (count,sum,min,max) state cannot maintain without storing every seen
+    value (operators/incremental.py:distinct_state). Rows-only: the
+    estimate is a Datasketches HLL internal; merge-losslessness (folded
+    == one-shot sketch) and <5% error vs exact are pinned by
+    tests/test_properties.py."""
+    from walmart_project_etl_spark.operators import incremental
+    li = t(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag"]
+    base = li.where(F.col("l_orderkey") % 4 != 0)
+    d1 = li.where(F.col("l_orderkey") % 4 == 0) \
+           .where(F.col("l_linenumber") % 2 == 0)
+    d2 = li.where(F.col("l_orderkey") % 4 == 0) \
+           .where(F.col("l_linenumber") % 2 != 0)
+    state = incremental.distinct_state(base, keys, "l_partkey")
+    state = incremental.merge_distinct_state(
+        state, incremental.distinct_state(d1, keys, "l_partkey"), keys)
+    state = incremental.merge_distinct_state(
+        state, incremental.distinct_state(d2, keys, "l_partkey"), keys)
+    return incremental.finalize_distinct(state, keys).orderBy("l_returnflag")
+
+
 @q("clean_mad_outliers",
    """WITH med AS (SELECT l_returnflag, median(l_extendedprice) AS m
                    FROM lineitem GROUP BY 1),
