@@ -153,3 +153,31 @@ def test_compact_range_clusters(spark, tmp_path):
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next
     assert wh.read("ods", "t").count() == 50000
+
+
+# ---------------------------------------------------- connected components
+
+def test_connected_components_chain_and_clique(spark):
+    from walmart_project_etl_spark.operators import graph
+    # one 40-vertex chain (worst-case diameter) + one 3-clique + isolated
+    # pair; labels must be the min reachable id in every case
+    chain = [(i, i + 1) for i in range(100, 139)]
+    clique = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(chain + clique + [(7, 8)],
+                                  "src long, dst long")
+    out = {r["id"]: r["component"]
+           for r in graph.connected_components(edges).collect()}
+    assert all(out[i] == 100 for i in range(100, 140))
+    assert out[1] == out[2] == out[3] == 1
+    assert out[7] == out[8] == 7
+
+
+def test_connected_components_converges_fast_on_chain(spark):
+    """Pointer jumping must close a 60-vertex chain well inside the
+    25-round cap (plain propagation would need ~60 rounds and raise)."""
+    from walmart_project_etl_spark.operators import graph
+    edges = spark.createDataFrame([(i, i + 1) for i in range(60)],
+                                  "src long, dst long")
+    out = {r["id"]: r["component"]
+           for r in graph.connected_components(edges, max_iter=12).collect()}
+    assert set(out.values()) == {0} and len(out) == 61

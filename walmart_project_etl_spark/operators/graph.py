@@ -83,7 +83,7 @@ def connected_components(
 
     labels = labels.localCheckpoint(eager=True)
     prev = fingerprint(labels)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (sym.join(labels, sym["b"] == labels["id"])
                       .groupBy("a").agg(F.min("component").alias("nbr_min")))
         new_labels = (labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
@@ -91,7 +91,15 @@ def connected_components(
                                     F.least("component",
                                             F.coalesce("nbr_min", "component"))
                                      .alias("component")))
-        new_labels = shortcut(shortcut(new_labels)).localCheckpoint(eager=True)
+        # Path-halving shortcuts only from round 2: dup-pair graphs are
+        # usually near-clique (diameter 1-2), where the neighbor pass
+        # alone converges in one round and each shortcut would add two
+        # pure-overhead shuffle joins per round. Deep chains still get
+        # the O(log d) contraction — they are exactly the graphs that
+        # reach round 2.
+        if it > 0:
+            new_labels = shortcut(shortcut(new_labels))
+        new_labels = new_labels.localCheckpoint(eager=True)
         cur = fingerprint(new_labels)
         labels = new_labels
         if cur == prev:
