@@ -181,3 +181,29 @@ def test_connected_components_converges_fast_on_chain(spark):
     out = {r["id"]: r["component"]
            for r in graph.connected_components(edges, max_iter=12).collect()}
     assert set(out.values()) == {0} and len(out) == 61
+
+
+# ------------------------------------------------------- ingest quarantine
+
+def test_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from walmart_project_etl_spark.sources.ingest import read_jsonl_quarantine
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1, "s": "a"}\n'
+                 'not json at all\n'
+                 '{"id": 2, "s": "b"}\n'
+                 '{"id": 3, "s": "c"\n')   # truncated object
+    schema = StructType([StructField("id", LongType()),
+                         StructField("s", StringType())])
+    good, bad = read_jsonl_quarantine(spark, str(p), schema)
+    assert sorted((r["id"], r["s"]) for r in good.collect()) == \
+        [(1, "a"), (2, "b")]
+    raws = sorted(r["raw"] for r in bad.collect())
+    assert len(raws) == 2
+    assert any("not json" in r for r in raws)
+    assert any('"id": 3' in r for r in raws)
+    assert good.columns == ["id", "s"]
+    # caller's schema object must not have been mutated
+    assert [f.name for f in schema.fields] == ["id", "s"]

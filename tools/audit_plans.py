@@ -71,6 +71,10 @@ ALLOW = {
     # by top_n, never data-sized
     "profile_key_skew": {"BroadcastNestedLoopJoin",
                          "Exchange SinglePartition (non-scalar result)"},
+    # share-of-total: the unpartitioned window runs over the ALREADY
+    # keyed-aggregated 5-row priority table (the fact collapses first),
+    # so the SinglePartition carries ≤ distinct-priority rows
+    "olap_share_of_total": {"Exchange SinglePartition (non-scalar result)"},
 }
 
 HAZARDS = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -819,6 +819,58 @@ def olap_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double").alias("sum_price")))
 
 
+@q("events_transition_matrix",
+   """WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events)
+      SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2""")
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: per-user event sequences (ordered by
+    ts with the unique event_id tiebreak) folded into (from, to) type
+    counts via lead() — one shuffle on user_id, the same exchange the
+    sessionizer uses, then a tiny keyed count."""
+    ev = events_t(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type",
+                    F.lead("event_type").over(w).alias("next_type"))
+    return (seq.where(F.col("next_type").isNotNull())
+            .groupBy("event_type", "next_type")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("olap_share_of_total",
+   """WITH m AS (SELECT o_orderpriority,
+                        count(*) AS n_orders,
+                        round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2)
+                          ::DOUBLE AS revenue
+                 FROM orders GROUP BY 1)
+      SELECT o_orderpriority, n_orders, revenue,
+             round(revenue / sum(revenue) OVER (), 6) AS revenue_share,
+             round(n_orders / sum(n_orders) OVER (), 6) AS order_share
+      FROM m""")
+def olap_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total BI view: per-priority revenue/order share via an
+    unpartitioned window over the ALREADY-AGGREGATED 5-row table — the
+    single-partition exchange carries 5 rows, never the fact (the fact
+    collapses in the keyed aggregation first)."""
+    o = t(spark, sf_dir, "orders")
+    m = (o.groupBy("o_orderpriority")
+         .agg(F.count(F.lit(1)).alias("n_orders"),
+              F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2)
+               .cast("double").alias("revenue")))
+    w = Window.partitionBy()
+    return m.select(
+        "o_orderpriority", "n_orders", "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6)
+         .alias("revenue_share"),
+        F.round(F.col("n_orders") / F.sum("n_orders").over(w), 6)
+         .alias("order_share"))
+
+
 @q("olap_grouping_sets_orders",
    """SELECT o_orderpriority, o_orderstatus,
              grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS gid,

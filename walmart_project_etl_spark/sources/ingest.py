@@ -84,6 +84,49 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_jsonl_quarantine(spark: SparkSession, path: str,
+                          schema) -> tuple[DataFrame, DataFrame]:
+    """JSON-Lines scan that SPLITS malformed lines into a quarantine
+    frame instead of silently nulling them: returns ``(good, bad)``.
+
+    ``good`` has exactly ``schema``'s columns; ``bad`` is one
+    ``raw string`` column holding each unparseable line verbatim — the
+    dead-letter feed an ingest pipeline writes aside for replay/alerting
+    rather than dropping (a 100 TB crawl ALWAYS contains breakage, and a
+    silent null row poisons every downstream non-null count).
+
+    Mechanics: one TEXT scan + ``from_json`` with an in-struct corrupt
+    column. Not the native JSON reader: (a) Spark refuses queries whose
+    referenced columns are only the corrupt column, and (b) the native
+    PERMISSIVE mode *partially* recovers prefix-parseable broken lines
+    (fields before the break parse, corrupt still set), which would make
+    a nullness-based split misclassify them — ``from_json`` is all-or-
+    nothing per line, exactly the quarantine contract. The good branch
+    gives up Jackson column pruning; use :func:`read_jsonl` on corpora
+    already known-clean.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    assert isinstance(schema, StructType)
+    corrupt = "_corrupt_record"
+    # build a NEW StructType — StructType.add mutates the receiver in
+    # place, which would silently grow the caller's schema object
+    with_corrupt = StructType(list(schema.fields)
+                              + [StructField(corrupt, StringType())])
+    parsed = (spark.read.text(path)
+              .select(F.col("value"),
+                      F.from_json("value", with_corrupt,
+                                  {"mode": "PERMISSIVE",
+                                   "columnNameOfCorruptRecord": corrupt})
+                       .alias("__j")))
+    good = (parsed.where(F.col(f"__j.{corrupt}").isNull())
+            .select([F.col(f"__j.{f.name}").alias(f.name)
+                     for f in schema.fields]))
+    bad = (parsed.where(F.col(f"__j.{corrupt}").isNotNull())
+           .select(F.col("value").alias("raw")))
+    return good, bad
+
+
 def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
     """JSON-Lines sink (one object per line, partition-parallel).
 
