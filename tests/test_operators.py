@@ -695,3 +695,34 @@ def test_weighted_sample_overwhelming_weight_wins(spark):
     got = {r["grp"]: r["doc_id"] for r in out.collect()}
     assert len(got) == 20
     assert all(doc % 100 == 0 for doc in got.values()), got
+
+
+def test_decontaminate_semantic_drops_benchmark_and_near_dups(spark):
+    """Benchmark members land in their own buckets (cosine 1.0 → always
+    candidates) so they MUST be dropped; planted epsilon-perturbed
+    near-dups of benchmark vectors must be caught too; orthogonal
+    vectors must survive."""
+    import numpy as np
+    from walmart_project_etl_spark.operators import dedup
+    rng = np.random.default_rng(7)
+    dim = 64
+    base = rng.normal(size=(20, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))                # benchmark ∪ corpus
+        near = v + rng.normal(scale=0.02, size=dim)            # planted near-dup
+        near /= np.linalg.norm(near)
+        rows.append((1000 + i, [float(x) for x in near]))
+    far = rng.normal(size=(30, dim))
+    far /= np.linalg.norm(far, axis=1, keepdims=True)
+    rows += [(2000 + i, [float(x) for x in v]) for i, v in enumerate(far)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    benchmark = corpus.where("vec_id < 20")
+    out = {r["vec_id"] for r in dedup.decontaminate_semantic(
+        corpus, benchmark, "vec_id", "embedding", threshold=0.9).collect()}
+    assert not any(i < 20 for i in out)            # benchmark rows all dropped
+    caught = 20 - len([i for i in out if 1000 <= i < 1020])
+    assert caught >= 18                            # ≥0.9 recall on planted dups
+    # random 64-dim vectors are ~orthogonal: none can be within 0.9
+    assert all(2000 + i in out for i in range(30))

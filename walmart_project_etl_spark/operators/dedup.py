@@ -644,3 +644,55 @@ def dedup_lines(df: DataFrame, id_col: str, text_col: str,
                      delim).alias("text_clean"),
                  F.count(F.lit(1)).alias("n_lines"),
                  F.sum(F.when(~c("__keep"), 1).otherwise(0)).alias("n_dropped")))
+
+
+def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
+                           id_col: str, vec_col: str,
+                           threshold: float = 0.85, dim: int = 64,
+                           n_planes: int | None = None, n_bands: int = 8,
+                           probe_bits: int = 1, seed: int = 42) -> DataFrame:
+    """SemDeDup-style SEMANTIC decontamination: drop corpus documents
+    whose embedding is cosine-≥-threshold to ANY benchmark embedding —
+    catches the paraphrased/reformatted eval leakage that n-gram
+    :func:`decontaminate` cannot see.
+
+    Scale shape mirrors ``lsh_ann_topk`` but cross-table: both sides get
+    per-band hyperplane codes; multi-probe bit flips go on the BENCHMARK
+    side only (eval sets are thousands of rows — probing there is free;
+    probing the 100 TB corpus side would multiply its index). Candidates
+    come from the (band, code) equi-join, are verified by exact cosine,
+    and collapse to a distinct contaminated-id set (bounded by the
+    contamination count) that anti-joins the corpus — one corpus scan,
+    no all-pairs, recall < 1 by LSH design (threshold-derived band width
+    keeps analytic recall ≥ 0.95; see ``lsh_params_for_threshold``).
+    """
+    from walmart_project_etl_spark.operators.similarity import (
+        _as_double, _probe_codes, cosine, lsh_params_for_threshold,
+        rh_band_codes)
+
+    if n_planes is None:
+        n_planes, n_bands = lsh_params_for_threshold(threshold, n_bands)
+    bpb = n_planes // n_bands
+
+    def banded(df: DataFrame, out_id: str | None, probes: int,
+               vec_alias: str) -> DataFrame:
+        v = _as_double(vec_col)
+        codes = rh_band_codes(v, dim, n_planes, n_bands, seed)
+        ids = [F.col(id_col).alias(out_id)] if out_id else []
+        out = (df.select(*ids, v.alias(vec_alias), codes.alias("__codes"))
+               .select(*([out_id] if out_id else []), vec_alias,
+                       F.posexplode("__codes").alias("band", "code")))
+        if probes:
+            out = out.select(*([out_id] if out_id else []), vec_alias, "band",
+                             F.explode(_probe_codes(F.col("code"), bpb,
+                                                    probes)).alias("code"))
+        return out
+
+    cb = banded(corpus, "__cid", probes=0, vec_alias="__vec")
+    bb = banded(benchmark, None, probes=probe_bits, vec_alias="__bvec")
+    contaminated = (cb.join(bb, ["band", "code"])
+                    .where(F.round(cosine(F.col("__vec"), F.col("__bvec")), 6)
+                           >= threshold)
+                    .select(F.col("__cid").alias(id_col))
+                    .distinct())
+    return corpus.join(contaminated, id_col, "left_anti")

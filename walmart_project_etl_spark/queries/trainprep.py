@@ -815,6 +815,23 @@ def incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.finalize(state, keys)
 
 
+@q("dedup_decontaminate_semantic", None)  # seeded hyperplanes — rows-only
+def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic decontamination: corpus embeddings within
+    cosine 0.85 of ANY benchmark embedding (vec_id % 20 == 0) are dropped
+    via cross-table hyperplane-LSH banding + exact-cosine verify — the
+    paraphrase-robust twin of the n-gram dedup_decontaminate
+    (operators/dedup.py:decontaminate_semantic). Rows-only: hyperplane
+    draws are engine-internal; the benchmark rows themselves (cosine 1.0
+    to themselves, always probed into their own bucket) are guaranteed
+    dropped, pinned with recall tests in tests/."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    benchmark = emb.where(F.col("vec_id") % 20 == 0)
+    out = dedup.decontaminate_semantic(emb, benchmark, "vec_id", "embedding",
+                                       threshold=0.85)
+    return out.select("vec_id").orderBy("vec_id")
+
+
 @q("incr_distinct_maintenance", None)  # HLL sketch estimate — rows-only
 def incr_distinct_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental COUNT(DISTINCT) maintenance: per-returnflag HLL
