@@ -107,6 +107,11 @@ def _op_gap_fill(spark, df):
                                        "o_orderdate", ["n"])
 
 
+def _op_shards(spark, df):
+    from walmart_project_etl_spark.operators import sampling
+    return sampling.assign_shards(df.select("doc_id"), "doc_id", 8)
+
+
 def _op_incr_agg(spark, df):
     from walmart_project_etl_spark.operators import incremental
     keys = ["l_returnflag", "l_linestatus"]
@@ -136,6 +141,7 @@ CASES = {
     "incremental_agg": (
         lambda spark: spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
         _op_incr_agg),
+    "shard_assignment": (_docs, _op_shards),
 }
 
 

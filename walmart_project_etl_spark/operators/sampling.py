@@ -163,3 +163,26 @@ def weighted_mixture(df: DataFrame, source: str, key: str,
     for s, pct in weights.items():
         keep = keep | ((F.col(source) == s) & (b < pct))
     return df.where(keep)
+
+
+def assign_shards(df: DataFrame, key: str, n_shards: int) -> DataFrame:
+    """Deterministic training-shard layout: every row gets a stable
+    ``(shard, shard_pos)`` — shard from an md5 bucket of the key,
+    position from the md5 rank WITHIN the shard — so the full training
+    order (shard files + intra-shard row order) is a pure function of
+    the keys: byte-identical layout from any cluster size, any rerun,
+    any input partitioning. That is what makes a training run
+    reproducible and resumable mid-epoch after a rebuild.
+
+    One shuffle (the per-shard window); writers follow with
+    ``df.repartition(n_shards, "shard")`` + ``sortWithinPartitions
+    ("shard_pos")`` to materialize one file per shard in this exact
+    order. Hash-ranked order also decorrelates adjacent documents (a
+    crawl's natural order groups same-site pages — bad minibatches).
+    """
+    shard = hash_bucket(F.col(key).cast("string"), buckets=n_shards)
+    w = Window.partitionBy("shard").orderBy(rank_hash(F.col(key)
+                                                      .cast("string")),
+                                            F.col(key))
+    return (df.withColumn("shard", shard)
+              .withColumn("shard_pos", F.row_number().over(w) - 1))

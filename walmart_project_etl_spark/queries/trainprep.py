@@ -154,6 +154,25 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
 
 
+@q("sample_shard_assignment",
+   """SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+             row_number() OVER (
+                 PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                              ::BIGINT % 8
+                 ORDER BY md5(doc_id::VARCHAR) NULLS FIRST,
+                          doc_id NULLS FIRST) - 1 AS shard_pos
+      FROM documents""")
+def sample_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout: stable (shard, shard_pos) as
+    a pure function of doc_id — reproducible training order at any
+    parallelism (operators/sampling.py:assign_shards)."""
+    d = t(spark, sf_dir, "documents")
+    return sampling.assign_shards(d, "doc_id", 8) \
+        .select("doc_id", "shard", F.col("shard_pos").cast("long")
+                .alias("shard_pos"))
+
+
 # ------------------------------------------------------- repetition / chunking
 
 @q("text_repetition_signals",
