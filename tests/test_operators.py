@@ -726,3 +726,21 @@ def test_decontaminate_semantic_drops_benchmark_and_near_dups(spark):
     assert caught >= 18                            # ≥0.9 recall on planted dups
     # random 64-dim vectors are ~orthogonal: none can be within 0.9
     assert all(2000 + i in out for i in range(30))
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A doc embedded verbatim inside 2x new text: containment ~1.0 (the
+    pair MUST surface at 0.9) while Jaccard is ~0.5 (the same pair at a
+    0.9 Jaccard threshold MUST NOT) — the operator distinction."""
+    from walmart_project_etl_spark.operators import dedup
+    base = " ".join(f"tok{i}" for i in range(40))
+    wrapped = base + " " + " ".join(f"new{i}" for i in range(45))
+    df = spark.createDataFrame([(1, base), (2, wrapped), (3, "different text entirely here")],
+                               "doc_id long, text string")
+    cont = dedup.ngram_containment_pairs(df, "doc_id", "text", k=3,
+                                         threshold=0.9, unit="word").collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] >= 0.97
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3,
+                                    threshold=0.9, unit="word").collect()
+    assert jac == []

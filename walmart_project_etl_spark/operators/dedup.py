@@ -696,3 +696,65 @@ def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
                     .select(F.col("__cid").alias(id_col))
                     .distinct())
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                            k: int = 3, threshold: float = 0.9,
+                            unit: str = "word") -> DataFrame:
+    """EXACT n-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ threshold.
+
+    Containment is the subset/quote detector Jaccard cannot be: a
+    document that fully embeds another inside twice as much new text has
+    containment ~1.0 but Jaccard ~0.5 — the shape of boilerplate-wrapped
+    reposts and doc-in-doc quotation, which a Jaccard threshold high
+    enough to be precise always misses.
+
+    Prefix filtering adapts (AllPairs theorem with α = ⌈t·min(na,nb)⌉):
+    only the SMALLER side of a qualifying pair is guaranteed a prefix
+    hit, so the candidate join is prefix × FULL index (whichever side is
+    smaller contributes its prefix; pair normalization by (least,
+    greatest) + distinct covers both orientations). The full side makes
+    hot shingles more visible than in the Jaccard join — still bounded
+    by Σ df_prefix(s)·df_full(s), fine for discriminative (word) shingle
+    units; avoid ``unit="char"`` on low-entropy corpora. Verification is
+    the exact array intersection, so output values are engine-exact.
+    """
+    shingle_fn = {"char": char_shingles, "word": word_ngrams}[unit]
+    sh = df.select(F.col(id_col).alias("doc"),
+                   F.transform(shingle_fn(text_col, k),
+                               lambda x: F.xxhash64(x)).alias("shingles"))
+    sized = (sh.select("doc", F.size("shingles").alias("n_sh"), "shingles")
+               .localCheckpoint(eager=False))  # see ngram_jaccard_pairs
+    exploded = sized.select("doc", "n_sh",
+                            F.explode("shingles").alias("shingle"))
+
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("doc").orderBy(F.asc("__df"), F.asc("shingle"))
+    # α ≥ ⌈t·n_self⌉ when self is the smaller side → own-size prefix
+    prefix_len = (F.col("n_sh")
+                  - F.ceil(F.lit(float(threshold)) * F.col("n_sh")).cast("int")
+                  + F.lit(1))
+    prefix = (exploded.join(freq, "shingle")
+              .withColumn("__pos", F.row_number().over(w))
+              .where(F.col("__pos") <= prefix_len)
+              .select("doc", "shingle"))
+    cand = (prefix.alias("l")
+            .join(exploded.alias("r"),
+                  (F.col("l.shingle") == F.col("r.shingle"))
+                  & (F.col("l.doc") != F.col("r.doc")))
+            .select(F.least("l.doc", "r.doc").alias("id_a"),
+                    F.greatest("l.doc", "r.doc").alias("id_b"))
+            .distinct())
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+    a = sized.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"),
+                     F.col("shingles").alias("__sa"))
+    b = sized.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"),
+                     F.col("shingles").alias("__sb"))
+    verified = (cand.join(a, "id_a").join(b, "id_b")
+                .withColumn("inter",
+                            F.size(F.array_intersect("__sa", "__sb"))))
+    containment = F.col("inter") / F.least("na", "nb")
+    return (verified.select("id_a", "id_b",
+                            F.round(containment, 6).alias("containment"))
+            .where(F.col("containment") >= threshold))

@@ -84,6 +84,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      k=3, threshold=0.6, unit="word")
 
 
+@q("dedup_ngram_containment",
+   r"""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 300000,
+               text || ' now follows a much longer unrelated tail '
+                    || repeat('pad word block ', 15)
+        FROM documents WHERE doc_id % 5 = 0),
+      tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM corpus),
+      pos AS (SELECT doc_id, w,
+                     unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+              FROM tok),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+             FROM pos),
+      sized AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b,
+             round(n_inter / least(sa.n_sh, sb.n_sh), 6) AS containment
+      FROM inter
+      JOIN sized sa ON sa.doc_id = id_a
+      JOIN sized sb ON sb.doc_id = id_b
+      WHERE n_inter / least(sa.n_sh, sb.n_sh) >= 0.9""")
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs (word trigrams, >= 0.9): catches
+    the planted doc-in-doc expansions (each doc_id%5 doc re-posted inside
+    ~45 words of new padding — containment ~1.0, Jaccard ~0.5, invisible
+    to any precise Jaccard threshold). Min-side prefix filter × full
+    index per operators/dedup.py:ngram_containment_pairs."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    expanded = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit(" now follows a much longer unrelated tail "),
+                 F.expr("repeat('pad word block ', 15)")).alias("text"))
+    corpus = d.unionByName(expanded)
+    return dedup.ngram_containment_pairs(corpus, "doc_id", "text",
+                                         k=3, threshold=0.9, unit="word")
+
+
 @q("dedup_minhash_lsh", None)  # xxhash64 signatures — rows-only
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH banding (16×4) near-dup pairs at est-Jaccard ≥ 0.5.
