@@ -87,12 +87,12 @@ _PRIORITY = (
     "stream_static_enrich",
     "olap_grouping_sets_orders",
     "ts_yoy_growth",
+    "dedup_ngram_containment",
+    "sample_shard_assignment",
     # breadth fill: oldest surviving rows on stable code
-    "text_stats_quality",
     "text_filter_chain",
     "sample_stratified",
     "events_asof_join",
-    "olap_rollup_lineitem",
     "j11_range_band_join",
     "s10_partitioned_scan_pruning",
 )
