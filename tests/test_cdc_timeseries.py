@@ -207,3 +207,19 @@ def test_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
     assert good.columns == ["id", "s"]
     # caller's schema object must not have been mutated
     assert [f.name for f in schema.fields] == ["id", "s"]
+
+
+# ------------------------------------------------------------------ vacuum
+
+def test_vacuum_staged_removes_only_orphans(spark, tmp_path):
+    from walmart_project_etl_spark.sources.catalog import Warehouse
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.range(0, 100).selectExpr("id")
+    wh.write("tgt", "dim", df)                     # committed table
+    wh.stage_new("tgt", "dim2", df)                # orphaned phase-1 dir
+    removed = wh.vacuum_staged("tgt")
+    assert removed == ["dim2__new"]
+    assert wh.read("tgt", "dim").count() == 100    # live table untouched
+    # idempotent + tolerates a layer with nothing staged
+    assert wh.vacuum_staged("tgt") == []
+    assert wh.vacuum_staged("ods") == []

@@ -151,6 +151,10 @@ def pipeline_stages(spark: SparkSession, csv_path: str, warehouse_root: str,
             (lambda n=n, d=d: wh.write("stg", n, d)) for n, d in stg.items())
 
     def load_target() -> None:
+        # a prior run may have died between stage_new and commit_staged;
+        # its orphaned __new dirs are uncommitted by construction and
+        # this run re-stages every table, so clear them first
+        wh.vacuum_staged("tgt")
         stg = {n: wh.read("stg", n) for n in STG_TABLES}
         prior = ({n: wh.read("tgt", n) for n in TARGET_TABLES}
                  if all(wh.exists("tgt", n) for n in TARGET_TABLES) else None)

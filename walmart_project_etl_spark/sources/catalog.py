@@ -95,6 +95,30 @@ class Warehouse:
                 shutil.rmtree(final)
             os.rename(tmp, final)
 
+    def vacuum_staged(self, layer: str) -> list[str]:
+        """Crash recovery for the two-phase commit: delete orphaned
+        ``__new`` staging dirs left by a run that died between
+        ``stage_new`` and ``commit_staged``.
+
+        Safe by construction: a ``__new`` dir is only ever an
+        uncommitted phase-1 artifact (commit renames it away
+        atomically), so removing it never touches live table data —
+        the interrupted run's tables still hold their pre-run state and
+        the next run simply re-stages. Returns the removed dir names so
+        the orchestrator can log what a prior crash left behind.
+        """
+        import shutil
+
+        root = os.path.join(self.root, layer)
+        if not os.path.isdir(root):
+            return []
+        removed = []
+        for name in sorted(os.listdir(root)):
+            if name.endswith("__new"):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                removed.append(name)
+        return removed
+
     def write_bucketed(self, layer: str, table: str, df: DataFrame,
                        key: str, n_buckets: int = 8) -> None:
         """Bucketed+sorted catalog table for repeated co-located joins: both
