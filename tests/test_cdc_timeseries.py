@@ -223,3 +223,18 @@ def test_vacuum_staged_removes_only_orphans(spark, tmp_path):
     # idempotent + tolerates a layer with nothing staged
     assert wh.vacuum_staged("tgt") == []
     assert wh.vacuum_staged("ods") == []
+
+
+def test_read_evolved_merges_schema_versions(spark, tmp_path):
+    from walmart_project_etl_spark.sources.catalog import Warehouse
+    wh = Warehouse(spark, str(tmp_path))
+    v1 = spark.range(0, 5).selectExpr("id", "id * 2 AS a")
+    wh.write("ods", "t", v1)
+    v2 = spark.range(5, 8).selectExpr("id", "id * 2 AS a", "'x' AS b")
+    wh.append("ods", "t", v2)
+    out = wh.read_evolved("ods", "t")
+    assert sorted(out.columns) == ["a", "b", "id"]
+    rows = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert len(rows) == 8
+    assert rows[0] == (0, None)      # old files: new column is NULL
+    assert rows[7] == (14, "x")

@@ -174,6 +174,18 @@ class Warehouse:
     def read(self, layer: str, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(layer, table))
 
+    def read_evolved(self, layer: str, table: str) -> DataFrame:
+        """Read a table whose files span schema versions (columns added
+        over time by appends): ``mergeSchema`` unions all file footers
+        into the superset schema, with NULLs for columns absent in older
+        files. Not the default read — footer merging scans every file's
+        metadata (expensive on a 100 TB table; the plain read trusts the
+        first footer), so pay it only on tables known to evolve, or
+        compact once after a schema change and go back to plain reads.
+        """
+        return (self.spark.read.option("mergeSchema", True)
+                .parquet(self.path(layer, table)))
+
     def read_table(self, layer: str, table: str) -> DataFrame:
         """Catalog read — required for bucketed tables (a path read loses
         the bucket spec and re-shuffles)."""
