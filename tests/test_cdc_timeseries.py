@@ -238,3 +238,30 @@ def test_read_evolved_merges_schema_versions(spark, tmp_path):
     assert len(rows) == 8
     assert rows[0] == (0, None)      # old files: new column is NULL
     assert rows[7] == (14, "x")
+
+
+# ------------------------------------------------------------ empty inputs
+
+def test_operators_tolerate_empty_input(spark):
+    """Every structural operator must return an empty (not throw) on an
+    empty frame — the first morning a new pipeline runs, its delta IS
+    empty."""
+    from walmart_project_etl_spark.operators import (cdc, cleaning, dedup,
+                                                     incremental, sampling,
+                                                     timeseries)
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_kv = spark.createDataFrame([], "k int, s string, v double")
+    empty_ts = spark.createDataFrame([], "g string, d date, v int")
+    empty_li = spark.createDataFrame([], "l_returnflag string, x double")
+
+    assert dedup.dedup_lines(empty_docs, "doc_id", "text").count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs, "doc_id", "text",
+                                     k=3, unit="word").count() == 0
+    assert cdc.snapshot_diff(empty_kv, empty_kv, ["k"]).count() == 0
+    assert timeseries.gap_fill_forward(empty_ts, ["g"], "d", ["v"]).count() == 0
+    assert sampling.assign_shards(empty_docs, "doc_id", 8).count() == 0
+    assert cleaning.mad_outliers(empty_li, "x",
+                                 group_cols=["l_returnflag"]).count() == 0
+    state = incremental.agg_state(empty_li, ["l_returnflag"], "x")
+    merged = incremental.merge_agg_state(state, state, ["l_returnflag"])
+    assert incremental.finalize(merged, ["l_returnflag"]).count() == 0
