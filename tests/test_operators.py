@@ -744,3 +744,23 @@ def test_containment_catches_subset_jaccard_misses(spark):
     jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3,
                                     threshold=0.9, unit="word").collect()
     assert jac == []
+
+
+def test_ivf_build_then_query_matches_one_shot(spark, tmp_path):
+    """Persisting the built index (assigned parquet + centroid list) and
+    serving from it must give the identical result as the one-shot path —
+    the build-once/query-many contract."""
+    from walmart_project_etl_spark.operators import similarity
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id % 50 = 7") \
+                 .selectExpr("vec_id AS query_id", "embedding")
+    one_shot = similarity.ivf_ann_topk(emb, queries, k=5, n_clusters=8,
+                                       n_probe=3).collect()
+    assigned, centroids = similarity.ivf_build(emb, n_clusters=8)
+    assigned.write.mode("overwrite").parquet(f"{tmp_path}/ivf")
+    served = similarity.ivf_query(
+        spark.read.parquet(f"{tmp_path}/ivf"), centroids, queries,
+        k=5, n_probe=3).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, one_shot), key=lambda t: (t[0], t[3])) == \
+        sorted(map(tuple, served), key=lambda t: (t[0], t[3]))
