@@ -185,7 +185,8 @@ def test_stream_static_enrich_equals_batch(spark, events):
     nation = spark.read.parquet(f"{SF_DIR}/nation.parquet") \
                   .select("n_nationkey", "n_name")
     stream = stream_enrich_tumbling(spark, events_dir(spark, SF_DIR),
-                                    nation, "n_nationkey", "n_name")
+                                    nation, "n_nationkey", "n_name",
+                                    stream_key=F.col("user_id") % 25)
     batch = (events.join(F.broadcast(nation),
                          events["user_id"] % 25 == nation["n_nationkey"])
              .groupBy(F.window("ts", "1 hour").alias("win"), "n_name")

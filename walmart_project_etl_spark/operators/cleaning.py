@@ -11,6 +11,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .util import join_group_stats
+
 
 def winsorize(df: DataFrame, value_col: str,
               group_cols: list[str] | None = None,
@@ -40,7 +42,7 @@ def winsorize(df: DataFrame, value_col: str,
                   F.approx_percentile(v, hi, 10000).alias("__hi")]
     if group_cols:
         pct = df.groupBy(*group_cols).agg(*bounds)
-        joined = df.join(F.broadcast(pct), group_cols)
+        joined = join_group_stats(df, pct, group_cols)
     else:
         pct = df.groupBy().agg(*bounds)
         joined = df.crossJoin(F.broadcast(pct))
@@ -80,7 +82,7 @@ def zscore(df: DataFrame, value_col: str,
             F.count(v).alias("__n")]
     if group_cols:
         mom = df.groupBy(*group_cols).agg(*aggs)
-        joined = df.join(F.broadcast(mom), group_cols)
+        joined = join_group_stats(df, mom, group_cols)
     else:
         mom = df.groupBy().agg(*aggs)
         joined = df.crossJoin(F.broadcast(mom))
@@ -129,7 +131,7 @@ def equi_width_histogram(df: DataFrame, value_col: str, n_bins: int,
     aggs = [F.min(v).alias("__mn"), F.max(v).alias("__mx")]
     if group_cols:
         mm = df.groupBy(*group_cols).agg(*aggs)
-        joined = df.join(F.broadcast(mm), group_cols)
+        joined = join_group_stats(df, mm, group_cols)
     else:
         mm = df.groupBy().agg(*aggs)
         joined = df.crossJoin(F.broadcast(mm))
@@ -172,10 +174,10 @@ def mad_outliers(df: DataFrame, value_col: str,
     v = F.col(value_col)
     if group_cols:
         med = df.groupBy(*group_cols).agg(F.median(v).alias("__med"))
-        j1 = df.join(F.broadcast(med), group_cols)
+        j1 = join_group_stats(df, med, group_cols)
         mad = (j1.groupBy(*group_cols)
                  .agg(F.median(F.abs(v - F.col("__med"))).alias("__mad")))
-        j2 = j1.join(F.broadcast(mad), group_cols)
+        j2 = join_group_stats(j1, mad, group_cols)
     else:
         med = df.groupBy().agg(F.median(v).alias("__med"))
         j1 = df.crossJoin(F.broadcast(med))

@@ -198,6 +198,11 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     # persist — a persisted returned-lazy-plan is never unpersisted by
     # callers and would pin cache-manager storage per invocation (the
     # ADVICE r4 leak class), while a checkpointed RDD is GC-released.
+    # Trade-off: localCheckpoint truncates lineage into UNREPLICATED
+    # executor-local blocks, so losing an executor mid-job fails the job
+    # (no recompute path). Fine on a stable cluster / local mode; on
+    # spot/preemptible fleets prefer reliable checkpointing or
+    # persist-with-unpersist at a scope that owns the terminal action.
     sigs = sigs.localCheckpoint(eager=False)
     cand = minhash_lsh_candidates(sigs, id_col, "sig", bands, rows_per_band)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
@@ -458,7 +463,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # computes it once into executor-local storage and is released when
     # the plan is garbage-collected (unlike DataFrame.persist, which pins
     # an entry in the cache manager that returned-lazy-plan callers never
-    # unpersist — the ADVICE r4 leak).
+    # unpersist — the ADVICE r4 leak). Trade-off: the blocks are
+    # unreplicated and lineage is gone, so executor loss fails the job;
+    # on spot/preemptible fleets use reliable checkpointing instead.
     sized = (sh.select("doc", F.size("shingles").alias("n_sh"), "shingles")
                .localCheckpoint(eager=False))
     exploded = sized.select("doc", "n_sh", F.explode("shingles").alias("shingle"))
@@ -619,7 +626,12 @@ def dedup_lines(df: DataFrame, id_col: str, text_col: str,
     every line was dropped keep an empty string.
     """
     c = F.col
-    lines = (df.select(c(id_col), F.posexplode(F.split(c(text_col), delim))
+    # F.split takes a Java REGEX; ``delim`` is a literal separator here
+    # (reassembly uses array_join, which is literal) — quote it so '|',
+    # '.', '\t'-like delimiters split on the right boundaries. \Q..\E is
+    # java.util.regex.Pattern.quote's scheme, incl. the embedded-\E fixup.
+    delim_re = "\\Q" + delim.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    lines = (df.select(c(id_col), F.posexplode(F.split(c(text_col), delim_re))
                        .alias("__idx", "__line"))
                .withColumn("__d", F.md5(c("__line"))))
     freq = (lines.groupBy("__d")

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .util import join_group_stats
+
 
 def calendar_spine(df: DataFrame, group_cols: list[str],
                    date_col: str) -> DataFrame:
@@ -51,8 +53,12 @@ def gap_fill_forward(df: DataFrame, group_cols: list[str], date_col: str,
     construction.
     """
     spine = calendar_spine(df, group_cols, date_col)
-    joined = spine.join(df.withColumn("__obs", F.lit(True)),
-                        [*group_cols, date_col], "left")
+    # null-safe on the group key: a NULL group has a spine (groupBy emits
+    # the NULL-group bounds row) and must get its values back, not a
+    # hollow all-NULL series
+    joined = join_group_stats(spine, df.withColumn("__obs", F.lit(True)),
+                              [*group_cols, date_col], how="left",
+                              broadcast=False)
     w = (Window.partitionBy(*group_cols).orderBy(date_col)
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = [F.last(F.col(v), ignorenulls=True).over(w).alias(f"{v}_filled")

@@ -153,7 +153,11 @@ def pipeline_stages(spark: SparkSession, csv_path: str, warehouse_root: str,
     def load_target() -> None:
         # a prior run may have died between stage_new and commit_staged;
         # its orphaned __new dirs are uncommitted by construction and
-        # this run re-stages every table, so clear them first
+        # this run re-stages every table, so clear them first.
+        # SINGLE-WRITER assumption (documented on vacuum_staged): this
+        # orchestrator owns the warehouse exclusively — if concurrent
+        # pipelines ever share a root, pass older_than_s > max pipeline
+        # duration here so a live run's in-flight staging survives.
         wh.vacuum_staged("tgt")
         stg = {n: wh.read("stg", n) for n in STG_TABLES}
         prior = ({n: wh.read("tgt", n) for n in TARGET_TABLES}

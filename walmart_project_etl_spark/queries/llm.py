@@ -564,7 +564,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from walmart_project_etl_spark.streaming import stream_enrich_tumbling
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return stream_enrich_tumbling(spark, events_dir(spark, sf_dir),
-                                  nation, "n_nationkey", "n_name")
+                                  nation, "n_nationkey", "n_name",
+                                  stream_key=F.col("user_id") % 25)
 
 
 @q("stream_stream_join",
@@ -837,7 +838,7 @@ def olap_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return (li.rollup("l_returnflag", "l_linestatus")
             .agg((F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
-                 .alias("gid"),
+                 .cast("long").alias("gid"),
                  F.count(F.lit(1)).alias("n"),
                  F.round(F.sum(F.col("l_quantity").cast("decimal(28,6)")), 2)
                   .cast("double").alias("sum_qty")))
@@ -857,7 +858,7 @@ def olap_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
             .agg((F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
-                 .alias("gid"),
+                 .cast("long").alias("gid"),
                  F.count(F.lit(1)).alias("n"),
                  F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,6)")), 2)
                   .cast("double").alias("sum_price")))
@@ -932,7 +933,7 @@ def olap_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.groupingSets([["o_orderpriority"], ["o_orderstatus"], []],
                            "o_orderpriority", "o_orderstatus")
             .agg((F.grouping("o_orderpriority") * 2
-                  + F.grouping("o_orderstatus")).alias("gid"),
+                  + F.grouping("o_orderstatus")).cast("long").alias("gid"),
                  F.count(F.lit(1)).alias("n"),
                  F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2)
                   .cast("double").alias("sum_price")))
@@ -988,7 +989,7 @@ def olap_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("ts").alias("d"), "value")
     return (ev.rollup("y", "m", "d")
             .agg((F.grouping("y") * 4 + F.grouping("m") * 2 + F.grouping("d"))
-                 .alias("gid"),
+                 .cast("long").alias("gid"),
                  F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
                   .cast("double").alias("sum_value")))

@@ -95,27 +95,44 @@ class Warehouse:
                 shutil.rmtree(final)
             os.rename(tmp, final)
 
-    def vacuum_staged(self, layer: str) -> list[str]:
+    def vacuum_staged(self, layer: str,
+                      older_than_s: float = 0.0) -> list[str]:
         """Crash recovery for the two-phase commit: delete orphaned
         ``__new`` staging dirs left by a run that died between
         ``stage_new`` and ``commit_staged``.
 
-        Safe by construction: a ``__new`` dir is only ever an
-        uncommitted phase-1 artifact (commit renames it away
-        atomically), so removing it never touches live table data —
-        the interrupted run's tables still hold their pre-run state and
-        the next run simply re-stages. Returns the removed dir names so
-        the orchestrator can log what a prior crash left behind.
+        Safe for DEAD runs by construction: a ``__new`` dir is only ever
+        an uncommitted phase-1 artifact (commit renames it away
+        atomically), so removing one never touches live table data — the
+        interrupted run's tables still hold their pre-run state and the
+        next run simply re-stages. It is NOT safe against a LIVE
+        concurrent writer: deleting another run's in-flight phase-1 dir
+        makes that run's ``commit_staged`` fail its staged-dir assert.
+        The warehouse assumes a single writer per layer; where that
+        cannot be guaranteed, pass ``older_than_s`` so only staging dirs
+        older than the age bound (i.e. provably from a dead run, given a
+        known max pipeline duration) are vacuumed. Returns the removed
+        dir names so the orchestrator can log what a crash left behind.
         """
         import shutil
+        import time
 
         root = os.path.join(self.root, layer)
         if not os.path.isdir(root):
             return []
         removed = []
+        cutoff = time.time() - older_than_s
         for name in sorted(os.listdir(root)):
-            if name.endswith("__new"):
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            if not name.endswith("__new"):
+                continue
+            p = os.path.join(root, name)
+            try:
+                if older_than_s > 0 and os.path.getmtime(p) > cutoff:
+                    continue  # too fresh — possibly a live writer's
+            except OSError:
+                pass  # raced with a concurrent commit's rename — skip
+            else:
+                shutil.rmtree(p, ignore_errors=True)
                 removed.append(name)
         return removed
 

@@ -92,6 +92,7 @@ def stream_latest_per_user(spark: SparkSession, events_path: str,
 
 def stream_enrich_tumbling(spark: SparkSession, events_path: str,
                            dim: DataFrame, dim_key: str, label_col: str,
+                           stream_key,
                            window_duration: str = "1 hour",
                            watermark: str = "2 hours") -> DataFrame:
     """Stream-static enrich: join the event stream to a BROADCAST static
@@ -101,13 +102,20 @@ def stream_enrich_tumbling(spark: SparkSession, events_path: str,
     This is the canonical streaming star-join shape at scale: the dim is
     broadcast once per micro-batch, so the stream side never shuffles for
     the join; the only stateful operator is the windowed aggregation.
-    The stream's join key must be a column named ``__k`` — callers derive
-    it with ``F.pmod``/expressions before calling, or rely on the default
-    ``user_id % dim_count`` mapping the query layer uses.
+
+    ``stream_key`` is the stream-side join key — a ``Column`` expression
+    over the event stream's columns (or a column name). It is matched
+    against ``dim[dim_key]`` with a plain equi-join; there is no implicit
+    key derivation (an inferred ``user_id % count(dim)`` mapping would be
+    silently wrong for any filtered or surrogate-keyed dimension).
+    An empty dimension raises rather than dropping every event.
     """
+    if dim.isEmpty():
+        raise ValueError("stream_enrich_tumbling: static dimension is empty "
+                         "— the inner join would drop every event")
+    key = F.col(stream_key) if isinstance(stream_key, str) else stream_key
     ev = _read_events_stream(spark, events_path).withWatermark("ts", watermark)
-    n_dim = dim.count()  # static side: counting it is a one-off batch job
-    enriched = (ev.withColumn("__k", F.col("user_id") % F.lit(n_dim))
+    enriched = (ev.withColumn("__k", key)
                 .join(F.broadcast(dim.select(F.col(dim_key).alias("__k"),
                                              F.col(label_col))), "__k"))
     agg = (enriched.groupBy(F.window("ts", window_duration).alias("win"),
