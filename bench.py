@@ -71,6 +71,11 @@ BENCH_QUERIES = [
 #: pipe_* entries reuse the star cache built by the cold one.
 COLD_PIPE = {"pipe_bi_sales_by_category"}
 
+#: first cluster query pays the full pair-graph + closure build; the
+#: second reuses the shared labeled-corpus artifact (warm twin), so the
+#: bench shows both the closure cost and the serve-many read cost.
+COLD_LABELED = {"dedup_canonical_longest"}
+
 
 def main() -> int:
     from walmart_project_etl_spark.queries import registry
@@ -106,6 +111,10 @@ def main() -> int:
             from walmart_project_etl_spark.queries.pipeline import \
                 invalidate_star_cache
             invalidate_star_cache()
+        if name in COLD_LABELED:
+            from walmart_project_etl_spark.queries.trainprep import \
+                invalidate_labeled_cache
+            invalidate_labeled_cache()
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()

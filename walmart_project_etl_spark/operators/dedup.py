@@ -89,13 +89,32 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams (space-joined) of a whitespace-tokenized string."""
+    """Distinct word n-grams (space-joined) of a whitespace-tokenized string.
+
+    Built by zipping the token array against its own n−1 shifted copies
+    (``zip_with`` + ``slice``) rather than ``transform(sequence)`` over
+    per-gram ``slice``+``array_join``: expressions referenced inside a
+    higher-order-function lambda are re-evaluated PER ELEMENT (no
+    common-subexpression elimination across the lambda boundary), so the
+    old shape re-ran the regex tokenizer once per gram — the single
+    hottest expression in corpus dedup. This shape evaluates the split
+    O(n) times per row instead of O(tokens). Documents shorter than n
+    tokens produce one gram holding the whole text (matching the SQL
+    oracles' ``slice``-beyond-end behaviour)."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(c), r"\s+")
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    grams = toks
+    for i in range(1, n):
+        # shifted copy [i+1 ..]; zip pads the tail with NULL and concat
+        # propagates it, so incomplete tail grams null out
+        shifted = F.slice(toks, i + 1,
+                          F.greatest(F.size(toks) - i, F.lit(0)))
+        grams = F.zip_with(grams, shifted,
+                           lambda x, y: F.concat(x, F.lit(" "), y))
+    full = F.filter(grams, lambda g: g.isNotNull())
     return F.array_distinct(
-        F.transform(F.sequence(F.lit(0), cnt - 1),
-                    lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
+        F.when(F.size(toks) < n, F.array(F.array_join(toks, " ")))
+         .otherwise(full))
 
 
 # --------------------------------------------------------------- MinHash + LSH
@@ -478,10 +497,28 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     prefix = (exploded.join(freq, "shingle")
               .withColumn("__pos", F.row_number().over(w))
               .where(F.col("__pos") <= prefix_len)
-              .select("doc", "shingle"))
+              .select("doc", "shingle", "__pos", "n_sh"))
+    # PPJoin candidate pruning, both exact (no true pair can be lost):
+    # - LENGTH filter: jaccard ≥ t forces t ≤ na/nb ≤ 1/t, checked on the
+    #   prefix rows so pruned pairs never materialize;
+    # - POSITIONAL filter: a true pair's FIRST common shingle (in the
+    #   global rarest-first order) sits in both prefixes at positions
+    #   (i, j), and every other common shingle lies after it on both
+    #   sides, so overlap ≤ 1 + min(na−i, nb−j); jaccard ≥ t needs
+    #   overlap ≥ ⌈t·(na+nb)/(1+t)⌉ — rows violating the bound cannot be
+    #   the first match of a qualifying pair. On low-entropy corpora this
+    #   cuts the candidate set ~an order of magnitude before the
+    #   per-candidate array intersection (the CPU-bound verify stage).
+    t_lit = F.lit(float(threshold))
+    ln, rn = F.col("l.n_sh"), F.col("r.n_sh")
+    min_overlap = F.ceil(t_lit / (1.0 + float(threshold)) * (ln + rn))
+    pos_bound = (F.least(ln - F.col("l.__pos"), rn - F.col("r.__pos"))
+                 + F.lit(1))
     cand = (prefix.alias("l")
             .join(prefix.alias("r"), (F.col("l.shingle") == F.col("r.shingle"))
-                  & (F.col("l.doc") < F.col("r.doc")))
+                  & (F.col("l.doc") < F.col("r.doc"))
+                  & (ln >= F.ceil(t_lit * rn)) & (rn >= F.ceil(t_lit * ln))
+                  & (pos_bound >= min_overlap))
             .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
             .distinct())
     # The verify stage is CPU-bound (an array intersection per candidate)
@@ -531,7 +568,7 @@ def fuzzy_blocked_pairs(df: DataFrame, id_col: str, name_col: str,
             .select(F.col("l.doc").alias("id_a"),
                     F.col("r.doc").alias("id_b"),
                     F.levenshtein(F.col("l.__n"), F.col("r.__n"))
-                     .alias("edit_distance"))
+                     .cast("long").alias("edit_distance"))
             .where(F.col("edit_distance") <= max_edit))
 
 

@@ -8,20 +8,29 @@ and labels every member with the cluster's canonical (minimum) id, the
 standard final step of a corpus-dedup pipeline (cf. the MinHash dedup
 stages of C4/RefinedWeb).
 
-Spark-first design: min-label propagation WITH POINTER JUMPING as an
-iterative sequence of DataFrame joins/aggregations. Each round first
-takes the min label over graph neighbours, then shortcuts through the
-label graph twice (``component ← component's component`` — path
-halving, the core move of Kiveris et al.'s large-star contraction in
-"Connected Components in MapReduce and Beyond"), so a chain of length d
-resolves in O(log d) rounds instead of O(d) — plain propagation walks
-one hop per round and chain-shaped dup clusters (A~B~C~… from
-transitive near-dups) made round count, i.e. Spark-job count, the cost
-driver at small scale. Each round is a constant number of shuffles
-keyed on vertex id (uniform — doc ids), ``localCheckpoint`` truncates
-the lineage so the plan does not grow with iterations, and convergence
-is detected from the label-sum aggregate (labels only ever decrease, so
-an unchanged sum IS the fixpoint — no extra join-and-count job).
+Spark-first design: the ALTERNATING small-star / large-star edge
+CONTRACTION of Kiveris et al., "Connected Components in MapReduce and
+Beyond" (SoCC'14) — the published O(log n)-round algorithm — as a
+sequence of DataFrame aggregations/joins over the edge list:
+
+- **large-star**: every node's LARGER neighbours are re-wired to the
+  minimum of its neighbourhood (incl. itself);
+- **small-star**: every node's smaller neighbours (and itself) are
+  re-wired to its minimum smaller neighbour.
+
+Both moves strictly contract the graph toward STARS centred on each
+component's minimum id; alternating them converges in O(log n) rounds
+(vs O(diameter) for plain min-label propagation — chain-shaped dup
+clusters from transitive near-dups made round count, i.e. Spark-job
+count, the cost driver). Unlike label propagation, the working set is
+the EDGE list and it shrinks every round as edges collapse into star
+edges — at 100 TB the per-round shuffle is edge-linear and decreasing,
+keyed on vertex id (uniform — doc ids). ``localCheckpoint`` truncates
+lineage so the plan does not grow with iterations (unreplicated blocks:
+on preemptible fleets swap in reliable checkpointing), and convergence
+is detected from an edge-set fingerprint aggregate (count + hash-sum,
+stable across BOTH star ops ⇒ the edge set is a fixpoint, which for
+these ops is exactly the star-forest terminal state).
 
 Beyond-reference surface: the reference repo has no graph stage; its
 dedup (ROW_NUMBER in ``etl_staging_loader.py``) never needs closure.
@@ -54,60 +63,81 @@ def connected_components(
     id reachable from ``id``. Deterministic: the fixpoint is unique, so
     partitioning/scheduling cannot change the answer.
     """
+    # materialize the raw edge list ONCE: verts + the canonical edge set
+    # are three consumers of ``edges``, whose producing plan is typically
+    # the expensive near-dup pair join — without this it runs three times
     e = edges.select(F.col(src).cast("long").alias("a"),
-                     F.col(dst).cast("long").alias("b"))
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
-           .where(F.col("a") != F.col("b")).distinct() \
-           .localCheckpoint(eager=True)
+                     F.col(dst).cast("long").alias("b")) \
+             .localCheckpoint(eager=True)
+    # vertex universe BEFORE dropping self-loops: a self-looped singleton
+    # is still a vertex and must come back labeled with itself
+    verts = (e.select(F.col("a").alias("id"))
+              .unionByName(e.select(F.col("b").alias("id")))
+              .distinct())  # reads the checkpointed e — no extra job
+    # canonical undirected edge list: u > v, one row per edge
+    # lazy checkpoints throughout the loop: the fingerprint aggregate is
+    # the op's ONE action and materializes the checkpoint as a side
+    # effect — eager would cost a second job per round
+    cur = (e.where(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"),
+                    F.least("a", "b").alias("v"))
+            .distinct().localCheckpoint(eager=False))
 
-    labels = sym.select(F.col("a").alias("id")).distinct() \
-                .withColumn("component", F.col("id"))
+    def large_star(E):
+        """u ← m(v) for every canonical edge (u, v): each node's LARGER
+        neighbours re-wire to the minimum of its full neighbourhood.
+        m is computed over the symmetric view; the canonical edge (u, v)
+        is processed exactly once, at its smaller endpoint v."""
+        sym = E.unionByName(E.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+        m = (sym.groupBy("u").agg(F.min("v").alias("__mn"))
+                .select(F.col("u").alias("__c"),
+                        F.least("u", "__mn").alias("__m")))
+        return (E.join(m, E["v"] == m["__c"])
+                 .select("u", F.col("__m").alias("v"))
+                 .where(F.col("u") != F.col("v")).distinct())
 
-    def shortcut(lbl):
-        """Path halving: component ← min(component, component's component).
-        Every component value is itself a vertex id present in lbl, so the
-        self-join is total; labels are monotone non-increasing."""
-        tgt = lbl.select(F.col("id").alias("__cid"),
-                         F.col("component").alias("__cc"))
-        return (lbl.join(tgt, lbl["component"] == tgt["__cid"])
-                   .select("id", F.least("component", "__cc").alias("component")))
+    def small_star(E):
+        """Every node's smaller neighbours — and the node itself — re-wire
+        to its minimum smaller neighbour. Canonical edges are already keyed
+        on the larger endpoint u, so Γ_small(u) is exactly u's rows."""
+        m = (E.groupBy("u").agg(F.min("v").alias("__m"))
+              .withColumnRenamed("u", "__c"))
+        j = E.join(m, E["u"] == m["__c"])
+        leaves = (j.select(F.col("v").alias("u"), F.col("__m").alias("v"))
+                   .where(F.col("u") != F.col("v")))
+        centers = j.select("u", F.col("__m").alias("v"))
+        return leaves.unionByName(centers).distinct()
 
-    # Fingerprint = (sum, count) of labels: every label change strictly
-    # decreases some label with all others non-increasing, so the sum is
-    # strictly monotone until the fixpoint — equality IS convergence, one
-    # cheap aggregate instead of a join-and-count job per round.
-    def fingerprint(lbl):
-        row = lbl.agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
-                      F.count(F.lit(1)).alias("n")).collect()[0]
-        return (row["s"], row["n"])
+    # Edge-set fingerprint: (count, sum of per-edge hashes) in one cheap
+    # aggregate per op. Unchanged across BOTH star ops ⇒ the edge set is a
+    # fixpoint of the alternation, i.e. the terminal star forest.
+    def fingerprint(E):
+        row = E.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+                     .alias("s")).collect()[0]
+        return (row["n"], row["s"])
 
-    labels = labels.localCheckpoint(eager=True)
-    prev = fingerprint(labels)
-    for it in range(max_iter):
-        nbr_min = (sym.join(labels, sym["b"] == labels["id"])
-                      .groupBy("a").agg(F.min("component").alias("nbr_min")))
-        new_labels = (labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
-                            .select(labels["id"],
-                                    F.least("component",
-                                            F.coalesce("nbr_min", "component"))
-                                     .alias("component")))
-        # Path-halving shortcuts only from round 2: dup-pair graphs are
-        # usually near-clique (diameter 1-2), where the neighbor pass
-        # alone converges in one round and each shortcut would add two
-        # pure-overhead shuffle joins per round. Deep chains still get
-        # the O(log d) contraction — they are exactly the graphs that
-        # reach round 2.
-        if it > 0:
-            new_labels = shortcut(shortcut(new_labels))
-        new_labels = new_labels.localCheckpoint(eager=True)
-        cur = fingerprint(new_labels)
-        labels = new_labels
-        if cur == prev:
-            return labels
-        prev = cur
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        "component diameter too large for a dup-pair graph")
+    prev = fingerprint(cur)
+    stable = 0
+    for it in range(2 * max_iter):
+        op = large_star if it % 2 == 0 else small_star
+        nxt = op(cur).localCheckpoint(eager=False)
+        fp = fingerprint(nxt)
+        stable = stable + 1 if fp == prev else 0
+        cur, prev = nxt, fp
+        if stable >= 2:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "not a plausible dup-pair graph")
+    # terminal state: star edges (leaf u → component-min v); centers have
+    # no outgoing edge and label themselves
+    centers = cur.groupBy(F.col("u").alias("id")) \
+                 .agg(F.min("v").alias("__cc"))
+    return (verts.join(centers, "id", "left")
+                 .select("id", F.coalesce("__cc", "id").alias("component")))
 
 
 def cluster_dedup(
