@@ -103,8 +103,7 @@ def main() -> int:
     from walmart_project_etl_spark.queries.util import events_t
     events_t(spark, SF_DIR)
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    def run_once(name: str) -> float:
         fn, _oracle = reg[name]
         if name in COLD_PIPE:
             # time the full pipeline build, not a warm cache hit
@@ -116,14 +115,32 @@ def main() -> int:
                 invalidate_labeled_cache
             invalidate_labeled_cache()
         t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # Median over repeated runs: single-shot numbers carry a measured
+    # ~1.4x same-code wall-time spread on this box (docs/SCALE.md),
+    # enough to mask a real 1.3x regression. 3 runs per query; queries
+    # whose first run is already ≥10s drop to 2 runs (lower-middle =
+    # best-of-2) to keep total bench wall time in budget — their
+    # absolute size makes relative drift less able to hide a regression.
+    timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name in BENCH_QUERIES:
+        runs = [run_once(name)]
+        n = 2 if runs[0] >= 10.0 else 3
+        while len(runs) < n:
+            runs.append(run_once(name))
+        runs.sort()
+        timings[name] = round(runs[(len(runs) - 1) // 2], 3)
+        spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
+        print(f"# {name}: {timings[name]:.2f}s "
+              f"(spread {runs[0]:.2f}-{runs[-1]:.2f})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({"metric": "total_wall_seconds", "value": total,
-                      "unit": "sec", "queries": timings, "sf": sf}))
+                      "unit": "sec", "queries": timings, "sf": sf,
+                      "spread": spread}))
     return 0
 
 

@@ -764,3 +764,23 @@ def test_ivf_build_then_query_matches_one_shot(spark, tmp_path):
     key = lambda r: (r["query_id"], r["rank"])
     assert sorted(map(tuple, one_shot), key=lambda t: (t[0], t[3])) == \
         sorted(map(tuple, served), key=lambda t: (t[0], t[3]))
+
+
+def test_ivf_persisted_warehouse_index_recall(spark, tmp_path):
+    """The cell-PARTITIONED warehouse round-trip of the IVF index (the
+    registry's sim_ivf_persisted_topk path) must serve a fresh query
+    batch with recall far above random vs exact brute force."""
+    from walmart_project_etl_spark.operators import similarity
+    from walmart_project_etl_spark.sources.catalog import Warehouse
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assigned, centroids = similarity.ivf_build(emb, n_clusters=8)
+    wh = Warehouse(spark, str(tmp_path))
+    wh.write("tgt", "ivf_index", assigned, partition_by=["cell"])
+    queries = emb.where("vec_id % 100 = 23") \
+                 .selectExpr("vec_id AS query_id", "embedding")
+    served = similarity.ivf_query(wh.read("tgt", "ivf_index"), centroids,
+                                  queries, k=10, n_probe=3)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in served.collect()}
+    assert len(e & a) / len(e) >= 0.3  # probing 3/8 cells; random ~2%

@@ -1110,6 +1110,60 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann_topk(emb, queries, k=10)
 
 
+_IVF_CACHE: dict[str, str] = {}
+
+
+def ivf_index_from_store(spark: SparkSession, sf_dir: str):
+    """Build the IVF index ONCE and round-trip it through STORAGE: the
+    cell-assigned corpus goes through the ``Warehouse`` seam as parquet
+    PARTITIONED BY cell (so a probe of n_probe cells is partition pruning,
+    not a scan), the centroid list as a JSON sidecar. Every later query
+    batch reads the index back — no KMeans refit, no re-assignment.
+    Returns ``(assigned, centroids)`` exactly like ``ivf_build``."""
+    import hashlib
+    import json
+    import os
+
+    from walmart_project_etl_spark.sources.catalog import Warehouse
+
+    from .util import build_once
+
+    if sf_dir not in _IVF_CACHE:
+        def build(out: str) -> None:
+            emb = t(spark, sf_dir, "embeddings")
+            assigned, centroids = similarity.ivf_build(
+                emb, "vec_id", "embedding", n_clusters=16, seed=42)
+            Warehouse(spark, out).write("tgt", "ivf_index", assigned,
+                                        partition_by=["cell"])
+            with open(os.path.join(out, "centroids.json"), "w") as fh:
+                json.dump(centroids, fh)
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        _IVF_CACHE[sf_dir] = build_once(f"ivf_index_{tag}", build)
+    root = _IVF_CACHE[sf_dir]
+    assigned = Warehouse(spark, root).read("tgt", "ivf_index")
+    with open(os.path.join(root, "centroids.json")) as fh:
+        centroids = json.load(fh)
+    return assigned, centroids
+
+
+@q("sim_ivf_persisted_topk", None)  # KMeans centroids engine-internal — rows-only
+def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once/query-MANY serving shape end-to-end: a FRESH query
+    batch (vec_id % 100 = 23 — disjoint from the one-shot query's batch)
+    served from the PERSISTED IVF index (parquet partitioned by cell +
+    centroid sidecar, ``ivf_index_from_store``), proving the index
+    round-trips storage — the entire point of the ivf_build/ivf_query
+    split. Per-batch cost is cell-pruned scans + one top-k window; the
+    quantizer never refits. Recall vs brute force on the persisted index
+    is pinned by tests/test_operators.py."""
+    assigned, centroids = ivf_index_from_store(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 23) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_query(assigned, centroids, queries, k=10)
+
+
 @q("mm_resize_images", None)  # Arrow/pandas path — rows-only
 def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: payload → fixed 8×8 pixel grid via mapInPandas

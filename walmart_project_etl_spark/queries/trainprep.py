@@ -618,6 +618,160 @@ def clean_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("price_z"), 6).alias("price_z"))
 
 
+# ------------------------------------------------- end-to-end curation run
+
+def _curate_oracle() -> str:
+    """Composed oracle for the full curation pipeline — each stage's SQL is
+    the same fragment its standalone query proved (gopher filter, exact
+    dedup, jaccard pairs + recursive-CTE closure + keep-longest,
+    8-gram decontamination, token budget, packing, shard layout)."""
+    from .llm import _GOPHER_ORACLE
+
+    return r"""WITH RECURSIVE
+  g AS (""" + _GOPHER_ORACLE + r"""),
+  kept AS (
+    SELECT d.doc_id, d.text, d.source
+    FROM documents d JOIN g USING (doc_id) WHERE g.keep = 1),
+  ex AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+  exd AS (SELECT k.doc_id, k.text, k.source FROM kept k JOIN ex USING (doc_id)),
+  tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM exd),
+  pos AS (
+    SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+    FROM tok),
+  sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+         FROM pos),
+  szd AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id),
+  pairs AS (
+    SELECT id_a, id_b FROM inter
+    JOIN szd sa ON sa.doc_id = id_a
+    JOIN szd sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.6),
+  edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+  reach AS (
+    SELECT a AS id, a AS r FROM edges
+    UNION
+    SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+  cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+  sized AS (
+    SELECT doc_id, source, text,
+           len(string_split_regex(regexp_replace(text, '^\s+|\s+$', ''),
+                                  '\s+'))::BIGINT AS n_tokens
+    FROM exd),
+  labeled AS (
+    SELECT s.doc_id, s.source, s.text, s.n_tokens,
+           coalesce(cc.component, s.doc_id) AS cluster_id
+    FROM sized s LEFT JOIN cc ON cc.id = s.doc_id),
+  canon AS (
+    SELECT doc_id, source, text, n_tokens FROM labeled
+    QUALIFY row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_tokens DESC, doc_id) = 1),
+  btok AS (
+    SELECT string_split_regex(trim(text), '\s+') AS w
+    FROM documents WHERE doc_id % 20 = 0),
+  bg AS (
+    SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS ng
+    FROM (SELECT w, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+          FROM btok)),
+  ctok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM canon),
+  cg AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS ng
+    FROM (SELECT doc_id, w,
+                 unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+          FROM ctok)),
+  bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (ng)),
+  decon AS (SELECT doc_id, source, n_tokens FROM canon
+            ANTI JOIN bad USING (doc_id)),
+  cum AS (
+    SELECT doc_id, source, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR) NULLS FIRST, doc_id NULLS FIRST
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+    FROM decon),
+  sampled AS (SELECT doc_id, source, n_tokens FROM cum WHERE cum_before < 800),
+  pg AS (
+    SELECT doc_id, source, n_tokens,
+           ('0x' || substr(md5('#' || doc_id::VARCHAR), 1, 8))::BIGINT % 8
+             AS pack_group
+    FROM sampled),
+  ps AS (
+    SELECT doc_id, source, n_tokens, pack_group,
+           sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id)
+             - n_tokens AS strt
+    FROM pg)
+  SELECT doc_id, source, n_tokens, pack_group,
+         CAST(strt // 64 AS BIGINT) AS seq_id,
+         CAST(strt % 64 AS BIGINT) AS seq_offset,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+         row_number() OVER (
+             PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                          ::BIGINT % 8
+             ORDER BY md5(doc_id::VARCHAR) NULLS FIRST,
+                      doc_id NULLS FIRST) - 1 AS shard_pos
+  FROM ps"""
+
+
+@q("curate_pipeline", _curate_oracle())
+def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REALISTIC end-to-end corpus-curation run, every stage an
+    operator this registry proves individually, composed into one plan:
+
+    1. Gopher/C4 quality filter (keep conjunction) — narrow scan;
+    2. exact content dedup (md5 group, keep lowest id) — one uniform
+       128-bit shuffle;
+    3. word-3-gram Jaccard ≥ 0.6 near-dup pairs (PPJoin prefix filter) →
+       alternating-star connected components → keep-LONGEST canonical per
+       cluster;
+    4. 8-gram decontamination against the benchmark subset
+       (doc_id % 20 = 0) — broadcast gram anti-probe;
+    5. per-source token-budget fill (800 tokens, md5 hash order);
+    6. sequence packing (capacity 64, 8 hash groups);
+    7. deterministic shard layout (8 shards, md5 rank) — the final
+       training-ready index.
+
+    At 100 TB every stage keeps its standalone scale shape (no stage
+    collects or re-keys another's shuffle unnecessarily): the fused plan
+    is scan → digest shuffle → pair join on rare prefixes → log-round
+    closure → broadcast probe → three keyed windows. The oracle composes
+    the SAME per-stage SQL fragments the standalone queries verify,
+    closure included (recursive CTE) — end-to-end exact."""
+    d = t(spark, sf_dir, "documents")
+    fl = text.gopher_flags("text")
+    kept = d.where(fl["keep"]).select("doc_id", "text", "source")
+    exd = dedup.exact_dedup(kept, "text", "doc_id")
+    n_tokens = F.size(F.split(
+        F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"))
+    sized = exd.select("doc_id", "source", "text",
+                       n_tokens.cast("long").alias("n_tokens"))
+    pairs = dedup.ngram_jaccard_pairs(exd, "doc_id", "text", k=3,
+                                      threshold=0.6, unit="word") \
+                 .select("id_a", "id_b")
+    labeled = graph.cluster_dedup(pairs, exd, "doc_id").drop("is_canonical")
+    members = labeled.join(sized, "doc_id")
+    canon = graph.canonical_by_score(members, "doc_id", "cluster_id",
+                                     "n_tokens") \
+                 .where(F.col("is_canonical"))
+    benchmark = d.where(F.col("doc_id") % 20 == 0)
+    decon = dedup.decontaminate(canon, benchmark, "doc_id", "text", n=8)
+    sampled = sampling.token_budget_per_group(
+        decon.select("doc_id", "source", "n_tokens"),
+        "source", "n_tokens", budget=800, key="doc_id")
+    packed = packing.pack_sequences(sampled, "doc_id", "n_tokens",
+                                    capacity=64, n_groups=8)
+    sharded = sampling.assign_shards(packed, "doc_id", 8)
+    return sharded.select(
+        "doc_id", "source", "n_tokens", "pack_group",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("seq_offset").cast("long").alias("seq_offset"),
+        "shard", F.col("shard_pos").cast("long").alias("shard_pos"))
+
+
 @q("clean_quantile_bins",
    """SELECT l_orderkey, l_linenumber, l_returnflag,
              CAST(ntile(10) OVER (PARTITION BY l_returnflag
