@@ -784,3 +784,36 @@ def test_ivf_persisted_warehouse_index_recall(spark, tmp_path):
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in served.collect()}
     assert len(e & a) / len(e) >= 0.3  # probing 3/8 cells; random ~2%
+
+
+def test_salted_paths_correct_on_skewed_fixture(spark):
+    """On a zipf-head fixture (ONE key owns ~20% of rows) the skew-safe
+    paths must be result-identical to their straight counterparts:
+    salted_latest == the W1 row_number window (reference
+    etl_target_loader.py:118-124 semantics) and salted_join == the plain
+    equi-join."""
+    from walmart_project_etl_spark.operators import skew
+    from walmart_project_etl_spark.operators.events import latest_event_per_key
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    hot = o.withColumn("o_custkey",
+                       F.when(F.col("o_orderkey") % 5 == 0, F.lit(0))
+                        .otherwise(F.col("o_custkey")))
+    win = latest_event_per_key(hot, ["o_custkey"], "o_orderdate", "o_orderkey")
+    salted = skew.salted_latest(hot, ["o_custkey"], "o_orderdate",
+                                "o_orderkey", n_salts=8)
+    assert win.exceptAll(salted).count() == 0
+    assert salted.exceptAll(win).count() == 0
+    assert salted.columns == hot.columns
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    hot_ok = o.agg(F.min("o_orderkey")).first()[0]
+    li_hot = li.withColumn(
+        "l_orderkey",
+        F.when(F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(5)) == 0,
+               F.lit(hot_ok)).otherwise(F.col("l_orderkey")))
+    dim = o.selectExpr("o_orderkey AS l_orderkey", "o_orderpriority")
+    plain = li_hot.join(dim, "l_orderkey")
+    salted_j = skew.salted_join(li_hot, dim, "l_orderkey", n_salts=8) \
+                   .select(*plain.columns)
+    assert plain.exceptAll(salted_j).count() == 0
+    assert salted_j.exceptAll(plain).count() == 0

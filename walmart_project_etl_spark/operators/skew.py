@@ -59,6 +59,38 @@ def salted_sum(df: DataFrame, keys: list[str], value_cols: list[str],
                    for c in value_cols]))
 
 
+def salted_latest(df: DataFrame, keys: list[str], ts_col: str,
+                  tiebreak: str, n_salts: int = 16) -> DataFrame:
+    """Skew-safe W1 dedup-latest: keep each key's row with the greatest
+    ``(ts_col, tiebreak)`` via TWO-PHASE max-struct aggregation instead of
+    a ``row_number`` window.
+
+    The window form (reference ``etl_target_loader.py:118-124``) sorts a
+    key's ENTIRE row set inside one task — AQE cannot split a skewed
+    window partition, so a key holding 20% of the fact serializes 20% of
+    the data through one core. Here phase 1 maxes per (key, salt) — the
+    hot key's rows spread over ``n_salts`` reducers and collapse to one
+    row each — and phase 2 merges ``n_salts`` candidate rows per key.
+    max(struct) compares fields left-to-right, so with a per-key-unique
+    ``tiebreak`` the surviving row is EXACTLY the window's
+    ``ORDER BY ts DESC, tiebreak DESC`` rank-1 row (nulls sort smallest,
+    matching the window's desc NULLS LAST). Same column set and order as
+    the input.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                  F.lit(n_salts)).cast("int")
+    rest = [c for c in df.columns if c not in keys]
+    ordered = [ts_col, tiebreak] + [c for c in rest
+                                    if c not in (ts_col, tiebreak)]
+    s = F.struct(*[F.col(c) for c in ordered])
+    partial = (df.withColumn("__salt", salt)
+                 .groupBy(*keys, "__salt").agg(F.max(s).alias("__m")))
+    final = partial.groupBy(*keys).agg(F.max("__m").alias("__m"))
+    return final.select(*keys,
+                        *[F.col(f"__m.{c}").alias(c) for c in ordered]) \
+                .select(*df.columns)
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 n_salts: int = 16, how: str = "inner") -> DataFrame:
     """Skewed equi-join: salt the big side, replicate the small side once
