@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "clean_winsorize",
     "sample_weighted_without_replacement",
+    # r6-new: the end-to-end curation run (heaviest composed plan) and the
+    # skew-safe W1 — regressions must be bench-visible
+    "curate_pipeline",
+    "skew_salted_latest",
     # end-to-end star pipeline (ingest→ODS→staging→target→BI agg) with a
     # COLD warehouse cache — guards the pipeline plans, not just micro ops
     "pipe_bi_sales_by_category",

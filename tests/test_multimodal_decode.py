@@ -77,9 +77,111 @@ def test_bmp_roundtrip_exact():
 
 
 def test_compressed_codec_raises_not_implemented():
-    for magic in (b"\xff\xd8\xff\xe0jpeg", b"\x89PNG\r\n"):
-        with pytest.raises(NotImplementedError, match="codec"):
-            mm.decode_payload(magic + b"\x00" * 64)
+    # JPEG stays an honest NotImplementedError (no image lib); PNG is a
+    # real decoder now and is covered by the tests below
+    with pytest.raises(NotImplementedError, match="codec"):
+        mm.decode_payload(b"\xff\xd8\xff\xe0jpeg" + b"\x00" * 64)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("shape", [(4, 3), (5, 7, 3), (2, 2, 4), (6, 3, 2)])
+def test_png_roundtrip_every_filter_and_colortype(filter_type, shape):
+    """encode→decode is identity for gray / gray+A / RGB / RGBA under
+    every PNG scanline filter (None/Sub/Up/Average/Paeth)."""
+    rng = np.random.default_rng(filter_type * 31 + len(shape))
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    w, h, ch, out = mm.decode_payload(mm.encode_png(px, filter_type))
+    exp = px if px.ndim == 3 else px[:, :, None]
+    assert (w, h, ch) == (exp.shape[1], exp.shape[0], exp.shape[2])
+    assert np.array_equal(out, exp)
+
+
+def test_png_paeth_handcomputed_golden():
+    """Paeth reconstruction against a hand-computed 2x2 gray golden
+    (RFC 2083 §6.6 predictor, not a round-trip of our own encoder)."""
+    import struct
+    import zlib
+    # target pixels: [[10, 200], [250, 30]]
+    # row 0 (no prior): pred(left only): x0: a=b=c=0 -> pred 0 -> f=10
+    #                   x1: a=10,b=0,c=0 -> p=10, pa=0<=pb=10 -> pred=10 -> f=190
+    # row 1: x0: a=0,b=10,c=0 -> p=10 -> pb=0 -> pred=10 -> f=240
+    #        x1: a=250,b=200,c=10 -> p=440, pa=190,pb=240,pc=430 -> pred=250
+    #            f=(30-250)%256=36
+    scan = bytes([4, 10, 190, 4, 240, 36])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+
+    def chunk(typ, body):
+        return struct.pack(">I", len(body)) + typ + body + \
+            struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    w, h, ch, px = mm.decode_payload(data)
+    assert (w, h, ch) == (2, 2, 1)
+    assert px[:, :, 0].tolist() == [[10, 200], [250, 30]]
+
+
+def test_png_real_world_libpng_files_decode():
+    """Decode PNGs produced by real encoders (libpng/AGG baselines shipped
+    inside installed third-party packages) — proves spec compliance, not
+    just self-consistency. Skips if none are importable."""
+    import glob
+    import os
+    candidates = glob.glob(os.path.join(
+        os.path.dirname(os.path.dirname(np.__file__)),
+        "**", "*.png"), recursive=True)
+    decoded = 0
+    for p in candidates[:40]:
+        if os.path.getsize(p) > 64 * 1024:
+            continue  # keep the per-byte filter loops inside test budget
+        with open(p, "rb") as fh:
+            data = fh.read()
+        try:
+            w, h, ch, px = mm.decode_payload(data)
+        except NotImplementedError:
+            continue  # palette/16-bit/interlaced — honestly unsupported
+        assert px.shape == (h, w, ch) and w > 0 and h > 0
+        decoded += 1
+    if not candidates:
+        pytest.skip("no third-party PNGs in site-packages")
+    assert decoded >= 1, "no real-world PNG decoded"
+
+
+def test_png_unsupported_shapes_raise():
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        return struct.pack(">I", len(body)) + typ + body + \
+            struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+
+    def png_with(depth=8, color=0, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+                + chunk(b"IEND", b""))
+
+    with pytest.raises(NotImplementedError, match="depth"):
+        mm.decode_payload(png_with(depth=16))
+    with pytest.raises(NotImplementedError, match="palette"):
+        mm.decode_payload(png_with(color=3))
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        mm.decode_payload(png_with(interlace=1))
+
+
+def test_documents_as_png_payloads_decode_exactly(spark):
+    """The synthetic-PNG builder must emit spec-valid files whose decoded
+    rasters follow the analytic pixel law (the mm_real_decode_png oracle)."""
+    docs = spark.createDataFrame([(3, "x"), (14, "y")], "doc_id long, text string")
+    got = {r["media_id"]: r
+           for r in mm.decode_pixel_stats(mm.documents_as_png(docs)).collect()}
+    for did in (3, 14):
+        w, h = 4 + did % 13, 3 + did % 7
+        exp = sum((did + x + y + c) % 256
+                  for x in range(w) for y in range(h) for c in range(3))
+        r = got[did]
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, 3)
+        assert r["px_sum"] == exp
 
 
 def test_real_decode_meta_end_to_end(spark):

@@ -4,12 +4,14 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 The Spark-side design is real and tested — schema, partition sizing, UDF
 signature, batch shape. The codec step has TWO tiers:
 
-- ``real_decode=True`` runs a real, pure-numpy decoder for the
-  uncompressed formats that need no external library: binary PPM/PGM
-  (``P6``/``P5``) and 24-bpp uncompressed BMP (``decode_payload``).
-  Real header parse, real raster, real pixels — pinned by golden tests.
-  Compressed codecs (JPEG/PNG/…) raise ``NotImplementedError`` because
-  this container has no image libraries; swapping in Pillow extends
+- ``real_decode=True`` runs a real, pure-numpy decoder for the formats
+  that need no external library: binary PPM/PGM (``P6``/``P5``), 24-bpp
+  uncompressed BMP, and zlib-DEFLATEd PNG with all five scanline filter
+  types (``decode_payload``). Real header parse, real inflate, real
+  filter reconstruction, real pixels — pinned by golden tests and
+  validated against real-world libpng output. Remaining compressed
+  codecs (JPEG/WebP/…) raise ``NotImplementedError`` because this
+  container has no image libraries; swapping in Pillow extends
   ``decode_payload`` and nothing else in the plan moves.
 - The default path computes deterministic metadata from the raw bytes
   (length, byte-derived pseudo dimensions, sha256 prefix) so the Arrow
@@ -53,6 +55,14 @@ FEATURE_SCHEMA = StructType([
     StructField("feature", ArrayType(DoubleType())),
 ])
 
+PIXEL_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("px_sum", LongType()),
+])
+
 
 def documents_as_media(docs: DataFrame, media_type: str = "image") -> DataFrame:
     """Adapter for tests/bench: treat document text bytes as opaque payloads
@@ -85,6 +95,54 @@ def documents_as_ppm(docs: DataFrame) -> DataFrame:
         F.lit("image").alias("media_type"),
         F.encode(payload_str, "utf-8").alias("payload"),
         F.concat(F.lit("synthetic://ppm/"), F.col("doc_id")).alias("source_uri"))
+
+
+def documents_as_png(docs: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Synthesize REAL PNG payloads from the documents table: per doc a
+    ``(3 + doc_id % 7) × (4 + doc_id % 13) × 3`` raster with
+    ``pixel[y, x, c] = (doc_id + x + y + c) % 256``, encoded with filter
+    type ``doc_id % 5`` — so one corpus pass exercises every PNG filter
+    reconstruction path, and the analytic pixel law gives the decode an
+    EXACT external oracle (a SQL engine can compute the expected pixel
+    sum without any codec). Encoding runs in the Arrow ``mapInPandas``
+    hop (zlib is not expressible as a Column)."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                px = ((did + np.arange(h)[:, None, None]
+                       + np.arange(w)[None, :, None]
+                       + np.arange(3)[None, None, :]) % 256).astype(np.uint8)
+                rows.append((did, "image", encode_png(px, filter_type=did % 5),
+                             f"synthetic://png/{did}"))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return docs.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL decode → raster statistics: run :func:`decode_payload` on each
+    payload and emit (width, height, n_channels, px_sum) — the pixel sum
+    proves the full decode pipeline (inflate + filter reconstruction for
+    PNG) byte-exactly, not just the header parse."""
+
+    def stats(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, c, px = decode_payload(bytes(payload))
+                out.append((int(mid), w, h, c, int(px.sum(dtype="int64"))))
+            yield pd.DataFrame(out,
+                               columns=[f.name for f in PIXEL_STATS_SCHEMA.fields])
+
+    return media.select("media_id", "payload") \
+                .mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
 
 
 def _stub_dims(payload: bytes) -> tuple[int, int, int]:
@@ -159,20 +217,159 @@ def _decode_bmp(data: bytes):
     return w, h, 3, np.ascontiguousarray(raster)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def _decode_png(data: bytes):
+    """REAL PNG decoder — stdlib ``zlib`` + numpy, no image library.
+
+    Full pipeline: chunk walk (IHDR/IDAT/IEND), zlib-inflate of the
+    concatenated IDAT stream, and per-scanline reconstruction of all five
+    PNG filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports
+    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced — the shapes a
+    training corpus normalizes to anyway; palette, 16-bit, and Adam7
+    raise ``NotImplementedError`` explicitly. Up is vectorized; Sub/
+    Average/Paeth recurse on the reconstructed left neighbour, so they
+    walk the scanline (fine for the corpus-thumbnail sizes this engine
+    decodes in-pipeline; a C codec slots in behind the same dispatcher).
+    Returns (width, height, n_channels, H×W×C uint8).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    i, idat, dims = 8, [], None
+    while i + 8 <= len(data):
+        ln, typ = struct.unpack_from(">I4s", data, i)
+        chunk = data[i + 8:i + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", chunk)
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (8 only)")
+            if color not in _PNG_CHANNELS:
+                raise NotImplementedError("palette PNGs not supported")
+            if interlace != 0:
+                raise NotImplementedError("Adam7 interlacing not supported")
+            dims = (w, h, _PNG_CHANNELS[color])
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if dims is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, ch = dims
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG raster size mismatch")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int16)
+    for y in range(h):
+        f, line = rows[y, 0], rows[y, 1:].astype(np.int16)
+        prior = out[y - 1] if y else np.zeros(stride, np.int16)
+        if f == 0:
+            rec = line
+        elif f == 2:                                      # Up
+            rec = (line + prior) & 0xFF
+        elif f in (1, 3, 4):                              # Sub/Average/Paeth
+            rec = line
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0         # reconstructed left
+                if f == 1:
+                    pred = a if x >= ch else 0
+                elif f == 3:
+                    pred = (int(a) + int(prior[x])) >> 1
+                else:
+                    b, c = int(prior[x]), \
+                        int(prior[x - ch]) if (x >= ch and y) else 0
+                    p = int(a) + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                              else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    return w, h, ch, px
+
+
+def encode_png(px, filter_type: int = 0) -> bytes:
+    """Inverse of :func:`_decode_png` for fixtures/tests: uint8 array
+    (H×W gray or H×W×C) → PNG bytes, every scanline filtered with
+    ``filter_type`` (0-4 — lets tests exercise each reconstruction path).
+    Filtering at encode time is fully vectorized (predictors read the
+    ORIGINAL neighbours)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = px.reshape(h, w * ch).astype(np.int16)
+    left = np.zeros_like(flat)
+    left[:, ch:] = flat[:, :-ch]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    ul = np.zeros_like(flat)
+    ul[1:, ch:] = flat[:-1, :-ch]
+    if filter_type == 0:
+        filt = flat
+    elif filter_type == 1:
+        filt = flat - left
+    elif filter_type == 2:
+        filt = flat - up
+    elif filter_type == 3:
+        filt = flat - ((left + up) >> 1)
+    elif filter_type == 4:
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, ul))
+        filt = flat - pred
+    else:
+        raise ValueError(f"bad filter type {filter_type}")
+    scan = np.concatenate(
+        [np.full((h, 1), filter_type, np.uint8),
+         (filt & 0xFF).astype(np.uint8)], axis=1).tobytes()
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body)) + typ + body + \
+            struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + \
+        chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+
+
 def decode_payload(data: bytes):
-    """Decode an uncompressed image payload to (width, height, n_channels,
-    H×W×C uint8 ndarray). Dispatches on magic bytes: binary PPM/PGM
-    (``P6``/``P5``) and 24-bpp uncompressed BMP (``BM``) decode with pure
-    numpy; compressed codecs raise ``NotImplementedError`` (this container
-    has no image library — installing Pillow extends this dispatcher and
-    nothing else changes)."""
+    """Decode an image payload to (width, height, n_channels, H×W×C uint8
+    ndarray). Dispatches on magic bytes: binary PPM/PGM (``P6``/``P5``),
+    24-bpp uncompressed BMP (``BM``), and REAL zlib-inflated PNG
+    (``\\x89PNG``, all five scanline filters) — all pure numpy + stdlib.
+    Remaining compressed codecs (JPEG/WebP/…) raise
+    ``NotImplementedError`` (no image library in this container —
+    installing Pillow extends this dispatcher and nothing else changes).
+    """
     if data[:2] in (b"P6", b"P5"):
         return _decode_ppm(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
+    if data[:8] == _PNG_SIG:
+        return _decode_png(data)
     raise NotImplementedError(
-        f"unsupported codec (magic {data[:2]!r}): only uncompressed "
-        "PPM/PGM/BMP decode without an external image library")
+        f"unsupported codec (magic {data[:2]!r}): PPM/PGM/BMP/PNG decode "
+        "without an external image library; JPEG/WebP need Pillow")
 
 
 def encode_ppm(px) -> bytes:

@@ -23,78 +23,81 @@ from . import core, funcs, llm, pipeline, trainprep
 _MODULES = (core, funcs, pipeline, llm, trainprep)
 
 #: Curated registration order. The driver's correctness harness records rows
-#: for (at most) the first 50 registry entries. Rounds 2-4 put green driver
-#: rows on 143 distinct entries; this round's window (r5) leads with the
-#: eight entries that have never been driver-checked on current code (the
-#: five r4-new queries, j03/d03 whose code changed after their r2 rows, and
-#: the new real-codec query), then re-proves every query whose operator code
-#: was rewritten after the r4 driver run (dedup PPJoin shingle join,
-#: threshold-derived LSH banding, pointer-jumping connected components,
-#: streaming restart guard, real PPM/PGM/BMP decode), then breadth fill of
-#: the oldest surviving rows. Deliberately left to local verification
-#: (tools/check_oracle.py + tests/, green both): f30-f32 + pipe_f31_f32 +
-#: pipe_a08 + pipe_bi_returns_by_category (rows-only by design — a driver
-#: row adds only a row-count).
+#: for (at most) the first 50 registry entries. Rounds 2-5 put green driver
+#: rows on 157 distinct entries with zero value failures; this round's
+#: window (r6, per VERDICT r5 task 1) leads with the nine oracle-bearing
+#: entries that have never been driver-checked on current code (8 local-
+#: exact-green queries plus text_unigram_logprob, whose r4 row predates the
+#: persist removal), then the three r6-new queries (the end-to-end curation
+#: pipeline, the skew-safe W1, the persisted-IVF serving path), then
+#: re-proves every query whose code or output dtype changed this round
+#: (grouping-id long casts, stream-enrich key parameter, null-safe group
+#: joins, LOCF spine join, delimiter quoting, PPJoin positional/length
+#: filters + zip-based word shingling, alternating-star connected
+#: components + the shared closure artifact, edit-distance cast), and
+#: fills the remainder with the OLDEST surviving rows (queries/core.py has
+#: not been driver-touched since r2). After this round every oracle-bearing
+#: registry entry has a driver row on current code. Deliberately left to
+#: local verification (tools/check_oracle.py + tests/, green both):
+#: f30-f32 + pipe_f31_f32 + pipe_a08 + pipe_bi_returns_by_category
+#: (rows-only by design — a driver row adds only a row-count).
 _PRIORITY = (
-    # never driver-checked on current code (VERDICT r4 task 1)
-    "text_tfidf_top_terms",
-    "sample_token_budget",
-    "dedup_canonical_longest",
-    "s11_jsonl_roundtrip",
-    "sample_weighted_without_replacement",
-    "j03_anti_join_fk_check",
-    "d03_fact_append_idempotent",
-    "mm_real_decode_ppm",
-    # re-proofs: operators/dedup.py + graph.py rewrites (PPJoin prefix
-    # filter, threshold-derived LSH bands, pointer-jumping components)
+    # never driver-checked on current code (VERDICT r5 task 1)
+    "events_transition_matrix",
+    "olap_share_of_total",
+    "events_attribution",
+    "olap_histogram",
+    "clean_zscore",
+    "clean_quantile_bins",
+    "dedup_contamination_scores",
+    "profile_lineitem",
+    "text_unigram_logprob",
+    # r6-new queries
+    "curate_pipeline",
+    "skew_salted_latest",
+    "mm_real_decode_png",
+    "sim_ivf_persisted_topk",
+    # re-proofs: output dtype changed (grouping ids cast to long)
+    "olap_rollup_lineitem",
+    "olap_cube_lineitem",
+    "olap_time_rollup_events",
+    "olap_grouping_sets_orders",
+    # re-proofs: operator code changed this round
+    "stream_static_enrich",
+    "clean_mad_outliers",
+    "clean_winsorize",
+    "ts_gap_fill_locf",
+    "dedup_boilerplate_lines",
     "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
     "dedup_cluster_components",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_incremental",
+    "dedup_canonical_longest",
     "dedup_decontaminate",
     "dedup_fuzzy_blocked",
-    # re-proofs: operators/similarity.py (null-vector band codes)
-    "sim_cosine_topk",
-    "sim_lsh_ann_topk",
-    "sim_ivf_ann_topk",
-    "sim_embedding_centroids",
-    # re-proofs: operators/multimodal.py (real decode dispatcher)
-    "mm_image_meta",
-    "mm_frame_sampling",
-    "mm_byte_histogram_features",
-    "mm_resize_images",
-    # re-proofs: streaming/jobs.py (checkpoint restart guard)
-    "stream_tumbling_window",
-    "stream_foreachbatch_upsert",
-    "stream_stream_join",
-    "stream_dedup_watermark",
-    "stream_stateful_user_stats",
-    "stream_session_window",
-    # first driver rows for the tiny deterministic stamp rules
-    "f27_change_fingerprint",
-    "f28_audit_stamps",
-    # r5-new operators (exact oracles, no driver row yet)
-    "dedup_boilerplate_lines",
-    "cdc_snapshot_diff",
-    "ts_gap_fill_locf",
-    "profile_key_skew",
-    "clean_mad_outliers",
-    "incr_agg_maintenance",
-    "stream_static_enrich",
-    "olap_grouping_sets_orders",
-    "ts_yoy_growth",
-    "dedup_ngram_containment",
-    "sample_shard_assignment",
-    # breadth fill: oldest surviving rows on stable code
-    "text_filter_chain",
-    "sample_stratified",
-    "events_asof_join",
-    "j11_range_band_join",
-    "s10_partitioned_scan_pruning",
+    # breadth fill: the oldest surviving rows (r2-only, code unchanged —
+    # refresh them so no driver row is more than a few rounds stale)
+    "s02_empty_string_to_null",
+    "s03_table_scan",
+    "s04_parquet_sink_roundtrip",
+    "s06_ddl_create_insert",
+    "s07_truncate",
+    "s08_drop",
+    "s09_temp_view",
+    "p01_projection_rename",
+    "p02_distinct_nonnull_dates",
+    "p03_null_filter",
+    "p05_skip_missing_dim_key",
+    "p06_boolean_flag_filters",
+    "j01_left_equi_join",
+    "j10_optional_dim_left_join",
+    "a02_groupby_first",
+    "a03_distinct_count_per_group",
+    "a05_count_distinct",
+    "a06_max_per_group",
+    "a07_minmax_month_span",
+    "a08_conditional_ratio",
+    "a09_distinct_rows",
+    "o02_full_sort",
 )
 
 

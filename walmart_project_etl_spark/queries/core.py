@@ -839,6 +839,26 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "revenue")))
 
 
+@q("skew_salted_latest",
+   """SELECT o_custkey, o_orderkey AS latest_orderkey, o_totalprice AS latest_price
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""")
+def skew_salted_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe W1 dedup-latest: two-phase max-struct aggregation
+    (operators/skew.py:salted_latest) instead of the row_number window —
+    the hot key spreads over 16 reducers in phase 1 and merges 16
+    candidate rows in phase 2, where the window would serialize the whole
+    key through one task (AQE cannot split a window partition). Must be
+    row-identical to the W1 window (same oracle as w01)."""
+    from walmart_project_etl_spark.operators.skew import salted_latest
+    o = t(spark, sf_dir, "orders")
+    latest = salted_latest(o, ["o_custkey"], "o_orderdate", "o_orderkey")
+    return latest.select("o_custkey",
+                         F.col("o_orderkey").alias("latest_orderkey"),
+                         F.col("o_totalprice").alias("latest_price"))
+
+
 @q("s11_jsonl_roundtrip",
    """SELECT doc_id, source, lang, text FROM documents""")
 def s11_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -657,6 +657,35 @@ def mm_real_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "width", "height", "n_channels")
 
 
+@q("mm_real_decode_png",
+   """WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+        FROM documents),
+      flat AS (
+        SELECT doc_id, w, h, xx.x AS xx, yy.y AS yy, cc.c AS cc
+        FROM dims,
+             unnest(range(0, w)) xx(x),
+             unnest(range(0, h)) yy(y),
+             unnest(range(0, 3)) cc(c))
+      SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+             3 AS n_channels,
+             sum((doc_id + xx + yy + cc) % 256)::BIGINT AS px_sum
+      FROM flat GROUP BY doc_id, w, h""")
+def mm_real_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-codec decode end-to-end: synthesize PNG payloads
+    (zlib-DEFLATE, filter type doc_id % 5 — every scanline filter
+    exercised across the corpus), then fully decode them in the Arrow hop
+    (chunk walk → inflate → filter reconstruction, operators/multimodal.py
+    ``_decode_png``) and emit the decoded raster's pixel sum. The oracle
+    computes the expected sum from the analytic pixel law WITHOUT any
+    codec — an exact cross-engine proof that the inflate+unfilter pipeline
+    reconstructs every pixel. (Decoder additionally validated against
+    real-world libpng output in tests/test_multimodal_decode.py.)"""
+    media = multimodal.documents_as_png(t(spark, sf_dir, "documents"))
+    stats = multimodal.decode_pixel_stats(media)
+    return stats.select("media_id", "width", "height", "n_channels", "px_sum")
+
+
 @q("mm_byte_histogram_features", None)  # Arrow/pandas path — rows-only
 def mm_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram features via mapInPandas (stand-in embedding model;
@@ -957,8 +986,8 @@ def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window over the (tiny) month-grain aggregate. Decimal-domain sums
     keep the revenue exact across engines."""
     o = t(spark, sf_dir, "orders")
-    monthly = (o.groupBy(F.year("o_orderdate").alias("y"),
-                         F.month("o_orderdate").alias("m"))
+    monthly = (o.groupBy(F.year("o_orderdate").cast("long").alias("y"),
+                         F.month("o_orderdate").cast("long").alias("m"))
                .agg(F.count(F.lit(1)).alias("n_orders"),
                     F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")),
                             2).cast("double").alias("revenue")))
