@@ -123,8 +123,20 @@ def _op_incr_agg(spark, df):
     return incremental.finalize(state, keys)
 
 
+def _op_salted_latest(spark, df):
+    from walmart_project_etl_spark.operators import skew
+    hot = df.withColumn("o_custkey",
+                        F.when(F.col("o_orderkey") % 5 == 0, F.lit(0))
+                         .otherwise(F.col("o_custkey")))
+    return skew.salted_latest(hot, ["o_custkey"], "o_orderdate",
+                              "o_orderkey", n_salts=8)
+
+
 CASES = {
     "sessionize": (_events, _op_sessionize),
+    "salted_latest": (
+        lambda spark: spark.read.parquet(f"{SF_DIR}/orders.parquet"),
+        _op_salted_latest),
     "stratified_sample": (_docs, _op_stratified),
     "token_budget": (_sized_docs, _op_token_budget),
     "weighted_without_replacement": (_sized_docs, _op_weighted_wr),

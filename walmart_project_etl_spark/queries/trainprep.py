@@ -744,7 +744,13 @@ def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     fl = text.gopher_flags("text")
     kept = d.where(fl["keep"]).select("doc_id", "text", "source")
-    exd = dedup.exact_dedup(kept, "text", "doc_id")
+    # the filtered+exact-deduped corpus feeds FOUR independent subtrees
+    # (token sizing, the pair join's shingle pipeline, the closure's
+    # vertex universe, decontamination) — materialize it once (see
+    # ngram_jaccard_pairs for the localCheckpoint-vs-persist rationale
+    # and the executor-loss trade-off)
+    exd = dedup.exact_dedup(kept, "text", "doc_id") \
+               .localCheckpoint(eager=False)
     n_tokens = F.size(F.split(
         F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"))
     sized = exd.select("doc_id", "source", "text",
@@ -754,9 +760,11 @@ def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("id_a", "id_b")
     labeled = graph.cluster_dedup(pairs, exd, "doc_id").drop("is_canonical")
     members = labeled.join(sized, "doc_id")
+    # decontaminate scans its corpus twice (exploded grams + the doc-level
+    # collapse join) — materialize the canonical survivors once
     canon = graph.canonical_by_score(members, "doc_id", "cluster_id",
                                      "n_tokens") \
-                 .where(F.col("is_canonical"))
+                 .where(F.col("is_canonical")).localCheckpoint(eager=False)
     benchmark = d.where(F.col("doc_id") % 20 == 0)
     decon = dedup.decontaminate(canon, benchmark, "doc_id", "text", n=8)
     sampled = sampling.token_budget_per_group(
