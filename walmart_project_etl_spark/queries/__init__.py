@@ -56,6 +56,8 @@ _PRIORITY = (
     "curate_pipeline",
     "skew_salted_latest",
     "mm_real_decode_png",
+    "txn_merge_fileprune",
+    "txn_time_travel",
     "sim_ivf_persisted_topk",
     # re-proofs: output dtype changed (grouping ids cast to long)
     "olap_rollup_lineitem",
@@ -96,8 +98,6 @@ _PRIORITY = (
     "a06_max_per_group",
     "a07_minmax_month_span",
     "a08_conditional_ratio",
-    "a09_distinct_rows",
-    "o02_full_sort",
 )
 
 

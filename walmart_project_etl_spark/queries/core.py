@@ -805,6 +805,72 @@ def d03_fact_append_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .agg(F.count(F.lit(1)).alias("n_single_batch"))))
 
 
+_TXN_UPDATES_SQL = """(
+    SELECT o_orderkey, o_custkey, o_orderkey * 0.5 AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 50 = 3
+    UNION ALL SELECT 7777777, 1, 2.5, 'N')"""
+
+
+def _txn_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    upd = o.where(F.col("o_orderkey") % 50 == 3) \
+           .withColumn("o_totalprice", F.col("o_orderkey") * 0.5)
+    new = spark.createDataFrame([(7777777, 1, 2.5, "N")], o.schema)
+    return o, upd.unionByName(new)
+
+
+@q("txn_merge_fileprune",
+   f"""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                            o_orderstatus FROM orders),
+      u AS (SELECT * FROM {_TXN_UPDATES_SQL} updates)
+      SELECT * FROM base ANTI JOIN u USING (o_orderkey)
+      UNION ALL SELECT * FROM u""")
+def txn_merge_fileprune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE on the log-table format (sources/txlog.py):
+    orders lands as a multi-file range-partitioned table (one ACID
+    commit), then an upsert batch merges via COPY-ON-WRITE with
+    FILE-LEVEL pruning — only files whose [kmin, kmax] stats can contain
+    an update key are rewritten; the rest survive the commit untouched
+    (asserted in tests/test_txlog.py). This is the 100 TB answer to the
+    reference's ``MERGE INTO`` (``etl_target_loader.py:86-151``) that the
+    whole-table ``Warehouse.replace`` emulation cannot give: a narrow
+    update batch costs O(touched files), not O(dimension)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o, updates = _txn_updates(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_merge")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8)
+    tt.merge_upsert(updates)
+    return tt.snapshot()
+
+
+@q("txn_time_travel",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders""")
+def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel on the log table: AFTER a
+    mutating MERGE commit, reading version 0 still returns exactly the
+    original rows — the log pins each version's live file set and data
+    files are immutable, so historical reads cost nothing extra."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o, updates = _txn_updates(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_tt")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8)
+    tt.merge_upsert(updates)
+    return tt.snapshot(0)
+
+
 @q("skew_salted_aggregate",
    """SELECT l_returnflag, count(*) AS n_rows,
              round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2)::DOUBLE

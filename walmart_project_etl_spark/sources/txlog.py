@@ -1,0 +1,254 @@
+"""Minimal transaction-log parquet table: ACID appends, copy-on-write
+MERGE with FILE-LEVEL pruning, and time travel — no extra packages.
+
+The reference's ``MERGE INTO`` (``etl_target_loader.py:86-151``) runs
+against a warehouse that gives it transactions; this engine's plain
+parquet ``Warehouse`` emulates MERGE by rewriting the WHOLE table
+(correct and atomic, but at 100 TB rewriting a multi-TB dimension to
+update 0.1% of keys is the cost problem transactional formats exist to
+solve). delta-spark is not installable in this environment, so this
+module implements the load-bearing part of the public log-table design
+(Armbrust et al., "Delta Lake: High-Performance ACID Table Storage over
+Cloud Object Stores", VLDB 2020) directly:
+
+- ``<root>/_txlog/<version>.json`` — an ordered commit log; each commit
+  is newline-delimited JSON actions: ``meta`` (schema, key column),
+  ``add`` (immutable data file + row count + per-file key min/max), and
+  ``remove``. The LOG is the table; data files are write-once.
+- **Atomic commits**: actions are staged to a temp file and published
+  with ``os.link`` (fails if the version already exists — atomic
+  create). A concurrent writer losing the race re-reads the new
+  snapshot and retries (optimistic concurrency). Data files written by
+  a crashed transaction are unreferenced by any commit and therefore
+  invisible; ``vacuum_uncommitted`` reclaims them.
+- **Snapshot isolation / time travel**: a reader resolves the live file
+  set at a chosen version and reads exactly those parquet files —
+  writers never mutate a file a reader could be holding.
+- **File-pruned MERGE (SCD1 upsert)**: per-file [min, max] key stats
+  recorded at commit time let the merge rewrite ONLY files whose key
+  range can contain an updated key; every other file survives the
+  commit untouched (asserted byte-identical by path in tests). Appends
+  go through ``repartitionByRange`` on the key, so files carry tight,
+  disjoint ranges — at 100 TB a narrow update batch touches a handful
+  of files instead of the whole dimension. The stats pass is ONE Spark
+  job per commit (group by ``input_file_name``).
+
+Single-format caveat vs real Delta/Iceberg: no checkpoint compaction of
+the log (listing is O(commits)), no column-level stats, single table —
+the seam ``operators/merge.py`` needs, not a storage product.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+class TxTable:
+    """One transactional table rooted at ``root`` (see module docstring)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log_dir = os.path.join(root, "_txlog")
+        self.data_dir = os.path.join(root, "files")
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ log I/O
+
+    def versions(self) -> list[int]:
+        return sorted(int(f.split(".")[0]) for f in os.listdir(self.log_dir)
+                      if f.endswith(".json"))
+
+    def _read_actions(self, upto: int | None = None) -> list[dict]:
+        acts: list[dict] = []
+        for v in self.versions():
+            if upto is not None and v > upto:
+                break
+            with open(os.path.join(self.log_dir, f"{v:08d}.json")) as fh:
+                acts.extend(json.loads(line) for line in fh if line.strip())
+        return acts
+
+    def _state(self, upto: int | None = None):
+        """(meta, {path: add-action}) at a version."""
+        meta, live = None, {}
+        for a in self._read_actions(upto):
+            if "meta" in a:
+                meta = a["meta"]
+            elif "add" in a:
+                live[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+        return meta, live
+
+    def _commit(self, actions: list[dict], expected_version: int) -> bool:
+        """Publish ``actions`` as ``expected_version``; False if another
+        writer won the race (caller re-reads and retries)."""
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        dst = os.path.join(self.log_dir, f"{expected_version:08d}.json")
+        try:
+            os.link(tmp, dst)         # atomic create — fails if dst exists
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    # ----------------------------------------------------------- data I/O
+
+    def _write_files(self, df: DataFrame, key_col: str,
+                     n_files: int | None = None) -> list[dict]:
+        """Materialize ``df`` as immutable data files with per-file key
+        stats. Range-partitioned on the key so file key ranges are tight
+        and disjoint — what makes merge-time file pruning effective.
+        ``n_files`` pins the file count (an explicit ``repartitionByRange``
+        count AQE won't coalesce); default lets AQE size the files."""
+        staging = os.path.join(self.data_dir, f".stage-{uuid.uuid4().hex}")
+        ranged = (df.repartitionByRange(n_files, F.col(key_col)) if n_files
+                  else df.repartitionByRange(F.col(key_col)))
+        ranged.write.mode("overwrite").parquet(staging)
+        paths = []
+        for name in sorted(os.listdir(staging)):
+            if name.endswith(".parquet"):
+                final = f"{uuid.uuid4().hex}.parquet"
+                os.rename(os.path.join(staging, name),
+                          os.path.join(self.data_dir, final))
+                paths.append(final)
+        shutil.rmtree(staging, ignore_errors=True)
+        if not paths:
+            return []
+        # one job: per-file rows + key min/max, keyed on the file name
+        stats = (self.spark.read.parquet(
+                     *[os.path.join(self.data_dir, p) for p in paths])
+                 .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1)
+                          .alias("__f"))
+                 .agg(F.count(F.lit(1)).alias("rows"),
+                      F.min(key_col).alias("kmin"),
+                      F.max(key_col).alias("kmax"))).collect()
+        by_name = {r["__f"]: r for r in stats}
+        return [{"add": {"path": p, "rows": by_name[p]["rows"],
+                         "kmin": by_name[p]["kmin"],
+                         "kmax": by_name[p]["kmax"]}}
+                for p in paths if p in by_name]
+
+    # ------------------------------------------------------------- reads
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        meta, live = self._state(version)
+        if meta is None:
+            raise FileNotFoundError(f"no table at {self.root}")
+        if not live:
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(
+            *[os.path.join(self.data_dir, p) for p in live])
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in self.versions():
+            acts = []
+            with open(os.path.join(self.log_dir, f"{v:08d}.json")) as fh:
+                acts = [json.loads(line) for line in fh if line.strip()]
+            ops = [a["op"] for a in acts if "op" in a]
+            out.append({"version": v, "op": ops[0] if ops else "?",
+                        "n_add": sum("add" in a for a in acts),
+                        "n_remove": sum("remove" in a for a in acts)})
+        return out
+
+    # ------------------------------------------------------------ writes
+
+    def create(self, df: DataFrame, key_col: str,
+               n_files: int | None = None) -> None:
+        assert not self.versions(), f"table already exists at {self.root}"
+        # stats ride in the JSON log and prune by <=/>= — integer and
+        # string keys serialize and order identically in JSON and Spark;
+        # float/decimal/date keys would need careful bound encoding
+        assert dict(df.dtypes)[key_col] in (
+            "tinyint", "smallint", "int", "bigint", "string"), \
+            f"merge key must be integral or string, got " \
+            f"{dict(df.dtypes)[key_col]}"
+        adds = self._write_files(df, key_col, n_files)
+        ok = self._commit(
+            [{"op": "create"},
+             {"meta": {"key_col": key_col, "schema": df.schema.json()}},
+             *adds], 0)
+        assert ok, "concurrent create"
+
+    def append(self, df: DataFrame) -> None:
+        """ACID append: new files + one log commit; retries the commit
+        (not the file writes — they are version-independent) on a lost
+        optimistic race."""
+        meta, _ = self._state()
+        adds = self._write_files(df, meta["key_col"])
+        while True:
+            v = self.versions()[-1] + 1
+            if self._commit([{"op": "append"}, *adds], v):
+                return
+
+    def merge_upsert(self, updates: DataFrame) -> dict:
+        """SCD1 ``MERGE``: rows matching an update key are replaced, new
+        keys inserted — rewriting ONLY the files whose [kmin, kmax] can
+        contain an update key. Returns {files_scanned, files_rewritten,
+        files_untouched} so callers (and tests) can see the pruning.
+
+        The update key bounds come from one tiny aggregate; pruning is
+        range-intersection against the per-file stats (conservative —
+        false positives rewrite a file needlessly, never a wrong result).
+        On a lost commit race the merge recomputes against the new
+        snapshot (the rewrite must see the winner's rows)."""
+        key = self._state()[0]["key_col"]
+        b = updates.agg(F.min(key), F.max(key)).first()
+        umin, umax = b[0], b[1]
+        while True:
+            _, live = self._state()
+            touched = [a for a in live.values()
+                       if umin is not None
+                       and not (a["kmax"] < umin or a["kmin"] > umax)]
+            untouched = len(live) - len(touched)
+            if touched:
+                old = self.spark.read.parquet(
+                    *[os.path.join(self.data_dir, a["path"])
+                      for a in touched])
+                keep = old.join(updates.select(key), key, "left_anti")
+                new_rows = keep.unionByName(updates)
+            else:
+                new_rows = updates
+            adds = self._write_files(new_rows, key)
+            v = self.versions()[-1] + 1
+            actions = [{"op": "merge"}, *adds,
+                       *({"remove": {"path": a["path"]}} for a in touched)]
+            if self._commit(actions, v):
+                return {"files_scanned": len(live),
+                        "files_rewritten": len(touched),
+                        "files_untouched": untouched}
+            # lost the race: orphan the files we just wrote (invisible —
+            # no commit references them) and retry on the new snapshot
+
+    def vacuum_uncommitted(self) -> list[str]:
+        """Delete data files referenced by NO commit (crashed or
+        lost-race transactions). Safe under the single-vacuum assumption:
+        concurrent in-flight writers' staged files live in dot-prefixed
+        staging dirs, which are skipped until their rename."""
+        referenced = {a["add"]["path"] for a in self._read_actions()
+                      if "add" in a}
+        removed = []
+        for name in os.listdir(self.data_dir):
+            p = os.path.join(self.data_dir, name)
+            if name.startswith("."):
+                continue
+            if name not in referenced:
+                os.unlink(p)
+                removed.append(name)
+        return removed
