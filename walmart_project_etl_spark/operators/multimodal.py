@@ -355,9 +355,11 @@ def encode_png(px, filter_type: int = 0) -> bytes:
 def decode_payload(data: bytes):
     """Decode an image payload to (width, height, n_channels, H×W×C uint8
     ndarray). Dispatches on magic bytes: binary PPM/PGM (``P6``/``P5``),
-    24-bpp uncompressed BMP (``BM``), and REAL zlib-inflated PNG
-    (``\\x89PNG``, all five scanline filters) — all pure numpy + stdlib.
-    Remaining compressed codecs (JPEG/WebP/…) raise
+    24-bpp uncompressed BMP (``BM``), REAL zlib-inflated PNG
+    (``\\x89PNG``, all five scanline filters), and REAL baseline JPEG
+    (``\\xff\\xd8`` — Huffman entropy decode, IDCT, 4:2:0 fancy
+    upsampling; ``operators/jpeg.py``) — all pure numpy + stdlib.
+    Remaining codecs (WebP, progressive JPEG, …) raise
     ``NotImplementedError`` (no image library in this container —
     installing Pillow extends this dispatcher and nothing else changes).
     """
@@ -367,9 +369,13 @@ def decode_payload(data: bytes):
         return _decode_bmp(data)
     if data[:8] == _PNG_SIG:
         return _decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(data)
     raise NotImplementedError(
-        f"unsupported codec (magic {data[:2]!r}): PPM/PGM/BMP/PNG decode "
-        "without an external image library; JPEG/WebP need Pillow")
+        f"unsupported codec (magic {data[:2]!r}): PPM/PGM/BMP/PNG/"
+        "baseline-JPEG decode without an external image library; "
+        "WebP/progressive-JPEG need Pillow")
 
 
 def encode_ppm(px) -> bytes:
