@@ -163,10 +163,23 @@ def test_png_unsupported_shapes_raise():
 
     with pytest.raises(NotImplementedError, match="depth"):
         mm.decode_payload(png_with(depth=16))
-    with pytest.raises(NotImplementedError, match="palette"):
-        mm.decode_payload(png_with(color=3))
+    with pytest.raises(ValueError, match="PLTE"):
+        mm.decode_payload(png_with(color=3))    # palette needs a PLTE chunk
     with pytest.raises(NotImplementedError, match="Adam7"):
         mm.decode_payload(png_with(interlace=1))
+
+
+def test_png_palette_matches_lossless_ppm_of_same_image():
+    """Cross-FORMAT golden: CPython's imghdr data ships the same image as
+    a palette PNG and a lossless binary PPM — our PLTE expansion must
+    reproduce the PPM byte-for-byte (two independent encoders, two
+    independent decoders, one pixel truth)."""
+    png = _imghdr_file("python.png")
+    ppm = _imghdr_file("python.ppm")
+    w, h, c, px = mm.decode_payload(png)
+    assert (w, h, c) == (16, 16, 4)             # tRNS → RGBA
+    _, _, _, truth = mm.decode_payload(ppm)
+    assert np.array_equal(px[:, :, :3], truth)
 
 
 def test_documents_as_png_payloads_decode_exactly(spark):

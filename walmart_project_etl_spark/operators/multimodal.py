@@ -218,7 +218,10 @@ def _decode_bmp(data: bytes):
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+# color type → bytes per pixel in the scanline stream (8-bit depth);
+# type 3 (palette) carries 1 index byte and expands through PLTE after
+# filter reconstruction
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _decode_png(data: bytes):
@@ -242,7 +245,8 @@ def _decode_png(data: bytes):
 
     if data[:8] != _PNG_SIG:
         raise ValueError("bad PNG signature")
-    i, idat, dims = 8, [], None
+    i, idat, dims, color = 8, [], None, None
+    plte, trns = None, None
     while i + 8 <= len(data):
         ln, typ = struct.unpack_from(">I4s", data, i)
         chunk = data[i + 8:i + 8 + ln]
@@ -252,10 +256,14 @@ def _decode_png(data: bytes):
             if depth != 8:
                 raise NotImplementedError(f"PNG bit depth {depth} (8 only)")
             if color not in _PNG_CHANNELS:
-                raise NotImplementedError("palette PNGs not supported")
+                raise NotImplementedError(f"PNG color type {color}")
             if interlace != 0:
                 raise NotImplementedError("Adam7 interlacing not supported")
             dims = (w, h, _PNG_CHANNELS[color])
+        elif typ == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS" and color == 3:
+            trns = np.frombuffer(chunk, np.uint8)
         elif typ == b"IDAT":
             idat.append(chunk)
         elif typ == b"IEND":
@@ -263,6 +271,8 @@ def _decode_png(data: bytes):
         i += 12 + ln
     if dims is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
     w, h, ch = dims
     raw = zlib.decompress(b"".join(idat))
     stride = w * ch
@@ -297,6 +307,16 @@ def _decode_png(data: bytes):
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = rec
     px = out.astype(np.uint8).reshape(h, w, ch)
+    if color == 3:
+        idx = px[:, :, 0]
+        if trns is not None:
+            # expand sparse tRNS to a full per-entry alpha vector
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[:len(trns)] = trns
+            px = np.dstack([plte[idx], alpha[idx]])
+            return w, h, 4, px
+        px = plte[idx]
+        return w, h, 3, px
     return w, h, ch, px
 
 
