@@ -100,3 +100,42 @@ def test_commit_race_detected(spark, orders, tmp_path):
     # our stale commit for the same version must lose, not overwrite
     assert not t._commit([{"op": "append"}], 1)
     assert [h["version"] for h in t.history()] == [0, 1]
+
+
+def test_bloom_prunes_within_range_files(spark, orders, tmp_path):
+    """Update keys at BOTH ends of the key space make range-only pruning
+    useless (every file's [kmin, kmax] is inside the update span) — the
+    per-file bloom must still prune the middle files that provably lack
+    the keys."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=8)
+    _, live = t._state()
+    assert len(live) >= 6
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    updates = orders.where(F.col("o_orderkey").isin([lo, hi])) \
+                    .withColumn("o_totalprice", F.lit(3.75))
+    stats = t.merge_upsert(updates)
+    # range check alone would rewrite every file; bloom keeps it to the
+    # two end files (+ the occasional false positive)
+    assert stats["files_rewritten"] <= 3, stats
+    assert stats["files_untouched"] >= len(live) - 3
+    cols = ["o_orderkey", "o_totalprice"]
+    expected = (orders.join(updates.select("o_orderkey"), "o_orderkey",
+                            "left_anti").unionByName(updates))
+    assert _rows(t.snapshot(), cols) == _rows(expected, cols)
+
+
+def test_checkpoint_compaction(spark, orders, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"), checkpoint_interval=2)
+    batches = [orders.where(f"o_orderkey % 4 = {k}") for k in range(4)]
+    t.create(batches[0], "o_orderkey")
+    for b in batches[1:]:
+        t.append(b)
+    ck = t._checkpoint_versions()
+    assert ck and max(ck) >= 2                   # compaction ran
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _rows(t.snapshot(), cols) == _rows(orders, cols)
+    # versions before/after a checkpoint both time-travel correctly
+    assert t.snapshot(0).count() == batches[0].count()
+    assert t.snapshot(2).count() == sum(b.count() for b in batches[:3])

@@ -33,9 +33,25 @@ Cloud Object Stores", VLDB 2020) directly:
   of files instead of the whole dimension. The stats pass is ONE Spark
   job per commit (group by ``input_file_name``).
 
-Single-format caveat vs real Delta/Iceberg: no checkpoint compaction of
-the log (listing is O(commits)), no column-level stats, single table —
-the seam ``operators/merge.py`` needs, not a storage product.
+Beyond min/max range stats, each data file carries a small per-file
+BLOOM FILTER over its keys (``_BLOOM_BITS`` bits, k=4 xxhash-derived
+probes, hex-encoded in the log): range pruning is defeated by a file
+whose [min, max] happens to straddle an update key it does not contain
+(scattered-key upserts against range-partitioned files), while the bloom
+keeps the false-positive rewrite rate ~(1-e^{-kn/m})^k (<1% per probe at
+~1k keys/file with the default sizing; size m to the target file row
+count at scale). Pruning remains conservative — a bloom hit only means
+"must rewrite", never a wrong result.
+
+Log listing is kept O(recent) by CHECKPOINT COMPACTION: every
+``checkpoint_interval`` commits the writer also materializes the full
+live state into ``_txlog/<version>.checkpoint.json``; readers start from
+the newest checkpoint at-or-before their version and replay only the
+commits after it.
+
+Single-format caveat vs real Delta/Iceberg: single table, no
+column-level stats beyond the merge key — the seam
+``operators/merge.py`` needs, not a storage product.
 """
 
 from __future__ import annotations
@@ -50,14 +66,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+_BLOOM_BITS = 4096   # ~0.5 KB hex per file in the log; <1% FP at ~1k keys
+_BLOOM_K = 4
+#: merge collects the update keys' bloom probes driver-side for file
+#: pruning; batches with more distinct keys than this fall back to
+#: range-only pruning (still correct, just less selective)
+_BLOOM_PROBE_CAP = 100_000
+
+
+def _bloom_positions(key_col: str):
+    """k probe bit-positions per key (xxhash64 seeded per probe)."""
+    return F.array(*[F.pmod(F.xxhash64(F.col(key_col), F.lit(i)),
+                            F.lit(_BLOOM_BITS))
+                     for i in range(_BLOOM_K)])
+
+
 class TxTable:
     """One transactional table rooted at ``root`` (see module docstring)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 checkpoint_interval: int = 10):
         self.spark = spark
         self.root = root
         self.log_dir = os.path.join(root, "_txlog")
         self.data_dir = os.path.join(root, "files")
+        self.checkpoint_interval = checkpoint_interval
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
 
@@ -65,28 +98,70 @@ class TxTable:
 
     def versions(self) -> list[int]:
         return sorted(int(f.split(".")[0]) for f in os.listdir(self.log_dir)
-                      if f.endswith(".json"))
+                      if f.endswith(".json")
+                      and not f.endswith(".checkpoint.json"))
+
+    def _checkpoint_versions(self) -> list[int]:
+        return sorted(int(f.split(".")[0]) for f in os.listdir(self.log_dir)
+                      if f.endswith(".checkpoint.json"))
+
+    def _read_commit(self, v: int) -> list[dict]:
+        with open(os.path.join(self.log_dir, f"{v:08d}.json")) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
 
     def _read_actions(self, upto: int | None = None) -> list[dict]:
         acts: list[dict] = []
         for v in self.versions():
             if upto is not None and v > upto:
                 break
-            with open(os.path.join(self.log_dir, f"{v:08d}.json")) as fh:
-                acts.extend(json.loads(line) for line in fh if line.strip())
+            acts.extend(self._read_commit(v))
         return acts
 
     def _state(self, upto: int | None = None):
-        """(meta, {path: add-action}) at a version."""
+        """(meta, {path: add-action}) at a version — starts from the
+        newest checkpoint at-or-before it (O(recent-commits) replay, not
+        O(history))."""
         meta, live = None, {}
-        for a in self._read_actions(upto):
-            if "meta" in a:
-                meta = a["meta"]
-            elif "add" in a:
-                live[a["add"]["path"]] = a["add"]
-            elif "remove" in a:
-                live.pop(a["remove"]["path"], None)
+        start = -1
+        cks = [v for v in self._checkpoint_versions()
+               if upto is None or v <= upto]
+        if cks:
+            with open(os.path.join(self.log_dir,
+                                   f"{cks[-1]:08d}.checkpoint.json")) as fh:
+                snap = json.load(fh)
+            meta = snap["meta"]
+            live = {a["path"]: a for a in snap["live"]}
+            start = cks[-1]
+        for v in self.versions():
+            if v <= start or (upto is not None and v > upto):
+                continue
+            for a in self._read_commit(v):
+                if "meta" in a:
+                    meta = a["meta"]
+                elif "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
         return meta, live
+
+    def _maybe_checkpoint(self, v: int) -> None:
+        """Compact the log: materialize the full live state beside commit
+        ``v`` every ``checkpoint_interval`` commits. Deterministic content
+        per version, so a concurrent double-write is harmless."""
+        if v == 0 or v % self.checkpoint_interval != 0:
+            return
+        meta, live = self._state(v)
+        tmp = os.path.join(self.log_dir, f".ck-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "meta": meta,
+                       "live": list(live.values())}, fh)
+        dst = os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
+        try:
+            os.link(tmp, dst)
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
 
     def _commit(self, actions: list[dict], expected_version: int) -> bool:
         """Publish ``actions`` as ``expected_version``; False if another
@@ -129,18 +204,33 @@ class TxTable:
         shutil.rmtree(staging, ignore_errors=True)
         if not paths:
             return []
-        # one job: per-file rows + key min/max, keyed on the file name
+        # one job: per-file rows + key min/max + bloom bit positions,
+        # keyed on the file name. The bloom positions collapse to ≤
+        # _BLOOM_BITS distinct values per file (array_distinct∘flatten of
+        # a collect_list — at production file sizes this becomes a custom
+        # bloom aggregate; the log format doesn't change).
         stats = (self.spark.read.parquet(
                      *[os.path.join(self.data_dir, p) for p in paths])
                  .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1)
                           .alias("__f"))
                  .agg(F.count(F.lit(1)).alias("rows"),
                       F.min(key_col).alias("kmin"),
-                      F.max(key_col).alias("kmax"))).collect()
+                      F.max(key_col).alias("kmax"),
+                      F.array_distinct(F.flatten(F.collect_list(
+                          _bloom_positions(key_col)))).alias("bits"))
+                 ).collect()
         by_name = {r["__f"]: r for r in stats}
+
+        def bloom_hex(bits: list[int]) -> str:
+            bm = 0
+            for b in bits:
+                bm |= 1 << int(b)
+            return f"{bm:x}"
+
         return [{"add": {"path": p, "rows": by_name[p]["rows"],
                          "kmin": by_name[p]["kmin"],
-                         "kmax": by_name[p]["kmax"]}}
+                         "kmax": by_name[p]["kmax"],
+                         "bloom": bloom_hex(by_name[p]["bits"])}}
                 for p in paths if p in by_name]
 
     # ------------------------------------------------------------- reads
@@ -195,6 +285,7 @@ class TxTable:
         while True:
             v = self.versions()[-1] + 1
             if self._commit([{"op": "append"}, *adds], v):
+                self._maybe_checkpoint(v)
                 return
 
     def merge_upsert(self, updates: DataFrame) -> dict:
@@ -211,11 +302,29 @@ class TxTable:
         key = self._state()[0]["key_col"]
         b = updates.agg(F.min(key), F.max(key)).first()
         umin, umax = b[0], b[1]
+        # bloom probes of the update keys (driver-side, capped): a file
+        # survives range overlap but none of its bloom bits matching any
+        # update key ⇒ provably no matching key ⇒ skip the rewrite
+        probes = updates.select(_bloom_positions(key).alias("__p")) \
+                        .distinct().limit(_BLOOM_PROBE_CAP + 1).collect()
+        probe_list = ([tuple(int(x) for x in r["__p"]) for r in probes]
+                      if len(probes) <= _BLOOM_PROBE_CAP else None)
+
+        def may_contain(a: dict) -> bool:
+            if umin is None:
+                return False
+            if a["kmax"] < umin or a["kmin"] > umax:
+                return False
+            bloom_hex = a.get("bloom")
+            if bloom_hex is None or probe_list is None:
+                return True                      # conservative fallback
+            bm = int(bloom_hex, 16)
+            return any(all((bm >> p) & 1 for p in probe)
+                       for probe in probe_list)
+
         while True:
             _, live = self._state()
-            touched = [a for a in live.values()
-                       if umin is not None
-                       and not (a["kmax"] < umin or a["kmin"] > umax)]
+            touched = [a for a in live.values() if may_contain(a)]
             untouched = len(live) - len(touched)
             if touched:
                 old = self.spark.read.parquet(
@@ -230,6 +339,7 @@ class TxTable:
             actions = [{"op": "merge"}, *adds,
                        *({"remove": {"path": a["path"]}} for a in touched)]
             if self._commit(actions, v):
+                self._maybe_checkpoint(v)
                 return {"files_scanned": len(live),
                         "files_rewritten": len(touched),
                         "files_untouched": untouched}
