@@ -320,3 +320,55 @@ def test_jpeg_gray_component_plumbing():
     w, h, c, px = mm.decode_payload(data)
     assert (w, h, c) == (8, 8, 1)
     assert np.unique(px).tolist() == [96], np.unique(px)
+
+
+# ------------------------------------------------------------- WAV codec
+
+def test_wav_roundtrip_mono_and_stereo():
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-32768, 32768, size=300, dtype=np.int16)
+    rate, nch, got = mm.decode_wav(mm.encode_wav(mono, 8000))
+    assert (rate, nch) == (8000, 1)
+    assert np.array_equal(got[:, 0], mono)
+    stereo = rng.integers(-32768, 32768, size=(120, 2), dtype=np.int16)
+    rate, nch, got = mm.decode_wav(mm.encode_wav(stereo, 44100))
+    assert (rate, nch) == (44100, 2)
+    assert np.array_equal(got, stereo)
+
+
+def test_wav_extra_chunks_and_alignment():
+    """Real-world WAVs carry LIST/INFO chunks, sometimes odd-length (the
+    spec word-aligns them) — the parser must skip them correctly."""
+    import struct as st
+    body_wav = mm.encode_wav(np.arange(5, dtype=np.int16), 16000)
+    odd = b"LIST" + st.pack("<I", 3) + b"abc" + b"\x00"    # padded odd chunk
+    body = b"WAVE" + odd + body_wav[12:]                   # fmt + data after
+    data = b"RIFF" + st.pack("<I", len(body)) + body
+    rate, nch, got = mm.decode_wav(data)
+    assert np.array_equal(got[:, 0], np.arange(5))
+
+
+def test_wav_unsupported_formats_raise():
+    import struct as st
+    fmt = st.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)    # IEEE float
+    body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", 0))
+    with pytest.raises(NotImplementedError, match="PCM"):
+        mm.decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
+    with pytest.raises(ValueError, match="signature"):
+        mm.decode_wav(b"OggS" + b"\x00" * 32)
+
+
+def test_documents_as_wav_decode_exactly(spark):
+    docs = spark.createDataFrame([(9, "x"), (30, "y")],
+                                 "doc_id long, text string")
+    got = {r["media_id"]: r
+           for r in mm.audio_stats(mm.documents_as_wav(docs)).collect()}
+    for did in (9, 30):
+        n = 256 + did % 512
+        s = [(did * 7 + i * 13) % 65536 - 32768 for i in range(n)]
+        r = got[did]
+        assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == \
+            (16000, 1, n)
+        assert r["sum_abs"] == sum(abs(v) for v in s)
+        assert r["peak"] == max(abs(v) for v in s)

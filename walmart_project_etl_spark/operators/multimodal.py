@@ -145,6 +145,113 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
                 .mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
 
 
+AUDIO_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("sum_abs", LongType()),
+    StructField("peak", LongType()),
+])
+
+
+def decode_wav(data: bytes):
+    """REAL RIFF/WAVE decoder — pure struct + numpy. PCM 16-bit
+    (format 1); returns (sample_rate, n_channels, samples int16 ndarray
+    of shape (n_frames, n_channels)). Compressed/float formats raise."""
+    import struct as _struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("bad WAV signature")
+    i, fmt, raw = 12, None, None
+    while i + 8 <= len(data):
+        cid, ln = data[i:i + 4], _struct.unpack_from("<I", data, i + 4)[0]
+        body = data[i + 8:i + 8 + ln]
+        if cid == b"fmt ":
+            afmt, nch, rate, _br, _ba, bits = \
+                _struct.unpack_from("<HHIIHH", body, 0)
+            if afmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only 16-bit PCM WAV supported (format={afmt}, "
+                    f"bits={bits})")
+            fmt = (rate, nch)
+        elif cid == b"data":
+            raw = body
+        i += 8 + ln + (ln & 1)                   # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    rate, nch = fmt
+    samples = np.frombuffer(raw, "<i2")
+    return rate, nch, samples.reshape(-1, nch)
+
+
+def encode_wav(samples, rate: int = 16000) -> bytes:
+    """Inverse of :func:`decode_wav` for fixtures/tests: int16 array
+    ((n,) or (n, channels)) → PCM16 RIFF/WAVE bytes."""
+    import struct as _struct
+
+    import numpy as np
+
+    s = np.asarray(samples, "<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    nch = s.shape[1]
+    raw = s.tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, nch, rate, rate * nch * 2, nch * 2, 16)
+    body = (b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(raw)) + raw)
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def documents_as_wav(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL PCM16 WAV payloads from the documents table:
+    ``256 + doc_id % 512`` mono samples at 16 kHz following the analytic
+    law ``s[i] = ((doc_id·7 + i·13) mod 65536) − 32768`` — so a SQL
+    engine can compute the decoded stream's |sum| and peak with no codec
+    (the audio twin of :func:`documents_as_png`'s pixel law)."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 256 + did % 512
+                s = ((did * 7 + np.arange(n) * 13) % 65536 - 32768) \
+                    .astype(np.int16)
+                rows.append((did, "audio", encode_wav(s, 16000),
+                             f"synthetic://wav/{did}"))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return docs.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode → stream statistics: sample rate / channel /
+    frame counts plus integer |sum| and peak over all samples — exact on
+    any engine, proving the full RIFF parse + PCM reconstruction."""
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, nch, s = decode_wav(bytes(payload))
+                a = np.abs(s.astype(np.int64))
+                out.append((int(mid), rate, nch, s.shape[0],
+                            int(a.sum()), int(a.max()) if a.size else 0))
+            yield pd.DataFrame(out,
+                               columns=[f.name for f in AUDIO_STATS_SCHEMA.fields])
+
+    return media.select("media_id", "payload") \
+                .mapInPandas(stats, schema=AUDIO_STATS_SCHEMA)
+
+
 def _stub_dims(payload: bytes) -> tuple[int, int, int]:
     """Deterministic fake decode: dimensions derived from leading bytes."""
     b0 = payload[0] if payload else 0

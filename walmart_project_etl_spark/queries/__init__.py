@@ -56,6 +56,7 @@ _PRIORITY = (
     "curate_pipeline",
     "skew_salted_latest",
     "mm_real_decode_png",
+    "mm_real_decode_wav",
     "txn_merge_fileprune",
     "txn_time_travel",
     "sim_ivf_persisted_topk",
@@ -97,7 +98,6 @@ _PRIORITY = (
     "a05_count_distinct",
     "a06_max_per_group",
     "a07_minmax_month_span",
-    "a08_conditional_ratio",
 )
 
 

@@ -686,6 +686,28 @@ def mm_real_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("media_id", "width", "height", "n_channels", "px_sum")
 
 
+@q("mm_real_decode_wav",
+   """WITH dims AS (SELECT doc_id, 256 + doc_id % 512 AS n FROM documents),
+      flat AS (
+        SELECT doc_id, n, ((doc_id * 7 + ii.i * 13) % 65536 - 32768) AS s
+        FROM dims, unnest(range(0, n)) ii(i))
+      SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS n_channels,
+             n::BIGINT AS n_samples,
+             sum(abs(s))::BIGINT AS sum_abs,
+             max(abs(s))::BIGINT AS peak
+      FROM flat GROUP BY doc_id, n""")
+def mm_real_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: PCM16 RIFF/WAVE payloads synthesized
+    from an analytic sample law, fully parsed back in the Arrow hop
+    (chunk walk + PCM reconstruction, operators/multimodal.py:decode_wav)
+    and reduced to integer stream stats the oracle recomputes from the
+    law with no codec — exact cross-engine proof of the audio path."""
+    media = multimodal.documents_as_wav(t(spark, sf_dir, "documents"))
+    stats = multimodal.audio_stats(media)
+    return stats.select("media_id", "sample_rate", "n_channels",
+                        "n_samples", "sum_abs", "peak")
+
+
 @q("mm_byte_histogram_features", None)  # Arrow/pandas path — rows-only
 def mm_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram features via mapInPandas (stand-in embedding model;
