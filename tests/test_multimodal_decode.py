@@ -372,3 +372,42 @@ def test_documents_as_wav_decode_exactly(spark):
             (16000, 1, n)
         assert r["sum_abs"] == sum(abs(v) for v in s)
         assert r["peak"] == max(abs(v) for v in s)
+
+
+# ----------------------------------------------------- AVI video container
+
+def test_avi_mjpeg_frames_roundtrip_and_decode(spark):
+    """Real container + real codec composed: an MJPEG-AVI built from a
+    REAL libjpeg-encoded frame (CPython's python.jpg) parses back to its
+    frames, and every sampled frame decodes through the baseline-JPEG
+    path to the right raster."""
+    jpg = _imghdr_file("python.jpg")
+    avi = mm.encode_avi_mjpeg([jpg] * 5)
+    frames = mm.parse_avi_frames(avi)
+    assert len(frames) == 5 and all(f == jpg for f in frames)
+    media = spark.createDataFrame(
+        [(42, "video", bytearray(avi), "t://v")], mm.MEDIA_SCHEMA)
+    rows = mm.video_frame_stats(media, every_n=2).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    for r in rows:
+        assert (r["n_frames"], r["width"], r["height"], r["n_channels"]) \
+            == (5, 16, 16, 3)
+        assert r["px_sum"] > 0
+    # px_sum identical across frames (same source frame)
+    assert len({r["px_sum"] for r in rows}) == 1
+
+
+def test_avi_mixed_png_frames_decode():
+    """The container is codec-agnostic: PNG payloads in the stream decode
+    through the PNG path with exact pixels."""
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    avi = mm.encode_avi_mjpeg([mm.encode_png(px, 2)])
+    frames = mm.parse_avi_frames(avi)
+    w, h, c, got = mm.decode_payload(frames[0])
+    assert (w, h, c) == (6, 4, 3) and np.array_equal(got, px)
+
+
+def test_avi_bad_signature_raises():
+    with pytest.raises(ValueError, match="AVI"):
+        mm.parse_avi_frames(b"RIFF\x00\x00\x00\x00WAVE")

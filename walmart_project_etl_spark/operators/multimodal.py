@@ -252,6 +252,83 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 .mapInPandas(stats, schema=AUDIO_STATS_SCHEMA)
 
 
+VIDEO_FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_frames", IntegerType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("px_sum", LongType()),
+])
+
+
+def parse_avi_frames(data: bytes) -> list[bytes]:
+    """REAL video-container parse: walk a RIFF/AVI file's ``movi`` LIST
+    and return the compressed video frame payloads (``..dc``/``..db``
+    stream chunks, e.g. MJPEG frames ready for :func:`decode_payload`).
+    Pure struct walk — headers (``hdrl``), index (``idx1``) and audio
+    chunks are skipped; word alignment honoured."""
+    import struct as _struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("bad AVI signature")
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        i = start
+        while i + 8 <= end:
+            cid = data[i:i + 4]
+            ln = _struct.unpack_from("<I", data, i + 4)[0]
+            if cid == b"LIST":
+                if data[i + 8:i + 12] in (b"movi", b"rec "):
+                    walk(i + 12, i + 8 + ln)
+            elif cid[2:4] in (b"dc", b"db") and ln:
+                frames.append(data[i + 8:i + 8 + ln])
+            i += 8 + ln + (ln & 1)
+
+    walk(12, len(data))
+    return frames
+
+
+def encode_avi_mjpeg(frames: list[bytes]) -> bytes:
+    """Inverse for fixtures/tests: JPEG frame payloads → minimal
+    MJPEG-AVI (one video stream, ``movi`` list of ``00dc`` chunks)."""
+    import struct as _struct
+
+    movi = b"movi"
+    for f in frames:
+        movi += b"00dc" + _struct.pack("<I", len(f)) + f
+        if len(f) & 1:
+            movi += b"\x00"
+    body = b"AVI " + b"LIST" + _struct.pack("<I", len(movi)) + movi
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video decode: extract each payload's frames from the AVI
+    container, decode every ``every_n``-th frame with
+    :func:`decode_payload` (MJPEG → the baseline-JPEG decoder), and emit
+    per-frame raster stats — the frame-sampling stage of a multimodal
+    training pipeline with an actual codec behind it."""
+
+    def stats(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = parse_avi_frames(bytes(payload))
+                for k in range(0, len(frames), every_n):
+                    w, h, c, px = decode_payload(frames[k])
+                    out.append((int(mid), len(frames), k, w, h, c,
+                                int(px.sum(dtype="int64"))))
+            yield pd.DataFrame(out,
+                               columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields])
+
+    return media.select("media_id", "payload") \
+                .mapInPandas(stats, schema=VIDEO_FRAME_SCHEMA)
+
+
 def _stub_dims(payload: bytes) -> tuple[int, int, int]:
     """Deterministic fake decode: dimensions derived from leading bytes."""
     b0 = payload[0] if payload else 0
