@@ -336,12 +336,12 @@ def test_multimodal_feature_matches_numpy(spark):
     assert feat == pytest.approx([round(float(v), 6) for v in hist])
 
 
-def test_multimodal_real_decode_compressed_is_explicit_stub(spark):
-    # real_decode now really decodes uncompressed PPM/PGM/BMP; compressed
-    # codecs (no image lib in this container) still fail loudly at the
-    # decode_payload dispatcher rather than returning fake dimensions
+def test_multimodal_real_decode_unknown_codec_is_explicit_stub(spark):
+    # real_decode really decodes PPM/PGM/BMP/PNG/baseline-JPEG; codecs
+    # with no decoder (no image lib in this container) still fail loudly
+    # at the dispatcher rather than returning fake dimensions
     with pytest.raises(NotImplementedError):
-        multimodal.decode_payload(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+        multimodal.decode_payload(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 64)
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     media = multimodal.documents_as_media(docs)  # payload is not PPM/BMP
     lazy = multimodal.decode_image_meta(media, real_decode=True)
