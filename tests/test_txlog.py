@@ -139,3 +139,36 @@ def test_checkpoint_compaction(spark, orders, tmp_path):
     # versions before/after a checkpoint both time-travel correctly
     assert t.snapshot(0).count() == batches[0].count()
     assert t.snapshot(2).count() == sum(b.count() for b in batches[:3])
+
+
+def test_scd1_merge_tx_matches_full_rewrite(spark, tmp_path):
+    """SCD1 MERGE through the tx table (only touched rows computed and
+    committed, file-pruned) must produce the same dimension as the
+    full-table scd1_merge rewrite — while leaving untouched files live."""
+    from walmart_project_etl_spark.operators.merge import (scd1_merge,
+                                                           scd1_merge_tx)
+    now1 = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    now2 = F.lit("2026-02-01 00:00:00").cast("timestamp")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet") \
+             .selectExpr("c_custkey AS ck", "c_name", "c_acctbal")
+    batch1 = c.select("ck", "c_name", "c_acctbal")
+    dim0 = scd1_merge(None, batch1, "ck", ["c_name", "c_acctbal"],
+                      "sk", now1)
+    t = TxTable(spark, str(tmp_path / "dim"))
+    t.create(dim0, "ck", n_files=6)
+    _, live0 = t._state()
+
+    lo = c.agg(F.min("ck")).first()[0]
+    batch2 = (c.where(F.col("ck") <= lo + 10)
+              .withColumn("c_acctbal", F.lit(1.25))
+              .unionByName(spark.createDataFrame(
+                  [(987654321, "NEW CUSTOMER", 5.5)], batch1.schema)))
+    stats = scd1_merge_tx(t, batch2, "ck", ["c_name", "c_acctbal"],
+                          "sk", now2)
+    expected = scd1_merge(dim0, batch2, "ck", ["c_name", "c_acctbal"],
+                          "sk", now2)
+    cols = ["sk", "ck", "c_name", "c_acctbal", "insertion_date",
+            "modification_date"]
+    assert _rows(t.snapshot(), cols) == _rows(expected, cols)
+    # narrow batch -> most dimension files never rewritten
+    assert stats["files_untouched"] >= len(live0) - 3, (stats, len(live0))

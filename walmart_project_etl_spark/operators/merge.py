@@ -63,3 +63,27 @@ def scd1_merge(target: DataFrame | None, source: DataFrame, key: str,
     cols.append(F.when(is_new | matched, now_ts)
                  .otherwise(F.col("modification_date")).alias("modification_date"))
     return joined.select(*cols)
+
+
+def scd1_merge_tx(table, source: DataFrame, key: str,
+                  update_cols: list[str], surrogate_col: str,
+                  now_ts: Column) -> dict:
+    """SCD1 MERGE against a TRANSACTIONAL log table
+    (``sources/txlog.TxTable``) — the reference's ``MERGE INTO`` with the
+    storage semantics the parquet emulation can't give.
+
+    Computes ONLY the upserted rows — the target rows whose key appears
+    in ``source`` (semi-join), re-valued by :func:`scd1_merge`, plus the
+    brand-new keys — and commits them through the table's file-pruned
+    copy-on-write merge. Unmatched keys' data files are never read for
+    rewrite, never rewritten: a narrow update batch against a multi-TB
+    dimension costs O(touched files) + one log commit, vs the
+    whole-dimension rewrite of ``Warehouse.replace``. Returns the merge's
+    pruning stats. Equivalence with the full-table path is pinned by
+    ``tests/test_txlog.py::test_scd1_merge_tx_matches_full_rewrite``.
+    """
+    touched = table.snapshot().join(source.select(key).distinct(),
+                                    key, "semi")
+    upserts = scd1_merge(touched, source, key, update_cols,
+                         surrogate_col, now_ts)
+    return table.merge_upsert(upserts)

@@ -299,7 +299,13 @@ class TxTable:
         false positives rewrite a file needlessly, never a wrong result).
         On a lost commit race the merge recomputes against the new
         snapshot (the rewrite must see the winner's rows)."""
-        key = self._state()[0]["key_col"]
+        meta = self._state()[0]
+        key = meta["key_col"]
+        # normalize to the table's column order so every data file carries
+        # the same physical layout regardless of the caller's projection
+        schema_cols = [f["name"]
+                       for f in json.loads(meta["schema"])["fields"]]
+        updates = updates.select(*schema_cols)
         b = updates.agg(F.min(key), F.max(key)).first()
         umin, umax = b[0], b[1]
         # bloom probes of the update keys (driver-side, capped): a file
