@@ -411,3 +411,40 @@ def test_avi_mixed_png_frames_decode():
 def test_avi_bad_signature_raises():
     with pytest.raises(ValueError, match="AVI"):
         mm.parse_avi_frames(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+# ------------------------------------------------------- GIF / TIFF codecs
+
+def test_tiff_uncompressed_matches_lossless_ppm_exactly():
+    """Cross-format golden #2: the uncompressed RGBA TIFF of the same
+    image must reproduce the PPM byte-for-byte."""
+    w, h, c, px = mm.decode_payload(_imghdr_file("python.tiff"))
+    assert (w, h, c) == (16, 16, 4)
+    _, _, _, truth = mm.decode_payload(_imghdr_file("python.ppm"))
+    assert np.array_equal(px[:, :, :3], truth)
+
+
+def test_gif_lzw_decodes_real_file_within_quantization_bound():
+    """Real GIF89a (LZW + 128-color palette + transparency): opaque
+    pixels must match the lossless PPM up to the ENCODER's palette
+    quantization (max 3/255 on this file); transparent pixels carry
+    alpha 0. An LZW bug would shred the index stream entirely."""
+    w, h, c, px = mm.decode_payload(_imghdr_file("python.gif"))
+    assert (w, h, c) == (16, 16, 4)
+    _, _, _, truth = mm.decode_payload(_imghdr_file("python.ppm"))
+    opaque = px[:, :, 3] == 255
+    assert 100 < opaque.sum() < 256              # real transparency map
+    err = np.abs(px[:, :, :3].astype(int) - truth.astype(int))[opaque]
+    assert err.max() <= 4, err.max()
+
+
+def test_tiff_compressed_raises():
+    import struct as st
+    ifd = st.pack("<H", 3)
+    ifd += st.pack("<HHI4s", 256, 3, 1, st.pack("<HH", 4, 0))
+    ifd += st.pack("<HHI4s", 257, 3, 1, st.pack("<HH", 4, 0))
+    ifd += st.pack("<HHI4s", 259, 3, 1, st.pack("<HH", 5, 0))  # LZW
+    ifd += st.pack("<I", 0)
+    data = b"II*\x00" + st.pack("<I", 8) + ifd
+    with pytest.raises(NotImplementedError, match="compression"):
+        mm.decode_payload(data)

@@ -556,6 +556,163 @@ def encode_png(px, filter_type: int = 0) -> bytes:
         chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
 
 
+def _decode_tiff(data: bytes):
+    """Baseline TIFF decoder — pure struct + numpy: both byte orders,
+    first IFD, UNCOMPRESSED (compression=1) 8-bit gray/RGB/RGBA strips.
+    LZW/PackBits/JPEG-in-TIFF raise explicitly."""
+    import struct as _struct
+
+    import numpy as np
+
+    bo = {b"II": "<", b"MM": ">"}.get(data[:2])
+    if bo is None or _struct.unpack_from(bo + "H", data, 2)[0] != 42:
+        raise ValueError("bad TIFF signature")
+    off = _struct.unpack_from(bo + "I", data, 4)[0]
+    n = _struct.unpack_from(bo + "H", data, off)[0]
+    tags = {}
+    for k in range(n):
+        tag, typ, cnt, raw = _struct.unpack_from(bo + "HHI4s", data,
+                                                 off + 2 + 12 * k)
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue
+        if size * cnt <= 4:
+            buf, voff = raw, 0
+        else:
+            voff = _struct.unpack(bo + "I", raw)[0]
+            buf = data
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(_struct.unpack_from(bo + fmt * cnt, buf, voff))
+    w, h = tags[256][0], tags[257][0]
+    comp = tags.get(259, [1])[0]
+    if comp != 1:
+        raise NotImplementedError(f"TIFF compression {comp} (1/none only)")
+    spp = tags.get(277, [1])[0]
+    if any(b != 8 for b in tags.get(258, [8])):
+        raise NotImplementedError("non-8-bit TIFF samples")
+    raster = b"".join(
+        data[o:o + c] for o, c in zip(tags[273], tags[279]))
+    px = np.frombuffer(raster, np.uint8, count=w * h * spp) \
+           .reshape(h, w, spp)
+    return w, h, spp, px
+
+
+def _gif_lzw(mcs: int, stream: bytes) -> bytearray:
+    """GIF-flavour LZW decode: LSB-first codes, width mcs+1..12 bits,
+    clear/end codes, standard KwKwK handling."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = mcs + 1
+    prev = None
+    acc = nbits = pos = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = mcs + 1
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= len(stream):
+                return out                      # truncated — emit decoded
+            acc |= stream[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):                # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def _decode_gif(data: bytes):
+    """GIF87a/89a decoder (first frame) — pure stdlib + numpy: global and
+    local color tables, LZW raster decode, 4-pass interlace, transparency
+    from the graphic-control extension (→ RGBA)."""
+    import struct as _struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    sw, sh, flags, _bg, _ar = _struct.unpack_from("<HHBBB", data, 6)
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, 3 * n, i).reshape(n, 3)
+        i += 3 * n
+    transparent = None
+    while i < len(data):
+        b = data[i]
+        if b == 0x21:                                   # extension
+            label = data[i + 1]
+            i += 2
+            if label == 0xF9 and data[i] >= 4:          # graphic control
+                if data[i + 1] & 1:
+                    transparent = data[i + 4]
+            while data[i]:                              # skip sub-blocks
+                i += 1 + data[i]
+            i += 1
+        elif b == 0x2C:                                 # image descriptor
+            _l, _t, w, h, iflags = _struct.unpack_from("<HHHHB", data, i + 1)
+            i += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(data, np.uint8, 3 * n, i).reshape(n, 3)
+                i += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            mcs = data[i]
+            i += 1
+            stream = bytearray()
+            while data[i]:
+                ln = data[i]
+                stream += data[i + 1:i + 1 + ln]
+                i += 1 + ln
+            i += 1
+            idx = np.frombuffer(bytes(_gif_lzw(mcs, bytes(stream))),
+                                np.uint8, w * h).reshape(h, w)
+            if iflags & 0x40:                           # 4-pass interlace
+                rows = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                        + [*range(2, h, 4)] + [*range(1, h, 2)])
+                de = np.empty_like(idx)
+                de[rows] = idx
+                idx = de
+            rgb = pal[idx]
+            if transparent is not None:
+                alpha = np.where(idx == transparent, 0, 255) \
+                          .astype(np.uint8)[:, :, None]
+                return w, h, 4, np.concatenate([rgb, alpha], axis=2)
+            return w, h, 3, rgb
+        elif b == 0x3B:                                 # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def decode_payload(data: bytes):
     """Decode an image payload to (width, height, n_channels, H×W×C uint8
     ndarray). Dispatches on magic bytes: binary PPM/PGM (``P6``/``P5``),
@@ -576,10 +733,14 @@ def decode_payload(data: bytes):
     if data[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(data)
+    if data[:2] in (b"II", b"MM") and len(data) > 4:
+        return _decode_tiff(data)
     raise NotImplementedError(
         f"unsupported codec (magic {data[:2]!r}): PPM/PGM/BMP/PNG/"
-        "baseline-JPEG decode without an external image library; "
-        "WebP/progressive-JPEG need Pillow")
+        "baseline-JPEG/GIF/TIFF decode without an external image "
+        "library; WebP/progressive-JPEG need Pillow")
 
 
 def encode_ppm(px) -> bytes:
