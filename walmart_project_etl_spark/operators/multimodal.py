@@ -4,15 +4,18 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 The Spark-side design is real and tested — schema, partition sizing, UDF
 signature, batch shape. The codec step has TWO tiers:
 
-- ``real_decode=True`` runs a real, pure-numpy decoder for the formats
-  that need no external library: binary PPM/PGM (``P6``/``P5``), 24-bpp
-  uncompressed BMP, and zlib-DEFLATEd PNG with all five scanline filter
-  types (``decode_payload``). Real header parse, real inflate, real
-  filter reconstruction, real pixels — pinned by golden tests and
-  validated against real-world libpng output. Remaining compressed
-  codecs (JPEG/WebP/…) raise ``NotImplementedError`` because this
-  container has no image libraries; swapping in Pillow extends
-  ``decode_payload`` and nothing else in the plan moves.
+- ``real_decode=True`` runs a real, pure-numpy decoder with no external
+  library behind it: binary PPM/PGM (``P6``/``P5``), 24-bpp uncompressed
+  BMP, zlib-DEFLATEd PNG (all five scanline filters + palette/tRNS),
+  baseline JPEG (``operators/jpeg.py``), GIF (LZW + interlace +
+  transparency), uncompressed TIFF, PCM16 WAV audio, and MJPEG-AVI
+  frame extraction (``decode_payload`` / ``decode_wav`` /
+  ``parse_avi_frames``). Real parses, real inflate/entropy decode, real
+  pixels — pinned by golden tests and validated against real-world
+  libpng/libjpeg/GIF output and cross-format lossless pixel truth.
+  Remaining codecs (WebP, progressive JPEG, …) raise
+  ``NotImplementedError``; swapping in Pillow extends ``decode_payload``
+  and nothing else in the plan moves.
 - The default path computes deterministic metadata from the raw bytes
   (length, byte-derived pseudo dimensions, sha256 prefix) so the Arrow
   plumbing can be exercised on arbitrary payloads.
