@@ -134,3 +134,34 @@ def test_hll_distinct_state_merge_equals_full_sketch(spark):
                  F.count_distinct("l_partkey").alias("n")).collect()}
     for k, n in exact.items():
         assert abs(est[k] - n) / n < 0.05
+
+
+@_settings
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=1, max_size=60))
+def test_connected_components_matches_union_find(spark, edges):
+    """The alternating-star contraction must agree with a reference
+    union-find on arbitrary random graphs (self-loops, duplicates,
+    multi-component, chains — whatever hypothesis generates)."""
+    from walmart_project_etl_spark.operators import graph
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {}
+    for v in {x for e in edges for x in e}:
+        expected.setdefault(find(v), []).append(v)
+    truth = {v: min(members) for members in expected.values()
+             for v in members}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"]
+           for r in graph.connected_components(df).collect()}
+    assert got == truth
