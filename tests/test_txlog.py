@@ -172,3 +172,21 @@ def test_scd1_merge_tx_matches_full_rewrite(spark, tmp_path):
     assert _rows(t.snapshot(), cols) == _rows(expected, cols)
     # narrow batch -> most dimension files never rewritten
     assert stats["files_untouched"] >= len(live0) - 3, (stats, len(live0))
+
+
+def test_read_keys_skips_files(spark, orders, tmp_path):
+    """A point/narrow-range read must scan only the intersecting files
+    (observable via inputFiles), with exact results."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=8)
+    _, live = t._state()
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    narrow = t.read_keys(lo, lo + 3)
+    assert len(narrow.inputFiles()) <= 2 < len(live)
+    cols = ["o_orderkey", "o_totalprice"]
+    expected = orders.where(F.col("o_orderkey").between(lo, lo + 3))
+    assert _rows(narrow, cols) == _rows(expected, cols)
+    # unbounded side + empty range
+    assert t.read_keys(hi=lo).count() == \
+        orders.where(f"o_orderkey <= {lo}").count()
+    assert t.read_keys(10**15, 10**15 + 1).count() == 0

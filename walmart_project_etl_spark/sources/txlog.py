@@ -245,6 +245,32 @@ class TxTable:
         return self.spark.read.parquet(
             *[os.path.join(self.data_dir, p) for p in live])
 
+    def read_keys(self, lo=None, hi=None,
+                  version: int | None = None) -> DataFrame:
+        """DATA-SKIPPING read: scan only the files whose [kmin, kmax]
+        stats intersect [lo, hi] (either bound optional), with the exact
+        predicate applied as a residual filter. A point lookup on a
+        range-partitioned dimension touches O(1) files regardless of
+        table size — the read-side payoff of the per-file stats the
+        merge already maintains."""
+        meta, live = self._state(version)
+        if meta is None:
+            raise FileNotFoundError(f"no table at {self.root}")
+        key = meta["key_col"]
+        files = [a["path"] for a in live.values()
+                 if not ((hi is not None and a["kmin"] > hi)
+                         or (lo is not None and a["kmax"] < lo))]
+        if not files:
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(
+            *[os.path.join(self.data_dir, p) for p in files])
+        if lo is not None:
+            df = df.where(F.col(key) >= lo)
+        if hi is not None:
+            df = df.where(F.col(key) <= hi)
+        return df
+
     def history(self) -> list[dict]:
         out = []
         for v in self.versions():
