@@ -448,3 +448,29 @@ def test_tiff_compressed_raises():
     data = b"II*\x00" + st.pack("<I", 8) + ifd
     with pytest.raises(NotImplementedError, match="compression"):
         mm.decode_payload(data)
+
+
+def test_jpeg_restart_markers_reset_predictors():
+    """DRI/RSTn path: two-MCU gray JPEG with restart interval 1 — the
+    decoder must byte-align at the marker and reset the DC predictor, so
+    BOTH blocks decode to the same constant their (identical) entropy
+    bytes encode."""
+    import struct
+
+    def seg(marker, body):
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(b"\xff\xdb", bytes([0]) + bytes([16] * 64))
+    sof = seg(b"\xff\xc0", struct.pack(">BHHB", 8, 8, 16, 1)
+              + bytes([1, 0x11, 0]))              # 16 wide -> 2 MCUs
+    dht_dc = seg(b"\xff\xc4", bytes([0x00, 1] + [0] * 15 + [5]))
+    dht_ac = seg(b"\xff\xc4", bytes([0x10, 1] + [0] * 15 + [0x00]))
+    dri = seg(b"\xff\xdd", struct.pack(">H", 1))
+    sos = seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 63, 0]))
+    # per block: DC '0' + 01111 (=-16), AC EOB '0' -> 0011110, pad 1
+    blk = bytes([0b00111101])
+    data = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos
+            + blk + b"\xff\xd0" + blk + b"\xff\xd9")
+    w, h, c, px = mm.decode_payload(data)
+    assert (w, h, c) == (16, 8, 1)
+    assert np.unique(px).tolist() == [96]

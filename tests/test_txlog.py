@@ -190,3 +190,13 @@ def test_read_keys_skips_files(spark, orders, tmp_path):
     assert t.read_keys(hi=lo).count() == \
         orders.where(f"o_orderkey <= {lo}").count()
     assert t.read_keys(10**15, 10**15 + 1).count() == 0
+
+
+def test_append_schema_mismatch_raises(spark, orders, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders.limit(20), "o_orderkey")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(orders.limit(5).drop("o_orderstatus"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge_upsert(orders.limit(5)
+                       .withColumn("extra", F.lit(1)))

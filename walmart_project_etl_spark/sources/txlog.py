@@ -302,11 +302,22 @@ class TxTable:
              *adds], 0)
         assert ok, "concurrent create"
 
+    def _check_schema(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Appends/merges must carry exactly the table's columns (any
+        order); a silent drift would poison every later snapshot."""
+        expected = [f["name"] for f in json.loads(meta["schema"])["fields"]]
+        if sorted(df.columns) != sorted(expected):
+            raise ValueError(
+                f"schema mismatch: table has {sorted(expected)}, "
+                f"write has {sorted(df.columns)}")
+        return df.select(*expected)
+
     def append(self, df: DataFrame) -> None:
         """ACID append: new files + one log commit; retries the commit
         (not the file writes — they are version-independent) on a lost
         optimistic race."""
         meta, _ = self._state()
+        df = self._check_schema(df, meta)
         adds = self._write_files(df, meta["key_col"])
         while True:
             v = self.versions()[-1] + 1
@@ -327,11 +338,9 @@ class TxTable:
         snapshot (the rewrite must see the winner's rows)."""
         meta = self._state()[0]
         key = meta["key_col"]
-        # normalize to the table's column order so every data file carries
-        # the same physical layout regardless of the caller's projection
-        schema_cols = [f["name"]
-                       for f in json.loads(meta["schema"])["fields"]]
-        updates = updates.select(*schema_cols)
+        # validate + normalize to the table's column order so every data
+        # file carries the same physical layout
+        updates = self._check_schema(updates, meta)
         b = updates.agg(F.min(key), F.max(key)).first()
         umin, umax = b[0], b[1]
         # bloom probes of the update keys (driver-side, capped): a file
