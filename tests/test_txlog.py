@@ -200,3 +200,23 @@ def test_append_schema_mismatch_raises(spark, orders, tmp_path):
     with pytest.raises(ValueError, match="schema mismatch"):
         t.merge_upsert(orders.limit(5)
                        .withColumn("extra", F.lit(1)))
+
+
+def test_compact_bin_packs_without_row_changes(spark, orders, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders.where("o_orderkey % 3 = 0"), "o_orderkey", n_files=4)
+    t.append(orders.where("o_orderkey % 3 = 1"))
+    t.append(orders.where("o_orderkey % 3 = 2"))
+    _, live0 = t._state()
+    before = _rows(t.snapshot(), ["o_orderkey", "o_totalprice"])
+    stats = t.compact(target_rows=10_000)         # everything is "small"
+    _, live1 = t._state()
+    assert stats["files_in"] == len(live0) and stats["files_out"] >= 1
+    assert len(live1) < len(live0)
+    assert _rows(t.snapshot(), ["o_orderkey", "o_totalprice"]) == before
+    # pre-compaction version still reads the OLD files (time travel)
+    v_before = t.versions()[-2]
+    assert t.snapshot(v_before).count() == len(before)
+    # and stats tightened: compacted files have disjoint ranges
+    ks = sorted((a["kmin"], a["kmax"]) for a in live1.values())
+    assert all(ks[i][1] <= ks[i + 1][0] for i in range(len(ks) - 1))

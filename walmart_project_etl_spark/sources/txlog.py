@@ -387,6 +387,38 @@ class TxTable:
             # lost the race: orphan the files we just wrote (invisible —
             # no commit references them) and retry on the new snapshot
 
+    def compact(self, target_rows: int = 1_000_000) -> dict:
+        """OPTIMIZE: bin-pack small data files into ~``target_rows`` files
+        (one commit, zero row changes). Appends and narrow merges
+        accumulate small files; small files mean many scan tasks AND
+        coarse stats (wider [kmin, kmax] per byte), degrading both read
+        cost and merge pruning. Only files below half the target
+        participate; the rewrite re-range-partitions them so the new
+        files regain tight disjoint key ranges. Readers are unaffected
+        (snapshot isolation); time travel before the compaction version
+        still sees the old files."""
+        while True:
+            meta, live = self._state()
+            small = [a for a in live.values()
+                     if a["rows"] < target_rows // 2]
+            if len(small) < 2:
+                return {"files_in": 0, "files_out": 0}
+            total = sum(a["rows"] for a in small)
+            n_out = max(1, -(-total // target_rows))
+            df = self.spark.read.parquet(
+                *[os.path.join(self.data_dir, a["path"]) for a in small])
+            adds = self._write_files(df, meta["key_col"], n_files=n_out)
+            v = self.versions()[-1] + 1
+            actions = [{"op": "compact"}, *adds,
+                       *({"remove": {"path": a["path"]}} for a in small)]
+            if self._commit(actions, v):
+                self._maybe_checkpoint(v)
+                return {"files_in": len(small), "files_out": len(adds)}
+            # lost the race: a concurrent commit may have REWRITTEN one of
+            # the inputs — the staged adds would resurrect its old rows,
+            # so orphan them (unreferenced ⇒ invisible) and recompute
+            # everything against the new snapshot
+
     def vacuum_uncommitted(self) -> list[str]:
         """Delete data files referenced by NO commit (crashed or
         lost-race transactions). Safe under the single-vacuum assumption:
