@@ -198,3 +198,38 @@ def test_stream_static_enrich_equals_batch(spark, events):
                      "n_name", "n_events", "sum_value"))
     cols = ["window_start", "window_end", "n_name", "n_events", "sum_value"]
     assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_stream_tx_upsert_exactly_once_replay(spark, events, tmp_path):
+    """The transactional streaming sink: (1) converges to the batch
+    window query; (2) a RE-DELIVERED micro-batch (same batch id, even
+    with mutated contents) is a logged no-op — the table's own commit
+    log is the applied-batch bookkeeping, so at-least-once foreachBatch
+    delivery yields exactly-once table state."""
+    from pyspark.sql import functions as F
+
+    from walmart_project_etl_spark.operators import events as ev_ops
+    from walmart_project_etl_spark.sources.txlog import TxTable
+    from walmart_project_etl_spark.streaming import stream_upsert_tx
+
+    root = str(tmp_path / "txdim")
+    stats = []
+    out = stream_upsert_tx(spark, events_dir(spark, SF_DIR), root,
+                           batch_stats=stats)
+    assert len(stats) >= 2, "fixture must split into several micro-batches"
+    batch = ev_ops.latest_event_per_key(events, ["user_id"])
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+    # replay batch 0 with POISONED data: value would visibly change if
+    # the merge applied — it must be skipped via the txn marker
+    t = TxTable(spark, root)
+    poisoned = t.snapshot().limit(5).withColumn("value", F.lit(-1.0e9))
+    res = t.merge_upsert(poisoned, txn=("stream_upsert_tx", 0))
+    assert res.get("skipped_replay"), res
+    assert _rows(t.snapshot(), cols) == _rows(batch, cols)
+    # a genuinely NEW batch id still applies
+    res2 = t.merge_upsert(poisoned, txn=("stream_upsert_tx",
+                                         max(b for b, _ in stats) + 1))
+    assert not res2.get("skipped_replay")
+    assert t.snapshot().where("value = -1.0e9").count() == 5

@@ -549,6 +549,26 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "ts", "event_type", "value")
 
 
+@q("stream_tx_upsert",
+   """SELECT user_id, event_id, ts, event_type, value FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) = 1""")
+def stream_tx_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming upsert: the latest-event-per-user dim
+    maintained in the TRANSACTIONAL log table via per-micro-batch MERGE
+    commits with txn markers (a re-delivered batch is a logged no-op —
+    streaming/jobs.py:stream_upsert_tx). The oracle is the batch window
+    query; the incremental transactional merge must converge to it for
+    any micro-batch split."""
+    import tempfile
+
+    from walmart_project_etl_spark.streaming import stream_upsert_tx
+    out = stream_upsert_tx(
+        spark, events_dir(spark, sf_dir),
+        tempfile.mkdtemp(prefix="wpe_stream_txtbl_"))
+    return out.select("user_id", "event_id", "ts", "event_type", "value")
+
+
 @q("stream_static_enrich",
    """SELECT date_trunc('hour', ts) AS window_start,
              date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,

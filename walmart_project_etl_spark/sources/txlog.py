@@ -144,6 +144,32 @@ class TxTable:
                     live.pop(a["remove"]["path"], None)
         return meta, live
 
+    def _txns(self, upto: int | None = None) -> dict:
+        """{app: highest committed batch id} at a version (checkpoint-
+        aware, like :meth:`_state`) — the exactly-once bookkeeping for
+        streaming sinks."""
+        txns: dict[str, int] = {}
+        start = -1
+        cks = [v for v in self._checkpoint_versions()
+               if upto is None or v <= upto]
+        if cks:
+            with open(os.path.join(self.log_dir,
+                                   f"{cks[-1]:08d}.checkpoint.json")) as fh:
+                txns = dict(json.load(fh).get("txns", {}))
+            start = cks[-1]
+        for v in self.versions():
+            if v <= start or (upto is not None and v > upto):
+                continue
+            for a in self._read_commit(v):
+                if "txn" in a:
+                    app, b = a["txn"]["app"], a["txn"]["batch"]
+                    txns[app] = max(txns.get(app, -1), b)
+        return txns
+
+    def last_txn(self, app: str) -> int:
+        """Highest batch id committed under ``app`` (-1 if none)."""
+        return self._txns().get(app, -1)
+
     def _maybe_checkpoint(self, v: int) -> None:
         """Compact the log: materialize the full live state beside commit
         ``v`` every ``checkpoint_interval`` commits. Deterministic content
@@ -154,7 +180,8 @@ class TxTable:
         tmp = os.path.join(self.log_dir, f".ck-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump({"version": v, "meta": meta,
-                       "live": list(live.values())}, fh)
+                       "live": list(live.values()),
+                       "txns": self._txns(v)}, fh)
         dst = os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
         try:
             os.link(tmp, dst)
@@ -325,7 +352,8 @@ class TxTable:
                 self._maybe_checkpoint(v)
                 return
 
-    def merge_upsert(self, updates: DataFrame) -> dict:
+    def merge_upsert(self, updates: DataFrame,
+                     txn: tuple[str, int] | None = None) -> dict:
         """SCD1 ``MERGE``: rows matching an update key are replaced, new
         keys inserted — rewriting ONLY the files whose [kmin, kmax] can
         contain an update key. Returns {files_scanned, files_rewritten,
@@ -335,7 +363,14 @@ class TxTable:
         range-intersection against the per-file stats (conservative —
         false positives rewrite a file needlessly, never a wrong result).
         On a lost commit race the merge recomputes against the new
-        snapshot (the rewrite must see the winner's rows)."""
+        snapshot (the rewrite must see the winner's rows).
+
+        ``txn=(app, batch_id)`` makes the commit IDEMPOTENT: the marker
+        rides in the log, and a merge whose batch id is ≤ the app's last
+        committed one is skipped — so a replayed ``foreachBatch``
+        micro-batch (restart re-delivery) is a no-op instead of a double
+        apply. This is what gives a streaming sink exactly-once table
+        semantics on top of at-least-once batch delivery."""
         meta = self._state()[0]
         key = meta["key_col"]
         # validate + normalize to the table's column order so every data
@@ -364,6 +399,9 @@ class TxTable:
                        for probe in probe_list)
 
         while True:
+            if txn is not None and self.last_txn(txn[0]) >= txn[1]:
+                return {"files_scanned": 0, "files_rewritten": 0,
+                        "files_untouched": 0, "skipped_replay": True}
             _, live = self._state()
             touched = [a for a in live.values() if may_contain(a)]
             untouched = len(live) - len(touched)
@@ -379,6 +417,8 @@ class TxTable:
             v = self.versions()[-1] + 1
             actions = [{"op": "merge"}, *adds,
                        *({"remove": {"path": a["path"]}} for a in touched)]
+            if txn is not None:
+                actions.append({"txn": {"app": txn[0], "batch": txn[1]}})
             if self._commit(actions, v):
                 self._maybe_checkpoint(v)
                 return {"files_scanned": len(live),

@@ -218,6 +218,69 @@ def stream_upsert_latest(spark: SparkSession, events_path: str,
     return wh.read("tgt", "user_latest")
 
 
+def stream_upsert_tx(spark: SparkSession, events_path: str,
+                     table_root: str,
+                     max_files_per_trigger: int = 2,
+                     checkpoint_dir: str | None = None,
+                     batch_stats: list | None = None) -> DataFrame:
+    """EXACTLY-ONCE streaming upsert into the TRANSACTIONAL log table
+    (``sources/txlog.TxTable``) — the latest-event-per-user dim
+    maintained by per-micro-batch MERGE commits carrying
+    ``txn=(app, batch_id)`` markers.
+
+    ``foreachBatch`` is only at-least-once: a crash between the table
+    write and the streaming checkpoint advance re-delivers the batch on
+    restart, and a plain sink would double-apply it. Here the batch id
+    is recorded in the TABLE's own commit log atomically with the data,
+    so the re-delivered merge sees ``last_txn(app) >= batch_id`` and
+    becomes a no-op — table state and stream progress cannot diverge.
+    This is the public transactional-sink recipe (the table's log, not
+    the engine, is the source of truth for what was applied); the
+    Warehouse-based :func:`stream_upsert_latest` documents the
+    non-transactional contrast.
+
+    At scale each micro-batch costs one latest-per-key shuffle over the
+    batch + a file-pruned merge (only files holding the batch's users
+    rewrite) + one log commit.
+    """
+    import os
+    import tempfile
+
+    from walmart_project_etl_spark.operators.events import latest_event_per_key
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, table_root)
+    if not t.versions():
+        t.create(spark.createDataFrame([], EVENTS_SCHEMA), "user_id")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_stats is not None:
+            batch_stats.append((batch_id, batch_df.count()))
+        batch_latest = latest_event_per_key(batch_df, ["user_id"])
+        # merge must keep the OLDER stored row when the batch's row is
+        # not actually newer — fold current rows for these users in
+        cur = t.snapshot().join(batch_latest.select("user_id"),
+                                "user_id", "semi")
+        upserts = latest_event_per_key(
+            cur.unionByName(batch_latest), ["user_id"])
+        t.merge_upsert(upserts, txn=("stream_upsert_tx", int(batch_id)))
+
+    ev = (spark.readStream
+          .schema(EVENTS_SCHEMA)
+          .option("maxFilesPerTrigger", max_files_per_trigger)
+          .format("parquet")
+          .load(events_path))
+    ckpt = checkpoint_dir or os.path.join(
+        tempfile.mkdtemp(prefix="wpe_stream_tx_"), "ckpt")
+    q = (ev.writeStream
+         .foreachBatch(upsert)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return t.snapshot()
+
+
 def stream_stream_attribution_join(spark: SparkSession, events_path: str,
                                    watermark: str = "365 days",
                                    within: str = "1 hour",
