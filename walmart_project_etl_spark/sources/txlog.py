@@ -97,13 +97,16 @@ class TxTable:
     # ------------------------------------------------------------ log I/O
 
     def versions(self) -> list[int]:
-        return sorted(int(f.split(".")[0]) for f in os.listdir(self.log_dir)
-                      if f.endswith(".json")
-                      and not f.endswith(".checkpoint.json"))
+        # strict NNNNNNNN.json match: in-flight temp files (.tmp-*/.ck-*)
+        # and checkpoints must never parse as commits
+        return sorted(int(f[:8]) for f in os.listdir(self.log_dir)
+                      if len(f) == 13 and f.endswith(".json")
+                      and f[:8].isdigit())
 
     def _checkpoint_versions(self) -> list[int]:
-        return sorted(int(f.split(".")[0]) for f in os.listdir(self.log_dir)
-                      if f.endswith(".checkpoint.json"))
+        return sorted(int(f[:8]) for f in os.listdir(self.log_dir)
+                      if f.endswith(".checkpoint.json")
+                      and f[:8].isdigit())
 
     def _read_commit(self, v: int) -> list[dict]:
         with open(os.path.join(self.log_dir, f"{v:08d}.json")) as fh:
@@ -177,11 +180,11 @@ class TxTable:
         if v == 0 or v % self.checkpoint_interval != 0:
             return
         meta, live = self._state(v)
+        txns = self._txns(v)               # resolve BEFORE the temp exists
         tmp = os.path.join(self.log_dir, f".ck-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump({"version": v, "meta": meta,
-                       "live": list(live.values()),
-                       "txns": self._txns(v)}, fh)
+                       "live": list(live.values()), "txns": txns}, fh)
         dst = os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
         try:
             os.link(tmp, dst)
