@@ -474,3 +474,12 @@ def test_jpeg_restart_markers_reset_predictors():
     w, h, c, px = mm.decode_payload(data)
     assert (w, h, c) == (16, 8, 1)
     assert np.unique(px).tolist() == [96]
+
+
+def test_bmp_bitfields_matches_lossless_ppm_exactly():
+    """Cross-format golden #3: the 32-bpp BI_BITFIELDS BMP of the same
+    image reproduces the PPM byte-for-byte through mask extraction."""
+    w, h, c, px = mm.decode_payload(_imghdr_file("python.bmp"))
+    assert (w, h) == (16, 16) and c in (3, 4)
+    _, _, _, truth = mm.decode_payload(_imghdr_file("python.ppm"))
+    assert np.array_equal(px[:, :, :3], truth)

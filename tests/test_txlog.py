@@ -220,3 +220,21 @@ def test_compact_bin_packs_without_row_changes(spark, orders, tmp_path):
     # and stats tightened: compacted files have disjoint ranges
     ks = sorted((a["kmin"], a["kmax"]) for a in live1.values())
     assert all(ks[i][1] <= ks[i + 1][0] for i in range(len(ks) - 1))
+
+
+def test_delete_keys_pruned_and_exact(spark, orders, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=8)
+    _, live0 = t._state()
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    doomed = orders.where(F.col("o_orderkey") <= lo + 7) \
+                   .select("o_orderkey")
+    stats = t.delete_keys(doomed)
+    assert stats["files_untouched"] >= len(live0) - 2
+    cols = ["o_orderkey", "o_totalprice"]
+    expected = orders.join(doomed, "o_orderkey", "left_anti")
+    assert _rows(t.snapshot(), cols) == _rows(expected, cols)
+    # deleting absent keys touches nothing
+    ghost = spark.createDataFrame([(10**15,)], "o_orderkey long")
+    s2 = t.delete_keys(ghost)
+    assert s2["files_rewritten"] == 0

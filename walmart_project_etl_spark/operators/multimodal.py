@@ -377,9 +377,11 @@ def _decode_ppm(data: bytes):
 
 
 def _decode_bmp(data: bytes):
-    """24-bpp uncompressed (BI_RGB) BMP decoder — pure numpy. Handles
-    bottom-up (positive height) and top-down rows, 4-byte row padding,
-    BGR→RGB. Returns (width, height, 3, H×W×3 uint8)."""
+    """Uncompressed BMP decoder — pure numpy: 24-bpp BI_RGB (BGR order,
+    4-byte row padding) and 32-bpp BI_RGB / BI_BITFIELDS (per-channel
+    masks read from the header, byte-aligned masks supported — the shape
+    every real-world 32-bpp BMP uses). Handles bottom-up and top-down
+    storage. Returns (width, height, 3 or 4, H×W×C uint8)."""
     import struct
 
     import numpy as np
@@ -391,17 +393,47 @@ def _decode_bmp(data: bytes):
     w, h_signed = struct.unpack_from("<ii", data, 18)
     bpp = struct.unpack_from("<H", data, 28)[0]
     comp = struct.unpack_from("<I", data, 30)[0]
-    if comp != 0 or bpp != 24:
-        raise NotImplementedError(
-            f"only uncompressed 24-bpp BMP supported (bpp={bpp}, "
-            f"compression={comp})")
     h = abs(h_signed)
-    row_bytes = (w * 3 + 3) & ~3
-    raster = np.frombuffer(data, np.uint8, count=row_bytes * h, offset=off) \
-               .reshape(h, row_bytes)[:, :w * 3].reshape(h, w, 3)[..., ::-1]
-    if h_signed > 0:                                # bottom-up storage
-        raster = raster[::-1]
-    return w, h, 3, np.ascontiguousarray(raster)
+    if bpp == 24 and comp == 0:
+        row_bytes = (w * 3 + 3) & ~3
+        raster = np.frombuffer(data, np.uint8, count=row_bytes * h,
+                               offset=off) \
+                   .reshape(h, row_bytes)[:, :w * 3] \
+                   .reshape(h, w, 3)[..., ::-1]
+        if h_signed > 0:                            # bottom-up storage
+            raster = raster[::-1]
+        return w, h, 3, np.ascontiguousarray(raster)
+    if bpp == 32 and comp in (0, 3):
+        if comp == 3:                               # masks follow the header
+            masks = struct.unpack_from("<III", data, 54)
+            if hdr_size >= 56:
+                amask = struct.unpack_from("<I", data, 66)[0]
+            else:
+                amask = 0
+        else:                                       # BI_RGB default layout
+            masks, amask = (0x00FF0000, 0x0000FF00, 0x000000FF), 0xFF000000
+        words = np.frombuffer(data, "<u4", count=w * h, offset=off) \
+                  .reshape(h, w)
+
+        def chan(mask):
+            shift = (mask & -mask).bit_length() - 1
+            return ((words >> shift) & 0xFF).astype(np.uint8)
+
+        if any(m and (m >> ((m & -m).bit_length() - 1)) != 0xFF
+               for m in (*masks, amask)):
+            raise NotImplementedError("non-8-bit BMP channel masks")
+        planes = [chan(m) for m in masks]
+        ch = 3
+        if amask:
+            planes.append(chan(amask))
+            ch = 4
+        raster = np.stack(planes, axis=2)
+        if h_signed > 0:
+            raster = raster[::-1]
+        return w, h, ch, np.ascontiguousarray(raster)
+    raise NotImplementedError(
+        f"only uncompressed 24/32-bpp BMP supported (bpp={bpp}, "
+        f"compression={comp})")
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

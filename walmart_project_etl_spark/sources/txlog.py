@@ -430,6 +430,52 @@ class TxTable:
             # lost the race: orphan the files we just wrote (invisible —
             # no commit references them) and retry on the new snapshot
 
+    def delete_keys(self, keys: DataFrame) -> dict:
+        """Transactional DELETE by key: rewrite only the files that can
+        contain a deleted key (same range+bloom pruning as the merge),
+        dropping the matching rows; every other file survives untouched.
+        Returns the same pruning stats as :meth:`merge_upsert`."""
+        meta = self._state()[0]
+        key = meta["key_col"]
+        keys = keys.select(key).distinct()
+        b = keys.agg(F.min(key), F.max(key)).first()
+        umin, umax = b[0], b[1]
+        probes = keys.select(_bloom_positions(key).alias("__p")) \
+                     .distinct().limit(_BLOOM_PROBE_CAP + 1).collect()
+        probe_list = ([tuple(int(x) for x in r["__p"]) for r in probes]
+                      if len(probes) <= _BLOOM_PROBE_CAP else None)
+
+        def may_contain(a: dict) -> bool:
+            if umin is None:
+                return False
+            if a["kmax"] < umin or a["kmin"] > umax:
+                return False
+            bm_hex = a.get("bloom")
+            if bm_hex is None or probe_list is None:
+                return True
+            bm = int(bm_hex, 16)
+            return any(all((bm >> p) & 1 for p in probe)
+                       for probe in probe_list)
+
+        while True:
+            _, live = self._state()
+            touched = [a for a in live.values() if may_contain(a)]
+            adds: list[dict] = []
+            if touched:
+                old = self.spark.read.parquet(
+                    *[os.path.join(self.data_dir, a["path"])
+                      for a in touched])
+                adds = self._write_files(old.join(keys, key, "left_anti"),
+                                         key)
+            v = self.versions()[-1] + 1
+            actions = [{"op": "delete"}, *adds,
+                       *({"remove": {"path": a["path"]}} for a in touched)]
+            if self._commit(actions, v):
+                self._maybe_checkpoint(v)
+                return {"files_scanned": len(live),
+                        "files_rewritten": len(touched),
+                        "files_untouched": len(live) - len(touched)}
+
     def compact(self, target_rows: int = 1_000_000) -> dict:
         """OPTIMIZE: bin-pack small data files into ~``target_rows`` files
         (one commit, zero row changes). Appends and narrow merges
