@@ -238,3 +238,54 @@ def test_delete_keys_pruned_and_exact(spark, orders, tmp_path):
     ghost = spark.createDataFrame([(10**15,)], "o_orderkey long")
     s2 = t.delete_keys(ghost)
     assert s2["files_rewritten"] == 0
+
+
+def test_model_based_random_operation_sequence(spark, tmp_path):
+    """Model check: a deterministic pseudo-random sequence of
+    append / merge_upsert / delete_keys / compact operations against an
+    in-memory dict model — after every step the table snapshot must
+    equal the model exactly, and every historical version must still
+    time-travel to its recorded state."""
+    import random
+
+    rng = random.Random(1234)
+    t = TxTable(spark, str(tmp_path / "t"), checkpoint_interval=3)
+    model: dict[int, float] = {}
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, v) for k, v in rows], "k long, v double")
+
+    def snap_rows():
+        return {r["k"]: r["v"] for r in t.snapshot().collect()}
+
+    init = {k: float(k) for k in rng.sample(range(1000), 40)}
+    t.create(df_of(init.items()), "k", n_files=4)
+    model.update(init)
+    versioned = {t.versions()[-1]: dict(model)}
+    for step in range(8):
+        op = rng.choice(["append", "merge", "delete", "compact"])
+        if op == "append":
+            new = {k: float(step) for k in rng.sample(range(2000, 3000), 10)
+                   if k not in model}
+            t.append(df_of(new.items()))
+            model.update(new)
+        elif op == "merge":
+            keys = rng.sample(sorted(model), 5) + \
+                rng.sample(range(5000, 6000), 3)
+            ups = {k: step + 0.5 for k in keys}
+            t.merge_upsert(df_of(ups.items()))
+            model.update(ups)
+        elif op == "delete":
+            doomed = rng.sample(sorted(model), min(4, len(model)))
+            t.delete_keys(df_of((k, 0.0) for k in doomed).select("k"))
+            for k in doomed:
+                model.pop(k)
+        else:
+            t.compact(target_rows=100)
+        assert snap_rows() == model, f"divergence after step {step}: {op}"
+        versioned[t.versions()[-1]] = dict(model)  # no-op ops reuse a version
+    # every recorded version still time-travels to its state
+    for v, expected in versioned.items():
+        got = {r["k"]: r["v"] for r in t.snapshot(v).collect()}
+        assert got == expected, f"time travel broken at version {v}"

@@ -706,6 +706,39 @@ def mm_real_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("media_id", "width", "height", "n_channels", "px_sum")
 
 
+@q("dedup_boilerplate_sentences",
+   r"""WITH lines AS (
+        SELECT doc_id, parts[ii.i] AS line, ii.i - 1 AS idx
+        FROM (SELECT doc_id,
+                     string_split(text || '. Subscribe to our newsletter',
+                                  '. ') AS parts
+              FROM documents) t,
+             unnest(range(1, len(parts) + 1)) ii(i)),
+      freq AS (SELECT line, count(DISTINCT doc_id) AS docs
+               FROM lines GROUP BY line),
+      kept AS (SELECT l.doc_id, l.idx, l.line FROM lines l
+               JOIN freq f USING (line) WHERE f.docs < 2)
+      SELECT doc_id,
+             string_agg(line, '. ' ORDER BY idx) AS text_clean,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id""")
+def dedup_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTENCE-level boilerplate removal with a REGEX-SPECIAL delimiter
+    ('. ' — the dot would match any char if passed unquoted to F.split):
+    every document gets a planted boilerplate sentence appended, and the
+    corpus-frequency dedup must strip exactly it. Pins the r6 delimiter-
+    quoting fix (operators/dedup.py dedup_lines) end-to-end under the
+    driver: an unquoted delimiter splits on the wrong boundaries and
+    corrupts text_clean for every row."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(". Subscribe to our newsletter")).alias("text"))
+    out = dedup.dedup_lines(d, "doc_id", "text", delim=". ", min_count=2)
+    return out.select("doc_id", "text_clean",
+                      (F.col("n_lines") - F.col("n_dropped")).alias("n_kept"))
+
+
 @q("mm_real_decode_wav",
    """WITH dims AS (SELECT doc_id, 256 + doc_id % 512 AS n FROM documents),
       flat AS (
