@@ -1,8 +1,11 @@
-"""Real-codec goldens for the multimodal decode seam: pure-numpy binary
-PPM/PGM and 24-bpp BMP decoders behind ``real_decode=True``. Fixture
-images are generated in-test (no external files, no image library) and
-pinned to exact width/height/channel/pixel values, both via the pure
-functions and end-to-end through the Arrow mapInPandas hop.
+"""Real-codec goldens for the multimodal decode seam: pure-numpy
+PPM/PGM, BMP (24-bpp + 32-bpp bitfields), PNG (all filters + palette),
+baseline JPEG, GIF (LZW), uncompressed TIFF, PCM WAV, and MJPEG-AVI.
+
+Two validation tiers, neither needing an image library: self round-trips
+via in-repo encoders, and EXTERNAL goldens — CPython's imghdr data ships
+the SAME image in many formats, so the lossless ones must agree
+byte-for-byte and the lossy ones within their encoder's own loss.
 """
 
 from __future__ import annotations

@@ -59,6 +59,8 @@ _PRIORITY = (
     "mm_real_decode_wav",
     "txn_merge_fileprune",
     "txn_time_travel",
+    "stream_tx_upsert",
+    "dedup_boilerplate_sentences",
     "sim_ivf_persisted_topk",
     # re-proofs: output dtype changed (grouping ids cast to long)
     "olap_rollup_lineitem",
@@ -89,8 +91,6 @@ _PRIORITY = (
     "p01_projection_rename",
     "p02_distinct_nonnull_dates",
     "p03_null_filter",
-    "p05_skip_missing_dim_key",
-    "p06_boolean_flag_filters",
     "j01_left_equi_join",
     "j10_optional_dim_left_join",
     "a02_groupby_first",
