@@ -32,6 +32,13 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
     snapshot-sized).
 
     ``compare_cols`` defaults to every shared non-key column.
+
+    NULL business keys: the key join is null-UNSAFE by design (standard
+    SQL MERGE/join semantics) — a NULL-keyed row never matches across
+    snapshots and surfaces as a delete + insert pair rather than a
+    compared update. A NULL business key is a data-quality defect the
+    feed should surface loudly, not silently pair up; pre-filter with a
+    quality gate (``quality.py`` FK checks) if NULL keys can occur.
     """
     if compare_cols is None:
         shared = [c for c in old.columns if c in set(new.columns)]
