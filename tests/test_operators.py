@@ -817,3 +817,20 @@ def test_salted_paths_correct_on_skewed_fixture(spark):
                    .select(*plain.columns)
     assert plain.exceptAll(salted_j).count() == 0
     assert salted_j.exceptAll(plain).count() == 0
+
+
+def test_jsonl_gzip_roundtrip_lossless(spark, tmp_path):
+    """Compressed JSON-Lines (the dominant corpus interchange at rest):
+    write with gzip codec, schema-declared read back — byte-lossless, and
+    the files really are .json.gz (codec applied, not ignored)."""
+    import glob
+
+    from walmart_project_etl_spark.sources.ingest import (read_jsonl,
+                                                          write_jsonl)
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "gz")
+    write_jsonl(d, out, compression="gzip")
+    assert glob.glob(f"{out}/*.json.gz"), "gzip codec not applied"
+    back = read_jsonl(spark, out, d.schema)
+    assert back.count() == d.count()
+    assert back.exceptAll(d).count() == 0 and d.exceptAll(back).count() == 0
