@@ -168,8 +168,22 @@ def test_png_unsupported_shapes_raise():
         mm.decode_payload(png_with(depth=16))
     with pytest.raises(ValueError, match="PLTE"):
         mm.decode_payload(png_with(color=3))    # palette needs a PLTE chunk
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        mm.decode_payload(png_with(interlace=1))
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_adam7_interlaced_roundtrip(filter_type):
+    """Adam7: seven independently-filtered passes must de-interlace to
+    the same pixels as the sequential encoding, for every filter type
+    and for dims exercising partial/empty passes."""
+    rng = np.random.default_rng(70 + filter_type)
+    for shape in [(16, 16, 3), (7, 5), (9, 13, 4), (1, 1), (3, 8, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, c, lace = mm.decode_payload(
+            mm.encode_png(px, filter_type, interlace=True))
+        _, _, _, seq = mm.decode_payload(mm.encode_png(px, filter_type))
+        assert np.array_equal(lace, seq)
+        exp = px if px.ndim == 3 else px[:, :, None]
+        assert np.array_equal(lace, exp)
 
 
 def test_png_palette_matches_lossless_ppm_of_same_image():

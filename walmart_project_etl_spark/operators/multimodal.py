@@ -441,20 +441,62 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # type 3 (palette) carries 1 index byte and expands through PLTE after
 # filter reconstruction
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass grid: (x offset, y offset, x stride, y stride) per pass
+_ADAM7_PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter(raw, h: int, w: int, ch: int):
+    """Reconstruct ``h`` scanlines of ``w``×``ch`` bytes from a filtered
+    PNG raster segment (RFC 2083 §6 — None/Sub/Up/Average/Paeth).
+    Shared by the sequential and per-Adam7-pass paths."""
+    import numpy as np
+
+    stride = w * ch
+    rows = np.asarray(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int16)
+    for y in range(h):
+        f, line = rows[y, 0], rows[y, 1:].astype(np.int16)
+        prior = out[y - 1] if y else np.zeros(stride, np.int16)
+        if f == 0:
+            rec = line
+        elif f == 2:                                      # Up
+            rec = (line + prior) & 0xFF
+        elif f in (1, 3, 4):                              # Sub/Average/Paeth
+            rec = line
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0         # reconstructed left
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (int(a) + int(prior[x])) >> 1
+                else:
+                    b, c = int(prior[x]), \
+                        int(prior[x - ch]) if (x >= ch and y) else 0
+                    p = int(a) + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                              else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+    return out.astype(np.uint8)
 
 
 def _decode_png(data: bytes):
     """REAL PNG decoder — stdlib ``zlib`` + numpy, no image library.
 
-    Full pipeline: chunk walk (IHDR/IDAT/IEND), zlib-inflate of the
-    concatenated IDAT stream, and per-scanline reconstruction of all five
-    PNG filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports
-    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced — the shapes a
-    training corpus normalizes to anyway; palette, 16-bit, and Adam7
-    raise ``NotImplementedError`` explicitly. Up is vectorized; Sub/
-    Average/Paeth recurse on the reconstructed left neighbour, so they
-    walk the scanline (fine for the corpus-thumbnail sizes this engine
-    decodes in-pipeline; a C codec slots in behind the same dispatcher).
+    Full pipeline: chunk walk (IHDR/PLTE/tRNS/IDAT/IEND), zlib-inflate
+    of the concatenated IDAT stream, per-scanline reconstruction of all
+    five PNG filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6), and
+    Adam7 de-interlacing (seven independently-filtered passes scattered
+    back onto the grid). Supports 8-bit gray / gray+alpha / RGB / RGBA /
+    palette (tRNS → RGBA); 16-bit raises ``NotImplementedError``
+    explicitly. Up is vectorized; Sub/Average/Paeth recurse on the
+    reconstructed left neighbour, so they walk the scanline (fine for
+    the corpus-thumbnail sizes this engine decodes in-pipeline; a C
+    codec slots in behind the same dispatcher).
     Returns (width, height, n_channels, H×W×C uint8).
     """
     import struct
@@ -465,7 +507,7 @@ def _decode_png(data: bytes):
     if data[:8] != _PNG_SIG:
         raise ValueError("bad PNG signature")
     i, idat, dims, color = 8, [], None, None
-    plte, trns = None, None
+    plte, trns, interlace = None, None, 0
     while i + 8 <= len(data):
         ln, typ = struct.unpack_from(">I4s", data, i)
         chunk = data[i + 8:i + 8 + ln]
@@ -476,8 +518,6 @@ def _decode_png(data: bytes):
                 raise NotImplementedError(f"PNG bit depth {depth} (8 only)")
             if color not in _PNG_CHANNELS:
                 raise NotImplementedError(f"PNG color type {color}")
-            if interlace != 0:
-                raise NotImplementedError("Adam7 interlacing not supported")
             dims = (w, h, _PNG_CHANNELS[color])
         elif typ == b"PLTE":
             plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
@@ -494,38 +534,29 @@ def _decode_png(data: bytes):
         raise ValueError("palette PNG missing PLTE")
     w, h, ch = dims
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG raster size mismatch")
-    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    out = np.zeros((h, stride), np.int16)
-    for y in range(h):
-        f, line = rows[y, 0], rows[y, 1:].astype(np.int16)
-        prior = out[y - 1] if y else np.zeros(stride, np.int16)
-        if f == 0:
-            rec = line
-        elif f == 2:                                      # Up
-            rec = (line + prior) & 0xFF
-        elif f in (1, 3, 4):                              # Sub/Average/Paeth
-            rec = line
-            for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0         # reconstructed left
-                if f == 1:
-                    pred = a if x >= ch else 0
-                elif f == 3:
-                    pred = (int(a) + int(prior[x])) >> 1
-                else:
-                    b, c = int(prior[x]), \
-                        int(prior[x - ch]) if (x >= ch and y) else 0
-                    p = int(a) + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
-                                                              else c)
-                rec[x] = (rec[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {f}")
-        out[y] = rec
-    px = out.astype(np.uint8).reshape(h, w, ch)
+    if interlace == 0:
+        if len(raw) != (w * ch + 1) * h:
+            raise ValueError("PNG raster size mismatch")
+        px = _png_unfilter(np.frombuffer(raw, np.uint8), h, w, ch) \
+            .reshape(h, w, ch)
+    else:
+        # Adam7: seven independently-filtered sub-images, consumed
+        # sequentially from ONE inflated stream, scattered onto the grid
+        px = np.zeros((h, w, ch), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            n = (pw * ch + 1) * ph
+            sub = _png_unfilter(
+                np.frombuffer(raw, np.uint8, count=n, offset=pos),
+                ph, pw, ch).reshape(ph, pw, ch)
+            px[y0::dy, x0::dx] = sub
+            pos += n
+        if pos != len(raw):
+            raise ValueError("PNG raster size mismatch")
     if color == 3:
         idx = px[:, :, 0]
         if trns is not None:
@@ -539,22 +570,12 @@ def _decode_png(data: bytes):
     return w, h, ch, px
 
 
-def encode_png(px, filter_type: int = 0) -> bytes:
-    """Inverse of :func:`_decode_png` for fixtures/tests: uint8 array
-    (H×W gray or H×W×C) → PNG bytes, every scanline filtered with
-    ``filter_type`` (0-4 — lets tests exercise each reconstruction path).
-    Filtering at encode time is fully vectorized (predictors read the
-    ORIGINAL neighbours)."""
-    import struct
-    import zlib
-
+def _png_filter_rows(px, filter_type: int) -> bytes:
+    """Filter one (sub-)image's scanlines for :func:`encode_png` —
+    vectorized (predictors read the ORIGINAL neighbours)."""
     import numpy as np
 
-    px = np.asarray(px, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
     h, w, ch = px.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     flat = px.reshape(h, w * ch).astype(np.int16)
     left = np.zeros_like(flat)
     left[:, ch:] = flat[:, :-ch]
@@ -578,15 +599,41 @@ def encode_png(px, filter_type: int = 0) -> bytes:
         filt = flat - pred
     else:
         raise ValueError(f"bad filter type {filter_type}")
-    scan = np.concatenate(
+    return np.concatenate(
         [np.full((h, 1), filter_type, np.uint8),
          (filt & 0xFF).astype(np.uint8)], axis=1).tobytes()
+
+
+def encode_png(px, filter_type: int = 0, interlace: bool = False) -> bytes:
+    """Inverse of :func:`_decode_png` for fixtures/tests: uint8 array
+    (H×W gray or H×W×C) → PNG bytes, every scanline filtered with
+    ``filter_type`` (0-4 — lets tests exercise each reconstruction
+    path); ``interlace=True`` emits the seven Adam7 passes (each
+    filtered independently, per spec)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if interlace:
+        scan = b"".join(
+            _png_filter_rows(np.ascontiguousarray(px[y0::dy, x0::dx]),
+                             filter_type)
+            for x0, y0, dx, dy in _ADAM7_PASSES
+            if px[y0::dy, x0::dx].shape[0] and px[y0::dy, x0::dx].shape[1])
+    else:
+        scan = _png_filter_rows(px, filter_type)
 
     def chunk(typ: bytes, body: bytes) -> bytes:
         return struct.pack(">I", len(body)) + typ + body + \
             struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
     return _PNG_SIG + chunk(b"IHDR", ihdr) + \
         chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
 
