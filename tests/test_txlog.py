@@ -240,7 +240,8 @@ def test_delete_keys_pruned_and_exact(spark, orders, tmp_path):
     assert s2["files_rewritten"] == 0
 
 
-def test_model_based_random_operation_sequence(spark, tmp_path):
+@pytest.mark.parametrize("seed", [1234, 777])
+def test_model_based_random_operation_sequence(spark, tmp_path, seed):
     """Model check: a deterministic pseudo-random sequence of
     append / merge_upsert / delete_keys / compact operations against an
     in-memory dict model — after every step the table snapshot must
@@ -248,7 +249,7 @@ def test_model_based_random_operation_sequence(spark, tmp_path):
     time-travel to its recorded state."""
     import random
 
-    rng = random.Random(1234)
+    rng = random.Random(seed)
     t = TxTable(spark, str(tmp_path / "t"), checkpoint_interval=3)
     model: dict[int, float] = {}
 
