@@ -563,9 +563,13 @@ def stream_tx_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from walmart_project_etl_spark.streaming import stream_upsert_tx
+    # 4 files/trigger → two micro-batches: still a real multi-batch
+    # incremental merge (and the replay test drives more), at half the
+    # per-batch commit overhead in the oracle sweep
     out = stream_upsert_tx(
         spark, events_dir(spark, sf_dir),
-        tempfile.mkdtemp(prefix="wpe_stream_txtbl_"))
+        tempfile.mkdtemp(prefix="wpe_stream_txtbl_"),
+        max_files_per_trigger=4)
     return out.select("user_id", "event_id", "ts", "event_type", "value")
 
 
