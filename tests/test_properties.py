@@ -165,3 +165,41 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r["id"]: r["component"]
            for r in graph.connected_components(df).collect()}
     assert got == truth
+
+
+@_settings
+@given(st.lists(st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=12)
+                .map(lambda toks: " ".join(toks)),
+                min_size=2, max_size=8),
+       st.sampled_from([0.3, 0.5, 0.8]))
+def test_ngram_jaccard_ppjoin_matches_bruteforce(spark, texts, threshold):
+    """The PPJoin prefix + positional + length filters claim EXACTNESS:
+    on arbitrary low-entropy corpora (tiny vocab — the worst case for
+    prefix selectivity) the pair set and jaccard values must equal a
+    pure-Python brute force over the same word-3-gram sets."""
+    from walmart_project_etl_spark.operators import dedup
+
+    def grams(text):
+        toks = text.split()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: grams(t) for i, t in enumerate(texts)}
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                j = round(inter / union, 6)
+                if j >= threshold:
+                    expected[(a, b)] = j
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(
+               df, "doc_id", "text", k=3, threshold=threshold,
+               unit="word").collect()}
+    assert got == expected
