@@ -500,3 +500,36 @@ def test_bmp_bitfields_matches_lossless_ppm_exactly():
     assert (w, h) == (16, 16) and c in (3, 4)
     _, _, _, truth = mm.decode_payload(_imghdr_file("python.ppm"))
     assert np.array_equal(px[:, :, :3], truth)
+
+
+def test_bmp_zero_bitfields_mask_raises():
+    """Malformed BI_BITFIELDS with a zero color mask must fail explicitly
+    instead of feeding numpy a negative shift (ADVICE r6)."""
+    import struct as st
+    hdr = b"BM" + st.pack("<IHHI", 0, 0, 0, 66)
+    info = st.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 3, 0, 0, 0, 0, 0)
+    masks = st.pack("<III", 0x00FF0000, 0, 0x000000FF)   # zero green mask
+    px = st.pack("<I", 0)
+    with pytest.raises(NotImplementedError, match="mask"):
+        mm.decode_payload(hdr + info + masks + px)
+
+
+def test_tiff_planar_and_whiteiszero_raise():
+    """Planar (PlanarConfiguration=2) and WhiteIsZero (photometric 0)
+    TIFFs would silently decode to wrong pixels — they must raise, like
+    every other unsupported shape (ADVICE r6)."""
+    import struct as st
+
+    def tiff_with(extra_tags):
+        tags = [(256, 3, 1, st.pack("<HH", 4, 0)),
+                (257, 3, 1, st.pack("<HH", 4, 0))] + extra_tags
+        ifd = st.pack("<H", len(tags))
+        for tag, typ, cnt, raw in sorted(tags):
+            ifd += st.pack("<HHI4s", tag, typ, cnt, raw)
+        ifd += st.pack("<I", 0)
+        return b"II*\x00" + st.pack("<I", 8) + ifd
+
+    with pytest.raises(NotImplementedError, match="planar"):
+        mm.decode_payload(tiff_with([(284, 3, 1, st.pack("<HH", 2, 0))]))
+    with pytest.raises(NotImplementedError, match="photometric"):
+        mm.decode_payload(tiff_with([(262, 3, 1, st.pack("<HH", 0, 0))]))

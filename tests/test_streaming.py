@@ -233,3 +233,27 @@ def test_stream_tx_upsert_exactly_once_replay(spark, events, tmp_path):
                                          max(b for b, _ in stats) + 1))
     assert not res2.get("skipped_replay")
     assert t.snapshot().where("value = -1.0e9").count() == 5
+
+
+def test_stream_tx_upsert_resume_processes_new_files(spark, events, tmp_path):
+    """RESUME the transactional sink against the same table root: the
+    default checkpoint is derived from table_root, so a second invocation
+    continues the SAME stream — new event files get fresh batch ids above
+    last_txn and are applied. (A per-call random checkpoint would restart
+    batch ids at 0 and the replay guard would silently drop them.)"""
+    from walmart_project_etl_spark.streaming import stream_upsert_tx
+
+    src = str(tmp_path / "ev")
+    root = str(tmp_path / "txdim")
+    first = events.where("event_id % 2 = 0")
+    second = events.where("event_id % 2 = 1")
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    first.repartition(2).write.parquet(src)
+    out1 = stream_upsert_tx(spark, src, root)
+    assert _rows(out1, cols) == \
+        _rows(ev_ops.latest_event_per_key(first, ["user_id"]), cols)
+    # new files land in the source dir; re-invoke on the same table root
+    second.repartition(2).write.mode("append").parquet(src)
+    out2 = stream_upsert_tx(spark, src, root)
+    assert _rows(out2, cols) == \
+        _rows(ev_ops.latest_event_per_key(events, ["user_id"]), cols)

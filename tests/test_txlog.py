@@ -88,8 +88,32 @@ def test_crash_leaves_uncommitted_files_invisible(spark, orders, tmp_path):
     # simulate a crashed writer: data files land, no commit follows
     t._write_files(orders.limit(10), "o_orderkey")
     assert t.snapshot().count() == n0          # invisible
-    removed = t.vacuum_uncommitted()
+    # default age bound protects files an in-flight writer may be about
+    # to commit (they are final-named BEFORE the log commit)
+    assert t.vacuum_uncommitted() == []
+    removed = t.vacuum_uncommitted(older_than_s=0.0)
     assert removed and t.snapshot().count() == n0
+
+
+def test_null_merge_key_rejected_at_write(spark, orders, tmp_path):
+    """A NULL key would serialize kmin/kmax as JSON null and poison every
+    later prune comparison — the WRITE must fail, and the table must stay
+    fully usable (no orphan poisoned commit)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey")
+    bad = orders.limit(5).withColumn(
+        "o_orderkey", F.when(F.col("o_custkey") >= 0, None)
+                       .otherwise(F.col("o_orderkey")).cast("long"))
+    with _pytest.raises(ValueError, match="NULL"):
+        t.append(bad)
+    with _pytest.raises(ValueError, match="NULL"):
+        t.merge_upsert(bad)
+    # table still healthy: merge with clean keys works
+    upd = orders.limit(3).withColumn("o_totalprice", F.lit(1.0))
+    t.merge_upsert(upd)
+    assert t.snapshot().count() == orders.count()
 
 
 def test_commit_race_detected(spark, orders, tmp_path):

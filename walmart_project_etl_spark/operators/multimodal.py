@@ -412,6 +412,10 @@ def _decode_bmp(data: bytes):
                 amask = 0
         else:                                       # BI_RGB default layout
             masks, amask = (0x00FF0000, 0x0000FF00, 0x000000FF), 0xFF000000
+        if not all(masks):
+            # a zero color mask is malformed (and (0 & -0).bit_length()-1
+            # would feed numpy a negative shift) — fail explicitly
+            raise NotImplementedError("zero BI_BITFIELDS color mask")
         words = np.frombuffer(data, "<u4", count=w * h, offset=off) \
                   .reshape(h, w)
 
@@ -672,6 +676,14 @@ def _decode_tiff(data: bytes):
     spp = tags.get(277, [1])[0]
     if any(b != 8 for b in tags.get(258, [8])):
         raise NotImplementedError("non-8-bit TIFF samples")
+    if tags.get(284, [1])[0] != 1:
+        # planar (RRR..GGG..BBB) strips would silently interleave wrong
+        raise NotImplementedError("planar TIFF (PlanarConfiguration=2)")
+    photo = tags.get(262, [1 if spp <= 2 else 2])[0]
+    if photo not in (1, 2):
+        # 0 = WhiteIsZero would decode inverted; palette/CMYK/YCbCr need
+        # expansion this baseline decoder doesn't do
+        raise NotImplementedError(f"TIFF photometric interpretation {photo}")
     raster = b"".join(
         data[o:o + c] for o, c in zip(tags[273], tags[279]))
     px = np.frombuffer(raster, np.uint8, count=w * h * spp) \

@@ -81,6 +81,18 @@ def _bloom_positions(key_col: str):
                      for i in range(_BLOOM_K)])
 
 
+def _word_mask_sql(word: int) -> str:
+    """Per-row contribution to 64-bit bloom word ``word``: OR of
+    ``1 << (pos % 64)`` over the row's probe positions (column ``__p``)
+    that land in this word. Feeds a ``bit_or`` aggregate, so the per-file
+    bloom is built in CONSTANT memory per group — no per-file
+    materialization of every key's bit positions."""
+    terms = [f"IF(CAST(__p[{i}] DIV 64 AS INT) = {word}, "
+             f"SHIFTLEFT(CAST(1 AS BIGINT), CAST(__p[{i}] % 64 AS INT)), "
+             f"CAST(0 AS BIGINT))" for i in range(_BLOOM_K)]
+    return " | ".join(terms)
+
+
 class TxTable:
     """One transactional table rooted at ``root`` (see module docstring)."""
 
@@ -234,33 +246,44 @@ class TxTable:
         shutil.rmtree(staging, ignore_errors=True)
         if not paths:
             return []
-        # one job: per-file rows + key min/max + bloom bit positions,
-        # keyed on the file name. The bloom positions collapse to ≤
-        # _BLOOM_BITS distinct values per file (array_distinct∘flatten of
-        # a collect_list — at production file sizes this becomes a custom
-        # bloom aggregate; the log format doesn't change).
+        # one job: per-file rows + key min/max + bloom, keyed on the file
+        # name. The bloom is a true streaming aggregate: each row folds
+        # its k probe bits into per-64-bit-word masks, bit_or-merged per
+        # file — constant memory per group at any file row count.
         stats = (self.spark.read.parquet(
                      *[os.path.join(self.data_dir, p) for p in paths])
+                 .withColumn("__p", _bloom_positions(key_col))
                  .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1)
                           .alias("__f"))
                  .agg(F.count(F.lit(1)).alias("rows"),
                       F.min(key_col).alias("kmin"),
                       F.max(key_col).alias("kmax"),
-                      F.array_distinct(F.flatten(F.collect_list(
-                          _bloom_positions(key_col)))).alias("bits"))
+                      F.sum(F.col(key_col).isNull().cast("long"))
+                       .alias("nnull"),
+                      *[F.expr(f"bit_or({_word_mask_sql(w)})").alias(f"w{w}")
+                        for w in range(_BLOOM_BITS // 64)])
                  ).collect()
         by_name = {r["__f"]: r for r in stats}
+        if any(r["nnull"] for r in stats):
+            # a NULL key writes kmin/kmax as JSON null and poisons every
+            # later prune comparison — fail the WRITE, not every read
+            for p in paths:
+                os.unlink(os.path.join(self.data_dir, p))
+            raise ValueError(
+                f"NULL values in merge key '{key_col}' "
+                f"({sum(r['nnull'] for r in stats)} rows) — the tx table "
+                f"requires non-null keys")
 
-        def bloom_hex(bits: list[int]) -> str:
+        def bloom_hex(r) -> str:
             bm = 0
-            for b in bits:
-                bm |= 1 << int(b)
+            for w in range(_BLOOM_BITS // 64):
+                bm |= (int(r[f"w{w}"] or 0) & 0xFFFFFFFFFFFFFFFF) << (64 * w)
             return f"{bm:x}"
 
         return [{"add": {"path": p, "rows": by_name[p]["rows"],
                          "kmin": by_name[p]["kmin"],
                          "kmax": by_name[p]["kmax"],
-                         "bloom": bloom_hex(by_name[p]["bits"])}}
+                         "bloom": bloom_hex(by_name[p])}}
                 for p in paths if p in by_name]
 
     # ------------------------------------------------------------- reads
@@ -508,19 +531,29 @@ class TxTable:
             # so orphan them (unreferenced ⇒ invisible) and recompute
             # everything against the new snapshot
 
-    def vacuum_uncommitted(self) -> list[str]:
+    def vacuum_uncommitted(self, older_than_s: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO commit (crashed or
-        lost-race transactions). Safe under the single-vacuum assumption:
-        concurrent in-flight writers' staged files live in dot-prefixed
-        staging dirs, which are skipped until their rename."""
+        lost-race transactions).
+
+        A concurrent writer's files are final-named in ``data_dir``
+        BEFORE its log commit (``_write_files`` renames them out of the
+        dot-prefixed staging dir, then the stats job + commit run), so
+        an unreferenced file is NOT proof of a dead transaction — it may
+        belong to an in-flight writer about to commit. ``older_than_s``
+        is the safety bound: only files whose mtime is older than the
+        maximum plausible transaction duration are reclaimed. Pass 0
+        ONLY when no concurrent writer can exist (maintenance window)."""
+        import time
+
         referenced = {a["add"]["path"] for a in self._read_actions()
                       if "add" in a}
+        cutoff = time.time() - older_than_s
         removed = []
         for name in os.listdir(self.data_dir):
             p = os.path.join(self.data_dir, name)
             if name.startswith("."):
                 continue
-            if name not in referenced:
+            if name not in referenced and os.path.getmtime(p) <= cutoff:
                 os.unlink(p)
                 removed.append(name)
         return removed

@@ -242,9 +242,16 @@ def stream_upsert_tx(spark: SparkSession, events_path: str,
     At scale each micro-batch costs one latest-per-key shuffle over the
     batch + a file-pruned merge (only files holding the batch's users
     rewrite) + one log commit.
+
+    The default checkpoint location is DERIVED FROM ``table_root``
+    (``<table_root>/_stream_ckpt``) so the stream's offsets and the
+    table's txn markers stay paired: a fresh random checkpoint against an
+    existing table would restart batch ids at 0 below ``last_txn(app)``,
+    and the replay guard would silently skip micro-batches containing
+    genuinely NEW data. Resuming against the same table root therefore
+    resumes the same stream.
     """
     import os
-    import tempfile
 
     from walmart_project_etl_spark.operators.events import latest_event_per_key
     from walmart_project_etl_spark.sources.txlog import TxTable
@@ -270,8 +277,7 @@ def stream_upsert_tx(spark: SparkSession, events_path: str,
           .option("maxFilesPerTrigger", max_files_per_trigger)
           .format("parquet")
           .load(events_path))
-    ckpt = checkpoint_dir or os.path.join(
-        tempfile.mkdtemp(prefix="wpe_stream_tx_"), "ckpt")
+    ckpt = checkpoint_dir or os.path.join(table_root, "_stream_ckpt")
     q = (ev.writeStream
          .foreachBatch(upsert)
          .option("checkpointLocation", ckpt)
