@@ -142,9 +142,18 @@ def main() -> int:
               f"(spread {runs[0]:.2f}-{runs[-1]:.2f})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # per-query min/max spread goes to a SIDE FILE: the driver tails
+    # stdout for ONE compact JSON line, and r6's inline spread dict grew
+    # past its capture window, truncating the medians (BENCH_r06
+    # "parsed": null). The primary line is compact and printed last.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_spread.json"), "w") as fh:
+            json.dump({"sf": sf, "spread": spread}, fh)
+    except OSError as e:
+        print(f"# spread file not written: {e}", file=sys.stderr)
     print(json.dumps({"metric": "total_wall_seconds", "value": total,
-                      "unit": "sec", "queries": timings, "sf": sf,
-                      "spread": spread}))
+                      "unit": "sec", "queries": timings, "sf": sf}))
     return 0
 
 
