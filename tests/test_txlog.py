@@ -314,3 +314,56 @@ def test_model_based_random_operation_sequence(spark, tmp_path, seed):
     for v, expected in versioned.items():
         got = {r["k"]: r["v"] for r in t.snapshot(v).collect()}
         assert got == expected, f"time travel broken at version {v}"
+
+
+def test_scd2_merge_tx_matches_full_rewrite_and_preserves_files(
+        spark, tmp_path):
+    """SCD2 through the tx table: run 2's expiry UPDATE + versioned
+    INSERT must land as ONE commit whose result equals the full-table
+    scd2_apply rewrite — and every file outside the update's key range
+    must survive the commit BYTE-IDENTICAL (content hash compared, not
+    just path survival)."""
+    import hashlib
+
+    from walmart_project_etl_spark.operators.scd2 import (scd2_apply,
+                                                          scd2_merge_tx)
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet") \
+             .selectExpr("c_custkey AS ck", "c_name", "c_acctbal AS bal")
+    tracked = ["c_name", "bal"]
+    src1 = c.select("ck", *tracked)
+    dim1 = scd2_apply(None, src1, "ck", tracked, "sk", "2026-01-02",
+                      F.lit("2026-01-02 00:00:00").cast("timestamp"))
+    t = TxTable(spark, str(tmp_path / "dim"))
+    t.create(dim1, "ck", n_files=6)
+    _, live0 = t._state()
+    data_dir = str(tmp_path / "dim" / "files")
+
+    def digests():
+        return {n: hashlib.md5(open(os.path.join(data_dir, n), "rb").read())
+                .hexdigest() for n in os.listdir(data_dir)
+                if n.endswith(".parquet")}
+
+    before = digests()
+    lo = c.agg(F.min("ck")).first()[0]
+    # narrow batch: a few changed keys + one brand-new key
+    src2 = (c.where(F.col("ck") <= lo + 8)
+            .select("ck", "c_name", (F.col("bal") + 9).alias("bal"))
+            .unionByName(spark.createDataFrame(
+                [(987654321, "NEW CUSTOMER", 1.5)], src1.schema)))
+    stats = scd2_merge_tx(t, src2, "ck", tracked, "sk", "2026-02-01",
+                          F.lit("2026-02-01 00:00:00").cast("timestamp"))
+    expected = scd2_apply(dim1, src2, "ck", tracked, "sk", "2026-02-01",
+                          F.lit("2026-02-01 00:00:00").cast("timestamp"))
+    cols = ["sk", "ck", "c_name", "bal", "effective_date", "expiry_date",
+            "is_current", "version", "insertion_date", "modification_date"]
+    assert _rows(t.snapshot(), cols) == _rows(expected, cols)
+    # one atomic commit carried the whole expiry+insert transaction
+    assert t.history()[-1]["op"] == "merge"
+    # untouched files: live by path AND byte-identical by content
+    _, live1 = t._state()
+    surviving = set(live0) & set(live1)
+    assert stats["files_untouched"] >= len(live0) - 3, (stats, len(live0))
+    after = digests()
+    for name in surviving:
+        assert after[name] == before[name], f"file {name} mutated"

@@ -115,3 +115,35 @@ def scd2_apply(dim: DataFrame | None, source: DataFrame, key: str,
             .unionByName(unchanged_current.select(*out_cols))
             .unionByName(expired.select(*out_cols))
             .unionByName(inserts.select(*out_cols)))
+
+
+def scd2_merge_tx(table, source: DataFrame, key: str,
+                  tracked_cols: list[str], surrogate_col: str,
+                  run_date: str, now_ts: Column) -> dict:
+    """SCD2 load against a TRANSACTIONAL log table
+    (``sources/txlog.TxTable`` keyed on the natural ``key``): the expiry
+    UPDATE of the changed current rows and the INSERT of their new
+    versions land as ONE atomic, file-pruned commit — the reference's
+    flagship transaction (``etl_target_loader.py:320-388`` expiry+insert,
+    txn wrapper :394-479), which ``scd2_apply`` over a plain parquet
+    warehouse can only express as a whole-dimension rewrite.
+
+    How it stays O(touched files): all versions of a natural key live in
+    files whose [kmin, kmax]+bloom stats cover that key (appends/merges
+    range-partition on it), so the semi-join below pulls EXACTLY the
+    source keys' version sets; :func:`scd2_apply` re-derives those keys'
+    full version sets (history + expired + unchanged + new versions);
+    and ``merge_upsert`` replaces every stored row of those keys with the
+    new set in one commit, leaving every other file byte-identical
+    (asserted in ``tests/test_txlog.py::test_scd2_merge_tx_*``). A crash
+    between "expire" and "insert" is impossible by construction — they
+    are not two statements but one commit.
+
+    ``source`` must be one row per ``key`` (W1-deduped), like
+    :func:`scd2_apply`. Returns the merge's pruning stats.
+    """
+    affected = table.snapshot().join(source.select(key).distinct(),
+                                     key, "semi")
+    new_rows = scd2_apply(affected, source, key, tracked_cols,
+                          surrogate_col, run_date, now_ts)
+    return table.merge_upsert(new_rows)

@@ -871,6 +871,43 @@ def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.snapshot(0)
 
 
+@q("scd2_merge_tx", _J05_ORACLE)
+def scd2_merge_tx_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D4 through the TRANSACTION TABLE: the same two-run SCD2 load as
+    ``j05_j06_j07_d02_scd2_two_run`` (same oracle), but run 2's expiry
+    UPDATE + versioned INSERT commit as ONE atomic, file-pruned
+    ``TxTable`` merge (operators/scd2.py:scd2_merge_tx) instead of a
+    whole-dimension rewrite — the reference's flagship transaction
+    (``etl_target_loader.py:320-479``) with O(touched files) storage
+    cost. Untouched-file survival is asserted in tests/test_txlog.py."""
+    import shutil
+
+    from walmart_project_etl_spark.operators.scd2 import scd2_merge_tx
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    cust = t(spark, sf_dir, "customer")
+    tracked = ["c_name", "bal", "seg"]
+    src1 = (cust.where(F.col("c_custkey") <= 100)
+            .select("c_custkey", "c_name", F.col("c_acctbal").alias("bal"),
+                    F.col("c_mktsegment").alias("seg")))
+    dim1 = scd2_apply(None, src1, "c_custkey", tracked, "dim_sk",
+                      "2026-01-02", F.lit("2026-01-02").cast("timestamp"))
+    root = os.path.join(tempfile.gettempdir(), "wpe_scd2_tx")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(dim1, "c_custkey", n_files=6)
+    src2 = (cust.where(F.col("c_custkey") <= 120)
+            .select("c_custkey", "c_name",
+                    F.when(F.col("c_custkey") <= 50, F.col("c_acctbal") + 50)
+                     .otherwise(F.col("c_acctbal")).alias("bal"),
+                    F.col("c_mktsegment").alias("seg")))
+    scd2_merge_tx(tt, src2, "c_custkey", tracked, "dim_sk",
+                  "2026-02-01", F.lit("2026-02-01").cast("timestamp"))
+    return (tt.snapshot()
+            .withColumn("effective_date", F.date_format("effective_date", "yyyy-MM-dd"))
+            .withColumn("expiry_date", F.date_format("expiry_date", "yyyy-MM-dd")))
+
+
 @q("skew_salted_aggregate",
    """SELECT l_returnflag, count(*) AS n_rows,
              round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 2)::DOUBLE
