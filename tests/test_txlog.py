@@ -367,3 +367,37 @@ def test_scd2_merge_tx_matches_full_rewrite_and_preserves_files(
     after = digests()
     for name in surviving:
         assert after[name] == before[name], f"file {name} mutated"
+
+
+def test_stats_col_date_band_skips_files(spark, tmp_path):
+    """Second-column data skipping: a table declaring stats_col (the BI
+    date) and ingested in date-clustered batches must answer a date-band
+    query by scanning ONLY the matching batches' files — and the stats
+    must survive rewrites (merge threads stats_col through)."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+             .select("o_orderkey", "o_custkey", "o_totalprice",
+                     "o_orderdate")
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(o.where("o_orderdate <  TIMESTAMP '1996-01-01'"),
+             "o_orderkey", n_files=2, stats_col="o_orderdate")
+    t.append(o.where("o_orderdate >= TIMESTAMP '1996-01-01' AND "
+                     "o_orderdate < TIMESTAMP '1997-01-01'"))
+    t.append(o.where("o_orderdate >= TIMESTAMP '1997-01-01'"))
+    _, live = t._state()
+    assert all("smin" in a for a in live.values())
+    band = t.read_stats_range("1996-01-01 00:00:00", "1996-12-31 23:59:59")
+    assert 0 < len(band.inputFiles()) < len(live)
+    cols = ["o_orderkey", "o_totalprice"]
+    expected = o.where("o_orderdate >= TIMESTAMP '1996-01-01' AND "
+                       "o_orderdate < TIMESTAMP '1997-01-01'")
+    assert _rows(band, cols) == _rows(expected, cols)
+    # a merge rewrite keeps per-file stats on the NEW files too
+    upd = o.limit(5).withColumn("o_totalprice", F.lit(2.5))
+    t.merge_upsert(upd)
+    _, live2 = t._state()
+    assert all("smin" in a for a in live2.values())
+    # unbounded side + empty band
+    assert t.read_stats_range(lo="1997-01-01 00:00:00").count() == \
+        o.where("o_orderdate >= TIMESTAMP '1997-01-01'").count()
+    assert t.read_stats_range("2090-01-01 00:00:00",
+                              "2091-01-01 00:00:00").count() == 0

@@ -871,6 +871,36 @@ def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.snapshot(0)
 
 
+@q("txn_date_skipping",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'""")
+def txn_date_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-column data skipping on the log table: the table declares
+    ``stats_col=o_orderdate`` beside the merge key, ingest arrives in
+    date-clustered batches (the natural daily-append shape), and a BI
+    date-band read (``read_stats_range``) scans ONLY the files whose
+    [smin, smax] intersect the band — merge prunes on the key, reads
+    prune on the date (tests/test_txlog.py asserts the file counts)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderdate")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_skip")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o.where("o_orderdate < TIMESTAMP '1996-01-01'"),
+              "o_orderkey", n_files=4, stats_col="o_orderdate")
+    tt.append(o.where("o_orderdate >= TIMESTAMP '1996-01-01' AND "
+                      "o_orderdate < TIMESTAMP '1997-01-01'"))
+    tt.append(o.where("o_orderdate >= TIMESTAMP '1997-01-01'"))
+    return tt.read_stats_range("1996-01-01 00:00:00",
+                               "1996-12-31 23:59:59")
+
+
 @q("scd2_merge_tx", _J05_ORACLE)
 def scd2_merge_tx_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2/D4 through the TRANSACTION TABLE: the same two-run SCD2 load as

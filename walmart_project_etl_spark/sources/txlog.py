@@ -49,9 +49,16 @@ live state into ``_txlog/<version>.checkpoint.json``; readers start from
 the newest checkpoint at-or-before their version and replay only the
 commits after it.
 
-Single-format caveat vs real Delta/Iceberg: single table, no
-column-level stats beyond the merge key — the seam
-``operators/merge.py`` needs, not a storage product.
+Besides the merge key, a table may declare ONE extra data-skipping
+column (``create(..., stats_col=...)``, typically the BI date): each
+``add`` action then records that column's per-file [smin, smax], and
+``read_stats_range`` prunes on them (format v2, readable by v1-era
+readers since unknown fields are ignored and absent fields scan
+conservatively).
+
+Single-format caveat vs real Delta/Iceberg: single table, one declared
+stats column beyond the merge key (not all-column stats), no multi-table
+catalog — the seam ``operators/merge.py`` needs, not a storage product.
 """
 
 from __future__ import annotations
@@ -226,12 +233,17 @@ class TxTable:
     # ----------------------------------------------------------- data I/O
 
     def _write_files(self, df: DataFrame, key_col: str,
-                     n_files: int | None = None) -> list[dict]:
+                     n_files: int | None = None,
+                     stats_col: str | None = None) -> list[dict]:
         """Materialize ``df`` as immutable data files with per-file key
         stats. Range-partitioned on the key so file key ranges are tight
         and disjoint — what makes merge-time file pruning effective.
         ``n_files`` pins the file count (an explicit ``repartitionByRange``
-        count AQE won't coalesce); default lets AQE size the files."""
+        count AQE won't coalesce); default lets AQE size the files.
+        ``stats_col`` (from the table meta) additionally records that
+        column's per-file [smin, smax] — the BI-read data-skipping column
+        (date/timestamp values serialize as ISO strings, whose lexical
+        order matches their temporal order)."""
         staging = os.path.join(self.data_dir, f".stage-{uuid.uuid4().hex}")
         ranged = (df.repartitionByRange(n_files, F.col(key_col)) if n_files
                   else df.repartitionByRange(F.col(key_col)))
@@ -250,6 +262,13 @@ class TxTable:
         # name. The bloom is a true streaming aggregate: each row folds
         # its k probe bits into per-64-bit-word masks, bit_or-merged per
         # file — constant memory per group at any file row count.
+        extra = []
+        if stats_col is not None:
+            sc = F.col(stats_col)
+            if dict(df.dtypes)[stats_col] not in (
+                    "tinyint", "smallint", "int", "bigint", "string"):
+                sc = sc.cast("string")       # ISO serialization for JSON
+            extra = [F.min(sc).alias("smin"), F.max(sc).alias("smax")]
         stats = (self.spark.read.parquet(
                      *[os.path.join(self.data_dir, p) for p in paths])
                  .withColumn("__p", _bloom_positions(key_col))
@@ -260,6 +279,7 @@ class TxTable:
                       F.max(key_col).alias("kmax"),
                       F.sum(F.col(key_col).isNull().cast("long"))
                        .alias("nnull"),
+                      *extra,
                       *[F.expr(f"bit_or({_word_mask_sql(w)})").alias(f"w{w}")
                         for w in range(_BLOOM_BITS // 64)])
                  ).collect()
@@ -280,11 +300,15 @@ class TxTable:
                 bm |= (int(r[f"w{w}"] or 0) & 0xFFFFFFFFFFFFFFFF) << (64 * w)
             return f"{bm:x}"
 
-        return [{"add": {"path": p, "rows": by_name[p]["rows"],
-                         "kmin": by_name[p]["kmin"],
-                         "kmax": by_name[p]["kmax"],
-                         "bloom": bloom_hex(by_name[p])}}
-                for p in paths if p in by_name]
+        def add_action(p: str) -> dict:
+            r = by_name[p]
+            a = {"path": p, "rows": r["rows"], "kmin": r["kmin"],
+                 "kmax": r["kmax"], "bloom": bloom_hex(r)}
+            if stats_col is not None:
+                a["smin"], a["smax"] = r["smin"], r["smax"]
+            return a
+
+        return [{"add": add_action(p)} for p in paths if p in by_name]
 
     # ------------------------------------------------------------- reads
 
@@ -324,6 +348,39 @@ class TxTable:
             df = df.where(F.col(key) <= hi)
         return df
 
+    def read_stats_range(self, lo=None, hi=None,
+                         version: int | None = None) -> DataFrame:
+        """DATA-SKIPPING read on the table's declared ``stats_col``
+        (:meth:`create`): scan only the files whose [smin, smax]
+        intersect [lo, hi], with the exact predicate as a residual
+        filter — a BI date-band query on a date-clustered table touches
+        only the matching ingest batches' files, not the whole history.
+        Bounds must be given in the stats' serialized form: the column's
+        native type for int/string columns, a full ISO string (e.g.
+        ``"1996-01-01 00:00:00"`` for timestamps) otherwise. Files
+        written before the column was declared carry no stats and are
+        conservatively scanned."""
+        meta, live = self._state(version)
+        if meta is None:
+            raise FileNotFoundError(f"no table at {self.root}")
+        scol = meta.get("stats_col")
+        if scol is None:
+            raise ValueError(f"table at {self.root} declares no stats_col")
+        files = [a["path"] for a in live.values()
+                 if "smin" not in a or a["smin"] is None
+                 or not ((hi is not None and a["smin"] > hi)
+                         or (lo is not None and a["smax"] < lo))]
+        if not files:
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(
+            *[os.path.join(self.data_dir, p) for p in files])
+        if lo is not None:
+            df = df.where(F.col(scol) >= lo)
+        if hi is not None:
+            df = df.where(F.col(scol) <= hi)
+        return df
+
     def history(self) -> list[dict]:
         out = []
         for v in self.versions():
@@ -339,7 +396,16 @@ class TxTable:
     # ------------------------------------------------------------ writes
 
     def create(self, df: DataFrame, key_col: str,
-               n_files: int | None = None) -> None:
+               n_files: int | None = None,
+               stats_col: str | None = None) -> None:
+        """``stats_col`` declares ONE extra data-skipping column beyond
+        the merge key: every data file records its [smin, smax] in the
+        log, and :meth:`read_stats_range` prunes on them — the read-side
+        answer for BI filters (typically a date) that are not the merge
+        key. Effective when ingest is naturally clustered on the column
+        (e.g. daily appends); the stats are always correct, just not
+        selective on unclustered data. Format v2; v1 logs (no field)
+        read unchanged, their files simply never prune on stats."""
         assert not self.versions(), f"table already exists at {self.root}"
         # stats ride in the JSON log and prune by <=/>= — integer and
         # string keys serialize and order identically in JSON and Spark;
@@ -348,11 +414,12 @@ class TxTable:
             "tinyint", "smallint", "int", "bigint", "string"), \
             f"merge key must be integral or string, got " \
             f"{dict(df.dtypes)[key_col]}"
-        adds = self._write_files(df, key_col, n_files)
-        ok = self._commit(
-            [{"op": "create"},
-             {"meta": {"key_col": key_col, "schema": df.schema.json()}},
-             *adds], 0)
+        meta = {"key_col": key_col, "schema": df.schema.json(), "format": 2}
+        if stats_col is not None:
+            assert stats_col in df.columns, f"unknown stats_col {stats_col}"
+            meta["stats_col"] = stats_col
+        adds = self._write_files(df, key_col, n_files, stats_col)
+        ok = self._commit([{"op": "create"}, {"meta": meta}, *adds], 0)
         assert ok, "concurrent create"
 
     def _check_schema(self, df: DataFrame, meta: dict) -> DataFrame:
@@ -371,7 +438,8 @@ class TxTable:
         optimistic race."""
         meta, _ = self._state()
         df = self._check_schema(df, meta)
-        adds = self._write_files(df, meta["key_col"])
+        adds = self._write_files(df, meta["key_col"],
+                                 stats_col=meta.get("stats_col"))
         while True:
             v = self.versions()[-1] + 1
             if self._commit([{"op": "append"}, *adds], v):
@@ -439,7 +507,8 @@ class TxTable:
                 new_rows = keep.unionByName(updates)
             else:
                 new_rows = updates
-            adds = self._write_files(new_rows, key)
+            adds = self._write_files(new_rows, key,
+                                     stats_col=meta.get("stats_col"))
             v = self.versions()[-1] + 1
             actions = [{"op": "merge"}, *adds,
                        *({"remove": {"path": a["path"]}} for a in touched)]
@@ -489,7 +558,8 @@ class TxTable:
                     *[os.path.join(self.data_dir, a["path"])
                       for a in touched])
                 adds = self._write_files(old.join(keys, key, "left_anti"),
-                                         key)
+                                         key,
+                                         stats_col=meta.get("stats_col"))
             v = self.versions()[-1] + 1
             actions = [{"op": "delete"}, *adds,
                        *({"remove": {"path": a["path"]}} for a in touched)]
@@ -519,7 +589,8 @@ class TxTable:
             n_out = max(1, -(-total // target_rows))
             df = self.spark.read.parquet(
                 *[os.path.join(self.data_dir, a["path"]) for a in small])
-            adds = self._write_files(df, meta["key_col"], n_files=n_out)
+            adds = self._write_files(df, meta["key_col"], n_files=n_out,
+                                     stats_col=meta.get("stats_col"))
             v = self.versions()[-1] + 1
             actions = [{"op": "compact"}, *adds,
                        *({"remove": {"path": a["path"]}} for a in small)]
