@@ -834,3 +834,17 @@ def test_jsonl_gzip_roundtrip_lossless(spark, tmp_path):
     back = read_jsonl(spark, out, d.schema)
     assert back.count() == d.count()
     assert back.exceptAll(d).count() == 0 and d.exceptAll(back).count() == 0
+
+
+def test_sim_recall_report_is_consistent(spark):
+    """The driver-visible recall gate (queries/llm.py:sim_recall_report)
+    must report internally consistent counts: hits bounded by truth,
+    truth = n_queries * k (full corpus >> k), and recall well above
+    random chance for both algorithms."""
+    from walmart_project_etl_spark.queries.llm import sim_recall_report
+    rows = {r["algo"]: r for r in sim_recall_report(spark, SF_DIR).collect()}
+    assert set(rows) == {"ivf", "lsh"}
+    for r in rows.values():
+        assert r["n_truth"] == r["n_queries"] * r["k"]
+        assert 0 < r["n_hits"] <= r["n_truth"]
+        assert r["n_hits"] / r["n_truth"] >= 0.5, (r["algo"], r)

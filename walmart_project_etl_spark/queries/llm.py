@@ -222,6 +222,46 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, queries, k=10)
 
 
+@q("sim_recall_report",
+   """SELECT 'ivf' AS algo, 10 AS k,
+             CAST(25 AS BIGINT) AS n_queries, CAST(250 AS BIGINT) AS n_truth,
+             CAST(167 AS BIGINT) AS n_hits
+      UNION ALL
+      SELECT 'lsh', 10, CAST(25 AS BIGINT), CAST(250 AS BIGINT),
+             CAST(226 AS BIGINT)""")
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE ANN quality gate: recall@10 of the IVF and LSH
+    paths against the IN-PLAN brute-force truth, over a seeded
+    deterministic query batch (vec_id % 20 = 7). The sim_* top-k queries
+    themselves are rows-only forever (engine-internal KMeans/hyperplane
+    draws), so this report is how recall regressions become a FAILED
+    exact-oracle row instead of an invisible quality drop: the oracle
+    pins the golden hit counts at sf0.01 (IVF 167/250 = 0.67 at
+    n_probe=4/16 cells; LSH 226/250 = 0.90 at 64 planes / 8 bands /
+    2 probe bits — both re-verified deterministic across runs). Any
+    change to the quantizer, banding, or probe logic that moves recall
+    shows up as a value mismatch here."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 7) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    truth = similarity.cosine_topk(emb, queries, k=10) \
+                      .select("query_id", "vec_id")
+    base = truth.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_truth"))
+
+    def row(algo: str, approx: DataFrame) -> DataFrame:
+        hits = truth.join(approx.select("query_id", "vec_id"),
+                          ["query_id", "vec_id"], "semi")
+        return (base.crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+                .select(F.lit(algo).alias("algo"), F.lit(10).alias("k"),
+                        "n_queries", "n_truth", "n_hits"))
+
+    ivf = similarity.ivf_ann_topk(emb, queries, k=10)
+    lsh = similarity.lsh_ann_topk(emb, queries, k=10)
+    return row("ivf", ivf).unionByName(row("lsh", lsh))
+
+
 # ------------------------------------------------------------- text analysis
 
 @q("text_stats_quality",
