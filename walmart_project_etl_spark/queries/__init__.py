@@ -23,81 +23,73 @@ from . import core, funcs, llm, pipeline, trainprep
 _MODULES = (core, funcs, pipeline, llm, trainprep)
 
 #: Curated registration order. The driver's correctness harness records rows
-#: for (at most) the first 50 registry entries. Rounds 2-5 put green driver
-#: rows on 157 distinct entries with zero value failures; this round's
-#: window (r6, per VERDICT r5 task 1) leads with the nine oracle-bearing
-#: entries that have never been driver-checked on current code (8 local-
-#: exact-green queries plus text_unigram_logprob, whose r4 row predates the
-#: persist removal), then the three r6-new queries (the end-to-end curation
-#: pipeline, the skew-safe W1, the persisted-IVF serving path), then
-#: re-proves every query whose code or output dtype changed this round
-#: (grouping-id long casts, stream-enrich key parameter, null-safe group
-#: joins, LOCF spine join, delimiter quoting, PPJoin positional/length
-#: filters + zip-based word shingling, alternating-star connected
-#: components + the shared closure artifact, edit-distance cast), and
-#: fills the remainder with the OLDEST surviving rows (queries/core.py has
-#: not been driver-touched since r2). After this round every oracle-bearing
-#: registry entry has a driver row on current code. Deliberately left to
-#: local verification (tools/check_oracle.py + tests/, green both):
-#: f30-f32 + pipe_f31_f32 + pipe_a08 + pipe_bi_returns_by_category
-#: (rows-only by design — a driver row adds only a row-count).
+#: for (at most) the first 50 registry entries. Rounds 2-6 put green driver
+#: rows on 174 distinct entries with zero value failures; this round's
+#: window (r7, per VERDICT r6 task 3) leads with the 8 entries that have
+#: NEVER had a driver row (pipe_a08 + pipe_bi_returns_by_category carry
+#: exact oracles; the other six are rows-only by design, pinned by tests),
+#: then the 4 r7-new queries (SCD2 through the transaction table, tx-log
+#: date data-skipping, tx DELETE+OPTIMIZE, the pinned-golden ANN recall
+#: gate), then refreshes ALL 24 entries whose latest row still dates from
+#: r2, then the 14 oldest r3 rows. After this round every registry entry
+#: has a driver row, nothing predates r3, and only 8 r3 rows predate r4 —
+#: all on code unchanged since and local-exact-green this session.
 _PRIORITY = (
-    # never driver-checked on current code (VERDICT r5 task 1)
-    "events_transition_matrix",
-    "olap_share_of_total",
-    "events_attribution",
-    "olap_histogram",
-    "clean_zscore",
-    "clean_quantile_bins",
-    "dedup_contamination_scores",
-    "profile_lineitem",
-    "text_unigram_logprob",
-    # r6-new queries
-    "curate_pipeline",
-    "skew_salted_latest",
-    "mm_real_decode_png",
-    "mm_real_decode_wav",
-    "txn_merge_fileprune",
-    "txn_time_travel",
-    "stream_tx_upsert",
-    "dedup_boilerplate_sentences",
-    "sim_ivf_persisted_topk",
-    # re-proofs: output dtype changed (grouping ids cast to long)
-    "olap_rollup_lineitem",
-    "olap_cube_lineitem",
-    "olap_time_rollup_events",
-    "olap_grouping_sets_orders",
-    # re-proofs: operator code changed this round
-    "stream_static_enrich",
-    "clean_mad_outliers",
-    "clean_winsorize",
-    "ts_gap_fill_locf",
-    "dedup_boilerplate_lines",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_containment",
-    "dedup_cluster_components",
-    "dedup_canonical_longest",
-    "dedup_decontaminate",
-    "dedup_fuzzy_blocked",
-    # breadth fill: the oldest surviving rows (r2-only, code unchanged —
-    # refresh them so no driver row is more than a few rounds stale)
-    "s02_empty_string_to_null",
-    "s03_table_scan",
-    "s04_parquet_sink_roundtrip",
-    "s06_ddl_create_insert",
-    "s07_truncate",
-    "s08_drop",
-    "s09_temp_view",
-    "p01_projection_rename",
-    "p02_distinct_nonnull_dates",
-    "p03_null_filter",
-    "j01_left_equi_join",
-    "j10_optional_dim_left_join",
-    "a02_groupby_first",
-    "a03_distinct_count_per_group",
-    "a05_count_distinct",
-    "a06_max_per_group",
-    "a07_minmax_month_span",
+    # never driver-checked (VERDICT r6 task 3) — exact oracles first
+    "pipe_a08_quality_ratios",
+    "pipe_bi_returns_by_category",
+    "dedup_decontaminate_semantic",
+    "incr_distinct_maintenance",
+    "f30_contact_synthesis",
+    "f31_seeded_random_draws",
+    "f32_synthetic_inventory_levels",
+    "pipe_f31_f32_synthetic_facts",
+    # r7-new queries
+    "scd2_merge_tx",
+    "txn_date_skipping",
+    "txn_delete_compact",
+    "sim_recall_report",
+    # breadth refresh: every remaining r2-era row (code unchanged,
+    # local-exact-green — freshness, not risk)
+    "p04_date_membership_semi_join",
+    "p05_skip_missing_dim_key",
+    "p06_boolean_flag_filters",
+    "p07_rn1_filter",
+    "j02_broadcast_key_map_join",
+    "j06_grouped_max_lookup_join",
+    "j09_interval_join_scd2",
+    "a01_groupby_mode",
+    "a04_count_star_tables",
+    "a08_conditional_ratio",
+    "a09_distinct_rows",
+    "w01_window_dedup_latest",
+    "o01_orderby_limit_topk",
+    "o02_full_sort",
+    "o03_recent_slice",
+    "u01_union_distinct",
+    "skew_salted_aggregate",
+    "f02_f29_date_int_id",
+    "f03_f05_f06_date_parts",
+    "f04_multiformat_date_parse",
+    "f07_f08_safe_cast_age_group",
+    "f09_title_case_clean",
+    "f10_null_defaults",
+    "f11_f13_product_rules",
+    # oldest r3 rows (14 of 22; the remaining 8 rotate next round)
+    "j12_bucketed_colocated_join",
+    "j04_d01_scd1_merge",
+    "j05_j06_j07_d02_scd2_two_run",
+    "j08_multiway_fact_join",
+    "skew_salted_join",
+    "f01_md5_key_generation",
+    "pipe_s01_s02_f04_csv_ingest",
+    "pipe_d02_scd_fixture",
+    "text_stats_quality",
+    "text_langid",
+    "text_token_counts",
+    "text_fingerprint",
+    "events_tumbling_window",
+    "events_dedup_latest",
 )
 
 

@@ -871,6 +871,33 @@ def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.snapshot(0)
 
 
+@q("txn_delete_compact",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 100 <> 7""")
+def txn_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional DELETE + OPTIMIZE on the log table: scattered keys
+    (o_orderkey % 100 = 7 — present in every file, so range pruning
+    alone cannot help and every rewrite is real) are deleted in one
+    file-pruned copy-on-write commit, then ``compact`` bin-packs the
+    resulting small files back into range-tight ones in a second commit
+    with ZERO row changes. The oracle sees only the surviving rows —
+    identical before and after compaction by construction."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_delcomp")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8)
+    tt.delete_keys(o.where(F.col("o_orderkey") % 100 == 7)
+                    .select("o_orderkey"))
+    tt.compact(target_rows=1_000_000)
+    return tt.snapshot()
+
+
 @q("txn_date_skipping",
    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
       FROM orders
