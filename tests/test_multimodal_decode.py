@@ -301,13 +301,15 @@ def test_jpeg_email_testdata_file_decodes():
     assert (w, h, c) == (16, 16, 3) and px.shape == (16, 16, 3)
 
 
-def test_jpeg_progressive_raises_not_implemented():
-    # minimal stream whose first SOF marker is SOF2 (progressive)
+def test_jpeg_progressive_without_scans_raises():
+    # progressive (SOF2) is now SUPPORTED (tests/test_jpeg_progressive.py);
+    # a truncated stream with no SOS must still fail loudly, not return
+    # an all-zero image
     import struct
     sof2 = b"\xff\xc2" + struct.pack(">H", 11) + \
         struct.pack(">BHHB", 8, 1, 1, 1) + bytes([1, 0x11, 0])
     data = b"\xff\xd8" + sof2 + b"\xff\xd9"
-    with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+    with pytest.raises(ValueError, match="no SOS"):
         mm.decode_payload(data)
 
 

@@ -30,6 +30,10 @@ ALLOW = {
     # 1×1 aggregate crossJoins: both sides are single-row aggregates
     "j03_anti_join_fk_check": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     "d03_fact_append_idempotent": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    # recall gate: 1×1 crossJoins of count scalars + the brute-force
+    # truth's per-query top-k window over a bounded (25-query) set
+    "sim_recall_report": {"BroadcastNestedLoopJoin",
+                          "Exchange SinglePartition (non-scalar result)"},
     "pipe_j03_a04_quality_gates": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     # broadcast literal parameter grids (bounded by n_groups × n_draws)
     "clean_winsorize": {"BroadcastNestedLoopJoin"},

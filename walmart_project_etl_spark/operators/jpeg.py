@@ -1,13 +1,19 @@
-"""Baseline JPEG decoder — pure numpy + stdlib, no image library.
+"""Baseline + progressive JPEG decoder — pure numpy + stdlib, no image
+library.
 
-Implements ITU-T T.81 baseline sequential DCT (SOF0): marker parse
-(DQT/DHT/SOF0/DRI/SOS), canonical Huffman entropy decode with DC
-prediction and AC run-length (byte stuffing + restart markers), dequant +
-de-zigzag, 8×8 inverse DCT via the orthonormal basis-matrix product,
-chroma upsampling for arbitrary integer sampling factors (4:4:4 / 4:2:2 /
-4:2:0), and the JFIF YCbCr→RGB transform. Grayscale and 3-component
-scans; progressive (SOF2), arithmetic coding, and 12-bit precision raise
-``NotImplementedError`` explicitly.
+Implements ITU-T T.81 DCT decoding for BOTH sequential baseline (SOF0/1)
+and progressive (SOF2) streams: marker parse (DQT/DHT/SOF/DRI/SOS),
+canonical Huffman entropy decode with DC prediction and AC run-length
+(byte stuffing + restart markers), dequant + de-zigzag, 8×8 inverse DCT
+via the orthonormal basis-matrix product, chroma upsampling for
+arbitrary integer sampling factors (4:4:4 / 4:2:2 / 4:2:0), and the
+JFIF YCbCr→RGB transform. Progressive streams accumulate coefficients
+across scans (spectral selection Ss..Se + successive approximation
+Ah/Al, interleaved DC scans, per-component AC scans with EOB-run
+coding and the correction-bit refinement algorithm of T.81 §G.2 — the
+same algorithm libjpeg's jdphuff implements) and reconstruct once at
+EOI. Grayscale and 3-component scans; arithmetic coding, hierarchical
+scans, and 12-bit precision raise ``NotImplementedError`` explicitly.
 
 Validated in tests against ground truth this repo can derive WITHOUT an
 image library: CPython's ``imghdr`` test data ships the same image as
@@ -118,8 +124,9 @@ def _decode_huff(br: _BitReader, table: dict) -> int:
 
 
 def decode_jpeg(data: bytes):
-    """Decode a baseline JPEG to (width, height, n_channels, H×W×C uint8).
-    See module docstring for supported surface."""
+    """Decode a baseline or progressive JPEG to
+    (width, height, n_channels, H×W×C uint8). See module docstring for
+    the supported surface."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG signature")
     qt: dict[int, np.ndarray] = {}
@@ -128,6 +135,8 @@ def decode_jpeg(data: bytes):
     comps: list[dict] = []
     w = h = 0
     restart_interval = 0
+    progressive = False
+    coeffs: list[np.ndarray] | None = None   # per-comp (BH, BW, 64) zigzag
     i = 2
     while i < len(data) - 1:
         if data[i] != 0xFF:
@@ -159,27 +168,48 @@ def decode_jpeg(data: bytes):
                 tbl = _huff_table(bits, seg[p + 17:p + 17 + nv])
                 (huff_ac if cls else huff_dc)[th] = tbl
                 p += 17 + nv
-        elif m == 0xC0 or m == 0xC1:                            # SOF0/1
+        elif m in (0xC0, 0xC1, 0xC2):                           # SOF0/1/2
+            progressive = m == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
             comps = [{"id": seg[6 + 3 * k], "hs": seg[7 + 3 * k] >> 4,
                       "vs": seg[7 + 3 * k] & 15, "tq": seg[8 + 3 * k]}
                      for k in range(nc)]
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{m:02x}) — progressive/"
-                "arithmetic/hierarchical scans not supported")
+                f"unsupported JPEG (SOF marker 0x{m:02x}) — "
+                "arithmetic/hierarchical/lossless scans not supported")
         elif m == 0xDD:                                         # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif m == 0xDA:                                         # SOS
             ns = seg[0]
-            scan = {seg[1 + 2 * k]: (seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 15)
-                    for k in range(ns)}
-            return _decode_scan(data, i + 2 + ln, w, h, comps, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
+            if not progressive:
+                scan = {seg[1 + 2 * k]: (seg[2 + 2 * k] >> 4,
+                                         seg[2 + 2 * k] & 15)
+                        for k in range(ns)}
+                return _decode_scan(data, i + 2 + ln, w, h, comps, scan,
+                                    qt, huff_dc, huff_ac, restart_interval)
+            if coeffs is None:
+                hmax = max(c["hs"] for c in comps)
+                vmax = max(c["vs"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coeffs = [np.zeros((mcuy * c["vs"], mcux * c["hs"], 64),
+                                   np.int32) for c in comps]
+            by_id = {c["id"]: k for k, c in enumerate(comps)}
+            scan_comps = [(by_id[seg[1 + 2 * k]], seg[2 + 2 * k] >> 4,
+                           seg[2 + 2 * k] & 15) for k in range(ns)]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            i = _decode_prog_scan(data, i + 2 + ln, w, h, comps,
+                                  scan_comps, ss, se, ah, al, huff_dc,
+                                  huff_ac, restart_interval, coeffs)
+            continue
         i += 2 + ln
+    if progressive and coeffs is not None:
+        return _reconstruct_progressive(w, h, comps, qt, coeffs)
     raise ValueError("no SOS marker found")
 
 
@@ -285,3 +315,189 @@ def _decode_block(br, dc_tbl, ac_tbl, q, pred, ci):
     block = np.zeros(64, np.float64)
     block[ZIGZAG] = coeffs * q                           # dequant+dezigzag
     return _A.T @ block.reshape(8, 8) @ _A + 128.0       # IDCT+level shift
+
+
+# --------------------------------------------------------------- progressive
+
+def _comp_blocks(c: dict, comps: list[dict], w: int, h: int) -> tuple[int, int]:
+    """Non-interleaved block-grid dimensions of one component: blocks over
+    ceil(comp_size/8) where comp_size is the subsampled image size."""
+    hmax = max(x["hs"] for x in comps)
+    vmax = max(x["vs"] for x in comps)
+    cw = -(-w * c["hs"] // hmax)
+    ch = -(-h * c["vs"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_prog_scan(data, pos, w, h, comps, scan_comps, ss, se, ah, al,
+                      huff_dc, huff_ac, restart_interval, coeffs) -> int:
+    """Decode ONE progressive scan into the per-component coefficient
+    accumulators (T.81 §G.2); returns the stream position of the next
+    marker. Four scan kinds: DC first / DC refinement (interleaved or
+    not), AC first / AC refinement (always single-component)."""
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    pred = [0] * len(comps)
+    is_dc = ss == 0
+    if not is_dc and len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+
+    def restart(count: int) -> bool:
+        if not restart_interval or count == 0 or count % restart_interval:
+            return False
+        m = br.align_to_marker()
+        if not 0xD0 <= m <= 0xD7:
+            raise ValueError(f"expected RSTn, got 0x{m:02x}")
+        pred[:] = [0] * len(comps)
+        state["eobrun"] = 0
+        return True
+
+    if len(scan_comps) > 1:                       # interleaved (DC only)
+        hmax = max(c["hs"] for c in comps)
+        vmax = max(c["vs"] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                restart(count)
+                for ci, td, _ta in scan_comps:
+                    c = comps[ci]
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            blk = coeffs[ci][my * c["vs"] + by,
+                                             mx * c["hs"] + bx]
+                            if ah == 0:
+                                _dc_first(br, huff_dc[td], pred, ci, blk, al)
+                            else:
+                                _dc_refine(br, blk, al)
+                count += 1
+    else:
+        ci, td, ta = scan_comps[0]
+        bh, bw = _comp_blocks(comps[ci], comps, w, h)
+        count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                restart(count)
+                blk = coeffs[ci][by, bx]
+                if is_dc:
+                    if ah == 0:
+                        _dc_first(br, huff_dc[td], pred, ci, blk, al)
+                    else:
+                        _dc_refine(br, blk, al)
+                elif ah == 0:
+                    _ac_first(br, huff_ac[ta], blk, ss, se, al, state)
+                else:
+                    _ac_refine(br, huff_ac[ta], blk, ss, se, al, state)
+                count += 1
+    # seek the next marker (the main loop resumes parsing there)
+    p = br.pos
+    while p < len(data) - 1 and (data[p] != 0xFF or data[p + 1] == 0x00):
+        p += 1
+    return p
+
+
+def _dc_first(br, tbl, pred, ci, blk, al):
+    s = _decode_huff(br, tbl)
+    pred[ci] += _extend(br.receive(s), s)
+    blk[0] = pred[ci] << al
+
+
+def _dc_refine(br, blk, al):
+    if br.bit():
+        blk[0] |= 1 << al
+
+
+def _ac_first(br, tbl, blk, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:                       # EOB run of 2^r + bits blocks
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.receive(r)
+                return
+            k += 16                           # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine(br, tbl, blk, ss, se, al, state):
+    """Successive-approximation AC refinement (T.81 §G.2.2): each already
+    nonzero coefficient in the band receives a correction bit; runs count
+    only zero-history coefficients; newly significant coefficients carry
+    ±1<<al. EOB runs refine the remainder of each covered block."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_huff(br, tbl)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.receive(r)
+                    break                      # EOB: fall through to tail
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                if blk[k]:
+                    if br.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if blk[k]:
+                if br.bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct_progressive(w, h, comps, qt, coeffs):
+    """All scans consumed: dequant + de-zigzag + IDCT every block of every
+    component (vectorized over the block grid), then the same upsample +
+    color-convert tail as the baseline path."""
+    planes = []
+    for c, cf in zip(comps, coeffs):
+        bh, bw, _ = cf.shape
+        blocks = np.zeros((bh, bw, 64), np.float64)
+        blocks[:, :, ZIGZAG] = cf * qt[c["tq"]][None, None, :]
+        spatial = np.einsum("ux,ijuv,vy->ijxy", _A,
+                            blocks.reshape(bh, bw, 8, 8), _A) + 128.0
+        planes.append(spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    out = []
+    for c, plane in zip(comps, planes):
+        up = _upsample(plane, vmax // c["vs"], hmax // c["hs"])
+        out.append(up[:h, :w])
+    if len(out) == 1:
+        px = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)[:, :, None]
+        return w, h, 1, px
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)

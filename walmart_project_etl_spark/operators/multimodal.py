@@ -7,13 +7,13 @@ signature, batch shape. The codec step has TWO tiers:
 - ``real_decode=True`` runs a real, pure-numpy decoder with no external
   library behind it: binary PPM/PGM (``P6``/``P5``), 24-bpp uncompressed
   BMP, zlib-DEFLATEd PNG (all five scanline filters + palette/tRNS),
-  baseline JPEG (``operators/jpeg.py``), GIF (LZW + interlace +
+  baseline + progressive JPEG (``operators/jpeg.py``), GIF (LZW + interlace +
   transparency), uncompressed TIFF, PCM16 WAV audio, and MJPEG-AVI
   frame extraction (``decode_payload`` / ``decode_wav`` /
   ``parse_avi_frames``). Real parses, real inflate/entropy decode, real
   pixels — pinned by golden tests and validated against real-world
   libpng/libjpeg/GIF output and cross-format lossless pixel truth.
-  Remaining codecs (WebP, progressive JPEG, …) raise
+  Remaining codecs (WebP, JPEG2000, …) raise
   ``NotImplementedError``; swapping in Pillow extends ``decode_payload``
   and nothing else in the plan moves.
 - The default path computes deterministic metadata from the raw bytes
@@ -833,8 +833,8 @@ def decode_payload(data: bytes):
         return _decode_tiff(data)
     raise NotImplementedError(
         f"unsupported codec (magic {data[:2]!r}): PPM/PGM/BMP/PNG/"
-        "baseline-JPEG/GIF/TIFF decode without an external image "
-        "library; WebP/progressive-JPEG need Pillow")
+        "JPEG/GIF/TIFF decode without an external image "
+        "library; WebP/JPEG2000 need Pillow")
 
 
 def encode_ppm(px) -> bytes:
