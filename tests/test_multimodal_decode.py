@@ -165,7 +165,7 @@ def test_png_unsupported_shapes_raise():
                 + chunk(b"IEND", b""))
 
     with pytest.raises(NotImplementedError, match="depth"):
-        mm.decode_payload(png_with(depth=16))
+        mm.decode_payload(png_with(depth=4))    # sub-byte depths
     with pytest.raises(ValueError, match="PLTE"):
         mm.decode_payload(png_with(color=3))    # palette needs a PLTE chunk
 
@@ -535,3 +535,69 @@ def test_tiff_planar_and_whiteiszero_raise():
         mm.decode_payload(tiff_with([(284, 3, 1, st.pack("<HH", 2, 0))]))
     with pytest.raises(NotImplementedError, match="photometric"):
         mm.decode_payload(tiff_with([(262, 3, 1, st.pack("<HH", 0, 0))]))
+
+
+def _png16(px16, color, filter_type):
+    """Hand-assemble a 16-bit PNG from a (h, w, ch) uint16 array, using
+    the module's own byte-level filter (predictor distance = 2*ch)."""
+    import struct
+    import zlib
+    h, w, ch = px16.shape
+    be = np.ascontiguousarray(px16.astype(">u2")).view(np.uint8) \
+           .reshape(h, w, ch * 2)
+    scan = mm._png_filter_rows(be, filter_type)
+
+    def chunk(typ, body):
+        return struct.pack(">I", len(body)) + typ + body + \
+            struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_16bit_gray_and_rgb_strip_to_high_byte(filter_type):
+    """16-bit PNGs decode through the same byte-level filter machinery
+    (predictor distance 2*ch) and strip to the big-endian high byte —
+    under every filter type."""
+    rng = np.random.default_rng(5 + filter_type)
+    g16 = rng.integers(0, 65536, (6, 5, 1), dtype=np.uint16)
+    w, h, c, px = mm.decode_payload(_png16(g16, color=0, filter_type=filter_type))
+    assert (w, h, c) == (5, 6, 1)
+    assert np.array_equal(px, (g16 >> 8).astype(np.uint8))
+    rgb16 = rng.integers(0, 65536, (4, 7, 3), dtype=np.uint16)
+    w, h, c, px = mm.decode_payload(_png16(rgb16, color=2, filter_type=filter_type))
+    assert (w, h, c) == (7, 4, 3)
+    assert np.array_equal(px, (rgb16 >> 8).astype(np.uint8))
+
+
+def test_png_16bit_palette_still_raises():
+    # depth 16 + color type 3 is not a legal PNG shape
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        return struct.pack(">I", len(body)) + typ + body + \
+            struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    data = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="16"):
+        mm.decode_payload(data)
+
+
+def test_netpbm_16bit_rescales_half_up():
+    """maxval > 255 → two-byte big-endian samples, half-up 255*v/maxval:
+    maxval 65535 equals the high byte; maxval 1023 exercises real
+    rounding."""
+    vals = np.array([[0, 257, 65535, 65279]], dtype=np.uint16)   # 1×4 gray
+    data = b"P5 4 1 65535\n" + vals.astype(">u2").tobytes()
+    w, h, c, px = mm.decode_payload(data)
+    assert (w, h, c) == (4, 1, 1)
+    assert px.ravel().tolist() == [0, 1, 255, 254]
+    v10 = np.array([[[2, 3, 1021]]], dtype=np.uint16)            # 1×1 RGB
+    data = b"P6 1 1 1023\n" + v10.astype(">u2").tobytes()
+    w, h, c, px = mm.decode_payload(data)
+    # 255*2/1023 = 0.4985 -> 0 ; 255*3/1023 = 0.7478 -> 1 ; 1021 -> 254.5 -> 255
+    assert px.ravel().tolist() == [0, 1, 255]

@@ -343,8 +343,10 @@ def _decode_ppm(data: bytes):
     """Binary PPM (``P6``, RGB) / PGM (``P5``, gray) decoder — pure numpy.
 
     Netpbm header grammar: magic, whitespace/comment-separated width,
-    height, maxval, ONE whitespace byte, then the raster. 8-bit only
-    (maxval ≤ 255). Returns (width, height, n_channels, H×W×C uint8).
+    height, maxval, ONE whitespace byte, then the raster. maxval ≤ 255 →
+    one byte per sample; 256..65535 → two-byte big-endian samples,
+    rescaled to 8-bit (half-up 255·v/maxval).
+    Returns (width, height, n_channels, H×W×C uint8).
     """
     import numpy as np
 
@@ -365,8 +367,21 @@ def _decode_ppm(data: bytes):
         i = j
     i += 1                                          # single ws after maxval
     w, h, maxval = vals
+    if maxval > 65535 or maxval < 1:
+        raise ValueError(f"bad Netpbm maxval {maxval}")
     if maxval > 255:
-        raise NotImplementedError("16-bit Netpbm rasters not supported")
+        # two-byte big-endian samples (Netpbm "plain raster format",
+        # maxval 256..65535); rescaled to 8-bit with HALF-UP rounding
+        # (255·v/maxval — for maxval 65535 this equals the high byte)
+        n = w * h * channels
+        if len(data) - i < 2 * n:
+            raise ValueError(f"PPM raster truncated: need {2 * n} bytes, "
+                             f"have {len(data) - i}")
+        wide = np.frombuffer(data, dtype=">u2", count=n, offset=i) \
+                 .reshape(h, w, channels)
+        px = np.floor(wide.astype(np.float64) * 255.0 / maxval + 0.5) \
+               .astype(np.uint8)
+        return w, h, channels, px
     n = w * h * channels
     if len(data) - i < n:
         raise ValueError(f"PPM raster truncated: need {n} bytes, "
@@ -496,8 +511,9 @@ def _decode_png(data: bytes):
     five PNG filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6), and
     Adam7 de-interlacing (seven independently-filtered passes scattered
     back onto the grid). Supports 8-bit gray / gray+alpha / RGB / RGBA /
-    palette (tRNS → RGBA); 16-bit raises ``NotImplementedError``
-    explicitly. Up is vectorized; Sub/Average/Paeth recurse on the
+    palette (tRNS → RGBA) and 16-bit non-palette rasters (stripped to
+    the high byte, libpng-style); 16-bit palette is not a legal PNG
+    shape and raises. Up is vectorized; Sub/Average/Paeth recurse on the
     reconstructed left neighbour, so they walk the scanline (fine for
     the corpus-thumbnail sizes this engine decodes in-pipeline; a C
     codec slots in behind the same dispatcher).
@@ -518,8 +534,10 @@ def _decode_png(data: bytes):
         if typ == b"IHDR":
             w, h, depth, color, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", chunk)
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} (8 only)")
+            if depth not in (8, 16) or (depth == 16 and color == 3):
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} / color type {color} "
+                    "(8-bit all types, 16-bit non-palette only)")
             if color not in _PNG_CHANNELS:
                 raise NotImplementedError(f"PNG color type {color}")
             dims = (w, h, _PNG_CHANNELS[color])
@@ -537,12 +555,23 @@ def _decode_png(data: bytes):
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     w, h, ch = dims
+    # PNG filters operate on BYTES at any depth; the predictor distance
+    # is bytes-per-pixel, so the 16-bit path reuses the same unfilter
+    # with bypp = 2·ch, then keeps the big-endian HIGH byte (libpng's
+    # 16→8 strip)
+    bypp = ch * (depth // 8)
+
+    def to8(arr, hh, ww):
+        if depth == 8:
+            return arr.reshape(hh, ww, ch)
+        return arr.reshape(hh, ww, ch, 2)[..., 0].copy()
+
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        if len(raw) != (w * ch + 1) * h:
+        if len(raw) != (w * bypp + 1) * h:
             raise ValueError("PNG raster size mismatch")
-        px = _png_unfilter(np.frombuffer(raw, np.uint8), h, w, ch) \
-            .reshape(h, w, ch)
+        px = to8(_png_unfilter(np.frombuffer(raw, np.uint8), h, w, bypp),
+                 h, w)
     else:
         # Adam7: seven independently-filtered sub-images, consumed
         # sequentially from ONE inflated stream, scattered onto the grid
@@ -553,10 +582,10 @@ def _decode_png(data: bytes):
             ph = -(-(h - y0) // dy) if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            n = (pw * ch + 1) * ph
-            sub = _png_unfilter(
+            n = (pw * bypp + 1) * ph
+            sub = to8(_png_unfilter(
                 np.frombuffer(raw, np.uint8, count=n, offset=pos),
-                ph, pw, ch).reshape(ph, pw, ch)
+                ph, pw, bypp), ph, pw)
             px[y0::dy, x0::dx] = sub
             pos += n
         if pos != len(raw):
