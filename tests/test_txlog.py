@@ -401,3 +401,77 @@ def test_stats_col_date_band_skips_files(spark, tmp_path):
         o.where("o_orderdate >= TIMESTAMP '1997-01-01'").count()
     assert t.read_stats_range("2090-01-01 00:00:00",
                               "2091-01-01 00:00:00").count() == 0
+
+
+def test_schema_evolution_add_columns(spark, orders, tmp_path):
+    """Explicit additive evolution: a metadata-only commit adds nullable
+    columns; pre-evolution files read as NULL, pre-evolution versions
+    time-travel to the OLD schema, post-evolution writers must carry the
+    new columns, and merges across the boundary keep old rows' NULLs."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    base = orders.where("o_orderkey % 2 = 0")
+    t.create(base, "o_orderkey", n_files=4)
+    v_before = t.versions()[-1]
+    t.add_columns({"band": "string"})
+    assert t.history()[-1]["op"] == "evolve"
+    # old files surface the new column as NULL
+    snap = t.snapshot()
+    assert "band" in snap.columns
+    assert snap.where("band IS NOT NULL").count() == 0
+    # time travel before the evolve still shows the old schema
+    assert "band" not in t.snapshot(v_before).columns
+    # writers must adopt the new schema (drift still rejected both ways)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(orders.where("o_orderkey % 2 = 1"))
+    newbie = orders.where("o_orderkey % 2 = 1") \
+                   .withColumn("band", F.substring("o_orderstatus", 1, 1))
+    t.append(newbie)
+    # merge touching PRE-evolution rows: untouched old rows keep NULL
+    lo = base.agg(F.min("o_orderkey")).first()[0]
+    upd = base.where(F.col("o_orderkey") <= lo + 4) \
+              .withColumn("band", F.lit("Z"))
+    t.merge_upsert(upd)
+    got = t.snapshot()
+    assert got.count() == orders.count()
+    assert got.where("band = 'Z'").count() == upd.count()
+    n_old_untouched = base.count() - upd.count()
+    assert got.where("band IS NULL").count() == n_old_untouched
+    # duplicate add refused
+    with pytest.raises(ValueError, match="already exist"):
+        t.add_columns({"band": "string"})
+
+
+def test_catalog_create_list_drop_and_races(spark, orders, tmp_path):
+    """TxCatalog: consistent listings from the catalog's own commit log,
+    name collisions rejected, drop is logged (audit dir survives until
+    purge), recreate requires the purge, and a lost catalog-log race
+    never overwrites a committed version."""
+    from walmart_project_etl_spark.sources.txlog import TxCatalog
+    cat = TxCatalog(spark, str(tmp_path / "cat"))
+    assert cat.list_tables() == []
+    cat.create_table("orders_t", orders, "o_orderkey", n_files=2)
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet") \
+                .select("c_custkey", "c_name")
+    cat.create_table("customer_t", cust, "c_custkey")
+    assert cat.list_tables() == ["customer_t", "orders_t"]
+    # reads go through the normal TxTable machinery
+    assert cat.table("orders_t").snapshot().count() == orders.count()
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_table("orders_t", orders, "o_orderkey")
+    with pytest.raises(ValueError, match="bad table name"):
+        cat.create_table("../evil", orders, "o_orderkey")
+    # drop: name gone from listings, directory kept for audit
+    cat.drop_table("customer_t")
+    assert cat.list_tables() == ["orders_t"]
+    with pytest.raises(KeyError):
+        cat.table("customer_t")
+    with pytest.raises(ValueError, match="purge"):
+        cat.create_table("customer_t", cust, "c_custkey")
+    cat.drop_table("orders_t", purge=True)
+    assert cat.list_tables() == []
+    cat.create_table("orders_t", orders.limit(5), "o_orderkey")  # recreate ok
+    assert cat.table("orders_t").snapshot().count() == 5
+    # catalog log race: a stale commit for a published version loses
+    v = cat._versions()[-1]
+    assert not cat._commit({"op": "drop_table", "name": "orders_t"}, v)
+    assert cat.list_tables() == ["orders_t"]

@@ -871,6 +871,72 @@ def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.snapshot(0)
 
 
+@q("txn_catalog_star",
+   f"""SELECT c_mktsegment, count(*) AS n,
+              {sql_dsum('o_totalprice', 'revenue')}
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment""")
+def txn_catalog_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table CATALOG over the log format: two transactional tables
+    registered under one ``TxCatalog`` (its own ordered commit log of
+    create/drop actions — consistent listings, raced name claims settled
+    by the table's version-0 commit), read back BY NAME and joined into
+    a fact-dimension aggregate. The metastore slice of a real table
+    format (tests/test_txlog.py covers drop/purge/race semantics)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxCatalog
+
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_catalog")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = TxCatalog(spark, root)
+    cat.create_table("orders", t(spark, sf_dir, "orders")
+                     .select("o_orderkey", "o_custkey", "o_totalprice"),
+                     "o_orderkey", n_files=4)
+    cat.create_table("customer", t(spark, sf_dir, "customer")
+                     .select("c_custkey", "c_mktsegment"), "c_custkey")
+    o = cat.table("orders").snapshot()
+    c = cat.table("customer").snapshot()
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice", "revenue")))
+
+
+@q("txn_schema_evolution",
+   """SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(NULL AS VARCHAR) AS priority_band
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             substr(o_orderpriority, 1, 1)
+      FROM orders WHERE o_orderkey % 2 = 1""")
+def txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT additive schema evolution on the log table: a
+    metadata-only ``evolve`` commit adds a nullable column (O(1), no
+    file moves); pre-evolution files read the column as NULL through the
+    declared schema, while the post-evolution append carries real
+    values — silent drift stays rejected throughout
+    (tests/test_txlog.py covers the merge-across-boundary and
+    time-travel-to-old-schema cases)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_custkey", "o_totalprice")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_evolve")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(base.where("o_orderkey % 2 = 0"), "o_orderkey", n_files=4)
+    tt.add_columns({"priority_band": "string"})
+    tt.append(o.where("o_orderkey % 2 = 1")
+              .select("o_orderkey", "o_custkey", "o_totalprice",
+                      F.substring("o_orderpriority", 1, 1)
+                       .alias("priority_band")))
+    return tt.snapshot()
+
+
 @q("txn_delete_compact",
    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
       FROM orders WHERE o_orderkey % 100 <> 7""")

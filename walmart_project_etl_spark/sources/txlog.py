@@ -56,9 +56,15 @@ column (``create(..., stats_col=...)``, typically the BI date): each
 readers since unknown fields are ignored and absent fields scan
 conservatively).
 
+EXPLICIT additive schema evolution (``add_columns``) lands as a
+metadata-only commit: later reads surface pre-evolution files' missing
+columns as NULL via the declared schema, pre-evolution versions still
+time-travel to the old schema, and silent drift stays rejected.
+
 Single-format caveat vs real Delta/Iceberg: single table, one declared
-stats column beyond the merge key (not all-column stats), no multi-table
-catalog — the seam ``operators/merge.py`` needs, not a storage product.
+stats column beyond the merge key (not all-column stats), additive-only
+evolution (no renames/drops/type changes) — the seam
+``operators/merge.py`` needs, not a storage product.
 """
 
 from __future__ import annotations
@@ -312,15 +318,24 @@ class TxTable:
 
     # ------------------------------------------------------------- reads
 
+    def _read_files(self, meta: dict, paths) -> DataFrame:
+        """Read data files under the version's DECLARED schema: files
+        written before a schema evolution lack the newer columns, and the
+        explicit schema makes the parquet reader surface them as NULL
+        (by-name matching) instead of failing or silently varying by
+        file order."""
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        paths = list(paths)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.data_dir, p) for p in paths])
+
     def snapshot(self, version: int | None = None) -> DataFrame:
         meta, live = self._state(version)
         if meta is None:
             raise FileNotFoundError(f"no table at {self.root}")
-        if not live:
-            schema = StructType.fromJson(json.loads(meta["schema"]))
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(
-            *[os.path.join(self.data_dir, p) for p in live])
+        return self._read_files(meta, live)
 
     def read_keys(self, lo=None, hi=None,
                   version: int | None = None) -> DataFrame:
@@ -337,11 +352,7 @@ class TxTable:
         files = [a["path"] for a in live.values()
                  if not ((hi is not None and a["kmin"] > hi)
                          or (lo is not None and a["kmax"] < lo))]
-        if not files:
-            schema = StructType.fromJson(json.loads(meta["schema"]))
-            return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(
-            *[os.path.join(self.data_dir, p) for p in files])
+        df = self._read_files(meta, files)
         if lo is not None:
             df = df.where(F.col(key) >= lo)
         if hi is not None:
@@ -370,11 +381,7 @@ class TxTable:
                  if "smin" not in a or a["smin"] is None
                  or not ((hi is not None and a["smin"] > hi)
                          or (lo is not None and a["smax"] < lo))]
-        if not files:
-            schema = StructType.fromJson(json.loads(meta["schema"]))
-            return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(
-            *[os.path.join(self.data_dir, p) for p in files])
+        df = self._read_files(meta, files)
         if lo is not None:
             df = df.where(F.col(scol) >= lo)
         if hi is not None:
@@ -421,6 +428,39 @@ class TxTable:
         adds = self._write_files(df, key_col, n_files, stats_col)
         ok = self._commit([{"op": "create"}, {"meta": meta}, *adds], 0)
         assert ok, "concurrent create"
+
+    def add_columns(self, cols: dict[str, str]) -> None:
+        """EXPLICIT schema evolution: append new nullable columns to the
+        declared schema in ONE metadata-only commit (``{"op": "evolve"}``
+        — no data file moves, O(1) regardless of table size). Data files
+        written before the evolution surface the new columns as NULL
+        (every read goes through the version's declared schema), and
+        time travel to a pre-evolution version still sees the OLD
+        schema. Silent drift stays rejected — ``_check_schema`` enforces
+        whatever the CURRENT declared schema is, so writers must adopt
+        the new columns the moment the evolve commit lands. This is the
+        load-bearing half of Delta-style schema evolution (additive,
+        explicit); renames/drops/type-changes are intentionally out of
+        scope."""
+        from pyspark.sql.types import StructField
+        if not cols:
+            raise ValueError("no columns to add")
+        while True:
+            meta, _ = self._state()
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            dup = [c for c in cols if c in schema.fieldNames()]
+            if dup:
+                raise ValueError(f"columns already exist: {dup}")
+            for name, dtype in cols.items():
+                new = StructType.fromDDL(f"`{name}` {dtype}")
+                schema = schema.add(StructField(name, new.fields[0].dataType,
+                                                True))
+            new_meta = dict(meta)
+            new_meta["schema"] = schema.json()
+            v = self.versions()[-1] + 1
+            if self._commit([{"op": "evolve"}, {"meta": new_meta}], v):
+                self._maybe_checkpoint(v)
+                return
 
     def _check_schema(self, df: DataFrame, meta: dict) -> DataFrame:
         """Appends/merges must carry exactly the table's columns (any
@@ -500,9 +540,7 @@ class TxTable:
             touched = [a for a in live.values() if may_contain(a)]
             untouched = len(live) - len(touched)
             if touched:
-                old = self.spark.read.parquet(
-                    *[os.path.join(self.data_dir, a["path"])
-                      for a in touched])
+                old = self._read_files(meta, [a["path"] for a in touched])
                 keep = old.join(updates.select(key), key, "left_anti")
                 new_rows = keep.unionByName(updates)
             else:
@@ -554,9 +592,7 @@ class TxTable:
             touched = [a for a in live.values() if may_contain(a)]
             adds: list[dict] = []
             if touched:
-                old = self.spark.read.parquet(
-                    *[os.path.join(self.data_dir, a["path"])
-                      for a in touched])
+                old = self._read_files(meta, [a["path"] for a in touched])
                 adds = self._write_files(old.join(keys, key, "left_anti"),
                                          key,
                                          stats_col=meta.get("stats_col"))
@@ -587,8 +623,7 @@ class TxTable:
                 return {"files_in": 0, "files_out": 0}
             total = sum(a["rows"] for a in small)
             n_out = max(1, -(-total // target_rows))
-            df = self.spark.read.parquet(
-                *[os.path.join(self.data_dir, a["path"]) for a in small])
+            df = self._read_files(meta, [a["path"] for a in small])
             adds = self._write_files(df, meta["key_col"], n_files=n_out,
                                      stats_col=meta.get("stats_col"))
             v = self.versions()[-1] + 1
@@ -628,3 +663,107 @@ class TxTable:
                 os.unlink(p)
                 removed.append(name)
         return removed
+
+
+class TxCatalog:
+    """Multi-table METASTORE over :class:`TxTable` — the catalog slice a
+    real format pairs with its table log (VERDICT gap: "multi-table
+    catalog/metastore"). One catalog root; each table is a full TxTable
+    at ``<root>/tables/<name>``; the catalog keeps its OWN ordered
+    commit log (``<root>/_catalog/<version>.json``, same ``os.link``
+    atomic-create versioning) of ``create_table`` / ``drop_table``
+    actions, so listings are consistent snapshots and two writers cannot
+    both claim a name: the name race is settled by the TABLE's own
+    version-0 commit (both writers target the same path; exactly one
+    ``os.link`` wins), and the catalog entry follows.
+
+    Deliberate scope: no cross-TABLE transactions (each table's commits
+    stay independently atomic, like Delta's per-table logs) and a
+    dropped name's directory survives for audit until ``purge=True`` —
+    recreating a dropped table requires the purge.
+    """
+
+    _NAME_OK = __import__("re").compile(r"^[A-Za-z0-9_]{1,128}$")
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log_dir = os.path.join(root, "_catalog")
+        self.tables_dir = os.path.join(root, "tables")
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.tables_dir, exist_ok=True)
+
+    def _versions(self) -> list[int]:
+        return sorted(int(f[:8]) for f in os.listdir(self.log_dir)
+                      if len(f) == 13 and f.endswith(".json")
+                      and f[:8].isdigit())
+
+    def _commit(self, action: dict, v: int) -> bool:
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(action) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        dst = os.path.join(self.log_dir, f"{v:08d}.json")
+        try:
+            os.link(tmp, dst)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _entries(self) -> dict[str, dict]:
+        """{name: create-action} of the LIVE tables (log replay)."""
+        live: dict[str, dict] = {}
+        for v in self._versions():
+            with open(os.path.join(self.log_dir, f"{v:08d}.json")) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if a["op"] == "create_table":
+                        live[a["name"]] = a
+                    elif a["op"] == "drop_table":
+                        live.pop(a["name"], None)
+        return live
+
+    def list_tables(self) -> list[str]:
+        return sorted(self._entries())
+
+    def create_table(self, name: str, df: DataFrame, key_col: str,
+                     n_files: int | None = None,
+                     stats_col: str | None = None) -> TxTable:
+        if not self._NAME_OK.match(name):
+            raise ValueError(f"bad table name {name!r}")
+        if name in self._entries():
+            raise ValueError(f"table {name!r} already exists")
+        path = os.path.join(self.tables_dir, name)
+        if os.path.exists(os.path.join(path, "_txlog")) and \
+                os.listdir(os.path.join(path, "_txlog")):
+            raise ValueError(
+                f"table {name!r} was dropped but not purged — "
+                "drop_table(name, purge=True) before recreating")
+        t = TxTable(self.spark, path)
+        t.create(df, key_col, n_files, stats_col)   # settles name races
+        while True:
+            v = (self._versions() or [-1])[-1] + 1
+            if self._commit({"op": "create_table", "name": name,
+                             "key_col": key_col}, v):
+                return t
+
+    def table(self, name: str) -> TxTable:
+        if name not in self._entries():
+            raise KeyError(f"no such table {name!r}")
+        return TxTable(self.spark, os.path.join(self.tables_dir, name))
+
+    def drop_table(self, name: str, purge: bool = False) -> None:
+        if name not in self._entries():
+            raise KeyError(f"no such table {name!r}")
+        while True:
+            v = self._versions()[-1] + 1
+            if self._commit({"op": "drop_table", "name": name}, v):
+                break
+        if purge:
+            shutil.rmtree(os.path.join(self.tables_dir, name),
+                          ignore_errors=True)
