@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     # skew-safe W1 — regressions must be bench-visible
     "curate_pipeline",
     "skew_salted_latest",
+    # r7-new: the transaction-table write paths (file-pruned merge; the
+    # exactly-once streaming sink) — commit/stats overhead regressions
+    # must be bench-visible
+    "txn_merge_fileprune",
+    "stream_tx_upsert",
     # end-to-end star pipeline (ingest→ODS→staging→target→BI agg) with a
     # COLD warehouse cache — guards the pipeline plans, not just micro ops
     "pipe_bi_sales_by_category",
