@@ -848,3 +848,34 @@ def test_sim_recall_report_is_consistent(spark):
         assert r["n_truth"] == r["n_queries"] * r["k"]
         assert 0 < r["n_hits"] <= r["n_truth"]
         assert r["n_hits"] / r["n_truth"] >= 0.5, (r["algo"], r)
+
+
+def test_quality_classifier_train_score_roundtrip(spark):
+    """operators/classifier.py: the distilled linear filter must (a)
+    learn a token-count-expressible rule well above chance, (b) be
+    deterministic (LBFGS from zero start), and (c) score docs with no
+    learnable tokens at the bias alone rather than dropping them."""
+    from walmart_project_etl_spark.operators.classifier import (
+        score_linear, train_linear_classifier)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    med = docs.agg(F.expr("percentile(n_chars, 0.5)")).first()[0]
+    docs = docs.withColumn("label",
+                           (F.col("n_chars") >= F.lit(med)).cast("double"))
+    train = docs.where(F.pmod(F.xxhash64("doc_id"), 10) < 7)
+    test = docs.where(F.pmod(F.xxhash64("doc_id"), 10) >= 7)
+    w1, b1 = train_linear_classifier(train, "doc_id", "text", "label",
+                                     n_features=64)
+    w2, b2 = train_linear_classifier(train, "doc_id", "text", "label",
+                                     n_features=64)
+    assert w1 == w2 and b1 == b2                      # deterministic fit
+    assert len(w1) == 64
+    scored = score_linear(test, "doc_id", "text", w1, b1)
+    joined = scored.join(docs.select("doc_id", "label"), "doc_id")
+    acc = joined.where(F.col("prediction") == F.col("label").cast("int")) \
+                .count() / max(joined.count(), 1)
+    assert acc >= 0.8, acc
+    # empty-text doc: scored at sigmoid(bias), present in the output
+    empty = spark.createDataFrame([(999_999, "   ")], "doc_id long, text string")
+    row = score_linear(empty, "doc_id", "text", w1, b1).first()
+    import math
+    assert abs(row["score"] - 1 / (1 + math.exp(-b1))) < 1e-5

@@ -28,12 +28,13 @@ _MODULES = (core, funcs, pipeline, llm, trainprep)
 #: window (r7, per VERDICT r6 task 3) leads with the 8 entries that have
 #: NEVER had a driver row (pipe_a08 + pipe_bi_returns_by_category carry
 #: exact oracles; the other six are rows-only by design, pinned by tests),
-#: then the 6 r7-new queries (SCD2 through the transaction table, tx-log
+#: then the 7 r7-new queries (SCD2 through the transaction table, tx-log
 #: date data-skipping, tx DELETE+OPTIMIZE, additive schema evolution,
-#: the multi-table catalog, the pinned-golden ANN recall gate), then
-#: refreshes ALL 24 entries whose latest row still dates from r2, then
-#: the 12 oldest r3 rows. After this round every registry entry has a
-#: driver row, nothing predates r3, and only 10 r3 rows predate r4 —
+#: the multi-table catalog, the pinned-golden ANN recall gate, the
+#: distilled quality classifier), then refreshes ALL 24 entries whose
+#: latest row still dates from r2, then the 11 oldest r3 rows. After
+#: this round every registry entry has a driver row, nothing predates
+#: r3, and only 11 r3 rows predate r4 —
 #: all on code unchanged since and local-exact-green this session.
 _PRIORITY = (
     # never driver-checked (VERDICT r6 task 3) — exact oracles first
@@ -52,6 +53,7 @@ _PRIORITY = (
     "txn_schema_evolution",
     "txn_catalog_star",
     "sim_recall_report",
+    "text_quality_classifier_report",
     # breadth refresh: every remaining r2-era row (code unchanged,
     # local-exact-green — freshness, not risk)
     "p04_date_membership_semi_join",
@@ -78,7 +80,7 @@ _PRIORITY = (
     "f09_title_case_clean",
     "f10_null_defaults",
     "f11_f13_product_rules",
-    # oldest r3 rows (12 of 22; the remaining 10 rotate next round)
+    # oldest r3 rows (11 of 22; the remaining 11 rotate next round)
     "j12_bucketed_colocated_join",
     "j04_d01_scd1_merge",
     "j05_j06_j07_d02_scd2_two_run",
@@ -90,7 +92,6 @@ _PRIORITY = (
     "text_stats_quality",
     "text_langid",
     "text_token_counts",
-    "text_fingerprint",
 )
 
 

@@ -262,6 +262,42 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row("ivf", ivf).unionByName(row("lsh", lsh))
 
 
+@q("text_quality_classifier_report",
+   """SELECT 0 AS label, 0 AS prediction, CAST(65 AS BIGINT) AS n
+      UNION ALL SELECT 0, 1, CAST(3 AS BIGINT)
+      UNION ALL SELECT 1, 0, CAST(4 AS BIGINT)
+      UNION ALL SELECT 1, 1, CAST(69 AS BIGINT)""")
+def text_quality_classifier_report(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """TRAINABLE quality classifier, end to end (operators/classifier.py)
+    — the fastText-style model-based filter curation pipelines pair with
+    heuristic rules, here DISTILLING a rule (the corpus-median length
+    window; on this clean synthetic corpus the other quality components
+    are constant, so the length rule is the one with signal) from a 70%
+    hash-split into a hashed bag-of-words logistic regression, then
+    scoring the held-out 30% with PURE-COLUMN inference (explode →
+    bucket → broadcast weight join → sigmoid; no UDF, no model object at
+    scale). The oracle pins the held-out confusion matrix (65+69 right,
+    7 wrong = 0.95 accuracy at sf0.01; LBFGS from a zero start is
+    deterministic, re-verified across runs) — a feature-extraction or
+    training regression becomes a failed exact row."""
+    from walmart_project_etl_spark.operators.classifier import (
+        score_linear, train_linear_classifier)
+
+    docs = t(spark, sf_dir, "documents")
+    med = docs.agg(F.expr("percentile(n_chars, 0.5)")).first()[0]
+    docs = docs.withColumn("label",
+                           (F.col("n_chars") >= F.lit(med)).cast("double"))
+    train = docs.where(F.pmod(F.xxhash64("doc_id"), 10) < 7)
+    test = docs.where(F.pmod(F.xxhash64("doc_id"), 10) >= 7)
+    w, b = train_linear_classifier(train, "doc_id", "text", "label")
+    scored = score_linear(test, "doc_id", "text", w, b)
+    return (scored.join(docs.select("doc_id", "label"), "doc_id")
+            .groupBy(F.col("label").cast("int").alias("label"),
+                     "prediction")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 # ------------------------------------------------------------- text analysis
 
 @q("text_stats_quality",
