@@ -475,3 +475,34 @@ def test_catalog_create_list_drop_and_races(spark, orders, tmp_path):
     v = cat._versions()[-1]
     assert not cat._commit({"op": "drop_table", "name": "orders_t"}, v)
     assert cat.list_tables() == ["orders_t"]
+
+
+def test_vacuum_version_retention(spark, orders, tmp_path):
+    """VACUUM with version retention: files live in NO retained version
+    are physically reclaimed; every retained version still time-travels
+    exactly; pre-horizon versions lose their files (the documented
+    contract)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=6)
+    for i in range(3):          # three merges, each orphaning old files
+        upd = orders.limit(20).withColumn("o_totalprice", F.lit(float(i)))
+        t.merge_upsert(upd)
+    vs = t.versions()
+    n_files_before = len(os.listdir(str(tmp_path / "t" / "files")))
+    cols = ["o_orderkey", "o_totalprice"]
+    latest_rows = _rows(t.snapshot(), cols)
+    prev_rows = _rows(t.snapshot(vs[-2]), cols)
+    res = t.vacuum(retain_versions=2)
+    assert res["removed"] >= 1
+    assert res["horizon"] == vs[-2]
+    n_files_after = len(os.listdir(str(tmp_path / "t" / "files")))
+    assert n_files_after < n_files_before
+    # both retained versions still read exactly
+    assert _rows(t.snapshot(), cols) == latest_rows
+    assert _rows(t.snapshot(vs[-2]), cols) == prev_rows
+    # the pre-horizon version lost files (reads must fail, not lie)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        t.snapshot(0).count()
+    # retention covering everything is a no-op
+    assert t.vacuum(retain_versions=100)["removed"] == 0

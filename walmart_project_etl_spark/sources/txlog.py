@@ -665,6 +665,37 @@ class TxTable:
         return removed
 
 
+    def vacuum(self, retain_versions: int = 10) -> dict:
+        """Delta-style VACUUM with VERSION-based retention: physically
+        delete data files that are live in NO retained version. The
+        newest ``retain_versions`` commits stay fully time-travelable; a
+        file is reclaimable only if it was added AND removed before that
+        horizon (needed = live set AT the horizon ∪ every file added
+        after it — both still reachable by a retained snapshot).
+        Deterministic and clock-free, unlike Delta's hour-based
+        retention, so tests can pin it; the operational contract is the
+        same: readers must not time-travel past the horizon, and the
+        caller picks a retention covering the longest-running reader.
+        Returns {"removed": n, "horizon": v}."""
+        vs = self.versions()
+        horizon = max(vs[-1] - retain_versions + 1, vs[0])
+        _, live_h = self._state(horizon)
+        needed = set(live_h)
+        for v in vs:
+            if v > horizon:
+                needed.update(a["add"]["path"]
+                              for a in self._read_commit(v) if "add" in a)
+        referenced = {a["add"]["path"] for a in self._read_actions()
+                      if "add" in a}
+        removed = 0
+        for name in referenced - needed:
+            p = os.path.join(self.data_dir, name)
+            if os.path.exists(p):
+                os.unlink(p)
+                removed += 1
+        return {"removed": removed, "horizon": horizon}
+
+
 class TxCatalog:
     """Multi-table METASTORE over :class:`TxTable` — the catalog slice a
     real format pairs with its table log (VERDICT gap: "multi-table
