@@ -129,29 +129,34 @@ def _encode_ac_refine(bw, blocks, ss, se, al) -> None:
     for blk in blocks:
         temps = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
         signs = [1 if blk[k] >= 0 else -1 for k in range(ss, se + 1)]
+        newly = [i for i, t in enumerate(temps) if t == 1]
+        eob = newly[-1] if newly else -1          # last newly-significant
         r, corrections = 0, []
-        tail = False
-        for t, sg in zip(temps, signs):
+        for i, (t, sg) in enumerate(zip(temps, signs)):
             if t == 0:
                 r += 1
-            elif t > 1:                           # old nonzero: correction
-                corrections.append(t & 1)
-            else:                                 # newly significant
-                while r > 15:
-                    _emit_sym(bw, _AC_SYMS, 0xF0)
-                    for b in corrections:
-                        bw.bit(b)
-                    corrections = []
-                    r -= 16
-                _emit_sym(bw, _AC_SYMS, (r << 4) | 1)
-                bw.bit(1 if sg > 0 else 0)
+                continue
+            # ZRLs must flush as soon as 16 zero-history zeros have
+            # accumulated (at ANY nonzero), carrying only the correction
+            # bits buffered so far — the decoder consumes corrections
+            # positionally within each ZRL span. Trailing ZRLs past the
+            # last newly-significant coefficient fold into the EOB.
+            while r > 15 and i <= eob:
+                _emit_sym(bw, _AC_SYMS, 0xF0)
                 for b in corrections:
                     bw.bit(b)
                 corrections = []
-                r = 0
+                r -= 16
+            if t > 1:                             # old nonzero: correction
+                corrections.append(t & 1)
+                continue
+            _emit_sym(bw, _AC_SYMS, (r << 4) | 1)  # newly significant
+            bw.bit(1 if sg > 0 else 0)
+            for b in corrections:
+                bw.bit(b)
+            corrections = []
+            r = 0
         if r > 0 or corrections:
-            tail = True
-        if tail:
             _emit_sym(bw, _AC_SYMS, 0x00)         # EOB (run = 1)
             for b in corrections:
                 bw.bit(b)
@@ -347,3 +352,40 @@ def test_progressive_arithmetic_still_raises():
             + struct.pack(">H", len(seg) + 2) + seg + b"\xff\xd9")
     with pytest.raises(NotImplementedError):
         jpeg.decode_jpeg(data)
+
+
+@pytest.mark.parametrize("seed", list(range(8)))
+def test_progressive_random_scan_scripts_roundtrip(seed):
+    """Property: for random coefficient grids and RANDOM spectral-band
+    partitions of 1..63 (with successive approximation on every band),
+    decode must recover the exact coefficients. Catches band-boundary,
+    EOB-run, and ZRL-in-refinement edge cases a fixed script misses."""
+    rng = np.random.default_rng(100 + seed)
+    bh, bw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+    coeffs = [np.zeros((bh, bw, 64), np.int32)]
+    for by in range(bh):
+        for bx in range(bw):
+            coeffs[0][by, bx, 0] = int(rng.integers(-30, 30))
+            # sparse AC values, including magnitude-1 entries that only
+            # become significant in the refinement scan and deep
+            # positions forcing long zero runs (ZRL paths)
+            for k in rng.choice(np.arange(1, 64),
+                                size=int(rng.integers(0, 8)),
+                                replace=False):
+                coeffs[0][by, bx, k] = int(rng.integers(-7, 8)) or 1
+    # random partition of 1..63 into consecutive bands
+    cuts = sorted(rng.choice(np.arange(2, 63),
+                             size=int(rng.integers(1, 4)),
+                             replace=False).tolist())
+    bounds = [1] + cuts + [64]
+    bands = [(bounds[i], bounds[i + 1] - 1) for i in range(len(bounds) - 1)]
+    comps = [{"id": 1, "hs": 1, "vs": 1, "tq": 0}]
+    scans = [([0], 0, 0, 0, 1)]
+    scans += [([0], ss, se, 0, 1) for ss, se in bands]
+    scans += [([0], 0, 0, 1, 0)]
+    scans += [([0], ss, se, 1, 0) for ss, se in bands]
+    data = encode_progressive(bw * 8, bh * 8, comps, coeffs, _Q16, scans)
+    w, h, c, got = jpeg.decode_jpeg(data)
+    _, _, _, want = _expected(bw * 8, bh * 8, comps, {0: _Q16}, coeffs)
+    assert (w, h, c) == (bw * 8, bh * 8, 1), (seed, bands)
+    assert np.array_equal(got, want), (seed, bands)
