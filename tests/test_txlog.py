@@ -506,3 +506,56 @@ def test_vacuum_version_retention(spark, orders, tmp_path):
         t.snapshot(0).count()
     # retention covering everything is a no-op
     assert t.vacuum(retain_versions=100)["removed"] == 0
+
+
+def test_concurrent_writers_optimistic_retry(spark, tmp_path):
+    """REAL concurrency: two writer threads race appends and merges on
+    one table. The os.link commit protocol must serialize them — no
+    version collisions, no lost updates: the final snapshot equals the
+    union of both writers' disjoint appends with every merge's final
+    value, and the log is a gap-free version sequence."""
+    import threading
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame([(k, 0.0) for k in range(100)],
+                                 "k long, v double")
+    t.create(base, "k", n_files=4)
+    errors: list[Exception] = []
+
+    def writer(tag: int) -> None:
+        try:
+            w = TxTable(spark, str(tmp_path / "t"))   # own handle
+            # disjoint appends (no logical conflict, only commit races)
+            w.append(spark.createDataFrame(
+                [(1000 + tag * 100 + i, float(tag)) for i in range(20)],
+                "k long, v double"))
+            # overlapping merges (same keys — last committed wins is fine;
+            # we assert only that SOME writer's value landed atomically)
+            w.merge_upsert(spark.createDataFrame(
+                [(k, 10.0 + tag) for k in range(10)], "k long, v double"))
+            w.append(spark.createDataFrame(
+                [(2000 + tag * 100 + i, float(tag)) for i in range(20)],
+                "k long, v double"))
+        except Exception as e:       # surface failures to the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(tag,))
+               for tag in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    vs = t.versions()
+    assert vs == list(range(len(vs)))            # gap-free serial history
+    assert len(vs) == 1 + 6                      # create + 2x(2 appends+merge)
+    rows = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert len(rows) == 100 + 2 * 40             # no lost appends
+    for tag in (1, 2):
+        for i in range(20):
+            assert rows[1000 + tag * 100 + i] == float(tag)
+            assert rows[2000 + tag * 100 + i] == float(tag)
+    # merges serialized atomically: whichever merge committed later owns
+    # ALL ten keys — one uniform value, never a torn mix
+    merged = {rows[k] for k in range(10)}
+    assert len(merged) == 1 and merged <= {11.0, 12.0}, merged
