@@ -559,3 +559,25 @@ def test_concurrent_writers_optimistic_retry(spark, tmp_path):
     # ALL ten keys — one uniform value, never a torn mix
     merged = {rows[k] for k in range(10)}
     assert len(merged) == 1 and merged <= {11.0, 12.0}, merged
+
+
+def test_read_matching_prunes_and_is_exact(spark, orders, tmp_path):
+    """read_matching: a scattered key-set lookup must scan only the
+    files whose range+bloom can contain a requested key (observable via
+    inputFiles), with exact results — including absent keys."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=8)
+    _, live = t._state()
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    # keys at both ends: range pruning alone keeps every file; the bloom
+    # must cut the middle ones
+    keys = spark.createDataFrame([(lo,), (hi,), (10**15,)],
+                                 "o_orderkey long")
+    got = t.read_matching(keys)
+    assert len(got.inputFiles()) <= 3 < len(live)
+    cols = ["o_orderkey", "o_totalprice"]
+    expected = orders.where(F.col("o_orderkey").isin([lo, hi]))
+    assert _rows(got, cols) == _rows(expected, cols)
+    # empty key set reads nothing
+    assert t.read_matching(orders.select("o_orderkey").limit(0)).count() == 0

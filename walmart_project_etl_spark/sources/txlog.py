@@ -472,6 +472,52 @@ class TxTable:
                 f"write has {sorted(df.columns)}")
         return df.select(*expected)
 
+    def _key_pruner(self, keys: DataFrame, key: str):
+        """may_contain(add-action) predicate for a key SET: one tiny
+        min/max aggregate for range intersection, plus the keys' bloom
+        probes collected driver-side (capped at ``_BLOOM_PROBE_CAP`` —
+        larger sets fall back to range-only pruning). Conservative: a
+        false positive costs a needless file scan/rewrite, never a wrong
+        result. Shared by merge, delete, and :meth:`read_matching`."""
+        b = keys.agg(F.min(key), F.max(key)).first()
+        umin, umax = b[0], b[1]
+        probes = keys.select(_bloom_positions(key).alias("__p")) \
+                     .distinct().limit(_BLOOM_PROBE_CAP + 1).collect()
+        probe_list = ([tuple(int(x) for x in r["__p"]) for r in probes]
+                      if len(probes) <= _BLOOM_PROBE_CAP else None)
+
+        def may_contain(a: dict) -> bool:
+            if umin is None:
+                return False
+            if a["kmax"] < umin or a["kmin"] > umax:
+                return False
+            bloom_hex = a.get("bloom")
+            if bloom_hex is None or probe_list is None:
+                return True                      # conservative fallback
+            bm = int(bloom_hex, 16)
+            return any(all((bm >> p) & 1 for p in probe)
+                       for probe in probe_list)
+
+        return may_contain
+
+    def read_matching(self, keys: DataFrame,
+                      version: int | None = None) -> DataFrame:
+        """Data-skipping read for an arbitrary KEY SET — the read twin of
+        the merge's pruning: scan only the files whose range+bloom stats
+        can contain ANY requested key, then semi-join the exact keys.
+        A scattered point-lookup batch (user ids, order keys) touches
+        O(matching files), not the table — e.g. the streaming upsert
+        sink folds in current rows for just its micro-batch's users this
+        way instead of scanning every live file per batch."""
+        meta, live = self._state(version)
+        if meta is None:
+            raise FileNotFoundError(f"no table at {self.root}")
+        key = meta["key_col"]
+        keys = keys.select(key).distinct()
+        may_contain = self._key_pruner(keys, key)
+        files = [a["path"] for a in live.values() if may_contain(a)]
+        return self._read_files(meta, files).join(keys, key, "semi")
+
     def append(self, df: DataFrame) -> None:
         """ACID append: new files + one log commit; retries the commit
         (not the file writes — they are version-independent) on a lost
@@ -510,27 +556,7 @@ class TxTable:
         # validate + normalize to the table's column order so every data
         # file carries the same physical layout
         updates = self._check_schema(updates, meta)
-        b = updates.agg(F.min(key), F.max(key)).first()
-        umin, umax = b[0], b[1]
-        # bloom probes of the update keys (driver-side, capped): a file
-        # survives range overlap but none of its bloom bits matching any
-        # update key ⇒ provably no matching key ⇒ skip the rewrite
-        probes = updates.select(_bloom_positions(key).alias("__p")) \
-                        .distinct().limit(_BLOOM_PROBE_CAP + 1).collect()
-        probe_list = ([tuple(int(x) for x in r["__p"]) for r in probes]
-                      if len(probes) <= _BLOOM_PROBE_CAP else None)
-
-        def may_contain(a: dict) -> bool:
-            if umin is None:
-                return False
-            if a["kmax"] < umin or a["kmin"] > umax:
-                return False
-            bloom_hex = a.get("bloom")
-            if bloom_hex is None or probe_list is None:
-                return True                      # conservative fallback
-            bm = int(bloom_hex, 16)
-            return any(all((bm >> p) & 1 for p in probe)
-                       for probe in probe_list)
+        may_contain = self._key_pruner(updates, key)
 
         while True:
             if txn is not None and self.last_txn(txn[0]) >= txn[1]:
@@ -568,24 +594,7 @@ class TxTable:
         meta = self._state()[0]
         key = meta["key_col"]
         keys = keys.select(key).distinct()
-        b = keys.agg(F.min(key), F.max(key)).first()
-        umin, umax = b[0], b[1]
-        probes = keys.select(_bloom_positions(key).alias("__p")) \
-                     .distinct().limit(_BLOOM_PROBE_CAP + 1).collect()
-        probe_list = ([tuple(int(x) for x in r["__p"]) for r in probes]
-                      if len(probes) <= _BLOOM_PROBE_CAP else None)
-
-        def may_contain(a: dict) -> bool:
-            if umin is None:
-                return False
-            if a["kmax"] < umin or a["kmin"] > umax:
-                return False
-            bm_hex = a.get("bloom")
-            if bm_hex is None or probe_list is None:
-                return True
-            bm = int(bm_hex, 16)
-            return any(all((bm >> p) & 1 for p in probe)
-                       for probe in probe_list)
+        may_contain = self._key_pruner(keys, key)
 
         while True:
             _, live = self._state()

@@ -265,9 +265,10 @@ def stream_upsert_tx(spark: SparkSession, events_path: str,
             batch_stats.append((batch_id, batch_df.count()))
         batch_latest = latest_event_per_key(batch_df, ["user_id"])
         # merge must keep the OLDER stored row when the batch's row is
-        # not actually newer — fold current rows for these users in
-        cur = t.snapshot().join(batch_latest.select("user_id"),
-                                "user_id", "semi")
+        # not actually newer — fold in current rows for these users via
+        # the bloom/range-pruned key-set read (only files that can hold
+        # this batch's users are scanned, not the whole table per batch)
+        cur = t.read_matching(batch_latest.select("user_id"))
         upserts = latest_event_per_key(
             cur.unionByName(batch_latest), ["user_id"])
         t.merge_upsert(upserts, txn=("stream_upsert_tx", int(batch_id)))
