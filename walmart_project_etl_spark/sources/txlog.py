@@ -479,12 +479,23 @@ class TxTable:
         larger sets fall back to range-only pruning). Conservative: a
         false positive costs a needless file scan/rewrite, never a wrong
         result. Shared by merge, delete, and :meth:`read_matching`."""
-        b = keys.agg(F.min(key), F.max(key)).first()
-        umin, umax = b[0], b[1]
-        probes = keys.select(_bloom_positions(key).alias("__p")) \
-                     .distinct().limit(_BLOOM_PROBE_CAP + 1).collect()
-        probe_list = ([tuple(int(x) for x in r["__p"]) for r in probes]
-                      if len(probes) <= _BLOOM_PROBE_CAP else None)
+        # ONE collect serves both range bounds and bloom probes while the
+        # key set is under the cap (a second tiny agg job per call adds
+        # real per-micro-batch latency in streaming sinks); over the cap,
+        # fall back to a bounds-only aggregate (range pruning only).
+        rows = keys.select(F.col(key).alias("__k"),
+                           _bloom_positions(key).alias("__p")) \
+                   .where(F.col(key).isNotNull()) \
+                   .distinct().limit(_BLOOM_PROBE_CAP + 1).collect()
+        if len(rows) <= _BLOOM_PROBE_CAP:
+            ks = [r["__k"] for r in rows]
+            umin = min(ks) if ks else None
+            umax = max(ks) if ks else None
+            probe_list = [tuple(int(x) for x in r["__p"]) for r in rows]
+        else:
+            b = keys.agg(F.min(key), F.max(key)).first()
+            umin, umax = b[0], b[1]
+            probe_list = None
 
         def may_contain(a: dict) -> bool:
             if umin is None:

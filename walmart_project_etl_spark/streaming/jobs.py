@@ -265,10 +265,16 @@ def stream_upsert_tx(spark: SparkSession, events_path: str,
             batch_stats.append((batch_id, batch_df.count()))
         batch_latest = latest_event_per_key(batch_df, ["user_id"])
         # merge must keep the OLDER stored row when the batch's row is
-        # not actually newer — fold in current rows for these users via
-        # the bloom/range-pruned key-set read (only files that can hold
-        # this batch's users are scanned, not the whole table per batch)
-        cur = t.read_matching(batch_latest.select("user_id"))
+        # not actually newer — fold in current rows for these users.
+        # Cost-based read: the bloom/range-pruned key-set read
+        # (read_matching) costs one extra driver job per batch to
+        # collect the probes, which only pays once the table has enough
+        # files for pruning to beat a full-scan semi-join — the 100 TB
+        # regime. Small tables take the scan.
+        users = batch_latest.select("user_id")
+        _, live = t._state()
+        cur = (t.read_matching(users) if len(live) > 16
+               else t.snapshot().join(users, "user_id", "semi"))
         upserts = latest_event_per_key(
             cur.unionByName(batch_latest), ["user_id"])
         t.merge_upsert(upserts, txn=("stream_upsert_tx", int(batch_id)))
