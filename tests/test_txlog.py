@@ -581,3 +581,71 @@ def test_read_matching_prunes_and_is_exact(spark, orders, tmp_path):
     assert _rows(got, cols) == _rows(expected, cols)
     # empty key set reads nothing
     assert t.read_matching(orders.select("o_orderkey").limit(0)).count() == 0
+
+
+def test_model_schema_evolution_interleaved_with_checkpoints(spark, tmp_path):
+    """Model check for EVOLUTION: add_columns interleaved with
+    appends/merges under a small checkpoint interval — after every step
+    the snapshot must equal the dict model (absent columns NULL for
+    pre-evolution rows), and every historical version must time-travel
+    to BOTH its recorded rows and its recorded schema width."""
+    import random
+
+    rng = random.Random(4242)
+    t = TxTable(spark, str(tmp_path / "t"), checkpoint_interval=2)
+    cols = ["k", "v"]
+    model: dict[int, dict] = {}
+
+    def df_of(rows: list[dict]):
+        schema = ", ".join(f"{c} {'long' if c == 'k' else 'double'}"
+                           for c in cols)
+        return spark.createDataFrame(
+            [tuple(d.get(c) for c in cols) for d in rows], schema)
+
+    def snap_rows(v=None):
+        return {r["k"]: {c: r[c] for c in r.asDict() if c != "k"}
+                for r in t.snapshot(v).collect()}
+
+    init = [{"k": k, "v": float(k)} for k in rng.sample(range(500), 30)]
+    t.create(df_of(init), "k", n_files=3)
+    model.update({d["k"]: {c: d.get(c) for c in cols if c != "k"}
+                  for d in init})
+    def deep(m):
+        return {k: dict(d) for k, d in m.items()}
+
+    versioned = {t.versions()[-1]: (list(cols), deep(model))}
+    n_evolved = 0
+    for step in range(8):
+        op = rng.choice(["append", "merge", "evolve"])
+        if op == "evolve" and n_evolved < 3:
+            n_evolved += 1
+            name = f"e{n_evolved}"
+            t.add_columns({name: "double"})
+            cols.append(name)
+            for d in model.values():      # old rows read the column NULL
+                d[name] = None
+        elif op == "append":
+            rows = [{"k": k, "v": float(step),
+                     **{c: step + 0.25 for c in cols if c.startswith("e")}}
+                    for k in rng.sample(range(1000, 1500), 8)
+                    if k not in model]
+            t.append(df_of(rows))
+            model.update({d["k"]: {c: d.get(c) for c in cols if c != "k"}
+                          for d in rows})
+        else:
+            keys = rng.sample(sorted(model), 4)
+            rows = [{"k": k, "v": step - 0.5,
+                     **{c: float(step) for c in cols if c.startswith("e")}}
+                    for k in keys]
+            t.merge_upsert(df_of(rows))
+            model.update({d["k"]: {c: d.get(c) for c in cols if c != "k"}
+                          for d in rows})
+        assert snap_rows() == model, f"divergence after step {step}: {op}"
+        versioned[t.versions()[-1]] = (list(cols), deep(model))
+    assert n_evolved >= 1, "seed must exercise evolution"
+    for v, (cols_v, model_v) in versioned.items():
+        got = t.snapshot(v)
+        assert got.columns == cols_v, f"schema drift at version {v}"
+        rows_v = {r["k"]: {c: r[c] for c in r.asDict() if c != "k"}
+                  for r in got.collect()}
+        assert rows_v == model_v, f"time travel broken at version {v}"
