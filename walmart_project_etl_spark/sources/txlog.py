@@ -71,6 +71,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -253,6 +254,11 @@ class TxTable:
         staging = os.path.join(self.data_dir, f".stage-{uuid.uuid4().hex}")
         ranged = (df.repartitionByRange(n_files, F.col(key_col)) if n_files
                   else df.repartitionByRange(F.col(key_col)))
+        # sort within each file: parquet row-group min/max stats on the
+        # key become tight and disjoint, so point/range reads skip ROW
+        # GROUPS inside the files the log-level stats couldn't prune —
+        # the second pruning tier, for free at write time
+        ranged = ranged.sortWithinPartitions(key_col)
         ranged.write.mode("overwrite").parquet(staging)
         paths = []
         for name in sorted(os.listdir(staging)):
@@ -734,7 +740,7 @@ class TxCatalog:
     recreating a dropped table requires the purge.
     """
 
-    _NAME_OK = __import__("re").compile(r"^[A-Za-z0-9_]{1,128}$")
+    _NAME_OK = re.compile(r"^[A-Za-z0-9_]{1,128}$")
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
