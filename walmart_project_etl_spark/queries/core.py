@@ -871,6 +871,52 @@ def txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.snapshot(0)
 
 
+@q("txn_point_lookup",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders
+      WHERE o_orderkey BETWEEN 1000 AND 1400""")
+def txn_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-RANGE read on the log table (``read_keys``): the narrow band
+    touches only the files whose [kmin, kmax] intersect it — O(1) files
+    on a range-partitioned table regardless of table size — with the
+    exact predicate as residual filter (file counts pinned in
+    tests/test_txlog.py::test_read_keys_skips_files)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_point")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8)
+    return tt.read_keys(1000, 1400)
+
+
+@q("txn_keyset_lookup",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 1000 = 1""")
+def txn_keyset_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scattered KEY-SET read on the log table (``read_matching``): keys
+    spread across the whole key space defeat range pruning, so the
+    per-file blooms decide which files can hold any requested key; the
+    exact set applies as a semi-join. The batched point-lookup shape a
+    serving layer runs against a 100 TB dimension."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_keyset")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8)
+    keys = o.where(F.col("o_orderkey") % 1000 == 1).select("o_orderkey")
+    return tt.read_matching(keys)
+
+
 @q("txn_catalog_star",
    f"""SELECT c_mktsegment, count(*) AS n,
               {sql_dsum('o_totalprice', 'revenue')}
