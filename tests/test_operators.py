@@ -879,3 +879,33 @@ def test_quality_classifier_train_score_roundtrip(spark):
     row = score_linear(empty, "doc_id", "text", w1, b1).first()
     import math
     assert abs(row["score"] - 1 / (1 + math.exp(-b1))) < 1e-5
+
+
+def test_cross_doc_dup_window_score_planted(spark):
+    """Planted shared span across two docs: window counts and the
+    duplicated fraction must match a brute-force reference; sub-n docs
+    score 0 over 0 windows."""
+    from collections import Counter
+
+    from walmart_project_etl_spark.operators.dedup import \
+        cross_doc_dup_window_score
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [(1, "one two three " + shared),
+            (2, shared + " seven eight"),
+            (3, "nine ten eleven twelve thirteen"),
+            (4, "tiny doc")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in cross_doc_dup_window_score(df, "doc_id", "text",
+                                               n=4).collect()}
+    wins = {did: ([" ".join(t.split()[i:i + 4])
+                   for i in range(len(t.split()) - 3)]
+                  if len(t.split()) >= 4 else [])
+            for did, t in docs}
+    cnt = Counter(w for ws in wins.values() for w in ws)
+    assert cnt.most_common(1)[0][1] > 1      # the plant actually collides
+    for did, ws in wins.items():
+        nw, nd = len(ws), sum(1 for w in ws if cnt[w] > 1)
+        assert (out[did]["n_windows"], out[did]["n_dup_windows"]) == (nw, nd)
+        exp = round(nd / nw, 6) if nw else 0.0
+        assert abs(out[did]["dup_score"] - exp) < 1e-9, did

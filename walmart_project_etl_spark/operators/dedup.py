@@ -807,3 +807,52 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
     return (verified.select("id_a", "id_b",
                             F.round(containment, 6).alias("containment"))
             .where(F.col("containment") >= threshold))
+
+
+def cross_doc_dup_window_score(df: DataFrame, id_col: str, text_col: str,
+                               n: int = 16) -> DataFrame:
+    """Cross-document duplicated-WINDOW scoring — the corpus-level
+    signal behind substring-granular dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022: exact
+    duplication lives at the ~50-token-span level, not whole documents):
+    per document, the fraction of its token ``n``-gram windows whose
+    content occurs MORE THAN ONCE anywhere in the corpus. High scores
+    flag boilerplate-heavy or partially-copied documents that whole-doc
+    exact dedup misses.
+
+    Shape: rolling windows come from one ``sequence`` + ``slice`` +
+    ``md5`` transform per doc (pure Columns, O(tokens) rows after
+    explode), then TWO uniform-key shuffles: a global window-hash count
+    and the per-doc rollup — never all-pairs, never skewed (md5 keys).
+    Documents shorter than ``n`` tokens score 0 over 0 windows. Exact
+    and engine-portable: md5 of the space-joined window reproduces in
+    any SQL engine.
+    """
+    tk = F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""),
+                 r"\s+")
+    base = df.select(F.col(id_col), tk.alias("__tk"))
+    wins = (base.where(F.size("__tk") >= n)
+            .select(id_col,
+                    F.explode(F.transform(
+                        F.sequence(F.lit(1), F.size("__tk") - (n - 1)),
+                        lambda i: F.md5(F.concat_ws(
+                            " ", F.slice("__tk", i, n))))).alias("__h")))
+    counts = wins.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = (wins.join(counts, "__h")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_windows"),
+                    F.sum((F.col("__c") > 1).cast("long"))
+                     .alias("n_dup_windows")))
+    out = (df.select(id_col).join(per_doc, id_col, "left")
+           .select(id_col,
+                   F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+                   F.coalesce("n_dup_windows", F.lit(0))
+                    .alias("n_dup_windows")))
+    # decimal-routed rounding so the fraction is bit-identical on any
+    # engine (same recipe as queries/util.round2)
+    frac = (F.col("n_dup_windows") / F.col("n_windows")) \
+        .cast("decimal(28,8)")
+    score = F.when(F.col("n_windows") > 0,
+                   F.round(frac, 6).cast("double")) \
+             .otherwise(F.lit(0.0))
+    return out.withColumn("dup_score", score)

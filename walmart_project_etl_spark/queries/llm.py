@@ -222,6 +222,40 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, queries, k=10)
 
 
+@q("dedup_cross_doc_ngram_score",
+   r"""WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(
+                 regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS tk
+        FROM documents),
+      w AS (
+        SELECT doc_id, md5(array_to_string(tk[i:i+2], ' ')) AS h
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+              FROM toks WHERE len(tk) >= 3)),
+      c AS (SELECT h, count(*) AS cnt FROM w GROUP BY h),
+      p AS (
+        SELECT doc_id, count(*) AS n_windows,
+               CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_windows
+        FROM w JOIN c USING (h) GROUP BY doc_id)
+      SELECT d.doc_id,
+             COALESCE(p.n_windows, CAST(0 AS BIGINT)) AS n_windows,
+             COALESCE(p.n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows,
+             CASE WHEN COALESCE(p.n_windows, 0) > 0
+                  THEN round(CAST((p.n_dup_windows / p.n_windows)
+                             AS DECIMAL(28,8)), 6)::DOUBLE
+                  ELSE 0.0 END AS dup_score
+      FROM documents d LEFT JOIN p USING (doc_id)""")
+def dedup_cross_doc_ngram_score(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-window scoring (the substring-granular
+    dedup signal of Lee et al., ACL 2022): per doc, the fraction of its
+    token 3-gram windows whose content occurs more than once anywhere in
+    the corpus — two uniform md5-keyed shuffles, never all-pairs
+    (operators/dedup.py:cross_doc_dup_window_score)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.cross_doc_dup_window_score(d, "doc_id", "text", n=3)
+
+
 @q("sim_recall_report",
    """SELECT 'ivf' AS algo, 10 AS k,
              CAST(25 AS BIGINT) AS n_queries, CAST(250 AS BIGINT) AS n_truth,
