@@ -649,3 +649,46 @@ def test_model_schema_evolution_interleaved_with_checkpoints(spark, tmp_path):
         rows_v = {r["k"]: {c: r[c] for c in r.asDict() if c != "k"}
                   for r in got.collect()}
         assert rows_v == model_v, f"time travel broken at version {v}"
+
+
+def test_scd2_merge_tx_read_side_prunes_files(spark, tmp_path):
+    """The SCD2 tx read side must be file-pruned (VERDICT r7 #1): a
+    narrow batch against a many-file dimension fetches its affected
+    version sets through read_matching, scanning FEWER files than the
+    live set — not a full snapshot scan per load."""
+    from walmart_project_etl_spark.operators.scd2 import (scd2_apply,
+                                                          scd2_merge_tx)
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet") \
+             .selectExpr("c_custkey AS ck", "c_name", "c_acctbal AS bal")
+    tracked = ["c_name", "bal"]
+    dim1 = scd2_apply(None, c.select("ck", *tracked), "ck", tracked,
+                      "sk", "2026-01-02",
+                      F.lit("2026-01-02 00:00:00").cast("timestamp"))
+    t = TxTable(spark, str(tmp_path / "dim"))
+    t.create(dim1, "ck", n_files=10)
+    _, live = t._state()
+
+    scanned: list[int] = []
+    orig = t.read_matching
+
+    def spying_read_matching(keys, version=None):
+        out = orig(keys, version)
+        scanned.append(len(out.inputFiles()))
+        return out
+
+    t.read_matching = spying_read_matching
+    lo = c.agg(F.min("ck")).first()[0]
+    src2 = (c.where(F.col("ck") <= lo + 4)
+            .select("ck", "c_name", (F.col("bal") + 1).alias("bal")))
+    scd2_merge_tx(t, src2, "ck", tracked, "sk", "2026-02-01",
+                  F.lit("2026-02-01 00:00:00").cast("timestamp"))
+    # the read side went through read_matching and pruned files
+    assert scanned, "scd2_merge_tx no longer reads via read_matching"
+    assert scanned[0] < len(live), (scanned, len(live))
+    # and the result still matches the full rewrite
+    expected = scd2_apply(dim1, src2, "ck", tracked, "sk", "2026-02-01",
+                          F.lit("2026-02-01 00:00:00").cast("timestamp"))
+    cols = ["sk", "ck", "c_name", "bal", "effective_date", "expiry_date",
+            "is_current", "version"]
+    assert _rows(t.snapshot(), cols) == _rows(expected, cols)

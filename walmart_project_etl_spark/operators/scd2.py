@@ -128,22 +128,25 @@ def scd2_merge_tx(table, source: DataFrame, key: str,
     txn wrapper :394-479), which ``scd2_apply`` over a plain parquet
     warehouse can only express as a whole-dimension rewrite.
 
-    How it stays O(touched files): all versions of a natural key live in
-    files whose [kmin, kmax]+bloom stats cover that key (appends/merges
-    range-partition on it), so the semi-join below pulls EXACTLY the
-    source keys' version sets; :func:`scd2_apply` re-derives those keys'
-    full version sets (history + expired + unchanged + new versions);
-    and ``merge_upsert`` replaces every stored row of those keys with the
-    new set in one commit, leaving every other file byte-identical
-    (asserted in ``tests/test_txlog.py::test_scd2_merge_tx_*``). A crash
+    How it stays O(touched files) on BOTH sides: all versions of a
+    natural key live in files whose [kmin, kmax]+bloom stats cover that
+    key (appends/merges range-partition on it), so ``read_matching``
+    below scans only the files that can contain a source key and
+    semi-joins down to EXACTLY the source keys' version sets — a narrow
+    batch against a wide dimension reads O(matching files), never the
+    table; :func:`scd2_apply` re-derives those keys' full version sets
+    (history + expired + unchanged + new versions); and ``merge_upsert``
+    replaces every stored row of those keys with the new set in one
+    commit, leaving every other file byte-identical (asserted in
+    ``tests/test_txlog.py::test_scd2_merge_tx_*``; the read-side file
+    pruning in ``test_scd2_merge_tx_read_side_prunes_files``). A crash
     between "expire" and "insert" is impossible by construction — they
     are not two statements but one commit.
 
     ``source`` must be one row per ``key`` (W1-deduped), like
     :func:`scd2_apply`. Returns the merge's pruning stats.
     """
-    affected = table.snapshot().join(source.select(key).distinct(),
-                                     key, "semi")
+    affected = table.read_matching(source.select(key).distinct())
     new_rows = scd2_apply(affected, source, key, tracked_cols,
                           surrogate_col, run_date, now_ts)
     return table.merge_upsert(new_rows)
