@@ -4,7 +4,9 @@ Driver north-star surface: dedup (exact / MinHash-LSH / SimHash / n-gram
 Jaccard), similarity search (brute-force + LSH ANN), text analysis
 (lang-id, quality, token counts, fingerprints), multimodal plumbing, and
 the streaming twins. Oracles replicate the exact operator semantics in
-DuckDB SQL; xxhash64-dependent operators are rows-only (noted per query).
+DuckDB SQL; engine-internal outputs (xxhash64 signatures, seeded LSH
+planes, seeded KMeans, sketches) carry pinned sf0.01 goldens instead
+(queries/goldens/, tools/pin_golden.py).
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ from pyspark.sql.window import Window
 from walmart_project_etl_spark.operators import (dedup, events, multimodal,
                                                  similarity, text)
 
-from .util import events_dir, events_t, t
+from .util import events_dir, events_t, pinned, t
 
 QUERIES: dict = {}
 
@@ -128,20 +130,21 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          k=3, threshold=0.9, unit="word")
 
 
-@q("dedup_minhash_lsh", None)  # xxhash64 signatures — rows-only
+@q("dedup_minhash_lsh", pinned("dedup_minhash_lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH banding (16×4) near-dup pairs at est-Jaccard ≥ 0.5.
-    Rows-only: signatures are xxhash64-based. The banded self-join keys on
+    Signatures are xxhash64-based (no DuckDB twin), so the oracle pins the
+    full 211-pair sf0.01 output. The banded self-join keys on
     uniformly-distributed band hashes — near-linear at 100 TB."""
     corpus = _docs_with_dupes(spark, sf_dir)
     return dedup.minhash_dedup(corpus, "doc_id", "text", threshold=0.5) \
                 .orderBy("id_a", "id_b")
 
 
-@q("dedup_simhash", None)  # xxhash64 signatures — rows-only
+@q("dedup_simhash", pinned("dedup_simhash"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 near-dup pairs (Hamming ≤ 3) with 16-bit-chunk pigeonhole
-    blocking. Rows-only: xxhash64-based."""
+    blocking. xxhash64-based — oracle pins the full sf0.01 pair set."""
     corpus = _docs_with_dupes(spark, sf_dir)
     return dedup.simhash_dedup(corpus, "doc_id", "text", max_hamming=3)
 
@@ -197,25 +200,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.3)
 
 
-@q("dedup_embedding_lsh", None)  # seeded-hyperplane candidates — rows-only
+@q("dedup_embedding_lsh", pinned("dedup_embedding_lsh"))
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH banding + exact cosine
     re-rank — the scale twin of ``dedup_embedding_cosine`` (same threshold
     0.3, band-code equi-join at the scale defaults: 64 planes / 8 bands
-    of 8 bits / 1 probe bit — never all-pairs). Rows-only: the seeded
-    hyperplane draws are engine-internal; precision 1.0 by construction,
-    recall pinned in tests (≥0.9 on planted near-dups at the defaults;
-    partial by design at this artificially low 0.3 threshold)."""
+    of 8 bits / 1 probe bit — never all-pairs). The seeded hyperplane
+    draws are engine-internal, so the oracle pins the full sf0.01 pair
+    set; precision 1.0 by construction, recall additionally pinned in
+    tests (≥0.9 on planted near-dups at the defaults; partial by design
+    at this artificially low 0.3 threshold)."""
     emb = t(spark, sf_dir, "embeddings")
     return dedup.embedding_lsh_pairs(emb, "vec_id", "embedding", threshold=0.3)
 
 
-@q("sim_lsh_ann_topk", None)  # seeded-hyperplane signatures — rows-only
+@q("sim_lsh_ann_topk", pinned("sim_lsh_ann_topk"))
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN (random-hyperplane band codes, 64 planes / 8 bands of
     8 bits, query-side multi-probe): candidates via band-code join, exact
-    cosine re-rank. Rows-only: the seeded hyperplane draws are
-    engine-internal."""
+    cosine re-rank. The seeded hyperplane draws are engine-internal, so
+    the oracle pins the full sf0.01 top-k set."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 7) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -267,7 +271,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DRIVER-VISIBLE ANN quality gate: recall@10 of the IVF and LSH
     paths against the IN-PLAN brute-force truth, over a seeded
     deterministic query batch (vec_id % 20 = 7). The sim_* top-k queries
-    themselves are rows-only forever (engine-internal KMeans/hyperplane
+    themselves carry pinned-golden oracles (engine-internal KMeans/hyperplane
     draws), so this report is how recall regressions become a FAILED
     exact-oracle row instead of an invisible quality drop: the oracle
     pins the golden hit counts at sf0.01 (IVF 167/250 = 0.67 at
@@ -875,13 +879,14 @@ def mm_real_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_samples", "sum_abs", "peak")
 
 
-@q("mm_byte_histogram_features", None)  # Arrow/pandas path — rows-only
+@q("mm_byte_histogram_features", pinned("mm_byte_histogram_features"))
 def mm_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram features via mapInPandas (stand-in embedding model;
     identical Arrow plumbing). The raw array<double> column lives on the
     operator API (tests assert exact values); the driver-facing result
     serializes it to scalars (JSON string + length) because the harness
-    canonicalizer cannot sort list-valued columns. Rows-only."""
+    canonicalizer cannot sort list-valued columns. Oracle = pinned sf0.01
+    golden of all 500 serialized feature rows."""
     media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media, dim=8)
     return feats.select(
@@ -1240,14 +1245,15 @@ def j11_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double").alias("sum_price")))
 
 
-@q("sketch_approx_aggs", None)  # sketch estimates — rows-only by nature
+@q("sketch_approx_aggs", pinned("sketch_approx_aggs"))
 def sketch_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB sketch path: HyperLogLog++ distinct counts and
     quantile-sketch medians per group — single pass, fixed-size state per
     group regardless of data volume (the exact twins are a05 /
     olap_percentiles). Estimates are engine-specific, so the driver check
-    is rows-only; tests/ bounds the relative error against the exact
-    values."""
+    pins the estimates as an sf0.01 golden (sketches are deterministic
+    algorithms); tests/ additionally bounds the relative error against
+    the exact values."""
     li = t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
             .agg(F.approx_count_distinct("l_orderkey", rsd=0.01)
@@ -1317,11 +1323,12 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"), F.sum("__p.k").alias("sum_k")))
 
 
-@q("sim_ivf_ann_topk", None)  # KMeans centroids are engine-internal — rows-only
+@q("sim_ivf_ann_topk", pinned("sim_ivf_ann_topk"))
 def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: KMeans coarse quantizer (16 cells), probe the 4
     nearest cells per query, exact cosine re-rank — the FAISS recipe as
-    DataFrame ops. Rows-only; recall vs brute force asserted in tests/."""
+    DataFrame ops. Oracle = pinned sf0.01 golden of the top-k set; recall
+    vs brute force asserted in tests/ and gated by sim_recall_report."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 7) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -1365,7 +1372,7 @@ def ivf_index_from_store(spark: SparkSession, sf_dir: str):
     return assigned, centroids
 
 
-@q("sim_ivf_persisted_topk", None)  # KMeans centroids engine-internal — rows-only
+@q("sim_ivf_persisted_topk", pinned("sim_ivf_persisted_topk"))
 def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The build-once/query-MANY serving shape end-to-end: a FRESH query
     batch (vec_id % 100 = 23 — disjoint from the one-shot query's batch)
@@ -1382,14 +1389,14 @@ def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_query(assigned, centroids, queries, k=10)
 
 
-@q("mm_resize_images", None)  # Arrow/pandas path — rows-only
+@q("mm_resize_images", pinned("mm_resize_images"))
 def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: payload → fixed 8×8 pixel grid via mapInPandas
     (stride-sampled stub; real interpolation is the codec integration
     point). The array<int> pixel grid stays on the operator API (tests
     assert grid exactness); the driver-facing result serializes it to
     scalars (xxhash64 digest + length) so the harness canonicalizer can
-    sort the rows. Rows-only."""
+    sort the rows. Oracle = pinned sf0.01 golden of all 500 rows."""
     media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
     grids = multimodal.resize_images(media, target_w=8, target_h=8)
     return grids.select(

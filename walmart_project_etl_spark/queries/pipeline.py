@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 from walmart_project_etl_spark.functions import rules
 
+from .util import pinned
+
 REFERENCE_CSV = "/root/reference/data/walmart_data.csv"
 RUN_DATE = "2025-01-01"
 BATCH_ID = "BATCH_1"
@@ -216,7 +218,7 @@ def pipe_ods_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM src""")
 def pipe_ods_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ODS product dim: A9 distinct projection + F1 hash id (supplier pick
-    is xxhash-based, checked rows-only elsewhere; reference
+    is xxhash-based, exact-checked via pinned goldens elsewhere; reference
     ``etl_ods_loader.py:398-449``). unit_price surfaces as DOUBLE on both
     sides (the warehouse column stays DECIMAL(10,2); a decimal output
     arrives in pandas as object and breaks the driver's dtype-sensitive
@@ -534,9 +536,10 @@ def pipe_bi_net_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame
                  .cast("double").alias("total_net_revenue")))
 
 
-@q("pipe_bi_returns_by_category", None)  # synthetic returns are xxhash-seeded
+@q("pipe_bi_returns_by_category", pinned("pipe_bi_returns_by_category"))
 def pipe_bi_returns_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BI: returns by product category. Rows-only — the returns fact is
+    """BI: returns by product category. Oracle = pinned sf0.01 golden
+    (3 category rows) — the returns fact is
     synthesized with seeded xxhash draws (F31), not reproducible in SQL."""
     r = _wt(spark, "stg_returns")
     p = _wt(spark, "stg_product").select("product_key", "product_category")
@@ -547,11 +550,11 @@ def pipe_bi_returns_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double").alias("total_returned")))
 
 
-@q("pipe_f31_f32_synthetic_facts", None)  # xxhash-seeded — rows-only
+@q("pipe_f31_f32_synthetic_facts", pinned("pipe_f31_f32_synthetic_facts"))
 def pipe_synthetic_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F31/F32 + O1/O3: synthetic returns (~10% of latest 5000 sales) and
     bounded inventory grid (30 dates × ≤100 products × ≤50 stores).
-    Rows-only; volume bounds asserted in tests/."""
+    Oracle = pinned sf0.01 golden; volume bounds asserted in tests/."""
     r = _wt(spark, "ods_returns")
     i = _wt(spark, "ods_inventory")
     return r.agg(F.count(F.lit(1)).alias("n_returns")).crossJoin(
@@ -729,10 +732,11 @@ def pipe_scd_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unit_price").cast("double").alias("unit_price"))
 
 
-@q("pipe_a08_quality_ratios", None)  # returns/inventory are synthetic — rows-only
+@q("pipe_a08_quality_ratios", pinned("pipe_a08_quality_ratios"))
 def pipe_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: the four distribution ratio checks (reference
-    ``etl_staging_loader.py:1349-1381``). Rows-only: two of the four run
+    ``etl_staging_loader.py:1349-1381``). Oracle = pinned sf0.01 golden
+    of the four ratio rows: two of the four run
     over synthetic (hash-seeded) facts."""
     from walmart_project_etl_spark.quality import ratio_checks
     stg = {name: _wt(spark, name) for name in (

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from walmart_project_etl_spark.operators import (cleaning, dedup, graph,
                                                  packing, sampling, text)
 
-from .util import t
+from .util import pinned, t
 
 QUERIES: dict = {}
 
@@ -1048,13 +1048,14 @@ def incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.finalize(state, keys)
 
 
-@q("dedup_decontaminate_semantic", None)  # seeded hyperplanes — rows-only
+@q("dedup_decontaminate_semantic", pinned("dedup_decontaminate_semantic"))
 def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic decontamination: corpus embeddings within
     cosine 0.85 of ANY benchmark embedding (vec_id % 20 == 0) are dropped
     via cross-table hyperplane-LSH banding + exact-cosine verify — the
     paraphrase-robust twin of the n-gram dedup_decontaminate
-    (operators/dedup.py:decontaminate_semantic). Rows-only: hyperplane
+    (operators/dedup.py:decontaminate_semantic). Oracle = pinned sf0.01
+    golden of the 475 surviving ids: hyperplane
     draws are engine-internal; the benchmark rows themselves (cosine 1.0
     to themselves, always probed into their own bucket) are guaranteed
     dropped, pinned with recall tests in tests/."""
@@ -1065,13 +1066,14 @@ def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id").orderBy("vec_id")
 
 
-@q("incr_distinct_maintenance", None)  # HLL sketch estimate — rows-only
+@q("incr_distinct_maintenance", pinned("incr_distinct_maintenance"))
 def incr_distinct_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental COUNT(DISTINCT) maintenance: per-returnflag HLL
     sketches of l_partkey built on a base load, folded with two delta
     batches by lossless sketch union — the one common metric a
     (count,sum,min,max) state cannot maintain without storing every seen
-    value (operators/incremental.py:distinct_state). Rows-only: the
+    value (operators/incremental.py:distinct_state). Oracle = pinned
+    sf0.01 golden: the
     estimate is a Datasketches HLL internal; merge-losslessness (folded
     == one-shot sketch) and <5% error vs exact are pinned by
     tests/test_properties.py."""

@@ -194,3 +194,78 @@ def dsum(col: Column | str, alias: str, scale: int = 2) -> Column:
 def sql_dsum(expr: str, alias: str, scale: int = 2) -> str:
     """DuckDB twin of :func:`dsum`."""
     return f"round(sum(CAST({expr} AS DECIMAL(28,6))), {scale})::DOUBLE AS {alias}"
+
+
+# --------------------------------------------------------------- goldens
+
+#: Directory of pinned-golden oracle row sets (one JSON file per query).
+GOLDENS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "goldens")
+
+#: Spark simple-type → VALUES literal renderer tag.
+_GOLDEN_TYPES = ("bigint", "int", "double", "string", "boolean", "date")
+
+
+def _golden_literal(v, typ: str) -> str:
+    if v is None:
+        return "NULL"
+    if typ == "double":
+        r = repr(float(v))
+        # a bare decimal literal parses as DECIMAL in DuckDB; an exponent
+        # forces a direct (bit-exact) DOUBLE parse
+        return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) \
+            else r + "e0"
+    if typ == "boolean":
+        return "TRUE" if v else "FALSE"
+    if typ == "string":
+        return "'" + str(v).replace("'", "''") + "'"
+    if typ == "date":
+        return f"DATE '{v}'"
+    return str(int(v))
+
+
+def pinned(name: str) -> str:
+    """Render the pinned-golden oracle for ``name`` — a constant
+    ``SELECT * FROM (VALUES ...)`` materializing the query's OWN sf0.01
+    output, regenerated by ``tools/pin_golden.py`` (which runs the query
+    twice and refuses to pin nondeterminism; cross-session stability is
+    then proven by ``tools/check_oracle.py`` in a fresh process).
+
+    This is the exact-oracle mechanism for DETERMINISTIC engine-internal
+    outputs DuckDB cannot recompute (seeded xxhash64 draws, plan-time LSH
+    hyperplanes, seeded KMeans, HLL/quantile sketches): the driver's
+    value hash then proves the full row set, not just a row count.
+    PINNED-ENVIRONMENT ASSUMPTION: goldens encode this Spark/numpy build's
+    float behavior; a platform upgrade that shifts low bits shows up as a
+    value mismatch and requires a re-pin (documented in docs/COVERAGE.md).
+    """
+    import json
+
+    with open(os.path.join(GOLDENS_DIR, f"{name}.json")) as fh:
+        g = json.load(fh)
+    cols = [c["name"] for c in g["columns"]]
+    types = [c["type"] for c in g["columns"]]
+    unknown = [t for t in types if t not in _GOLDEN_TYPES]
+    assert not unknown, f"golden {name}: unrenderable types {unknown}"
+    first = True
+    rows_sql = []
+    for row in g["rows"]:
+        lits = [_golden_literal(v, t) for v, t in zip(row, types)]
+        if first:
+            # casts on the first row pin the VALUES clause's unified
+            # column types (BIGINT vs DuckDB's default INTEGER, etc.)
+            duck = {"bigint": "BIGINT", "int": "INTEGER",
+                    "double": "DOUBLE", "string": "VARCHAR",
+                    "boolean": "BOOLEAN", "date": "DATE"}
+            lits = [f"CAST({l} AS {duck[t]})"
+                    for l, t in zip(lits, types)]
+            first = False
+        rows_sql.append("(" + ", ".join(lits) + ")")
+    quoted = [f'"{c}"' for c in cols]     # e.g. `check` is reserved
+    if not rows_sql:
+        sel = ", ".join(f"CAST(NULL AS {t.upper()}) AS {c}"
+                        for c, t in zip(quoted, types))
+        return f"SELECT {sel} WHERE FALSE"
+    return ("SELECT * FROM (VALUES "
+            + ",\n       ".join(rows_sql)
+            + f") AS __g({', '.join(quoted)})")
