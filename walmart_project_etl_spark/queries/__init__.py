@@ -23,21 +23,23 @@ from . import core, funcs, llm, pipeline, trainprep
 _MODULES = (core, funcs, pipeline, llm, trainprep)
 
 #: Curated registration order. The driver's correctness harness records rows
-#: for (at most) the first 50 registry entries. Rounds 2-6 put green driver
-#: rows on 174 distinct entries with zero value failures; this round's
-#: window (r7, per VERDICT r6 task 3) leads with the 8 entries that have
-#: NEVER had a driver row (pipe_a08 + pipe_bi_returns_by_category carry
-#: exact oracles; the other six are rows-only by design, pinned by tests),
-#: then the 7 r7-new queries (SCD2 through the transaction table, tx-log
-#: date data-skipping, tx DELETE+OPTIMIZE, additive schema evolution,
-#: the multi-table catalog, the pinned-golden ANN recall gate, the
-#: distilled quality classifier), then refreshes ALL 24 entries whose
-#: latest row still dates from r2, then the 11 oldest r3 rows. After
-#: this round every registry entry has a driver row, nothing predates
-#: r3, and only 11 r3 rows predate r4 —
-#: all on code unchanged since and local-exact-green this session.
+#: for (at most) the first 50 registry entries. Rounds 2-7 put green driver
+#: rows on 189 distinct entries with zero value failures; this round's
+#: window (r8, per VERDICT r7 task 3) leads with the 3 entries that have
+#: NEVER had a driver row (all r7-new, local-exact-green), then the 17
+#: entries that were rows-only (`err: no_oracle`) in every prior round and
+#: now carry pinned sf0.01 goldens (queries/goldens/ — the driver can
+#: value-hash them for the first time), then scd2_merge_tx (its read side
+#: changed this round: read_matching file pruning), then the 10 remaining
+#: r3-era rows, then 19 of the 39 r4-era rows. After this round every
+#: registry entry has a driver row and nothing predates r4; the 20 r4 rows
+#: still deferred (named below the tuple) rotate next round.
 _PRIORITY = (
-    # never driver-checked (VERDICT r6 task 3) — exact oracles first
+    # never driver-checked (r7-new, added after the r7 driver run)
+    "txn_point_lookup",
+    "txn_keyset_lookup",
+    "dedup_cross_doc_ngram_score",
+    # formerly rows-only, now pinned-golden exact (VERDICT r7 task 2)
     "pipe_a08_quality_ratios",
     "pipe_bi_returns_by_category",
     "dedup_decontaminate_semantic",
@@ -46,53 +48,60 @@ _PRIORITY = (
     "f31_seeded_random_draws",
     "f32_synthetic_inventory_levels",
     "pipe_f31_f32_synthetic_facts",
-    # r7-new queries
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "sim_lsh_ann_topk",
+    "sim_ivf_ann_topk",
+    "sim_ivf_persisted_topk",
+    "mm_byte_histogram_features",
+    "mm_resize_images",
+    "sketch_approx_aggs",
+    # code changed this round (read side now file-pruned) — re-prove
     "scd2_merge_tx",
-    "txn_date_skipping",
-    "txn_delete_compact",
-    "txn_schema_evolution",
-    "txn_catalog_star",
-    "sim_recall_report",
-    "text_quality_classifier_report",
-    # breadth refresh: every remaining r2-era row (code unchanged,
-    # local-exact-green — freshness, not risk)
-    "p04_date_membership_semi_join",
-    "p05_skip_missing_dim_key",
-    "p06_boolean_flag_filters",
-    "p07_rn1_filter",
-    "j02_broadcast_key_map_join",
-    "j06_grouped_max_lookup_join",
-    "j09_interval_join_scd2",
-    "a01_groupby_mode",
-    "a04_count_star_tables",
-    "a08_conditional_ratio",
-    "a09_distinct_rows",
-    "w01_window_dedup_latest",
-    "o01_orderby_limit_topk",
-    "o02_full_sort",
-    "o03_recent_slice",
-    "u01_union_distinct",
-    "skew_salted_aggregate",
-    "f02_f29_date_int_id",
-    "f03_f05_f06_date_parts",
-    "f04_multiformat_date_parse",
-    "f07_f08_safe_cast_age_group",
-    "f09_title_case_clean",
-    "f10_null_defaults",
-    "f11_f13_product_rules",
-    # oldest r3 rows (11 of 22; the remaining 11 rotate next round)
-    "j12_bucketed_colocated_join",
-    "j04_d01_scd1_merge",
-    "j05_j06_j07_d02_scd2_two_run",
-    "j08_multiway_fact_join",
-    "skew_salted_join",
-    "f01_md5_key_generation",
-    "pipe_s01_s02_f04_csv_ingest",
-    "pipe_d02_scd_fixture",
-    "text_stats_quality",
-    "text_langid",
-    "text_token_counts",
+    # the remaining r3-era rows (code unchanged; freshness) — 10 here,
+    # plus sketch_approx_aggs above (r3-stale AND newly pinned)
+    "events_dedup_latest",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "olap_percentiles",
+    "olap_pivot_event_values",
+    "sample_hash_split",
+    "sample_weighted_mixture",
+    "text_fingerprint",
+    "text_normalize",
+    "text_redact_pii",
+    # oldest r4-era rows, 19 of 39 (code unchanged; freshness)
+    "f14_market_from_region",
+    "f15_supplier_type",
+    "f16_f17_return_reason_rules",
+    "f18_f21_sales_rules",
+    "f22_f23_return_timing",
+    "f24_f26_inventory_rules",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_json_extract",
+    "events_sessionization",
+    "w02_moving_average",
+    "w03_rank_family",
+    "olap_unpivot_metrics",
+    "pipe_bi_kpi_totals",
+    "pipe_bi_net_revenue_by_region",
+    "pipe_bi_profit_by_year",
+    "pipe_bi_sales_by_agegroup",
+    "pipe_bi_sales_by_category",
+    "pipe_bi_sales_by_segment",
 )
+#: r4-era rows deferred to the r9 window (20): pipe_bi_sales_by_shipmode,
+#: pipe_bi_sales_by_state, pipe_a01_a02_f01_ods_customers,
+#: pipe_a09_f01_ods_products, pipe_d01_d02_tgt_dim_counts,
+#: pipe_d02_tgt_scd2_shape, pipe_f01_ods_stores,
+#: pipe_f07_f08_stg_customer_ages, pipe_f11_f13_stg_products,
+#: pipe_f14_stg_store_markets, pipe_f18_f21_stg_sales_metrics,
+#: pipe_j03_a04_quality_gates, pipe_j08_j09_tgt_sales_by_category,
+#: pipe_p03_p04_ods_sales, pipe_u01_f02_f03_ods_dates,
+#: sample_cap_per_source, sample_pack_sequences, text_chunk_windows,
+#: text_curation_funnel, text_repetition_signals.
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

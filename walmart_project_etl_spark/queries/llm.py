@@ -278,7 +278,11 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probe=4/16 cells; LSH 226/250 = 0.90 at 64 planes / 8 bands /
     2 probe bits — both re-verified deterministic across runs). Any
     change to the quantizer, banding, or probe logic that moves recall
-    shows up as a value mismatch here."""
+    shows up as a value mismatch here. PINNED-ENVIRONMENT: the hit
+    counts ride on this build's float behavior (KMeans/cosine sums); a
+    platform upgrade that shifts low bits means re-pin via
+    tools/pin_golden.py, not a correctness bug (docs/COVERAGE.md
+    "Pinned goldens")."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 20 == 7) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -318,7 +322,10 @@ def text_quality_classifier_report(spark: SparkSession,
     scale). The oracle pins the held-out confusion matrix (65+69 right,
     7 wrong = 0.95 accuracy at sf0.01; LBFGS from a zero start is
     deterministic, re-verified across runs) — a feature-extraction or
-    training regression becomes a failed exact row."""
+    training regression becomes a failed exact row. PINNED-ENVIRONMENT:
+    the matrix rides on this build's LBFGS float trajectory; an
+    environment upgrade that moves it means re-pin and review
+    (docs/COVERAGE.md "Pinned goldens")."""
     from walmart_project_etl_spark.operators.classifier import (
         score_linear, train_linear_classifier)
 
