@@ -77,7 +77,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
-              vec_col: str = "embedding", n_clusters: int = 16,
+              vec_col: str = "embedding", n_clusters: int = 64,
               seed: int = 42) -> tuple[DataFrame, list[list[float]]]:
     """Build the IVF index ONCE: KMeans coarse quantizer + cell-assigned
     corpus. Returns ``(assigned, centroids)`` — persist ``assigned`` as a
@@ -112,15 +112,22 @@ def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
 
 def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 query_id_col: str = "query_id", n_clusters: int = 16,
-                 n_probe: int = 4, seed: int = 42) -> DataFrame:
+                 query_id_col: str = "query_id", n_clusters: int = 64,
+                 n_probe: int = 16, seed: int = 42) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus with KMeans,
     probe the ``n_probe`` nearest cells per query, exact cosine re-rank
     within the probed cells.
 
     Index build is one KMeans fit (sampled at scale) + one assignment
     pass; query cost is |corpus|·(n_probe/n_clusters) exact comparisons —
-    the classic FAISS IVF-Flat recipe expressed as DataFrame ops. The
+    the classic FAISS IVF-Flat recipe expressed as DataFrame ops.
+
+    Defaults (64 cells, 16 probes) come from an sf0.01 recall@10 sweep
+    against brute-force truth: at a fixed 25% scan fraction, 16/4 →
+    0.668, 32/8 → 0.768, 64/16 → 0.832 recall (finer quantization wins
+    at equal cost); 32/12 and 64/20 reach 0.88 at 38% scan. Re-run the
+    sweep (VERDICT r7 task 5 methodology) before changing them — the
+    sim_recall_report golden pins the resulting hit counts. The
     centroid table is tiny and rides along as literals, so cell scoring is
     pure JVM arithmetic; the only shuffle is the per-query top-k window.
     For repeated query batches build the index once with
@@ -136,7 +143,7 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 def ivf_query(assigned: DataFrame, centroids: list[list[float]],
               queries: DataFrame, k: int = 10, id_col: str = "vec_id",
               vec_col: str = "embedding", query_id_col: str = "query_id",
-              n_probe: int = 4) -> DataFrame:
+              n_probe: int = 16) -> DataFrame:
     """Serve a query batch against a prebuilt IVF index
     (:func:`ivf_build` output, or its persisted parquet + centroid list):
     probe each query's ``n_probe`` nearest cells, exact cosine re-rank

@@ -263,7 +263,7 @@ def dedup_cross_doc_ngram_score(spark: SparkSession,
 @q("sim_recall_report",
    """SELECT 'ivf' AS algo, 10 AS k,
              CAST(25 AS BIGINT) AS n_queries, CAST(250 AS BIGINT) AS n_truth,
-             CAST(167 AS BIGINT) AS n_hits
+             CAST(208 AS BIGINT) AS n_hits
       UNION ALL
       SELECT 'lsh', 10, CAST(25 AS BIGINT), CAST(250 AS BIGINT),
              CAST(226 AS BIGINT)""")
@@ -274,8 +274,9 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves carry pinned-golden oracles (engine-internal KMeans/hyperplane
     draws), so this report is how recall regressions become a FAILED
     exact-oracle row instead of an invisible quality drop: the oracle
-    pins the golden hit counts at sf0.01 (IVF 167/250 = 0.67 at
-    n_probe=4/16 cells; LSH 226/250 = 0.90 at 64 planes / 8 bands /
+    pins the golden hit counts at sf0.01 (IVF 208/250 = 0.83 at
+    n_probe=16/64 cells — the fixed-scan-fraction sweep knee documented
+    in operators/similarity.py; LSH 226/250 = 0.90 at 64 planes / 8 bands /
     2 probe bits — both re-verified deterministic across runs). Any
     change to the quantizer, banding, or probe logic that moves recall
     shows up as a value mismatch here. PINNED-ENVIRONMENT: the hit
@@ -1332,9 +1333,10 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("sim_ivf_ann_topk", pinned("sim_ivf_ann_topk"))
 def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN: KMeans coarse quantizer (16 cells), probe the 4
-    nearest cells per query, exact cosine re-rank — the FAISS recipe as
-    DataFrame ops. Oracle = pinned sf0.01 golden of the top-k set; recall
+    """IVF-Flat ANN: KMeans coarse quantizer (64 cells), probe the 16
+    nearest of 64 cells per query, exact cosine re-rank — the FAISS
+    recipe as DataFrame ops (defaults from the recall sweep documented
+    in operators/similarity.py:ivf_ann_topk). Oracle = pinned sf0.01 golden of the top-k set; recall
     vs brute force asserted in tests/ and gated by sim_recall_report."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 7) \
@@ -1364,7 +1366,7 @@ def ivf_index_from_store(spark: SparkSession, sf_dir: str):
         def build(out: str) -> None:
             emb = t(spark, sf_dir, "embeddings")
             assigned, centroids = similarity.ivf_build(
-                emb, "vec_id", "embedding", n_clusters=16, seed=42)
+                emb, "vec_id", "embedding", n_clusters=64, seed=42)
             Warehouse(spark, out).write("tgt", "ivf_index", assigned,
                                         partition_by=["cell"])
             with open(os.path.join(out, "centroids.json"), "w") as fh:
