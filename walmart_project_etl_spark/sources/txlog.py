@@ -738,15 +738,23 @@ class TxCatalog:
     stay independently atomic, like Delta's per-table logs) and a
     dropped name's directory survives for audit until ``purge=True`` —
     recreating a dropped table requires the purge.
+
+    Listing cost follows the same O(recent) discipline as the table log:
+    every ``checkpoint_interval`` catalog commits the writer materializes
+    the live {name: create-action} map into
+    ``_catalog/<version>.checkpoint.json``; ``_entries`` starts from the
+    newest checkpoint and replays only the commits after it.
     """
 
     _NAME_OK = re.compile(r"^[A-Za-z0-9_]{1,128}$")
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 checkpoint_interval: int = 10):
         self.spark = spark
         self.root = root
         self.log_dir = os.path.join(root, "_catalog")
         self.tables_dir = os.path.join(root, "tables")
+        self.checkpoint_interval = checkpoint_interval
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.tables_dir, exist_ok=True)
 
@@ -770,10 +778,27 @@ class TxCatalog:
         finally:
             os.unlink(tmp)
 
-    def _entries(self) -> dict[str, dict]:
-        """{name: create-action} of the LIVE tables (log replay)."""
+    def _ck_versions(self) -> list[int]:
+        return sorted(int(f[:8]) for f in os.listdir(self.log_dir)
+                      if f.endswith(".checkpoint.json")
+                      and f[:8].isdigit())
+
+    def _replay(self, upto: int | None = None) -> dict[str, dict]:
+        """{name: create-action} of the LIVE tables at a version — newest
+        checkpoint at-or-before it + replay of only the commits after
+        (O(recent), mirroring ``TxTable._state``)."""
         live: dict[str, dict] = {}
+        start = -1
+        cks = [v for v in self._ck_versions()
+               if upto is None or v <= upto]
+        if cks:
+            with open(os.path.join(self.log_dir,
+                                   f"{cks[-1]:08d}.checkpoint.json")) as fh:
+                live = {a["name"]: a for a in json.load(fh)["live"]}
+            start = cks[-1]
         for v in self._versions():
+            if v <= start or (upto is not None and v > upto):
+                continue
             with open(os.path.join(self.log_dir, f"{v:08d}.json")) as fh:
                 for line in fh:
                     if not line.strip():
@@ -784,6 +809,27 @@ class TxCatalog:
                     elif a["op"] == "drop_table":
                         live.pop(a["name"], None)
         return live
+
+    def _entries(self) -> dict[str, dict]:
+        return self._replay()
+
+    def _maybe_checkpoint(self, v: int) -> None:
+        """Materialize the live table map beside commit ``v`` every
+        ``checkpoint_interval`` commits (deterministic content per
+        version, so a concurrent double-write is harmless)."""
+        if v == 0 or v % self.checkpoint_interval != 0:
+            return
+        live = self._replay(v)
+        tmp = os.path.join(self.log_dir, f".ck-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "live": list(live.values())}, fh)
+        dst = os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
+        try:
+            os.link(tmp, dst)
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
 
     def list_tables(self) -> list[str]:
         return sorted(self._entries())
@@ -807,6 +853,7 @@ class TxCatalog:
             v = (self._versions() or [-1])[-1] + 1
             if self._commit({"op": "create_table", "name": name,
                              "key_col": key_col}, v):
+                self._maybe_checkpoint(v)
                 return t
 
     def table(self, name: str) -> TxTable:
@@ -820,6 +867,7 @@ class TxCatalog:
         while True:
             v = self._versions()[-1] + 1
             if self._commit({"op": "drop_table", "name": name}, v):
+                self._maybe_checkpoint(v)
                 break
         if purge:
             shutil.rmtree(os.path.join(self.tables_dir, name),
