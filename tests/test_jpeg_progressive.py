@@ -389,3 +389,39 @@ def test_progressive_random_scan_scripts_roundtrip(seed):
     _, _, _, want = _expected(bw * 8, bh * 8, comps, {0: _Q16}, coeffs)
     assert (w, h, c) == (bw * 8, bh * 8, 1), (seed, bands)
     assert np.array_equal(got, want), (seed, bands)
+
+
+# ------------------------------------------------ real-encoder golden
+
+def test_real_progressive_jpeg_golden():
+    """A REAL progressive JPEG from an independent encoder (Node.js docs
+    banner, JFIF/SOF2 with spectral selection + successive approximation
+    — shipped in this container's nodejs package, checked in at 6.5 KB):
+    closes the self-mirroring gap where encoder and decoder could share
+    a misreading of T.81 §G. External pixel truth without an image
+    library comes from the image's known structure — a uniform Node.js-
+    green stripe (G far above R/B: a component/scan mix-up would destroy
+    the channel split) over a near-white body; a single Huffman desync
+    or bad refinement pass turns rows into noise and blows these bounds.
+    The md5 is OUR decoder's regression digest (not external truth):
+    any behavior change must be reviewed and re-pinned."""
+    import hashlib
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "fixtures",
+                     "nodejs_thin_white_stripe_progressive.jpg")
+    with open(p, "rb") as fh:
+        data = fh.read()
+    assert data[6:10] == b"JFIF" and b"\xff\xc2" in data     # really SOF2
+    w, h, c, px = jpeg.decode_jpeg(data)
+    assert (w, h, c) == (493, 58, 3)
+    px = np.asarray(px).astype(int)
+    stripe = px[:5, :, :]
+    r, g, b = stripe.mean(axis=(0, 1))
+    assert g - r > 40 and g - b > 40, (r, g, b)   # green stripe
+    assert 70 < stripe.mean() < 110, stripe.mean()
+    row_means = px[6:, :, :].mean(axis=(1, 2))
+    assert (row_means > 220).all(), row_means.min()  # near-white body
+    assert px.max() == 255 and px.min() > 30, (px.min(), px.max())
+    digest = hashlib.md5(px.astype(np.uint8).tobytes()).hexdigest()
+    assert digest == "d7aa174819b83b65669174931574910b", digest

@@ -142,6 +142,9 @@ def decode_jpeg(data: bytes):
         if data[i] != 0xFF:
             i += 1
             continue
+        if data[i + 1] == 0xFF:     # T.81 B.1.1.2: 0xFF fill bytes may
+            i += 1                  # pad before any marker — skip them,
+            continue                # they are not a marker code
         m = data[i + 1]
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             i += 2
