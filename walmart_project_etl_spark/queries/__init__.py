@@ -23,85 +23,69 @@ from . import core, funcs, llm, pipeline, trainprep
 _MODULES = (core, funcs, pipeline, llm, trainprep)
 
 #: Curated registration order. The driver's correctness harness records rows
-#: for (at most) the first 50 registry entries. Rounds 2-7 put green driver
-#: rows on 189 distinct entries with zero value failures; this round's
-#: window (r8, per VERDICT r7 task 3) leads with the 3 entries that have
-#: NEVER had a driver row (all r7-new, local-exact-green), then the 17
-#: entries that were rows-only (`err: no_oracle`) in every prior round and
-#: now carry pinned sf0.01 goldens (queries/goldens/ — the driver can
-#: value-hash them for the first time), then scd2_merge_tx (its read side
-#: changed this round: read_matching file pruning), then the 10 remaining
-#: r3-era rows, then 19 of the 39 r4-era rows. After this round every
-#: registry entry has a driver row and nothing predates r4; the 20 r4 rows
-#: still deferred (named below the tuple) rotate next round.
+#: for (at most) the first 50 registry entries. Rounds 2-8 put green driver
+#: rows on all 192 entries with zero value failures; freshness after r8 is
+#: r4×20, r5×32, r6×49, r7×41, r8×50. This round's window (r9, per VERDICT
+#: r8 task 1) is a pure freshness rotation: the 20 r4-era rows that were
+#: deferred in r8, then 30 of the 32 r5-era rows (oldest remaining). After
+#: this round no driver row predates r5, and only the 2 deferred r5 rows
+#: (named below the tuple) remain for r10.
 _PRIORITY = (
-    # never driver-checked (r7-new, added after the r7 driver run)
-    "txn_point_lookup",
-    "txn_keyset_lookup",
-    "dedup_cross_doc_ngram_score",
-    # formerly rows-only, now pinned-golden exact (VERDICT r7 task 2)
-    "pipe_a08_quality_ratios",
-    "pipe_bi_returns_by_category",
-    "dedup_decontaminate_semantic",
-    "incr_distinct_maintenance",
-    "f30_contact_synthesis",
-    "f31_seeded_random_draws",
-    "f32_synthetic_inventory_levels",
-    "pipe_f31_f32_synthetic_facts",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "sim_lsh_ann_topk",
-    "sim_ivf_ann_topk",
-    "sim_ivf_persisted_topk",
-    "mm_byte_histogram_features",
-    "mm_resize_images",
-    "sketch_approx_aggs",
-    # code changed this round (read side now file-pruned) — re-prove
-    "scd2_merge_tx",
-    # the remaining r3-era rows (code unchanged; freshness) — 10 here,
-    # plus sketch_approx_aggs above (r3-stale AND newly pinned)
-    "events_dedup_latest",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "olap_percentiles",
-    "olap_pivot_event_values",
-    "sample_hash_split",
-    "sample_weighted_mixture",
-    "text_fingerprint",
-    "text_normalize",
-    "text_redact_pii",
-    # oldest r4-era rows, 19 of 39 (code unchanged; freshness)
-    "f14_market_from_region",
-    "f15_supplier_type",
-    "f16_f17_return_reason_rules",
-    "f18_f21_sales_rules",
-    "f22_f23_return_timing",
-    "f24_f26_inventory_rules",
-    "events_cohort_retention",
-    "events_funnel",
-    "events_json_extract",
-    "events_sessionization",
-    "w02_moving_average",
-    "w03_rank_family",
-    "olap_unpivot_metrics",
-    "pipe_bi_kpi_totals",
-    "pipe_bi_net_revenue_by_region",
-    "pipe_bi_profit_by_year",
-    "pipe_bi_sales_by_agegroup",
-    "pipe_bi_sales_by_category",
-    "pipe_bi_sales_by_segment",
+    # r4-era rows (deferred from the r8 window; code unchanged; freshness)
+    "pipe_a01_a02_f01_ods_customers",
+    "pipe_a09_f01_ods_products",
+    "pipe_bi_sales_by_shipmode",
+    "pipe_bi_sales_by_state",
+    "pipe_d01_d02_tgt_dim_counts",
+    "pipe_d02_tgt_scd2_shape",
+    "pipe_f01_ods_stores",
+    "pipe_f07_f08_stg_customer_ages",
+    "pipe_f11_f13_stg_products",
+    "pipe_f14_stg_store_markets",
+    "pipe_f18_f21_stg_sales_metrics",
+    "pipe_j03_a04_quality_gates",
+    "pipe_j08_j09_tgt_sales_by_category",
+    "pipe_p03_p04_ods_sales",
+    "pipe_u01_f02_f03_ods_dates",
+    "sample_cap_per_source",
+    "sample_pack_sequences",
+    "text_chunk_windows",
+    "text_curation_funnel",
+    "text_repetition_signals",
+    # r5-era rows, 30 of 32 (code unchanged; freshness)
+    "cdc_snapshot_diff",
+    "d03_fact_append_idempotent",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental",
+    "events_asof_join",
+    "f27_change_fingerprint",
+    "f28_audit_stamps",
+    "incr_agg_maintenance",
+    "j03_anti_join_fk_check",
+    "j11_range_band_join",
+    "mm_frame_sampling",
+    "mm_image_meta",
+    "mm_real_decode_ppm",
+    "profile_key_skew",
+    "s10_partitioned_scan_pruning",
+    "s11_jsonl_roundtrip",
+    "sample_shard_assignment",
+    "sample_stratified",
+    "sample_token_budget",
+    "sample_weighted_without_replacement",
+    "sim_cosine_topk",
+    "sim_embedding_centroids",
+    "stream_dedup_watermark",
+    "stream_foreachbatch_upsert",
+    "stream_session_window",
+    "stream_stateful_user_stats",
+    "stream_stream_join",
+    "stream_tumbling_window",
+    "text_filter_chain",
 )
-#: r4-era rows deferred to the r9 window (20): pipe_bi_sales_by_shipmode,
-#: pipe_bi_sales_by_state, pipe_a01_a02_f01_ods_customers,
-#: pipe_a09_f01_ods_products, pipe_d01_d02_tgt_dim_counts,
-#: pipe_d02_tgt_scd2_shape, pipe_f01_ods_stores,
-#: pipe_f07_f08_stg_customer_ages, pipe_f11_f13_stg_products,
-#: pipe_f14_stg_store_markets, pipe_f18_f21_stg_sales_metrics,
-#: pipe_j03_a04_quality_gates, pipe_j08_j09_tgt_sales_by_category,
-#: pipe_p03_p04_ods_sales, pipe_u01_f02_f03_ods_dates,
-#: sample_cap_per_source, sample_pack_sequences, text_chunk_windows,
-#: text_curation_funnel, text_repetition_signals.
+#: r5-era rows deferred to the r10 window (2): text_tfidf_top_terms,
+#: ts_yoy_growth.
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
