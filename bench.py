@@ -68,6 +68,13 @@ BENCH_QUERIES = [
     # must be bench-visible
     "txn_merge_fileprune",
     "stream_tx_upsert",
+    # r8-new heavy READ paths (VERDICT r8 task 3): the tx-table pruned
+    # lookups, the heaviest cross-doc dedup scorer, and the classifier
+    # fit+score report — regressions here were previously bench-invisible
+    "txn_point_lookup",
+    "txn_keyset_lookup",
+    "dedup_cross_doc_ngram_score",
+    "text_quality_classifier_report",
     # end-to-end star pipeline (ingest→ODS→staging→target→BI agg) with a
     # COLD warehouse cache — guards the pipeline plans, not just micro ops
     "pipe_bi_sales_by_category",
@@ -112,7 +119,18 @@ def main() -> int:
     from walmart_project_etl_spark.queries.util import events_t
     events_t(spark, SF_DIR)
 
-    def run_once(name: str) -> float:
+    sc = spark.sparkContext
+    run_seq = [0]
+
+    def run_once(name: str) -> tuple[float, int]:
+        """One timed materialization; returns (seconds, failed_tasks).
+
+        Failed/retried task attribution (VERDICT r8 task 2): each run gets
+        a unique job group, and after the run the status tracker's stage
+        infos for that group's jobs are summed for numFailedTasks — so a
+        transient executor-task retry trace in stderr is attributable to a
+        specific query and count instead of an anonymous DAGScheduler
+        fragment (the r8 loose end)."""
         fn, _oracle = reg[name]
         if name in COLD_PIPE:
             # time the full pipeline build, not a warm cache hit
@@ -123,9 +141,30 @@ def main() -> int:
             from walmart_project_etl_spark.queries.trainprep import \
                 invalidate_labeled_cache
             invalidate_labeled_cache()
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        run_seq[0] += 1
+        group = f"bench-{name}-{run_seq[0]}"
+        sc.setJobGroup(group, name)
+        try:
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+        finally:
+            sc.setJobGroup(None, None)
+        failed = 0
+        try:
+            tracker = sc.statusTracker()
+            for jid in tracker.getJobIdsForGroup(group):
+                jinfo = tracker.getJobInfo(jid)
+                if jinfo is None:
+                    continue
+                for sid in jinfo.stageIds:
+                    sinfo = tracker.getStageInfo(sid)
+                    if sinfo is not None:
+                        failed += sinfo.numFailedTasks
+        except Exception as e:  # tracking must never fail the bench
+            print(f"# status tracker unavailable for {name}: {e}",
+                  file=sys.stderr)
+        return dt, failed
 
     # Median over repeated runs: single-shot numbers carry a measured
     # ~1.4x same-code wall-time spread on this box (docs/SCALE.md),
@@ -133,30 +172,39 @@ def main() -> int:
     # whose first run is already ≥10s drop to 2 runs (lower-middle =
     # best-of-2) to keep total bench wall time in budget — their
     # absolute size makes relative drift less able to hide a regression.
+    # optional CLI subset (iterating on one query); full list by default
+    names = sys.argv[1:] or BENCH_QUERIES
+    unknown = [n for n in names if n not in reg]
+    assert not unknown, f"not in registry: {unknown}"
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
-        runs = [run_once(name)]
-        n = 2 if runs[0] >= 10.0 else 3
-        while len(runs) < n:
-            runs.append(run_once(name))
-        runs.sort()
+    for name in names:
+        results = [run_once(name)]
+        n = 2 if results[0][0] >= 10.0 else 3
+        while len(results) < n:
+            results.append(run_once(name))
+        runs = sorted(r[0] for r in results)
+        failed_tasks = sum(r[1] for r in results)
         timings[name] = round(runs[(len(runs) - 1) // 2], 3)
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
         print(f"# {name}: {timings[name]:.2f}s "
-              f"(spread {runs[0]:.2f}-{runs[-1]:.2f})", file=sys.stderr)
+              f"(spread {runs[0]:.2f}-{runs[-1]:.2f}, "
+              f"failed_tasks={failed_tasks})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # per-query min/max spread goes to a SIDE FILE: the driver tails
     # stdout for ONE compact JSON line, and r6's inline spread dict grew
     # past its capture window, truncating the medians (BENCH_r06
     # "parsed": null). The primary line is compact and printed last.
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_spread.json"), "w") as fh:
-            json.dump({"sf": sf, "spread": spread}, fh)
-    except OSError as e:
-        print(f"# spread file not written: {e}", file=sys.stderr)
+    if names is BENCH_QUERIES:  # subset runs must not clobber the record
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_spread.json"), "w") as fh:
+                json.dump({"sf": sf, "spread": spread}, fh)
+        except OSError as e:
+            print(f"# spread file not written: {e}", file=sys.stderr)
     print(json.dumps({"metric": "total_wall_seconds", "value": total,
                       "unit": "sec", "queries": timings, "sf": sf}))
     return 0
