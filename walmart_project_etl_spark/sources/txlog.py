@@ -82,9 +82,11 @@ from pyspark.sql.types import StructType
 
 _BLOOM_BITS = 4096   # ~0.5 KB hex per file in the log; <1% FP at ~1k keys
 _BLOOM_K = 4
-#: merge collects the update keys' bloom probes driver-side for file
-#: pruning; batches with more distinct keys than this fall back to
-#: range-only pruning (still correct, just less selective)
+#: merge/read pruning collects the key set's bloom probes driver-side up
+#: to this many distinct keys; LARGER sets switch to the in-plan pruner
+#: (broadcast the per-file range+bloom stats against the keys DataFrame
+#: and aggregate any-match per file) — same per-key range + bloom
+#: selectivity at any key-set size, never a range-only fallback
 _BLOOM_PROBE_CAP = 100_000
 
 
@@ -93,6 +95,26 @@ def _bloom_positions(key_col: str):
     return F.array(*[F.pmod(F.xxhash64(F.col(key_col), F.lit(i)),
                             F.lit(_BLOOM_BITS))
                      for i in range(_BLOOM_K)])
+
+
+def _bloom_match_sql() -> str:
+    """Boolean SQL over columns ``__p`` (a key's probe positions) and
+    ``bloom`` (a file's hex bloom, lowest bits at the STRING END — the
+    ``f"{bm:x}"`` rendering): true iff every probe bit is set, i.e. the
+    file's bloom may contain the key. Bit ``p`` lives in the hex nibble
+    ``p DIV 4`` from the right at bit ``p % 4``; nibbles beyond the
+    string (trimmed leading zeros) are 0. A NULL bloom (format-v1 file)
+    is conservatively a match. Pure built-in expressions, so the
+    over-cap in-plan pruner stays JVM-side."""
+    terms = []
+    for i in range(_BLOOM_K):
+        pos = f"__p[{i}]"
+        idx = f"(length(bloom) - CAST({pos} DIV 4 AS INT))"
+        nib = (f"IF({idx} < 1, 0, "
+               f"CAST(conv(substr(bloom, {idx}, 1), 16, 10) AS INT))")
+        terms.append(f"((shiftright({nib}, CAST({pos} % 4 AS INT)) & 1)"
+                     f" = 1)")
+    return "(bloom IS NULL OR (" + " AND ".join(terms) + "))"
 
 
 def _word_mask_sql(word: int) -> str:
@@ -479,43 +501,71 @@ class TxTable:
         return df.select(*expected)
 
     def _key_pruner(self, keys: DataFrame, key: str):
-        """may_contain(add-action) predicate for a key SET: one tiny
-        min/max aggregate for range intersection, plus the keys' bloom
-        probes collected driver-side (capped at ``_BLOOM_PROBE_CAP`` —
-        larger sets fall back to range-only pruning). Conservative: a
-        false positive costs a needless file scan/rewrite, never a wrong
-        result. Shared by merge, delete, and :meth:`read_matching`."""
+        """File pruning for a key SET: returns ``prune(add-actions) ->
+        touched subset``. Under ``_BLOOM_PROBE_CAP`` distinct keys, one
+        tiny collect serves range bounds and bloom probes and the filter
+        runs driver-side. OVER the cap the decision moves IN-PLAN: the
+        per-file [kmin, kmax]+bloom stats (one small row per candidate
+        file) broadcast against the keys DataFrame, per-(key, file)
+        range intersection + bloom probe evaluate as built-in
+        expressions, and only the matching file list collects — the same
+        per-key selectivity at any key-set size, where the pre-r9 code
+        fell back to global-range-only pruning. Conservative either way:
+        a false positive costs a needless file scan/rewrite, never a
+        wrong result. Shared by merge, delete, and
+        :meth:`read_matching`; callers invoke ``prune`` inside their
+        commit-retry loop so a refreshed live set is re-pruned."""
+        probed = keys.select(F.col(key).alias("__k"),
+                             _bloom_positions(key).alias("__p")) \
+                     .where(F.col(key).isNotNull()).distinct()
         # ONE collect serves both range bounds and bloom probes while the
         # key set is under the cap (a second tiny agg job per call adds
-        # real per-micro-batch latency in streaming sinks); over the cap,
-        # fall back to a bounds-only aggregate (range pruning only).
-        rows = keys.select(F.col(key).alias("__k"),
-                           _bloom_positions(key).alias("__p")) \
-                   .where(F.col(key).isNotNull()) \
-                   .distinct().limit(_BLOOM_PROBE_CAP + 1).collect()
+        # real per-micro-batch latency in streaming sinks)
+        rows = probed.limit(_BLOOM_PROBE_CAP + 1).collect()
         if len(rows) <= _BLOOM_PROBE_CAP:
-            ks = [r["__k"] for r in rows]
-            umin = min(ks) if ks else None
-            umax = max(ks) if ks else None
+            import bisect
+            ks = sorted(r["__k"] for r in rows)
             probe_list = [tuple(int(x) for x in r["__p"]) for r in rows]
-        else:
-            b = keys.agg(F.min(key), F.max(key)).first()
-            umin, umax = b[0], b[1]
-            probe_list = None
 
-        def may_contain(a: dict) -> bool:
-            if umin is None:
-                return False
-            if a["kmax"] < umin or a["kmin"] > umax:
-                return False
-            bloom_hex = a.get("bloom")
-            if bloom_hex is None or probe_list is None:
-                return True                      # conservative fallback
-            bm = int(bloom_hex, 16)
-            return any(all((bm >> p) & 1 for p in probe)
-                       for probe in probe_list)
+            def may_contain(a: dict) -> bool:
+                # PER-KEY range intersection (any key inside the file's
+                # [kmin, kmax], found by bisect in O(log n)) — strictly
+                # stronger than the global-bounds check it replaces: a
+                # key set clustered at both ends of the key space no
+                # longer matches every file in between
+                i = bisect.bisect_left(ks, a["kmin"])
+                if i >= len(ks) or ks[i] > a["kmax"]:
+                    return False
+                bloom_hex = a.get("bloom")
+                if bloom_hex is None:
+                    return True                  # format-v1 file
+                bm = int(bloom_hex, 16)
+                return any(all((bm >> p) & 1 for p in probe)
+                           for probe in probe_list)
 
-        return may_contain
+            return lambda actions: [a for a in actions if may_contain(a)]
+
+        ktype = dict(keys.dtypes)[key]
+
+        def prune(actions: list) -> list:
+            if not actions:
+                return []
+            stats = self.spark.createDataFrame(
+                [(a["path"], a["kmin"], a["kmax"], a.get("bloom"))
+                 for a in actions],
+                schema=f"path string, kmin {ktype}, kmax {ktype}, "
+                       f"bloom string")
+            matched = {
+                r["path"]
+                for r in probed
+                .join(F.broadcast(stats),
+                      (F.col("__k") >= F.col("kmin"))
+                      & (F.col("__k") <= F.col("kmax"))
+                      & F.expr(_bloom_match_sql()))
+                .select("path").distinct().collect()}
+            return [a for a in actions if a["path"] in matched]
+
+        return prune
 
     def read_matching(self, keys: DataFrame,
                       version: int | None = None) -> DataFrame:
@@ -531,8 +581,8 @@ class TxTable:
             raise FileNotFoundError(f"no table at {self.root}")
         key = meta["key_col"]
         keys = keys.select(key).distinct()
-        may_contain = self._key_pruner(keys, key)
-        files = [a["path"] for a in live.values() if may_contain(a)]
+        prune = self._key_pruner(keys, key)
+        files = [a["path"] for a in prune(list(live.values()))]
         return self._read_files(meta, files).join(keys, key, "semi")
 
     def append(self, df: DataFrame) -> None:
@@ -573,14 +623,14 @@ class TxTable:
         # validate + normalize to the table's column order so every data
         # file carries the same physical layout
         updates = self._check_schema(updates, meta)
-        may_contain = self._key_pruner(updates, key)
+        prune = self._key_pruner(updates, key)
 
         while True:
             if txn is not None and self.last_txn(txn[0]) >= txn[1]:
                 return {"files_scanned": 0, "files_rewritten": 0,
                         "files_untouched": 0, "skipped_replay": True}
             _, live = self._state()
-            touched = [a for a in live.values() if may_contain(a)]
+            touched = prune(list(live.values()))
             untouched = len(live) - len(touched)
             if touched:
                 old = self._read_files(meta, [a["path"] for a in touched])
@@ -611,11 +661,11 @@ class TxTable:
         meta = self._state()[0]
         key = meta["key_col"]
         keys = keys.select(key).distinct()
-        may_contain = self._key_pruner(keys, key)
+        prune = self._key_pruner(keys, key)
 
         while True:
             _, live = self._state()
-            touched = [a for a in live.values() if may_contain(a)]
+            touched = prune(list(live.values()))
             adds: list[dict] = []
             if touched:
                 old = self._read_files(meta, [a["path"] for a in touched])
