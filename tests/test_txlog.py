@@ -794,3 +794,53 @@ def test_over_cap_merge_still_prunes_and_is_exact(spark, tmp_path,
     expected = base.join(updates.select("k"), "k", "left_anti") \
                    .unionByName(updates)
     assert _rows(t.snapshot(), ["k", "v"]) == _rows(expected, ["k", "v"])
+
+
+def test_stats_cols_list_prunes_on_second_column(spark, tmp_path):
+    """Multi-column data skipping (VERDICT r8 task 5): a table declaring
+    stats_cols=[date, custkey-band] prunes read_stats_range on EITHER
+    column — file-count asserted — and merges thread the full column
+    list through to rewritten files. Legacy smin/smax still carries the
+    first column for v2-era readers."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+             .select("o_orderkey", "o_custkey", "o_totalprice",
+                     "o_orderdate")
+    t = TxTable(spark, str(tmp_path / "t"))
+    # batches clustered on BOTH date and custkey band so each column's
+    # per-file stats are selective
+    t.create(o.where("o_orderdate < TIMESTAMP '1996-01-01' "
+                     "AND o_custkey < 75"),
+             "o_orderkey", n_files=2,
+             stats_cols=["o_orderdate", "o_custkey"])
+    t.append(o.where("o_orderdate >= TIMESTAMP '1996-01-01' "
+                     "AND o_custkey < 75"))
+    t.append(o.where("o_custkey >= 75"))
+    _, live = t._state()
+    assert all("cstats" in a and "smin" in a for a in live.values())
+
+    # prune on the SECOND declared (non-key, non-first) column
+    hi = t.read_stats_range(lo=75, col="o_custkey")
+    assert 0 < len(hi.inputFiles()) < len(live)
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _rows(hi, cols) == _rows(o.where("o_custkey >= 75"), cols)
+
+    # prune on the first column still works (default col)
+    early = t.read_stats_range(hi="1995-12-31 23:59:59")
+    assert 0 < len(early.inputFiles()) < len(live)
+    assert _rows(early, cols) == \
+        _rows(o.where("o_orderdate < TIMESTAMP '1996-01-01'"), cols)
+
+    # a merge rewrite keeps the full per-column stats on new files
+    upd = o.limit(5).withColumn("o_totalprice", F.lit(2.5))
+    t.merge_upsert(upd)
+    _, live2 = t._state()
+    assert all("cstats" in a
+               and set(a["cstats"]) == {"o_orderdate", "o_custkey"}
+               for a in live2.values())
+    assert _rows(t.read_stats_range(lo=75, col="o_custkey"),
+                 ["o_orderkey"]) == \
+        _rows(o.where("o_custkey >= 75"), ["o_orderkey"])
+
+    # undeclared column refuses with a clear error
+    with pytest.raises(ValueError, match="carries no stats"):
+        t.read_stats_range(lo=1, col="o_totalprice")

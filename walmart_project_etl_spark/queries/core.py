@@ -917,6 +917,32 @@ def txn_keyset_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.read_matching(keys)
 
 
+@q("txn_stats_multicol_prune",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_custkey >= 1200""")
+def txn_stats_multicol_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COLUMN data skipping on the log table (``stats_cols``): the
+    table declares per-file [min, max] stats on BOTH the BI date and the
+    customer key (beyond the merge key), ingest arrives custkey-banded,
+    and a band read on the SECOND declared column scans only the
+    matching batches' files — the per-column min/max discipline of
+    Delta/Iceberg, file-count-pinned in
+    tests/test_txlog.py::test_stats_cols_list_prunes_on_second_column."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderdate")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_multicol")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o.where(F.col("o_custkey") < 1200), "o_orderkey", n_files=4,
+              stats_cols=["o_orderdate", "o_custkey"])
+    tt.append(o.where(F.col("o_custkey") >= 1200))
+    return tt.read_stats_range(lo=1200, col="o_custkey")
+
+
 @q("txn_catalog_star",
    f"""SELECT c_mktsegment, count(*) AS n,
               {sql_dsum('o_totalprice', 'revenue')}

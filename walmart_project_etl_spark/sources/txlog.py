@@ -49,21 +49,23 @@ live state into ``_txlog/<version>.checkpoint.json``; readers start from
 the newest checkpoint at-or-before their version and replay only the
 commits after it.
 
-Besides the merge key, a table may declare ONE extra data-skipping
-column (``create(..., stats_col=...)``, typically the BI date): each
-``add`` action then records that column's per-file [smin, smax], and
-``read_stats_range`` prunes on them (format v2, readable by v1-era
-readers since unknown fields are ignored and absent fields scan
-conservatively).
+Besides the merge key, a table may declare extra data-skipping COLUMNS
+(``create(..., stats_cols=[...])``, typically the BI date plus a region
+or category id): each ``add`` action then records every declared
+column's per-file [min, max] (``cstats``), and ``read_stats_range``
+prunes on any of them — the per-column min/max discipline of
+Delta/Iceberg. The first declared column doubles as the legacy
+``smin``/``smax`` fields (format v2, readable by v1-era readers since
+unknown fields are ignored and absent fields scan conservatively).
 
 EXPLICIT additive schema evolution (``add_columns``) lands as a
 metadata-only commit: later reads surface pre-evolution files' missing
 columns as NULL via the declared schema, pre-evolution versions still
 time-travel to the old schema, and silent drift stays rejected.
 
-Single-format caveat vs real Delta/Iceberg: single table, one declared
-stats column beyond the merge key (not all-column stats), additive-only
-evolution (no renames/drops/type changes) — the seam
+Single-format caveat vs real Delta/Iceberg: single table, stats only on
+the merge key + DECLARED columns (not automatically all columns),
+additive-only evolution (no renames/drops/type changes) — the seam
 ``operators/merge.py`` needs, not a storage product.
 """
 
@@ -95,6 +97,15 @@ def _bloom_positions(key_col: str):
     return F.array(*[F.pmod(F.xxhash64(F.col(key_col), F.lit(i)),
                             F.lit(_BLOOM_BITS))
                      for i in range(_BLOOM_K)])
+
+
+def _meta_stats_cols(meta: dict) -> list[str] | None:
+    """Declared data-skipping columns from the table meta — the
+    ``stats_cols`` list, or the legacy single ``stats_col`` field for
+    tables created before the list form existed."""
+    cols = meta.get("stats_cols") or \
+        ([meta["stats_col"]] if meta.get("stats_col") else [])
+    return cols or None
 
 
 def _bloom_match_sql() -> str:
@@ -263,16 +274,18 @@ class TxTable:
 
     def _write_files(self, df: DataFrame, key_col: str,
                      n_files: int | None = None,
-                     stats_col: str | None = None) -> list[dict]:
+                     stats_cols: list[str] | None = None) -> list[dict]:
         """Materialize ``df`` as immutable data files with per-file key
         stats. Range-partitioned on the key so file key ranges are tight
         and disjoint — what makes merge-time file pruning effective.
         ``n_files`` pins the file count (an explicit ``repartitionByRange``
         count AQE won't coalesce); default lets AQE size the files.
-        ``stats_col`` (from the table meta) additionally records that
-        column's per-file [smin, smax] — the BI-read data-skipping column
-        (date/timestamp values serialize as ISO strings, whose lexical
-        order matches their temporal order)."""
+        ``stats_cols`` (from the table meta) additionally records each
+        declared column's per-file [min, max] — the BI-read data-skipping
+        columns (date/timestamp values serialize as ISO strings, whose
+        lexical order matches their temporal order). The first declared
+        column's bounds also land as legacy ``smin``/``smax`` so
+        format-v2 readers keep pruning on it."""
         staging = os.path.join(self.data_dir, f".stage-{uuid.uuid4().hex}")
         ranged = (df.repartitionByRange(n_files, F.col(key_col)) if n_files
                   else df.repartitionByRange(F.col(key_col)))
@@ -297,12 +310,13 @@ class TxTable:
         # its k probe bits into per-64-bit-word masks, bit_or-merged per
         # file — constant memory per group at any file row count.
         extra = []
-        if stats_col is not None:
-            sc = F.col(stats_col)
-            if dict(df.dtypes)[stats_col] not in (
+        for i, scol in enumerate(stats_cols or []):
+            sc = F.col(scol)
+            if dict(df.dtypes)[scol] not in (
                     "tinyint", "smallint", "int", "bigint", "string"):
                 sc = sc.cast("string")       # ISO serialization for JSON
-            extra = [F.min(sc).alias("smin"), F.max(sc).alias("smax")]
+            extra += [F.min(sc).alias(f"__smin{i}"),
+                      F.max(sc).alias(f"__smax{i}")]
         stats = (self.spark.read.parquet(
                      *[os.path.join(self.data_dir, p) for p in paths])
                  .withColumn("__p", _bloom_positions(key_col))
@@ -338,8 +352,12 @@ class TxTable:
             r = by_name[p]
             a = {"path": p, "rows": r["rows"], "kmin": r["kmin"],
                  "kmax": r["kmax"], "bloom": bloom_hex(r)}
-            if stats_col is not None:
-                a["smin"], a["smax"] = r["smin"], r["smax"]
+            if stats_cols:
+                # legacy single-column fields (format-v2 readers prune
+                # on the first declared column) + the per-column map
+                a["smin"], a["smax"] = r["__smin0"], r["__smax0"]
+                a["cstats"] = {c: [r[f"__smin{i}"], r[f"__smax{i}"]]
+                               for i, c in enumerate(stats_cols)}
             return a
 
         return [{"add": add_action(p)} for p in paths if p in by_name]
@@ -388,32 +406,53 @@ class TxTable:
         return df
 
     def read_stats_range(self, lo=None, hi=None,
-                         version: int | None = None) -> DataFrame:
-        """DATA-SKIPPING read on the table's declared ``stats_col``
-        (:meth:`create`): scan only the files whose [smin, smax]
-        intersect [lo, hi], with the exact predicate as a residual
-        filter — a BI date-band query on a date-clustered table touches
-        only the matching ingest batches' files, not the whole history.
-        Bounds must be given in the stats' serialized form: the column's
-        native type for int/string columns, a full ISO string (e.g.
-        ``"1996-01-01 00:00:00"`` for timestamps) otherwise. Files
+                         version: int | None = None,
+                         col: str | None = None) -> DataFrame:
+        """DATA-SKIPPING read on a declared stats column
+        (:meth:`create` ``stats_cols``; ``col`` defaults to the first
+        declared): scan only the files whose per-file [min, max] for
+        that column intersect [lo, hi], with the exact predicate as a
+        residual filter — a BI date-band query on a date-clustered table
+        touches only the matching ingest batches' files, not the whole
+        history. Bounds must be given in the stats' serialized form: the
+        column's native type for int/string columns, a full ISO string
+        (e.g. ``"1996-01-01 00:00:00"`` for timestamps) otherwise. Files
         written before the column was declared carry no stats and are
         conservatively scanned."""
         meta, live = self._state(version)
         if meta is None:
             raise FileNotFoundError(f"no table at {self.root}")
-        scol = meta.get("stats_col")
-        if scol is None:
+        declared = meta.get("stats_cols") or \
+            ([meta["stats_col"]] if meta.get("stats_col") else [])
+        if not declared:
             raise ValueError(f"table at {self.root} declares no stats_col")
-        files = [a["path"] for a in live.values()
-                 if "smin" not in a or a["smin"] is None
-                 or not ((hi is not None and a["smin"] > hi)
-                         or (lo is not None and a["smax"] < lo))]
+        if col is None:
+            col = declared[0]
+        if col not in declared:
+            raise ValueError(
+                f"column '{col}' carries no stats (declared: {declared})")
+
+        def bounds(a: dict):
+            cs = a.get("cstats")
+            if cs is not None and col in cs:
+                return cs[col]
+            if col == declared[0]:               # legacy v2 fields
+                return a.get("smin"), a.get("smax")
+            return None, None                    # pre-declaration file
+
+        def may_match(a: dict) -> bool:
+            smin, smax = bounds(a)
+            if smin is None:
+                return True                      # no stats — scan
+            return not ((hi is not None and smin > hi)
+                        or (lo is not None and smax < lo))
+
+        files = [a["path"] for a in live.values() if may_match(a)]
         df = self._read_files(meta, files)
         if lo is not None:
-            df = df.where(F.col(scol) >= lo)
+            df = df.where(F.col(col) >= lo)
         if hi is not None:
-            df = df.where(F.col(scol) <= hi)
+            df = df.where(F.col(col) <= hi)
         return df
 
     def history(self) -> list[dict]:
@@ -432,16 +471,25 @@ class TxTable:
 
     def create(self, df: DataFrame, key_col: str,
                n_files: int | None = None,
-               stats_col: str | None = None) -> None:
-        """``stats_col`` declares ONE extra data-skipping column beyond
-        the merge key: every data file records its [smin, smax] in the
-        log, and :meth:`read_stats_range` prunes on them — the read-side
-        answer for BI filters (typically a date) that are not the merge
-        key. Effective when ingest is naturally clustered on the column
-        (e.g. daily appends); the stats are always correct, just not
-        selective on unclustered data. Format v2; v1 logs (no field)
-        read unchanged, their files simply never prune on stats."""
+               stats_col: str | None = None,
+               stats_cols: list[str] | None = None) -> None:
+        """``stats_cols`` declares extra data-skipping COLUMNS beyond the
+        merge key (``stats_col`` remains as the single-column spelling):
+        every data file records each declared column's [min, max] in the
+        log, and :meth:`read_stats_range` prunes on ANY of them — the
+        read-side answer for BI filters (a date band, a region id) that
+        are not the merge key, matching how Delta/Iceberg keep per-column
+        min/max. Effective when ingest is naturally clustered on the
+        column (e.g. daily appends); the stats are always correct, just
+        not selective on unclustered data. Format v2 with the first
+        declared column doubling as the legacy ``smin``/``smax`` fields,
+        so v2-era readers keep pruning; v1 logs (no field) read
+        unchanged, their files simply never prune on stats."""
         assert not self.versions(), f"table already exists at {self.root}"
+        if stats_col is not None and stats_cols is not None:
+            raise ValueError("pass stats_col OR stats_cols, not both")
+        cols = list(stats_cols) if stats_cols is not None else \
+            ([stats_col] if stats_col is not None else [])
         # stats ride in the JSON log and prune by <=/>= — integer and
         # string keys serialize and order identically in JSON and Spark;
         # float/decimal/date keys would need careful bound encoding
@@ -450,10 +498,12 @@ class TxTable:
             f"merge key must be integral or string, got " \
             f"{dict(df.dtypes)[key_col]}"
         meta = {"key_col": key_col, "schema": df.schema.json(), "format": 2}
-        if stats_col is not None:
-            assert stats_col in df.columns, f"unknown stats_col {stats_col}"
-            meta["stats_col"] = stats_col
-        adds = self._write_files(df, key_col, n_files, stats_col)
+        if cols:
+            unknown = [c for c in cols if c not in df.columns]
+            assert not unknown, f"unknown stats_cols {unknown}"
+            meta["stats_col"] = cols[0]          # legacy v2 field
+            meta["stats_cols"] = cols
+        adds = self._write_files(df, key_col, n_files, cols or None)
         ok = self._commit([{"op": "create"}, {"meta": meta}, *adds], 0)
         assert ok, "concurrent create"
 
@@ -592,7 +642,7 @@ class TxTable:
         meta, _ = self._state()
         df = self._check_schema(df, meta)
         adds = self._write_files(df, meta["key_col"],
-                                 stats_col=meta.get("stats_col"))
+                                 stats_cols=_meta_stats_cols(meta))
         while True:
             v = self.versions()[-1] + 1
             if self._commit([{"op": "append"}, *adds], v):
@@ -639,7 +689,7 @@ class TxTable:
             else:
                 new_rows = updates
             adds = self._write_files(new_rows, key,
-                                     stats_col=meta.get("stats_col"))
+                                     stats_cols=_meta_stats_cols(meta))
             v = self.versions()[-1] + 1
             actions = [{"op": "merge"}, *adds,
                        *({"remove": {"path": a["path"]}} for a in touched)]
@@ -671,7 +721,7 @@ class TxTable:
                 old = self._read_files(meta, [a["path"] for a in touched])
                 adds = self._write_files(old.join(keys, key, "left_anti"),
                                          key,
-                                         stats_col=meta.get("stats_col"))
+                                         stats_cols=_meta_stats_cols(meta))
             v = self.versions()[-1] + 1
             actions = [{"op": "delete"}, *adds,
                        *({"remove": {"path": a["path"]}} for a in touched)]
@@ -701,7 +751,7 @@ class TxTable:
             n_out = max(1, -(-total // target_rows))
             df = self._read_files(meta, [a["path"] for a in small])
             adds = self._write_files(df, meta["key_col"], n_files=n_out,
-                                     stats_col=meta.get("stats_col"))
+                                     stats_cols=_meta_stats_cols(meta))
             v = self.versions()[-1] + 1
             actions = [{"op": "compact"}, *adds,
                        *({"remove": {"path": a["path"]}} for a in small)]
