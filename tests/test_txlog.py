@@ -844,3 +844,22 @@ def test_stats_cols_list_prunes_on_second_column(spark, tmp_path):
     # undeclared column refuses with a clear error
     with pytest.raises(ValueError, match="carries no stats"):
         t.read_stats_range(lo=1, col="o_totalprice")
+
+
+def test_scd2_merge_tx_rejects_mismatched_key(spark, tmp_path):
+    """ADVICE r8: scd2_merge_tx must fail FAST with a clear message when
+    the passed key differs from the table's merge key (read_matching
+    projects the table's key_col, so the old failure was an opaque
+    AnalysisException deep in the plan)."""
+    from walmart_project_etl_spark.operators.scd2 import (scd2_apply,
+                                                          scd2_merge_tx)
+
+    src = spark.range(0, 50).selectExpr("id AS ck", "CAST(id AS STRING) v")
+    dim = scd2_apply(None, src, "ck", ["v"], "sk", "2026-01-01",
+                     F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    t = TxTable(spark, str(tmp_path / "dim"))
+    t.create(dim, "ck", n_files=2)
+    with pytest.raises(ValueError, match="must equal the table's merge"):
+        scd2_merge_tx(t, src.withColumnRenamed("ck", "id2"), "id2", ["v"],
+                      "sk", "2026-02-01",
+                      F.lit("2026-02-01 00:00:00").cast("timestamp"))

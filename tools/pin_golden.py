@@ -36,12 +36,21 @@ def _jsonable(v):
     import datetime
     import decimal
 
+    import math
+
     if v is None or isinstance(v, (int, str, bool)):
         return v
-    if isinstance(v, float):
-        return v
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        v = float(v)
+    if isinstance(v, float):
+        if not math.isfinite(v):
+            # a NaN/inf would serialize as non-standard JSON and render
+            # as a bare identifier DuckDB rejects — fail the PIN loudly
+            # instead of breaking oracle rendering at import time
+            raise ValueError(
+                f"non-finite float {v!r} cannot be pinned — make the "
+                f"query's output finite (coalesce/clamp) before pinning")
+        return v
     if isinstance(v, datetime.date):
         return v.isoformat()
     raise TypeError(f"cannot pin value of type {type(v)}: {v!r}")
@@ -71,9 +80,17 @@ def main(names: list[str]) -> int:
             print(f"✗ {name}: unpinnable column types {odd}")
             bad += 1
             continue
-        rows1 = sorted([_jsonable(v) for v in r] for r in df.collect())
-        rows2 = sorted([_jsonable(v) for v in r]
-                       for r in qs[name](spark, SF_DIR).collect())
+        # None-aware sort key: plain sorted() raises TypeError when two
+        # rows tie up to a column where one value is None
+        def row_key(r):
+            return [(v is None, type(v).__name__, 0 if v is None else v)
+                    for v in r]
+
+        rows1 = sorted(([_jsonable(v) for v in r] for r in df.collect()),
+                       key=row_key)
+        rows2 = sorted(([_jsonable(v) for v in r]
+                        for r in qs[name](spark, SF_DIR).collect()),
+                       key=row_key)
         if rows1 != rows2:
             print(f"✗ {name}: NONDETERMINISTIC across two runs — not pinned")
             bad += 1

@@ -144,8 +144,18 @@ def scd2_merge_tx(table, source: DataFrame, key: str,
     are not two statements but one commit.
 
     ``source`` must be one row per ``key`` (W1-deduped), like
-    :func:`scd2_apply`. Returns the merge's pruning stats.
+    :func:`scd2_apply`, and ``key`` must be the table's own merge key:
+    ``read_matching`` projects the table's ``key_col`` from the keys
+    frame, so a mismatched name would fail deep in the plan with an
+    opaque AnalysisException — checked here instead.
+    Returns the merge's pruning stats.
     """
+    table_key = table._state()[0]["key_col"]
+    if key != table_key:
+        raise ValueError(
+            f"scd2_merge_tx key {key!r} must equal the table's merge "
+            f"key {table_key!r} (the tx read/merge paths prune and "
+            f"semi-join on the table's own key column)")
     affected = table.read_matching(source.select(key).distinct())
     new_rows = scd2_apply(affected, source, key, tracked_cols,
                           surrogate_col, run_date, now_ts)

@@ -210,11 +210,15 @@ def _golden_literal(v, typ: str) -> str:
     if v is None:
         return "NULL"
     if typ == "double":
-        r = repr(float(v))
+        f = float(v)
+        if f != f:
+            return "CAST('NaN' AS DOUBLE)"
+        if f in (float("inf"), float("-inf")):
+            return f"CAST('{'-' if f < 0 else ''}Infinity' AS DOUBLE)"
+        r = repr(f)
         # a bare decimal literal parses as DECIMAL in DuckDB; an exponent
         # forces a direct (bit-exact) DOUBLE parse
-        return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) \
-            else r + "e0"
+        return r if ("e" in r or "E" in r) else r + "e0"
     if typ == "boolean":
         return "TRUE" if v else "FALSE"
     if typ == "string":
