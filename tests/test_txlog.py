@@ -863,3 +863,59 @@ def test_scd2_merge_tx_rejects_mismatched_key(spark, tmp_path):
         scd2_merge_tx(t, src.withColumnRenamed("ck", "id2"), "id2", ["v"],
                       "sk", "2026-02-01",
                       F.lit("2026-02-01 00:00:00").cast("timestamp"))
+
+
+def test_optimize_zorder_multidim_prune(spark, tmp_path):
+    """OPTIMIZE ZORDER: after rewriting a key-clustered table on the
+    Z-value of [date, custkey], BOTH columns' band reads prune files
+    (neither could before on the dimension ingest didn't cluster on),
+    with zero row changes, working time travel to the pre-Z layout, and
+    a correct merge afterwards (key pruning degrades to bloom tier but
+    stays exact)."""
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet") \
+             .select("o_orderkey", "o_custkey", "o_totalprice",
+                     "o_orderdate")
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(o, "o_orderkey", n_files=16,
+             stats_cols=["o_orderdate", "o_custkey"])
+    pre_version = t.versions()[-1]
+    _, live_pre = t._state()
+    # key-clustered files: a custkey band can't prune at all
+    assert len(t.read_stats_range(lo=1200, col="o_custkey")
+               .inputFiles()) == len(live_pre)
+
+    st = t.optimize_zorder(["o_orderdate", "o_custkey"], n_files=16)
+    assert st == {"files_in": 16, "files_out": 16}
+    _, live = t._state()
+
+    ck = t.read_stats_range(lo=1200, col="o_custkey")
+    assert 0 < len(ck.inputFiles()) < len(live) // 2
+    assert _rows(ck, ["o_orderkey"]) == \
+        _rows(o.where("o_custkey >= 1200"), ["o_orderkey"])
+    dt = t.read_stats_range("1996-01-01 00:00:00", "1996-12-31 23:59:59")
+    assert 0 < len(dt.inputFiles()) < len(live)
+    assert _rows(dt, ["o_orderkey"]) == \
+        _rows(o.where("o_orderdate >= TIMESTAMP '1996-01-01' AND "
+                      "o_orderdate < TIMESTAMP '1997-01-01'"),
+              ["o_orderkey"])
+
+    # zero row changes; pre-Z version still reads the OLD file layout
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _rows(t.snapshot(), cols) == _rows(o, cols)
+    assert sorted(os.path.basename(f)
+                  for f in t.snapshot(pre_version).inputFiles()) == \
+        sorted(a["path"] for a in live_pre.values())
+    assert t.history()[-1]["op"] == "zorder"
+
+    # merge after zorder: correct, and the bloom tier still prunes
+    upd = o.where("o_orderkey % 500 = 3") \
+           .withColumn("o_totalprice", F.lit(9.75))
+    stats = t.merge_upsert(upd)
+    expected = o.join(upd.select("o_orderkey"), "o_orderkey", "left_anti") \
+                .unionByName(upd)
+    assert _rows(t.snapshot(), cols) == _rows(expected, cols)
+    assert stats["files_scanned"] == 16
+
+    # refuses a column with no per-file stats, and non-arithmetic types
+    with pytest.raises(ValueError, match="carry no per-file stats"):
+        t.optimize_zorder(["o_totalprice"])

@@ -943,6 +943,39 @@ def txn_stats_multicol_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.read_stats_range(lo=1200, col="o_custkey")
 
 
+@q("txn_zorder_multicol_prune",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+        AND o_custkey >= 1200""")
+def txn_zorder_multicol_prune(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER then multi-dimensional pruned read: the table is
+    created clustered on the merge KEY (so neither the date nor the
+    custkey stats can prune anything), rewritten on the Z-order value of
+    [o_orderdate, o_custkey] in one commit, and a date-band read then
+    scans only the matching Z-cells' files with the custkey predicate as
+    residual — Delta's ``OPTIMIZE ... ZORDER BY`` read pattern
+    (file counts pinned in
+    tests/test_txlog.py::test_optimize_zorder_multidim_prune)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderdate")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_zorder")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=16,
+              stats_cols=["o_orderdate", "o_custkey"])
+    tt.optimize_zorder(["o_orderdate", "o_custkey"], n_files=16)
+    band = tt.read_stats_range("1996-01-01 00:00:00",
+                               "1996-12-31 23:59:59")
+    return band.where(F.col("o_custkey") >= 1200)
+
+
 @q("txn_catalog_star",
    f"""SELECT c_mktsegment, count(*) AS n,
               {sql_dsum('o_totalprice', 'revenue')}

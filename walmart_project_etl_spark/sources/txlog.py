@@ -274,7 +274,8 @@ class TxTable:
 
     def _write_files(self, df: DataFrame, key_col: str,
                      n_files: int | None = None,
-                     stats_cols: list[str] | None = None) -> list[dict]:
+                     stats_cols: list[str] | None = None,
+                     order_expr=None) -> list[dict]:
         """Materialize ``df`` as immutable data files with per-file key
         stats. Range-partitioned on the key so file key ranges are tight
         and disjoint — what makes merge-time file pruning effective.
@@ -287,13 +288,22 @@ class TxTable:
         column's bounds also land as legacy ``smin``/``smax`` so
         format-v2 readers keep pruning on it."""
         staging = os.path.join(self.data_dir, f".stage-{uuid.uuid4().hex}")
-        ranged = (df.repartitionByRange(n_files, F.col(key_col)) if n_files
-                  else df.repartitionByRange(F.col(key_col)))
-        # sort within each file: parquet row-group min/max stats on the
-        # key become tight and disjoint, so point/range reads skip ROW
-        # GROUPS inside the files the log-level stats couldn't prune —
-        # the second pruning tier, for free at write time
-        ranged = ranged.sortWithinPartitions(key_col)
+        if order_expr is not None:
+            # Z-ORDER rewrite path (:meth:`optimize_zorder`): cluster
+            # files on the interleaved-bit value instead of the key, so
+            # every declared stats column gets tight per-file ranges
+            tmp = df.withColumn("__ord", order_expr)
+            ranged = (tmp.repartitionByRange(n_files, F.col("__ord"))
+                      if n_files else tmp.repartitionByRange(F.col("__ord")))
+            ranged = ranged.sortWithinPartitions("__ord").drop("__ord")
+        else:
+            ranged = (df.repartitionByRange(n_files, F.col(key_col))
+                      if n_files else df.repartitionByRange(F.col(key_col)))
+            # sort within each file: parquet row-group min/max stats on
+            # the key become tight and disjoint, so point/range reads
+            # skip ROW GROUPS inside the files the log-level stats
+            # couldn't prune — the second pruning tier, free at write
+            ranged = ranged.sortWithinPartitions(key_col)
         ranged.write.mode("overwrite").parquet(staging)
         paths = []
         for name in sorted(os.listdir(staging)):
@@ -762,6 +772,88 @@ class TxTable:
             # the inputs — the staged adds would resurrect its old rows,
             # so orphan them (unreferenced ⇒ invisible) and recompute
             # everything against the new snapshot
+
+    def optimize_zorder(self, cols: list[str],
+                        n_files: int | None = None,
+                        target_rows: int = 1_000_000) -> dict:
+        """OPTIMIZE ZORDER: rewrite ALL live files clustered on the
+        Z-order (bit-interleaved) value of ``cols`` — one commit, zero
+        row changes (Delta's ``OPTIMIZE ... ZORDER BY``). Each column is
+        bucketed into 256 equi-width cells over its table-wide [min,
+        max], the 8-bit cells interleave into one Z-value, and files
+        range-partition on it — so EVERY listed column gets tight
+        per-file [min, max] stats and :meth:`read_stats_range` prunes on
+        any of them even when ingest order clustered on none (the
+        multi-dimensional answer single-column clustering can't give).
+
+        Each col must carry per-file stats (the merge key or a declared
+        ``stats_cols`` entry — otherwise the clustering would never be
+        used for pruning) and be numeric/date/timestamp (equi-width
+        cells need an arithmetic domain). Trade-off, as in Delta: key
+        ranges widen, so single-key merge pruning leans on the bloom
+        tier afterwards; correctness is unaffected either way. Skewed
+        columns fill cells unevenly (equi-width, not equi-depth) — the
+        stats stay exact, pruning is just less selective on the hot
+        cells. Readers are unaffected (snapshot isolation); time travel
+        before the Z-order version still sees the old layout."""
+        if not cols:
+            raise ValueError("no columns to zorder on")
+        while True:
+            meta, live = self._state()
+            declared = [meta["key_col"], *(_meta_stats_cols(meta) or [])]
+            bad = [c for c in cols if c not in declared]
+            if bad:
+                raise ValueError(
+                    f"zorder columns {bad} carry no per-file stats "
+                    f"(declare them in create(stats_cols=...)); stats "
+                    f"exist for {declared}")
+            if not live:
+                return {"files_in": 0, "files_out": 0}
+            df = self._read_files(meta, [a["path"] for a in live.values()])
+            num = {}
+            for c in cols:
+                typ = dict(df.dtypes)[c]
+                if typ in ("date", "timestamp", "timestamp_ntz"):
+                    num[c] = F.col(c).cast("timestamp").cast("double")
+                elif typ in ("tinyint", "smallint", "int", "bigint",
+                             "float", "double"):
+                    num[c] = F.col(c).cast("double")
+                else:
+                    raise ValueError(
+                        f"zorder column '{c}' has type {typ}; equi-width "
+                        f"cells need numeric/date/timestamp")
+            # one tiny agg for the table-wide per-column bounds
+            b = df.agg(*[f(num[c]).alias(f"{w}_{c}")
+                         for c in cols for w, f in (("mn", F.min),
+                                                    ("mx", F.max))]).first()
+            z = F.lit(0).cast("long")
+            for i, c in enumerate(cols):
+                mn, mx = b[f"mn_{c}"], b[f"mx_{c}"]
+                span = (mx - mn) if (mn is not None and mx is not None
+                                     and mx > mn) else 1.0
+                cell = F.least(
+                    F.lit(255),
+                    F.floor((num[c] - F.lit(mn if mn is not None else 0.0))
+                            / F.lit(span) * 256)).cast("long")
+                cell = F.coalesce(cell, F.lit(0))   # NULL → cell 0
+                for bit in range(8):
+                    z = z.bitwiseOR(F.shiftleft(
+                        F.shiftright(cell, bit).bitwiseAND(F.lit(1)),
+                        bit * len(cols) + i))
+            total = sum(a["rows"] for a in live.values())
+            n_out = n_files or max(1, -(-total // target_rows))
+            adds = self._write_files(df, meta["key_col"], n_files=n_out,
+                                     stats_cols=_meta_stats_cols(meta),
+                                     order_expr=z)
+            v = self.versions()[-1] + 1
+            actions = [{"op": "zorder"}, *adds,
+                       *({"remove": {"path": a["path"]}}
+                         for a in live.values())]
+            if self._commit(actions, v):
+                self._maybe_checkpoint(v)
+                return {"files_in": len(live), "files_out": len(adds)}
+            # lost the race: recompute against the new snapshot (a
+            # concurrent merge may have rewritten an input file)
 
     def vacuum_uncommitted(self, older_than_s: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO commit (crashed or
