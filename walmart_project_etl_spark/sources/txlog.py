@@ -750,7 +750,10 @@ class TxTable:
         participate; the rewrite re-range-partitions them so the new
         files regain tight disjoint key ranges. Readers are unaffected
         (snapshot isolation); time travel before the compaction version
-        still sees the old files."""
+        still sees the old files. Note compaction clusters on the KEY —
+        on a Z-ordered table, re-run :meth:`optimize_zorder` after heavy
+        compaction to restore multi-dimensional clustering (Delta has
+        the same interplay)."""
         while True:
             meta, live = self._state()
             small = [a for a in live.values()
