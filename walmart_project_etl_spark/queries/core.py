@@ -1008,6 +1008,61 @@ def txn_catalog_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dsum("o_totalprice", "revenue")))
 
 
+@q("txn_multitable_publish",
+   f"""WITH dim AS (SELECT c_custkey,
+                          CASE WHEN c_custkey % 10 = 0 THEN 'GOLD'
+                               ELSE c_mktsegment END AS segment
+                   FROM customer),
+          fact AS (SELECT o_orderkey, o_custkey, o_totalprice
+                   FROM orders)
+      SELECT d.segment AS segment, count(*) AS n_orders,
+             {sql_dsum('f.o_totalprice', 'revenue')}
+      FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
+      GROUP BY d.segment""")
+def txn_multitable_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE TRANSACTION through the catalog: a dimension update
+    (promote every 10th customer to a GOLD segment) and a fact append
+    (the other half of orders) stage as pending commits in their own
+    table logs and become visible at the SINGLE atomic creation of the
+    transaction's decision file — the catalog-coordinated commit of
+    Iceberg-REST/Nessie catalogs. The read side goes through
+    ``snapshot_set``, the pinned consistent cut, so a dashboard can
+    never observe the new facts against the old dimension — the
+    all-or-nothing target publish the reference's two-phase target
+    stage (``etl_target_loader.py``) wants from its warehouse, here at
+    O(touched files) + one metadata object per transaction
+    (tests/test_txlog_multitable.py pins atomicity, presumed-abort,
+    serialization, and crash recovery)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxCatalog
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_multi")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = TxCatalog(spark, root)
+    cat.create_table("dim_customer",
+                     cust.withColumnRenamed("c_mktsegment", "segment"),
+                     "c_custkey", n_files=4)
+    cat.create_table("fact_orders", o.where("o_orderkey % 2 = 0"),
+                     "o_orderkey", n_files=4)
+
+    with cat.begin() as txn:
+        txn.table("dim_customer").merge_upsert(
+            cust.where("c_custkey % 10 = 0")
+                .select("c_custkey", F.lit("GOLD").alias("segment")))
+        txn.table("fact_orders").append(o.where("o_orderkey % 2 = 1"))
+
+    snaps = cat.snapshot_set(["dim_customer", "fact_orders"])
+    d, f = snaps["dim_customer"], snaps["fact_orders"]
+    return (f.join(F.broadcast(d), f.o_custkey == d.c_custkey)
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice", "revenue")))
+
+
 @q("txn_schema_evolution",
    """SELECT o_orderkey, o_custkey, o_totalprice,
              CAST(NULL AS VARCHAR) AS priority_band

@@ -63,6 +63,28 @@ metadata-only commit: later reads surface pre-evolution files' missing
 columns as NULL via the declared schema, pre-evolution versions still
 time-travel to the old schema, and silent drift stays rejected.
 
+CROSS-TABLE TRANSACTIONS (``TxCatalog.begin()``) extend the per-table
+log with the catalog-coordinated atomic commit real lakehouse catalogs
+provide (the ref-swap design of Iceberg REST catalogs / Project Nessie,
+both public): writes made through a :class:`CatalogTxn` handle land in
+each table's own log as PENDING commits — a normal numbered version
+file whose first action names the transaction and its DECISION file —
+and stay invisible until the single decision file is atomically created
+(``os.link``, the one-object PUT-if-absent every cloud store offers).
+Creating the decision with status ``committed`` is THE commit point for
+every staged table at once; ``aborted`` (explicit, or presumed-abort
+once the grace period passes with no decision) voids them all. Readers
+at latest treat an undecided pending as not-yet-arrived; writers and
+explicit-version readers resolve it first (raise
+:class:`TxnInDoubtError` inside the grace window, force-abort after),
+so no commit ever builds on undecided state and time travel stays
+stable. The catalog log additionally records a ``publish`` entry per
+committed transaction pinning ``{table: version}``, giving consistent
+multi-table snapshots (``snapshot_set``) and catalog-version time
+travel. Cost at scale: staging is the same O(touched files) as any
+commit, the decision is ONE metadata object, and nothing scales with
+table count or size.
+
 Single-format caveat vs real Delta/Iceberg: single table, stats only on
 the merge key + DECLARED columns (not automatically all columns),
 additive-only evolution (no renames/drops/type changes) — the seam
@@ -75,6 +97,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -140,16 +163,73 @@ def _word_mask_sql(word: int) -> str:
     return " | ".join(terms)
 
 
+class TxnInDoubtError(RuntimeError):
+    """A cross-table transaction has staged this table but not yet
+    decided, and it is younger than the grace period — the caller must
+    retry (or wait for the transaction to commit/abort). Raised by
+    writers and explicit-version readers only; latest-version readers
+    simply don't see undecided pendings."""
+
+
+class TxnAbortedError(RuntimeError):
+    """The transaction's decision was already ``aborted`` when commit
+    was attempted — either an explicit :meth:`CatalogTxn.abort` or a
+    presumed-abort forced by another writer after the grace period.
+    Re-run the whole transaction against the current state."""
+
+
+def _read_decision(path: str) -> str | None:
+    """Status of a transaction decision file — ``"committed"``,
+    ``"aborted"``, or None while undecided. Decisions are immutable
+    once created (atomic-create settles races), so a non-None result
+    can be cached forever."""
+    try:
+        with open(path) as fh:
+            return json.load(fh)["status"]
+    except FileNotFoundError:
+        return None
+
+
+def _decide(path: str, status: str, extra: dict | None = None) -> str:
+    """Atomically create the decision file with ``status``; if another
+    actor already decided, return THEIR status (first create wins —
+    this single ``os.link`` is the 2PC commit point)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"status": status, "ts": time.time(), **(extra or {})}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+        return status
+    except FileExistsError:
+        return _read_decision(path)
+    finally:
+        os.unlink(tmp)
+
+
 class TxTable:
     """One transactional table rooted at ``root`` (see module docstring)."""
 
     def __init__(self, spark: SparkSession, root: str,
-                 checkpoint_interval: int = 10):
+                 checkpoint_interval: int = 10,
+                 txn_grace_s: float = 300.0):
         self.spark = spark
         self.root = root
         self.log_dir = os.path.join(root, "_txlog")
         self.data_dir = os.path.join(root, "files")
         self.checkpoint_interval = checkpoint_interval
+        #: how long an undecided cross-table pending blocks writers
+        #: before presumed-abort; cover the slowest plausible txn
+        self.txn_grace_s = txn_grace_s
+        # set by CatalogTxn.table(): commits stage as pending under this
+        # {"txn": id, "decision": path} ref, and replay applies own
+        # undecided pendings (read-your-writes)
+        self._txn_ref: dict | None = None
+        self._self_txn: str | None = None
+        self._last_commit_version: int | None = None
+        self._decision_cache: dict[str, str] = {}
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
 
@@ -171,15 +251,43 @@ class TxTable:
         with open(os.path.join(self.log_dir, f"{v:08d}.json")) as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
-    def _read_actions(self, upto: int | None = None) -> list[dict]:
-        acts: list[dict] = []
-        for v in self.versions():
-            if upto is not None and v > upto:
-                break
-            acts.extend(self._read_commit(v))
-        return acts
+    def _decision(self, path: str) -> str | None:
+        st = self._decision_cache.get(path)
+        if st is None:
+            st = _read_decision(path)
+            if st is not None:                   # immutable once decided
+                self._decision_cache[path] = st
+        return st
 
-    def _state(self, upto: int | None = None):
+    def _commit_actions(self, v: int, mode: str = "strict") -> list[dict]:
+        """Actions of commit ``v`` with cross-table PENDING resolution:
+        a pending commit contributes its actions iff its transaction
+        decided ``committed`` (or is this handle's own — read-your-
+        writes). Undecided: ``mode="read"`` (latest-version readers)
+        treats it as not yet arrived; ``mode="strict"`` (writers,
+        explicit-version readers, checkpoints) raises
+        :class:`TxnInDoubtError` inside the grace window and forces
+        presumed-abort after it — so nothing ever builds on, or
+        time-travels through, an undecided commit."""
+        acts = self._read_commit(v)
+        if not acts or "pending" not in acts[0]:
+            return acts
+        p = acts[0]["pending"]
+        if self._self_txn is not None and p["txn"] == self._self_txn:
+            return acts[1:]
+        status = self._decision(p["decision"])
+        if status is None:
+            if mode == "read":
+                return []
+            if time.time() - p["ts"] < self.txn_grace_s:
+                raise TxnInDoubtError(
+                    f"version {v} of {self.root} is staged by undecided "
+                    f"cross-table txn {p['txn']}; retry after it decides "
+                    f"(grace {self.txn_grace_s}s)")
+            status = _decide(p["decision"], "aborted")
+        return acts[1:] if status == "committed" else []
+
+    def _state(self, upto: int | None = None, mode: str = "strict"):
         """(meta, {path: add-action}) at a version — starts from the
         newest checkpoint at-or-before it (O(recent-commits) replay, not
         O(history))."""
@@ -197,7 +305,7 @@ class TxTable:
         for v in self.versions():
             if v <= start or (upto is not None and v > upto):
                 continue
-            for a in self._read_commit(v):
+            for a in self._commit_actions(v, mode):
                 if "meta" in a:
                     meta = a["meta"]
                 elif "add" in a:
@@ -206,7 +314,7 @@ class TxTable:
                     live.pop(a["remove"]["path"], None)
         return meta, live
 
-    def _txns(self, upto: int | None = None) -> dict:
+    def _txns(self, upto: int | None = None, mode: str = "strict") -> dict:
         """{app: highest committed batch id} at a version (checkpoint-
         aware, like :meth:`_state`) — the exactly-once bookkeeping for
         streaming sinks."""
@@ -222,7 +330,7 @@ class TxTable:
         for v in self.versions():
             if v <= start or (upto is not None and v > upto):
                 continue
-            for a in self._read_commit(v):
+            for a in self._commit_actions(v, mode):
                 if "txn" in a:
                     app, b = a["txn"]["app"], a["txn"]["batch"]
                     txns[app] = max(txns.get(app, -1), b)
@@ -238,8 +346,16 @@ class TxTable:
         per version, so a concurrent double-write is harmless."""
         if v == 0 or v % self.checkpoint_interval != 0:
             return
-        meta, live = self._state(v)
-        txns = self._txns(v)               # resolve BEFORE the temp exists
+        if self._txn_ref is not None:
+            return      # a txn handle's view includes its own UNDECIDED
+            #             staged writes — never checkpoint those; later
+            #             writers checkpoint the post-decision state
+        try:
+            meta, live = self._state(v)
+            txns = self._txns(v)           # resolve BEFORE the temp exists
+        except TxnInDoubtError:
+            return      # undecided pending ≤ v: checkpoints only ever
+            #             capture decided prefixes — defer to a later one
         tmp = os.path.join(self.log_dir, f".ck-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump({"version": v, "meta": meta,
@@ -254,7 +370,14 @@ class TxTable:
 
     def _commit(self, actions: list[dict], expected_version: int) -> bool:
         """Publish ``actions`` as ``expected_version``; False if another
-        writer won the race (caller re-reads and retries)."""
+        writer won the race (caller re-reads and retries). Under a
+        :class:`CatalogTxn` handle the commit stages as PENDING: the
+        version slot is taken normally (so concurrent writers still
+        serialize on it), but a leading marker defers visibility to the
+        transaction's decision file."""
+        if self._txn_ref is not None:
+            actions = [{"pending": {**self._txn_ref, "ts": time.time()}},
+                       *actions]
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             for a in actions:
@@ -264,6 +387,7 @@ class TxTable:
         dst = os.path.join(self.log_dir, f"{expected_version:08d}.json")
         try:
             os.link(tmp, dst)         # atomic create — fails if dst exists
+            self._last_commit_version = expected_version
             return True
         except FileExistsError:
             return False
@@ -388,10 +512,17 @@ class TxTable:
             *[os.path.join(self.data_dir, p) for p in paths])
 
     def snapshot(self, version: int | None = None) -> DataFrame:
-        meta, live = self._state(version)
+        # latest reads treat an undecided cross-table pending as not yet
+        # arrived ("read"); explicit-version reads must stay stable
+        # forever, so they force-resolve it first ("strict")
+        meta, live = self._state(version, self._read_mode(version))
         if meta is None:
             raise FileNotFoundError(f"no table at {self.root}")
         return self._read_files(meta, live)
+
+    @staticmethod
+    def _read_mode(version: int | None) -> str:
+        return "read" if version is None else "strict"
 
     def read_keys(self, lo=None, hi=None,
                   version: int | None = None) -> DataFrame:
@@ -401,7 +532,7 @@ class TxTable:
         range-partitioned dimension touches O(1) files regardless of
         table size — the read-side payoff of the per-file stats the
         merge already maintains."""
-        meta, live = self._state(version)
+        meta, live = self._state(version, self._read_mode(version))
         if meta is None:
             raise FileNotFoundError(f"no table at {self.root}")
         key = meta["key_col"]
@@ -429,7 +560,7 @@ class TxTable:
         (e.g. ``"1996-01-01 00:00:00"`` for timestamps) otherwise. Files
         written before the column was declared carry no stats and are
         conservatively scanned."""
-        meta, live = self._state(version)
+        meta, live = self._state(version, self._read_mode(version))
         if meta is None:
             raise FileNotFoundError(f"no table at {self.root}")
         declared = meta.get("stats_cols") or \
@@ -468,13 +599,19 @@ class TxTable:
     def history(self) -> list[dict]:
         out = []
         for v in self.versions():
-            acts = []
-            with open(os.path.join(self.log_dir, f"{v:08d}.json")) as fh:
-                acts = [json.loads(line) for line in fh if line.strip()]
+            acts = self._read_commit(v)
+            entry = {"version": v}
+            if acts and "pending" in acts[0]:
+                p = acts[0]["pending"]
+                entry["txn"] = p["txn"]
+                entry["txn_status"] = self._decision(p["decision"]) \
+                    or "in-doubt"
+                acts = acts[1:]
             ops = [a["op"] for a in acts if "op" in a]
-            out.append({"version": v, "op": ops[0] if ops else "?",
-                        "n_add": sum("add" in a for a in acts),
-                        "n_remove": sum("remove" in a for a in acts)})
+            entry.update({"op": ops[0] if ops else "?",
+                          "n_add": sum("add" in a for a in acts),
+                          "n_remove": sum("remove" in a for a in acts)})
+            out.append(entry)
         return out
 
     # ------------------------------------------------------------ writes
@@ -636,7 +773,7 @@ class TxTable:
         O(matching files), not the table — e.g. the streaming upsert
         sink folds in current rows for just its micro-batch's users this
         way instead of scanning every live file per batch."""
-        meta, live = self._state(version)
+        meta, live = self._state(version, self._read_mode(version))
         if meta is None:
             raise FileNotFoundError(f"no table at {self.root}")
         key = meta["key_col"]
@@ -858,6 +995,23 @@ class TxTable:
             # lost the race: recompute against the new snapshot (a
             # concurrent merge may have rewritten an input file)
 
+    def _referenced_paths(self) -> set[str]:
+        """Data files referenced by any commit that could ever be
+        visible: normal commits, committed pendings, and UNDECIDED
+        pendings (conservative — they may yet commit). Aborted
+        pendings' adds are excluded: those versions replay empty at
+        every mode, so their files are garbage."""
+        ref: set[str] = set()
+        for v in self.versions():
+            acts = self._read_commit(v)
+            if acts and "pending" in acts[0]:
+                if self._decision(acts[0]["pending"]["decision"]) \
+                        == "aborted":
+                    continue
+                acts = acts[1:]
+            ref.update(a["add"]["path"] for a in acts if "add" in a)
+        return ref
+
     def vacuum_uncommitted(self, older_than_s: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO commit (crashed or
         lost-race transactions).
@@ -869,11 +1023,13 @@ class TxTable:
         belong to an in-flight writer about to commit. ``older_than_s``
         is the safety bound: only files whose mtime is older than the
         maximum plausible transaction duration are reclaimed. Pass 0
-        ONLY when no concurrent writer can exist (maintenance window)."""
-        import time
+        ONLY when no concurrent writer can exist (maintenance window).
 
-        referenced = {a["add"]["path"] for a in self._read_actions()
-                      if "add" in a}
+        Files added by an ABORTED cross-table pending are counted as
+        unreferenced (the version replays empty at every mode) and
+        reclaimed past the age bound; undecided pendings' files stay
+        referenced until the decision."""
+        referenced = self._referenced_paths()
         cutoff = time.time() - older_than_s
         removed = []
         for name in os.listdir(self.data_dir):
@@ -906,8 +1062,7 @@ class TxTable:
             if v > horizon:
                 needed.update(a["add"]["path"]
                               for a in self._read_commit(v) if "add" in a)
-        referenced = {a["add"]["path"] for a in self._read_actions()
-                      if "add" in a}
+        referenced = self._referenced_paths()
         removed = 0
         for name in referenced - needed:
             p = os.path.join(self.data_dir, name)
@@ -929,10 +1084,19 @@ class TxCatalog:
     version-0 commit (both writers target the same path; exactly one
     ``os.link`` wins), and the catalog entry follows.
 
-    Deliberate scope: no cross-TABLE transactions (each table's commits
-    stay independently atomic, like Delta's per-table logs) and a
-    dropped name's directory survives for audit until ``purge=True`` —
-    recreating a dropped table requires the purge.
+    CROSS-TABLE TRANSACTIONS: :meth:`begin` returns a
+    :class:`CatalogTxn` whose table handles stage writes as PENDING
+    commits that all become visible at the single atomic creation of
+    the transaction's decision file (see the module docstring for the
+    protocol — Iceberg-REST/Nessie-style catalog-coordinated commit).
+    Committed transactions also append a ``publish`` entry pinning
+    ``{table: version}``, so :meth:`snapshot_set` serves CONSISTENT
+    multi-table cuts and any past catalog version time-travels as a
+    unit. Tables only ever written outside transactions carry no pin
+    and fall back to their latest version in those reads.
+
+    A dropped name's directory survives for audit until ``purge=True``
+    — recreating a dropped table requires the purge.
 
     Listing cost follows the same O(recent) discipline as the table log:
     every ``checkpoint_interval`` catalog commits the writer materializes
@@ -949,9 +1113,11 @@ class TxCatalog:
         self.root = root
         self.log_dir = os.path.join(root, "_catalog")
         self.tables_dir = os.path.join(root, "tables")
+        self.txn_dir = os.path.join(self.log_dir, "txns")
         self.checkpoint_interval = checkpoint_interval
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.tables_dir, exist_ok=True)
+        os.makedirs(self.txn_dir, exist_ok=True)
 
     def _versions(self) -> list[int]:
         return sorted(int(f[:8]) for f in os.listdir(self.log_dir)
@@ -1008,16 +1174,52 @@ class TxCatalog:
     def _entries(self) -> dict[str, dict]:
         return self._replay()
 
+    def _pins(self, upto: int | None = None) \
+            -> tuple[dict[str, int], set[str]]:
+        """({table: pinned version}, {published txn ids}) at a catalog
+        version — the consistent-cut watermark maintained by committed
+        cross-table transactions' ``publish`` entries. Checkpoint-aware
+        like :meth:`_replay`; dropping a table clears its pin."""
+        pins: dict[str, int] = {}
+        published: set[str] = set()
+        start = -1
+        cks = [v for v in self._ck_versions()
+               if upto is None or v <= upto]
+        if cks:
+            with open(os.path.join(self.log_dir,
+                                   f"{cks[-1]:08d}.checkpoint.json")) as fh:
+                snap = json.load(fh)
+            pins = dict(snap.get("pins", {}))
+            published = set(snap.get("published", []))
+            start = cks[-1]
+        for v in self._versions():
+            if v <= start or (upto is not None and v > upto):
+                continue
+            with open(os.path.join(self.log_dir, f"{v:08d}.json")) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if a["op"] == "publish":
+                        published.add(a["txn"])
+                        pins.update(a["tables"])
+                    elif a["op"] == "drop_table":
+                        pins.pop(a["name"], None)
+        return pins, published
+
     def _maybe_checkpoint(self, v: int) -> None:
-        """Materialize the live table map beside commit ``v`` every
-        ``checkpoint_interval`` commits (deterministic content per
-        version, so a concurrent double-write is harmless)."""
+        """Materialize the live table map (and transaction pins) beside
+        commit ``v`` every ``checkpoint_interval`` commits
+        (deterministic content per version, so a concurrent
+        double-write is harmless)."""
         if v == 0 or v % self.checkpoint_interval != 0:
             return
         live = self._replay(v)
+        pins, published = self._pins(v)
         tmp = os.path.join(self.log_dir, f".ck-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
-            json.dump({"version": v, "live": list(live.values())}, fh)
+            json.dump({"version": v, "live": list(live.values()),
+                       "pins": pins, "published": sorted(published)}, fh)
         dst = os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
         try:
             os.link(tmp, dst)
@@ -1067,3 +1269,155 @@ class TxCatalog:
         if purge:
             shutil.rmtree(os.path.join(self.tables_dir, name),
                           ignore_errors=True)
+
+    # ----------------------------------------- cross-table transactions
+
+    def begin(self, grace_s: float | None = None) -> "CatalogTxn":
+        """Start a cross-table transaction; use as a context manager
+        (commit on clean exit, abort on exception) or call
+        :meth:`CatalogTxn.commit` / :meth:`CatalogTxn.abort` directly.
+        ``grace_s`` overrides each handle's presumed-abort window."""
+        return CatalogTxn(self, grace_s)
+
+    def _publish(self, txn_id: str, tables: dict[str, int]) -> None:
+        """Append the pin entry for a COMMITTED transaction (the
+        decision file already made it durable — this only advances the
+        catalog's consistent-cut watermark)."""
+        while True:
+            v = (self._versions() or [-1])[-1] + 1
+            if self._commit({"op": "publish", "txn": txn_id,
+                             "tables": tables}, v):
+                self._maybe_checkpoint(v)
+                return
+
+    def read(self, name: str, catalog_version: int | None = None) \
+            -> DataFrame:
+        """Read ``name`` through the catalog's transactional view: at
+        its version pinned by the last published transaction (at-or-
+        before ``catalog_version`` if given), falling back to the
+        table's latest version if it was never transaction-published."""
+        pins, _ = self._pins(catalog_version)
+        t = self.table(name)
+        return t.snapshot(pins[name]) if name in pins else t.snapshot()
+
+    def snapshot_set(self, names: list[str] | None = None,
+                     catalog_version: int | None = None) \
+            -> dict[str, DataFrame]:
+        """CONSISTENT multi-table snapshot: every transaction-published
+        table resolves at the version pinned by the same catalog state,
+        so a reader never observes half of a cross-table transaction —
+        the read-side guarantee the publish entries exist for. Pass a
+        past ``catalog_version`` to time-travel the whole set as a
+        unit."""
+        pins, _ = self._pins(catalog_version)
+        out: dict[str, DataFrame] = {}
+        for n in (names if names is not None else self.list_tables()):
+            t = self.table(n)
+            out[n] = t.snapshot(pins[n]) if n in pins else t.snapshot()
+        return out
+
+    def recover(self) -> dict:
+        """Roll FORWARD transactions that decided ``committed`` but
+        crashed before their ``publish`` entry landed: their table
+        state is already durable (the decision file is the commit
+        point), only the catalog's pin watermark lags. Idempotent —
+        already-published ids are skipped. Aborted/undecided decisions
+        need no recovery (presumed-abort handles the latter)."""
+        _, published = self._pins()
+        fixed = []
+        for f in sorted(os.listdir(self.txn_dir)):
+            if not f.endswith(".json") or ".tmp-" in f:
+                continue
+            with open(os.path.join(self.txn_dir, f)) as fh:
+                d = json.load(fh)
+            tid = f[:-5]
+            if d.get("status") == "committed" and tid not in published \
+                    and d.get("tables"):
+                self._publish(tid, d["tables"])
+                fixed.append(tid)
+        return {"republished": fixed}
+
+
+class CatalogTxn:
+    """One cross-table transaction (see module docstring): writes made
+    through :meth:`table` handles stage as pending commits in each
+    table's own log; :meth:`commit` atomically creates the decision
+    file — the single commit point for every staged table — then
+    publishes the ``{table: version}`` pins to the catalog log.
+
+    Concurrency: two transactions touching the SAME table serialize at
+    stage time (the second's writer raises :class:`TxnInDoubtError`
+    while the first is undecided); transactions on disjoint tables run
+    fully concurrently. A transaction that stalls past the grace
+    period can be presumed-aborted by any other writer — its
+    :meth:`commit` then raises :class:`TxnAbortedError` and the caller
+    re-runs it. Table CREATION inside a transaction is out of scope
+    (create through the catalog, then write transactionally)."""
+
+    def __init__(self, cat: TxCatalog, grace_s: float | None = None):
+        self.cat = cat
+        self.id = uuid.uuid4().hex
+        self.decision = os.path.join(cat.txn_dir, f"{self.id}.json")
+        self.grace_s = grace_s
+        self._handles: dict[str, TxTable] = {}
+        self._done = False
+
+    def table(self, name: str) -> TxTable:
+        """A write handle for ``name``: same TxTable API, but commits
+        stage under this transaction and reads see the transaction's
+        own staged writes (read-your-writes)."""
+        if self._done:
+            raise RuntimeError(f"txn {self.id} already finished")
+        if name not in self._handles:
+            if name not in self.cat._entries():
+                raise KeyError(f"no such table {name!r}")
+            t = TxTable(self.cat.spark,
+                        os.path.join(self.cat.tables_dir, name))
+            if self.grace_s is not None:
+                t.txn_grace_s = self.grace_s
+            t._txn_ref = {"txn": self.id, "decision": self.decision}
+            t._self_txn = self.id
+            self._handles[name] = t
+        return self._handles[name]
+
+    def staged(self) -> dict[str, int]:
+        """{table: last staged version} so far."""
+        return {n: h._last_commit_version
+                for n, h in self._handles.items()
+                if h._last_commit_version is not None}
+
+    def commit(self) -> dict:
+        """Atomically commit every staged table (first decision-file
+        create wins; raises :class:`TxnAbortedError` if the
+        transaction was already presumed- or explicitly aborted), then
+        publish the catalog pins. The staged map rides in the decision
+        file so :meth:`TxCatalog.recover` can re-publish after a crash
+        between the two steps."""
+        if self._done:
+            raise RuntimeError(f"txn {self.id} already finished")
+        tables = self.staged()
+        self._done = True
+        status = _decide(self.decision, "committed",
+                         extra={"tables": tables})
+        if status != "committed":
+            raise TxnAbortedError(
+                f"txn {self.id} was aborted before commit "
+                f"(explicit abort, or presumed-abort past the grace "
+                f"window); re-run it")
+        self.cat._publish(self.id, tables)
+        return {"txn": self.id, "tables": tables}
+
+    def abort(self) -> None:
+        """Void every staged commit (idempotent; loses to an earlier
+        concurrent commit decision, in which case the txn stands)."""
+        self._done = True
+        _decide(self.decision, "aborted")
+
+    def __enter__(self) -> "CatalogTxn":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.commit()
+        else:
+            self.abort()
