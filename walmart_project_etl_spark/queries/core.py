@@ -1063,6 +1063,106 @@ def txn_multitable_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dsum("o_totalprice", "revenue")))
 
 
+@q("txn_change_feed",
+   f"""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                            o_orderstatus FROM orders),
+          u AS (SELECT * FROM {_TXN_UPDATES_SQL} updates)
+      SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderstatus,
+             'update_preimage' AS _change_type,
+             CAST(1 AS BIGINT) AS _commit_version
+      FROM base b WHERE b.o_orderkey % 50 = 3
+      UNION ALL
+      SELECT u.o_orderkey, u.o_custkey, u.o_totalprice, u.o_orderstatus,
+             CASE WHEN u.o_orderkey = 7777777 THEN 'insert'
+                  ELSE 'update_postimage' END,
+             CAST(1 AS BIGINT)
+      FROM u
+      UNION ALL
+      SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderstatus,
+             'delete', CAST(2 AS BIGINT)
+      FROM base b WHERE b.o_orderkey % 50 = 11""")
+def txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED on the log table (Delta CDF): with
+    ``change_feed=True`` the MERGE captures row-level pre/post images
+    and inserts, the DELETE captures its victim rows, and
+    ``read_changes`` serves the ordered change stream with
+    ``_change_type`` / ``_commit_version`` — O(changed rows) capture at
+    write time over only the touched files, never a snapshot diff. The
+    oracle reconstructs the exact expected stream: preimages are the
+    original %50=3 rows, postimages their repriced twins, the one brand
+    new key an insert, and the %50=11 rows delete records at the next
+    version (tests/test_txlog_cdf.py pins capture, retention, and the
+    sealed-prefix txn interplay)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o, updates = _txn_updates(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_cdf")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8, change_feed=True)
+    tt.merge_upsert(updates)                                   # v1
+    tt.delete_keys(o.where(F.col("o_orderkey") % 50 == 11)     # v2
+                    .select("o_orderkey"))
+    return tt.read_changes(since_version=1)
+
+
+@q("txn_cdf_incremental_agg",
+   f"""WITH u AS (SELECT * FROM {_TXN_UPDATES_SQL} updates),
+          base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                          o_orderstatus FROM orders),
+          final AS (SELECT * FROM base ANTI JOIN u USING (o_orderkey)
+                    UNION ALL SELECT * FROM u)
+      SELECT o_orderstatus, count(*) AS n_orders,
+             {sql_dsum('o_totalprice', 'revenue')}
+      FROM final WHERE o_orderkey % 50 <> 11
+      GROUP BY o_orderstatus""")
+def txn_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL AGGREGATE MAINTENANCE from the change feed: the
+    downstream revenue-by-status aggregate is maintained by folding the
+    CDF deltas (+postimage/insert, −preimage/delete) into the version-0
+    aggregate state — never re-scanning the table. Decimal-routed sums
+    keep the fold EXACT, so the result equals the oracle's full
+    recompute of the final state bit-for-bit. This is the 100 TB
+    consumer pattern ``read_changes`` exists for: nightly aggregate
+    refresh costs O(changed rows), not O(table) — the scalable answer
+    to the reference's re-aggregate-everything BI loader
+    (``etl_bi_loader.py``)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o, updates = _txn_updates(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_cdfagg")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8, change_feed=True)
+    tt.merge_upsert(updates)
+    tt.delete_keys(o.where(F.col("o_orderkey") % 50 == 11)
+                    .select("o_orderkey"))
+
+    dec = F.col("o_totalprice").cast("decimal(28,6)")
+    base = (tt.snapshot(0).groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n0"),
+                 F.sum(dec).alias("r0")))
+    sign = F.when(F.col("_change_type").isin("insert",
+                                             "update_postimage"),
+                  F.lit(1)).otherwise(F.lit(-1))
+    delta = (tt.read_changes(since_version=1)
+             .groupBy("o_orderstatus")
+             .agg(F.sum(sign).alias("nd"),
+                  F.sum(dec * sign).alias("rd")))
+    zero = F.lit(0).cast("decimal(28,6)")
+    return (base.join(delta, "o_orderstatus", "full")
+            .select("o_orderstatus",
+                    (F.coalesce("n0", F.lit(0))
+                     + F.coalesce("nd", F.lit(0))).alias("n_orders"),
+                    F.round(F.coalesce("r0", zero)
+                            + F.coalesce("rd", zero), 2)
+                    .cast("double").alias("revenue")))
+
+
 @q("txn_schema_evolution",
    """SELECT o_orderkey, o_custkey, o_totalprice,
              CAST(NULL AS VARCHAR) AS priority_band

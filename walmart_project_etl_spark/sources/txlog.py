@@ -63,6 +63,15 @@ metadata-only commit: later reads surface pre-evolution files' missing
 columns as NULL via the declared schema, pre-evolution versions still
 time-travel to the old schema, and silent drift stays rejected.
 
+CHANGE DATA FEED (``create(..., change_feed=True)`` +
+``read_changes``): Delta-CDF-style row-level change capture — MERGE and
+DELETE commits write ``cdf`` change files (pre/post images, inserts,
+deletes) at O(changed rows); appends derive their inserts from the add
+files with no double-write. Downstream consumers (incremental aggregate
+maintenance, index refresh, replication) then track the table for the
+cost of its CHANGES instead of re-scanning snapshots — the piece that
+turns the table format into a pipeline source at 100 TB.
+
 CROSS-TABLE TRANSACTIONS (``TxCatalog.begin()``) extend the per-table
 log with the catalog-coordinated atomic commit real lakehouse catalogs
 provide (the ref-swap design of Iceberg REST catalogs / Project Nessie,
@@ -496,6 +505,26 @@ class TxTable:
 
         return [{"add": add_action(p)} for p in paths if p in by_name]
 
+    def _write_cdf(self, changes: DataFrame) -> list[dict]:
+        """Materialize CHANGE-FEED rows (table columns +
+        ``_change_type``) for one commit as ``cdf-*.parquet`` files —
+        written partition-parallel alongside the data files, referenced
+        by ``cdf`` actions in the same commit, and never part of any
+        live snapshot. Like the data files they are invisible until the
+        commit lands (a lost race orphans them for
+        ``vacuum_uncommitted``)."""
+        staging = os.path.join(self.data_dir, f".stage-{uuid.uuid4().hex}")
+        changes.write.mode("overwrite").parquet(staging)
+        actions = []
+        for name in sorted(os.listdir(staging)):
+            if name.endswith(".parquet"):
+                final = f"cdf-{uuid.uuid4().hex}.parquet"
+                os.rename(os.path.join(staging, name),
+                          os.path.join(self.data_dir, final))
+                actions.append({"cdf": {"path": final}})
+        shutil.rmtree(staging, ignore_errors=True)
+        return actions
+
     # ------------------------------------------------------------- reads
 
     def _read_files(self, meta: dict, paths) -> DataFrame:
@@ -596,6 +625,75 @@ class TxTable:
             df = df.where(F.col(col) <= hi)
         return df
 
+    def read_changes(self, since_version: int = 0,
+                     upto: int | None = None) -> DataFrame:
+        """CHANGE DATA FEED (Delta CDF): the row-level change stream of
+        commits in ``[since_version, upto]`` — table columns plus
+        ``_change_type`` (``insert`` / ``update_preimage`` /
+        ``update_postimage`` / ``delete``) and ``_commit_version``.
+        Requires ``create(..., change_feed=True)``.
+
+        Inserts from create/append commits derive directly from those
+        commits' immutable add files (no storage double-write on the
+        append-heavy path); merge/delete commits read the ``cdf``
+        change files captured at write time — O(changed rows), never a
+        snapshot diff. Compaction/Z-order/evolve commits change no rows
+        and contribute nothing. This is what lets a downstream consumer
+        (aggregate maintenance, search-index refresh, replication)
+        track a 100 TB table for the cost of its CHANGES rather than
+        re-scanning snapshots.
+
+        Consumption is SEALED-PREFIX: the feed stops just before the
+        first still-undecided cross-table pending commit, so a consumer
+        that advances its watermark past version v can never miss v's
+        rows. Change files follow :meth:`vacuum`'s version retention —
+        don't read changes past the vacuum horizon."""
+        meta, _ = self._state(upto, self._read_mode(upto))
+        if meta is None:
+            raise FileNotFoundError(f"no table at {self.root}")
+        if not meta.get("change_feed"):
+            raise ValueError(
+                f"table at {self.root} was created without "
+                f"change_feed=True — no change files exist")
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        cols = [*schema.fieldNames(), "_change_type"]
+        cdf_schema = StructType(list(schema.fields)).add("_change_type",
+                                                         "string")
+        parts = []
+        for v in self.versions():
+            if v < since_version or (upto is not None and v > upto):
+                continue
+            try:
+                acts = self._commit_actions(v, "strict")
+            except TxnInDoubtError:
+                break                      # sealed prefix: stop early
+            ops = [a["op"] for a in acts if "op" in a]
+            op = ops[0] if ops else None
+            if op in ("create", "append"):
+                paths = [a["add"]["path"] for a in acts if "add" in a]
+                if not paths:
+                    continue
+                df = self._read_files(meta, paths) \
+                    .withColumn("_change_type", F.lit("insert"))
+            elif op in ("merge", "delete"):
+                paths = [os.path.join(self.data_dir, a["cdf"]["path"])
+                         for a in acts if "cdf" in a]
+                if not paths:
+                    continue               # no-op merge/delete
+                df = self.spark.read.schema(cdf_schema).parquet(*paths)
+            else:
+                continue                   # compact/zorder/evolve
+            parts.append(df.select(*cols).withColumn(
+                "_commit_version", F.lit(v).cast("long")))
+        if not parts:
+            empty = StructType(list(cdf_schema.fields)) \
+                .add("_commit_version", "long")
+            return self.spark.createDataFrame([], empty)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def history(self) -> list[dict]:
         out = []
         for v in self.versions():
@@ -619,7 +717,8 @@ class TxTable:
     def create(self, df: DataFrame, key_col: str,
                n_files: int | None = None,
                stats_col: str | None = None,
-               stats_cols: list[str] | None = None) -> None:
+               stats_cols: list[str] | None = None,
+               change_feed: bool = False) -> None:
         """``stats_cols`` declares extra data-skipping COLUMNS beyond the
         merge key (``stats_col`` remains as the single-column spelling):
         every data file records each declared column's [min, max] in the
@@ -631,7 +730,14 @@ class TxTable:
         not selective on unclustered data. Format v2 with the first
         declared column doubling as the legacy ``smin``/``smax`` fields,
         so v2-era readers keep pruning; v1 logs (no field) read
-        unchanged, their files simply never prune on stats."""
+        unchanged, their files simply never prune on stats.
+
+        ``change_feed=True`` enables Delta-CDF-style row-level change
+        capture: every MERGE/DELETE commit also writes ``cdf`` change
+        files (``_write_cdf``) and :meth:`read_changes` serves the
+        row-level change stream (appends/creates derive their inserts
+        straight from the add files — no double-write for the
+        append-heavy path)."""
         assert not self.versions(), f"table already exists at {self.root}"
         if stats_col is not None and stats_cols is not None:
             raise ValueError("pass stats_col OR stats_cols, not both")
@@ -645,6 +751,8 @@ class TxTable:
             f"merge key must be integral or string, got " \
             f"{dict(df.dtypes)[key_col]}"
         meta = {"key_col": key_col, "schema": df.schema.json(), "format": 2}
+        if change_feed:
+            meta["change_feed"] = True
         if cols:
             unknown = [c for c in cols if c not in df.columns]
             assert not unknown, f"unknown stats_cols {unknown}"
@@ -837,8 +945,30 @@ class TxTable:
                 new_rows = updates
             adds = self._write_files(new_rows, key,
                                      stats_cols=_meta_stats_cols(meta))
+            cdf = []
+            if meta.get("change_feed"):
+                # row-level change capture over the TOUCHED files only
+                # (pruning is conservative, so they hold every existing
+                # update key) — O(touched), same as the rewrite itself
+                if touched:
+                    old_keys = old.select(key)
+                    changes = (
+                        old.join(updates.select(key), key, "semi")
+                        .withColumn("_change_type",
+                                    F.lit("update_preimage"))
+                        .unionByName(
+                            updates.join(old_keys, key, "semi")
+                            .withColumn("_change_type",
+                                        F.lit("update_postimage")))
+                        .unionByName(
+                            updates.join(old_keys, key, "left_anti")
+                            .withColumn("_change_type", F.lit("insert"))))
+                else:
+                    changes = updates.withColumn("_change_type",
+                                                 F.lit("insert"))
+                cdf = self._write_cdf(changes)
             v = self.versions()[-1] + 1
-            actions = [{"op": "merge"}, *adds,
+            actions = [{"op": "merge"}, *adds, *cdf,
                        *({"remove": {"path": a["path"]}} for a in touched)]
             if txn is not None:
                 actions.append({"txn": {"app": txn[0], "batch": txn[1]}})
@@ -864,13 +994,18 @@ class TxTable:
             _, live = self._state()
             touched = prune(list(live.values()))
             adds: list[dict] = []
+            cdf: list[dict] = []
             if touched:
                 old = self._read_files(meta, [a["path"] for a in touched])
                 adds = self._write_files(old.join(keys, key, "left_anti"),
                                          key,
                                          stats_cols=_meta_stats_cols(meta))
+                if meta.get("change_feed"):
+                    cdf = self._write_cdf(
+                        old.join(keys, key, "semi")
+                        .withColumn("_change_type", F.lit("delete")))
             v = self.versions()[-1] + 1
-            actions = [{"op": "delete"}, *adds,
+            actions = [{"op": "delete"}, *adds, *cdf,
                        *({"remove": {"path": a["path"]}} for a in touched)]
             if self._commit(actions, v):
                 self._maybe_checkpoint(v)
@@ -1010,6 +1145,7 @@ class TxTable:
                     continue
                 acts = acts[1:]
             ref.update(a["add"]["path"] for a in acts if "add" in a)
+            ref.update(a["cdf"]["path"] for a in acts if "cdf" in a)
         return ref
 
     def vacuum_uncommitted(self, older_than_s: float = 3600.0) -> list[str]:
@@ -1051,17 +1187,22 @@ class TxTable:
         after it — both still reachable by a retained snapshot).
         Deterministic and clock-free, unlike Delta's hour-based
         retention, so tests can pin it; the operational contract is the
-        same: readers must not time-travel past the horizon, and the
-        caller picks a retention covering the longest-running reader.
-        Returns {"removed": n, "horizon": v}."""
+        same: readers must not time-travel (or read changes) past the
+        horizon, and the caller picks a retention covering the
+        longest-running reader. Change-feed files follow the same
+        retention: commits after the horizon keep theirs, older ones
+        are reclaimed. Returns {"removed": n, "horizon": v}."""
         vs = self.versions()
         horizon = max(vs[-1] - retain_versions + 1, vs[0])
         _, live_h = self._state(horizon)
         needed = set(live_h)
         for v in vs:
             if v > horizon:
-                needed.update(a["add"]["path"]
-                              for a in self._read_commit(v) if "add" in a)
+                for a in self._read_commit(v):
+                    if "add" in a:
+                        needed.add(a["add"]["path"])
+                    elif "cdf" in a:
+                        needed.add(a["cdf"]["path"])
         referenced = self._referenced_paths()
         removed = 0
         for name in referenced - needed:
@@ -1233,7 +1374,8 @@ class TxCatalog:
 
     def create_table(self, name: str, df: DataFrame, key_col: str,
                      n_files: int | None = None,
-                     stats_col: str | None = None) -> TxTable:
+                     stats_col: str | None = None,
+                     change_feed: bool = False) -> TxTable:
         if not self._NAME_OK.match(name):
             raise ValueError(f"bad table name {name!r}")
         if name in self._entries():
@@ -1245,7 +1387,8 @@ class TxCatalog:
                 f"table {name!r} was dropped but not purged — "
                 "drop_table(name, purge=True) before recreating")
         t = TxTable(self.spark, path)
-        t.create(df, key_col, n_files, stats_col)   # settles name races
+        t.create(df, key_col, n_files, stats_col,
+                 change_feed=change_feed)           # settles name races
         while True:
             v = (self._versions() or [-1])[-1] + 1
             if self._commit({"op": "create_table", "name": name,
