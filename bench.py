@@ -75,6 +75,11 @@ BENCH_QUERIES = [
     "txn_keyset_lookup",
     "dedup_cross_doc_ngram_score",
     "text_quality_classifier_report",
+    # r9-new: the cross-table transaction (staging + decision + pinned
+    # read) and the change-data-feed capture+read — coordination/capture
+    # overhead regressions must be bench-visible
+    "txn_multitable_publish",
+    "txn_change_feed",
     # end-to-end star pipeline (ingest→ODS→staging→target→BI agg) with a
     # COLD warehouse cache — guards the pipeline plans, not just micro ops
     "pipe_bi_sales_by_category",

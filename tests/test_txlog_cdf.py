@@ -144,6 +144,80 @@ def test_vacuum_reclaims_old_change_files(spark, orders, tmp_path):
         orders.where("o_orderkey % 100 = 3").count()
 
 
+def _drain(spark, root, sink_dir, ckpt, since=None):
+    """availableNow drain of the txlog_changes stream into a parquet
+    sink (fault-tolerant → checkpointed offsets survive restarts)."""
+    from walmart_project_etl_spark.streaming.txsource import \
+        TxLogChangesDataSource
+    spark.dataSource.register(TxLogChangesDataSource)
+    reader = spark.readStream.format("txlog_changes").option("root", root)
+    if since is not None:
+        reader = reader.option("sinceVersion", str(since))
+    q = (reader.load().writeStream.format("parquet")
+         .option("path", sink_dir).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)
+
+
+def test_stream_source_matches_batch_feed(spark, orders, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders.where("o_orderkey % 2 = 0"), "o_orderkey",
+             n_files=4, change_feed=True)
+    t.append(orders.where("o_orderkey % 2 = 1"))
+    t.merge_upsert(orders.where("o_orderkey % 50 = 3")
+                   .withColumn("o_totalprice", F.col("o_orderkey") * 0.5))
+    t.delete_keys(orders.where("o_orderkey % 50 = 11")
+                  .select("o_orderkey"))
+    got = _drain(spark, t.root, str(tmp_path / "sink"),
+                 str(tmp_path / "ckpt"))
+    assert _rows(got, ALL) == _rows(t.read_changes(0), ALL)
+
+
+def test_stream_checkpoint_resume_is_exactly_once(spark, orders,
+                                                  tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=4, change_feed=True)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    first = _drain(spark, t.root, sink, ckpt)
+    assert first.count() == orders.count()          # v0 inserts
+
+    # new commits land; the SAME checkpoint resumes and emits ONLY them
+    t.delete_keys(orders.where("o_orderkey % 100 = 7")
+                  .select("o_orderkey"))            # v1
+    second = _drain(spark, t.root, sink, ckpt)
+    new = second.where("_commit_version >= 1")
+    assert second.count() == orders.count() + new.count()  # no replays
+    assert new.count() == \
+        orders.where("o_orderkey % 100 = 7").count()
+    assert {r["_change_type"] for r in
+            new.select("_change_type").distinct().collect()} == \
+        {"delete"}
+
+
+def test_stream_fences_to_sealed_prefix(spark, orders, tmp_path):
+    c = TxCatalog(spark, str(tmp_path / "cat"))
+    c.create_table("t", orders, "o_orderkey", n_files=4,
+                   change_feed=True)
+    root = os.path.join(c.tables_dir, "t")
+    txn = c.begin()
+    txn.table("t").merge_upsert(
+        orders.where("o_orderkey % 100 = 9")
+        .withColumn("o_totalprice", F.lit(-3.125)))  # staged, undecided
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    first = _drain(spark, root, sink, ckpt)
+    # only the sealed prefix (v0 create) drains; the staged commit is
+    # NOT skipped-and-lost — it simply hasn't been reached
+    assert first.agg(F.max("_commit_version")).first()[0] == 0
+
+    txn.commit()
+    second = _drain(spark, root, sink, ckpt)
+    assert second.agg(F.max("_commit_version")).first()[0] == 1
+    assert second.where("_change_type = 'update_postimage'").count() == \
+        orders.where("o_orderkey % 100 = 9").count()
+
+
 def test_incremental_agg_fold_matches_recompute(spark, orders, tmp_path):
     t = TxTable(spark, str(tmp_path / "t"))
     t.create(orders, "o_orderkey", n_files=8, change_feed=True)

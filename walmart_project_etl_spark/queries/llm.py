@@ -11,6 +11,9 @@ planes, seeded KMeans, sketches) carry pinned sf0.01 goldens instead
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -18,7 +21,7 @@ from pyspark.sql.window import Window
 from walmart_project_etl_spark.operators import (dedup, events, multimodal,
                                                  similarity, text)
 
-from .util import events_dir, events_t, pinned, t
+from .util import dsum, events_dir, events_t, pinned, t
 
 QUERIES: dict = {}
 
@@ -693,6 +696,74 @@ def stream_tx_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="wpe_stream_txtbl_"),
         max_files_per_trigger=4)
     return out.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+@q("stream_cdf_follow",
+   """SELECT CAST(0 AS BIGINT) AS _commit_version,
+             'insert' AS _change_type, count(*) AS n_changes,
+             round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2)::DOUBLE
+               AS sum_price
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'insert', count(*),
+             round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2)::DOUBLE
+      FROM orders WHERE o_orderkey % 2 = 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'update_preimage', count(*),
+             round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2)::DOUBLE
+      FROM orders WHERE o_orderkey % 50 = 3
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'update_postimage', count(*),
+             round(sum(CAST(o_orderkey * 0.5 AS DECIMAL(28,6))), 2)::DOUBLE
+      FROM orders WHERE o_orderkey % 50 = 3
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'delete', count(*),
+             round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2)::DOUBLE
+      FROM orders WHERE o_orderkey % 50 = 11""")
+def stream_cdf_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING the tx table's change feed through the Spark-4 Python
+    DataSource API (``streaming/txsource.py``): offsets are log
+    versions, ``latestOffset`` fences to the sealed (decided) prefix,
+    and each commit's data/cdf files stream executor-side as Arrow
+    batches — ``readStream.format("txlog_changes")`` tails a table the
+    way Delta's streaming source does, on the public extension seam.
+    Four commits (create, append, merge, delete) drain under
+    ``availableNow`` and the per-commit change profile must equal the
+    oracle's reconstruction (tests/test_txlog_cdf.py additionally pins
+    checkpointed exactly-once RESUME: a second run with the same
+    checkpoint emits only the commits that landed in between)."""
+    import shutil
+    import uuid as _uuid
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+    from walmart_project_etl_spark.streaming.txsource import \
+        TxLogChangesDataSource
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_stream")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o.where("o_orderkey % 2 = 0"), "o_orderkey", n_files=4,
+              change_feed=True)                                    # v0
+    tt.append(o.where("o_orderkey % 2 = 1"))                       # v1
+    tt.merge_upsert(o.where("o_orderkey % 50 = 3")                 # v2
+                    .withColumn("o_totalprice",
+                                F.col("o_orderkey") * 0.5))
+    tt.delete_keys(o.where("o_orderkey % 50 = 11")                 # v3
+                   .select("o_orderkey"))
+
+    spark.dataSource.register(TxLogChangesDataSource)
+    feed = spark.readStream.format("txlog_changes") \
+        .option("root", root).load()
+    name = f"cdf_follow_{_uuid.uuid4().hex[:8]}"
+    q = (feed.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .groupBy("_commit_version", "_change_type")
+            .agg(F.count(F.lit(1)).alias("n_changes"),
+                 dsum("o_totalprice", "sum_price")))
 
 
 @q("stream_static_enrich",

@@ -1,0 +1,172 @@
+"""Structured Streaming SOURCE over the transaction-log table — the
+Spark-4 Python DataSource API (public: ``pyspark.sql.datasource``,
+SPARK-44076) wired to ``sources/txlog.py``'s commit log, so a consumer
+can ``spark.readStream.format("txlog_changes")`` and follow a table's
+row-level change feed with exactly-once micro-batch semantics:
+
+- **Offsets ARE log versions** (``{"version": n}`` = next commit to
+  consume): the commit log is already an ordered, immutable sequence,
+  so offset tracking, replay after restart, and backfill-from-v0 all
+  come free — the property Delta's streaming source builds on
+  (Armbrust et al., VLDB 2020 §4.3), reconstructed on the public API.
+- ``latestOffset`` advances only over the SEALED PREFIX: it stops
+  before the first still-undecided cross-table pending commit, so a
+  checkpointed consumer can never skip a commit that decides later.
+- ``partitions(start, end)`` maps each commit's files to input
+  partitions — one per data/change file, read EXECUTOR-SIDE as Arrow
+  record batches (``pyarrow.parquet``), never a driver collect.
+  Create/append commits stream their add files as inserts;
+  merge/delete commits stream their captured ``cdf`` files;
+  compact/Z-order/evolve commits move no rows and yield nothing.
+- Schema = table columns + ``_change_type`` + ``_commit_version``;
+  pre-evolution files surface missing columns as NULL, like the batch
+  reader.
+
+Trade-off, stated plainly: rows cross the executor's Python worker as
+Arrow batches (vectorized, zero-copy-ish) rather than a JVM-native
+scan — the cost of the PUBLIC extension seam. The per-batch work is
+O(changed files); at 100 TB the feed tracks the CHANGES, not the
+table, which is what makes tailing a petabyte table feasible at all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+                                    InputPartition)
+from pyspark.sql.types import StructType
+
+from walmart_project_etl_spark.sources.txlog import (TxTable,
+                                                     _read_decision)
+
+
+@dataclass
+class _FilePart(InputPartition):
+    """One parquet file of one commit (picklable, executor-bound)."""
+    path: str              # absolute
+    change_type: str | None  # fixed tag (insert) or None (cdf carries it)
+    version: int
+
+
+def _log_meta(root: str) -> dict:
+    """Current table meta via a pure-filesystem replay (driver AND
+    executors run without a SparkSession in the Python data source).
+    "read" mode: an undecided pending must not block stream START —
+    ``latestOffset`` already fences consumption to the sealed prefix."""
+    meta, _ = TxTable(None, root)._state(None, "read")
+    if meta is None:
+        raise FileNotFoundError(f"no tx table at {root}")
+    return meta
+
+
+class TxLogStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, schema: StructType,
+                 since_version: int):
+        self.root = root
+        self.schema = schema
+        self.since = since_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self.since}
+
+    def latestOffset(self) -> dict:
+        """End of the SEALED prefix: one past the last commit whose
+        outcome is final (normal, or decided pending). An undecided
+        pending blocks advancement — never force-aborted by the source
+        (it is a reader), and never skipped (offsets are a watermark)."""
+        t = TxTable(None, self.root)
+        head = self.since
+        for v in t.versions():
+            if v < self.since:
+                continue
+            if v != head:                      # gap — cannot happen in a
+                break                          # linked log, but be safe
+            acts = t._read_commit(v)
+            if acts and "pending" in acts[0] and \
+                    _read_decision(acts[0]["pending"]["decision"]) is None:
+                break
+            head = v + 1
+        return {"version": head}
+
+    def partitions(self, start: dict, end: dict):
+        t = TxTable(None, self.root)
+        parts: list[_FilePart] = []
+        for v in range(start["version"], end["version"]):
+            acts = t._commit_actions(v, "strict")
+            ops = [a["op"] for a in acts if "op" in a]
+            op = ops[0] if ops else None
+            if op in ("create", "append"):
+                parts += [_FilePart(os.path.join(t.data_dir,
+                                                 a["add"]["path"]),
+                                    "insert", v)
+                          for a in acts if "add" in a]
+            elif op in ("merge", "delete"):
+                parts += [_FilePart(os.path.join(t.data_dir,
+                                                 a["cdf"]["path"]),
+                                    None, v)
+                          for a in acts if "cdf" in a]
+            # compact / zorder / evolve: no row-level changes
+        return parts
+
+    def read(self, partition: _FilePart):
+        """Executor-side: one parquet file → Arrow record batches cast
+        to the stream schema (missing columns → NULL, constant
+        ``_change_type``/``_commit_version`` appended)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        tbl = pq.read_table(partition.path)
+        n = tbl.num_rows
+        cols = []
+        for field in target:
+            if field.name == "_change_type":
+                val = partition.change_type
+                if val is not None:
+                    cols.append(pa.array([val] * n, type=field.type))
+                else:
+                    cols.append(tbl.column("_change_type")
+                                .cast(field.type))
+            elif field.name == "_commit_version":
+                cols.append(pa.array([partition.version] * n,
+                                     type=field.type))
+            elif field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            else:                       # pre-evolution file
+                cols.append(pa.nulls(n, type=field.type))
+        out = pa.table(cols, schema=target)
+        yield from out.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass                            # the log is immutable — nothing
+        #                                 to clean up at offset commit
+
+
+class TxLogChangesDataSource(DataSource):
+    """``spark.readStream.format("txlog_changes")`` after
+    ``spark.dataSource.register(TxLogChangesDataSource)``.
+
+    Options: ``root`` (table root, required), ``sinceVersion``
+    (first commit to stream, default 0 — a full backfill then tail).
+    Requires a table created with ``change_feed=True`` when the log
+    contains merge/delete commits (their row-level changes live in the
+    captured ``cdf`` files)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog_changes"
+
+    def schema(self) -> StructType:
+        meta = _log_meta(self.options["root"])
+        base = StructType.fromJson(json.loads(meta["schema"]))
+        return StructType(list(base.fields)) \
+            .add("_change_type", "string") \
+            .add("_commit_version", "long")
+
+    def streamReader(self, schema: StructType) -> TxLogStreamReader:
+        return TxLogStreamReader(self.options["root"], schema,
+                                 int(self.options.get("sinceVersion", 0)))
