@@ -919,3 +919,139 @@ def test_optimize_zorder_multidim_prune(spark, tmp_path):
     # refuses a column with no per-file stats, and non-arithmetic types
     with pytest.raises(ValueError, match="carry no per-file stats"):
         t.optimize_zorder(["o_totalprice"])
+
+
+# ---------------------------------------------------------- partitioning
+
+
+@pytest.fixture()
+def part_table(spark, orders, tmp_path):
+    t = TxTable(spark, str(tmp_path / "pt"))
+    t.create(orders, "o_orderkey", n_files=6, partition_by="o_orderstatus")
+    return t
+
+
+def test_partitioned_create_records_pure_pvals(spark, orders, part_table):
+    """Every data file of a partitioned table is partition-pure and its
+    add action records the typed partition value."""
+    _, live = part_table._state()
+    assert all("pval" in a for a in live.values())
+    vals = {r["o_orderstatus"] for r in
+            orders.select("o_orderstatus").distinct().collect()}
+    assert {a["pval"] for a in live.values()} == vals
+    for a in live.values():                      # purity, per file
+        got = spark.read.parquet(
+            os.path.join(part_table.data_dir, a["path"])) \
+            .select("o_orderstatus").distinct().collect()
+        assert [r[0] for r in got] == [a["pval"]]
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    assert _rows(part_table.snapshot(), cols) == _rows(orders, cols)
+
+
+def test_read_partitions_prunes_files(spark, orders, part_table):
+    """A one-partition read scans only that partition's files — pruning
+    decided on the log alone."""
+    _, live = part_table._state()
+    n_f = sum(1 for a in live.values() if a["pval"] == "F")
+    assert 0 < n_f < len(live)
+    got = part_table.read_partitions(["F"])
+    assert len(got.inputFiles()) == n_f
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _rows(got, cols) == \
+        _rows(orders.where("o_orderstatus = 'F'"), cols)
+    # multi-value, and the not-partitioned error path
+    both = part_table.read_partitions(["F", "P"])
+    assert both.count() == orders.where("o_orderstatus != 'O'").count()
+    t2 = TxTable(spark, part_table.root + "_plain")
+    t2.create(orders.limit(10), "o_orderkey")
+    with pytest.raises(ValueError, match="not partitioned"):
+        t2.read_partitions(["F"])
+    with pytest.raises(ValueError, match="not partitioned"):
+        t2.replace_where("F", orders.limit(5))
+
+
+def test_replace_where_atomic_overwrite(spark, orders, part_table):
+    """replace_where swaps exactly one partition in one commit: results
+    exact, other partitions' files untouched, time travel intact."""
+    _, live0 = part_table._state()
+    keep = {a["path"] for a in live0.values() if a["pval"] != "F"}
+    new_f = orders.where("o_orderstatus = 'F'") \
+                  .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    res = part_table.replace_where("F", new_f)
+    assert res["files_removed"] == len(live0) - len(keep)
+    _, live1 = part_table._state()
+    assert keep <= set(live1)                   # untouched survive as-is
+    assert not any(a["path"] in live1 and a["pval"] == "F"
+                   for a in live0.values())     # doomed all removed
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    expected = orders.where("o_orderstatus != 'F'").unionByName(new_f)
+    assert _rows(part_table.snapshot(), cols) == _rows(expected, cols)
+    assert _rows(part_table.snapshot(0), cols) == _rows(orders, cols)
+    assert part_table.history()[-1]["op"] == "replace_where"
+
+
+def test_replace_where_rejects_stray_rows(spark, orders, part_table):
+    """Rows outside the claimed partition fail BEFORE the commit and
+    leave no new live files behind (Delta's replaceWhere contract)."""
+    _, live0 = part_table._state()
+    with pytest.raises(ValueError, match="other partitions"):
+        part_table.replace_where("O", orders.limit(40))
+    _, live1 = part_table._state()
+    assert set(live1) == set(live0)
+
+
+def test_partitioned_writes_preserve_purity(spark, orders, tmp_path):
+    """merge/delete/compact/zorder on a partitioned table keep every
+    file partition-pure with a recorded pval, so partition pruning never
+    degrades over the table's life."""
+    t = TxTable(spark, str(tmp_path / "pt2"))
+    t.create(orders, "o_orderkey", n_files=6,
+             partition_by="o_orderstatus", stats_cols=["o_custkey"])
+    upd = orders.where("o_orderkey % 7 = 0") \
+                .withColumn("o_totalprice", F.lit(1.25))
+    t.merge_upsert(upd)
+    t.delete_keys(orders.where("o_orderkey % 11 = 0")
+                  .select("o_orderkey"))
+    t.compact(target_rows=10_000)
+    t.optimize_zorder(["o_custkey"], n_files=4)
+    _, live = t._state()
+    assert all("pval" in a for a in live.values())
+    expected = orders.join(upd.select("o_orderkey"), "o_orderkey",
+                           "left_anti").unionByName(upd) \
+                     .where("o_orderkey % 11 != 0")
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    assert _rows(t.snapshot(), cols) == _rows(expected, cols)
+    # pruning still works post-maintenance
+    f_files = sum(1 for a in live.values() if a["pval"] == "F")
+    assert len(t.read_partitions(["F"]).inputFiles()) == f_files < len(live)
+
+
+def test_partitioned_null_pval_rejected(spark, orders, tmp_path):
+    t = TxTable(spark, str(tmp_path / "pt3"))
+    bad = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+         .otherwise(F.col("o_orderstatus")))
+    with pytest.raises(ValueError, match="partition column"):
+        t.create(bad, "o_orderkey", partition_by="o_orderstatus")
+
+
+def test_replace_where_cdf_capture(spark, orders, tmp_path):
+    """With change_feed=True, a replace_where lands in the change feed
+    as delete(old partition rows) + insert(new rows), consumable by the
+    same read_changes stream as merges and deletes."""
+    t = TxTable(spark, str(tmp_path / "pt4"))
+    t.create(orders, "o_orderkey", n_files=4,
+             partition_by="o_orderstatus", change_feed=True)
+    new_f = orders.where("o_orderstatus = 'P'") \
+                  .withColumn("o_totalprice", F.lit(3.5))
+    t.replace_where("P", new_f)
+    ch = t.read_changes(since_version=1)
+    dels = ch.where("_change_type = 'delete'")
+    ins = ch.where("_change_type = 'insert'")
+    assert dels.count() == orders.where("o_orderstatus = 'P'").count()
+    assert ins.count() == new_f.count()
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _rows(dels, cols) == \
+        _rows(orders.where("o_orderstatus = 'P'"), cols)
+    assert _rows(ins, cols) == _rows(new_f, cols)

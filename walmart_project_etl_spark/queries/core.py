@@ -976,6 +976,62 @@ def txn_zorder_multicol_prune(spark: SparkSession,
     return band.where(F.col("o_custkey") >= 1200)
 
 
+@q("txn_partition_prune",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderstatus = 'F'""")
+def txn_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIVE/DELTA-STYLE PARTITION PRUNING on the log table: the table is
+    created with ``partition_by=o_orderstatus``, every data file is
+    partition-pure with its value recorded in the add action, and a
+    one-partition read (``read_partitions``) skips every other
+    partition's files on the log alone — no stats comparison, no file
+    opens. The first-order file-skipping tier at 100 TB, ahead of the
+    range/bloom stats (file counts pinned in
+    tests/test_txlog.py::test_read_partitions_prunes_files)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_part")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8, partition_by="o_orderstatus")
+    return tt.read_partitions(["F"])
+
+
+@q("txn_replace_where",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderstatus <> 'F'
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice * 2, o_orderstatus
+      FROM orders WHERE o_orderstatus = 'F'""")
+def txn_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic PARTITION OVERWRITE (Delta's ``replaceWhere``): the 'F'
+    partition is replaced wholesale — doubled prices — in ONE commit
+    that removes the old partition's files and adds the new rows;
+    every other partition's files survive untouched, writes straying
+    outside the claimed partition are rejected pre-commit, and time
+    travel keeps the old partition (the idempotent daily-backfill
+    primitive; atomicity + stray rejection pinned in
+    tests/test_txlog.py::test_replace_where_atomic_overwrite)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_rw")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8, partition_by="o_orderstatus")
+    new_f = o.where(F.col("o_orderstatus") == "F") \
+             .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    tt.replace_where("F", new_f)
+    return tt.snapshot()
+
+
 @q("txn_catalog_star",
    f"""SELECT c_mktsegment, count(*) AS n,
               {sql_dsum('o_totalprice', 'revenue')}

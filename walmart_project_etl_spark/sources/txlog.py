@@ -408,7 +408,8 @@ class TxTable:
     def _write_files(self, df: DataFrame, key_col: str,
                      n_files: int | None = None,
                      stats_cols: list[str] | None = None,
-                     order_expr=None) -> list[dict]:
+                     order_expr=None,
+                     partition_by: str | None = None) -> list[dict]:
         """Materialize ``df`` as immutable data files with per-file key
         stats. Range-partitioned on the key so file key ranges are tight
         and disjoint — what makes merge-time file pruning effective.
@@ -419,7 +420,16 @@ class TxTable:
         columns (date/timestamp values serialize as ISO strings, whose
         lexical order matches their temporal order). The first declared
         column's bounds also land as legacy ``smin``/``smax`` so
-        format-v2 readers keep pruning on it."""
+        format-v2 readers keep pruning on it.
+
+        ``partition_by`` (from the table meta) makes every data file
+        PARTITION-PURE: the write goes through Spark's ``partitionBy``
+        (one directory per value, fully distributed, one job), files are
+        flattened into the data dir, and each add action records the
+        file's single partition value as ``pval`` — the Hive/Delta
+        partition-pruning contract, enforced for every write path
+        (create/append/merge/delete/compact/zorder) so partition reads
+        can skip files on the log alone, no stats comparison needed."""
         staging = os.path.join(self.data_dir, f".stage-{uuid.uuid4().hex}")
         if order_expr is not None:
             # Z-ORDER rewrite path (:meth:`optimize_zorder`): cluster
@@ -429,6 +439,16 @@ class TxTable:
             ranged = (tmp.repartitionByRange(n_files, F.col("__ord"))
                       if n_files else tmp.repartitionByRange(F.col("__ord")))
             ranged = ranged.sortWithinPartitions("__ord").drop("__ord")
+        elif partition_by is not None:
+            # cluster on (partition, key): most range tasks then hold a
+            # single partition value, so the partitionBy split below
+            # seldom fragments a task's output into extra files
+            ranged = (df.repartitionByRange(n_files, F.col(partition_by),
+                                            F.col(key_col))
+                      if n_files else
+                      df.repartitionByRange(F.col(partition_by),
+                                            F.col(key_col)))
+            ranged = ranged.sortWithinPartitions(partition_by, key_col)
         else:
             ranged = (df.repartitionByRange(n_files, F.col(key_col))
                       if n_files else df.repartitionByRange(F.col(key_col)))
@@ -437,14 +457,28 @@ class TxTable:
             # skip ROW GROUPS inside the files the log-level stats
             # couldn't prune — the second pruning tier, free at write
             ranged = ranged.sortWithinPartitions(key_col)
-        ranged.write.mode("overwrite").parquet(staging)
         paths = []
-        for name in sorted(os.listdir(staging)):
-            if name.endswith(".parquet"):
-                final = f"{uuid.uuid4().hex}.parquet"
-                os.rename(os.path.join(staging, name),
-                          os.path.join(self.data_dir, final))
-                paths.append(final)
+        if partition_by is not None:
+            # ``__pv`` is consumed by the directory layout, so the real
+            # partition column stays IN the file (snapshot reads need it)
+            (ranged.withColumn("__pv", F.col(partition_by))
+                   .write.mode("overwrite").partitionBy("__pv")
+                   .parquet(staging))
+            for dirpath, _, names in sorted(os.walk(staging)):
+                for name in sorted(names):
+                    if name.endswith(".parquet"):
+                        final = f"{uuid.uuid4().hex}.parquet"
+                        os.rename(os.path.join(dirpath, name),
+                                  os.path.join(self.data_dir, final))
+                        paths.append(final)
+        else:
+            ranged.write.mode("overwrite").parquet(staging)
+            for name in sorted(os.listdir(staging)):
+                if name.endswith(".parquet"):
+                    final = f"{uuid.uuid4().hex}.parquet"
+                    os.rename(os.path.join(staging, name),
+                              os.path.join(self.data_dir, final))
+                    paths.append(final)
         shutil.rmtree(staging, ignore_errors=True)
         if not paths:
             return []
@@ -460,6 +494,11 @@ class TxTable:
                 sc = sc.cast("string")       # ISO serialization for JSON
             extra += [F.min(sc).alias(f"__smin{i}"),
                       F.max(sc).alias(f"__smax{i}")]
+        if partition_by is not None:
+            pc = F.col(partition_by)
+            extra += [F.min(pc).alias("__pvmin"),
+                      F.max(pc).alias("__pvmax"),
+                      F.sum(pc.isNull().cast("long")).alias("__pvnull")]
         stats = (self.spark.read.parquet(
                      *[os.path.join(self.data_dir, p) for p in paths])
                  .withColumn("__p", _bloom_positions(key_col))
@@ -484,6 +523,20 @@ class TxTable:
                 f"NULL values in merge key '{key_col}' "
                 f"({sum(r['nnull'] for r in stats)} rows) — the tx table "
                 f"requires non-null keys")
+        if partition_by is not None:
+            if any(r["__pvnull"] for r in stats):
+                # a NULL pval cannot serialize as a prunable JSON value
+                for p in paths:
+                    os.unlink(os.path.join(self.data_dir, p))
+                raise ValueError(
+                    f"NULL values in partition column '{partition_by}' "
+                    f"({sum(r['__pvnull'] for r in stats)} rows) — "
+                    f"partitioned tx tables require non-null partition "
+                    f"values")
+            impure = [r["__f"] for r in stats
+                      if r["__pvmin"] != r["__pvmax"]]
+            assert not impure, \
+                f"partitionBy produced partition-impure files: {impure}"
 
         def bloom_hex(r) -> str:
             bm = 0
@@ -501,6 +554,8 @@ class TxTable:
                 a["smin"], a["smax"] = r["__smin0"], r["__smax0"]
                 a["cstats"] = {c: [r[f"__smin{i}"], r[f"__smax{i}"]]
                                for i, c in enumerate(stats_cols)}
+            if partition_by is not None:
+                a["pval"] = r["__pvmin"]      # purity asserted above
             return a
 
         return [{"add": add_action(p)} for p in paths if p in by_name]
@@ -625,6 +680,32 @@ class TxTable:
             df = df.where(F.col(col) <= hi)
         return df
 
+    def read_partitions(self, values,
+                        version: int | None = None) -> DataFrame:
+        """PARTITION-PRUNED read (requires ``create(...,
+        partition_by=)``): scan only the files whose recorded partition
+        value (``pval``) is in ``values`` — pruning on the log alone,
+        no stats comparison and no file opens, the Hive/Delta partition
+        contract. Every write path keeps files partition-pure, so this
+        is exact up to the residual ``isin`` filter (kept for
+        defense-in-depth, it never drops rows on a healthy log). The
+        first-order file skip at 100 TB: a one-partition read of a
+        10k-partition table touches 1/10k of the files before any
+        stats tier runs."""
+        meta, live = self._state(version, self._read_mode(version))
+        if meta is None:
+            raise FileNotFoundError(f"no table at {self.root}")
+        pcol = meta.get("partition_by")
+        if not pcol:
+            raise ValueError(
+                f"table at {self.root} is not partitioned — create it "
+                f"with partition_by=")
+        vals = set(values)
+        files = [a["path"] for a in live.values()
+                 if "pval" not in a or a["pval"] in vals]
+        df = self._read_files(meta, files)
+        return df.where(F.col(pcol).isin(*vals))
+
     def read_changes(self, since_version: int = 0,
                      upto: int | None = None) -> DataFrame:
         """CHANGE DATA FEED (Delta CDF): the row-level change stream of
@@ -675,7 +756,7 @@ class TxTable:
                     continue
                 df = self._read_files(meta, paths) \
                     .withColumn("_change_type", F.lit("insert"))
-            elif op in ("merge", "delete"):
+            elif op in ("merge", "delete", "replace_where"):
                 paths = [os.path.join(self.data_dir, a["cdf"]["path"])
                          for a in acts if "cdf" in a]
                 if not paths:
@@ -718,7 +799,8 @@ class TxTable:
                n_files: int | None = None,
                stats_col: str | None = None,
                stats_cols: list[str] | None = None,
-               change_feed: bool = False) -> None:
+               change_feed: bool = False,
+               partition_by: str | None = None) -> None:
         """``stats_cols`` declares extra data-skipping COLUMNS beyond the
         merge key (``stats_col`` remains as the single-column spelling):
         every data file records each declared column's [min, max] in the
@@ -737,7 +819,16 @@ class TxTable:
         files (``_write_cdf``) and :meth:`read_changes` serves the
         row-level change stream (appends/creates derive their inserts
         straight from the add files — no double-write for the
-        append-heavy path)."""
+        append-heavy path).
+
+        ``partition_by`` declares a Hive/Delta-style PARTITION column:
+        every data file this table ever writes is partition-pure and its
+        add action records the value (``pval``), so
+        :meth:`read_partitions` prunes on the log alone and
+        :meth:`replace_where` can atomically overwrite one partition.
+        Fixed at create (like Delta) — every later write path preserves
+        it. Same int/string constraint as the merge key (the value rides
+        in the JSON log)."""
         assert not self.versions(), f"table already exists at {self.root}"
         if stats_col is not None and stats_cols is not None:
             raise ValueError("pass stats_col OR stats_cols, not both")
@@ -758,7 +849,16 @@ class TxTable:
             assert not unknown, f"unknown stats_cols {unknown}"
             meta["stats_col"] = cols[0]          # legacy v2 field
             meta["stats_cols"] = cols
-        adds = self._write_files(df, key_col, n_files, cols or None)
+        if partition_by is not None:
+            assert partition_by in df.columns, \
+                f"unknown partition column '{partition_by}'"
+            assert dict(df.dtypes)[partition_by] in (
+                "tinyint", "smallint", "int", "bigint", "string"), \
+                f"partition column must be integral or string, got " \
+                f"{dict(df.dtypes)[partition_by]}"
+            meta["partition_by"] = partition_by
+        adds = self._write_files(df, key_col, n_files, cols or None,
+                                 partition_by=partition_by)
         ok = self._commit([{"op": "create"}, {"meta": meta}, *adds], 0)
         assert ok, "concurrent create"
 
@@ -897,7 +997,8 @@ class TxTable:
         meta, _ = self._state()
         df = self._check_schema(df, meta)
         adds = self._write_files(df, meta["key_col"],
-                                 stats_cols=_meta_stats_cols(meta))
+                                 stats_cols=_meta_stats_cols(meta),
+                                 partition_by=meta.get("partition_by"))
         while True:
             v = self.versions()[-1] + 1
             if self._commit([{"op": "append"}, *adds], v):
@@ -944,7 +1045,8 @@ class TxTable:
             else:
                 new_rows = updates
             adds = self._write_files(new_rows, key,
-                                     stats_cols=_meta_stats_cols(meta))
+                                     stats_cols=_meta_stats_cols(meta),
+                                     partition_by=meta.get("partition_by"))
             cdf = []
             if meta.get("change_feed"):
                 # row-level change capture over the TOUCHED files only
@@ -999,7 +1101,9 @@ class TxTable:
                 old = self._read_files(meta, [a["path"] for a in touched])
                 adds = self._write_files(old.join(keys, key, "left_anti"),
                                          key,
-                                         stats_cols=_meta_stats_cols(meta))
+                                         stats_cols=_meta_stats_cols(meta),
+                                         partition_by=meta.get(
+                                             "partition_by"))
                 if meta.get("change_feed"):
                     cdf = self._write_cdf(
                         old.join(keys, key, "semi")
@@ -1012,6 +1116,63 @@ class TxTable:
                 return {"files_scanned": len(live),
                         "files_rewritten": len(touched),
                         "files_untouched": len(live) - len(touched)}
+
+    def replace_where(self, value, df: DataFrame) -> dict:
+        """Atomic PARTITION OVERWRITE — Delta's ``replaceWhere``: in ONE
+        commit, drop every file of partition ``value`` and add ``df``'s
+        rows in their place. The idempotent daily-reload primitive: a
+        backfill job rewrites yesterday's partition without touching (or
+        even listing the contents of) any other partition, readers see
+        the old or the new partition atomically, and time travel keeps
+        the old one.
+
+        Like Delta, a write that STRAYS outside the predicate is
+        rejected: the staged files' recorded ``pval`` (exact —
+        partition-pure by construction) is checked before the commit,
+        so a buggy upstream can't silently leak rows into partitions it
+        didn't claim. Cost is O(new rows + old partition's file COUNT)
+        — the removes are log entries, not data reads (the change feed,
+        if enabled, additionally reads the old partition to capture
+        deletes). Returns {files_removed, files_added}."""
+        meta = self._state()[0]
+        pcol = meta.get("partition_by")
+        if not pcol:
+            raise ValueError(
+                f"table at {self.root} is not partitioned — "
+                f"replace_where needs create(..., partition_by=)")
+        df = self._check_schema(df, meta)
+        adds = self._write_files(df, meta["key_col"],
+                                 stats_cols=_meta_stats_cols(meta),
+                                 partition_by=pcol)
+        stray = sorted({a["add"]["pval"] for a in adds
+                        if a["add"]["pval"] != value})
+        if stray:
+            for a in adds:
+                os.unlink(os.path.join(self.data_dir, a["add"]["path"]))
+            raise ValueError(
+                f"replace_where({value!r}): write contains rows of "
+                f"other partitions {stray[:5]} — rejected before commit")
+        while True:
+            _, live = self._state()
+            doomed = [a for a in live.values() if a.get("pval") == value]
+            cdf: list[dict] = []
+            if meta.get("change_feed"):
+                old = self._read_files(meta, [a["path"] for a in doomed])
+                cdf = self._write_cdf(
+                    old.withColumn("_change_type", F.lit("delete"))
+                    .unionByName(df.withColumn("_change_type",
+                                               F.lit("insert"))))
+            v = self.versions()[-1] + 1
+            actions = [{"op": "replace_where", "pred": {pcol: value}},
+                       *adds, *cdf,
+                       *({"remove": {"path": a["path"]}} for a in doomed)]
+            if self._commit(actions, v):
+                self._maybe_checkpoint(v)
+                return {"files_removed": len(doomed),
+                        "files_added": len(adds)}
+            # lost the race: the doomed set may have changed (a
+            # concurrent merge rewrote partition files) — recompute it
+            # against the new snapshot; the adds are version-independent
 
     def compact(self, target_rows: int = 1_000_000) -> dict:
         """OPTIMIZE: bin-pack small data files into ~``target_rows`` files
@@ -1036,7 +1197,8 @@ class TxTable:
             n_out = max(1, -(-total // target_rows))
             df = self._read_files(meta, [a["path"] for a in small])
             adds = self._write_files(df, meta["key_col"], n_files=n_out,
-                                     stats_cols=_meta_stats_cols(meta))
+                                     stats_cols=_meta_stats_cols(meta),
+                                     partition_by=meta.get("partition_by"))
             v = self.versions()[-1] + 1
             actions = [{"op": "compact"}, *adds,
                        *({"remove": {"path": a["path"]}} for a in small)]
@@ -1119,7 +1281,8 @@ class TxTable:
             n_out = n_files or max(1, -(-total // target_rows))
             adds = self._write_files(df, meta["key_col"], n_files=n_out,
                                      stats_cols=_meta_stats_cols(meta),
-                                     order_expr=z)
+                                     order_expr=z,
+                                     partition_by=meta.get("partition_by"))
             v = self.versions()[-1] + 1
             actions = [{"op": "zorder"}, *adds,
                        *({"remove": {"path": a["path"]}}
