@@ -909,3 +909,49 @@ def test_cross_doc_dup_window_score_planted(spark):
         assert (out[did]["n_windows"], out[did]["n_dup_windows"]) == (nw, nd)
         exp = round(nd / nw, 6) if nw else 0.0
         assert abs(out[did]["dup_score"] - exp) < 1e-9, did
+
+
+def test_semdedup_keeps_least_prototypical(spark):
+    """SemDeDup rule: within a near-dup neighborhood, the member with the
+    LOWEST centroid cosine survives; distinct members and other clusters
+    are untouched."""
+    # cluster A: two near-identical vectors + one orthogonal-ish outlier;
+    # cluster B: one lone vector. Seeds = intended clusters.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),   # prototypical (close to centroid)
+        (2, [0.98, 0.2, 0.0, 0.0], 0),  # near-dup of 1, farther from centroid
+        (3, [0.0, 0.0, 1.0, 0.0], 0),   # same seed cluster, not a dup
+        (4, [0.0, 1.0, 0.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in
+           dedup.semdedup(df, "vec_id", "embedding", "label",
+                          threshold=0.9).collect()}
+    assert len(out) == 4                          # one row per input
+    # 1 and 2 are a near-dup pair: exactly one survives, and it is the
+    # one with the LOWER centroid cosine (the least prototypical copy)
+    assert out[1]["kept"] != out[2]["kept"]
+    survivor, dropped = (1, 2) if out[1]["kept"] else (2, 1)
+    assert out[survivor]["centroid_sim"] < out[dropped]["centroid_sim"]
+    assert out[3]["kept"] and out[4]["kept"]
+    # assignment is cluster-coherent: the pair landed in the same cluster
+    assert out[1]["cluster"] == out[2]["cluster"]
+
+
+def test_semdedup_cluster_blocking_never_crosses(spark):
+    """Near-identical vectors ASSIGNED to different clusters are not
+    compared — the paper's deliberate blocking trade-off (documents the
+    semantics; recall across cluster borders comes from more Lloyd
+    rounds, not cross-cluster pairs)."""
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),     # same cluster dups
+        (3, [-1.0, 0.05], 1), (4, [-1.0, 0.05], 1),  # same cluster dups
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+    out = {r["vec_id"]: r["kept"] for r in
+           dedup.semdedup(df, "vec_id", "embedding", "label",
+                          threshold=0.99).collect()}
+    # one survivor per identical pair (exact ties: smaller id dominates →
+    # larger id is dropped? rule drops the HIGHER (cs, id); ids break ties)
+    assert sum(out.values()) == 2
+    assert out[1] != out[2] and out[3] != out[4]

@@ -132,6 +132,14 @@ def _op_salted_latest(spark, df):
                               "o_orderkey", n_salts=8)
 
 
+
+
+def _op_semdedup(spark, df):
+    from walmart_project_etl_spark.operators import dedup
+    return dedup.semdedup(df, "vec_id", "embedding", "label",
+                          threshold=0.3)
+
+
 CASES = {
     "sessionize": (_events, _op_sessionize),
     "salted_latest": (
@@ -154,6 +162,9 @@ CASES = {
         lambda spark: spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
         _op_incr_agg),
     "shard_assignment": (_docs, _op_shards),
+    "semdedup": (
+        lambda spark: spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+        _op_semdedup),
 }
 
 

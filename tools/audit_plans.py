@@ -41,6 +41,11 @@ ALLOW = {
     "pipe_f31_f32_synthetic_facts": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     # brute-force exact baselines (documented: oracle twin of the LSH path)
     "sim_cosine_topk": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    # nearest-centroid assignment: corpus × broadcast(k centroids) — the
+    # broadcast side is bounded by the cluster count (10 labels here;
+    # k-means codebooks are small by construction), the pair join itself
+    # is a cluster-key equi-join, never all-pairs
+    "dedup_semdedup": {"BroadcastNestedLoopJoin"},
     "dedup_embedding_cosine": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     # corpus-total scalars broadcast back over the corpus (1-row side)
     "text_unigram_logprob": {"BroadcastNestedLoopJoin", "CartesianProduct",

@@ -856,3 +856,77 @@ def cross_doc_dup_window_score(df: DataFrame, id_col: str, text_col: str,
                    F.round(frac, 6).cast("double")) \
              .otherwise(F.lit(0.0))
     return out.withColumn("dup_score", score)
+
+
+def semdedup(df: DataFrame, id_col: str, vec_col: str, cluster_col: str,
+             threshold: float = 0.3) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-based SEMANTIC dedup of a
+    corpus against ITSELF — cluster the embeddings, compare pairs only
+    WITHIN a cluster, and inside every near-duplicate neighborhood keep
+    the item with the LOWEST cosine to its cluster centroid (the
+    paper's rule: the least-prototypical copy carries the most extra
+    information). Returns (id, cluster, centroid_sim, kept).
+
+    Clustering is one Lloyd refinement seeded by ``cluster_col``:
+    decimal-exact centroids per seed group (:func:`similarity.
+    embedding_centroids`), then every vector re-assigned to its
+    argmax-cosine centroid (ties → smaller cluster id). Any assignment
+    plugs in — more Lloyd rounds at scale are this same broadcast-join
+    shape repeated — and the single deterministic round keeps the whole
+    operator exactly reproducible on any engine (rounded-double
+    centroids, round-6 cosines), so the driver oracle recomputes it in
+    SQL rather than pinning.
+
+    Scale shape: centroid build is one posexplode + (cluster, dim)
+    aggregation; assignment is corpus × broadcast(k centroids) — one
+    map-side pass, no shuffle beyond the rn=1 window on the id; the
+    pair join is cluster-blocked (never all-pairs — k-means blocking is
+    what makes SemDeDup tractable at 100 TB) and each unordered pair is
+    scored ONCE, with exactly one side dominated per edge. A doc is
+    dropped iff ANY ≥-threshold neighbor has a (lower, then smaller-id)
+    centroid-sim — neighborhood-local minima survive, which is
+    engine-order-independent (no iterative tie-breaking).
+    """
+    from walmart_project_etl_spark.operators.similarity import (
+        _as_double, cosine, embedding_centroids)
+
+    v = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    cent = embedding_centroids(df, cluster_col, vec_col)
+    carr = (cent.groupBy(cluster_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("dim_idx", "centroid"))),
+                lambda s: s["centroid"]).alias("__c"))
+            .select(F.col(cluster_col).alias("cluster"), "__c"))
+    scored = (v.crossJoin(F.broadcast(carr))
+              .select(id_col, "cluster",
+                      F.round(cosine(F.col("__v"), F.col("__c")), 6)
+                       .alias("centroid_sim")))
+    w = Window.partitionBy(id_col).orderBy(F.col("centroid_sim").desc(),
+                                           F.col("cluster").asc())
+    assign = (scored.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1).drop("__rn"))
+    av = assign.join(v, id_col)
+    a = av.select(F.col(id_col).alias("__ida"),
+                  F.col("cluster").alias("__cla"),
+                  F.col("centroid_sim").alias("__csa"),
+                  F.col("__v").alias("__va"))
+    b = av.select(F.col(id_col).alias("__idb"),
+                  F.col("cluster").alias("__clb"),
+                  F.col("centroid_sim").alias("__csb"),
+                  F.col("__v").alias("__vb"))
+    pairs = (a.join(b, (F.col("__cla") == F.col("__clb"))
+                    & (F.col("__ida") < F.col("__idb")))
+             .where(F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+                    >= threshold))
+    dominated = F.when(
+        (F.col("__csa") < F.col("__csb"))
+        | ((F.col("__csa") == F.col("__csb"))
+           & (F.col("__ida") < F.col("__idb"))),
+        F.col("__idb")).otherwise(F.col("__ida"))
+    dropped = pairs.select(dominated.alias(id_col)).distinct() \
+                   .withColumn("__dropped", F.lit(True))
+    return (assign.join(dropped, id_col, "left")
+            .select(id_col, "cluster", "centroid_sim",
+                    F.coalesce(~F.col("__dropped"), F.lit(True))
+                     .alias("kept")))

@@ -203,6 +203,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.3)
 
 
+_SEMDEDUP_ORACLE = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+flat AS (
+  SELECT label, i::INT AS dim_idx, e[i::INT] AS x
+  FROM v, unnest(range(1, len(e) + 1)) AS r(i)),
+cent AS (
+  SELECT label, dim_idx,
+         round(CAST(sum(CAST(x AS DECIMAL(28,6)))::DOUBLE / count(*)
+                    AS DECIMAL(28,8)), 6)::DOUBLE AS c
+  FROM flat GROUP BY label, dim_idx),
+carr AS (SELECT label AS cl, list(c ORDER BY dim_idx) AS ce
+         FROM cent GROUP BY label),
+scored AS (
+  SELECT v.vec_id, carr.cl,
+         round(list_dot_product(v.e, carr.ce)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(carr.ce, carr.ce))), 6) AS cs
+  FROM v CROSS JOIN carr),
+assign AS (
+  SELECT vec_id, cl, cs FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cs DESC, cl ASC) = 1),
+pairs AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb, a.cs AS csa, b.cs AS csb
+  FROM assign a
+  JOIN assign b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE round(list_dot_product(va.e, vb.e)
+              / (sqrt(list_dot_product(va.e, va.e))
+                 * sqrt(list_dot_product(vb.e, vb.e))), 6) >= 0.3),
+dropped AS (
+  SELECT DISTINCT CASE WHEN (csa < csb) OR (csa = csb AND ida < idb)
+                       THEN idb ELSE ida END AS vec_id
+  FROM pairs)
+SELECT a.vec_id, a.cl AS cluster, a.cs AS centroid_sim,
+       (d.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN dropped d USING (vec_id)
+"""
+
+
+@q("dedup_semdedup", _SEMDEDUP_ORACLE)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table:
+    label-seeded one-round Lloyd clustering, cluster-blocked pairwise
+    cosine at threshold 0.3, keep the LOWEST-centroid-sim member of
+    every near-dup neighborhood. Cluster blocking (never all-pairs) is
+    what the paper uses to make semantic self-dedup tractable at
+    corpus scale; the deterministic rounded-double pipeline lets the
+    oracle recompute every step in SQL — exact, not pinned."""
+    emb = t(spark, sf_dir, "embeddings")
+    return dedup.semdedup(emb, "vec_id", "embedding", "label",
+                          threshold=0.3)
+
+
 @q("dedup_embedding_lsh", pinned("dedup_embedding_lsh"))
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH banding + exact cosine
