@@ -955,3 +955,54 @@ def test_semdedup_cluster_blocking_never_crosses(spark):
     # larger id is dropped? rule drops the HIGHER (cs, id); ids break ties)
     assert sum(out.values()) == 2
     assert out[1] != out[2] and out[3] != out[4]
+
+
+def test_bpe_train_matches_classic_example(spark):
+    """The Sennrich et al. worked example: low/lower/newest/widest. The
+    first merges must be the textbook sequence (es, est, est</w>, lo,
+    low) — pins the pair counting, tie-breaking, and merge semantics."""
+    from walmart_project_etl_spark.operators import bpe
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                    + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    merges = bpe.bpe_train(df, "text", n_merges=5)
+    assert [(lt, rt) for lt, rt, _ in merges] == \
+        [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")]
+    assert merges[0][2] == 9          # 'es' occurs in newest×6 + widest×3
+
+
+def test_bpe_encode_roundtrip_lossless(spark):
+    """Decoding (concat tokens, strip the EOW marker) reconstructs the
+    exact lowercased word sequence — BPE is a segmentation, never a
+    lossy transform, at ANY merge count."""
+    from walmart_project_etl_spark.operators import bpe
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    merges = bpe.bpe_train(d, "text", n_merges=12)
+    enc = bpe.bpe_encode(d, "doc_id", "text", merges)
+    decoded = enc.select(
+        "doc_id",
+        F.replace(F.concat_ws("", "tokens"), F.lit(bpe.EOW), F.lit(" "))
+         .alias("detok"))
+    orig = d.select(
+        "doc_id",
+        F.concat(F.concat_ws(" ", F.split(F.lower(F.trim("text")),
+                                          r"\s+")), F.lit(" "))
+         .alias("detok"))
+    got = {r["doc_id"]: r["detok"] for r in decoded.collect()}
+    want = {r["doc_id"]: r["detok"] for r in orig.collect()}
+    assert got == want
+
+
+def test_bpe_encode_token_count_shrinks_with_merges(spark):
+    """More merges → fewer tokens (monotone compression), and zero
+    merges = characters + one EOW per word."""
+    from walmart_project_etl_spark.operators import bpe
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    m = bpe.bpe_train(d, "text", n_merges=16)
+    n0 = bpe.bpe_encode(d, "doc_id", "text", []) \
+        .agg(F.sum("n_tokens")).first()[0]
+    n8 = bpe.bpe_encode(d, "doc_id", "text", m[:8]) \
+        .agg(F.sum("n_tokens")).first()[0]
+    n16 = bpe.bpe_encode(d, "doc_id", "text", m) \
+        .agg(F.sum("n_tokens")).first()[0]
+    assert n0 > n8 > n16

@@ -140,6 +140,14 @@ def _op_semdedup(spark, df):
                           threshold=0.3)
 
 
+def _op_bpe(spark, df):
+    from walmart_project_etl_spark.operators import bpe
+    merges = bpe.bpe_train(df, "text", n_merges=10)
+    enc = bpe.bpe_encode(df, "doc_id", "text", merges)
+    return enc.select("doc_id", "n_tokens",
+                      F.md5(F.concat_ws(" ", "tokens")).alias("h"))
+
+
 CASES = {
     "sessionize": (_events, _op_sessionize),
     "salted_latest": (
@@ -162,6 +170,7 @@ CASES = {
         lambda spark: spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
         _op_incr_agg),
     "shard_assignment": (_docs, _op_shards),
+    "bpe_train_encode": (_docs, _op_bpe),
     "semdedup": (
         lambda spark: spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
         _op_semdedup),

@@ -1,0 +1,160 @@
+"""Byte-pair-encoding tokenizer: distributed training + encoding.
+
+The LLM-pipeline primitive the reference has no analogue of: learn a
+subword merge table from the corpus (Sennrich et al. 2016, the public
+BPE recipe), then tokenize the corpus with it.
+
+Scale shape — the whole trick is that BPE is a DISTINCT-WORD problem,
+not a corpus problem:
+
+- ONE corpus-scale job builds the (word, freq) table; at 100 TB that is
+  a single map-side-combined groupBy whose output (the vocabulary) is
+  orders of magnitude smaller than the corpus.
+- Every training round then runs on the distinct-word table only:
+  explode adjacent symbol pairs weighted by word freq, one partial-agg'd
+  groupBy, take the top pair (1 driver row per round — metadata, like a
+  model weight), and apply the merge with a pure-Column ``aggregate``
+  fold. ``localCheckpoint`` truncates the growing lineage each round so
+  round N+1's plan doesn't replay rounds 1..N.
+- Encoding tokenizes the DISTINCT words once (same fold, all learned
+  rules) and broadcast-joins the word→tokens map back to the corpus —
+  the standard production shape (a tokenization cache), one corpus scan.
+
+Merge semantics are pinned exactly: one pass per rule, greedy
+left-to-right, non-overlapping (a fold where the accumulator's tail
+merges with the current symbol at most once) — deterministic on any
+engine at any parallelism, with frequency ties broken lexicographically
+on (left, right).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word marker (Sennrich): lets merges distinguish word-final
+#: subwords, and makes decoding (concat + split on the marker) lossless.
+EOW = "</w>"
+
+
+def _words(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, freq) over lowercased whitespace words — the one corpus-scale
+    job; everything after runs on distinct words."""
+    w = F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("w")
+    return (df.select(w).where(F.col("w") != "")
+            .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _symbolize(words: DataFrame) -> DataFrame:
+    """Initial symbol sequence per word: characters + the EOW marker."""
+    return words.withColumn(
+        "s", F.concat(F.split("w", ""), F.array(F.lit(EOW))))
+
+
+def _merge_pass(col: Column, left: str, right: str) -> Column:
+    """ONE greedy left-to-right non-overlapping merge pass: every
+    adjacent (left, right) in the symbol array becomes left||right.
+    A fold, so a symbol consumed by a merge can't start another one in
+    the same pass — the exact classic-BPE replace semantics, and
+    order-deterministic by construction."""
+    merged = left + right
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def _adjacent_pairs(sym: DataFrame) -> DataFrame:
+    """(left, right, c): adjacent symbol pairs weighted by word freq."""
+    pair = F.explode(F.arrays_zip(
+        F.slice("s", 1, F.size("s") - 1).alias("l"),
+        F.slice("s", 2, F.size("s") - 1).alias("r"))).alias("p")
+    return (sym.where(F.size("s") >= 2).select("freq", pair)
+            .groupBy(F.col("p.l").alias("left"),
+                     F.col("p.r").alias("right"))
+            .agg(F.sum("freq").alias("c")))
+
+
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 24,
+              min_freq: int = 2) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus; returns
+    [(left, right, pair_freq)] in rank order. Stops early when the best
+    remaining pair's frequency drops below ``min_freq``.
+
+    Each round costs one bounded groupBy over the distinct-word table
+    plus one fold rewrite of it — the corpus itself is scanned exactly
+    once (the word-freq build). The per-round ``.limit(1).collect()`` is
+    ONE metadata row (the argmax pair), not data."""
+    sym = _symbolize(_words(df, text_col)).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (_adjacent_pairs(sym)
+               .orderBy(F.col("c").desc(), F.col("left").asc(),
+                        F.col("right").asc())
+               .limit(1).collect())
+        if not top or top[0]["c"] < min_freq:
+            break
+        left, right, c = top[0]["left"], top[0]["right"], int(top[0]["c"])
+        merges.append((left, right, c))
+        sym = sym.withColumn("s", _merge_pass(F.col("s"), left, right)) \
+                 .localCheckpoint()
+    return merges
+
+
+def merges_df(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """The learned merge table as rows: (rank, left, right, merged,
+    pair_freq) — the artifact a serving layer persists."""
+    rows = [(i, lt, rt, lt + rt, c) for i, (lt, rt, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, "
+              "pair_freq bigint")
+
+
+def tokenize_words(words: DataFrame,
+                   merges: list[tuple[str, str, int]],
+                   checkpoint_every: int = 8) -> DataFrame:
+    """Apply the full merge sequence to a (w, ...) distinct-word frame;
+    adds ``tokens array<string>``. Rules fold in rank order; the plan is
+    checkpoint-truncated every ``checkpoint_every`` rules so expression
+    depth stays bounded regardless of vocabulary size."""
+    out = _symbolize(words)
+    for i, (left, right, _) in enumerate(merges):
+        out = out.withColumn("s", _merge_pass(F.col("s"), left, right))
+        if (i + 1) % checkpoint_every == 0:
+            out = out.localCheckpoint()
+    return out.withColumnRenamed("s", "tokens")
+
+
+def bpe_encode(df: DataFrame, id_col: str, text_col: str,
+               merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Tokenize the corpus with learned merges: distinct words are
+    tokenized ONCE (the tokenization of a word depends only on the
+    word), then the word→tokens map joins back to the exploded corpus
+    and per-doc token streams reassemble in word order. Returns
+    (id, n_tokens, tokens array<string>).
+
+    The join is an equi-join on the word; Spark broadcasts it when the
+    vocabulary is small (the common case — vocabularies are bounded,
+    corpora are not)."""
+    vocab = tokenize_words(_words(df, text_col), merges) \
+        .select("w", "tokens")
+    wpos = (df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))),
+                             r"\s+")).alias("pos", "w"))
+        .where(F.col("w") != ""))
+    per_word = wpos.join(vocab, "w")
+    return (per_word.groupBy(id_col)
+            .agg(F.flatten(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tokens"))),
+                lambda s: s["tokens"])).alias("tokens"))
+            .select(id_col,
+                    F.size("tokens").cast("long").alias("n_tokens"),
+                    "tokens"))

@@ -1596,3 +1596,35 @@ def olap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return cleaning.equi_width_histogram(li, "l_extendedprice", 20,
                                          group_cols=["l_returnflag"])
+
+
+@q("text_bpe_train", pinned("text_bpe_train"))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) on the
+    documents corpus: one corpus-scale word-frequency job, then 24
+    merge rounds over the distinct-word table only (top adjacent pair
+    by summed word freq, ties lexicographic; greedy L-to-R
+    non-overlapping merge fold). Returns the rank-ordered merge table —
+    the artifact a tokenizer serving layer persists. Iterative +
+    engine-internal, so the oracle pins the sf0.01 merge table; the
+    classic-example semantics and the lossless round-trip are pinned in
+    tests/test_operators.py."""
+    from walmart_project_etl_spark.operators import bpe
+    d = t(spark, sf_dir, "documents")
+    return bpe.merges_df(spark, bpe.bpe_train(d, "text", n_merges=24))
+
+
+@q("text_bpe_encode", pinned("text_bpe_encode"))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with corpus-trained merges: distinct words tokenize
+    once (a word's tokenization depends only on the word), the
+    word→tokens map broadcast-joins back to the corpus, and per-doc
+    token streams reassemble in word order — one corpus scan however
+    long the merge table is. Returns (doc_id, n_tokens, tokens_md5);
+    the md5 pins the full token sequence at golden-friendly width."""
+    from walmart_project_etl_spark.operators import bpe
+    d = t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(d, "text", n_merges=24)
+    enc = bpe.bpe_encode(d, "doc_id", "text", merges)
+    return enc.select("doc_id", "n_tokens",
+                      F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"))
