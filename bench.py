@@ -80,6 +80,12 @@ BENCH_QUERIES = [
     # overhead regressions must be bench-visible
     "txn_multitable_publish",
     "txn_change_feed",
+    # r9-new: partitioned-table overwrite (partition-pure write + one
+    # commit), cluster-blocked semantic self-dedup, and the iterative
+    # BPE training loop — three new compute families, all bench-visible
+    "txn_replace_where",
+    "dedup_semdedup",
+    "text_bpe_train",
     # end-to-end star pipeline (ingest→ODS→staging→target→BI agg) with a
     # COLD warehouse cache — guards the pipeline plans, not just micro ops
     "pipe_bi_sales_by_category",

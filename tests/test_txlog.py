@@ -1055,3 +1055,46 @@ def test_replace_where_cdf_capture(spark, orders, tmp_path):
     assert _rows(dels, cols) == \
         _rows(orders.where("o_orderstatus = 'P'"), cols)
     assert _rows(ins, cols) == _rows(new_f, cols)
+
+
+def test_read_where_composes_all_pruning_tiers(spark, orders, tmp_path):
+    """The composed reader prunes multiplicatively: partition ∧ key
+    range ∧ per-column stats, each tier strictly shrinking the file
+    set, with results exactly equal to the unpruned filter."""
+    t = TxTable(spark, str(tmp_path / "cw"))
+    t.create(orders, "o_orderkey", n_files=8,
+             partition_by="o_orderstatus", stats_cols=["o_custkey"])
+    # tighten custkey clustering per partition: append custkey-banded
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    mid = (lo + hi) // 2
+    _, live = t._state()
+    n_all = len(live)
+
+    part_only = t.read_where(partitions=["F"])
+    n_part = len(part_only.inputFiles())
+    assert 0 < n_part < n_all
+
+    part_key = t.read_where(partitions=["F"], key_hi=mid)
+    n_pk = len(part_key.inputFiles())
+    assert 0 < n_pk < n_part                     # second tier bites
+
+    ck = orders.where("o_orderstatus = 'F'") \
+               .agg(F.min("o_custkey")).first()[0]
+    part_key_stats = t.read_where(partitions=["F"], key_hi=mid,
+                                  stats={"o_custkey": (None, ck)})
+    assert len(part_key_stats.inputFiles()) <= n_pk
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    expected = orders.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") <= mid))
+    assert _rows(part_key, cols) == _rows(expected, cols)
+    assert _rows(part_key_stats, cols) == \
+        _rows(expected.where(F.col("o_custkey") <= ck), cols)
+    # unknown stats column / partitions on an unpartitioned table
+    with pytest.raises(ValueError, match="carry no stats"):
+        t.read_where(stats={"o_totalprice": (0, 1)})
+    t2 = TxTable(spark, str(tmp_path / "cw2"))
+    t2.create(orders.limit(5), "o_orderkey")
+    with pytest.raises(ValueError, match="not partitioned"):
+        t2.read_where(partitions=["F"])

@@ -1032,6 +1032,34 @@ def txn_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.snapshot()
 
 
+@q("txn_read_where_composed",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders
+      WHERE o_orderstatus = 'F'
+        AND o_orderkey <= 7500
+        AND o_custkey >= 600""")
+def txn_read_where_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED pruned read (``read_where``): one reader entry point
+    stacking partition pruning (log-only pval), merge-key range stats,
+    and declared-column stats — the tiers compose multiplicatively the
+    way a Delta reader folds a WHERE clause into file skipping
+    (tier-by-tier file counts pinned in
+    tests/test_txlog.py::test_read_where_composes_all_pruning_tiers)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_readwhere")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8,
+              partition_by="o_orderstatus", stats_cols=["o_custkey"])
+    return tt.read_where(partitions=["F"], key_hi=7500,
+                         stats={"o_custkey": (600, None)})
+
+
 @q("txn_catalog_star",
    f"""SELECT c_mktsegment, count(*) AS n,
               {sql_dsum('o_totalprice', 'revenue')}

@@ -706,6 +706,81 @@ class TxTable:
         df = self._read_files(meta, files)
         return df.where(F.col(pcol).isin(*vals))
 
+    def read_where(self, partitions=None, key_lo=None, key_hi=None,
+                   stats: dict | None = None,
+                   version: int | None = None) -> DataFrame:
+        """COMPOSED pruned read — the single reader entry point that
+        stacks every skipping tier the log carries, the way a Delta
+        reader folds a WHERE clause into file skipping. A file is
+        scanned only if it survives ALL applicable tiers:
+
+        - ``partitions``: recorded ``pval`` in the set (log-only, the
+          cheapest tier);
+        - ``key_lo``/``key_hi``: [kmin, kmax] intersects the band;
+        - ``stats``: {col: (lo, hi)} — every declared column's per-file
+          [min, max] intersects its band (either bound may be None;
+          files predating a column's stats scan conservatively).
+
+        The exact predicates re-apply as residual filters, so the
+        result equals the unpruned filter at any layout. At 100 TB this
+        is the difference between "query the partition's day" and
+        "scan the table": tiers compose multiplicatively."""
+        meta, live = self._state(version, self._read_mode(version))
+        if meta is None:
+            raise FileNotFoundError(f"no table at {self.root}")
+        key = meta["key_col"]
+        pcol = meta.get("partition_by")
+        if partitions is not None and not pcol:
+            raise ValueError(
+                f"table at {self.root} is not partitioned — create it "
+                f"with partition_by=")
+        declared = meta.get("stats_cols") or \
+            ([meta["stats_col"]] if meta.get("stats_col") else [])
+        stats = stats or {}
+        unknown = [c for c in stats if c not in declared]
+        if unknown:
+            raise ValueError(
+                f"columns {unknown} carry no stats (declared: {declared})")
+        pvals = set(partitions) if partitions is not None else None
+
+        def cbounds(a: dict, col: str):
+            cs = a.get("cstats")
+            if cs is not None and col in cs:
+                return cs[col]
+            if declared and col == declared[0]:
+                return a.get("smin"), a.get("smax")
+            return None, None
+
+        def survives(a: dict) -> bool:
+            if pvals is not None and a.get("pval") not in pvals:
+                return False
+            if (key_hi is not None and a["kmin"] > key_hi) or \
+                    (key_lo is not None and a["kmax"] < key_lo):
+                return False
+            for col, (lo, hi) in stats.items():
+                smin, smax = cbounds(a, col)
+                if smin is None:
+                    continue                     # pre-declaration file
+                if (hi is not None and smin > hi) or \
+                        (lo is not None and smax < lo):
+                    return False
+            return True
+
+        files = [a["path"] for a in live.values() if survives(a)]
+        df = self._read_files(meta, files)
+        if pvals is not None:
+            df = df.where(F.col(pcol).isin(*pvals))
+        if key_lo is not None:
+            df = df.where(F.col(key) >= key_lo)
+        if key_hi is not None:
+            df = df.where(F.col(key) <= key_hi)
+        for col, (lo, hi) in stats.items():
+            if lo is not None:
+                df = df.where(F.col(col) >= lo)
+            if hi is not None:
+                df = df.where(F.col(col) <= hi)
+        return df
+
     def read_changes(self, since_version: int = 0,
                      upto: int | None = None) -> DataFrame:
         """CHANGE DATA FEED (Delta CDF): the row-level change stream of
