@@ -1098,3 +1098,29 @@ def test_read_where_composes_all_pruning_tiers(spark, orders, tmp_path):
     t2.create(orders.limit(5), "o_orderkey")
     with pytest.raises(ValueError, match="not partitioned"):
         t2.read_where(partitions=["F"])
+
+
+def test_compact_partitions_scopes_to_hot_partition(spark, orders, tmp_path):
+    """Partition-scoped OPTIMIZE rewrites only the named partition's
+    small files; other partitions' files are untouched — and the cold
+    partitions never enter the rewrite set."""
+    t = TxTable(spark, str(tmp_path / "cp"))
+    t.create(orders, "o_orderkey", n_files=2, partition_by="o_orderstatus")
+    # fragment the 'O' partition with narrow appends
+    for i in range(3):
+        t.append(orders.where(f"o_orderkey % 17 = {i}")
+                 .withColumn("o_orderstatus", F.lit("O")))
+    _, live0 = t._state()
+    cold0 = {a["path"] for a in live0.values() if a["pval"] != "O"}
+    before = _rows(t.snapshot(), ["o_orderkey", "o_orderstatus"])
+    res = t.compact_partitions(["O"], target_rows=10_000)
+    assert res["files_in"] >= 2
+    _, live1 = t._state()
+    assert {a["path"] for a in live1.values() if a["pval"] != "O"} == cold0
+    assert all(a["pval"] == "O" or a["path"] in cold0
+               for a in live1.values())
+    assert _rows(t.snapshot(), ["o_orderkey", "o_orderstatus"]) == before
+    t2 = TxTable(spark, str(tmp_path / "cp2"))
+    t2.create(orders.limit(5), "o_orderkey")
+    with pytest.raises(ValueError, match="not partitioned"):
+        t2.compact_partitions(["O"])

@@ -1261,11 +1261,33 @@ class TxTable:
         still sees the old files. Note compaction clusters on the KEY —
         on a Z-ordered table, re-run :meth:`optimize_zorder` after heavy
         compaction to restore multi-dimensional clustering (Delta has
-        the same interplay)."""
+        the same interplay).
+
+        :meth:`compact_partitions` scopes the same bin-pack to named
+        partition values — Delta's ``OPTIMIZE ... WHERE``."""
+        return self._compact(target_rows, None)
+
+    def compact_partitions(self, partitions,
+                           target_rows: int = 1_000_000) -> dict:
+        """Partition-scoped OPTIMIZE — Delta's ``OPTIMIZE ... WHERE``:
+        bin-pack only the named partitions' small files, so a streaming
+        ingest compacts TODAY's hot partition on a schedule without
+        reading (or even selecting into the rewrite set) the cold ones —
+        maintenance cost proportional to the hot data, not the table.
+        Same commit/race semantics as :meth:`compact`."""
+        meta = self._state()[0]
+        if not meta.get("partition_by"):
+            raise ValueError(
+                f"table at {self.root} is not partitioned — create it "
+                f"with partition_by=")
+        return self._compact(target_rows, set(partitions))
+
+    def _compact(self, target_rows: int, pvals: set | None) -> dict:
         while True:
             meta, live = self._state()
             small = [a for a in live.values()
-                     if a["rows"] < target_rows // 2]
+                     if a["rows"] < target_rows // 2
+                     and (pvals is None or a.get("pval") in pvals)]
             if len(small) < 2:
                 return {"files_in": 0, "files_out": 0}
             total = sum(a["rows"] for a in small)
