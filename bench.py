@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     # BPE training loop — three new compute families, all bench-visible
     "txn_replace_where",
     "dedup_semdedup",
+    "dedup_semdedup_lsh",
     "text_bpe_train",
     # end-to-end star pipeline (ingest→ODS→staging→target→BI agg) with a
     # COLD warehouse cache — guards the pipeline plans, not just micro ops

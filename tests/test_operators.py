@@ -1006,3 +1006,47 @@ def test_bpe_encode_token_count_shrinks_with_merges(spark):
     n16 = bpe.bpe_encode(d, "doc_id", "text", m) \
         .agg(F.sum("n_tokens")).first()[0]
     assert n0 > n8 > n16
+
+
+def test_semdedup_lsh_drops_subset_with_high_recall(spark):
+    """The LSH twin's drops are a subset of the exact twin's (candidate
+    edges are a subset, so a missed candidate keeps both copies — never
+    a wrong drop). At the paper's operating regime (threshold 0.9,
+    planted near-dups) the scale-default bands give drop recall ≥ 0.9;
+    at the analytic threshold-derived sizing the corpus's own
+    barely-correlated 0.3 pairs reach ≥ 0.95."""
+    import numpy as np
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    # plant near-dups: 40 vectors copied with a tiny deterministic
+    # perturbation (cosine ≥ 0.95 to their source)
+    rng = np.random.RandomState(11)
+    base = emb.limit(40).collect()
+    planted = [(int(r["vec_id"]) + 10_000,
+                [float(x) + float(e) for x, e in
+                 zip(r["embedding"], rng.normal(0, 0.01, 64))],
+                int(r["label"])) for r in base]
+    aug = emb.unionByName(emb.sparkSession.createDataFrame(
+        planted, "vec_id bigint, embedding array<float>, label int"))
+    exact = {r["vec_id"] for r in
+             dedup.semdedup(aug, "vec_id", "embedding", "label",
+                            threshold=0.9).collect() if not r["kept"]}
+    lsh = {r["vec_id"] for r in
+           dedup.semdedup_lsh(aug, "vec_id", "embedding", "label",
+                              threshold=0.9, n_planes=64,
+                              n_bands=8).collect() if not r["kept"]}
+    assert lsh <= exact
+    # nearly every planted pair dedups (a planted copy whose one
+    # Lloyd reassignment lands across a cluster border is blocked
+    # from its source BY DESIGN — allow a small margin)
+    assert len(exact) >= 36
+    assert len(lsh & exact) / len(exact) >= 0.9
+    # analytic sizing at the corpus's own low threshold
+    exact03 = {r["vec_id"] for r in
+               dedup.semdedup(emb, "vec_id", "embedding", "label",
+                              threshold=0.3).collect() if not r["kept"]}
+    lsh03 = {r["vec_id"] for r in
+             dedup.semdedup_lsh(emb, "vec_id", "embedding", "label",
+                                threshold=0.3).collect()
+             if not r["kept"]}
+    assert lsh03 <= exact03
+    assert len(lsh03 & exact03) / len(exact03) >= 0.95

@@ -46,6 +46,7 @@ ALLOW = {
     # k-means codebooks are small by construction), the pair join itself
     # is a cluster-key equi-join, never all-pairs
     "dedup_semdedup": {"BroadcastNestedLoopJoin"},
+    "dedup_semdedup_lsh": {"BroadcastNestedLoopJoin"},
     "dedup_embedding_cosine": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     # corpus-total scalars broadcast back over the corpus (1-row side)
     "text_unigram_logprob": {"BroadcastNestedLoopJoin", "CartesianProduct",

@@ -887,6 +887,26 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str, cluster_col: str,
     centroid-sim — neighborhood-local minima survive, which is
     engine-order-independent (no iterative tie-breaking).
     """
+    av = _semdedup_assign(df, id_col, vec_col, cluster_col)
+    a = av.select(F.col(id_col).alias("__ida"),
+                  F.col("cluster").alias("__cla"),
+                  F.col("centroid_sim").alias("__csa"),
+                  F.col("__v").alias("__va"))
+    b = av.select(F.col(id_col).alias("__idb"),
+                  F.col("cluster").alias("__clb"),
+                  F.col("centroid_sim").alias("__csb"),
+                  F.col("__v").alias("__vb"))
+    pairs = a.join(b, (F.col("__cla") == F.col("__clb"))
+                   & (F.col("__ida") < F.col("__idb")))
+    return _semdedup_resolve(av, pairs, id_col, threshold)
+
+
+def _semdedup_assign(df: DataFrame, id_col: str, vec_col: str,
+                     cluster_col: str) -> DataFrame:
+    """Shared SemDeDup clustering step: (id, cluster, centroid_sim,
+    __v) after one deterministic Lloyd refinement seeded by
+    ``cluster_col`` (decimal-exact centroids, round-6 cosines,
+    argmax ties to the smaller cluster id)."""
     from walmart_project_etl_spark.operators.similarity import (
         _as_double, cosine, embedding_centroids)
 
@@ -906,19 +926,19 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str, cluster_col: str,
                                            F.col("cluster").asc())
     assign = (scored.withColumn("__rn", F.row_number().over(w))
               .where(F.col("__rn") == 1).drop("__rn"))
-    av = assign.join(v, id_col)
-    a = av.select(F.col(id_col).alias("__ida"),
-                  F.col("cluster").alias("__cla"),
-                  F.col("centroid_sim").alias("__csa"),
-                  F.col("__v").alias("__va"))
-    b = av.select(F.col(id_col).alias("__idb"),
-                  F.col("cluster").alias("__clb"),
-                  F.col("centroid_sim").alias("__csb"),
-                  F.col("__v").alias("__vb"))
-    pairs = (a.join(b, (F.col("__cla") == F.col("__clb"))
-                    & (F.col("__ida") < F.col("__idb")))
-             .where(F.round(cosine(F.col("__va"), F.col("__vb")), 6)
-                    >= threshold))
+    return assign.join(v, id_col)
+
+
+def _semdedup_resolve(av: DataFrame, pairs: DataFrame, id_col: str,
+                      threshold: float) -> DataFrame:
+    """Shared SemDeDup keep-rule: verify candidate pairs by exact
+    cosine ≥ threshold, drop the (higher centroid_sim, then higher id)
+    side of every surviving edge, return (id, cluster, centroid_sim,
+    kept)."""
+    from walmart_project_etl_spark.operators.similarity import cosine
+
+    pairs = pairs.where(
+        F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= threshold)
     dominated = F.when(
         (F.col("__csa") < F.col("__csb"))
         | ((F.col("__csa") == F.col("__csb"))
@@ -926,7 +946,61 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str, cluster_col: str,
         F.col("__idb")).otherwise(F.col("__ida"))
     dropped = pairs.select(dominated.alias(id_col)).distinct() \
                    .withColumn("__dropped", F.lit(True))
-    return (assign.join(dropped, id_col, "left")
+    return (av.join(dropped, id_col, "left")
             .select(id_col, "cluster", "centroid_sim",
                     F.coalesce(~F.col("__dropped"), F.lit(True))
                      .alias("kept")))
+
+
+def semdedup_lsh(df: DataFrame, id_col: str, vec_col: str,
+                 cluster_col: str, threshold: float = 0.3,
+                 dim: int = 64, n_planes: int | None = None,
+                 n_bands: int = 8, seed: int = 42) -> DataFrame:
+    """The SCALE twin of :func:`semdedup`: same clustering and same
+    keep-the-least-prototypical rule, but candidate pairs come from a
+    (cluster, band, code) hyperplane-LSH equi-join instead of the exact
+    all-pairs-within-cluster join, then verify by exact cosine.
+
+    Why it exists: the exact twin is O(Σ cluster²) — at a FIXED cluster
+    count, 10× data makes clusters 10× bigger and the pair join 100×
+    (measured 39.8× wall at 10× in docs/SCALE.md). The paper's own
+    answer is k ∝ N (bounded cluster size); when the cluster layout is
+    given (labels, a fixed codebook), banding inside the cluster is the
+    near-linear path — candidates stay proportional to corpus size ×
+    collision rate, never cluster². Band width follows
+    :func:`similarity.lsh_params_for_threshold` (analytic recall ≥ 0.95
+    at the threshold); precision is 1.0 (exact re-rank). Same output
+    schema; recall < 1 by LSH design, so dedup is slightly
+    conservative (a missed candidate keeps BOTH copies — never drops a
+    non-duplicate)."""
+    from walmart_project_etl_spark.operators.similarity import (
+        lsh_params_for_threshold, rh_band_codes)
+
+    if n_planes is None:
+        n_planes, n_bands = lsh_params_for_threshold(threshold, n_bands)
+    av = _semdedup_assign(df, id_col, vec_col, cluster_col)
+    coded = av.withColumn(
+        "__codes", rh_band_codes(F.col("__v"), dim, n_planes, n_bands,
+                                 seed))
+    banded = coded.select(
+        id_col, "cluster", "centroid_sim", "__v",
+        F.posexplode("__codes").alias("__band", "__code"))
+    a = banded.select(F.col(id_col).alias("__ida"),
+                      F.col("cluster").alias("__cla"),
+                      F.col("centroid_sim").alias("__csa"),
+                      F.col("__v").alias("__va"),
+                      "__band", "__code")
+    b = banded.select(F.col(id_col).alias("__idb"),
+                      F.col("cluster").alias("__clb"),
+                      F.col("centroid_sim").alias("__csb"),
+                      F.col("__v").alias("__vb"),
+                      F.col("__band").alias("__bandb"),
+                      F.col("__code").alias("__codeb"))
+    cands = (a.join(b, (F.col("__cla") == F.col("__clb"))
+                    & (F.col("__band") == F.col("__bandb"))
+                    & (F.col("__code") == F.col("__codeb"))
+                    & (F.col("__ida") < F.col("__idb")))
+             .select("__ida", "__idb", "__cla", "__clb",
+                     "__csa", "__csb", "__va", "__vb")
+             .dropDuplicates(["__ida", "__idb"]))
+    return _semdedup_resolve(av, cands, id_col, threshold)

@@ -258,6 +258,25 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           threshold=0.3)
 
 
+@q("dedup_semdedup_lsh", pinned("dedup_semdedup_lsh"))
+def dedup_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE twin of ``dedup_semdedup``: same clustering and
+    keep-rule, candidates from a (cluster, band, code) hyperplane-LSH
+    join instead of all-pairs-within-cluster — near-linear where the
+    exact twin is quadratic in cluster size (ratios in docs/SCALE.md).
+    Drops are provably a SUBSET of the exact twin's (missed candidates
+    keep both copies, never drop a non-dup). Run at the scale defaults
+    (64 planes / 8-bit bands, like ``dedup_embedding_lsh``): recall is
+    partial BY DESIGN at this corpus's artificially low 0.3 threshold —
+    the paper's operating regime is ≥0.9, where the same bands give
+    ≥0.9 drop recall on planted near-dups (pinned in tests). Seeded
+    hyperplanes are engine-internal, so the oracle pins the sf0.01
+    output."""
+    emb = t(spark, sf_dir, "embeddings")
+    return dedup.semdedup_lsh(emb, "vec_id", "embedding", "label",
+                              threshold=0.3, n_planes=64, n_bands=8)
+
+
 @q("dedup_embedding_lsh", pinned("dedup_embedding_lsh"))
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH banding + exact cosine
