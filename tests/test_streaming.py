@@ -257,3 +257,33 @@ def test_stream_tx_upsert_resume_processes_new_files(spark, events, tmp_path):
     out2 = stream_upsert_tx(spark, src, root)
     assert _rows(out2, cols) == \
         _rows(ev_ops.latest_event_per_key(events, ["user_id"]), cols)
+
+
+def test_stream_partition_ingest_exactly_once_and_compacted(
+        spark, events, tmp_path):
+    """Partitioned streaming ingest: converges to the batch table,
+    every file partition-pure, hot-partition compaction bounds the
+    file count, and a REPLAYED batch is a logged no-op (txn marker)."""
+    from walmart_project_etl_spark.sources.txlog import TxTable
+    from walmart_project_etl_spark.streaming import stream_partition_ingest
+
+    root = str(tmp_path / "spi")
+    path = events_dir(spark, SF_DIR)
+    t = stream_partition_ingest(spark, path, root,
+                                max_files_per_trigger=2)
+    ev = spark.read.parquet(path)
+    assert t.snapshot().count() == ev.count()
+    _, live = t._state()
+    assert all("pval" in a for a in live.values())
+    # per-batch scoped compaction keeps the layout tight: no partition
+    # holds more than 2 files after the run
+    from collections import Counter
+    per = Counter(a["pval"] for a in live.values())
+    assert max(per.values()) <= 2
+    # replay idempotence: re-applying the highest committed batch id is
+    # a logged no-op
+    stats = t.merge_upsert(ev.limit(5),
+                           txn=("stream_partition_ingest",
+                                t.last_txn("stream_partition_ingest")))
+    assert stats.get("skipped_replay")
+    assert t.snapshot().count() == ev.count()

@@ -1647,3 +1647,26 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = bpe.bpe_encode(d, "doc_id", "text", merges)
     return enc.select("doc_id", "n_tokens",
                       F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"))
+
+
+@q("stream_partition_ingest",
+   """SELECT event_id, ts, user_id, event_type, value FROM events
+      WHERE event_type IN ('click', 'purchase')""")
+def stream_partition_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming ingest into a PARTITIONED tx table: each
+    micro-batch is one idempotent insert-only MERGE commit (txn marker
+    → re-delivery is a logged no-op) followed by hot-partition-scoped
+    OPTIMIZE (compact_partitions — only the batch's partitions ever
+    rewrite). The read side is a partition-pruned ``read_partitions``;
+    the oracle is the batch filter it must converge to for any
+    micro-batch split (replay idempotence additionally pinned in
+    tests/test_streaming.py)."""
+    import tempfile
+
+    from walmart_project_etl_spark.streaming import stream_partition_ingest
+    t_ = stream_partition_ingest(
+        spark, events_dir(spark, sf_dir),
+        tempfile.mkdtemp(prefix="wpe_stream_part_"),
+        max_files_per_trigger=4)
+    return t_.read_partitions(["click", "purchase"]) \
+        .select("event_id", "ts", "user_id", "event_type", "value")
