@@ -1124,3 +1124,15 @@ def test_compact_partitions_scopes_to_hot_partition(spark, orders, tmp_path):
     t2.create(orders.limit(5), "o_orderkey")
     with pytest.raises(ValueError, match="not partitioned"):
         t2.compact_partitions(["O"])
+
+
+def test_replace_where_empty_drops_partition(spark, orders, part_table):
+    """replace_where with an empty frame is an atomic partition DROP:
+    one commit, no new files, other partitions untouched."""
+    empty = orders.where("1 = 0")
+    res = part_table.replace_where("P", empty)
+    assert res["files_added"] == 0 and res["files_removed"] >= 1
+    cols = ["o_orderkey", "o_orderstatus"]
+    assert _rows(part_table.snapshot(), cols) == \
+        _rows(orders.where("o_orderstatus != 'P'"), cols)
+    assert part_table.read_partitions(["P"]).count() == 0
