@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     # commit), cluster-blocked semantic self-dedup, and the iterative
     # BPE training loop — three new compute families, all bench-visible
     "txn_replace_where",
+    "txn_delete_dv",
     "dedup_semdedup",
     "dedup_semdedup_lsh",
     "text_bpe_train",

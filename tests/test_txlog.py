@@ -1136,3 +1136,112 @@ def test_replace_where_empty_drops_partition(spark, orders, part_table):
     assert _rows(part_table.snapshot(), cols) == \
         _rows(orders.where("o_orderstatus != 'P'"), cols)
     assert part_table.read_partitions(["P"]).count() == 0
+
+
+# ------------------------------------------------------ deletion vectors
+
+
+def test_delete_dv_zero_rewrite_and_reads_honor(spark, orders, tmp_path):
+    """Merge-on-read DELETE: no data file rewritten, every read path
+    (snapshot / key band / key set) hides the rows, time travel intact."""
+    t = TxTable(spark, str(tmp_path / "dv"))
+    t.create(orders, "o_orderkey", n_files=8)
+    _, live0 = t._state()
+    res = t.delete_keys_dv(orders.where("o_orderkey % 7 = 0")
+                           .select("o_orderkey"))
+    assert res["rows_deleted"] == orders.where("o_orderkey % 7 = 0").count()
+    _, live1 = t._state()
+    assert set(live1) == set(live0)              # zero files rewritten
+    exp = orders.where("o_orderkey % 7 != 0")
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _rows(t.snapshot(), cols) == _rows(exp, cols)
+    assert _rows(t.snapshot(0), cols) == _rows(orders, cols)
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    assert _rows(t.read_keys(lo, lo + 50), cols) == \
+        _rows(exp.where(F.col("o_orderkey").between(lo, lo + 50)), cols)
+    ks = orders.where("o_orderkey % 10 = 4").select("o_orderkey")
+    assert t.read_matching(ks).count() == exp.join(ks, "o_orderkey",
+                                                   "semi").count()
+    assert t.history()[-1]["op"] == "delete_dv"
+
+
+def test_delete_dv_upsert_resurrects_and_purge_materializes(
+        spark, orders, tmp_path):
+    """A merge after a DV delete re-inserts the key (the merge reads
+    DV-applied, so the new row lands in a DV-free file); purge_deletes
+    rewrites only the dirty files and clears every DV with identical
+    rows before/after."""
+    t = TxTable(spark, str(tmp_path / "dv2"))
+    t.create(orders, "o_orderkey", n_files=6)
+    t.delete_keys_dv(orders.where("o_orderkey % 5 = 0")
+                     .select("o_orderkey"))
+    back = orders.where("o_orderkey % 5 = 0").limit(4) \
+                 .withColumn("o_totalprice", F.lit(9.5))
+    t.merge_upsert(back)
+    snap = t.snapshot()
+    assert snap.where("o_totalprice = 9.5").count() == 4
+    expected_n = orders.where("o_orderkey % 5 != 0").count() + 4
+    assert snap.count() == expected_n
+    before = _rows(snap, ["o_orderkey", "o_totalprice"])
+    _, live = t._state()
+    dirty = sum(1 for a in live.values() if a.get("_dvs"))
+    assert dirty > 0
+    res = t.purge_deletes()
+    assert res["files_in"] == dirty
+    _, live2 = t._state()
+    assert not any(a.get("_dvs") for a in live2.values())
+    assert _rows(t.snapshot(), ["o_orderkey", "o_totalprice"]) == before
+    # idempotent when clean
+    assert t.purge_deletes() == {"files_in": 0, "files_out": 0}
+
+
+def test_delete_dv_accumulates_and_survives_checkpoint(
+        spark, orders, tmp_path):
+    """Two DV deletes stack; the live DV attachments survive a log
+    checkpoint replay (checkpoints capture the _dvs lists)."""
+    t = TxTable(spark, str(tmp_path / "dv3"), checkpoint_interval=4)
+    t.create(orders, "o_orderkey", n_files=4)
+    t.delete_keys_dv(orders.where("o_orderkey % 7 = 0")
+                     .select("o_orderkey"))
+    t.delete_keys_dv(orders.where("o_orderkey % 11 = 1")
+                     .select("o_orderkey"))
+    for i in range(3):                       # push past the checkpoint
+        t.append(orders.limit(0))
+    assert t._checkpoint_versions()          # a checkpoint exists
+    exp = orders.where("o_orderkey % 7 != 0 AND o_orderkey % 11 != 1")
+    assert _rows(t.snapshot(), ["o_orderkey"]) == _rows(exp, ["o_orderkey"])
+
+
+def test_delete_dv_vacuum_keeps_referenced_dv_files(spark, orders,
+                                                    tmp_path):
+    """vacuum_uncommitted never reclaims a referenced DV file, and a
+    no-match DV delete is a logged no-op with no leftover file."""
+    t = TxTable(spark, str(tmp_path / "dv4"))
+    t.create(orders, "o_orderkey", n_files=4)
+    t.delete_keys_dv(orders.where("o_orderkey % 9 = 2")
+                     .select("o_orderkey"))
+    assert t.vacuum_uncommitted(older_than_s=0.0) == []
+    exp = orders.where("o_orderkey % 9 != 2")
+    assert t.snapshot().count() == exp.count()
+    # keys that exist nowhere: no commit, no dv file left behind
+    import pyspark.sql.functions as SF
+    ghost = spark.range(1).select(
+        (SF.lit(10**12)).alias("o_orderkey"))
+    assert t.delete_keys_dv(ghost) == {"files_tagged": 0,
+                                       "rows_deleted": 0}
+    assert t.vacuum_uncommitted(older_than_s=0.0) == []
+    assert t.snapshot().count() == exp.count()
+
+
+def test_delete_dv_cdf_capture(spark, orders, tmp_path):
+    """With change_feed=True a DV delete lands in the change feed as
+    delete rows — same stream as copy-on-write deletes."""
+    t = TxTable(spark, str(tmp_path / "dv5"))
+    t.create(orders, "o_orderkey", n_files=4, change_feed=True)
+    t.delete_keys_dv(orders.where("o_orderkey % 13 = 3")
+                     .select("o_orderkey"))
+    ch = t.read_changes(since_version=1)
+    dels = ch.where("_change_type = 'delete'")
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _rows(dels, cols) == \
+        _rows(orders.where("o_orderkey % 13 = 3"), cols)

@@ -1060,6 +1060,36 @@ def txn_read_where_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
                          stats={"o_custkey": (600, None)})
 
 
+@q("txn_delete_dv",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders
+      WHERE o_orderkey % 7 <> 0 OR o_orderkey % 2 <> 1""")
+def txn_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE via DELETION VECTORS (Delta DVs / Iceberg
+    delete files): the scattered DELETE writes one tiny (file, key)
+    delete-vector parquet and ONE commit — zero data files rewritten
+    (pinned in tests/test_txlog.py) — and every read hides the rows via
+    a broadcast anti-join until maintenance (merge/compact/zorder/
+    purge_deletes) materializes them. The write-amplification fix that
+    made DVs the modern lakehouse default: a scattered DELETE on a
+    100 TB table costs kilobytes, not thousands of file rewrites."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_dv")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8)
+    doomed = o.where((F.col("o_orderkey") % 7 == 0)
+                     & (F.col("o_orderkey") % 2 == 1)) \
+              .select("o_orderkey")
+    tt.delete_keys_dv(doomed)
+    return tt.snapshot()
+
+
 @q("txn_catalog_star",
    f"""SELECT c_mktsegment, count(*) AS n,
               {sql_dsum('o_totalprice', 'revenue')}

@@ -321,6 +321,13 @@ class TxTable:
                     live[a["add"]["path"]] = a["add"]
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
+                elif "dv" in a:
+                    # DELETION VECTOR attach: key-delete file scoped to
+                    # one live data file; dies with the file's remove
+                    # (a rewrite materializes the deletes)
+                    tgt = live.get(a["dv"]["path"])
+                    if tgt is not None:
+                        tgt.setdefault("_dvs", []).append(a["dv"]["keys"])
         return meta, live
 
     def _txns(self, upto: int | None = None, mode: str = "strict") -> dict:
@@ -582,18 +589,52 @@ class TxTable:
 
     # ------------------------------------------------------------- reads
 
-    def _read_files(self, meta: dict, paths) -> DataFrame:
+    def _read_files(self, meta: dict, actions,
+                    keep_file_col: str | None = None) -> DataFrame:
         """Read data files under the version's DECLARED schema: files
         written before a schema evolution lack the newer columns, and the
         explicit schema makes the parquet reader surface them as NULL
         (by-name matching) instead of failing or silently varying by
-        file order."""
+        file order.
+
+        ``actions`` may be add-action dicts or bare path strings. When a
+        dict carries ``_dvs`` (deletion vectors attached by
+        :meth:`delete_keys_dv`), the scan LEFT-ANTI-joins the per-file
+        (file, key) delete sets — merge-on-read: the deleted rows vanish
+        from every read without any data file having been rewritten. The
+        DV table is deleted-key-sized and broadcasts; files without DVs
+        pass through the same anti-join untouched. ``keep_file_col``
+        names an extra output column holding each row's file basename
+        (scan metadata — used by the DV writer itself)."""
+        acts = [{"path": a} if isinstance(a, str) else a for a in actions]
         schema = StructType.fromJson(json.loads(meta["schema"]))
-        paths = list(paths)
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.data_dir, p) for p in paths])
+        if not acts:
+            out_schema = StructType(list(schema.fields))
+            if keep_file_col:
+                out_schema = out_schema.add(keep_file_col, "string")
+            return self.spark.createDataFrame([], out_schema)
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.data_dir, a["path"]) for a in acts])
+        dv_files = sorted({dv for a in acts for dv in a.get("_dvs", [])})
+        if dv_files or keep_file_col:
+            fcol = keep_file_col or "__dv_file"
+            df = df.withColumn(
+                fcol, F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1))
+        if dv_files:
+            key = meta["key_col"]
+            dv = self.spark.read.parquet(
+                *[os.path.join(self.data_dir, p) for p in dv_files]) \
+                .select(F.col("__file").alias("__dvf"),
+                        F.col("__key").alias("__dvk")).distinct()
+            df = df.join(
+                F.broadcast(dv),
+                (F.col(fcol) == F.col("__dvf"))
+                & (F.col(key) == F.col("__dvk")),
+                "left_anti")
+            if not keep_file_col:
+                df = df.drop(fcol)
+        return df
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         # latest reads treat an undecided cross-table pending as not yet
@@ -602,7 +643,7 @@ class TxTable:
         meta, live = self._state(version, self._read_mode(version))
         if meta is None:
             raise FileNotFoundError(f"no table at {self.root}")
-        return self._read_files(meta, live)
+        return self._read_files(meta, live.values())
 
     @staticmethod
     def _read_mode(version: int | None) -> str:
@@ -620,7 +661,7 @@ class TxTable:
         if meta is None:
             raise FileNotFoundError(f"no table at {self.root}")
         key = meta["key_col"]
-        files = [a["path"] for a in live.values()
+        files = [a for a in live.values()
                  if not ((hi is not None and a["kmin"] > hi)
                          or (lo is not None and a["kmax"] < lo))]
         df = self._read_files(meta, files)
@@ -672,7 +713,7 @@ class TxTable:
             return not ((hi is not None and smin > hi)
                         or (lo is not None and smax < lo))
 
-        files = [a["path"] for a in live.values() if may_match(a)]
+        files = [a for a in live.values() if may_match(a)]
         df = self._read_files(meta, files)
         if lo is not None:
             df = df.where(F.col(col) >= lo)
@@ -701,7 +742,7 @@ class TxTable:
                 f"table at {self.root} is not partitioned — create it "
                 f"with partition_by=")
         vals = set(values)
-        files = [a["path"] for a in live.values()
+        files = [a for a in live.values()
                  if "pval" not in a or a["pval"] in vals]
         df = self._read_files(meta, files)
         return df.where(F.col(pcol).isin(*vals))
@@ -766,7 +807,7 @@ class TxTable:
                     return False
             return True
 
-        files = [a["path"] for a in live.values() if survives(a)]
+        files = [a for a in live.values() if survives(a)]
         df = self._read_files(meta, files)
         if pvals is not None:
             df = df.where(F.col(pcol).isin(*pvals))
@@ -831,7 +872,7 @@ class TxTable:
                     continue
                 df = self._read_files(meta, paths) \
                     .withColumn("_change_type", F.lit("insert"))
-            elif op in ("merge", "delete", "replace_where"):
+            elif op in ("merge", "delete", "delete_dv", "replace_where"):
                 paths = [os.path.join(self.data_dir, a["cdf"]["path"])
                          for a in acts if "cdf" in a]
                 if not paths:
@@ -1062,7 +1103,7 @@ class TxTable:
         key = meta["key_col"]
         keys = keys.select(key).distinct()
         prune = self._key_pruner(keys, key)
-        files = [a["path"] for a in prune(list(live.values()))]
+        files = prune(list(live.values()))
         return self._read_files(meta, files).join(keys, key, "semi")
 
     def append(self, df: DataFrame) -> None:
@@ -1114,7 +1155,7 @@ class TxTable:
             touched = prune(list(live.values()))
             untouched = len(live) - len(touched)
             if touched:
-                old = self._read_files(meta, [a["path"] for a in touched])
+                old = self._read_files(meta, touched)
                 keep = old.join(updates.select(key), key, "left_anti")
                 new_rows = keep.unionByName(updates)
             else:
@@ -1173,7 +1214,7 @@ class TxTable:
             adds: list[dict] = []
             cdf: list[dict] = []
             if touched:
-                old = self._read_files(meta, [a["path"] for a in touched])
+                old = self._read_files(meta, touched)
                 adds = self._write_files(old.join(keys, key, "left_anti"),
                                          key,
                                          stats_cols=_meta_stats_cols(meta),
@@ -1191,6 +1232,96 @@ class TxTable:
                 return {"files_scanned": len(live),
                         "files_rewritten": len(touched),
                         "files_untouched": len(live) - len(touched)}
+
+    def delete_keys_dv(self, keys: DataFrame) -> dict:
+        """MERGE-ON-READ DELETE via DELETION VECTORS (Delta DVs /
+        Iceberg delete files): instead of rewriting every file that
+        holds a doomed key (:meth:`delete_keys`'s copy-on-write), record
+        the exact (file, key) pairs to hide in ONE small delete-vector
+        parquet and attach it to the touched files in the log. Write
+        cost is O(deleted rows) + one commit — ZERO data files rewritten;
+        every read applies the DV as a broadcast anti-join until a later
+        rewrite of the file (merge, compact, zorder,
+        :meth:`purge_deletes`) materializes the deletes and the file's
+        remove drops its DV. A scattered DELETE on a 100 TB table goes
+        from rewriting thousands of files to writing kilobytes — the
+        write-amplification fix that made DVs the modern lakehouse
+        default. Upsert-after-delete stays correct: the merge reads
+        touched files DV-applied, so a re-inserted key lands fresh in a
+        DV-free file. Returns {files_tagged, rows_deleted}."""
+        meta = self._state()[0]
+        key = meta["key_col"]
+        keys = keys.select(key).distinct()
+        prune = self._key_pruner(keys, key)
+
+        while True:
+            _, live = self._state()
+            touched = prune(list(live.values()))
+            if not touched:
+                return {"files_tagged": 0, "rows_deleted": 0}
+            # DV-applied read (already-hidden rows are not re-recorded),
+            # file column kept so the pairs are per-file exact
+            old = self._read_files(meta, touched, keep_file_col="__file")
+            doomed = old.join(keys, key, "semi")
+            staging = os.path.join(self.data_dir,
+                                   f".stage-{uuid.uuid4().hex}")
+            doomed.select(F.col("__file"), F.col(key).alias("__key")) \
+                  .coalesce(1).write.mode("overwrite").parquet(staging)
+            dvname = f"dv-{uuid.uuid4().hex}.parquet"
+            part = [n for n in sorted(os.listdir(staging))
+                    if n.endswith(".parquet")]
+            os.rename(os.path.join(staging, part[0]),
+                      os.path.join(self.data_dir, dvname))
+            shutil.rmtree(staging, ignore_errors=True)
+            dv_rows = self.spark.read.parquet(
+                os.path.join(self.data_dir, dvname))
+            stats = dv_rows.groupBy("__file") \
+                .agg(F.count(F.lit(1)).alias("n")).collect()
+            tagged = {r["__file"] for r in stats}
+            n_del = sum(r["n"] for r in stats)
+            if n_del == 0:
+                os.unlink(os.path.join(self.data_dir, dvname))
+                return {"files_tagged": 0, "rows_deleted": 0}
+            cdf: list[dict] = []
+            if meta.get("change_feed"):
+                cdf = self._write_cdf(
+                    doomed.drop("__file")
+                    .withColumn("_change_type", F.lit("delete")))
+            v = self.versions()[-1] + 1
+            actions = [{"op": "delete_dv"},
+                       *({"dv": {"path": a["path"], "keys": dvname}}
+                         for a in touched if a["path"] in tagged),
+                       *cdf]
+            if self._commit(actions, v):
+                self._maybe_checkpoint(v)
+                return {"files_tagged": len(tagged),
+                        "rows_deleted": int(n_del)}
+            # lost the race: a concurrent rewrite may have replaced a
+            # tagged file — recompute against the new snapshot (the
+            # orphaned dv file is unreferenced ⇒ invisible)
+
+    def purge_deletes(self) -> dict:
+        """Materialize outstanding deletion vectors: rewrite ONLY the
+        files carrying DVs (read DV-applied), one commit whose removes
+        drop the DVs — O(dirty files), the scheduled-maintenance twin
+        of Delta's ``REORG TABLE ... APPLY (PURGE)``. Reads before and
+        after see identical rows; afterwards they stop paying the
+        anti-join."""
+        while True:
+            meta, live = self._state()
+            dirty = [a for a in live.values() if a.get("_dvs")]
+            if not dirty:
+                return {"files_in": 0, "files_out": 0}
+            df = self._read_files(meta, dirty)
+            adds = self._write_files(df, meta["key_col"],
+                                     stats_cols=_meta_stats_cols(meta),
+                                     partition_by=meta.get("partition_by"))
+            v = self.versions()[-1] + 1
+            actions = [{"op": "purge"}, *adds,
+                       *({"remove": {"path": a["path"]}} for a in dirty)]
+            if self._commit(actions, v):
+                self._maybe_checkpoint(v)
+                return {"files_in": len(dirty), "files_out": len(adds)}
 
     def replace_where(self, value, df: DataFrame) -> dict:
         """Atomic PARTITION OVERWRITE — Delta's ``replaceWhere``: in ONE
@@ -1232,7 +1363,7 @@ class TxTable:
             doomed = [a for a in live.values() if a.get("pval") == value]
             cdf: list[dict] = []
             if meta.get("change_feed"):
-                old = self._read_files(meta, [a["path"] for a in doomed])
+                old = self._read_files(meta, doomed)
                 cdf = self._write_cdf(
                     old.withColumn("_change_type", F.lit("delete"))
                     .unionByName(df.withColumn("_change_type",
@@ -1292,7 +1423,7 @@ class TxTable:
                 return {"files_in": 0, "files_out": 0}
             total = sum(a["rows"] for a in small)
             n_out = max(1, -(-total // target_rows))
-            df = self._read_files(meta, [a["path"] for a in small])
+            df = self._read_files(meta, small)
             adds = self._write_files(df, meta["key_col"], n_files=n_out,
                                      stats_cols=_meta_stats_cols(meta),
                                      partition_by=meta.get("partition_by"))
@@ -1343,7 +1474,7 @@ class TxTable:
                     f"exist for {declared}")
             if not live:
                 return {"files_in": 0, "files_out": 0}
-            df = self._read_files(meta, [a["path"] for a in live.values()])
+            df = self._read_files(meta, list(live.values()))
             num = {}
             for c in cols:
                 typ = dict(df.dtypes)[c]
@@ -1406,6 +1537,7 @@ class TxTable:
                 acts = acts[1:]
             ref.update(a["add"]["path"] for a in acts if "add" in a)
             ref.update(a["cdf"]["path"] for a in acts if "cdf" in a)
+            ref.update(a["dv"]["keys"] for a in acts if "dv" in a)
         return ref
 
     def vacuum_uncommitted(self, older_than_s: float = 3600.0) -> list[str]:
@@ -1456,6 +1588,8 @@ class TxTable:
         horizon = max(vs[-1] - retain_versions + 1, vs[0])
         _, live_h = self._state(horizon)
         needed = set(live_h)
+        needed.update(dv for a in live_h.values()
+                      for dv in a.get("_dvs", []))
         for v in vs:
             if v > horizon:
                 for a in self._read_commit(v):
@@ -1463,6 +1597,8 @@ class TxTable:
                         needed.add(a["add"]["path"])
                     elif "cdf" in a:
                         needed.add(a["cdf"]["path"])
+                    elif "dv" in a:
+                        needed.add(a["dv"]["keys"])
         referenced = self._referenced_paths()
         removed = 0
         for name in referenced - needed:
