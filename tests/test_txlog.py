@@ -288,8 +288,9 @@ def test_model_based_random_operation_sequence(spark, tmp_path, seed):
     t.create(df_of(init.items()), "k", n_files=4)
     model.update(init)
     versioned = {t.versions()[-1]: dict(model)}
-    for step in range(8):
-        op = rng.choice(["append", "merge", "delete", "compact"])
+    for step in range(10):
+        op = rng.choice(["append", "merge", "delete", "compact",
+                         "delete_dv", "purge"])
         if op == "append":
             new = {k: float(step) for k in rng.sample(range(2000, 3000), 10)
                    if k not in model}
@@ -306,6 +307,14 @@ def test_model_based_random_operation_sequence(spark, tmp_path, seed):
             t.delete_keys(df_of((k, 0.0) for k in doomed).select("k"))
             for k in doomed:
                 model.pop(k)
+        elif op == "delete_dv":
+            # merge-on-read delete: mixes with every other op freely
+            doomed = rng.sample(sorted(model), min(3, len(model)))
+            t.delete_keys_dv(df_of((k, 0.0) for k in doomed).select("k"))
+            for k in doomed:
+                model.pop(k)
+        elif op == "purge":
+            t.purge_deletes()
         else:
             t.compact(target_rows=100)
         assert snap_rows() == model, f"divergence after step {step}: {op}"
@@ -1245,3 +1254,69 @@ def test_delete_dv_cdf_capture(spark, orders, tmp_path):
     cols = ["o_orderkey", "o_totalprice"]
     assert _rows(dels, cols) == \
         _rows(orders.where("o_orderkey % 13 = 3"), cols)
+
+
+@pytest.mark.parametrize("seed", [42])
+def test_model_based_partitioned_operations(spark, tmp_path, seed):
+    """Model check on a PARTITIONED table: append / merge /
+    replace_where / delete_dv / compact_partitions against a dict
+    model, with partition purity and time travel asserted throughout."""
+    import random
+
+    rng = random.Random(seed)
+    t = TxTable(spark, str(tmp_path / "pm"), checkpoint_interval=4)
+    model: dict[int, tuple[str, float]] = {}
+    PARTS = ["a", "b", "c"]
+
+    def pv(k):
+        return PARTS[k % 3]
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, p, v) for k, (p, v) in rows],
+            "k long, p string, v double")
+
+    def snap_rows():
+        return {r["k"]: (r["p"], r["v"]) for r in t.snapshot().collect()}
+
+    init = {k: (pv(k), float(k)) for k in rng.sample(range(1000), 36)}
+    t.create(df_of(init.items()), "k", n_files=4, partition_by="p")
+    model.update(init)
+    versioned = {t.versions()[-1]: dict(model)}
+    for step in range(8):
+        op = rng.choice(["append", "merge", "replace_where",
+                         "delete_dv", "compact_partitions"])
+        if op == "append":
+            new = {k: (pv(k), float(step))
+                   for k in rng.sample(range(2000, 3000), 8)
+                   if k not in model}
+            t.append(df_of(new.items()))
+            model.update(new)
+        elif op == "merge":
+            keys = rng.sample(sorted(model), 4) + \
+                rng.sample(range(5000, 6000), 2)
+            ups = {k: (pv(k), step + 0.25) for k in keys}
+            t.merge_upsert(df_of(ups.items()))
+            model.update(ups)
+        elif op == "replace_where":
+            val = rng.choice(PARTS)
+            new = {k: (val, step + 0.75)
+                   for k in rng.sample(range(8000, 9000), 6)}
+            t.replace_where(val, df_of(new.items()))
+            model = {k: r for k, r in model.items() if r[0] != val}
+            model.update(new)
+        elif op == "delete_dv":
+            doomed = rng.sample(sorted(model), min(3, len(model)))
+            t.delete_keys_dv(
+                df_of((k, model[k]) for k in doomed).select("k"))
+            for k in doomed:
+                model.pop(k)
+        else:
+            t.compact_partitions([rng.choice(PARTS)], target_rows=100)
+        assert snap_rows() == model, f"divergence after step {step}: {op}"
+        _, live = t._state()
+        assert all("pval" in a for a in live.values())
+        versioned[t.versions()[-1]] = dict(model)
+    for v, expected in versioned.items():
+        got = {r["k"]: (r["p"], r["v"]) for r in t.snapshot(v).collect()}
+        assert got == expected, f"time travel broken at version {v}"
