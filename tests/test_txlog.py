@@ -1320,3 +1320,55 @@ def test_model_based_partitioned_operations(spark, tmp_path, seed):
     for v, expected in versioned.items():
         got = {r["k"]: (r["p"], r["v"]) for r in t.snapshot(v).collect()}
         assert got == expected, f"time travel broken at version {v}"
+
+
+def test_interleaved_writer_commit_fails_instead_of_losing_update(
+        spark, tmp_path):
+    """Lost-update guard (the other half of optimistic concurrency):
+    writer A reads its snapshot, and writer B COMMITS while A is still
+    writing files. A's commit must then fail-and-retry on B's state —
+    never land on the stale base. Without version-pinned reads this
+    interleave silently duplicated every row of the shared file and
+    dropped B's update (r9 regression test; reproduced before the fix:
+    75 rows, torn values)."""
+    def df(pairs):
+        return spark.createDataFrame(pairs, "k long, v double")
+
+    root = str(tmp_path / "t")
+    t1, t2 = TxTable(spark, root), TxTable(spark, root)
+    t1.create(df([(k, 0.0) for k in range(50)]), "k", n_files=2)
+
+    orig = t1._write_files
+    fired: list[int] = []
+
+    def hooked(*a, **kw):
+        if not fired:
+            fired.append(1)
+            t2.merge_upsert(df([(1, 99.0)]))   # lands mid-window
+        return orig(*a, **kw)
+
+    t1._write_files = hooked                   # type: ignore[assignment]
+    t1.merge_upsert(df([(0, 42.0)]))
+    rows: dict[int, list[float]] = {}
+    for r in t1.snapshot().collect():
+        rows.setdefault(r["k"], []).append(r["v"])
+    assert len(rows) == 50 and all(len(v) == 1 for v in rows.values())
+    assert rows[0] == [42.0] and rows[1] == [99.0]
+
+    # same interleave against the DV delete: the racing merge's update
+    # must survive, and the DV must still hide exactly its own keys
+    fired.clear()
+    t1._write_files = orig                      # type: ignore[assignment]
+    orig_cdf = t1._read_files
+
+    def hooked_read(*a, **kw):
+        if not fired:
+            fired.append(1)
+            t2.merge_upsert(df([(3, 77.0)]))
+        return orig_cdf(*a, **kw)
+
+    t1._read_files = hooked_read                # type: ignore[assignment]
+    t1.delete_keys_dv(df([(2, 0.0)]).select("k"))
+    t1._read_files = orig_cdf                   # type: ignore[assignment]
+    rows2 = {r["k"]: r["v"] for r in t1.snapshot().collect()}
+    assert 2 not in rows2 and rows2[3] == 77.0 and len(rows2) == 49

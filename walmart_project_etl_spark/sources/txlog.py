@@ -995,7 +995,8 @@ class TxTable:
         if not cols:
             raise ValueError("no columns to add")
         while True:
-            meta, _ = self._state()
+            base = self.versions()[-1]          # pinned read (see merge)
+            meta, _ = self._state(base)
             schema = StructType.fromJson(json.loads(meta["schema"]))
             dup = [c for c in cols if c in schema.fieldNames()]
             if dup:
@@ -1006,7 +1007,7 @@ class TxTable:
                                                 True))
             new_meta = dict(meta)
             new_meta["schema"] = schema.json()
-            v = self.versions()[-1] + 1
+            v = base + 1
             if self._commit([{"op": "evolve"}, {"meta": new_meta}], v):
                 self._maybe_checkpoint(v)
                 return
@@ -1151,7 +1152,14 @@ class TxTable:
             if txn is not None and self.last_txn(txn[0]) >= txn[1]:
                 return {"files_scanned": 0, "files_rewritten": 0,
                         "files_untouched": 0, "skipped_replay": True}
-            _, live = self._state()
+            # pin the read to a BASE version and commit at base+1: a
+            # concurrent commit landing during our (seconds-long) file
+            # writes then FAILS our commit instead of being silently
+            # built over — the lost-update half of optimistic
+            # concurrency (the os.link race alone only prevents
+            # version collisions, not stale reads)
+            base = self.versions()[-1]
+            _, live = self._state(base)
             touched = prune(list(live.values()))
             untouched = len(live) - len(touched)
             if touched:
@@ -1185,7 +1193,7 @@ class TxTable:
                     changes = updates.withColumn("_change_type",
                                                  F.lit("insert"))
                 cdf = self._write_cdf(changes)
-            v = self.versions()[-1] + 1
+            v = base + 1
             actions = [{"op": "merge"}, *adds, *cdf,
                        *({"remove": {"path": a["path"]}} for a in touched)]
             if txn is not None:
@@ -1209,7 +1217,8 @@ class TxTable:
         prune = self._key_pruner(keys, key)
 
         while True:
-            _, live = self._state()
+            base = self.versions()[-1]          # pinned read (see merge)
+            _, live = self._state(base)
             touched = prune(list(live.values()))
             adds: list[dict] = []
             cdf: list[dict] = []
@@ -1224,7 +1233,7 @@ class TxTable:
                     cdf = self._write_cdf(
                         old.join(keys, key, "semi")
                         .withColumn("_change_type", F.lit("delete")))
-            v = self.versions()[-1] + 1
+            v = base + 1
             actions = [{"op": "delete"}, *adds, *cdf,
                        *({"remove": {"path": a["path"]}} for a in touched)]
             if self._commit(actions, v):
@@ -1255,7 +1264,8 @@ class TxTable:
         prune = self._key_pruner(keys, key)
 
         while True:
-            _, live = self._state()
+            base = self.versions()[-1]          # pinned read (see merge)
+            _, live = self._state(base)
             touched = prune(list(live.values()))
             if not touched:
                 return {"files_tagged": 0, "rows_deleted": 0}
@@ -1287,7 +1297,7 @@ class TxTable:
                 cdf = self._write_cdf(
                     doomed.drop("__file")
                     .withColumn("_change_type", F.lit("delete")))
-            v = self.versions()[-1] + 1
+            v = base + 1
             actions = [{"op": "delete_dv"},
                        *({"dv": {"path": a["path"], "keys": dvname}}
                          for a in touched if a["path"] in tagged),
@@ -1308,7 +1318,8 @@ class TxTable:
         after see identical rows; afterwards they stop paying the
         anti-join."""
         while True:
-            meta, live = self._state()
+            base = self.versions()[-1]          # pinned read (see merge)
+            meta, live = self._state(base)
             dirty = [a for a in live.values() if a.get("_dvs")]
             if not dirty:
                 return {"files_in": 0, "files_out": 0}
@@ -1316,7 +1327,7 @@ class TxTable:
             adds = self._write_files(df, meta["key_col"],
                                      stats_cols=_meta_stats_cols(meta),
                                      partition_by=meta.get("partition_by"))
-            v = self.versions()[-1] + 1
+            v = base + 1
             actions = [{"op": "purge"}, *adds,
                        *({"remove": {"path": a["path"]}} for a in dirty)]
             if self._commit(actions, v):
@@ -1359,7 +1370,8 @@ class TxTable:
                 f"replace_where({value!r}): write contains rows of "
                 f"other partitions {stray[:5]} — rejected before commit")
         while True:
-            _, live = self._state()
+            base = self.versions()[-1]          # pinned read (see merge)
+            _, live = self._state(base)
             doomed = [a for a in live.values() if a.get("pval") == value]
             cdf: list[dict] = []
             if meta.get("change_feed"):
@@ -1368,7 +1380,7 @@ class TxTable:
                     old.withColumn("_change_type", F.lit("delete"))
                     .unionByName(df.withColumn("_change_type",
                                                F.lit("insert"))))
-            v = self.versions()[-1] + 1
+            v = base + 1
             actions = [{"op": "replace_where", "pred": {pcol: value}},
                        *adds, *cdf,
                        *({"remove": {"path": a["path"]}} for a in doomed)]
@@ -1415,7 +1427,8 @@ class TxTable:
 
     def _compact(self, target_rows: int, pvals: set | None) -> dict:
         while True:
-            meta, live = self._state()
+            base = self.versions()[-1]          # pinned read (see merge)
+            meta, live = self._state(base)
             small = [a for a in live.values()
                      if a["rows"] < target_rows // 2
                      and (pvals is None or a.get("pval") in pvals)]
@@ -1427,7 +1440,7 @@ class TxTable:
             adds = self._write_files(df, meta["key_col"], n_files=n_out,
                                      stats_cols=_meta_stats_cols(meta),
                                      partition_by=meta.get("partition_by"))
-            v = self.versions()[-1] + 1
+            v = base + 1
             actions = [{"op": "compact"}, *adds,
                        *({"remove": {"path": a["path"]}} for a in small)]
             if self._commit(actions, v):
@@ -1464,7 +1477,8 @@ class TxTable:
         if not cols:
             raise ValueError("no columns to zorder on")
         while True:
-            meta, live = self._state()
+            base = self.versions()[-1]          # pinned read (see merge)
+            meta, live = self._state(base)
             declared = [meta["key_col"], *(_meta_stats_cols(meta) or [])]
             bad = [c for c in cols if c not in declared]
             if bad:
@@ -1511,7 +1525,7 @@ class TxTable:
                                      stats_cols=_meta_stats_cols(meta),
                                      order_expr=z,
                                      partition_by=meta.get("partition_by"))
-            v = self.versions()[-1] + 1
+            v = base + 1
             actions = [{"op": "zorder"}, *adds,
                        *({"remove": {"path": a["path"]}}
                          for a in live.values())]
