@@ -1150,3 +1150,33 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key_value", "cnt", "share", "cum_share",
                       F.col("rank").cast("long").alias("rank"),
                       "n_keys", "skew_ratio")
+
+
+@q("pipe_bpe_tokenize_pack", pinned("pipe_bpe_tokenize_pack"))
+def pipe_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END tokenizer-to-shards prep — the last mile of a training
+    data pipeline, composed from the real operators: train a BPE merge
+    table on the corpus (`operators/bpe.py`), encode every document with
+    it (distinct-word tokenize + broadcast join back), pack the REAL
+    BPE token counts into GPT-style fixed-capacity sequences
+    (`packing.pack_sequences`, capacity 128), and lay the docs out into
+    reproducible training shards (`sampling.assign_shards`). One corpus
+    scan for the word counts, one for the encode; everything downstream
+    is doc-metadata-sized. Pinned golden (the BPE table is
+    engine-internal); the stage operators each carry their own exact or
+    pinned oracle elsewhere in the registry."""
+    from walmart_project_etl_spark.operators import bpe
+
+    d = t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(d, "text", n_merges=24)
+    enc = bpe.bpe_encode(d, "doc_id", "text", merges) \
+        .select("doc_id", "n_tokens")
+    packed = packing.pack_sequences(enc, "doc_id", "n_tokens",
+                                    capacity=128, n_groups=8)
+    sharded = sampling.assign_shards(packed, "doc_id", n_shards=4)
+    return sharded.select(
+        "doc_id", "n_tokens", "pack_group",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("seq_offset").cast("long").alias("seq_offset"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("shard_pos").cast("long").alias("shard_pos"))
