@@ -1372,3 +1372,88 @@ def test_interleaved_writer_commit_fails_instead_of_losing_update(
     t1._read_files = orig_cdf                   # type: ignore[assignment]
     rows2 = {r["k"]: r["v"] for r in t1.snapshot().collect()}
     assert 2 not in rows2 and rows2[3] == 77.0 and len(rows2) == 49
+
+
+# ----------------------------------------- restore / clone / constraints
+
+
+def test_restore_resets_state_preserving_history(spark, orders, tmp_path):
+    """RESTORE = one new commit that resets files + DVs + metadata to
+    the target version; every intermediate version still time-travels."""
+    t = TxTable(spark, str(tmp_path / "rs"))
+    t.create(orders, "o_orderkey", n_files=4)
+    t.delete_keys_dv(orders.where("o_orderkey % 3 = 0")
+                     .select("o_orderkey"))
+    t.merge_upsert(orders.limit(10).withColumn("o_totalprice",
+                                               F.lit(1.0)))
+    t.add_columns({"extra": "int"})
+    mid = {r["o_orderkey"] for r in t.snapshot(1).collect()}
+    res = t.restore(0)
+    assert res["restored_to"] == 0
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _rows(t.snapshot(), cols) == _rows(orders, cols)
+    assert "extra" not in t.snapshot().columns      # metadata restored
+    assert {r["o_orderkey"] for r in t.snapshot(1).collect()} == mid
+    assert t.history()[-1]["op"] == "restore"
+    # restoring to the DV'd version brings the DVs back
+    t.restore(1)
+    assert t.snapshot().count() == \
+        orders.where("o_orderkey % 3 != 0").count()
+    # vacuumed target is a clear error: the merge version's rewritten
+    # files are live in no retained version after the restores
+    t.vacuum(retain_versions=1)
+    with pytest.raises(ValueError, match="already vacuumed"):
+        t.restore(2)
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, orders, tmp_path):
+    """CLONE hard-links the current files (zero copy, same inodes),
+    carries active DVs, then diverges independently; the source's
+    vacuum cannot break the clone."""
+    t = TxTable(spark, str(tmp_path / "cl"))
+    t.create(orders, "o_orderkey", n_files=4)
+    t.delete_keys_dv(orders.where("o_orderkey % 4 = 2")
+                     .select("o_orderkey"))
+    c = t.clone_to(str(tmp_path / "cl2"))
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _rows(c.snapshot(), cols) == _rows(t.snapshot(), cols)
+    # zero copy: same inodes
+    _, live = t._state()
+    for a in live.values():
+        s = os.stat(os.path.join(t.data_dir, a["path"]))
+        d = os.stat(os.path.join(c.data_dir, a["path"]))
+        assert s.st_ino == d.st_ino
+    # divergence: a write to the clone is invisible to the source
+    c.merge_upsert(orders.where("o_orderkey % 4 != 2").limit(5)
+                   .withColumn("o_totalprice", F.lit(3.25)))
+    assert c.snapshot().where("o_totalprice = 3.25").count() == 5
+    assert t.snapshot().where("o_totalprice = 3.25").count() == 0
+    before = _rows(c.snapshot(), cols)
+    t.merge_upsert(orders.limit(50).withColumn("o_totalprice",
+                                               F.lit(8.0)))
+    t.vacuum(retain_versions=1)
+    assert _rows(c.snapshot(), cols) == before      # inodes survived
+
+
+def test_check_constraints_enforced_on_writes(spark, orders, tmp_path):
+    """CHECK constraints: existing rows validated at add time, every
+    later write rejected pre-commit on violation; clean writes pass."""
+    t = TxTable(spark, str(tmp_path / "ck"))
+    t.create(orders, "o_orderkey", n_files=2)
+    with pytest.raises(ValueError, match="violated by\n?.*existing"):
+        t.add_constraint("broke", "o_totalprice > 1e15")
+    t.add_constraint("price_pos", "o_totalprice > 0")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("price_pos", "1 = 1")
+    n0 = t.snapshot().count()
+    bad = orders.limit(2).withColumn("o_totalprice", F.lit(-4.0)) \
+                .withColumn("o_orderkey", F.col("o_orderkey") + 10**9)
+    with pytest.raises(ValueError, match="price_pos"):
+        t.append(bad)
+    with pytest.raises(ValueError, match="price_pos"):
+        t.merge_upsert(bad)
+    assert t.snapshot().count() == n0                # nothing landed
+    good = orders.limit(2) \
+                 .withColumn("o_orderkey", F.col("o_orderkey") + 10**9)
+    t.append(good)
+    assert t.snapshot().count() == n0 + 2

@@ -1090,6 +1090,86 @@ def txn_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.snapshot()
 
 
+@q("txn_restore",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders""")
+def txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE: after a DV delete AND a mutating merge, one
+    restore commit resets files + deletion vectors + metadata to
+    version 0 — an undo that PRESERVES history (every intermediate
+    version still time-travels; pinned in tests/test_txlog.py). The
+    oracle is the original table, which the restored snapshot must
+    equal exactly."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_restore")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=6)
+    tt.delete_keys_dv(o.where(F.col("o_orderkey") % 9 == 1)
+                      .select("o_orderkey"))
+    tt.merge_upsert(o.limit(25).withColumn("o_totalprice", F.lit(1.0)))
+    tt.restore(0)
+    return tt.snapshot()
+
+
+@q("txn_shallow_clone",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 9 <> 1""")
+def txn_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style SHALLOW CLONE: a zero-copy table whose version-0
+    create hard-links the source's current data AND deletion-vector
+    files — metadata-sized cost for a 100 TB dev/test copy; divergence
+    and vacuum independence pinned in tests/test_txlog.py. The read of
+    the clone must equal the source's DV-filtered state."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_clone_src")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_dst", ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=6)
+    tt.delete_keys_dv(o.where(F.col("o_orderkey") % 9 == 1)
+                      .select("o_orderkey"))
+    clone = tt.clone_to(root + "_dst")
+    return clone.snapshot()
+
+
+@q("txn_check_constraint",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_totalprice > 0""")
+def txn_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style CHECK constraint: added only after validating every
+    existing row (one scan), then enforced pre-commit on each write —
+    a violating append/merge rejects before a single file lands
+    (rejection pinned in tests/test_txlog.py). The query loads the
+    valid slice under the constraint and appends the remainder; the
+    snapshot must equal the plain filtered table."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus") \
+        .where(F.col("o_totalprice") > 0)
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_check")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o.where(F.col("o_orderkey") % 2 == 0), "o_orderkey",
+              n_files=4)
+    tt.add_constraint("price_pos", "o_totalprice > 0")
+    tt.append(o.where(F.col("o_orderkey") % 2 == 1))
+    return tt.snapshot()
+
+
 @q("txn_catalog_star",
    f"""SELECT c_mktsegment, count(*) AS n,
               {sql_dsum('o_totalprice', 'revenue')}

@@ -1014,13 +1014,121 @@ class TxTable:
 
     def _check_schema(self, df: DataFrame, meta: dict) -> DataFrame:
         """Appends/merges must carry exactly the table's columns (any
-        order); a silent drift would poison every later snapshot."""
+        order); a silent drift would poison every later snapshot. Also
+        enforces the table's CHECK constraints on the INCOMING rows
+        (existing rows were validated when each constraint was added):
+        one short-circuit job — any violating row rejects the write
+        before a single file lands, like Delta's constraint enforcement."""
         expected = [f["name"] for f in json.loads(meta["schema"])["fields"]]
         if sorted(df.columns) != sorted(expected):
             raise ValueError(
                 f"schema mismatch: table has {sorted(expected)}, "
                 f"write has {sorted(df.columns)}")
-        return df.select(*expected)
+        df = df.select(*expected)
+        for name, expr in (meta.get("constraints") or {}).items():
+            bad = df.where(~F.expr(expr).eqNullSafe(F.lit(True))) \
+                    .limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint '{name}' ({expr}) violated by "
+                    f"incoming rows — write rejected")
+        return df
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """Delta-style CHECK constraint: validate that every CURRENT row
+        satisfies ``expr`` (one scan), then record it in the table meta
+        with ONE metadata commit — every later write is rejected
+        pre-commit if any incoming row violates it. Constraint names are
+        unique; expressions are Spark SQL over the table's columns."""
+        while True:
+            base = self.versions()[-1]          # pinned read (see merge)
+            meta, live = self._state(base)
+            cons = dict(meta.get("constraints") or {})
+            if name in cons:
+                raise ValueError(f"constraint '{name}' already exists")
+            bad = self._read_files(meta, live.values()) \
+                .where(~F.expr(expr).eqNullSafe(F.lit(True))) \
+                .limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint '{name}' ({expr}) violated by "
+                    f"existing rows — not added")
+            new_meta = dict(meta)
+            cons[name] = expr
+            new_meta["constraints"] = cons
+            if self._commit([{"op": "add_constraint"},
+                             {"meta": new_meta}], base + 1):
+                self._maybe_checkpoint(base + 1)
+                return
+
+    def restore(self, version: int) -> dict:
+        """Delta RESTORE: reset the table's LIVE state (files, attached
+        deletion vectors, AND declared metadata) to ``version`` in one
+        NEW commit — an undo that preserves history: every version
+        between stays time-travelable, and the restore itself is just
+        another version. Fails with a clear error if the target
+        version's files were already vacuumed. The change feed does not
+        row-track a restore (same caveat as Delta — consumers resync)."""
+        while True:
+            base = self.versions()[-1]          # pinned read (see merge)
+            meta_t, live_t = self._state(version)
+            if meta_t is None:
+                raise FileNotFoundError(f"no table at {self.root}")
+            gone = [a["path"] for a in live_t.values()
+                    if not os.path.exists(
+                        os.path.join(self.data_dir, a["path"]))]
+            if gone:
+                raise ValueError(
+                    f"cannot restore to version {version}: {len(gone)} "
+                    f"file(s) already vacuumed (e.g. {gone[0]})")
+            _, live_now = self._state(base)
+            actions: list[dict] = [{"op": "restore", "to": version},
+                                   {"meta": meta_t}]
+            for a in live_t.values():
+                actions.append(
+                    {"add": {k: v for k, v in a.items() if k != "_dvs"}})
+                actions.extend({"dv": {"path": a["path"], "keys": dvf}}
+                               for dvf in a.get("_dvs", []))
+            actions.extend({"remove": {"path": p}} for p in live_now
+                           if p not in live_t)
+            if self._commit(actions, base + 1):
+                self._maybe_checkpoint(base + 1)
+                return {"restored_to": version,
+                        "files_live": len(live_t)}
+
+    def clone_to(self, dest_root: str) -> "TxTable":
+        """Delta-style SHALLOW CLONE, zero-copy: a NEW table whose
+        version-0 create references hard links of the source's current
+        data (and DV) files. Both tables' files are immutable, so the
+        link share is invisible: writes diverge into each table's own
+        new files, and either side's VACUUM only unlinks its own name
+        (the inode lives while any table references it). The instant
+        dev/test-copy primitive for a 100 TB table — metadata-sized
+        cost, not data-sized."""
+        meta, live = self._state()
+        dest = TxTable(self.spark, dest_root,
+                       checkpoint_interval=self.checkpoint_interval)
+        assert not dest.versions(), f"table already exists at {dest_root}"
+        actions: list[dict] = [{"op": "create"},
+                               {"meta": {k: v for k, v in meta.items()}}]
+        linked: set[str] = set()
+
+        def link(name: str) -> None:
+            if name not in linked:
+                os.link(os.path.join(self.data_dir, name),
+                        os.path.join(dest.data_dir, name))
+                linked.add(name)
+
+        for a in live.values():
+            link(a["path"])
+            actions.append(
+                {"add": {k: v for k, v in a.items() if k != "_dvs"}})
+            for dvf in a.get("_dvs", []):
+                link(dvf)
+                actions.append({"dv": {"path": a["path"], "keys": dvf}})
+        ok = dest._commit(actions, 0)
+        assert ok, f"concurrent create at {dest_root}"
+        return dest
 
     def _key_pruner(self, keys: DataFrame, key: str):
         """File pruning for a key SET: returns ``prune(add-actions) ->
