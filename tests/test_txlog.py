@@ -290,7 +290,7 @@ def test_model_based_random_operation_sequence(spark, tmp_path, seed):
     versioned = {t.versions()[-1]: dict(model)}
     for step in range(10):
         op = rng.choice(["append", "merge", "delete", "compact",
-                         "delete_dv", "purge"])
+                         "delete_dv", "purge", "restore"])
         if op == "append":
             new = {k: float(step) for k in rng.sample(range(2000, 3000), 10)
                    if k not in model}
@@ -315,6 +315,10 @@ def test_model_based_random_operation_sequence(spark, tmp_path, seed):
                 model.pop(k)
         elif op == "purge":
             t.purge_deletes()
+        elif op == "restore":
+            tgt = rng.choice(sorted(versioned))
+            t.restore(tgt)
+            model = dict(versioned[tgt])
         else:
             t.compact(target_rows=100)
         assert snap_rows() == model, f"divergence after step {step}: {op}"

@@ -926,7 +926,10 @@ def _semdedup_assign(df: DataFrame, id_col: str, vec_col: str,
                                            F.col("cluster").asc())
     assign = (scored.withColumn("__rn", F.row_number().over(w))
               .where(F.col("__rn") == 1).drop("__rn"))
-    return assign.join(v, id_col)
+    # the assignment frame feeds BOTH pair-join sides and the final
+    # resolve — checkpoint it so the centroid build + UDF codes + window
+    # run once, not three times (see ngram_jaccard_pairs rationale)
+    return assign.join(v, id_col).localCheckpoint(eager=False)
 
 
 def _semdedup_resolve(av: DataFrame, pairs: DataFrame, id_col: str,
