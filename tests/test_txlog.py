@@ -1461,3 +1461,38 @@ def test_check_constraints_enforced_on_writes(spark, orders, tmp_path):
                  .withColumn("o_orderkey", F.col("o_orderkey") + 10**9)
     t.append(good)
     assert t.snapshot().count() == n0 + 2
+
+
+def test_multi_column_partitioning(spark, orders, tmp_path):
+    """Composite (two-column) partition layout: pure files per value
+    TUPLE, tuple-pruned reads, composite replace_where with stray and
+    arity rejection, single-column logs unchanged (scalar pval)."""
+    o = orders.withColumn(
+        "bucket", (F.col("o_orderkey") % 2).cast("int"))
+    t = TxTable(spark, str(tmp_path / "mp"))
+    t.create(o, "o_orderkey", n_files=4,
+             partition_by=["o_orderstatus", "bucket"])
+    _, live = t._state()
+    assert all(isinstance(a["pval"], list) and len(a["pval"]) == 2
+               for a in live.values())
+    n_sel = sum(1 for a in live.values() if tuple(a["pval"]) == ("F", 0))
+    sel = t.read_partitions([("F", 0)])
+    assert len(sel.inputFiles()) == n_sel < len(live)
+    cols = ["o_orderkey", "o_totalprice"]
+    exp = o.where("o_orderstatus = 'F' AND bucket = 0")
+    assert _rows(sel, cols) == _rows(exp, cols)
+    with pytest.raises(ValueError, match="component"):
+        t.read_partitions(["F"])                    # arity mismatch
+    # composite replace + stray rejection
+    new = exp.withColumn("o_totalprice", F.col("o_totalprice") + 1)
+    t.replace_where(("F", 0), new)
+    expected = o.where("NOT (o_orderstatus = 'F' AND bucket = 0)") \
+                .unionByName(new)
+    assert _rows(t.snapshot(), cols) == _rows(expected, cols)
+    with pytest.raises(ValueError, match="other partitions"):
+        t.replace_where(("F", 1), new)
+    # maintenance preserves composite purity
+    t.merge_upsert(o.limit(20).withColumn("o_totalprice", F.lit(4.5)))
+    t.compact_partitions([("O", 1)], target_rows=10_000)
+    _, live2 = t._state()
+    assert all(isinstance(a["pval"], list) for a in live2.values())

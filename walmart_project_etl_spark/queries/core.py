@@ -1090,6 +1090,34 @@ def txn_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.snapshot()
 
 
+@q("txn_partition_prune_multicol",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders
+      WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0""")
+def txn_partition_prune_multicol(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """COMPOSITE partition pruning: the table is partitioned by TWO
+    columns (status, parity bucket) — the date+tenant layout every
+    100 TB warehouse runs — files are pure per value TUPLE, and a
+    one-tuple read skips every other combination on the log alone
+    (tuple file counts pinned in
+    tests/test_txlog.py::test_multi_column_partitioning)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderstatus",
+                (F.col("o_orderkey") % 2).cast("int").alias("bucket"))
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_mpart")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8,
+              partition_by=["o_orderstatus", "bucket"])
+    return tt.read_partitions([("F", 0)]).drop("bucket")
+
+
 @q("txn_restore",
    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
       FROM orders""")

@@ -140,6 +140,51 @@ def _meta_stats_cols(meta: dict) -> list[str] | None:
     return cols or None
 
 
+def _meta_parts(meta: dict) -> list[str] | None:
+    """Declared partition columns as a list — ``partition_by`` is a
+    string for single-column tables (every pre-multi-col log) or a list
+    for composite layouts (date + tenant)."""
+    pb = meta.get("partition_by")
+    if pb is None:
+        return None
+    return [pb] if isinstance(pb, str) else list(pb)
+
+
+def _pval_tuple(a: dict) -> tuple:
+    """A file's recorded partition value(s) normalized to a tuple —
+    scalar ``pval`` for single-column tables, JSON list for composite."""
+    pv = a.get("pval")
+    return tuple(pv) if isinstance(pv, list) else (pv,)
+
+
+def _pval_predicate(pcols: list[str], vals: set[tuple]):
+    """Residual partition filter: OR over the requested value tuples of
+    the per-column equality conjunction — `isin` for the 1-column case."""
+    if len(pcols) == 1:
+        return F.col(pcols[0]).isin(*[v[0] for v in vals])
+    disj = F.lit(False)
+    for tv in sorted(vals):
+        conj = F.lit(True)
+        for c, v in zip(pcols, tv):
+            conj = conj & (F.col(c) == F.lit(v))
+        disj = disj | conj
+    return disj
+
+
+def _norm_pvals(values, n_cols: int) -> set[tuple]:
+    """Caller-supplied partition values normalized to tuples: scalars
+    for a 1-column layout, tuples/lists (arity-checked) for composite."""
+    out: set[tuple] = set()
+    for v in values:
+        tv = tuple(v) if isinstance(v, (tuple, list)) else (v,)
+        if len(tv) != n_cols:
+            raise ValueError(
+                f"partition value {v!r} has {len(tv)} component(s); "
+                f"table is partitioned by {n_cols} column(s)")
+        out.add(tv)
+    return out
+
+
 def _bloom_match_sql() -> str:
     """Boolean SQL over columns ``__p`` (a key's probe positions) and
     ``bloom`` (a file's hex bloom, lowest bits at the STRING END — the
@@ -416,7 +461,7 @@ class TxTable:
                      n_files: int | None = None,
                      stats_cols: list[str] | None = None,
                      order_expr=None,
-                     partition_by: str | None = None) -> list[dict]:
+                     partition_by=None) -> list[dict]:
         """Materialize ``df`` as immutable data files with per-file key
         stats. Range-partitioned on the key so file key ranges are tight
         and disjoint — what makes merge-time file pruning effective.
@@ -429,14 +474,18 @@ class TxTable:
         column's bounds also land as legacy ``smin``/``smax`` so
         format-v2 readers keep pruning on it.
 
-        ``partition_by`` (from the table meta) makes every data file
-        PARTITION-PURE: the write goes through Spark's ``partitionBy``
-        (one directory per value, fully distributed, one job), files are
-        flattened into the data dir, and each add action records the
-        file's single partition value as ``pval`` — the Hive/Delta
-        partition-pruning contract, enforced for every write path
-        (create/append/merge/delete/compact/zorder) so partition reads
-        can skip files on the log alone, no stats comparison needed."""
+        ``partition_by`` (from the table meta; a column name or a LIST
+        of them) makes every data file PARTITION-PURE: the write goes
+        through Spark's ``partitionBy`` (one directory per value tuple,
+        fully distributed, one job), files are flattened into the data
+        dir, and each add action records the file's partition value(s)
+        as ``pval`` (scalar for one column, list for composite) — the
+        Hive/Delta partition-pruning contract, enforced for every write
+        path (create/append/merge/delete/compact/zorder) so partition
+        reads can skip files on the log alone, no stats comparison
+        needed."""
+        pcols = ([partition_by] if isinstance(partition_by, str)
+                 else list(partition_by)) if partition_by else None
         staging = os.path.join(self.data_dir, f".stage-{uuid.uuid4().hex}")
         if order_expr is not None:
             # Z-ORDER rewrite path (:meth:`optimize_zorder`): cluster
@@ -446,16 +495,14 @@ class TxTable:
             ranged = (tmp.repartitionByRange(n_files, F.col("__ord"))
                       if n_files else tmp.repartitionByRange(F.col("__ord")))
             ranged = ranged.sortWithinPartitions("__ord").drop("__ord")
-        elif partition_by is not None:
-            # cluster on (partition, key): most range tasks then hold a
-            # single partition value, so the partitionBy split below
+        elif pcols is not None:
+            # cluster on (partitions..., key): most range tasks then hold
+            # a single partition tuple, so the partitionBy split below
             # seldom fragments a task's output into extra files
-            ranged = (df.repartitionByRange(n_files, F.col(partition_by),
-                                            F.col(key_col))
-                      if n_files else
-                      df.repartitionByRange(F.col(partition_by),
-                                            F.col(key_col)))
-            ranged = ranged.sortWithinPartitions(partition_by, key_col)
+            rcols = [*(F.col(c) for c in pcols), F.col(key_col)]
+            ranged = (df.repartitionByRange(n_files, *rcols)
+                      if n_files else df.repartitionByRange(*rcols))
+            ranged = ranged.sortWithinPartitions(*pcols, key_col)
         else:
             ranged = (df.repartitionByRange(n_files, F.col(key_col))
                       if n_files else df.repartitionByRange(F.col(key_col)))
@@ -465,12 +512,15 @@ class TxTable:
             # couldn't prune — the second pruning tier, free at write
             ranged = ranged.sortWithinPartitions(key_col)
         paths = []
-        if partition_by is not None:
-            # ``__pv`` is consumed by the directory layout, so the real
-            # partition column stays IN the file (snapshot reads need it)
-            (ranged.withColumn("__pv", F.col(partition_by))
-                   .write.mode("overwrite").partitionBy("__pv")
-                   .parquet(staging))
+        if pcols is not None:
+            # ``__pvN`` are consumed by the directory layout, so the real
+            # partition columns stay IN the file (snapshot reads need them)
+            out = ranged
+            for i, c in enumerate(pcols):
+                out = out.withColumn(f"__pv{i}", F.col(c))
+            (out.write.mode("overwrite")
+                .partitionBy(*[f"__pv{i}" for i in range(len(pcols))])
+                .parquet(staging))
             for dirpath, _, names in sorted(os.walk(staging)):
                 for name in sorted(names):
                     if name.endswith(".parquet"):
@@ -501,11 +551,13 @@ class TxTable:
                 sc = sc.cast("string")       # ISO serialization for JSON
             extra += [F.min(sc).alias(f"__smin{i}"),
                       F.max(sc).alias(f"__smax{i}")]
-        if partition_by is not None:
-            pc = F.col(partition_by)
-            extra += [F.min(pc).alias("__pvmin"),
-                      F.max(pc).alias("__pvmax"),
-                      F.sum(pc.isNull().cast("long")).alias("__pvnull")]
+        if pcols is not None:
+            for i, c in enumerate(pcols):
+                pc = F.col(c)
+                extra += [F.min(pc).alias(f"__pvmin{i}"),
+                          F.max(pc).alias(f"__pvmax{i}"),
+                          F.sum(pc.isNull().cast("long"))
+                           .alias(f"__pvnull{i}")]
         stats = (self.spark.read.parquet(
                      *[os.path.join(self.data_dir, p) for p in paths])
                  .withColumn("__p", _bloom_positions(key_col))
@@ -530,18 +582,20 @@ class TxTable:
                 f"NULL values in merge key '{key_col}' "
                 f"({sum(r['nnull'] for r in stats)} rows) — the tx table "
                 f"requires non-null keys")
-        if partition_by is not None:
-            if any(r["__pvnull"] for r in stats):
-                # a NULL pval cannot serialize as a prunable JSON value
-                for p in paths:
-                    os.unlink(os.path.join(self.data_dir, p))
-                raise ValueError(
-                    f"NULL values in partition column '{partition_by}' "
-                    f"({sum(r['__pvnull'] for r in stats)} rows) — "
-                    f"partitioned tx tables require non-null partition "
-                    f"values")
+        if pcols is not None:
+            for i, c in enumerate(pcols):
+                if any(r[f"__pvnull{i}"] for r in stats):
+                    # a NULL pval cannot serialize as a prunable value
+                    for p in paths:
+                        os.unlink(os.path.join(self.data_dir, p))
+                    raise ValueError(
+                        f"NULL values in partition column '{c}' "
+                        f"({sum(r[f'__pvnull{i}'] for r in stats)} rows)"
+                        f" — partitioned tx tables require non-null "
+                        f"partition values")
             impure = [r["__f"] for r in stats
-                      if r["__pvmin"] != r["__pvmax"]]
+                      if any(r[f"__pvmin{i}"] != r[f"__pvmax{i}"]
+                             for i in range(len(pcols)))]
             assert not impure, \
                 f"partitionBy produced partition-impure files: {impure}"
 
@@ -561,8 +615,11 @@ class TxTable:
                 a["smin"], a["smax"] = r["__smin0"], r["__smax0"]
                 a["cstats"] = {c: [r[f"__smin{i}"], r[f"__smax{i}"]]
                                for i, c in enumerate(stats_cols)}
-            if partition_by is not None:
-                a["pval"] = r["__pvmin"]      # purity asserted above
+            if pcols is not None:
+                # purity asserted above; scalar for one column (the
+                # pre-multi-col on-disk form), list for composite
+                vals = [r[f"__pvmin{i}"] for i in range(len(pcols))]
+                a["pval"] = vals[0] if len(pcols) == 1 else vals
             return a
 
         return [{"add": add_action(p)} for p in paths if p in by_name]
@@ -736,16 +793,16 @@ class TxTable:
         meta, live = self._state(version, self._read_mode(version))
         if meta is None:
             raise FileNotFoundError(f"no table at {self.root}")
-        pcol = meta.get("partition_by")
-        if not pcol:
+        pcols = _meta_parts(meta)
+        if not pcols:
             raise ValueError(
                 f"table at {self.root} is not partitioned — create it "
                 f"with partition_by=")
-        vals = set(values)
+        vals = _norm_pvals(values, len(pcols))
         files = [a for a in live.values()
-                 if "pval" not in a or a["pval"] in vals]
+                 if "pval" not in a or _pval_tuple(a) in vals]
         df = self._read_files(meta, files)
-        return df.where(F.col(pcol).isin(*vals))
+        return df.where(_pval_predicate(pcols, vals))
 
     def read_where(self, partitions=None, key_lo=None, key_hi=None,
                    stats: dict | None = None,
@@ -770,8 +827,8 @@ class TxTable:
         if meta is None:
             raise FileNotFoundError(f"no table at {self.root}")
         key = meta["key_col"]
-        pcol = meta.get("partition_by")
-        if partitions is not None and not pcol:
+        pcols = _meta_parts(meta)
+        if partitions is not None and not pcols:
             raise ValueError(
                 f"table at {self.root} is not partitioned — create it "
                 f"with partition_by=")
@@ -782,7 +839,8 @@ class TxTable:
         if unknown:
             raise ValueError(
                 f"columns {unknown} carry no stats (declared: {declared})")
-        pvals = set(partitions) if partitions is not None else None
+        pvals = _norm_pvals(partitions, len(pcols)) \
+            if partitions is not None else None
 
         def cbounds(a: dict, col: str):
             cs = a.get("cstats")
@@ -793,7 +851,7 @@ class TxTable:
             return None, None
 
         def survives(a: dict) -> bool:
-            if pvals is not None and a.get("pval") not in pvals:
+            if pvals is not None and _pval_tuple(a) not in pvals:
                 return False
             if (key_hi is not None and a["kmin"] > key_hi) or \
                     (key_lo is not None and a["kmax"] < key_lo):
@@ -810,7 +868,7 @@ class TxTable:
         files = [a for a in live.values() if survives(a)]
         df = self._read_files(meta, files)
         if pvals is not None:
-            df = df.where(F.col(pcol).isin(*pvals))
+            df = df.where(_pval_predicate(pcols, pvals))
         if key_lo is not None:
             df = df.where(F.col(key) >= key_lo)
         if key_hi is not None:
@@ -916,7 +974,7 @@ class TxTable:
                stats_col: str | None = None,
                stats_cols: list[str] | None = None,
                change_feed: bool = False,
-               partition_by: str | None = None) -> None:
+               partition_by=None) -> None:
         """``stats_cols`` declares extra data-skipping COLUMNS beyond the
         merge key (``stats_col`` remains as the single-column spelling):
         every data file records each declared column's [min, max] in the
@@ -966,13 +1024,16 @@ class TxTable:
             meta["stats_col"] = cols[0]          # legacy v2 field
             meta["stats_cols"] = cols
         if partition_by is not None:
-            assert partition_by in df.columns, \
-                f"unknown partition column '{partition_by}'"
-            assert dict(df.dtypes)[partition_by] in (
-                "tinyint", "smallint", "int", "bigint", "string"), \
-                f"partition column must be integral or string, got " \
-                f"{dict(df.dtypes)[partition_by]}"
-            meta["partition_by"] = partition_by
+            pcols = [partition_by] if isinstance(partition_by, str) \
+                else list(partition_by)
+            for c in pcols:
+                assert c in df.columns, f"unknown partition column '{c}'"
+                assert dict(df.dtypes)[c] in (
+                    "tinyint", "smallint", "int", "bigint", "string"), \
+                    f"partition column must be integral or string, got " \
+                    f"{dict(df.dtypes)[c]}"
+            meta["partition_by"] = pcols[0] if len(pcols) == 1 \
+                else pcols
         adds = self._write_files(df, key_col, n_files, cols or None,
                                  partition_by=partition_by)
         ok = self._commit([{"op": "create"}, {"meta": meta}, *adds], 0)
@@ -1460,17 +1521,18 @@ class TxTable:
         if enabled, additionally reads the old partition to capture
         deletes). Returns {files_removed, files_added}."""
         meta = self._state()[0]
-        pcol = meta.get("partition_by")
-        if not pcol:
+        pcols = _meta_parts(meta)
+        if not pcols:
             raise ValueError(
                 f"table at {self.root} is not partitioned — "
                 f"replace_where needs create(..., partition_by=)")
+        tval = next(iter(_norm_pvals([value], len(pcols))))
         df = self._check_schema(df, meta)
         adds = self._write_files(df, meta["key_col"],
                                  stats_cols=_meta_stats_cols(meta),
-                                 partition_by=pcol)
-        stray = sorted({a["add"]["pval"] for a in adds
-                        if a["add"]["pval"] != value})
+                                 partition_by=pcols)
+        stray = sorted({_pval_tuple(a["add"]) for a in adds
+                        if _pval_tuple(a["add"]) != tval})
         if stray:
             for a in adds:
                 os.unlink(os.path.join(self.data_dir, a["add"]["path"]))
@@ -1480,7 +1542,8 @@ class TxTable:
         while True:
             base = self.versions()[-1]          # pinned read (see merge)
             _, live = self._state(base)
-            doomed = [a for a in live.values() if a.get("pval") == value]
+            doomed = [a for a in live.values()
+                      if _pval_tuple(a) == tval]
             cdf: list[dict] = []
             if meta.get("change_feed"):
                 old = self._read_files(meta, doomed)
@@ -1489,7 +1552,8 @@ class TxTable:
                     .unionByName(df.withColumn("_change_type",
                                                F.lit("insert"))))
             v = base + 1
-            actions = [{"op": "replace_where", "pred": {pcol: value}},
+            pred = dict(zip(pcols, tval))
+            actions = [{"op": "replace_where", "pred": pred},
                        *adds, *cdf,
                        *({"remove": {"path": a["path"]}} for a in doomed)]
             if self._commit(actions, v):
@@ -1527,11 +1591,13 @@ class TxTable:
         maintenance cost proportional to the hot data, not the table.
         Same commit/race semantics as :meth:`compact`."""
         meta = self._state()[0]
-        if not meta.get("partition_by"):
+        pcols = _meta_parts(meta)
+        if not pcols:
             raise ValueError(
                 f"table at {self.root} is not partitioned — create it "
                 f"with partition_by=")
-        return self._compact(target_rows, set(partitions))
+        return self._compact(target_rows, _norm_pvals(partitions,
+                                                      len(pcols)))
 
     def _compact(self, target_rows: int, pvals: set | None) -> dict:
         while True:
@@ -1539,7 +1605,7 @@ class TxTable:
             meta, live = self._state(base)
             small = [a for a in live.values()
                      if a["rows"] < target_rows // 2
-                     and (pvals is None or a.get("pval") in pvals)]
+                     and (pvals is None or _pval_tuple(a) in pvals)]
             if len(small) < 2:
                 return {"files_in": 0, "files_out": 0}
             total = sum(a["rows"] for a in small)
