@@ -252,3 +252,55 @@ def test_txn_handles_never_checkpoint_undecided_state(spark, tmp_path):
     assert not h._checkpoint_versions(), \
         "undecided staged state leaked into a checkpoint"
     txn.commit()
+
+
+def test_rename_table_metadata_only(spark, tmp_path):
+    """RENAME is one catalog commit, zero file moves: reads follow the
+    new name (same storage dir), the old name frees for a fresh table
+    (unique dir), pins follow the rename, and drop-purge removes the
+    renamed table's real directory."""
+    import os
+
+    from walmart_project_etl_spark.sources.txlog import TxCatalog
+
+    cat = TxCatalog(spark, str(tmp_path / "cat"))
+    df = spark.createDataFrame([(k, float(k)) for k in range(30)],
+                               "k long, v double")
+    cat.create_table("orders", df, "k", n_files=2)
+    before = sorted(r["k"] for r in cat.table("orders")
+                    .snapshot().collect())
+
+    cat.rename_table("orders", "orders_v2")
+    assert cat.list_tables() == ["orders_v2"]
+    with pytest.raises(KeyError):
+        cat.table("orders")
+    got = sorted(r["k"] for r in cat.table("orders_v2")
+                 .snapshot().collect())
+    assert got == before
+    # same storage dir — no files moved
+    assert os.path.isdir(str(tmp_path / "cat" / "tables" / "orders"))
+
+    # the freed name hosts a NEW table (fresh unique dir)
+    df2 = spark.createDataFrame([(99, 9.9)], "k long, v double")
+    cat.create_table("orders", df2, "k")
+    assert sorted(cat.list_tables()) == ["orders", "orders_v2"]
+    assert cat.table("orders").snapshot().count() == 1
+    assert cat.table("orders_v2").snapshot().count() == 30
+
+    # transactional writes through the renamed handle still work, and
+    # the publish pins follow the name
+    with cat.begin() as txn:
+        txn.table("orders_v2").append(
+            spark.createDataFrame([(1000, 1.0)], "k long, v double"))
+    assert cat.read("orders_v2").count() == 31
+    cat.rename_table("orders_v2", "orders_v3")
+    assert cat.read("orders_v3").count() == 31   # pin followed
+
+    # collision + missing-source errors
+    with pytest.raises(ValueError, match="already exists"):
+        cat.rename_table("orders", "orders_v3")
+    with pytest.raises(KeyError):
+        cat.rename_table("ghost", "x")
+    # drop-purge of the renamed table removes its REAL directory
+    cat.drop_table("orders_v3", purge=True)
+    assert not os.path.isdir(str(tmp_path / "cat" / "tables" / "orders"))

@@ -1894,6 +1894,12 @@ class TxCatalog:
                         live[a["name"]] = a
                     elif a["op"] == "drop_table":
                         live.pop(a["name"], None)
+                    elif a["op"] == "rename_table":
+                        ent = live.pop(a["from"], None)
+                        if ent is not None:
+                            live[a["to"]] = {**ent, "name": a["to"],
+                                             "dir": ent.get("dir",
+                                                            a["from"])}
         return live
 
     def _entries(self) -> dict[str, dict]:
@@ -1930,6 +1936,9 @@ class TxCatalog:
                         pins.update(a["tables"])
                     elif a["op"] == "drop_table":
                         pins.pop(a["name"], None)
+                    elif a["op"] == "rename_table":
+                        if a["from"] in pins:
+                            pins[a["to"]] = pins.pop(a["from"])
         return pins, published
 
     def _maybe_checkpoint(self, v: int) -> None:
@@ -1962,39 +1971,77 @@ class TxCatalog:
                      change_feed: bool = False) -> TxTable:
         if not self._NAME_OK.match(name):
             raise ValueError(f"bad table name {name!r}")
-        if name in self._entries():
+        entries = self._entries()
+        if name in entries:
             raise ValueError(f"table {name!r} already exists")
-        path = os.path.join(self.tables_dir, name)
+        dirname = name
+        path = os.path.join(self.tables_dir, dirname)
         if os.path.exists(os.path.join(path, "_txlog")) and \
                 os.listdir(os.path.join(path, "_txlog")):
-            raise ValueError(
-                f"table {name!r} was dropped but not purged — "
-                "drop_table(name, purge=True) before recreating")
+            # the natural directory is occupied — by an unpurged drop,
+            # or by a live table renamed AWAY from this name (its
+            # storage keeps the original dir). Refuse only the former;
+            # a renamed-away name gets a fresh unique directory
+            # recorded in the create action.
+            owners = {e.get("dir", n) for n, e in entries.items()}
+            if dirname not in owners:
+                raise ValueError(
+                    f"table {name!r} was dropped but not purged — "
+                    "drop_table(name, purge=True) before recreating")
+            dirname = f"{name}-{uuid.uuid4().hex[:8]}"
+            path = os.path.join(self.tables_dir, dirname)
         t = TxTable(self.spark, path)
         t.create(df, key_col, n_files, stats_col,
                  change_feed=change_feed)           # settles name races
         while True:
             v = (self._versions() or [-1])[-1] + 1
-            if self._commit({"op": "create_table", "name": name,
-                             "key_col": key_col}, v):
+            action = {"op": "create_table", "name": name,
+                      "key_col": key_col}
+            if dirname != name:
+                action["dir"] = dirname
+            if self._commit(action, v):
                 self._maybe_checkpoint(v)
                 return t
 
     def table(self, name: str) -> TxTable:
-        if name not in self._entries():
+        entries = self._entries()
+        if name not in entries:
             raise KeyError(f"no such table {name!r}")
-        return TxTable(self.spark, os.path.join(self.tables_dir, name))
+        return TxTable(self.spark, os.path.join(
+            self.tables_dir, entries[name].get("dir", name)))
+
+    def rename_table(self, old: str, new: str) -> None:
+        """METADATA-ONLY rename: one catalog commit remaps the name to
+        the existing storage directory — no file moves, O(1) at any
+        table size (the metastore rename every warehouse needs). The
+        table's own log, history, and any transaction-published pins
+        follow the new name; the old name frees immediately."""
+        if not self._NAME_OK.match(new):
+            raise ValueError(f"bad table name {new!r}")
+        while True:
+            v = self._versions()[-1] + 1
+            entries = self._replay(v - 1)
+            if old not in entries:
+                raise KeyError(f"no such table {old!r}")
+            if new in entries:
+                raise ValueError(f"table {new!r} already exists")
+            if self._commit({"op": "rename_table", "from": old,
+                             "to": new}, v):
+                self._maybe_checkpoint(v)
+                return
 
     def drop_table(self, name: str, purge: bool = False) -> None:
-        if name not in self._entries():
+        entries = self._entries()
+        if name not in entries:
             raise KeyError(f"no such table {name!r}")
+        dirname = entries[name].get("dir", name)
         while True:
             v = self._versions()[-1] + 1
             if self._commit({"op": "drop_table", "name": name}, v):
                 self._maybe_checkpoint(v)
                 break
         if purge:
-            shutil.rmtree(os.path.join(self.tables_dir, name),
+            shutil.rmtree(os.path.join(self.tables_dir, dirname),
                           ignore_errors=True)
 
     # ----------------------------------------- cross-table transactions
@@ -2096,10 +2143,12 @@ class CatalogTxn:
         if self._done:
             raise RuntimeError(f"txn {self.id} already finished")
         if name not in self._handles:
-            if name not in self.cat._entries():
+            entries = self.cat._entries()
+            if name not in entries:
                 raise KeyError(f"no such table {name!r}")
             t = TxTable(self.cat.spark,
-                        os.path.join(self.cat.tables_dir, name))
+                        os.path.join(self.cat.tables_dir,
+                                     entries[name].get("dir", name)))
             if self.grace_s is not None:
                 t.txn_grace_s = self.grace_s
             t._txn_ref = {"txn": self.id, "decision": self.decision}
