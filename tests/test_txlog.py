@@ -1496,3 +1496,36 @@ def test_multi_column_partitioning(spark, orders, tmp_path):
     t.compact_partitions([("O", 1)], target_rows=10_000)
     _, live2 = t._state()
     assert all(isinstance(a["pval"], list) for a in live2.values())
+
+
+def test_merge_when_conditional_clauses(spark, tmp_path):
+    """Delta-style conditional MERGE: delete clause wins over update,
+    update fires only on its condition (late-data guard shape),
+    non-qualifying matches keep the target row, inserts respect their
+    own condition, and the CDF records exactly the applied actions."""
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, v double, flag int")
+
+    t = TxTable(spark, str(tmp_path / "mw"))
+    t.create(df([(k, float(k), 0) for k in range(20)]), "k",
+             n_files=2, change_feed=True)
+    src = df([(0, 100.0, 0),     # update (src.v > tgt.v)
+              (1, -5.0, 0),      # matched, update condition fails → keep
+              (2, 0.0, 1),       # delete clause
+              (30, 30.0, 0),     # new key, insert cond passes
+              (31, -1.0, 0)])    # new key, insert cond fails
+    stats = t.merge_when(src, update_cond="src.v > tgt.v",
+                         delete_cond="src.flag = 1",
+                         insert_cond="src.v >= 0")
+    assert stats["files_rewritten"] >= 1
+    rows = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert rows[0] == 100.0 and rows[1] == 1.0
+    assert 2 not in rows and rows[30] == 30.0 and 31 not in rows
+    assert len(rows) == 20
+    ch = sorted((r["_change_type"], r["k"])
+                for r in t.read_changes(since_version=1).collect())
+    assert ch == [("delete", 2), ("insert", 30),
+                  ("update_postimage", 0), ("update_preimage", 0)]
+    # exactly-once replay marker
+    t.merge_when(src, txn=("app", 7))
+    assert t.merge_when(src, txn=("app", 7)).get("skipped_replay")

@@ -1118,6 +1118,62 @@ def txn_partition_prune_multicol(spark: SparkSession,
     return tt.read_partitions([("F", 0)]).drop("bucket")
 
 
+@q("txn_merge_when",
+   """WITH src AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice * 0.5 END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 500 = 3)
+      SELECT t.o_orderkey, t.o_custkey,
+             CASE WHEN s.o_orderkey IS NOT NULL
+                       AND s.o_totalprice > t.o_totalprice
+                  THEN s.o_totalprice ELSE t.o_totalprice
+             END AS o_totalprice,
+             t.o_orderstatus
+      FROM orders t LEFT JOIN src s USING (o_orderkey)
+      WHERE NOT (s.o_orderkey IS NOT NULL AND s.o_orderkey % 50 = 10)
+      UNION ALL
+      SELECT s.o_orderkey, s.o_custkey, s.o_totalprice, s.o_orderstatus
+      FROM src s ANTI JOIN orders t USING (o_orderkey)
+      WHERE s.o_custkey % 2 = 0""")
+def txn_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDITIONAL MERGE (Delta's WHEN MATCHED AND ... THEN
+    UPDATE/DELETE, WHEN NOT MATCHED AND ... THEN INSERT): updates only
+    when the source price is higher (the late-data guard shape),
+    deletes a keyed slice, inserts only even-custkey new rows — one
+    file-pruned commit, clause precedence delete > update > keep. The
+    oracle replays the identical clause logic in SQL — exact."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_when")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8)
+    src = (o.where(F.col("o_orderkey") % 10 == 0)
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderkey") % 20 == 0,
+                              F.col("o_totalprice") * 2)
+                        .otherwise(F.col("o_totalprice") * 0.5))
+           .unionByName(
+               o.where(F.col("o_orderkey") % 500 == 3)
+               .withColumn("o_orderkey",
+                           F.col("o_orderkey") + 1_000_000_000)))
+    tt.merge_when(src,
+                  update_cond="src.o_totalprice > tgt.o_totalprice",
+                  delete_cond="src.o_orderkey % 50 = 10",
+                  insert_cond="src.o_custkey % 2 = 0")
+    return tt.snapshot()
+
+
 @q("txn_restore",
    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
       FROM orders""")

@@ -1375,6 +1375,93 @@ class TxTable:
             # lost the race: orphan the files we just wrote (invisible —
             # no commit references them) and retry on the new snapshot
 
+    def merge_when(self, source: DataFrame,
+                   update_cond: str | None = None,
+                   delete_cond: str | None = None,
+                   insert_cond: str | None = None,
+                   txn: tuple[str, int] | None = None) -> dict:
+        """Delta-style CONDITIONAL MERGE — ``WHEN MATCHED [AND cond]
+        THEN UPDATE / DELETE, WHEN NOT MATCHED [AND cond] THEN
+        INSERT``. Conditions are Spark SQL over two struct columns:
+        ``src`` (the source row) and ``tgt`` (the current table row),
+        e.g. ``"src.ts > tgt.ts"`` — the idiomatic late-data guard.
+
+        Clause semantics (Delta's order): a matched pair checks
+        ``delete_cond`` first, then ``update_cond`` (replace with the
+        source row), else keeps the target row unchanged; an unmatched
+        source row inserts iff ``insert_cond`` (default: always); an
+        unmatched target row always survives. ``update_cond=None``
+        means unconditional update (plain upsert);
+        ``delete_cond=None`` disables the delete clause.
+
+        Same storage shape as :meth:`merge_upsert`: only the files
+        whose range+bloom stats can hold a source key rewrite
+        (O(touched files)); version-pinned read + commit at base+1 (no
+        lost updates); optional ``txn`` marker for exactly-once
+        streaming replay; CDF capture when enabled."""
+        meta = self._state()[0]
+        key = meta["key_col"]
+        source = self._check_schema(source, meta)
+        cols = source.columns
+        prune = self._key_pruner(source, key)
+        upd = F.expr(update_cond) if update_cond else F.lit(True)
+        dele = F.expr(delete_cond) if delete_cond else F.lit(False)
+        ins = F.expr(insert_cond) if insert_cond else F.lit(True)
+
+        while True:
+            if txn is not None and self.last_txn(txn[0]) >= txn[1]:
+                return {"files_scanned": 0, "files_rewritten": 0,
+                        "files_untouched": 0, "skipped_replay": True}
+            base = self.versions()[-1]          # pinned read (see merge)
+            _, live = self._state(base)
+            touched = prune(list(live.values()))
+            old = self._read_files(meta, touched)
+            j = (old.select(F.struct(*cols).alias("tgt"))
+                 .join(source.select(F.struct(*cols).alias("src")),
+                       F.col(f"tgt.{key}") == F.col(f"src.{key}"),
+                       "full"))
+            matched = F.col("tgt").isNotNull() & F.col("src").isNotNull()
+            keep_row = (
+                F.when(matched & dele, F.lit(None).cast(j.schema["tgt"]
+                                                        .dataType))
+                 .when(matched & upd, F.col("src"))
+                 .when(matched, F.col("tgt"))
+                 .when(F.col("tgt").isNotNull(), F.col("tgt"))   # tgt-only
+                 .when(ins, F.col("src"))                        # src-only
+                 .otherwise(F.lit(None).cast(j.schema["tgt"].dataType)))
+            new_rows = (j.select(keep_row.alias("r"))
+                         .where(F.col("r").isNotNull())
+                         .select("r.*"))
+            adds = self._write_files(new_rows, key,
+                                     stats_cols=_meta_stats_cols(meta),
+                                     partition_by=meta.get("partition_by"))
+            cdf: list[dict] = []
+            if meta.get("change_feed"):
+                # _change_type must resolve src/tgt BEFORE flattening
+                pre = (j.where(matched & (dele | upd))
+                       .withColumn("_change_type",
+                                   F.when(dele, F.lit("delete"))
+                                    .otherwise(F.lit("update_preimage")))
+                       .select("tgt.*", "_change_type"))
+                post = (j.where(matched & ~dele & upd)
+                        .withColumn("_change_type",
+                                    F.lit("update_postimage"))
+                        .select("src.*", "_change_type"))
+                inserted = (j.where(F.col("tgt").isNull() & ins)
+                            .withColumn("_change_type", F.lit("insert"))
+                            .select("src.*", "_change_type"))
+                cdf = self._write_cdf(pre.unionByName(post)
+                                      .unionByName(inserted))
+            actions = [{"op": "merge"}, *adds, *cdf,
+                       *({"remove": {"path": a["path"]}} for a in touched)]
+            if txn is not None:
+                actions.append({"txn": {"app": txn[0], "batch": txn[1]}})
+            if self._commit(actions, base + 1):
+                self._maybe_checkpoint(base + 1)
+                return {"files_scanned": len(live),
+                        "files_rewritten": len(touched),
+                        "files_untouched": len(live) - len(touched)}
+
     def delete_keys(self, keys: DataFrame) -> dict:
         """Transactional DELETE by key: rewrite only the files that can
         contain a deleted key (same range+bloom pruning as the merge),
