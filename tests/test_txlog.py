@@ -1529,3 +1529,45 @@ def test_merge_when_conditional_clauses(spark, tmp_path):
     # exactly-once replay marker
     t.merge_when(src, txn=("app", 7))
     assert t.merge_when(src, txn=("app", 7)).get("skipped_replay")
+
+
+def test_agg_mv_incremental_equals_recompute(spark, orders, tmp_path):
+    """The materialized aggregate view, refreshed incrementally from
+    the change feed through create/append/merge/delete, equals a
+    from-scratch re-aggregation at every step; a group whose last row
+    vanishes drops out; an up-to-date refresh is a logged no-op."""
+    from walmart_project_etl_spark.operators.matview import refresh_agg_mv
+
+    src = TxTable(spark, str(tmp_path / "mvsrc"))
+    src.create(orders.where("o_orderkey % 2 = 0"), "o_orderkey",
+               n_files=4, change_feed=True)
+    mv_root = str(tmp_path / "mv")
+
+    def check():
+        mv = refresh_agg_mv(spark, src, mv_root, ["o_orderstatus"],
+                            "o_totalprice")
+        got = {r["o_orderstatus"]: (r["n_rows"], float(r["total"]))
+               for r in mv.snapshot().collect()}
+        exp = {r["o_orderstatus"]: (r["n"], float(r["s"])) for r in
+               src.snapshot().groupBy("o_orderstatus")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum(F.col("o_totalprice")
+                             .cast("decimal(28,6)")).alias("s"))
+                  .collect()}
+        assert got == exp
+        return mv
+
+    check()
+    src.append(orders.where("o_orderkey % 2 = 1"))
+    src.merge_upsert(orders.where("o_orderkey % 13 = 0")
+                     .withColumn("o_totalprice",
+                                 F.col("o_totalprice") * 2))
+    check()
+    src.delete_keys(orders.where("o_orderstatus = 'P'")
+                    .select("o_orderkey"))
+    mv = check()
+    assert mv.snapshot().where("o_orderstatus = 'P'").count() == 0
+    v = mv.versions()[-1]
+    mv = refresh_agg_mv(spark, src, mv_root, ["o_orderstatus"],
+                        "o_totalprice")
+    assert mv.versions()[-1] == v                # no-op when up to date

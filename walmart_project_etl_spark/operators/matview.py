@@ -1,0 +1,99 @@
+"""Incrementally maintained MATERIALIZED AGGREGATE VIEW over a tx table.
+
+The lakehouse MV loop: a grouped count/sum aggregate of a 100 TB source
+table, kept fresh for the cost of the source's CHANGES — never a
+re-aggregation. Composes the table format's own primitives:
+
+- the source's CHANGE DATA FEED supplies exact row-level deltas
+  (insert / delete / update pre+post images);
+- the delta folds into per-group (count, decimal sum) — both
+  self-inverting under the feed's sign convention (insert +1/+x,
+  delete -1/-x, update = post - pre), so the fold is exact in any
+  order at any parallelism;
+- the MV is itself a tx table keyed on an md5 of the group columns;
+  the refresh applies ONE conditional merge (``merge_when`` with
+  ``delete_cond="src.n_rows = 0"`` — groups whose last row vanished
+  drop out of the view);
+- the refresh's ``txn=(app, source_version)`` marker makes it
+  EXACTLY-ONCE and restart-safe: a replayed refresh is a logged no-op,
+  and the marker doubles as the watermark for the next refresh.
+
+Cost per refresh at scale: O(changed rows) to read the feed + one
+pruned merge touching only the changed groups' files.
+
+Design lineage: the public incremental view-maintenance literature
+(delta rules for SUM/COUNT aggregates) + the Delta-CDF recipe for
+downstream aggregate maintenance; reference repo has no analogue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: txn app name under which refreshes mark their source watermark
+MV_APP = "agg_mv_refresh"
+
+
+def _group_key(group_cols: list[str]):
+    return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                       for c in group_cols]))
+
+
+def _delta(changes: DataFrame, group_cols: list[str],
+           sum_col: str) -> DataFrame:
+    """Per-group (n_rows, total) delta from a CDF slice — the classic
+    delta rule: inserts/post-images count +, deletes/pre-images -."""
+    sign = F.when(F.col("_change_type").isin("insert",
+                                             "update_postimage"), 1) \
+            .otherwise(-1)
+    val = (F.col(sum_col).cast("double").cast("decimal(28,6)")
+           * sign.cast("decimal(28,6)"))
+    return (changes
+            .withColumn("__sign", sign.cast("long"))
+            .withColumn("__val", val)
+            .groupBy(*group_cols)
+            .agg(F.sum("__sign").alias("n_rows"),
+                 F.sum("__val").cast("decimal(28,6)").alias("total")))
+
+
+def refresh_agg_mv(spark: SparkSession, source, mv_root: str,
+                   group_cols: list[str], sum_col: str):
+    """Create-or-refresh the MV at ``mv_root`` from ``source``'s change
+    feed. Returns the MV TxTable. Idempotent: re-running against an
+    unchanged source (or replaying after a crash between the MV commit
+    and the caller's own bookkeeping) is a logged no-op."""
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    mv = TxTable(spark, mv_root)
+    src_version = source.versions()[-1]
+    schema = ("mv_key string, " +
+              ", ".join(f"{c} string" for c in group_cols) +
+              ", n_rows long, total decimal(28,6)")
+    if not mv.versions():
+        mv.create(spark.createDataFrame([], schema), "mv_key")
+    last = mv.last_txn(MV_APP)
+    if src_version <= last:
+        return mv                       # already folded — no-op
+    changes = source.read_changes(since_version=last + 1,
+                                  upto=src_version)
+    delta = _delta(changes, group_cols, sum_col) \
+        .withColumn("mv_key", _group_key(group_cols))
+    # fold current MV state for ONLY the touched groups (pruned read)
+    cur = mv.read_matching(delta.select("mv_key"))
+    upserts = (cur.select("mv_key", "n_rows", "total")
+               .unionByName(delta.select("mv_key", "n_rows", "total"))
+               .groupBy("mv_key")
+               .agg(F.sum("n_rows").alias("n_rows"),
+                    F.sum("total").cast("decimal(28,6)").alias("total"))
+               .join(delta.select("mv_key", *group_cols), "mv_key")
+               .select("mv_key",
+                       *[F.col(c).cast("string").alias(c)
+                         for c in group_cols],
+                       "n_rows", "total"))
+    # delete groups folding to zero; never INSERT one (a group created
+    # and fully deleted inside the same window must not materialize)
+    mv.merge_when(upserts, delete_cond="src.n_rows = 0",
+                  insert_cond="src.n_rows <> 0",
+                  txn=(MV_APP, src_version))
+    return mv

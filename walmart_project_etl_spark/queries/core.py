@@ -1118,6 +1118,58 @@ def txn_partition_prune_multicol(spark: SparkSession,
     return tt.read_partitions([("F", 0)]).drop("bucket")
 
 
+@q("txn_agg_mv",
+   """WITH final AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 30 = 0 THEN o_totalprice * 3
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT md5(o_orderstatus) AS mv_key, o_orderstatus,
+             count(*) AS n_rows,
+             round(sum(CAST(price AS DECIMAL(28,6))), 2)::DOUBLE AS total
+      FROM final GROUP BY o_orderstatus""")
+def txn_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained MATERIALIZED AGGREGATE VIEW
+    (operators/matview.py): a grouped count/decimal-sum over the tx
+    table, refreshed THREE times from the source's change feed — after
+    the create, after an append+conditional-price merge, after a keyed
+    delete — never re-aggregating the source. Each refresh reads only
+    the CHANGES, folds the self-inverting (count, sum) delta into the
+    MV's touched groups via one conditional merge (groups folding to
+    zero drop out), and marks the source watermark with a txn entry
+    (exactly-once, replay = logged no-op). The oracle recomputes the
+    final aggregate from scratch — exact, proving the three
+    incremental folds equal the full re-aggregation."""
+    import shutil
+
+    from walmart_project_etl_spark.operators.matview import refresh_agg_mv
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_mv")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_mv", ignore_errors=True)
+    src = TxTable(spark, root)
+    src.create(o.where(F.col("o_orderkey") % 2 == 0), "o_orderkey",
+               n_files=4, change_feed=True)
+    refresh_agg_mv(spark, src, root + "_mv", ["o_orderstatus"],
+                   "o_totalprice")
+    src.append(o.where(F.col("o_orderkey") % 2 == 1))
+    src.merge_upsert(o.where(F.col("o_orderkey") % 30 == 0)
+                     .withColumn("o_totalprice",
+                                 F.col("o_totalprice") * 3))
+    refresh_agg_mv(spark, src, root + "_mv", ["o_orderstatus"],
+                   "o_totalprice")
+    src.delete_keys(o.where(F.col("o_orderkey") % 7 == 0)
+                    .select("o_orderkey"))
+    mv = refresh_agg_mv(spark, src, root + "_mv", ["o_orderstatus"],
+                        "o_totalprice")
+    return mv.snapshot().select(
+        "mv_key", "o_orderstatus", "n_rows",
+        F.round(F.col("total"), 2).cast("double").alias("total"))
+
+
 @q("txn_merge_when",
    """WITH src AS (
         SELECT o_orderkey, o_custkey,
