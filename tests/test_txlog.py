@@ -1571,3 +1571,22 @@ def test_agg_mv_incremental_equals_recompute(spark, orders, tmp_path):
     mv = refresh_agg_mv(spark, src, mv_root, ["o_orderstatus"],
                         "o_totalprice")
     assert mv.versions()[-1] == v                # no-op when up to date
+
+
+def test_merge_when_defaults_equal_merge_upsert(spark, orders, tmp_path):
+    """merge_when with no conditions degenerates to merge_upsert
+    exactly — same rows, same file-pruning stats shape."""
+    src = orders.where("o_orderkey % 9 = 4") \
+                .withColumn("o_totalprice", F.lit(2.5)) \
+                .unionByName(
+                    orders.limit(3).withColumn(
+                        "o_orderkey", F.col("o_orderkey") + 10**9))
+    a = TxTable(spark, str(tmp_path / "a"))
+    a.create(orders, "o_orderkey", n_files=4)
+    b = TxTable(spark, str(tmp_path / "b"))
+    b.create(orders, "o_orderkey", n_files=4)
+    sa = a.merge_upsert(src)
+    sb = b.merge_when(src)
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _rows(a.snapshot(), cols) == _rows(b.snapshot(), cols)
+    assert sa["files_rewritten"] == sb["files_rewritten"]
