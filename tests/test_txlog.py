@@ -1590,3 +1590,23 @@ def test_merge_when_defaults_equal_merge_upsert(spark, orders, tmp_path):
     cols = ["o_orderkey", "o_totalprice"]
     assert _rows(a.snapshot(), cols) == _rows(b.snapshot(), cols)
     assert sa["files_rewritten"] == sb["files_rewritten"]
+
+
+def test_snapshot_at_timestamp(spark, orders, tmp_path):
+    """TIMESTAMP AS OF: commits carry wall-clock stamps; a timestamp
+    read resolves to the newest commit at-or-before it."""
+    import time as _t
+
+    t = TxTable(spark, str(tmp_path / "ts"))
+    before_create = _t.time() - 0.001
+    t.create(orders.where("o_orderkey % 2 = 0"), "o_orderkey", n_files=2)
+    after_create = _t.time()
+    _t.sleep(0.05)
+    t.append(orders.where("o_orderkey % 2 = 1"))
+    after_append = _t.time()
+    n_even = orders.where("o_orderkey % 2 = 0").count()
+    assert t.snapshot_at(after_create).count() == n_even
+    assert t.snapshot_at(after_append).count() == orders.count()
+    assert t.version_at(after_append) == 1
+    with pytest.raises(ValueError, match="no commit at or before"):
+        t.version_at(before_create)

@@ -439,6 +439,12 @@ class TxTable:
         if self._txn_ref is not None:
             actions = [{"pending": {**self._txn_ref, "ts": time.time()}},
                        *actions]
+        # wall-clock stamp on the op action — TIMESTAMP AS OF reads
+        # (:meth:`snapshot_at`); same caveat as Delta: commit times come
+        # from writer clocks, so cross-writer ordering is best-effort
+        actions = [{**a, "ts": time.time()}
+                   if "op" in a and "ts" not in a else a
+                   for a in actions]
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             for a in actions:
@@ -705,6 +711,27 @@ class TxTable:
     @staticmethod
     def _read_mode(version: int | None) -> str:
         return "read" if version is None else "strict"
+
+    def version_at(self, ts: float) -> int:
+        """The newest version whose commit wall-clock stamp is at or
+        before ``ts`` (Delta's ``TIMESTAMP AS OF`` resolution). Commits
+        from logs predating the stamp read as time 0 (always eligible).
+        Raises if the table's first commit is later than ``ts``."""
+        best = None
+        for v in self.versions():
+            acts = self._read_commit(v)
+            stamp = next((a.get("ts", 0.0) for a in acts if "op" in a),
+                         0.0)
+            if stamp <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {ts} in {self.root}")
+        return best
+
+    def snapshot_at(self, ts: float) -> DataFrame:
+        """TIMESTAMP AS OF read: the snapshot at :meth:`version_at`."""
+        return self.snapshot(self.version_at(ts))
 
     def read_keys(self, lo=None, hi=None,
                   version: int | None = None) -> DataFrame:
