@@ -1610,3 +1610,45 @@ def test_snapshot_at_timestamp(spark, orders, tmp_path):
     assert t.version_at(after_append) == 1
     with pytest.raises(ValueError, match="no commit at or before"):
         t.version_at(before_create)
+
+
+def test_maintenance_plan_and_run(spark, orders, tmp_path):
+    """The metadata-only advisor: a clean table plans nothing; DV
+    saturation plans a purge; fragmentation plans a compact;
+    interleaved unclustered ingest on a stats column plans a zorder —
+    and run_maintenance clears every condition with zero row changes."""
+    from walmart_project_etl_spark.sources.maintenance import (
+        maintenance_plan, run_maintenance)
+
+    # a table with no stats columns, no DVs and big files is quiet
+    t0 = TxTable(spark, str(tmp_path / "mt0"))
+    t0.create(orders, "o_orderkey", n_files=2)
+    assert maintenance_plan(t0, target_rows=100) == []
+
+    t = TxTable(spark, str(tmp_path / "mt"))
+    t.create(orders, "o_orderkey", n_files=2,
+             stats_cols=["o_custkey"])
+    # key-clustered files overlap ~100% on the uncorrelated custkey —
+    # the advisor correctly flags the re-cluster opportunity
+    assert [p["action"] for p in maintenance_plan(t, target_rows=100)] \
+        == ["optimize_zorder"]
+
+    # fragment (narrow appends), DV-tag every file, and the custkey
+    # ranges of interleaved appends overlap → all three actions fire
+    for i in range(4):
+        t.append(orders.where(f"o_orderkey % 4 = {i}")
+                 .withColumn("o_orderkey",
+                             F.col("o_orderkey") + (i + 1) * 10**7))
+    t.delete_keys_dv(orders.select("o_orderkey"))
+    plan = maintenance_plan(t, target_rows=10_000)
+    actions = [p["action"] for p in plan]
+    assert actions == ["purge_deletes", "compact", "optimize_zorder"]
+
+    before = _rows(t.snapshot(), ["o_orderkey", "o_totalprice"])
+    executed = run_maintenance(t, target_rows=10_000)
+    assert all("stats" in p for p in executed)
+    assert _rows(t.snapshot(), ["o_orderkey", "o_totalprice"]) == before
+    _, live = t._state()
+    assert not any(a.get("_dvs") for a in live.values())
+    # post-maintenance the table is quiet again
+    assert maintenance_plan(t, target_rows=10_000) == []

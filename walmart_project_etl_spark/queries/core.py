@@ -1118,6 +1118,39 @@ def txn_partition_prune_multicol(spark: SparkSession,
     return tt.read_partitions([("F", 0)]).drop("bucket")
 
 
+@q("txn_auto_maintenance",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 6 <> 3""")
+def txn_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-OPTIMIZE policy loop (sources/maintenance.py): a churned
+    table (fragmenting appends + a deletion-vector delete + drifted
+    stats clustering) gets its maintenance DECIDED from the commit log
+    alone — purge → compact → zorder, each O(affected files) — and
+    executed with zero row changes. The managed-lakehouse maintenance
+    story (Delta auto compaction / predictive optimization); policy
+    decisions are pinned in tests/test_txlog.py, and the oracle proves
+    row preservation exactly."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.maintenance import \
+        run_maintenance
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_maint")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o.where(F.col("o_orderkey") % 3 == 0), "o_orderkey",
+              n_files=2, stats_cols=["o_custkey"])
+    tt.append(o.where(F.col("o_orderkey") % 3 == 1))
+    tt.append(o.where(F.col("o_orderkey") % 3 == 2))
+    tt.delete_keys_dv(o.where(F.col("o_orderkey") % 6 == 3)
+                      .select("o_orderkey"))
+    run_maintenance(tt, target_rows=100_000)
+    return tt.snapshot()
+
+
 @q("txn_agg_mv",
    """WITH final AS (
         SELECT o_orderkey, o_orderstatus,
