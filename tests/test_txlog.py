@@ -1652,3 +1652,64 @@ def test_maintenance_plan_and_run(spark, orders, tmp_path):
     assert not any(a.get("_dvs") for a in live.values())
     # post-maintenance the table is quiet again
     assert maintenance_plan(t, target_rows=10_000) == []
+
+
+def test_concurrent_mixed_writers_no_lost_updates(spark, tmp_path):
+    """Chaos for the version-pinned retry: three threads race merges,
+    DV deletes, and appends on DISJOINT key ranges (deterministic
+    expected state). Every thread's effects must all land — the
+    lost-update interleave is exercised for real, not just via the
+    deterministic hook test — with unique keys and a gap-free log."""
+    import threading
+
+    root = str(tmp_path / "chaos")
+    t = TxTable(spark, root)
+
+    def df(pairs):
+        return spark.createDataFrame(pairs, "k long, v double")
+
+    t.create(df([(k, 0.0) for k in range(300)]), "k", n_files=3)
+    errors: list[Exception] = []
+
+    def writer(tag: int) -> None:
+        try:
+            w = TxTable(spark, root)
+            lo = tag * 100                       # disjoint 100-key slab
+            w.merge_upsert(df([(lo + i, 1.0 + tag)
+                               for i in range(0, 40)]))
+            w.delete_keys_dv(df([(lo + i, 0.0)
+                                 for i in range(40, 60)]).select("k"))
+            w.append(df([(1000 + lo + i, float(tag))
+                         for i in range(10)]))
+            w.merge_upsert(df([(lo + i, 10.0 + tag)
+                               for i in range(20, 40)]))
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(tag,))
+               for tag in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    vs = t.versions()
+    assert vs == list(range(len(vs)))            # gap-free serial log
+    rows: dict[int, list[float]] = {}
+    for r in t.snapshot().collect():
+        rows.setdefault(r["k"], []).append(r["v"])
+    assert all(len(v) == 1 for v in rows.values())   # no duplications
+    flat = {k: v[0] for k, v in rows.items()}
+    for tag in range(3):
+        lo = tag * 100
+        for i in range(0, 20):
+            assert flat[lo + i] == 1.0 + tag
+        for i in range(20, 40):
+            assert flat[lo + i] == 10.0 + tag
+        for i in range(40, 60):
+            assert lo + i not in flat            # DV delete landed
+        for i in range(60, 100):
+            assert flat[lo + i] == 0.0           # untouched slab tail
+        for i in range(10):
+            assert flat[1000 + lo + i] == float(tag)
+    assert len(flat) == 300 - 3 * 20 + 3 * 10
