@@ -246,3 +246,41 @@ def test_incremental_agg_fold_matches_recompute(spark, orders, tmp_path):
                        F.sum(dec).alias("rev")))
     cols = ["o_orderstatus", "n", "rev"]
     assert _rows(folded, cols) == _rows(recomputed, cols)
+
+
+def test_stream_mv_refresh_follows_and_resumes(spark, orders, tmp_path):
+    """The streaming MV: drains the CDF backlog into exactly-once
+    refreshes, equals a from-scratch aggregate, and a SECOND stream run
+    from the same checkpoint folds only the commits that landed in
+    between (watermark == source head both times)."""
+    from walmart_project_etl_spark.sources.txlog import TxTable
+    from walmart_project_etl_spark.streaming import stream_mv_refresh
+
+    root = str(tmp_path / "smv")
+    src = TxTable(spark, root)
+    src.create(orders.where("o_orderkey % 2 = 0"), "o_orderkey",
+               n_files=2, change_feed=True)
+    src.append(orders.where("o_orderkey % 2 = 1"))
+    src.merge_upsert(orders.where("o_orderkey % 13 = 0")
+                     .withColumn("o_totalprice", F.lit(4.0)))
+
+    def check(mv):
+        got = {r["o_orderstatus"]: (r["n_rows"], float(r["total"]))
+               for r in mv.snapshot().collect()}
+        exp = {r["o_orderstatus"]: (r["n"], float(r["s"])) for r in
+               src.snapshot().groupBy("o_orderstatus")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum(F.col("o_totalprice")
+                             .cast("decimal(28,6)")).alias("s"))
+                  .collect()}
+        assert got == exp
+        assert mv.last_txn("agg_mv_refresh") == src.versions()[-1]
+
+    mv = stream_mv_refresh(spark, root, str(tmp_path / "mv"),
+                           ["o_orderstatus"], "o_totalprice")
+    check(mv)
+    src.delete_keys(orders.where("o_orderkey % 9 = 2")
+                    .select("o_orderkey"))
+    mv = stream_mv_refresh(spark, root, str(tmp_path / "mv"),
+                           ["o_orderstatus"], "o_totalprice")
+    check(mv)

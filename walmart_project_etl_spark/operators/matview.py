@@ -58,15 +58,19 @@ def _delta(changes: DataFrame, group_cols: list[str],
 
 
 def refresh_agg_mv(spark: SparkSession, source, mv_root: str,
-                   group_cols: list[str], sum_col: str):
+                   group_cols: list[str], sum_col: str,
+                   upto_version: int | None = None):
     """Create-or-refresh the MV at ``mv_root`` from ``source``'s change
     feed. Returns the MV TxTable. Idempotent: re-running against an
     unchanged source (or replaying after a crash between the MV commit
-    and the caller's own bookkeeping) is a logged no-op."""
+    and the caller's own bookkeeping) is a logged no-op.
+    ``upto_version`` bounds the fold (a stream-paced caller folds to
+    its micro-batch's last commit; default = the source's latest)."""
     from walmart_project_etl_spark.sources.txlog import TxTable
 
     mv = TxTable(spark, mv_root)
-    src_version = source.versions()[-1]
+    src_version = upto_version if upto_version is not None \
+        else source.versions()[-1]
     schema = ("mv_key string, " +
               ", ".join(f"{c} string" for c in group_cols) +
               ", n_rows long, total decimal(28,6)")

@@ -30,14 +30,15 @@ _MODULES = (core, funcs, pipeline, llm, trainprep)
 #: deferred in r8, then 30 of the 32 r5-era rows (oldest remaining). After
 #: this round no driver row predates r5, and only the 2 deferred r5 rows
 #: (named below the tuple) remain for r10, along with the r9-new
-#: entries — twenty-three now — (txn_stats_multicol_prune, txn_zorder_multicol_prune,
+#: entries — twenty-four now — (txn_stats_multicol_prune, txn_zorder_multicol_prune,
 #: txn_multitable_publish, txn_change_feed, txn_cdf_incremental_agg,
 #: stream_cdf_follow, txn_partition_prune, txn_replace_where,
 #: dedup_semdedup, dedup_semdedup_lsh, text_bpe_train, text_bpe_encode,
 #: txn_read_where_composed, stream_partition_ingest, txn_delete_dv,
 #: pipe_bpe_tokenize_pack, txn_restore, txn_shallow_clone,
 #: txn_check_constraint, txn_partition_prune_multicol,
-#: txn_merge_when, txn_agg_mv, txn_auto_maintenance — all local
+#: txn_merge_when, txn_agg_mv, txn_auto_maintenance,
+#: stream_agg_mv_follow — all local
 #: exact-green, registered after the window; they should LEAD the r10
 #: window as the never-driver-checked set).
 _PRIORITY = (

@@ -1670,3 +1670,46 @@ def stream_partition_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=4)
     return t_.read_partitions(["click", "purchase"]) \
         .select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@q("stream_agg_mv_follow",
+   """WITH final AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 25 = 0 THEN 9.0
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 40 <> 7)
+      SELECT md5(o_orderstatus) AS mv_key, o_orderstatus,
+             count(*) AS n_rows,
+             round(sum(CAST(price AS DECIMAL(28,6))), 2)::DOUBLE AS total
+      FROM final GROUP BY o_orderstatus""")
+def stream_agg_mv_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING materialized-view maintenance: the tx-table CDF
+    Structured-Streaming source paces per-micro-batch exactly-once
+    refreshes of the aggregate MV (streaming/jobs.py:stream_mv_refresh
+    — CDF source → delta fold → conditional merge, all transactional;
+    checkpointed resume folds only new commits, pinned in
+    tests/test_txlog_cdf.py). The oracle recomputes the final
+    aggregate from scratch — exact for ANY micro-batch split."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+    from walmart_project_etl_spark.streaming import stream_mv_refresh
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_stream_mv")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_mv", ignore_errors=True)
+    src = TxTable(spark, root)
+    src.create(o.where(F.col("o_orderkey") % 2 == 0), "o_orderkey",
+               n_files=4, change_feed=True)
+    src.append(o.where(F.col("o_orderkey") % 2 == 1))
+    src.merge_upsert(o.where(F.col("o_orderkey") % 25 == 0)
+                     .withColumn("o_totalprice", F.lit(9.0)))
+    src.delete_keys(o.where(F.col("o_orderkey") % 40 == 7)
+                    .select("o_orderkey"))
+    mv = stream_mv_refresh(spark, root, root + "_mv",
+                           ["o_orderstatus"], "o_totalprice")
+    return mv.snapshot().select(
+        "mv_key", "o_orderstatus", "n_rows",
+        F.round(F.col("total"), 2).cast("double").alias("total"))

@@ -420,3 +420,42 @@ def stream_dedup_within_watermark(spark: SparkSession, events_path: str,
         deduped.select("event_id", "user_id", "event_type", "value"),
         "stream_dedup", output_mode="append")
     return out
+
+
+def stream_mv_refresh(spark: SparkSession, source_root: str,
+                      mv_root: str, group_cols: list, sum_col: str):
+    """STREAMING materialized-view maintenance: the tx-table CDF
+    Structured-Streaming source (``txlog_changes``) paces per-micro-
+    batch refreshes of the aggregate MV — each batch folds exactly the
+    source versions it delivered (``refresh_agg_mv(upto_version=...)``),
+    so the MV advances commit-by-commit with the stream, every fold is
+    exactly-once (the MV's own txn watermark), and a replayed batch is
+    a logged no-op. The full lakehouse loop on this repo's primitives:
+    CDF source → delta fold → conditional merge, all transactional.
+    Returns the MV table handle after the backlog drains."""
+    import os
+
+    from walmart_project_etl_spark.operators.matview import refresh_agg_mv
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    from .txsource import TxLogChangesDataSource
+
+    spark.dataSource.register(TxLogChangesDataSource)
+    src = TxTable(spark, source_root)
+    feed = (spark.readStream.format("txlog_changes")
+            .option("root", source_root).load())
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        hi = batch_df.agg(F.max("_commit_version")).first()[0]
+        if hi is not None:
+            refresh_agg_mv(spark, src, mv_root, group_cols, sum_col,
+                           upto_version=int(hi))
+
+    q = (feed.writeStream
+         .foreachBatch(fold)
+         .option("checkpointLocation",
+                 os.path.join(mv_root, "_stream_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return TxTable(spark, mv_root)
