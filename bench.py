@@ -88,6 +88,16 @@ BENCH_QUERIES = [
     "dedup_semdedup",
     "dedup_semdedup_lsh",
     "text_bpe_train",
+    # r10 (VERDICT r9 task 2): the remaining r9-new heavy paths — CDF-fold
+    # incremental aggregation, the materialized agg view (batch + streaming
+    # refresh loop), the full BPE tokenize→pack pipeline, RESTORE, and the
+    # partitioned exactly-once streaming ingest — previously bench-invisible
+    "txn_cdf_incremental_agg",
+    "txn_agg_mv",
+    "stream_agg_mv_follow",
+    "pipe_bpe_tokenize_pack",
+    "txn_restore",
+    "stream_partition_ingest",
     # end-to-end star pipeline (ingest→ODS→staging→target→BI agg) with a
     # COLD warehouse cache — guards the pipeline plans, not just micro ops
     "pipe_bi_sales_by_category",

@@ -23,80 +23,82 @@ from . import core, funcs, llm, pipeline, trainprep
 _MODULES = (core, funcs, pipeline, llm, trainprep)
 
 #: Curated registration order. The driver's correctness harness records rows
-#: for (at most) the first 50 registry entries. Rounds 2-8 put green driver
-#: rows on all 192 entries with zero value failures; freshness after r8 is
-#: r4×20, r5×32, r6×49, r7×41, r8×50. This round's window (r9, per VERDICT
-#: r8 task 1) is a pure freshness rotation: the 20 r4-era rows that were
-#: deferred in r8, then 30 of the 32 r5-era rows (oldest remaining). After
-#: this round no driver row predates r5, and only the 2 deferred r5 rows
-#: (named below the tuple) remain for r10, along with the r9-new
-#: entries — twenty-four now — (txn_stats_multicol_prune, txn_zorder_multicol_prune,
-#: txn_multitable_publish, txn_change_feed, txn_cdf_incremental_agg,
-#: stream_cdf_follow, txn_partition_prune, txn_replace_where,
-#: dedup_semdedup, dedup_semdedup_lsh, text_bpe_train, text_bpe_encode,
-#: txn_read_where_composed, stream_partition_ingest, txn_delete_dv,
-#: pipe_bpe_tokenize_pack, txn_restore, txn_shallow_clone,
-#: txn_check_constraint, txn_partition_prune_multicol,
-#: txn_merge_when, txn_agg_mv, txn_auto_maintenance,
-#: stream_agg_mv_follow — all local
-#: exact-green, registered after the window; they should LEAD the r10
-#: window as the never-driver-checked set).
+#: for (at most) the first 50 registry entries. Rounds 2-9 put green driver
+#: rows on 192 of the 216 entries with zero value failures; freshness after
+#: r9 is r5×2, r6×49, r7×41, r8×50, r9×50, never×24 (the entire r9-new
+#: surface). This round's window (r10, per VERDICT r9 task 1) leads with
+#: those 24 never-driver-checked entries (tx-table partitioning / DV / CDF /
+#: cross-table / restore / clone / constraints / conditional merge / MV /
+#: maintenance advisor / multi-column skipping, SemDeDup ×2, BPE ×2 + its
+#: pipeline, and the three new streaming shapes), then the 2 r5-era rows
+#: deferred from r9 (text_tfidf_top_terms, ts_yoy_growth), then the 24
+#: alphabetically-first r6-era rows. After this round every registry entry
+#: has a driver row and no row predates r6; the 25 remaining r6-era rows
+#: (deferred, named below the tuple) rotate in r11.
 _PRIORITY = (
-    # r4-era rows (deferred from the r8 window; code unchanged; freshness)
-    "pipe_a01_a02_f01_ods_customers",
-    "pipe_a09_f01_ods_products",
-    "pipe_bi_sales_by_shipmode",
-    "pipe_bi_sales_by_state",
-    "pipe_d01_d02_tgt_dim_counts",
-    "pipe_d02_tgt_scd2_shape",
-    "pipe_f01_ods_stores",
-    "pipe_f07_f08_stg_customer_ages",
-    "pipe_f11_f13_stg_products",
-    "pipe_f14_stg_store_markets",
-    "pipe_f18_f21_stg_sales_metrics",
-    "pipe_j03_a04_quality_gates",
-    "pipe_j08_j09_tgt_sales_by_category",
-    "pipe_p03_p04_ods_sales",
-    "pipe_u01_f02_f03_ods_dates",
-    "sample_cap_per_source",
-    "sample_pack_sequences",
-    "text_chunk_windows",
-    "text_curation_funnel",
-    "text_repetition_signals",
-    # r5-era rows, 30 of 32 (code unchanged; freshness)
-    "cdc_snapshot_diff",
-    "d03_fact_append_idempotent",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental",
-    "events_asof_join",
-    "f27_change_fingerprint",
-    "f28_audit_stamps",
-    "incr_agg_maintenance",
-    "j03_anti_join_fk_check",
-    "j11_range_band_join",
-    "mm_frame_sampling",
-    "mm_image_meta",
-    "mm_real_decode_ppm",
-    "profile_key_skew",
-    "s10_partitioned_scan_pruning",
-    "s11_jsonl_roundtrip",
-    "sample_shard_assignment",
-    "sample_stratified",
-    "sample_token_budget",
-    "sample_weighted_without_replacement",
-    "sim_cosine_topk",
-    "sim_embedding_centroids",
-    "stream_dedup_watermark",
-    "stream_foreachbatch_upsert",
-    "stream_session_window",
-    "stream_stateful_user_stats",
-    "stream_stream_join",
-    "stream_tumbling_window",
-    "text_filter_chain",
+    # r9-new entries, never driver-checked (lead per VERDICT r9 task 1)
+    "txn_partition_prune",
+    "txn_partition_prune_multicol",
+    "txn_replace_where",
+    "txn_delete_dv",
+    "txn_change_feed",
+    "txn_cdf_incremental_agg",
+    "txn_multitable_publish",
+    "txn_restore",
+    "txn_shallow_clone",
+    "txn_check_constraint",
+    "txn_merge_when",
+    "txn_agg_mv",
+    "txn_auto_maintenance",
+    "txn_stats_multicol_prune",
+    "txn_zorder_multicol_prune",
+    "txn_read_where_composed",
+    "dedup_semdedup",
+    "dedup_semdedup_lsh",
+    "text_bpe_train",
+    "text_bpe_encode",
+    "pipe_bpe_tokenize_pack",
+    "stream_cdf_follow",
+    "stream_partition_ingest",
+    "stream_agg_mv_follow",
+    # r5-era rows deferred from the r9 window (code unchanged; freshness)
+    "text_tfidf_top_terms",
+    "ts_yoy_growth",
+    # r6-era rows, 24 of 49 (alphabetical; code unchanged; freshness)
+    "a02_groupby_first",
+    "a03_distinct_count_per_group",
+    "a05_count_distinct",
+    "a06_max_per_group",
+    "a07_minmax_month_span",
+    "clean_mad_outliers",
+    "clean_quantile_bins",
+    "clean_winsorize",
+    "clean_zscore",
+    "curate_pipeline",
+    "dedup_boilerplate_lines",
+    "dedup_boilerplate_sentences",
+    "dedup_canonical_longest",
+    "dedup_cluster_components",
+    "dedup_contamination_scores",
+    "dedup_decontaminate",
+    "dedup_fuzzy_blocked",
+    "dedup_ngram_containment",
+    "dedup_ngram_jaccard",
+    "events_attribution",
+    "events_transition_matrix",
+    "j01_left_equi_join",
+    "j10_optional_dim_left_join",
+    "mm_real_decode_png",
 )
-#: r5-era rows deferred to the r10 window (2): text_tfidf_top_terms,
-#: ts_yoy_growth.
+#: r6-era rows deferred to the r11 window (25): mm_real_decode_wav,
+#: olap_cube_lineitem, olap_grouping_sets_orders, olap_histogram,
+#: olap_rollup_lineitem, olap_share_of_total, olap_time_rollup_events,
+#: p01_projection_rename, p02_distinct_nonnull_dates, p03_null_filter,
+#: profile_lineitem, s02_empty_string_to_null, s03_table_scan,
+#: s04_parquet_sink_roundtrip, s06_ddl_create_insert, s07_truncate, s08_drop,
+#: s09_temp_view, skew_salted_latest, stream_static_enrich, stream_tx_upsert,
+#: text_unigram_logprob, ts_gap_fill_locf, txn_merge_fileprune,
+#: txn_time_travel.
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
