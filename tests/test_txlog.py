@@ -1713,3 +1713,67 @@ def test_concurrent_mixed_writers_no_lost_updates(spark, tmp_path):
         for i in range(10):
             assert flat[1000 + lo + i] == float(tag)
     assert len(flat) == 300 - 3 * 20 + 3 * 10
+
+
+def test_version_at_unstamped_commit_falls_back_to_mtime(
+        spark, orders, tmp_path):
+    """Legacy (pre-stamp) commits resolve TIMESTAMP AS OF from the
+    commit FILE's mtime, Delta-style — treating them as time 0 would
+    let snapshot_at(old_ts) return data committed long after it."""
+    import json as _json
+    import time as _t
+
+    t = TxTable(spark, str(tmp_path / "vat"))
+    t.create(orders.where("o_orderkey % 2 = 0"), "o_orderkey", n_files=2)
+    mid = _t.time()
+    _t.sleep(0.05)
+    t.append(orders.where("o_orderkey % 2 = 1"))          # v1
+    # simulate a legacy v1: strip the op action's ts stamp (the
+    # rewrite also bumps the file mtime to now, which is the point)
+    p = os.path.join(t.log_dir, "00000001.json")
+    lines = [_json.loads(s) for s in open(p) if s.strip()]
+    for a in lines:
+        a.pop("ts", None)
+    with open(p, "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in lines) + "\n")
+    assert t.version_at(mid) == 0          # ts=0.0 fallback picked 1
+    assert t.snapshot_at(mid).count() == \
+        orders.where("o_orderkey % 2 = 0").count()
+    assert t.version_at(_t.time()) == 1    # mtime still orders it
+
+
+def test_merge_when_constraints_skip_unwritten_source_rows(
+        spark, orders, tmp_path):
+    """CHECK constraints validate the rows a conditional merge actually
+    WRITES (Delta semantics): tombstone-shaped source rows consumed by
+    the delete clause (or filtered by insert_cond) may violate them; a
+    violating row that WOULD be written still rejects the merge."""
+    t = TxTable(spark, str(tmp_path / "mwc"))
+    t.create(orders, "o_orderkey", n_files=2)
+    t.add_constraint("price_pos", "o_totalprice > 0")
+    n0 = t.snapshot().count()
+
+    # delete-only merge: tombstones carry a violating sentinel price
+    tomb = (orders.where("o_orderkey % 25 = 3")
+            .withColumn("o_totalprice", F.lit(-1.0)))
+    res = t.merge_when(tomb, delete_cond="src.o_totalprice < 0",
+                       insert_cond="src.o_totalprice >= 0")
+    assert res["files_rewritten"] > 0
+    n_del = orders.where("o_orderkey % 25 = 3").count()
+    assert t.snapshot().count() == n0 - n_del
+
+    # unmatched violating rows filtered out by insert_cond: legal no-op
+    ghost = (orders.limit(3)
+             .withColumn("o_orderkey", F.col("o_orderkey") + 10**9)
+             .withColumn("o_totalprice", F.lit(-2.0)))
+    t.merge_when(ghost, insert_cond="src.o_totalprice >= 0")
+    assert t.snapshot().count() == n0 - n_del
+
+    # but a violating row that WOULD land still rejects pre-commit
+    v_before = t.versions()[-1]
+    with pytest.raises(ValueError, match="price_pos"):
+        t.merge_when(ghost)                       # unconditional insert
+    with pytest.raises(ValueError, match="price_pos"):
+        t.merge_when(orders.limit(3)
+                     .withColumn("o_totalprice", F.lit(-3.0)))  # update
+    assert t.versions()[-1] == v_before           # nothing committed

@@ -284,3 +284,130 @@ def test_stream_mv_refresh_follows_and_resumes(spark, orders, tmp_path):
     mv = stream_mv_refresh(spark, root, str(tmp_path / "mv"),
                            ["o_orderstatus"], "o_totalprice")
     check(mv)
+
+
+def test_read_changes_raises_across_restore(spark, orders, tmp_path):
+    """A RESTORE inside the feed range raises (the feed does not
+    row-track restores — folding across one silently diverges); a
+    range starting after the restore reads normally."""
+    from walmart_project_etl_spark.sources.txlog import \
+        ChangeFeedRestoredError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=4, change_feed=True)
+    t.delete_keys(orders.where("o_orderkey % 10 = 1")
+                  .select("o_orderkey"))                  # v1
+    t.restore(0)                                          # v2
+    t.append(orders.select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey", "o_totalprice", "o_orderstatus").limit(5))  # v3
+
+    with pytest.raises(ChangeFeedRestoredError) as ei:
+        t.read_changes(since_version=1)
+    assert ei.value.restore_version == 2
+    # consumer resynced at/after the restore: range past it is clean
+    ch = t.read_changes(since_version=3)
+    assert ch.count() == 5
+    assert {r["_change_type"] for r in
+            ch.select("_change_type").distinct().collect()} == {"insert"}
+
+
+def test_mv_full_resync_after_source_restore(spark, orders, tmp_path):
+    """refresh_agg_mv recovers from a source RESTORE with a full
+    resync: the MV equals a from-scratch aggregate of the restored
+    snapshot, and groups that existed only pre-restore are dropped."""
+    from walmart_project_etl_spark.operators.matview import \
+        refresh_agg_mv
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=4, change_feed=True)
+    # v1: introduce a brand-new group 'Z' the restore will erase
+    t.merge_upsert(orders.limit(7).withColumn("o_orderstatus",
+                                              F.lit("Z")))
+    mv = refresh_agg_mv(spark, t, str(tmp_path / "mv"),
+                        ["o_orderstatus"], "o_totalprice")
+    assert mv.snapshot().where("o_orderstatus = 'Z'").count() == 1
+
+    t.restore(0)                                          # v2: Z gone
+    t.delete_keys(orders.where("o_orderkey % 10 = 3")
+                  .select("o_orderkey"))                  # v3
+    mv = refresh_agg_mv(spark, t, str(tmp_path / "mv"),
+                        ["o_orderstatus"], "o_totalprice")
+
+    got = {r["o_orderstatus"]: (r["n_rows"], str(r["total"]))
+           for r in mv.snapshot().collect()}
+    exp = {r["o_orderstatus"]: (r["n"], str(r["s"])) for r in
+           t.snapshot().groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("double")
+                       .cast("decimal(28,6)")).alias("s")).collect()}
+    assert got == exp
+    assert "Z" not in got                    # stale group deleted
+    # exactly-once marker advanced to the source head; replay no-ops
+    assert mv.last_txn("agg_mv_refresh") == t.versions()[-1]
+    v_before = mv.versions()[-1]
+    refresh_agg_mv(spark, t, str(tmp_path / "mv"),
+                   ["o_orderstatus"], "o_totalprice")
+    assert mv.versions()[-1] == v_before
+
+
+def test_stream_source_rate_limit_bounded_batches(spark, orders,
+                                                  tmp_path):
+    """maxFilesPerTrigger (Delta's streaming rate-limit knob): a
+    multi-commit backfill drains as >1 bounded micro-batches with the
+    same final state as the unbounded batch feed."""
+    import time
+
+    from walmart_project_etl_spark.streaming.txsource import \
+        TxLogChangesDataSource
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders.where("o_orderkey % 4 = 0"), "o_orderkey",
+             n_files=2, change_feed=True)
+    for i in (1, 2, 3):
+        t.append(orders.where(f"o_orderkey % 4 = {i}"))
+
+    spark.dataSource.register(TxLogChangesDataSource)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (spark.readStream.format("txlog_changes")
+         .option("root", t.root).option("maxFilesPerTrigger", "2")
+         .load().writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .start())
+    exp = orders.count()
+    try:
+        for _ in range(120):
+            time.sleep(1)
+            try:
+                if spark.read.parquet(sink).count() >= exp:
+                    break
+            except Exception:
+                pass
+    finally:
+        q.stop()
+    n_batches = len([f for f in os.listdir(os.path.join(ckpt, "offsets"))
+                     if not f.startswith(".")])
+    assert n_batches > 1                     # bounded, not one giant batch
+    got = spark.read.parquet(sink)
+    assert _rows(got, ALL) == _rows(t.read_changes(0), ALL)
+
+
+def test_stream_source_carries_dv_and_replace_where_changes(
+        spark, orders, tmp_path):
+    """The streaming source must serve the SAME ops as the batch feed —
+    delete_dv and replace_where commits capture cdf files too (they
+    were silently dropped before r10)."""
+    part = (orders.withColumn("o_orderstatus",
+                              F.col("o_orderstatus").cast("string")))
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(part, "o_orderkey", n_files=4, change_feed=True,
+             partition_by="o_orderstatus")
+    t.delete_keys_dv(orders.where("o_orderkey % 20 = 7")
+                     .select("o_orderkey"))                      # v1
+    t.replace_where("O", part.where("o_orderstatus = 'O'")
+                    .limit(10))                                  # v2
+    got = _drain(spark, t.root, str(tmp_path / "sink"),
+                 str(tmp_path / "ckpt"))
+    assert _rows(got, ALL) == _rows(t.read_changes(0), ALL)
+    assert got.where("_commit_version = 1").count() > 0
+    assert got.where("_commit_version = 2").count() > 0

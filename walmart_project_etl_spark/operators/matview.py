@@ -65,8 +65,25 @@ def refresh_agg_mv(spark: SparkSession, source, mv_root: str,
     unchanged source (or replaying after a crash between the MV commit
     and the caller's own bookkeeping) is a logged no-op.
     ``upto_version`` bounds the fold (a stream-paced caller folds to
-    its micro-batch's last commit; default = the source's latest)."""
-    from walmart_project_etl_spark.sources.txlog import TxTable
+    its micro-batch's last commit; default = the source's latest).
+
+    Concurrency: the txn watermark and the current-group read are BOTH
+    derived from one pinned MV version (``base``), mirroring the table
+    writers' pinned-base pattern — a concurrent refresh committing
+    between the two reads can no longer make ``cur`` inconsistent with
+    the watermark (double-counted deltas). If that concurrent refresh
+    folded a lower source version, this refresh's merge simply
+    overwrites the touched groups with the correctly-folded state; the
+    exactly-once ``txn`` marker skips true replays.
+
+    Recovery: a RESTORE on the source raises
+    :class:`ChangeFeedRestoredError` from the feed read — the refresh
+    then falls back to a FULL RESYNC (re-aggregate the source snapshot
+    at ``src_version``, delete stale groups), the one case where the
+    O(changed rows) contract cannot hold because the feed does not
+    row-track restores."""
+    from walmart_project_etl_spark.sources.txlog import (
+        ChangeFeedRestoredError, TxTable)
 
     mv = TxTable(spark, mv_root)
     src_version = upto_version if upto_version is not None \
@@ -76,28 +93,59 @@ def refresh_agg_mv(spark: SparkSession, source, mv_root: str,
               ", n_rows long, total decimal(28,6)")
     if not mv.versions():
         mv.create(spark.createDataFrame([], schema), "mv_key")
-    last = mv.last_txn(MV_APP)
+    base = mv.versions()[-1]            # pinned read (see docstring)
+    last = mv.last_txn(MV_APP, version=base)
     if src_version <= last:
         return mv                       # already folded — no-op
-    changes = source.read_changes(since_version=last + 1,
-                                  upto=src_version)
-    delta = _delta(changes, group_cols, sum_col) \
-        .withColumn("mv_key", _group_key(group_cols))
-    # fold current MV state for ONLY the touched groups (pruned read)
-    cur = mv.read_matching(delta.select("mv_key"))
-    upserts = (cur.select("mv_key", "n_rows", "total")
-               .unionByName(delta.select("mv_key", "n_rows", "total"))
-               .groupBy("mv_key")
-               .agg(F.sum("n_rows").alias("n_rows"),
-                    F.sum("total").cast("decimal(28,6)").alias("total"))
-               .join(delta.select("mv_key", *group_cols), "mv_key")
-               .select("mv_key",
-                       *[F.col(c).cast("string").alias(c)
-                         for c in group_cols],
-                       "n_rows", "total"))
+    try:
+        changes = source.read_changes(since_version=last + 1,
+                                      upto=src_version)
+    except ChangeFeedRestoredError:
+        upserts = _resync_plan(mv, base, source, src_version,
+                               group_cols, sum_col)
+    else:
+        delta = _delta(changes, group_cols, sum_col) \
+            .withColumn("mv_key", _group_key(group_cols))
+        # fold MV state AT base for ONLY the touched groups (pruned)
+        cur = mv.read_matching(delta.select("mv_key"), version=base)
+        upserts = (cur.select("mv_key", "n_rows", "total")
+                   .unionByName(delta.select("mv_key", "n_rows", "total"))
+                   .groupBy("mv_key")
+                   .agg(F.sum("n_rows").alias("n_rows"),
+                        F.sum("total").cast("decimal(28,6)")
+                         .alias("total"))
+                   .join(delta.select("mv_key", *group_cols), "mv_key")
+                   .select("mv_key",
+                           *[F.col(c).cast("string").alias(c)
+                             for c in group_cols],
+                           "n_rows", "total"))
     # delete groups folding to zero; never INSERT one (a group created
     # and fully deleted inside the same window must not materialize)
     mv.merge_when(upserts, delete_cond="src.n_rows = 0",
                   insert_cond="src.n_rows <> 0",
                   txn=(MV_APP, src_version))
     return mv
+
+
+def _resync_plan(mv, base: int, source, src_version: int,
+                 group_cols: list[str], sum_col: str) -> DataFrame:
+    """Full-resync merge source: the complete re-aggregate of the
+    source snapshot at ``src_version``, plus a zero-count tombstone
+    for every group live in the MV (at ``base``) but absent from the
+    re-aggregate — the merge's delete clause drops those."""
+    val = F.col(sum_col).cast("double").cast("decimal(28,6)")
+    full = (source.snapshot(src_version)
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(val).cast("decimal(28,6)").alias("total"))
+            .withColumn("mv_key", _group_key(group_cols))
+            .select("mv_key",
+                    *[F.col(c).cast("string").alias(c)
+                      for c in group_cols],
+                    "n_rows", "total"))
+    stale = (mv.snapshot(base)
+             .select("mv_key", *group_cols)
+             .join(full.select("mv_key"), "mv_key", "left_anti")
+             .withColumn("n_rows", F.lit(0).cast("long"))
+             .withColumn("total", F.lit(None).cast("decimal(28,6)")))
+    return full.unionByName(stale)

@@ -232,6 +232,19 @@ class TxnAbortedError(RuntimeError):
     Re-run the whole transaction against the current state."""
 
 
+class ChangeFeedRestoredError(ValueError):
+    """The requested change-feed range crosses a RESTORE commit. A
+    restore resets the live row set without row-tracking the change
+    (same as Delta), so folding the feed across it silently diverges
+    from the source — incremental consumers must RESYNC from a
+    snapshot at-or-after the restore version instead.
+    ``restore_version`` is the offending commit."""
+
+    def __init__(self, msg: str, restore_version: int):
+        super().__init__(msg)
+        self.restore_version = restore_version
+
+
 def _read_decision(path: str) -> str | None:
     """Status of a transaction decision file — ``"committed"``,
     ``"aborted"``, or None while undecided. Decisions are immutable
@@ -397,9 +410,12 @@ class TxTable:
                     txns[app] = max(txns.get(app, -1), b)
         return txns
 
-    def last_txn(self, app: str) -> int:
-        """Highest batch id committed under ``app`` (-1 if none)."""
-        return self._txns().get(app, -1)
+    def last_txn(self, app: str, version: int | None = None) -> int:
+        """Highest batch id committed under ``app`` (-1 if none).
+        ``version`` pins the lookup to that commit — so a reader can
+        derive the watermark and the matching state from ONE version
+        (see :func:`operators.matview.refresh_agg_mv`)."""
+        return self._txns(version).get(app, -1)
 
     def _maybe_checkpoint(self, v: int) -> None:
         """Compact the log: materialize the full live state beside commit
@@ -602,8 +618,15 @@ class TxTable:
             impure = [r["__f"] for r in stats
                       if any(r[f"__pvmin{i}"] != r[f"__pvmax{i}"]
                              for i in range(len(pcols)))]
-            assert not impure, \
-                f"partitionBy produced partition-impure files: {impure}"
+            if impure:
+                # must survive ``python -O`` (an assert would strip):
+                # committing an impure file records a wrong pval and
+                # read_partitions silently drops its other rows forever
+                for p in paths:
+                    os.unlink(os.path.join(self.data_dir, p))
+                raise ValueError(
+                    f"partitionBy produced partition-impure files "
+                    f"(mixed {pcols} values within one file): {impure}")
 
         def bloom_hex(r) -> str:
             bm = 0
@@ -715,13 +738,20 @@ class TxTable:
     def version_at(self, ts: float) -> int:
         """The newest version whose commit wall-clock stamp is at or
         before ``ts`` (Delta's ``TIMESTAMP AS OF`` resolution). Commits
-        from logs predating the stamp read as time 0 (always eligible).
+        from logs predating the in-action stamp fall back to the commit
+        FILE's mtime — exactly how Delta resolves TIMESTAMP AS OF (log
+        file modification time) — so a legacy commit written long after
+        ``ts`` never resolves as eligible (treating it as time 0 would
+        let ``snapshot_at(old_ts)`` return data committed later).
         Raises if the table's first commit is later than ``ts``."""
         best = None
         for v in self.versions():
             acts = self._read_commit(v)
-            stamp = next((a.get("ts", 0.0) for a in acts if "op" in a),
-                         0.0)
+            stamp = next((a["ts"] for a in acts
+                          if "op" in a and "ts" in a), None)
+            if stamp is None:
+                stamp = os.path.getmtime(
+                    os.path.join(self.log_dir, f"{v:08d}.json"))
             if stamp <= ts:
                 best = v
         if best is None:
@@ -929,7 +959,15 @@ class TxTable:
         first still-undecided cross-table pending commit, so a consumer
         that advances its watermark past version v can never miss v's
         rows. Change files follow :meth:`vacuum`'s version retention —
-        don't read changes past the vacuum horizon."""
+        don't read changes past the vacuum horizon.
+
+        A RESTORE commit inside the requested range raises
+        :class:`ChangeFeedRestoredError` — restore changes the live row
+        set without row-tracking it, so a fold across it would silently
+        diverge; consumers must resync from a snapshot (see
+        :func:`operators.matview.refresh_agg_mv` for the recovery
+        pattern). Restores BEFORE ``since_version`` are fine: a consumer
+        whose watermark already passed the restore resynced then."""
         meta, _ = self._state(upto, self._read_mode(upto))
         if meta is None:
             raise FileNotFoundError(f"no table at {self.root}")
@@ -951,6 +989,16 @@ class TxTable:
                 break                      # sealed prefix: stop early
             ops = [a["op"] for a in acts if "op" in a]
             op = ops[0] if ops else None
+            if op == "restore":
+                raise ChangeFeedRestoredError(
+                    f"change-feed range [{since_version}, "
+                    f"{upto if upto is not None else 'latest'}] of "
+                    f"{self.root} crosses the RESTORE commit at version "
+                    f"{v} (restored to "
+                    f"{next(a for a in acts if 'op' in a).get('to')}); "
+                    f"the feed "
+                    f"does not row-track restores — resync from a "
+                    f"snapshot at version >= {v}", restore_version=v)
             if op in ("create", "append"):
                 paths = [a["add"]["path"] for a in acts if "add" in a]
                 if not paths:
@@ -1030,7 +1078,11 @@ class TxTable:
         Fixed at create (like Delta) — every later write path preserves
         it. Same int/string constraint as the merge key (the value rides
         in the JSON log)."""
-        assert not self.versions(), f"table already exists at {self.root}"
+        # validation raises ValueError (not assert — must survive
+        # ``python -O``; a skipped check here commits wrong metadata
+        # that poisons every later prune)
+        if self.versions():
+            raise ValueError(f"table already exists at {self.root}")
         if stats_col is not None and stats_cols is not None:
             raise ValueError("pass stats_col OR stats_cols, not both")
         cols = list(stats_cols) if stats_cols is not None else \
@@ -1038,33 +1090,37 @@ class TxTable:
         # stats ride in the JSON log and prune by <=/>= — integer and
         # string keys serialize and order identically in JSON and Spark;
         # float/decimal/date keys would need careful bound encoding
-        assert dict(df.dtypes)[key_col] in (
-            "tinyint", "smallint", "int", "bigint", "string"), \
-            f"merge key must be integral or string, got " \
-            f"{dict(df.dtypes)[key_col]}"
+        if dict(df.dtypes)[key_col] not in (
+                "tinyint", "smallint", "int", "bigint", "string"):
+            raise ValueError(
+                f"merge key must be integral or string, got "
+                f"{dict(df.dtypes)[key_col]}")
         meta = {"key_col": key_col, "schema": df.schema.json(), "format": 2}
         if change_feed:
             meta["change_feed"] = True
         if cols:
             unknown = [c for c in cols if c not in df.columns]
-            assert not unknown, f"unknown stats_cols {unknown}"
+            if unknown:
+                raise ValueError(f"unknown stats_cols {unknown}")
             meta["stats_col"] = cols[0]          # legacy v2 field
             meta["stats_cols"] = cols
         if partition_by is not None:
             pcols = [partition_by] if isinstance(partition_by, str) \
                 else list(partition_by)
             for c in pcols:
-                assert c in df.columns, f"unknown partition column '{c}'"
-                assert dict(df.dtypes)[c] in (
-                    "tinyint", "smallint", "int", "bigint", "string"), \
-                    f"partition column must be integral or string, got " \
-                    f"{dict(df.dtypes)[c]}"
+                if c not in df.columns:
+                    raise ValueError(f"unknown partition column '{c}'")
+                if dict(df.dtypes)[c] not in (
+                        "tinyint", "smallint", "int", "bigint", "string"):
+                    raise ValueError(
+                        f"partition column must be integral or string, "
+                        f"got {dict(df.dtypes)[c]}")
             meta["partition_by"] = pcols[0] if len(pcols) == 1 \
                 else pcols
         adds = self._write_files(df, key_col, n_files, cols or None,
                                  partition_by=partition_by)
-        ok = self._commit([{"op": "create"}, {"meta": meta}, *adds], 0)
-        assert ok, "concurrent create"
+        if not self._commit([{"op": "create"}, {"meta": meta}, *adds], 0):
+            raise RuntimeError(f"concurrent create at {self.root}")
 
     def add_columns(self, cols: dict[str, str]) -> None:
         """EXPLICIT schema evolution: append new nullable columns to the
@@ -1100,19 +1156,31 @@ class TxTable:
                 self._maybe_checkpoint(v)
                 return
 
-    def _check_schema(self, df: DataFrame, meta: dict) -> DataFrame:
+    def _check_schema(self, df: DataFrame, meta: dict,
+                      constraints: bool = True) -> DataFrame:
         """Appends/merges must carry exactly the table's columns (any
         order); a silent drift would poison every later snapshot. Also
         enforces the table's CHECK constraints on the INCOMING rows
         (existing rows were validated when each constraint was added):
         one short-circuit job — any violating row rejects the write
-        before a single file lands, like Delta's constraint enforcement."""
+        before a single file lands, like Delta's constraint enforcement.
+        ``constraints=False`` defers that to the caller — used by
+        :meth:`merge_when`, whose clauses may consume source rows
+        without writing them (Delta validates only rows actually
+        written)."""
         expected = [f["name"] for f in json.loads(meta["schema"])["fields"]]
         if sorted(df.columns) != sorted(expected):
             raise ValueError(
                 f"schema mismatch: table has {sorted(expected)}, "
                 f"write has {sorted(df.columns)}")
         df = df.select(*expected)
+        if constraints:
+            self._validate_constraints(df, meta)
+        return df
+
+    def _validate_constraints(self, df: DataFrame, meta: dict) -> None:
+        """Reject the write if any row of ``df`` violates a declared
+        CHECK constraint (one short-circuit job per constraint)."""
         for name, expr in (meta.get("constraints") or {}).items():
             bad = df.where(~F.expr(expr).eqNullSafe(F.lit(True))) \
                     .limit(1).count()
@@ -1120,7 +1188,6 @@ class TxTable:
                 raise ValueError(
                     f"CHECK constraint '{name}' ({expr}) violated by "
                     f"incoming rows — write rejected")
-        return df
 
     def add_constraint(self, name: str, expr: str) -> None:
         """Delta-style CHECK constraint: validate that every CURRENT row
@@ -1196,7 +1263,8 @@ class TxTable:
         meta, live = self._state()
         dest = TxTable(self.spark, dest_root,
                        checkpoint_interval=self.checkpoint_interval)
-        assert not dest.versions(), f"table already exists at {dest_root}"
+        if dest.versions():
+            raise ValueError(f"table already exists at {dest_root}")
         actions: list[dict] = [{"op": "create"},
                                {"meta": {k: v for k, v in meta.items()}}]
         linked: set[str] = set()
@@ -1214,8 +1282,8 @@ class TxTable:
             for dvf in a.get("_dvs", []):
                 link(dvf)
                 actions.append({"dv": {"path": a["path"], "keys": dvf}})
-        ok = dest._commit(actions, 0)
-        assert ok, f"concurrent create at {dest_root}"
+        if not dest._commit(actions, 0):
+            raise RuntimeError(f"concurrent create at {dest_root}")
         return dest
 
     def _key_pruner(self, keys: DataFrame, key: str):
@@ -1425,10 +1493,16 @@ class TxTable:
         whose range+bloom stats can hold a source key rewrite
         (O(touched files)); version-pinned read + commit at base+1 (no
         lost updates); optional ``txn`` marker for exactly-once
-        streaming replay; CDF capture when enabled."""
+        streaming replay; CDF capture when enabled.
+
+        CHECK constraints are enforced on the rows actually WRITTEN
+        (the post-clause output), not on the raw source — Delta's
+        semantics: a delete-only merge whose tombstone-shaped source
+        rows violate a constraint is legal, because those rows are
+        consumed by the delete clause and never land in a file."""
         meta = self._state()[0]
         key = meta["key_col"]
-        source = self._check_schema(source, meta)
+        source = self._check_schema(source, meta, constraints=False)
         cols = source.columns
         prune = self._key_pruner(source, key)
         upd = F.expr(update_cond) if update_cond else F.lit(True)
@@ -1459,6 +1533,14 @@ class TxTable:
             new_rows = (j.select(keep_row.alias("r"))
                          .where(F.col("r").isNotNull())
                          .select("r.*"))
+            # constraints on the rows this merge actually WRITES from
+            # the source (updates + inserts) — kept target rows were
+            # validated by their own writes, delete-consumed and
+            # insert-filtered source rows never land in a file
+            self._validate_constraints(
+                j.where((matched & ~dele & upd)
+                        | (F.col("tgt").isNull() & ins)).select("src.*"),
+                meta)
             adds = self._write_files(new_rows, key,
                                      stats_cols=_meta_stats_cols(meta),
                                      partition_by=meta.get("partition_by"))

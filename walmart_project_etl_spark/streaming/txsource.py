@@ -39,8 +39,8 @@ from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
                                     InputPartition)
 from pyspark.sql.types import StructType
 
-from walmart_project_etl_spark.sources.txlog import (TxTable,
-                                                     _read_decision)
+from walmart_project_etl_spark.sources.txlog import (
+    ChangeFeedRestoredError, TxTable, _read_decision)
 
 
 @dataclass
@@ -64,23 +64,44 @@ def _log_meta(root: str) -> dict:
 
 class TxLogStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, schema: StructType,
-                 since_version: int):
+                 since_version: int,
+                 max_files_per_trigger: int | None = None):
         self.root = root
         self.schema = schema
         self.since = since_version
+        self.max_files = max_files_per_trigger
+        #: rate-limit ratchet: the highest version this reader has
+        #: planned or offered so far. After a restart it re-initializes
+        #: to ``since`` and catches back up to the checkpointed offset
+        #: within a few (possibly empty) triggers — bounded batches
+        #: without needing to see the checkpoint from latestOffset.
+        self._floor = since_version
 
     def initialOffset(self) -> dict:
         return {"version": self.since}
+
+    @staticmethod
+    def _commit_n_files(acts: list[dict]) -> int:
+        return sum(1 for a in acts if "add" in a or "cdf" in a)
 
     def latestOffset(self) -> dict:
         """End of the SEALED prefix: one past the last commit whose
         outcome is final (normal, or decided pending). An undecided
         pending blocks advancement — never force-aborted by the source
-        (it is a reader), and never skipped (offsets are a watermark)."""
+        (it is a reader), and never skipped (offsets are a watermark).
+
+        With ``maxFilesPerTrigger`` set (Delta's streaming-source
+        knob), advancement additionally stops once the batch would
+        exceed that many data/change files — a from-v0 backfill of a
+        large table becomes a sequence of bounded micro-batches instead
+        of one giant batch. At least one commit always admits (a single
+        commit larger than the cap still streams whole — offsets are
+        commit-granular)."""
         t = TxTable(None, self.root)
-        head = self.since
+        head = self._floor
+        files = 0
         for v in t.versions():
-            if v < self.since:
+            if v < self._floor:
                 continue
             if v != head:                      # gap — cannot happen in a
                 break                          # linked log, but be safe
@@ -88,27 +109,43 @@ class TxLogStreamReader(DataSourceStreamReader):
             if acts and "pending" in acts[0] and \
                     _read_decision(acts[0]["pending"]["decision"]) is None:
                 break
+            if self.max_files is not None:
+                n = self._commit_n_files(acts)
+                if files and files + n > self.max_files:
+                    break                      # cap reached — next trigger
+                files += n
             head = v + 1
+        self._floor = max(self._floor, head)
         return {"version": head}
 
     def partitions(self, start: dict, end: dict):
+        # a recovered in-flight batch fast-forwards the rate-limit
+        # ratchet to the checkpointed range immediately
+        self._floor = max(self._floor, end["version"])
         t = TxTable(None, self.root)
         parts: list[_FilePart] = []
         for v in range(start["version"], end["version"]):
             acts = t._commit_actions(v, "strict")
             ops = [a["op"] for a in acts if "op" in a]
             op = ops[0] if ops else None
+            if op == "restore":
+                # same contract as the batch feed: a restore is not
+                # row-tracked; silently yielding nothing would diverge
+                raise ChangeFeedRestoredError(
+                    f"stream over {self.root} reached the RESTORE "
+                    f"commit at version {v}; restart the stream from a "
+                    f"snapshot at version >= {v}", restore_version=v)
             if op in ("create", "append"):
                 parts += [_FilePart(os.path.join(t.data_dir,
                                                  a["add"]["path"]),
                                     "insert", v)
                           for a in acts if "add" in a]
-            elif op in ("merge", "delete"):
+            elif op in ("merge", "delete", "delete_dv", "replace_where"):
                 parts += [_FilePart(os.path.join(t.data_dir,
                                                  a["cdf"]["path"]),
                                     None, v)
                           for a in acts if "cdf" in a]
-            # compact / zorder / evolve: no row-level changes
+            # compact / zorder / evolve / purge: no row-level changes
         return parts
 
     def read(self, partition: _FilePart):
@@ -151,7 +188,9 @@ class TxLogChangesDataSource(DataSource):
     ``spark.dataSource.register(TxLogChangesDataSource)``.
 
     Options: ``root`` (table root, required), ``sinceVersion``
-    (first commit to stream, default 0 — a full backfill then tail).
+    (first commit to stream, default 0 — a full backfill then tail),
+    ``maxFilesPerTrigger`` (cap the data/change files admitted per
+    micro-batch — Delta's rate-limit knob; default unbounded).
     Requires a table created with ``change_feed=True`` when the log
     contains merge/delete commits (their row-level changes live in the
     captured ``cdf`` files)."""
@@ -168,5 +207,7 @@ class TxLogChangesDataSource(DataSource):
             .add("_commit_version", "long")
 
     def streamReader(self, schema: StructType) -> TxLogStreamReader:
+        mft = self.options.get("maxFilesPerTrigger")
         return TxLogStreamReader(self.options["root"], schema,
-                                 int(self.options.get("sinceVersion", 0)))
+                                 int(self.options.get("sinceVersion", 0)),
+                                 int(mft) if mft is not None else None)
