@@ -411,3 +411,91 @@ def test_stream_source_carries_dv_and_replace_where_changes(
     assert _rows(got, ALL) == _rows(t.read_changes(0), ALL)
     assert got.where("_commit_version = 1").count() > 0
     assert got.where("_commit_version = 2").count() > 0
+
+
+def test_minmax_mv_incremental_and_ivm_fallback(spark, orders, tmp_path,
+                                                monkeypatch):
+    """(count, MIN, MAX) MV: inserts and non-extreme deletes maintain
+    the extremes incrementally (zero recomputed groups); deleting a
+    group's extreme row triggers the IVM fallback for ONLY that group,
+    and the recompute read is partition-pruned (< table files)."""
+    from walmart_project_etl_spark.operators import matview
+    from walmart_project_etl_spark.operators.matview import \
+        refresh_agg_mv_minmax
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.create(orders, "o_orderkey", n_files=6, change_feed=True,
+               partition_by="o_orderstatus")
+
+    recomputed: list[tuple[list, int]] = []
+    orig = matview._pruned_group_rows
+
+    def spy(source, v, gcols, rec):
+        groups = sorted(tuple(r) for r in rec.collect())
+        df = orig(source, v, gcols, rec)
+        if groups:                          # empty = nothing recomputed
+            recomputed.append((groups, len(df.inputFiles())))
+        return df
+
+    monkeypatch.setattr(matview, "_pruned_group_rows", spy)
+
+    def check(mv):
+        got = {r["o_orderstatus"]: (r["n_rows"], str(r["vmin"]),
+                                    str(r["vmax"]))
+               for r in mv.snapshot().collect()}
+        dec = F.col("o_totalprice").cast("double").cast("decimal(28,6)")
+        exp = {r["o_orderstatus"]: (r["n"], str(r["lo"]), str(r["hi"]))
+               for r in src.snapshot().groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n"), F.min(dec).alias("lo"),
+                    F.max(dec).alias("hi")).collect()}
+        assert got == exp
+
+    mv_root = str(tmp_path / "mv")
+    mv = refresh_agg_mv_minmax(spark, src, mv_root,
+                               ["o_orderstatus"], "o_totalprice")
+    check(mv)
+    assert recomputed == []                 # create fold: inserts only
+
+    # insert-only refresh: incremental, no recompute
+    src.append(orders.select(
+        (F.col("o_orderkey") + 10**8).alias("o_orderkey"), "o_custkey",
+        (F.col("o_totalprice") + 1).alias("o_totalprice"),
+        "o_orderstatus").limit(50))
+    mv = refresh_agg_mv_minmax(spark, src, mv_root,
+                               ["o_orderstatus"], "o_totalprice")
+    check(mv)
+    assert recomputed == []
+
+    # delete a strictly-interior row of group 'O': still incremental
+    interior = (src.snapshot().where("o_orderstatus = 'O'")
+                .withColumn("rk", F.row_number().over(
+                    __import__("pyspark").sql.Window
+                    .partitionBy("o_orderstatus")
+                    .orderBy("o_totalprice")))
+                .where("rk = 5").select("o_orderkey"))
+    src.delete_keys(interior)
+    mv = refresh_agg_mv_minmax(spark, src, mv_root,
+                               ["o_orderstatus"], "o_totalprice")
+    check(mv)
+    assert recomputed == []
+
+    # delete the MAX row of group 'F': fallback recomputes ONLY 'F',
+    # through the partition-pruned read
+    fmax = (src.snapshot().where("o_orderstatus = 'F'")
+            .orderBy(F.desc("o_totalprice")).limit(1)
+            .select("o_orderkey"))
+    src.delete_keys(fmax)
+    mv = refresh_agg_mv_minmax(spark, src, mv_root,
+                               ["o_orderstatus"], "o_totalprice")
+    check(mv)
+    assert len(recomputed) == 1
+    groups, n_files_read = recomputed[0]
+    assert groups == [("F",)]
+    n_live = len(src._state()[1])
+    assert 0 < n_files_read < n_live        # partition-pruned recompute
+
+    # exactly-once: replay is a logged no-op
+    v_before = mv.versions()[-1]
+    refresh_agg_mv_minmax(spark, src, mv_root,
+                          ["o_orderstatus"], "o_totalprice")
+    assert mv.versions()[-1] == v_before

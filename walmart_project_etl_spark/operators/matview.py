@@ -149,3 +149,167 @@ def _resync_plan(mv, base: int, source, src_version: int,
              .withColumn("n_rows", F.lit(0).cast("long"))
              .withColumn("total", F.lit(None).cast("decimal(28,6)")))
     return full.unionByName(stale)
+
+
+#: txn app name for the min/max MV's watermark
+MV_MINMAX_APP = "agg_mv_minmax_refresh"
+
+
+def refresh_agg_mv_minmax(spark: SparkSession, source, mv_root: str,
+                          group_cols: list[str], val_col: str,
+                          upto_version: int | None = None):
+    """Create-or-refresh a grouped (count, MIN, MAX) materialized view
+    from ``source``'s change feed — the standard IVM treatment of
+    non-self-inverting aggregates:
+
+    - INSERTS maintain extremes incrementally for free:
+      ``new_min = least(cur_min, min(inserted))`` (same for max);
+    - a DELETE (or update pre-image) that ties the group's would-be
+      extreme is the one case the delta cannot answer — the next-best
+      value was never materialized — so ONLY those groups recompute
+      from the source, through the most-pruned read the source's
+      layout offers (partition pruning when the group columns are the
+      partition columns, per-file stats skipping when declared,
+      full-scan fallback otherwise). Deletes that don't touch an
+      extreme stay incremental.
+
+    Same exactly-once shape as :func:`refresh_agg_mv`: pinned-base MV
+    read, one conditional merge, ``txn=(app, source_version)`` marker,
+    zero-count groups dropped, full resync on a source RESTORE.
+    Cost per refresh: O(changed rows) + O(files of recomputed groups).
+    """
+    from walmart_project_etl_spark.sources.txlog import (
+        ChangeFeedRestoredError, TxTable)
+
+    mv = TxTable(spark, mv_root)
+    src_version = upto_version if upto_version is not None \
+        else source.versions()[-1]
+    schema = ("mv_key string, " +
+              ", ".join(f"{c} string" for c in group_cols) +
+              ", n_rows long, vmin decimal(28,6), vmax decimal(28,6)")
+    if not mv.versions():
+        mv.create(spark.createDataFrame([], schema), "mv_key")
+    base = mv.versions()[-1]            # pinned read (see refresh_agg_mv)
+    last = mv.last_txn(MV_MINMAX_APP, version=base)
+    if src_version <= last:
+        return mv                       # already folded — no-op
+    try:
+        changes = source.read_changes(since_version=last + 1,
+                                      upto=src_version)
+    except ChangeFeedRestoredError:
+        upserts = _minmax_resync_plan(mv, base, source, src_version,
+                                      group_cols, val_col)
+    else:
+        upserts = _minmax_delta_plan(mv, base, source, src_version,
+                                     group_cols, val_col, changes)
+    mv.merge_when(upserts, delete_cond="src.n_rows = 0",
+                  insert_cond="src.n_rows <> 0",
+                  txn=(MV_MINMAX_APP, src_version))
+    return mv
+
+
+def _minmax_agg(val_col: str):
+    val = F.col(val_col).cast("double").cast("decimal(28,6)")
+    return [F.count(F.lit(1)).alias("n_rows"),
+            F.min(val).alias("vmin"), F.max(val).alias("vmax")]
+
+
+def _minmax_delta_plan(mv, base, source, src_version, group_cols,
+                      val_col, changes) -> DataFrame:
+    val = F.col(val_col).cast("double").cast("decimal(28,6)")
+    is_add = F.col("_change_type").isin("insert", "update_postimage")
+    delta = (changes
+             .groupBy(*group_cols)
+             .agg(F.sum(F.when(is_add, 1).otherwise(-1)).alias("nd"),
+                  F.min(F.when(is_add, val)).alias("ins_min"),
+                  F.max(F.when(is_add, val)).alias("ins_max"),
+                  F.min(F.when(~is_add, val)).alias("del_min"),
+                  F.max(F.when(~is_add, val)).alias("del_max"))
+             .withColumn("mv_key", _group_key(group_cols)))
+    cur = mv.read_matching(delta.select("mv_key"), version=base) \
+            .select("mv_key", F.col("n_rows").alias("cur_n"),
+                    F.col("vmin").alias("cur_min"),
+                    F.col("vmax").alias("cur_max"))
+    m = delta.join(cur, "mv_key", "left")
+    new_n = (F.coalesce("cur_n", F.lit(0)) + F.col("nd")).alias("n_rows")
+    # least/greatest skip NULLs, so a missing side falls through
+    cand_min = F.least("cur_min", "ins_min")
+    cand_max = F.greatest("cur_max", "ins_max")
+    # the IVM fallback trigger: a removed value at-or-past the
+    # candidate extreme means the true extreme may live in rows the
+    # delta never saw (NULL-valued deletes can never tie an extreme)
+    need = (F.coalesce(F.col("del_min") <= cand_min, F.lit(False))
+            | F.coalesce(F.col("del_max") >= cand_max, F.lit(False))) \
+        & (new_n > 0)
+    flagged = m.select("mv_key", *group_cols, new_n,
+                       cand_min.alias("vmin"), cand_max.alias("vmax"),
+                       need.alias("__need"))
+    rec_groups = flagged.where("__need").select(*group_cols).distinct()
+    plain = (flagged.where(~F.col("__need"))
+             .select("mv_key",
+                     *[F.col(c).cast("string").alias(c)
+                       for c in group_cols],
+                     "n_rows", "vmin", "vmax"))
+    exact = (_pruned_group_rows(source, src_version, group_cols,
+                                rec_groups)
+             .join(rec_groups, group_cols, "semi")
+             .groupBy(*group_cols)
+             .agg(*_minmax_agg(val_col))
+             .withColumn("mv_key", _group_key(group_cols))
+             .select("mv_key",
+                     *[F.col(c).cast("string").alias(c)
+                       for c in group_cols],
+                     "n_rows", "vmin", "vmax"))
+    return plain.unionByName(exact)
+
+
+def _pruned_group_rows(source, src_version, group_cols,
+                       rec_groups) -> DataFrame:
+    """Source rows for the groups needing recomputation, through the
+    most-pruned read the source's declared layout offers. The group
+    values collect driver-side — metadata-plane: bounded by the number
+    of groups whose extreme was deleted in one refresh window, the
+    same order as the merge's own bloom-probe collect."""
+    from walmart_project_etl_spark.sources.txlog import (_meta_parts,
+                                                         _meta_stats_cols)
+
+    meta = source._state(src_version)[0]
+    pcols = _meta_parts(meta) or []
+    scols = _meta_stats_cols(meta) or []
+    if list(group_cols) == pcols:
+        vals = [tuple(r[c] for c in group_cols)
+                for r in rec_groups.collect()]
+        if not vals:
+            return source.snapshot(src_version).limit(0)
+        return source.read_partitions(
+            [v[0] for v in vals] if len(group_cols) == 1 else vals,
+            version=src_version)
+    if len(group_cols) == 1 and group_cols[0] in scols:
+        b = rec_groups.agg(F.min(group_cols[0]).alias("lo"),
+                           F.max(group_cols[0]).alias("hi")).first()
+        if b["lo"] is None:
+            return source.snapshot(src_version).limit(0)
+        return source.read_where(stats={group_cols[0]: (b["lo"],
+                                                        b["hi"])},
+                                 version=src_version)
+    return source.snapshot(src_version)
+
+
+def _minmax_resync_plan(mv, base, source, src_version, group_cols,
+                        val_col) -> DataFrame:
+    """Full-resync source after a RESTORE (see :func:`_resync_plan`)."""
+    full = (source.snapshot(src_version)
+            .groupBy(*group_cols)
+            .agg(*_minmax_agg(val_col))
+            .withColumn("mv_key", _group_key(group_cols))
+            .select("mv_key",
+                    *[F.col(c).cast("string").alias(c)
+                      for c in group_cols],
+                    "n_rows", "vmin", "vmax"))
+    stale = (mv.snapshot(base)
+             .select("mv_key", *group_cols)
+             .join(full.select("mv_key"), "mv_key", "left_anti")
+             .withColumn("n_rows", F.lit(0).cast("long"))
+             .withColumn("vmin", F.lit(None).cast("decimal(28,6)"))
+             .withColumn("vmax", F.lit(None).cast("decimal(28,6)")))
+    return full.unionByName(stale)

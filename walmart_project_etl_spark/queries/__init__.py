@@ -24,7 +24,7 @@ _MODULES = (core, funcs, pipeline, llm, trainprep)
 
 #: Curated registration order. The driver's correctness harness records rows
 #: for (at most) the first 50 registry entries. Rounds 2-9 put green driver
-#: rows on 192 of the 216 entries with zero value failures; freshness after
+#: rows on 192 of the 217 entries with zero value failures; freshness after
 #: r9 is r5×2, r6×49, r7×41, r8×50, r9×50, never×24 (the entire r9-new
 #: surface). This round's window (r10, per VERDICT r9 task 1) leads with
 #: those 24 never-driver-checked entries (tx-table partitioning / DV / CDF /

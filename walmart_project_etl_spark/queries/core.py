@@ -1203,6 +1203,65 @@ def txn_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total"), 2).cast("double").alias("total"))
 
 
+@q("txn_agg_mv_minmax",
+   """WITH final AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 30 = 0 THEN o_totalprice * 3
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT md5(o_orderstatus) AS mv_key, o_orderstatus,
+             count(*) AS n_rows,
+             round(min(CAST(price AS DECIMAL(28,6))), 2)::DOUBLE AS vmin,
+             round(max(CAST(price AS DECIMAL(28,6))), 2)::DOUBLE AS vmax
+      FROM final GROUP BY o_orderstatus""")
+def txn_agg_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained (count, MIN, MAX) MATERIALIZED VIEW
+    (operators/matview.py refresh_agg_mv_minmax): the standard IVM
+    treatment of non-self-inverting aggregates. Inserts fold
+    incrementally (``least``/``greatest`` against the stored extreme);
+    a delete or update pre-image that ties a group's would-be extreme
+    recomputes ONLY that group, through the most-pruned read the
+    source's layout offers (here: partition pruning on the group
+    column — the source is partitioned by o_orderstatus, so the
+    fallback touches one partition's files, pinned in
+    tests/test_txlog_cdf.py::test_minmax_mv_incremental_and_ivm_fallback).
+    Same refresh loop as txn_agg_mv: three refreshes across
+    append + conditional merge + keyed delete, exactly-once txn
+    markers, zero-count groups dropped. The oracle recomputes the
+    final (count, min, max) from scratch — exact."""
+    import shutil
+
+    from walmart_project_etl_spark.operators.matview import \
+        refresh_agg_mv_minmax
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_mvmm")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_mv", ignore_errors=True)
+    src = TxTable(spark, root)
+    src.create(o.where(F.col("o_orderkey") % 2 == 0), "o_orderkey",
+               n_files=4, change_feed=True,
+               partition_by="o_orderstatus")
+    refresh_agg_mv_minmax(spark, src, root + "_mv", ["o_orderstatus"],
+                          "o_totalprice")
+    src.append(o.where(F.col("o_orderkey") % 2 == 1))
+    src.merge_upsert(o.where(F.col("o_orderkey") % 30 == 0)
+                     .withColumn("o_totalprice",
+                                 F.col("o_totalprice") * 3))
+    refresh_agg_mv_minmax(spark, src, root + "_mv", ["o_orderstatus"],
+                          "o_totalprice")
+    src.delete_keys(o.where(F.col("o_orderkey") % 7 == 0)
+                    .select("o_orderkey"))
+    mv = refresh_agg_mv_minmax(spark, src, root + "_mv",
+                               ["o_orderstatus"], "o_totalprice")
+    return mv.snapshot().select(
+        "mv_key", "o_orderstatus", "n_rows",
+        F.round(F.col("vmin"), 2).cast("double").alias("vmin"),
+        F.round(F.col("vmax"), 2).cast("double").alias("vmax"))
+
+
 @q("txn_merge_when",
    """WITH src AS (
         SELECT o_orderkey, o_custkey,
