@@ -1777,3 +1777,31 @@ def test_merge_when_constraints_skip_unwritten_source_rows(
         t.merge_when(orders.limit(3)
                      .withColumn("o_totalprice", F.lit(-3.0)))  # update
     assert t.versions()[-1] == v_before           # nothing committed
+
+
+def test_dv_write_scales_out_with_touched_files(spark, orders, tmp_path):
+    """A table-sized DV delete must not funnel through one writer task:
+    with >64 touched files the pairs hash-partition into multiple DV
+    files (each data file's pairs wholly in one), reads apply them all,
+    and purge materializes them away."""
+    t = TxTable(spark, str(tmp_path / "dvp"))
+    t.create(orders, "o_orderkey", n_files=130)
+    res = t.delete_keys_dv(orders.where("o_orderkey % 3 = 0")
+                           .select("o_orderkey"))
+    assert res["rows_deleted"] == orders.where("o_orderkey % 3 = 0") \
+                                        .count()
+    assert res["files_tagged"] > 64
+    dv_files = {f for f in os.listdir(t.data_dir) if f.startswith("dv-")}
+    assert len(dv_files) >= 2                   # multi-file DV write
+    _, live = t._state()
+    # every tagged file references exactly one DV, and only used DVs
+    # remain on disk (empty hash buckets were unlinked)
+    referenced = {dv for a in live.values() for dv in a.get("_dvs", [])}
+    assert referenced == dv_files
+    assert all(len(a.get("_dvs", [])) <= 1 for a in live.values())
+    exp = orders.where("o_orderkey % 3 <> 0")
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _rows(t.snapshot(), cols) == _rows(exp, cols)
+    t.purge_deletes()
+    assert _rows(t.snapshot(), cols) == _rows(exp, cols)
+    assert not any(a.get("_dvs") for a in t._state()[1].values())

@@ -1640,22 +1640,42 @@ class TxTable:
             doomed = old.join(keys, key, "semi")
             staging = os.path.join(self.data_dir,
                                    f".stage-{uuid.uuid4().hex}")
+            # DVs are kilobytes by design, but a table-sized key set
+            # must not funnel through one writer task: hash-partition
+            # the pairs by touched FILE (~64 data files per DV file, so
+            # the small-delete case still writes one), each data file's
+            # pairs land wholly in one DV file, and the write scales
+            # out with the delete instead of coalescing to a task
+            n_dv = max(1, (len(touched) + 63) // 64)
             doomed.select(F.col("__file"), F.col(key).alias("__key")) \
-                  .coalesce(1).write.mode("overwrite").parquet(staging)
-            dvname = f"dv-{uuid.uuid4().hex}.parquet"
-            part = [n for n in sorted(os.listdir(staging))
-                    if n.endswith(".parquet")]
-            os.rename(os.path.join(staging, part[0]),
-                      os.path.join(self.data_dir, dvname))
+                  .repartition(n_dv, F.col("__file")) \
+                  .write.mode("overwrite").parquet(staging)
+            dv_paths: list[str] = []
+            for part in sorted(os.listdir(staging)):
+                if part.endswith(".parquet"):
+                    dvname = f"dv-{uuid.uuid4().hex}.parquet"
+                    os.rename(os.path.join(staging, part),
+                              os.path.join(self.data_dir, dvname))
+                    dv_paths.append(dvname)
             shutil.rmtree(staging, ignore_errors=True)
-            dv_rows = self.spark.read.parquet(
-                os.path.join(self.data_dir, dvname))
-            stats = dv_rows.groupBy("__file") \
-                .agg(F.count(F.lit(1)).alias("n")).collect()
-            tagged = {r["__file"] for r in stats}
+            # one metadata-plane job: (dv file, data file) pairs + counts
+            # — one row per touched file, the same order as the merge's
+            # own stats collect
+            stats = (self.spark.read.parquet(
+                         *[os.path.join(self.data_dir, p)
+                           for p in dv_paths])
+                     .groupBy(F.element_at(
+                         F.split(F.input_file_name(), "/"), -1)
+                         .alias("__dv"), "__file")
+                     .agg(F.count(F.lit(1)).alias("n"))).collect()
+            dv_of = {r["__file"]: r["__dv"] for r in stats}
             n_del = sum(r["n"] for r in stats)
+            # unlink DV files no pair landed in (empty hash buckets)
+            used = {r["__dv"] for r in stats}
+            for p in dv_paths:
+                if p not in used:
+                    os.unlink(os.path.join(self.data_dir, p))
             if n_del == 0:
-                os.unlink(os.path.join(self.data_dir, dvname))
                 return {"files_tagged": 0, "rows_deleted": 0}
             cdf: list[dict] = []
             if meta.get("change_feed"):
@@ -1664,12 +1684,13 @@ class TxTable:
                     .withColumn("_change_type", F.lit("delete")))
             v = base + 1
             actions = [{"op": "delete_dv"},
-                       *({"dv": {"path": a["path"], "keys": dvname}}
-                         for a in touched if a["path"] in tagged),
+                       *({"dv": {"path": a["path"],
+                                 "keys": dv_of[a["path"]]}}
+                         for a in touched if a["path"] in dv_of),
                        *cdf]
             if self._commit(actions, v):
                 self._maybe_checkpoint(v)
-                return {"files_tagged": len(tagged),
+                return {"files_tagged": len(dv_of),
                         "rows_deleted": int(n_del)}
             # lost the race: a concurrent rewrite may have replaced a
             # tagged file — recompute against the new snapshot (the
