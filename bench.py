@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     # partitioned exactly-once streaming ingest — previously bench-invisible
     "txn_cdf_incremental_agg",
     "txn_agg_mv",
+    "txn_agg_mv_minmax",
     "stream_agg_mv_follow",
     "pipe_bpe_tokenize_pack",
     "txn_restore",

@@ -1805,3 +1805,220 @@ def test_dv_write_scales_out_with_touched_files(spark, orders, tmp_path):
     t.purge_deletes()
     assert _rows(t.snapshot(), cols) == _rows(exp, cols)
     assert not any(a.get("_dvs") for a in t._state()[1].values())
+
+
+@pytest.mark.parametrize("seed", [90210])
+def test_model_combined_format_operations(spark, tmp_path, seed):
+    """ONE model where every format feature interleaves randomly:
+    composite partitioning, replace_where, copy-on-write delete, DV
+    delete, purge, RESTORE, compact (global + per-partition), Z-order,
+    and change-feed capture — the interactions (a DV on a file that
+    replace_where then drops; RESTORE across a purge; zorder under
+    composite purity) are where format bugs live. Per step: snapshot ==
+    model, partition purity, and an incremental CDF consumer fold ==
+    model (resyncing across restores via ChangeFeedRestoredError);
+    spot time-travel every 5 steps, full sweep at the end.
+    ``WPE_COMBINED_MODEL_STEPS`` overrides the step count (default
+    200)."""
+    import random
+
+    from walmart_project_etl_spark.sources.txlog import \
+        ChangeFeedRestoredError
+
+    n_steps = int(os.environ.get("WPE_COMBINED_MODEL_STEPS", "200"))
+    rng = random.Random(seed)
+    t = TxTable(spark, str(tmp_path / "cm"), checkpoint_interval=5)
+    model: dict[int, tuple] = {}
+
+    def row(k, val):
+        return (k, "abc"[k % 3], k % 2, k // 100, float(val))
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            list(rows), "k long, p string, b int, s int, v double")
+
+    def snap_rows():
+        return {r["k"]: tuple(r) for r in t.snapshot().collect()}
+
+    init = {k: row(k, k) for k in rng.sample(range(1000), 40)}
+    t.create(df_of(init.values()), "k", n_files=4,
+             partition_by=["p", "b"], stats_cols=["s"],
+             change_feed=True)
+    model.update(init)
+    versioned = {t.versions()[-1]: dict(model)}
+    fold = dict(model)                   # the incremental CDF consumer
+    cdf_since = t.versions()[-1] + 1
+
+    OPS = (["append"] * 3 + ["merge"] * 3 + ["delete"] * 2
+           + ["delete_dv"] * 2 + ["replace_where"] * 2
+           + ["purge", "restore", "compact", "compact_partitions",
+              "zorder"])
+    for step in range(n_steps):
+        op = rng.choice(OPS)
+        if op == "append":
+            new = {k: row(k, step)
+                   for k in rng.sample(range(2000, 9000), 6)
+                   if k not in model}
+            t.append(df_of(new.values()))
+            model.update(new)
+        elif op == "merge":
+            keys = rng.sample(sorted(model), min(4, len(model))) + \
+                rng.sample(range(10_000, 12_000), 2)
+            ups = {k: row(k, step + 0.5) for k in keys}
+            t.merge_upsert(df_of(ups.values()))
+            model.update(ups)
+        elif op == "delete":
+            doomed = rng.sample(sorted(model), min(3, len(model)))
+            t.delete_keys(df_of(model[k] for k in doomed).select("k"))
+            for k in doomed:
+                model.pop(k)
+        elif op == "delete_dv":
+            doomed = rng.sample(sorted(model), min(3, len(model)))
+            t.delete_keys_dv(df_of(model[k] for k in doomed).select("k"))
+            for k in doomed:
+                model.pop(k)
+        elif op == "replace_where":
+            # the overwrite's rows carry the target tuple regardless of
+            # k (partition value is data, not key-derived) — a later
+            # merge may legally move such a key back to its k-derived
+            # partition, which the model tracks exactly
+            val = ("abc"[rng.randrange(3)], rng.randrange(2))
+            new = {k: (k, val[0], val[1], k // 100, step + 0.75)
+                   for k in rng.sample(range(20_000, 30_000), 5)}
+            t.replace_where(val, df_of(new.values()))
+            model = {k: r for k, r in model.items()
+                     if (r[1], r[2]) != val}
+            model.update(new)
+        elif op == "purge":
+            t.purge_deletes()
+        elif op == "restore":
+            tgt = rng.choice(sorted(versioned))
+            t.restore(tgt)
+            model = dict(versioned[tgt])
+        elif op == "compact":
+            t.compact(target_rows=100)
+        elif op == "compact_partitions":
+            t.compact_partitions(
+                [("abc"[rng.randrange(3)], rng.randrange(2))],
+                target_rows=100)
+        else:
+            t.optimize_zorder(["k", "s"], target_rows=100)
+        assert snap_rows() == model, \
+            f"divergence after step {step}: {op}"
+        _, live = t._state()
+        assert all(isinstance(a.get("pval"), list)
+                   and len(a["pval"]) == 2 for a in live.values()), \
+            f"purity broken after step {step}: {op}"
+        cur_v = t.versions()[-1]
+        if op == "restore":
+            # the feed refuses to fold across the restore; the
+            # consumer resyncs from the restored snapshot
+            with pytest.raises(ChangeFeedRestoredError):
+                t.read_changes(since_version=cdf_since, upto=cur_v)
+            fold = dict(model)
+            cdf_since = cur_v + 1
+        elif cur_v >= cdf_since:
+            ch = t.read_changes(since_version=cdf_since,
+                                upto=cur_v).collect()
+            for v in sorted({r["_commit_version"] for r in ch}):
+                vr = [r for r in ch if r["_commit_version"] == v]
+                for r in vr:
+                    if r["_change_type"] in ("delete",
+                                             "update_preimage"):
+                        fold.pop(r["k"], None)
+                for r in vr:
+                    if r["_change_type"] in ("insert",
+                                             "update_postimage"):
+                        fold[r["k"]] = (r["k"], r["p"], r["b"],
+                                        r["s"], r["v"])
+            assert fold == model, \
+                f"CDF consumer diverged after step {step}: {op}"
+            cdf_since = cur_v + 1
+        if step % 5 == 4:
+            v = rng.choice(sorted(versioned))
+            got = {r["k"]: tuple(r) for r in t.snapshot(v).collect()}
+            assert got == versioned[v], \
+                f"time travel broken at version {v} (step {step})"
+        versioned[cur_v] = dict(model)
+    for v, expected in versioned.items():
+        got = {r["k"]: tuple(r) for r in t.snapshot(v).collect()}
+        assert got == expected, f"time travel broken at version {v}"
+
+
+def test_update_where_two_phase_and_partition_migration(
+        spark, orders, tmp_path):
+    """Predicate UPDATE: only files holding a matching row rewrite
+    (two-phase discovery with partition-hint pruning); SET on a
+    partition column migrates rows pure; constraints validate the
+    updated rows; CDF captures pre/post images."""
+    part = orders
+    t = TxTable(spark, str(tmp_path / "uw"))
+    t.create(part, "o_orderkey", n_files=6, change_feed=True,
+             partition_by="o_orderstatus")
+    _, live0 = t._state()
+    n_f_files = sum(1 for a in live0.values() if a["pval"] == "F")
+
+    res = t.update_where({"o_totalprice": "o_totalprice + 1000000"},
+                         "o_custkey % 4 = 1", partitions=["F"])
+    assert res["files_scanned"] == n_f_files          # hint pruned
+    assert res["files_rewritten"] <= n_f_files
+    assert res["files_untouched"] >= len(live0) - n_f_files
+    exp = orders.withColumn(
+        "o_totalprice",
+        F.when((F.col("o_orderstatus") == "F")
+               & (F.col("o_custkey") % 4 == 1),
+               F.col("o_totalprice") + 1000000)
+        .otherwise(F.col("o_totalprice")))
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    assert _rows(t.snapshot(), cols) == _rows(exp, cols)
+    assert res["rows_matched"] == orders.where(
+        "o_orderstatus = 'F' AND o_custkey % 4 = 1").count()
+    ch = t.read_changes(since_version=1)
+    assert ch.where("_change_type = 'update_postimage'").count() == \
+        res["rows_matched"]
+    assert ch.where("_change_type = 'update_preimage'").count() == \
+        res["rows_matched"]
+
+    # SET on the partition column: rows migrate, files stay pure
+    res2 = t.update_where({"o_orderstatus": "'X'"},
+                          "o_orderstatus = 'P' AND o_orderkey % 2 = 0")
+    assert res2["rows_matched"] > 0
+    _, live2 = t._state()
+    assert all("pval" in a for a in live2.values())
+    assert t.snapshot().where("o_orderstatus = 'X'").count() == \
+        res2["rows_matched"]
+    assert t.read_partitions(["X"]).count() == res2["rows_matched"]
+
+    # constraints validate the UPDATED rows
+    t2 = TxTable(spark, str(tmp_path / "uwc"))
+    t2.create(orders, "o_orderkey", n_files=2)
+    t2.add_constraint("pos", "o_totalprice > 0")
+    with pytest.raises(ValueError, match="pos"):
+        t2.update_where({"o_totalprice": "-o_totalprice"},
+                        "o_orderkey % 2 = 0")
+    # no-match predicate: zero rewrites, no commit
+    v = t2.versions()[-1]
+    r = t2.update_where({"o_totalprice": "0.0"}, "o_orderkey < 0")
+    assert r["files_rewritten"] == 0 and t2.versions()[-1] == v
+
+
+def test_delete_where_pruned_and_exact(spark, orders, tmp_path):
+    """Predicate DELETE: stats-hint pruning bounds the candidate scan,
+    only match-holding files rewrite, result equals the SQL filter,
+    CDF captures the deletes."""
+    t = TxTable(spark, str(tmp_path / "dw"))
+    t.create(orders, "o_orderkey", n_files=8, change_feed=True,
+             stats_cols=["o_custkey"])
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    res = t.delete_where(f"o_orderkey <= {lo + 50}",
+                         key_lo=None, key_hi=lo + 50)
+    _, live0 = t._state()
+    assert res["files_scanned"] <= 2                  # key-hint pruned
+    assert res["files_rewritten"] <= 2
+    exp = orders.where(f"o_orderkey > {lo + 50}")
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _rows(t.snapshot(), cols) == _rows(exp, cols)
+    n_del = orders.where(f"o_orderkey <= {lo + 50}").count()
+    assert res["rows_matched"] == n_del
+    ch = t.read_changes(since_version=1)
+    assert ch.where("_change_type = 'delete'").count() == n_del

@@ -1203,6 +1203,64 @@ def txn_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total"), 2).cast("double").alias("total"))
 
 
+@q("txn_update_where",
+   """SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderstatus = 'F' AND o_custkey % 10 = 3
+                  THEN o_totalprice * 1.1 ELSE o_totalprice
+             END AS o_totalprice,
+             o_orderstatus
+      FROM orders""")
+def txn_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate ``UPDATE ... SET ... WHERE`` (Delta's two-phase DML):
+    the partition hint prunes candidate files on the log alone, ONE
+    candidate scan finds the files actually holding a match, and only
+    those rewrite — a targeted price adjustment on a 100 TB partitioned
+    table costs O(one partition's matching files), not a table rewrite.
+    Pruning/migration/constraint semantics pinned in
+    tests/test_txlog.py::test_update_where_two_phase_and_partition_migration."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_updw")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8, partition_by="o_orderstatus")
+    tt.update_where({"o_totalprice": "o_totalprice * 1.1"},
+                    "o_custkey % 10 = 3", partitions=["F"])
+    return tt.snapshot()
+
+
+@q("txn_delete_where",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders
+      WHERE NOT (o_custkey BETWEEN 100 AND 500
+                 AND o_orderkey % 3 = 0)""")
+def txn_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate ``DELETE WHERE`` through the same two-phase DML core:
+    the declared-stats hint bounds the candidate scan to the custkey
+    band's files, only match-holding files rewrite, everything else
+    survives by path. Completes the format's DML triad
+    (MERGE / UPDATE / DELETE) — exactness pinned in
+    tests/test_txlog.py::test_delete_where_pruned_and_exact."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_delw")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8, stats_cols=["o_custkey"])
+    tt.delete_where("o_custkey BETWEEN 100 AND 500 "
+                    "AND o_orderkey % 3 = 0",
+                    stats={"o_custkey": (100, 500)})
+    return tt.snapshot()
+
+
 @q("txn_agg_mv_minmax",
    """WITH final AS (
         SELECT o_orderkey, o_orderstatus,

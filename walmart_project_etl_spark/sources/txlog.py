@@ -883,6 +883,22 @@ class TxTable:
         meta, live = self._state(version, self._read_mode(version))
         if meta is None:
             raise FileNotFoundError(f"no table at {self.root}")
+        files, residual = self._prune_live(meta, live, partitions,
+                                           key_lo, key_hi, stats)
+        df = self._read_files(meta, files)
+        if residual is not None:
+            df = df.where(residual)
+        return df
+
+    def _prune_live(self, meta: dict, live: dict, partitions=None,
+                    key_lo=None, key_hi=None, stats: dict | None = None):
+        """The composed file-skipping tiers of :meth:`read_where`,
+        factored for every reader/writer that needs "which live files
+        can hold rows matching these bounds" (read_where itself, the
+        predicate UPDATE/DELETE's touched-file discovery). Returns
+        ``(surviving add-actions, residual Column-or-None)`` — the
+        residual re-applies the exact bounds so results equal the
+        unpruned filter at any layout."""
         key = meta["key_col"]
         pcols = _meta_parts(meta)
         if partitions is not None and not pcols:
@@ -923,19 +939,22 @@ class TxTable:
             return True
 
         files = [a for a in live.values() if survives(a)]
-        df = self._read_files(meta, files)
+        conds = []
         if pvals is not None:
-            df = df.where(_pval_predicate(pcols, pvals))
+            conds.append(_pval_predicate(pcols, pvals))
         if key_lo is not None:
-            df = df.where(F.col(key) >= key_lo)
+            conds.append(F.col(key) >= key_lo)
         if key_hi is not None:
-            df = df.where(F.col(key) <= key_hi)
+            conds.append(F.col(key) <= key_hi)
         for col, (lo, hi) in stats.items():
             if lo is not None:
-                df = df.where(F.col(col) >= lo)
+                conds.append(F.col(col) >= lo)
             if hi is not None:
-                df = df.where(F.col(col) <= hi)
-        return df
+                conds.append(F.col(col) <= hi)
+        residual = None
+        for c in conds:
+            residual = c if residual is None else residual & c
+        return files, residual
 
     def read_changes(self, since_version: int = 0,
                      upto: int | None = None) -> DataFrame:
@@ -1005,7 +1024,8 @@ class TxTable:
                     continue
                 df = self._read_files(meta, paths) \
                     .withColumn("_change_type", F.lit("insert"))
-            elif op in ("merge", "delete", "delete_dv", "replace_where"):
+            elif op in ("merge", "delete", "delete_dv", "replace_where",
+                        "update"):
                 paths = [os.path.join(self.data_dir, a["cdf"]["path"])
                          for a in acts if "cdf" in a]
                 if not paths:
@@ -1695,6 +1715,118 @@ class TxTable:
             # lost the race: a concurrent rewrite may have replaced a
             # tagged file — recompute against the new snapshot (the
             # orphaned dv file is unreferenced ⇒ invisible)
+
+    def update_where(self, set_exprs: dict[str, str], where: str,
+                     partitions=None, key_lo=None, key_hi=None,
+                     stats: dict | None = None) -> dict:
+        """Delta-style predicate ``UPDATE ... SET ... WHERE``: rows
+        matching ``where`` (a Spark SQL predicate over the table's
+        columns) get each ``set_exprs`` column replaced by its
+        expression (evaluated against the OLD row, cast to the
+        declared column type); every other row — and every file
+        holding no matching row — survives untouched.
+
+        Two-phase, like Delta's UPDATE: (1) find the touched files —
+        the optional ``partitions``/``key_lo``/``key_hi``/``stats``
+        bounds prune candidates on the log alone (they AND into the
+        effective predicate, same semantics as :meth:`read_where`),
+        then one scan of the candidates counts matches per file; (2)
+        rewrite ONLY the files that hold a match. Updating partition
+        columns is legal (rows migrate partitions — the write re-splits
+        them pure); CHECK constraints validate the updated rows; CDF
+        captures update pre/post images. Returns {files_scanned,
+        files_rewritten, files_untouched, rows_matched}."""
+        if not set_exprs:
+            raise ValueError("no SET expressions")
+        return self._dml_where("update", where, set_exprs,
+                               partitions, key_lo, key_hi, stats)
+
+    def delete_where(self, where: str, partitions=None,
+                     key_lo=None, key_hi=None,
+                     stats: dict | None = None) -> dict:
+        """Delta-style predicate ``DELETE WHERE``: drop the rows
+        matching ``where``, rewriting only the files that hold one —
+        same two-phase touched-file discovery, pruning hints, CDF
+        delete capture, and return shape as :meth:`update_where`.
+        For key-set deletes prefer :meth:`delete_keys` (bloom-pruned)
+        or :meth:`delete_keys_dv` (zero rewrite)."""
+        return self._dml_where("delete", where, None,
+                               partitions, key_lo, key_hi, stats)
+
+    def _dml_where(self, kind: str, where: str, set_exprs,
+                   partitions, key_lo, key_hi, stats) -> dict:
+        while True:
+            base = self.versions()[-1]          # pinned read (see merge)
+            meta, live = self._state(base)
+            key = meta["key_col"]
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            if set_exprs:
+                unknown = [c for c in set_exprs
+                           if c not in schema.fieldNames()]
+                if unknown:
+                    raise ValueError(f"SET on unknown columns {unknown}")
+            candidates, residual = self._prune_live(
+                meta, live, partitions, key_lo, key_hi, stats)
+            pred = F.expr(where)
+            if residual is not None:
+                pred = pred & residual
+            # phase 1: one candidate scan → per-file match counts
+            # (metadata-plane collect, one row per candidate file)
+            hits = (self._read_files(meta, candidates,
+                                     keep_file_col="__file")
+                    .where(pred).groupBy("__file")
+                    .agg(F.count(F.lit(1)).alias("n"))).collect()
+            n_matched = sum(r["n"] for r in hits)
+            touched_names = {r["__file"] for r in hits}
+            if not touched_names:
+                return {"files_scanned": len(candidates),
+                        "files_rewritten": 0,
+                        "files_untouched": len(live),
+                        "rows_matched": 0}
+            touched = [a for a in candidates
+                       if a["path"] in touched_names]
+            old = self._read_files(meta, touched)
+            matched = old.where(pred)
+            kept = old.where(~pred.eqNullSafe(F.lit(True)))
+            if kind == "update":
+                updated = matched.select(
+                    *[F.expr(set_exprs[f.name]).cast(f.dataType)
+                       .alias(f.name) if f.name in set_exprs
+                      else F.col(f.name) for f in schema.fields])
+                # constraints on the rows actually written (the kept
+                # rows were validated by their own writes)
+                self._validate_constraints(updated, meta)
+                new_rows = kept.unionByName(updated)
+            else:
+                new_rows = kept
+            adds = self._write_files(new_rows, key,
+                                     stats_cols=_meta_stats_cols(meta),
+                                     partition_by=meta.get("partition_by"))
+            cdf: list[dict] = []
+            if meta.get("change_feed"):
+                if kind == "update":
+                    changes = (matched.withColumn(
+                                   "_change_type",
+                                   F.lit("update_preimage"))
+                               .unionByName(updated.withColumn(
+                                   "_change_type",
+                                   F.lit("update_postimage"))))
+                else:
+                    changes = matched.withColumn("_change_type",
+                                                 F.lit("delete"))
+                cdf = self._write_cdf(changes)
+            op = "update" if kind == "update" else "delete"
+            actions = [{"op": op}, *adds, *cdf,
+                       *({"remove": {"path": a["path"]}}
+                         for a in touched)]
+            if self._commit(actions, base + 1):
+                self._maybe_checkpoint(base + 1)
+                return {"files_scanned": len(candidates),
+                        "files_rewritten": len(touched),
+                        "files_untouched": len(live) - len(touched),
+                        "rows_matched": int(n_matched)}
+            # lost the race: orphan the written files and recompute
+            # against the new snapshot
 
     def purge_deletes(self) -> dict:
         """Materialize outstanding deletion vectors: rewrite ONLY the

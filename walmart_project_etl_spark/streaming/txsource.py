@@ -140,7 +140,8 @@ class TxLogStreamReader(DataSourceStreamReader):
                                                  a["add"]["path"]),
                                     "insert", v)
                           for a in acts if "add" in a]
-            elif op in ("merge", "delete", "delete_dv", "replace_where"):
+            elif op in ("merge", "delete", "delete_dv", "replace_where",
+                        "update"):
                 parts += [_FilePart(os.path.join(t.data_dir,
                                                  a["cdf"]["path"]),
                                     None, v)
