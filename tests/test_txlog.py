@@ -2022,3 +2022,44 @@ def test_delete_where_pruned_and_exact(spark, orders, tmp_path):
     assert res["rows_matched"] == n_del
     ch = t.read_changes(since_version=1)
     assert ch.where("_change_type = 'delete'").count() == n_del
+
+
+def test_merge_schema_write_option(spark, orders, tmp_path):
+    """Delta's mergeSchema: a write carrying NEW columns extends the
+    declared schema atomically with the data (one commit, no separate
+    evolve); old files surface the columns as NULL; declared columns
+    missing from the write fill as NULLs; time travel before the
+    evolving commit still sees the old schema; plain writes keep
+    rejecting drift."""
+    base = orders.select("o_orderkey", "o_totalprice")
+    t = TxTable(spark, str(tmp_path / "ms"))
+    t.create(base.where("o_orderkey % 2 = 0"), "o_orderkey", n_files=2)
+
+    t.append(base.where("o_orderkey % 2 = 1")
+             .withColumn("batch", F.lit("b2")), merge_schema=True)
+    assert t.snapshot().columns == ["o_orderkey", "o_totalprice",
+                                    "batch"]
+    # ONE commit carried schema + data
+    assert [h["op"] for h in t.history()] == ["create", "append"]
+    assert t.snapshot().where("batch IS NULL").count() == \
+        base.where("o_orderkey % 2 = 0").count()
+    # time travel before the evolution: old schema
+    assert t.snapshot(0).columns == ["o_orderkey", "o_totalprice"]
+
+    # merge with another new column, 'batch' missing from the source
+    ups = base.where("o_orderkey % 100 = 0") \
+              .withColumn("o_totalprice", F.col("o_totalprice") * 2) \
+              .withColumn("q", F.lit(5))
+    t.merge_upsert(ups, merge_schema=True)
+    s = t.snapshot()
+    assert s.columns == ["o_orderkey", "o_totalprice", "batch", "q"]
+    n_up = base.where("o_orderkey % 100 = 0").count()
+    assert s.where("q = 5").count() == n_up
+    assert s.where("q = 5 AND batch IS NULL").count() == n_up
+    assert s.count() == base.count()
+
+    # non-evolving writes still reject drift both ways
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(base.limit(1))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(s.limit(1).withColumn("zz", F.lit(1)))

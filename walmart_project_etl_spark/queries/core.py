@@ -1203,6 +1203,41 @@ def txn_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total"), 2).cast("double").alias("total"))
 
 
+@q("txn_merge_schema",
+   """SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                  WHEN o_orderkey % 2 = 1 THEN 'b2' END AS batch,
+             CASE WHEN o_orderkey % 100 = 0 THEN 5 END AS q
+      FROM orders""")
+def txn_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``mergeSchema`` write option: an append whose source
+    carries a NEW column extends the declared schema ATOMICALLY in the
+    same commit as the data (old files surface it as NULL), and a
+    merge adds another while filling its own missing columns as NULLs
+    — the drifting-upstream ingest case a 100 TB pipeline hits weekly,
+    handled without a separate evolve commit or any data rewrite.
+    Pinned in tests/test_txlog.py::test_merge_schema_write_option."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_msch")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o.where(F.col("o_orderkey") % 2 == 0), "o_orderkey",
+              n_files=4)
+    tt.append(o.where(F.col("o_orderkey") % 2 == 1)
+              .withColumn("batch", F.lit("b2")), merge_schema=True)
+    tt.merge_upsert(o.where(F.col("o_orderkey") % 100 == 0)
+                    .withColumn("o_totalprice",
+                                F.col("o_totalprice") * 2)
+                    .withColumn("q", F.lit(5)), merge_schema=True)
+    return tt.snapshot()
+
+
 @q("txn_update_where",
    """SELECT o_orderkey, o_custkey,
              CASE WHEN o_orderstatus = 'F' AND o_custkey % 10 = 3

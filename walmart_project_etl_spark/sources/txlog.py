@@ -1176,6 +1176,29 @@ class TxTable:
                 self._maybe_checkpoint(v)
                 return
 
+    def _merged_schema(self, meta: dict, df: DataFrame):
+        """Delta ``mergeSchema`` semantics for a write: columns of
+        ``df`` beyond the declared schema extend it (nullable, in one
+        atomic action alongside the data — never a separate evolve
+        commit); declared columns missing from ``df`` fill as typed
+        NULLs. Returns ``(possibly-new meta, aligned df)`` — the meta
+        object is the SAME dict when nothing evolved (callers test
+        identity to decide whether to ship a meta action)."""
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        declared = set(schema.fieldNames())
+        extra = [c for c in df.columns if c not in declared]
+        for c in extra:
+            schema = schema.add(c, df.schema[c].dataType, True)
+        for f in schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name,
+                                   F.lit(None).cast(f.dataType))
+        if not extra:
+            return meta, df
+        new_meta = dict(meta)
+        new_meta["schema"] = schema.json()
+        return new_meta, df
+
     def _check_schema(self, df: DataFrame, meta: dict,
                       constraints: bool = True) -> DataFrame:
         """Appends/merges must carry exactly the table's columns (any
@@ -1391,23 +1414,52 @@ class TxTable:
         files = prune(list(live.values()))
         return self._read_files(meta, files).join(keys, key, "semi")
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> None:
         """ACID append: new files + one log commit; retries the commit
         (not the file writes — they are version-independent) on a lost
-        optimistic race."""
+        optimistic race.
+
+        ``merge_schema=True`` is Delta's ``mergeSchema`` write option:
+        new columns in ``df`` extend the declared schema ATOMICALLY in
+        the same commit as the data (old files surface them as NULL;
+        declared columns missing from ``df`` fill as NULLs) — the
+        drifting-upstream ingest case. The evolving path pins its base
+        version and rewrites on a lost race (the schema action must
+        not clobber a concurrent evolve); the default path keeps the
+        cheap commit-only retry."""
         meta, _ = self._state()
-        df = self._check_schema(df, meta)
-        adds = self._write_files(df, meta["key_col"],
-                                 stats_cols=_meta_stats_cols(meta),
-                                 partition_by=meta.get("partition_by"))
+        if not merge_schema:
+            df = self._check_schema(df, meta)
+            adds = self._write_files(df, meta["key_col"],
+                                     stats_cols=_meta_stats_cols(meta),
+                                     partition_by=meta.get("partition_by"))
+            while True:
+                v = self.versions()[-1] + 1
+                if self._commit([{"op": "append"}, *adds], v):
+                    self._maybe_checkpoint(v)
+                    return
         while True:
-            v = self.versions()[-1] + 1
-            if self._commit([{"op": "append"}, *adds], v):
-                self._maybe_checkpoint(v)
+            base = self.versions()[-1]          # pinned read (see merge)
+            meta, _ = self._state(base)
+            meta2, dfx = self._merged_schema(meta, df)
+            dfx = self._check_schema(dfx, meta2)
+            adds = self._write_files(dfx, meta2["key_col"],
+                                     stats_cols=_meta_stats_cols(meta2),
+                                     partition_by=meta2.get(
+                                         "partition_by"))
+            actions: list[dict] = [{"op": "append"}]
+            if meta2 is not meta:
+                actions.append({"meta": meta2})
+            actions += adds
+            if self._commit(actions, base + 1):
+                self._maybe_checkpoint(base + 1)
                 return
+            # lost the race: the base schema may have changed — orphan
+            # the written files and recompute the merge from scratch
 
     def merge_upsert(self, updates: DataFrame,
-                     txn: tuple[str, int] | None = None) -> dict:
+                     txn: tuple[str, int] | None = None,
+                     merge_schema: bool = False) -> dict:
         """SCD1 ``MERGE``: rows matching an update key are replaced, new
         keys inserted — rewriting ONLY the files whose [kmin, kmax] can
         contain an update key. Returns {files_scanned, files_rewritten,
@@ -1424,12 +1476,18 @@ class TxTable:
         committed one is skipped — so a replayed ``foreachBatch``
         micro-batch (restart re-delivery) is a no-op instead of a double
         apply. This is what gives a streaming sink exactly-once table
-        semantics on top of at-least-once batch delivery."""
+        semantics on top of at-least-once batch delivery.
+
+        ``merge_schema=True``: Delta's ``mergeSchema`` — new source
+        columns extend the declared schema atomically with the merge
+        (see :meth:`append`); kept target rows from pre-evolution
+        files surface the new columns as NULL."""
         meta = self._state()[0]
         key = meta["key_col"]
-        # validate + normalize to the table's column order so every data
-        # file carries the same physical layout
-        updates = self._check_schema(updates, meta)
+        if not merge_schema:
+            # validate + normalize to the table's column order so every
+            # data file carries the same physical layout
+            updates = self._check_schema(updates, meta)
         prune = self._key_pruner(updates, key)
 
         while True:
@@ -1443,7 +1501,17 @@ class TxTable:
             # concurrency (the os.link race alone only prevents
             # version collisions, not stale reads)
             base = self.versions()[-1]
-            _, live = self._state(base)
+            evolved = False
+            if merge_schema:
+                # re-merge per attempt AT base so a lost race never
+                # clobbers a concurrent evolve's schema
+                meta, live = self._state(base)
+                meta2, upd = self._merged_schema(meta, updates)
+                evolved = meta2 is not meta
+                meta = meta2
+                updates = self._check_schema(upd, meta)
+            else:
+                _, live = self._state(base)
             touched = prune(list(live.values()))
             untouched = len(live) - len(touched)
             if touched:
@@ -1478,7 +1546,9 @@ class TxTable:
                                                  F.lit("insert"))
                 cdf = self._write_cdf(changes)
             v = base + 1
-            actions = [{"op": "merge"}, *adds, *cdf,
+            actions = [{"op": "merge"},
+                       *([{"meta": meta}] if evolved else []),
+                       *adds, *cdf,
                        *({"remove": {"path": a["path"]}} for a in touched)]
             if txn is not None:
                 actions.append({"txn": {"app": txn[0], "batch": txn[1]}})
