@@ -1812,14 +1812,16 @@ def test_model_combined_format_operations(spark, tmp_path, seed):
     """ONE model where every format feature interleaves randomly:
     composite partitioning, replace_where, copy-on-write delete, DV
     delete, purge, RESTORE, compact (global + per-partition), Z-order,
-    and change-feed capture — the interactions (a DV on a file that
-    replace_where then drops; RESTORE across a purge; zorder under
-    composite purity) are where format bugs live. Per step: snapshot ==
-    model, partition purity, and an incremental CDF consumer fold ==
-    model (resyncing across restores via ChangeFeedRestoredError);
-    spot time-travel every 5 steps, full sweep at the end.
-    ``WPE_COMBINED_MODEL_STEPS`` overrides the step count (default
-    200)."""
+    COLUMN RENAME (any column: key, partition, stats, value), and
+    change-feed capture — the interactions (a DV on a file that
+    replace_where then drops; RESTORE across a purge; a rename between
+    a file's write and its zorder rewrite; pruning through the mapping)
+    are where format bugs live. Per step: snapshot == model (positional
+    — logical names rotate), partition purity, and an incremental CDF
+    consumer fold == model (resyncing across restores via
+    ChangeFeedRestoredError); spot time-travel every 5 steps, full
+    sweep at the end. ``WPE_COMBINED_MODEL_STEPS`` overrides the step
+    count (default 200)."""
     import random
 
     from walmart_project_etl_spark.sources.txlog import \
@@ -1829,16 +1831,21 @@ def test_model_combined_format_operations(spark, tmp_path, seed):
     rng = random.Random(seed)
     t = TxTable(spark, str(tmp_path / "cm"), checkpoint_interval=5)
     model: dict[int, tuple] = {}
+    #: CURRENT logical column names (renames rotate them); rows are
+    #: tracked positionally so the model is name-agnostic
+    names = ["k", "p", "b", "s", "v"]
+    types = ["long", "string", "int", "int", "double"]
 
     def row(k, val):
         return (k, "abc"[k % 3], k % 2, k // 100, float(val))
 
     def df_of(rows):
         return spark.createDataFrame(
-            list(rows), "k long, p string, b int, s int, v double")
+            list(rows),
+            ", ".join(f"{n} {ty}" for n, ty in zip(names, types)))
 
     def snap_rows():
-        return {r["k"]: tuple(r) for r in t.snapshot().collect()}
+        return {r[0]: tuple(r) for r in t.snapshot().collect()}
 
     init = {k: row(k, k) for k in rng.sample(range(1000), 40)}
     t.create(df_of(init.values()), "k", n_files=4,
@@ -1846,13 +1853,14 @@ def test_model_combined_format_operations(spark, tmp_path, seed):
              change_feed=True)
     model.update(init)
     versioned = {t.versions()[-1]: dict(model)}
+    vnames = {t.versions()[-1]: list(names)}   # logical names per version
     fold = dict(model)                   # the incremental CDF consumer
     cdf_since = t.versions()[-1] + 1
 
     OPS = (["append"] * 3 + ["merge"] * 3 + ["delete"] * 2
            + ["delete_dv"] * 2 + ["replace_where"] * 2
            + ["purge", "restore", "compact", "compact_partitions",
-              "zorder"])
+              "zorder"] + ["rename"] * 2)
     for step in range(n_steps):
         op = rng.choice(OPS)
         if op == "append":
@@ -1869,12 +1877,14 @@ def test_model_combined_format_operations(spark, tmp_path, seed):
             model.update(ups)
         elif op == "delete":
             doomed = rng.sample(sorted(model), min(3, len(model)))
-            t.delete_keys(df_of(model[k] for k in doomed).select("k"))
+            t.delete_keys(df_of(model[k] for k in doomed)
+                          .select(names[0]))
             for k in doomed:
                 model.pop(k)
         elif op == "delete_dv":
             doomed = rng.sample(sorted(model), min(3, len(model)))
-            t.delete_keys_dv(df_of(model[k] for k in doomed).select("k"))
+            t.delete_keys_dv(df_of(model[k] for k in doomed)
+                             .select(names[0]))
             for k in doomed:
                 model.pop(k)
         elif op == "replace_where":
@@ -1895,14 +1905,20 @@ def test_model_combined_format_operations(spark, tmp_path, seed):
             tgt = rng.choice(sorted(versioned))
             t.restore(tgt)
             model = dict(versioned[tgt])
+            names = list(vnames[tgt])    # old logical names come back
         elif op == "compact":
             t.compact(target_rows=100)
         elif op == "compact_partitions":
             t.compact_partitions(
                 [("abc"[rng.randrange(3)], rng.randrange(2))],
                 target_rows=100)
+        elif op == "rename":
+            i = rng.randrange(len(names))
+            new = f"n{step}"
+            t.rename_column(names[i], new)
+            names[i] = new
         else:
-            t.optimize_zorder(["k", "s"], target_rows=100)
+            t.optimize_zorder([names[0], names[3]], target_rows=100)
         assert snap_rows() == model, \
             f"divergence after step {step}: {op}"
         _, live = t._state()
@@ -1925,23 +1941,23 @@ def test_model_combined_format_operations(spark, tmp_path, seed):
                 for r in vr:
                     if r["_change_type"] in ("delete",
                                              "update_preimage"):
-                        fold.pop(r["k"], None)
+                        fold.pop(r[0], None)
                 for r in vr:
                     if r["_change_type"] in ("insert",
                                              "update_postimage"):
-                        fold[r["k"]] = (r["k"], r["p"], r["b"],
-                                        r["s"], r["v"])
+                        fold[r[0]] = tuple(r)[:5]
             assert fold == model, \
                 f"CDF consumer diverged after step {step}: {op}"
             cdf_since = cur_v + 1
         if step % 5 == 4:
             v = rng.choice(sorted(versioned))
-            got = {r["k"]: tuple(r) for r in t.snapshot(v).collect()}
+            got = {r[0]: tuple(r) for r in t.snapshot(v).collect()}
             assert got == versioned[v], \
                 f"time travel broken at version {v} (step {step})"
         versioned[cur_v] = dict(model)
+        vnames[cur_v] = list(names)
     for v, expected in versioned.items():
-        got = {r["k"]: tuple(r) for r in t.snapshot(v).collect()}
+        got = {r[0]: tuple(r) for r in t.snapshot(v).collect()}
         assert got == expected, f"time travel broken at version {v}"
 
 

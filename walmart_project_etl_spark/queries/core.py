@@ -1882,3 +1882,117 @@ def s11_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                          StructField("lang", StringType()),
                          StructField("text", StringType())])
     return read_jsonl(spark, path, schema)
+
+
+@q("txn_rename_column",
+   """SELECT o_orderkey AS okey, o_custkey,
+             CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price,
+             o_orderstatus AS status
+      FROM orders""")
+def txn_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING rename (Delta column-mapping semantics,
+    sources/txlog.py:rename_column): renaming the MERGE KEY, a stats
+    column, and a value column are each ONE metadata-only commit — no
+    data file moves at any table size — and every later operation keeps
+    working through the mapping: the post-rename APPEND and key-pruned
+    MERGE write physical names, pre-rename files stay fully readable
+    and prunable (kmin/kmax/bloom/cstats are keyed by physical names,
+    which never move). The oracle recomputes the final state under the
+    new logical names. Pinned in tests/test_txlog_mapping.py."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_rename")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o.where(F.col("o_orderkey") % 2 == 0), "o_orderkey",
+              n_files=4, stats_cols=["o_orderstatus"])
+    tt.rename_column("o_orderkey", "okey")          # the merge key
+    tt.rename_column("o_orderstatus", "status")     # a stats column
+    tt.rename_column("o_totalprice", "price")       # a value column
+    renamed = (o.withColumnRenamed("o_orderkey", "okey")
+               .withColumnRenamed("o_orderstatus", "status")
+               .withColumnRenamed("o_totalprice", "price"))
+    tt.append(renamed.where(F.col("okey") % 2 == 1))
+    tt.merge_upsert(renamed.where(F.col("okey") % 50 == 0)
+                    .withColumn("price", F.col("price") * 2))
+    return tt.snapshot().select("okey", "o_custkey", "price", "status")
+
+
+@q("txn_drop_column",
+   """SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 25 = 0 THEN 'adjusted' END AS note
+      FROM orders""")
+def txn_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING drop + re-add (sources/txlog.py:drop_column): a
+    column is dropped in ONE metadata-only commit (no rewrite — the
+    physical column just stops being selected), then the SAME logical
+    name is re-introduced by a mergeSchema merge. The re-added name
+    maps to a FRESH physical name, so the dropped data never
+    resurrects: pre-drop rows read NULL, only the merge's rows carry
+    the new values — the hazard Delta's column-mapping field IDs exist
+    to prevent, proven here by the oracle's CASE shape. Pinned in
+    tests/test_txlog_mapping.py::test_drop_then_readd_never_resurrects."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_dropcol")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o.withColumn("note", F.lit("legacy")), "o_orderkey",
+              n_files=4)
+    tt.drop_column("note")
+    tt.merge_upsert(o.where(F.col("o_orderkey") % 25 == 0)
+                    .withColumn("note", F.lit("adjusted")),
+                    merge_schema=True)
+    return tt.snapshot()
+
+
+@q("txn_type_widening",
+   """SELECT o_orderkey,
+             CAST(o_custkey AS BIGINT) AS o_custkey,
+             CASE WHEN o_orderkey % 40 = 0
+                  THEN CAST(o_totalprice AS DOUBLE) * 4
+                  ELSE CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+             END AS price
+      FROM orders""")
+def txn_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING (Delta ALTER COLUMN TYPE semantics,
+    sources/txlog.py:widen_column): an explicit int→bigint widen and an
+    implicit float→double widen via a merge_schema=True merge are each
+    ONE metadata-only commit — no data rewrite; the parquet reader
+    serves every pre-widen file under the wider declared type natively.
+    Narrower post-widen writes upcast losslessly and automatically;
+    lossy type drift is rejected loudly (one double file landing in an
+    int column would otherwise poison every later snapshot read).
+    Pinned in tests/test_txlog_widening.py."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("int").alias("o_custkey"),
+        F.col("o_totalprice").cast("float").alias("price"))
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_widen")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o.where(F.col("o_orderkey") % 2 == 0), "o_orderkey",
+              n_files=4)
+    tt.widen_column("o_custkey", "bigint")       # explicit, metadata-only
+    tt.append(o.where(F.col("o_orderkey") % 2 == 1))   # narrow: upcasts
+    # implicit widen: the merge source carries price as DOUBLE
+    tt.merge_upsert(
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 40 == 0)
+        .select("o_orderkey",
+                F.col("o_custkey").cast("int").alias("o_custkey"),
+                (F.col("o_totalprice").cast("double") * 4).alias("price")),
+        merge_schema=True)
+    return tt.snapshot()

@@ -94,10 +94,24 @@ travel. Cost at scale: staging is the same O(touched files) as any
 commit, the decision is ONE metadata object, and nothing scales with
 table count or size.
 
+COLUMN MAPPING (``rename_column`` / ``drop_column``): Delta's
+column-mapping design — data files keep their columns under immutable
+PHYSICAL names; the declared schema speaks LOGICAL names; a
+``column_mapping`` dict in the table meta routes every read, write,
+stats lookup, and change-feed file between the two. Rename and drop are
+then O(1) metadata-only commits at any table size: pre-rename files
+stay fully readable AND fully prunable (cstats/bloom/pval are keyed by
+physical names, which never move), time travel resolves each version
+under its own names, and a DROPPED column's data can never resurrect —
+once mapping is active, newly added logical names get fresh physical
+names (the role Delta's field IDs play). Legacy tables are
+identity-mapped (physical == logical) until their first rename/drop,
+so the mapping costs nothing before it is used.
+
 Single-format caveat vs real Delta/Iceberg: single table, stats only on
-the merge key + DECLARED columns (not automatically all columns),
-additive-only evolution (no renames/drops/type changes) — the seam
-``operators/merge.py`` needs, not a storage product.
+the merge key + DECLARED columns (not automatically all columns), no
+type changes (rename/drop are supported via column mapping; widening
+is not) — the seam ``operators/merge.py`` needs, not a storage product.
 """
 
 from __future__ import annotations
@@ -183,6 +197,44 @@ def _norm_pvals(values, n_cols: int) -> set[tuple]:
                 f"table is partitioned by {n_cols} column(s)")
         out.add(tv)
     return out
+
+
+_INT_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+
+def _widens(cur, new) -> bool:
+    """True if ``new`` is a strictly wider READER-SAFE supertype of
+    ``cur`` — the upcasts Spark's vectorized parquet reader performs
+    natively when the declared schema is wider than the file (verified:
+    int chain, float→double, same-scale decimal precision growth), so
+    widening the DECLARED type keeps every already-written file
+    readable with no rewrite. This is the declared-schema widening
+    matrix (Delta's "type widening"); value-level input adaptation
+    uses the broader :func:`_upcasts`."""
+    from pyspark.sql.types import DecimalType
+    cs, ns = cur.simpleString(), new.simpleString()
+    if cs in _INT_WIDTH and ns in _INT_WIDTH:
+        return _INT_WIDTH[ns] > _INT_WIDTH[cs]
+    if cs == "float" and ns == "double":
+        return True
+    if isinstance(cur, DecimalType) and isinstance(new, DecimalType):
+        return new.scale == cur.scale and new.precision > cur.precision
+    return False
+
+
+def _upcasts(have, want) -> bool:
+    """True if a value of type ``have`` casts LOSSLESSLY to ``want`` —
+    the write-side input adaptation: a narrower incoming column is
+    silently upcast to the declared type (an int batch into a bigint
+    column), anything lossy or incompatible rejects the write."""
+    if _widens(have, want):
+        return True
+    hs, ws = have.simpleString(), want.simpleString()
+    if ws == "double" and hs in ("tinyint", "smallint", "int", "float"):
+        return True                       # ≤32-bit ints / float: exact
+    if ws == "float" and hs in ("tinyint", "smallint"):
+        return True                       # ≤16-bit ints: exact in f32
+    return False
 
 
 def _bloom_match_sql() -> str:
@@ -483,7 +535,8 @@ class TxTable:
                      n_files: int | None = None,
                      stats_cols: list[str] | None = None,
                      order_expr=None,
-                     partition_by=None) -> list[dict]:
+                     partition_by=None,
+                     meta: dict | None = None) -> list[dict]:
         """Materialize ``df`` as immutable data files with per-file key
         stats. Range-partitioned on the key so file key ranges are tight
         and disjoint — what makes merge-time file pruning effective.
@@ -506,6 +559,25 @@ class TxTable:
         path (create/append/merge/delete/compact/zorder) so partition
         reads can skip files on the log alone, no stats comparison
         needed."""
+        mp = (meta or {}).get("column_mapping")
+        if mp:
+            # COLUMN MAPPING: data files store PHYSICAL names (stable
+            # across renames), the declared schema speaks logical names.
+            # Evaluate the z-order expression (logical refs) BEFORE the
+            # rename, then write everything under physical names — so
+            # cstats/bloom/pval land keyed by names no rename ever moves.
+            if order_expr is not None:
+                df = df.withColumn("__ordsrc", order_expr)
+                order_expr = F.col("__ordsrc")
+            df = df.select([F.col(c).alias(mp.get(c, c))
+                            for c in df.columns])
+            key_col = mp.get(key_col, key_col)
+            if stats_cols:
+                stats_cols = [mp.get(c, c) for c in stats_cols]
+            if partition_by is not None:
+                partition_by = mp.get(partition_by, partition_by) \
+                    if isinstance(partition_by, str) \
+                    else [mp.get(c, c) for c in partition_by]
         pcols = ([partition_by] if isinstance(partition_by, str)
                  else list(partition_by)) if partition_by else None
         staging = os.path.join(self.data_dir, f".stage-{uuid.uuid4().hex}")
@@ -516,7 +588,8 @@ class TxTable:
             tmp = df.withColumn("__ord", order_expr)
             ranged = (tmp.repartitionByRange(n_files, F.col("__ord"))
                       if n_files else tmp.repartitionByRange(F.col("__ord")))
-            ranged = ranged.sortWithinPartitions("__ord").drop("__ord")
+            ranged = ranged.sortWithinPartitions("__ord") \
+                           .drop("__ord", "__ordsrc")
         elif pcols is not None:
             # cluster on (partitions..., key): most range tasks then hold
             # a single partition tuple, so the partitionBy split below
@@ -653,14 +726,21 @@ class TxTable:
 
         return [{"add": add_action(p)} for p in paths if p in by_name]
 
-    def _write_cdf(self, changes: DataFrame) -> list[dict]:
+    def _write_cdf(self, changes: DataFrame,
+                   meta: dict | None = None) -> list[dict]:
         """Materialize CHANGE-FEED rows (table columns +
         ``_change_type``) for one commit as ``cdf-*.parquet`` files —
         written partition-parallel alongside the data files, referenced
         by ``cdf`` actions in the same commit, and never part of any
         live snapshot. Like the data files they are invisible until the
         commit lands (a lost race orphans them for
-        ``vacuum_uncommitted``)."""
+        ``vacuum_uncommitted``). Under column mapping the change files
+        store PHYSICAL names like the data files, so one feed read
+        unions change files from either side of a rename."""
+        mp = (meta or {}).get("column_mapping")
+        if mp:
+            changes = changes.select(
+                [F.col(c).alias(mp.get(c, c)) for c in changes.columns])
         staging = os.path.join(self.data_dir, f".stage-{uuid.uuid4().hex}")
         changes.write.mode("overwrite").parquet(staging)
         actions = []
@@ -699,7 +779,16 @@ class TxTable:
             if keep_file_col:
                 out_schema = out_schema.add(keep_file_col, "string")
             return self.spark.createDataFrame([], out_schema)
-        df = self.spark.read.schema(schema).parquet(
+        # COLUMN MAPPING: files store physical names; scan under the
+        # physical schema (dropped columns simply aren't selected; a
+        # re-added logical name maps to a FRESH physical one, so old
+        # files surface it as NULL — never resurrect dropped data),
+        # then alias back to the version's logical names.
+        mp = meta.get("column_mapping") or {}
+        read_schema = StructType(
+            [type(f)(mp.get(f.name, f.name), f.dataType, f.nullable)
+             for f in schema.fields]) if mp else schema
+        df = self.spark.read.schema(read_schema).parquet(
             *[os.path.join(self.data_dir, a["path"]) for a in acts])
         dv_files = sorted({dv for a in acts for dv in a.get("_dvs", [])})
         if dv_files or keep_file_col:
@@ -707,6 +796,12 @@ class TxTable:
             df = df.withColumn(
                 fcol, F.element_at(
                     F.split(F.col("_metadata.file_path"), "/"), -1))
+        if mp:
+            keep = [F.col(mp.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields]
+            if dv_files or keep_file_col:
+                keep.append(F.col(fcol))
+            df = df.select(*keep)
         if dv_files:
             key = meta["key_col"]
             dv = self.spark.read.parquet(
@@ -812,10 +907,14 @@ class TxTable:
             raise ValueError(
                 f"column '{col}' carries no stats (declared: {declared})")
 
+        # cstats are keyed by PHYSICAL name (stable across renames), so
+        # files written before a stats column's rename keep pruning
+        pcol = (meta.get("column_mapping") or {}).get(col, col)
+
         def bounds(a: dict):
             cs = a.get("cstats")
-            if cs is not None and col in cs:
-                return cs[col]
+            if cs is not None and pcol in cs:
+                return cs[pcol]
             if col == declared[0]:               # legacy v2 fields
                 return a.get("smin"), a.get("smax")
             return None, None                    # pre-declaration file
@@ -915,10 +1014,13 @@ class TxTable:
         pvals = _norm_pvals(partitions, len(pcols)) \
             if partitions is not None else None
 
+        mp = meta.get("column_mapping") or {}
+
         def cbounds(a: dict, col: str):
             cs = a.get("cstats")
-            if cs is not None and col in cs:
-                return cs[col]
+            pcol = mp.get(col, col)    # cstats keyed by physical name
+            if cs is not None and pcol in cs:
+                return cs[pcol]
             if declared and col == declared[0]:
                 return a.get("smin"), a.get("smax")
             return None, None
@@ -996,8 +1098,13 @@ class TxTable:
                 f"change_feed=True — no change files exist")
         schema = StructType.fromJson(json.loads(meta["schema"]))
         cols = [*schema.fieldNames(), "_change_type"]
-        cdf_schema = StructType(list(schema.fields)).add("_change_type",
-                                                         "string")
+        # change files store PHYSICAL names (column mapping) — read them
+        # under the physical schema and alias to the upto-version's
+        # logical names, exactly like the data-file reader
+        mp = meta.get("column_mapping") or {}
+        cdf_schema = StructType(
+            [type(f)(mp.get(f.name, f.name), f.dataType, f.nullable)
+             for f in schema.fields]).add("_change_type", "string")
         parts = []
         for v in self.versions():
             if v < since_version or (upto is not None and v > upto):
@@ -1031,12 +1138,17 @@ class TxTable:
                 if not paths:
                     continue               # no-op merge/delete
                 df = self.spark.read.schema(cdf_schema).parquet(*paths)
+                if mp:
+                    df = df.select(
+                        *[F.col(mp.get(f.name, f.name)).alias(f.name)
+                          for f in schema.fields], "_change_type")
             else:
                 continue                   # compact/zorder/evolve
             parts.append(df.select(*cols).withColumn(
                 "_commit_version", F.lit(v).cast("long")))
         if not parts:
-            empty = StructType(list(cdf_schema.fields)) \
+            empty = StructType(list(schema.fields)) \
+                .add("_change_type", "string") \
                 .add("_commit_version", "long")
             return self.spark.createDataFrame([], empty)
         out = parts[0]
@@ -1171,8 +1283,184 @@ class TxTable:
                                                 True))
             new_meta = dict(meta)
             new_meta["schema"] = schema.json()
+            if "column_mapping" in meta:
+                # mapping mode: fresh physical names (see _merged_schema)
+                mp = dict(meta["column_mapping"])
+                mp.update({c: f"c_{uuid.uuid4().hex[:12]}" for c in cols})
+                new_meta["column_mapping"] = mp
             v = base + 1
             if self._commit([{"op": "evolve"}, {"meta": new_meta}], v):
+                self._maybe_checkpoint(v)
+                return
+
+    def widen_column(self, name: str, dtype: str) -> None:
+        """Explicit TYPE WIDENING (Delta's ``ALTER TABLE ... CHANGE
+        COLUMN ... TYPE``): widen a column's declared type in ONE
+        metadata-only commit — no data rewrite; already-written files
+        stay readable because the parquet reader upcasts natively
+        (:func:`_widens` allows exactly those conversions: the int
+        chain, float→double, same-scale decimal precision growth).
+        Narrower writes after the widen upcast automatically
+        (:meth:`_check_schema`); the implicit path is a
+        ``merge_schema=True`` write whose source arrives wider. The
+        merge key cannot widen (per-file key blooms hash the native
+        type — a widened key would turn them into silent false
+        negatives)."""
+        new_t = StructType.fromDDL(f"`__w` {dtype}").fields[0].dataType
+        while True:
+            base = self.versions()[-1]          # pinned read (see merge)
+            meta, _ = self._state(base)
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            if name not in schema.fieldNames():
+                raise ValueError(f"no column '{name}' "
+                                 f"(have {schema.fieldNames()})")
+            cur_t = schema[name].dataType
+            if not _widens(cur_t, new_t):
+                raise ValueError(
+                    f"{cur_t.simpleString()} -> {new_t.simpleString()} "
+                    f"is not a reader-safe widening (allowed: the int "
+                    f"chain, float->double, same-scale decimal "
+                    f"precision growth)")
+            if name == meta["key_col"]:
+                raise ValueError(
+                    f"cannot widen the merge key '{name}': per-file "
+                    f"key blooms hash the native type; recreate the "
+                    f"table instead")
+            new_meta = dict(meta)
+            new_meta["schema"] = StructType(
+                [type(f)(f.name, new_t if f.name == name else f.dataType,
+                         f.nullable)
+                 for f in schema.fields]).json()
+            v = base + 1
+            if self._commit([{"op": "widen_column", "col": name,
+                              "to": dtype}, {"meta": new_meta}], v):
+                self._maybe_checkpoint(v)
+                return
+
+    @staticmethod
+    def _constraint_refs(meta: dict, col: str) -> list[str]:
+        """Names of CHECK constraints whose expression references
+        ``col`` as an identifier (conservative word-boundary match —
+        constraints store raw SQL, and rewriting identifiers inside
+        arbitrary expressions is exactly the fragility Delta avoids by
+        blocking the rename/drop instead)."""
+        pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(col)}"
+                         rf"(?![A-Za-z0-9_`])")
+        return [n for n, expr in (meta.get("constraints") or {}).items()
+                if pat.search(expr)]
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Delta COLUMN MAPPING rename: change a column's LOGICAL name
+        in ONE metadata-only commit — no data file moves, O(1) at any
+        table size. Data files keep the column under its original
+        PHYSICAL name; the mapping recorded in the table meta routes
+        every read/write between the two, so pre-rename files stay
+        fully readable AND fully prunable (cstats/bloom/pval are keyed
+        by physical names, which never move). Time travel to a
+        pre-rename version sees the old name; RESTORE brings the old
+        mapping back with the rest of the meta. The merge key, stats
+        columns, and partition columns may all be renamed (their meta
+        references update in the same commit); a column referenced by a
+        CHECK constraint cannot (like Delta — the constraint stores raw
+        SQL; drop the constraint first)."""
+        if old == new:
+            raise ValueError("rename to the same name is a no-op")
+        while True:
+            base = self.versions()[-1]          # pinned read (see merge)
+            meta, _ = self._state(base)
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            if old not in schema.fieldNames():
+                raise ValueError(f"no column '{old}' "
+                                 f"(have {schema.fieldNames()})")
+            if new in schema.fieldNames():
+                raise ValueError(f"column '{new}' already exists")
+            refs = self._constraint_refs(meta, old)
+            if refs:
+                raise ValueError(
+                    f"column '{old}' is referenced by CHECK "
+                    f"constraint(s) {refs} — drop them first")
+            mp = dict(meta.get("column_mapping") or {})
+            phys = mp.pop(old, old)
+            if phys != new:
+                mp[new] = phys
+            new_meta = dict(meta)
+            new_meta["schema"] = StructType(
+                [type(f)(new if f.name == old else f.name,
+                         f.dataType, f.nullable)
+                 for f in schema.fields]).json()
+            # once any rename/drop happened the mapping key STAYS (even
+            # empty): it flags that later-added columns need fresh
+            # physical names
+            new_meta["column_mapping"] = mp
+            if meta["key_col"] == old:
+                new_meta["key_col"] = new
+            scols = _meta_stats_cols(meta)
+            if scols and old in scols:
+                scols = [new if c == old else c for c in scols]
+                new_meta["stats_cols"] = scols
+                new_meta["stats_col"] = scols[0]
+            pb = meta.get("partition_by")
+            if pb is not None:
+                new_meta["partition_by"] = \
+                    (new if pb == old else pb) if isinstance(pb, str) \
+                    else [new if c == old else c for c in pb]
+            v = base + 1
+            if self._commit([{"op": "rename_column",
+                              "col": old, "to": new},
+                             {"meta": new_meta}], v):
+                self._maybe_checkpoint(v)
+                return
+
+    def drop_column(self, name: str) -> None:
+        """Delta COLUMN MAPPING drop: remove a column from the declared
+        schema in ONE metadata-only commit — no data rewrite; the
+        physical column simply stops being selected (old versions still
+        time-travel to it, RESTORE brings it back). Re-adding the same
+        logical name later (``add_columns`` / ``merge_schema=True``)
+        maps to a FRESH physical name, so the dropped data never
+        resurrects — the hazard Delta's column-mapping field IDs exist
+        to prevent. The merge key and partition columns cannot be
+        dropped (they are the table's layout contract); a stats column
+        can (it leaves the declared skipping set); a column referenced
+        by a CHECK constraint cannot (drop the constraint first)."""
+        while True:
+            base = self.versions()[-1]          # pinned read (see merge)
+            meta, _ = self._state(base)
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            if name not in schema.fieldNames():
+                raise ValueError(f"no column '{name}' "
+                                 f"(have {schema.fieldNames()})")
+            if len(schema.fields) == 1:
+                raise ValueError("cannot drop the table's only column")
+            if meta["key_col"] == name:
+                raise ValueError(f"cannot drop the merge key '{name}'")
+            pcols = _meta_parts(meta) or []
+            if name in pcols:
+                raise ValueError(
+                    f"cannot drop partition column '{name}'")
+            refs = self._constraint_refs(meta, name)
+            if refs:
+                raise ValueError(
+                    f"column '{name}' is referenced by CHECK "
+                    f"constraint(s) {refs} — drop them first")
+            mp = dict(meta.get("column_mapping") or {})
+            mp.pop(name, None)
+            new_meta = dict(meta)
+            new_meta["schema"] = StructType(
+                [f for f in schema.fields if f.name != name]).json()
+            new_meta["column_mapping"] = mp       # stays, possibly empty
+            scols = _meta_stats_cols(meta)
+            if scols and name in scols:
+                scols = [c for c in scols if c != name]
+                if scols:
+                    new_meta["stats_cols"] = scols
+                    new_meta["stats_col"] = scols[0]
+                else:
+                    new_meta.pop("stats_cols", None)
+                    new_meta.pop("stats_col", None)
+            v = base + 1
+            if self._commit([{"op": "drop_column", "col": name},
+                             {"meta": new_meta}], v):
                 self._maybe_checkpoint(v)
                 return
 
@@ -1181,22 +1469,56 @@ class TxTable:
         ``df`` beyond the declared schema extend it (nullable, in one
         atomic action alongside the data — never a separate evolve
         commit); declared columns missing from ``df`` fill as typed
-        NULLs. Returns ``(possibly-new meta, aligned df)`` — the meta
-        object is the SAME dict when nothing evolved (callers test
-        identity to decide whether to ship a meta action)."""
+        NULLs; a declared column arriving WIDER than its type WIDENS
+        the declared type (``_widens`` — reader-safe upcasts only, so
+        every already-written file stays readable with no rewrite:
+        Delta's type widening). Returns ``(possibly-new meta, aligned
+        df)`` — the meta object is the SAME dict when nothing evolved
+        (callers test identity to decide whether to ship a meta
+        action)."""
         schema = StructType.fromJson(json.loads(meta["schema"]))
         declared = set(schema.fieldNames())
         extra = [c for c in df.columns if c not in declared]
+        widened = False
+        fields = []
+        for f in schema.fields:
+            if f.name in df.columns and \
+                    _widens(f.dataType, df.schema[f.name].dataType):
+                if f.name == meta["key_col"]:
+                    # the per-file key BLOOMS hash the key's NATIVE
+                    # type (xxhash64(int) != xxhash64(bigint) for the
+                    # same value): widening the key would turn every
+                    # pre-widening bloom into false NEGATIVES — silent
+                    # lost updates. Reject loudly instead.
+                    raise ValueError(
+                        f"cannot widen the merge key '{f.name}' "
+                        f"({f.dataType.simpleString()} -> "
+                        f"{df.schema[f.name].dataType.simpleString()}): "
+                        f"per-file key blooms hash the native type; "
+                        f"cast the source key instead")
+                fields.append(type(f)(f.name, df.schema[f.name].dataType,
+                                      f.nullable))
+                widened = True
+            else:
+                fields.append(f)
+        schema = StructType(fields)
         for c in extra:
             schema = schema.add(c, df.schema[c].dataType, True)
         for f in schema.fields:
             if f.name not in df.columns:
                 df = df.withColumn(f.name,
                                    F.lit(None).cast(f.dataType))
-        if not extra:
+        if not extra and not widened:
             return meta, df
         new_meta = dict(meta)
         new_meta["schema"] = schema.json()
+        if "column_mapping" in meta and extra:
+            # mapping mode (a rename/drop happened): new logical names
+            # get FRESH physical names so a re-added name never
+            # resurrects a dropped column's data from old files
+            mp = dict(meta["column_mapping"])
+            mp.update({c: f"c_{uuid.uuid4().hex[:12]}" for c in extra})
+            new_meta["column_mapping"] = mp
         return new_meta, df
 
     def _check_schema(self, df: DataFrame, meta: dict,
@@ -1210,13 +1532,38 @@ class TxTable:
         ``constraints=False`` defers that to the caller — used by
         :meth:`merge_when`, whose clauses may consume source rows
         without writing them (Delta validates only rows actually
-        written)."""
-        expected = [f["name"] for f in json.loads(meta["schema"])["fields"]]
+        written).
+
+        Types are enforced too: a NARROWER incoming column upcasts
+        losslessly to the declared type (an int batch into a bigint
+        column — :func:`_upcasts`); anything else is TYPE DRIFT and
+        rejects the write — one double file silently landing in an
+        int column would fail every later snapshot read. Use
+        ``merge_schema=True`` on the write to WIDEN the declared type
+        instead (:func:`_widens`, Delta's type widening)."""
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        expected = schema.fieldNames()
         if sorted(df.columns) != sorted(expected):
             raise ValueError(
                 f"schema mismatch: table has {sorted(expected)}, "
                 f"write has {sorted(df.columns)}")
-        df = df.select(*expected)
+        out, drift = [], []
+        for f in schema.fields:
+            have = df.schema[f.name].dataType
+            if have == f.dataType:
+                out.append(F.col(f.name))
+            elif _upcasts(have, f.dataType):
+                out.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                drift.append(f"{f.name}: write has "
+                             f"{have.simpleString()}, table declares "
+                             f"{f.dataType.simpleString()}")
+        if drift:
+            raise ValueError(
+                "type drift rejected (" + "; ".join(drift) + ") — "
+                "lossless upcasts apply automatically; to WIDEN the "
+                "declared type write with merge_schema=True")
+        df = df.select(*out)
         if constraints:
             self._validate_constraints(df, meta)
         return df
@@ -1432,7 +1779,8 @@ class TxTable:
             df = self._check_schema(df, meta)
             adds = self._write_files(df, meta["key_col"],
                                      stats_cols=_meta_stats_cols(meta),
-                                     partition_by=meta.get("partition_by"))
+                                     partition_by=meta.get("partition_by"),
+                                     meta=meta)
             while True:
                 v = self.versions()[-1] + 1
                 if self._commit([{"op": "append"}, *adds], v):
@@ -1446,7 +1794,7 @@ class TxTable:
             adds = self._write_files(dfx, meta2["key_col"],
                                      stats_cols=_meta_stats_cols(meta2),
                                      partition_by=meta2.get(
-                                         "partition_by"))
+                                         "partition_by"), meta=meta2)
             actions: list[dict] = [{"op": "append"}]
             if meta2 is not meta:
                 actions.append({"meta": meta2})
@@ -1522,7 +1870,8 @@ class TxTable:
                 new_rows = updates
             adds = self._write_files(new_rows, key,
                                      stats_cols=_meta_stats_cols(meta),
-                                     partition_by=meta.get("partition_by"))
+                                     partition_by=meta.get("partition_by"),
+                                     meta=meta)
             cdf = []
             if meta.get("change_feed"):
                 # row-level change capture over the TOUCHED files only
@@ -1544,7 +1893,7 @@ class TxTable:
                 else:
                     changes = updates.withColumn("_change_type",
                                                  F.lit("insert"))
-                cdf = self._write_cdf(changes)
+                cdf = self._write_cdf(changes, meta)
             v = base + 1
             actions = [{"op": "merge"},
                        *([{"meta": meta}] if evolved else []),
@@ -1633,7 +1982,8 @@ class TxTable:
                 meta)
             adds = self._write_files(new_rows, key,
                                      stats_cols=_meta_stats_cols(meta),
-                                     partition_by=meta.get("partition_by"))
+                                     partition_by=meta.get("partition_by"),
+                                     meta=meta)
             cdf: list[dict] = []
             if meta.get("change_feed"):
                 # _change_type must resolve src/tgt BEFORE flattening
@@ -1650,7 +2000,7 @@ class TxTable:
                             .withColumn("_change_type", F.lit("insert"))
                             .select("src.*", "_change_type"))
                 cdf = self._write_cdf(pre.unionByName(post)
-                                      .unionByName(inserted))
+                                      .unionByName(inserted), meta)
             actions = [{"op": "merge"}, *adds, *cdf,
                        *({"remove": {"path": a["path"]}} for a in touched)]
             if txn is not None:
@@ -1683,11 +2033,11 @@ class TxTable:
                                          key,
                                          stats_cols=_meta_stats_cols(meta),
                                          partition_by=meta.get(
-                                             "partition_by"))
+                                             "partition_by"), meta=meta)
                 if meta.get("change_feed"):
                     cdf = self._write_cdf(
                         old.join(keys, key, "semi")
-                        .withColumn("_change_type", F.lit("delete")))
+                        .withColumn("_change_type", F.lit("delete")), meta)
             v = base + 1
             actions = [{"op": "delete"}, *adds, *cdf,
                        *({"remove": {"path": a["path"]}} for a in touched)]
@@ -1771,7 +2121,7 @@ class TxTable:
             if meta.get("change_feed"):
                 cdf = self._write_cdf(
                     doomed.drop("__file")
-                    .withColumn("_change_type", F.lit("delete")))
+                    .withColumn("_change_type", F.lit("delete")), meta)
             v = base + 1
             actions = [{"op": "delete_dv"},
                        *({"dv": {"path": a["path"],
@@ -1871,7 +2221,8 @@ class TxTable:
                 new_rows = kept
             adds = self._write_files(new_rows, key,
                                      stats_cols=_meta_stats_cols(meta),
-                                     partition_by=meta.get("partition_by"))
+                                     partition_by=meta.get("partition_by"),
+                                     meta=meta)
             cdf: list[dict] = []
             if meta.get("change_feed"):
                 if kind == "update":
@@ -1884,7 +2235,7 @@ class TxTable:
                 else:
                     changes = matched.withColumn("_change_type",
                                                  F.lit("delete"))
-                cdf = self._write_cdf(changes)
+                cdf = self._write_cdf(changes, meta)
             op = "update" if kind == "update" else "delete"
             actions = [{"op": op}, *adds, *cdf,
                        *({"remove": {"path": a["path"]}}
@@ -1914,7 +2265,8 @@ class TxTable:
             df = self._read_files(meta, dirty)
             adds = self._write_files(df, meta["key_col"],
                                      stats_cols=_meta_stats_cols(meta),
-                                     partition_by=meta.get("partition_by"))
+                                     partition_by=meta.get("partition_by"),
+                                     meta=meta)
             v = base + 1
             actions = [{"op": "purge"}, *adds,
                        *({"remove": {"path": a["path"]}} for a in dirty)]
@@ -1949,7 +2301,7 @@ class TxTable:
         df = self._check_schema(df, meta)
         adds = self._write_files(df, meta["key_col"],
                                  stats_cols=_meta_stats_cols(meta),
-                                 partition_by=pcols)
+                                 partition_by=pcols, meta=meta)
         stray = sorted({_pval_tuple(a["add"]) for a in adds
                         if _pval_tuple(a["add"]) != tval})
         if stray:
@@ -1969,7 +2321,7 @@ class TxTable:
                 cdf = self._write_cdf(
                     old.withColumn("_change_type", F.lit("delete"))
                     .unionByName(df.withColumn("_change_type",
-                                               F.lit("insert"))))
+                                               F.lit("insert"))), meta)
             v = base + 1
             pred = dict(zip(pcols, tval))
             actions = [{"op": "replace_where", "pred": pred},
@@ -2032,7 +2384,8 @@ class TxTable:
             df = self._read_files(meta, small)
             adds = self._write_files(df, meta["key_col"], n_files=n_out,
                                      stats_cols=_meta_stats_cols(meta),
-                                     partition_by=meta.get("partition_by"))
+                                     partition_by=meta.get("partition_by"),
+                                     meta=meta)
             v = base + 1
             actions = [{"op": "compact"}, *adds,
                        *({"remove": {"path": a["path"]}} for a in small)]
@@ -2117,7 +2470,8 @@ class TxTable:
             adds = self._write_files(df, meta["key_col"], n_files=n_out,
                                      stats_cols=_meta_stats_cols(meta),
                                      order_expr=z,
-                                     partition_by=meta.get("partition_by"))
+                                     partition_by=meta.get("partition_by"),
+                                     meta=meta)
             v = base + 1
             actions = [{"op": "zorder"}, *adds,
                        *({"remove": {"path": a["path"]}}

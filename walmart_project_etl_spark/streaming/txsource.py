@@ -70,6 +70,11 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.schema = schema
         self.since = since_version
         self.max_files = max_files_per_trigger
+        #: column mapping (logical -> PHYSICAL file column name), frozen
+        #: at stream start like the schema itself — a rename mid-stream
+        #: requires a restart, the same contract Delta's source applies
+        #: to schema changes
+        self.mapping = _log_meta(root).get("column_mapping") or {}
         #: rate-limit ratchet: the highest version this reader has
         #: planned or offered so far. After a restart it re-initializes
         #: to ``since`` and catches back up to the checkpointed offset
@@ -172,8 +177,10 @@ class TxLogStreamReader(DataSourceStreamReader):
             elif field.name == "_commit_version":
                 cols.append(pa.array([partition.version] * n,
                                      type=field.type))
-            elif field.name in tbl.column_names:
-                cols.append(tbl.column(field.name).cast(field.type))
+            elif (src := self.mapping.get(field.name, field.name)) \
+                    in tbl.column_names:
+                # files store physical names under column mapping
+                cols.append(tbl.column(src).cast(field.type))
             else:                       # pre-evolution file
                 cols.append(pa.nulls(n, type=field.type))
         out = pa.table(cols, schema=target)
