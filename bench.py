@@ -99,6 +99,12 @@ BENCH_QUERIES = [
     "pipe_bpe_tokenize_pack",
     "txn_restore",
     "stream_partition_ingest",
+    # r10-new schema-evolution paths: column-mapping rename (merge through
+    # the mapping) and type widening (narrow-write upcasts + widened read)
+    # — mapping/upcast overhead regressions must be bench-visible
+    "txn_rename_column",
+    "txn_type_widening",
+    "txn_generated_columns",
     # end-to-end star pipeline (ingest→ODS→staging→target→BI agg) with a
     # COLD warehouse cache — guards the pipeline plans, not just micro ops
     "pipe_bi_sales_by_category",

@@ -1996,3 +1996,51 @@ def txn_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_totalprice").cast("double") * 4).alias("price")),
         merge_schema=True)
     return tt.snapshot()
+
+
+@q("txn_generated_columns",
+   """WITH base AS (
+        SELECT o_orderkey, o_orderdate,
+               CASE WHEN o_orderkey % 60 = 0
+                    THEN o_totalprice * 5 ELSE o_totalprice
+               END AS o_totalprice
+        FROM orders)
+      SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+             count(*) AS n_orders,
+             round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2)::DOUBLE
+               AS total
+      FROM base GROUP BY order_month""")
+def txn_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS (Delta GENERATED ALWAYS AS,
+    sources/txlog.py:create(generated=)): the table declares a derived
+    month PARTITION column writers never provide — every write path
+    (create, append, merge) computes it from the expression, a provided
+    value is validated against the expression pre-commit, and a
+    predicate UPDATE recomputes it after its SETs. The month aggregate
+    groups by the GENERATED column read back from the table, and the
+    per-month read is partition-pruned on the log alone — the
+    generated-partition pattern that keeps 100 TB date pruning exact by
+    construction. Pinned in tests/test_txlog_generated.py."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
+                                          "o_totalprice")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_gencol")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o.where(F.col("o_orderkey") % 2 == 0), "o_orderkey",
+              n_files=4, partition_by="order_month",
+              generated={"order_month":
+                         "date_format(o_orderdate, 'yyyy-MM')"})
+    tt.append(o.where(F.col("o_orderkey") % 2 == 1))
+    tt.merge_upsert(o.where(F.col("o_orderkey") % 60 == 0)
+                    .withColumn("o_totalprice",
+                                F.col("o_totalprice") * 5))
+    return (tt.snapshot()
+            .groupBy("order_month")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(28,6)")), 2)
+                 .cast("double").alias("total")))

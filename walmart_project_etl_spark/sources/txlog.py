@@ -1181,7 +1181,8 @@ class TxTable:
                stats_col: str | None = None,
                stats_cols: list[str] | None = None,
                change_feed: bool = False,
-               partition_by=None) -> None:
+               partition_by=None,
+               generated: dict[str, str] | None = None) -> None:
         """``stats_cols`` declares extra data-skipping COLUMNS beyond the
         merge key (``stats_col`` remains as the single-column spelling):
         every data file records each declared column's [min, max] in the
@@ -1209,12 +1210,26 @@ class TxTable:
         :meth:`replace_where` can atomically overwrite one partition.
         Fixed at create (like Delta) — every later write path preserves
         it. Same int/string constraint as the merge key (the value rides
-        in the JSON log)."""
+        in the JSON log).
+
+        ``generated`` declares GENERATED COLUMNS (Delta's ``GENERATED
+        ALWAYS AS``): ``{col: spark_sql_expr}``. A write that omits the
+        column gets it COMPUTED from the expression; a write that
+        provides it is VALIDATED against the expression (any mismatch
+        rejects the write pre-commit); a predicate UPDATE recomputes it
+        after the SETs so it can never go stale. The canonical use is a
+        generated PARTITION column (a month/day derived from a
+        timestamp): writers never hand-maintain it, and partition
+        pruning stays exact by construction. If the create ``df`` omits
+        a generated column it is computed here too."""
         # validation raises ValueError (not assert — must survive
         # ``python -O``; a skipped check here commits wrong metadata
         # that poisons every later prune)
         if self.versions():
             raise ValueError(f"table already exists at {self.root}")
+        for c, expr in (generated or {}).items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(expr))
         if stats_col is not None and stats_cols is not None:
             raise ValueError("pass stats_col OR stats_cols, not both")
         cols = list(stats_cols) if stats_cols is not None else \
@@ -1230,6 +1245,8 @@ class TxTable:
         meta = {"key_col": key_col, "schema": df.schema.json(), "format": 2}
         if change_feed:
             meta["change_feed"] = True
+        if generated:
+            meta["generated"] = dict(generated)
         if cols:
             unknown = [c for c in cols if c not in df.columns]
             if unknown:
@@ -1249,6 +1266,7 @@ class TxTable:
                         f"got {dict(df.dtypes)[c]}")
             meta["partition_by"] = pcols[0] if len(pcols) == 1 \
                 else pcols
+        self._validate_constraints(df, meta)     # provided generated cols
         adds = self._write_files(df, key_col, n_files, cols or None,
                                  partition_by=partition_by)
         if not self._commit([{"op": "create"}, {"meta": meta}, *adds], 0):
@@ -1338,16 +1356,19 @@ class TxTable:
                 return
 
     @staticmethod
-    def _constraint_refs(meta: dict, col: str) -> list[str]:
-        """Names of CHECK constraints whose expression references
-        ``col`` as an identifier (conservative word-boundary match —
-        constraints store raw SQL, and rewriting identifiers inside
-        arbitrary expressions is exactly the fragility Delta avoids by
-        blocking the rename/drop instead)."""
+    def _expr_refs(exprs: dict | None, col: str) -> list[str]:
+        """Keys of ``exprs`` whose SQL references ``col`` as an
+        identifier (conservative word-boundary match — constraint and
+        generated-column expressions store raw SQL, and rewriting
+        identifiers inside arbitrary expressions is exactly the
+        fragility Delta avoids by blocking the rename/drop instead)."""
         pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(col)}"
                          rf"(?![A-Za-z0-9_`])")
-        return [n for n, expr in (meta.get("constraints") or {}).items()
+        return [n for n, expr in (exprs or {}).items()
                 if pat.search(expr)]
+
+    def _constraint_refs(self, meta: dict, col: str) -> list[str]:
+        return self._expr_refs(meta.get("constraints"), col)
 
     def rename_column(self, old: str, new: str) -> None:
         """Delta COLUMN MAPPING rename: change a column's LOGICAL name
@@ -1379,6 +1400,15 @@ class TxTable:
                 raise ValueError(
                     f"column '{old}' is referenced by CHECK "
                     f"constraint(s) {refs} — drop them first")
+            gen = dict(meta.get("generated") or {})
+            gen_refs = self._expr_refs(gen, old)
+            if gen_refs:
+                raise ValueError(
+                    f"column '{old}' is referenced by generated "
+                    f"column(s) {gen_refs} — their expressions store "
+                    f"raw SQL")
+            if old in gen:               # renaming a generated TARGET
+                gen[new] = gen.pop(old)
             mp = dict(meta.get("column_mapping") or {})
             phys = mp.pop(old, old)
             if phys != new:
@@ -1404,6 +1434,8 @@ class TxTable:
                 new_meta["partition_by"] = \
                     (new if pb == old else pb) if isinstance(pb, str) \
                     else [new if c == old else c for c in pb]
+            if old in (meta.get("generated") or {}):
+                new_meta["generated"] = gen
             v = base + 1
             if self._commit([{"op": "rename_column",
                               "col": old, "to": new},
@@ -1443,12 +1475,24 @@ class TxTable:
                 raise ValueError(
                     f"column '{name}' is referenced by CHECK "
                     f"constraint(s) {refs} — drop them first")
+            gen = dict(meta.get("generated") or {})
+            gen_refs = self._expr_refs(gen, name)
+            if gen_refs:
+                raise ValueError(
+                    f"column '{name}' is referenced by generated "
+                    f"column(s) {gen_refs} — drop those first")
             mp = dict(meta.get("column_mapping") or {})
             mp.pop(name, None)
             new_meta = dict(meta)
             new_meta["schema"] = StructType(
                 [f for f in schema.fields if f.name != name]).json()
             new_meta["column_mapping"] = mp       # stays, possibly empty
+            if name in gen:              # dropping a generated TARGET
+                gen.pop(name)
+                if gen:
+                    new_meta["generated"] = gen
+                else:
+                    new_meta.pop("generated", None)
             scols = _meta_stats_cols(meta)
             if scols and name in scols:
                 scols = [c for c in scols if c != name]
@@ -1504,6 +1548,11 @@ class TxTable:
         schema = StructType(fields)
         for c in extra:
             schema = schema.add(c, df.schema[c].dataType, True)
+        for c, expr in (meta.get("generated") or {}).items():
+            # generated columns COMPUTE when omitted — never NULL-fill
+            if c not in df.columns and c in schema.fieldNames():
+                df = df.withColumn(c, F.expr(expr)
+                                   .cast(schema[c].dataType))
         for f in schema.fields:
             if f.name not in df.columns:
                 df = df.withColumn(f.name,
@@ -1542,6 +1591,13 @@ class TxTable:
         ``merge_schema=True`` on the write to WIDEN the declared type
         instead (:func:`_widens`, Delta's type widening)."""
         schema = StructType.fromJson(json.loads(meta["schema"]))
+        # GENERATED columns: compute any the write omits (writers never
+        # hand-maintain a derived column); provided ones are validated
+        # against their expression in _validate_constraints
+        for c, expr in (meta.get("generated") or {}).items():
+            if c not in df.columns and c in schema.fieldNames():
+                df = df.withColumn(
+                    c, F.expr(expr).cast(schema[c].dataType))
         expected = schema.fieldNames()
         if sorted(df.columns) != sorted(expected):
             raise ValueError(
@@ -1570,7 +1626,8 @@ class TxTable:
 
     def _validate_constraints(self, df: DataFrame, meta: dict) -> None:
         """Reject the write if any row of ``df`` violates a declared
-        CHECK constraint (one short-circuit job per constraint)."""
+        CHECK constraint, or carries a GENERATED column value that
+        disagrees with its expression (one short-circuit job each)."""
         for name, expr in (meta.get("constraints") or {}).items():
             bad = df.where(~F.expr(expr).eqNullSafe(F.lit(True))) \
                     .limit(1).count()
@@ -1578,6 +1635,21 @@ class TxTable:
                 raise ValueError(
                     f"CHECK constraint '{name}' ({expr}) violated by "
                     f"incoming rows — write rejected")
+        for col, expr in (meta.get("generated") or {}).items():
+            if col not in df.columns:
+                continue                 # computed by the caller
+            want = F.expr(expr)
+            try:
+                want = want.cast(df.schema[col].dataType)
+            except Exception:
+                pass
+            bad = df.where(~F.col(col).eqNullSafe(want)) \
+                    .limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"generated column '{col}' must equal {expr!r} — "
+                    f"incoming rows disagree; omit the column to have "
+                    f"it computed")
 
     def add_constraint(self, name: str, expr: str) -> None:
         """Delta-style CHECK constraint: validate that every CURRENT row
@@ -2185,6 +2257,12 @@ class TxTable:
                            if c not in schema.fieldNames()]
                 if unknown:
                     raise ValueError(f"SET on unknown columns {unknown}")
+                gen_set = [c for c in set_exprs
+                           if c in (meta.get("generated") or {})]
+                if gen_set:
+                    raise ValueError(
+                        f"cannot SET generated columns {gen_set} — "
+                        f"they recompute from their expressions")
             candidates, residual = self._prune_live(
                 meta, live, partitions, key_lo, key_hi, stats)
             pred = F.expr(where)
@@ -2213,6 +2291,12 @@ class TxTable:
                     *[F.expr(set_exprs[f.name]).cast(f.dataType)
                        .alias(f.name) if f.name in set_exprs
                       else F.col(f.name) for f in schema.fields])
+                # GENERATED columns recompute on the updated rows —
+                # a SET on one of their source columns must never
+                # leave the derived value stale
+                for c, expr in (meta.get("generated") or {}).items():
+                    updated = updated.withColumn(
+                        c, F.expr(expr).cast(schema[c].dataType))
                 # constraints on the rows actually written (the kept
                 # rows were validated by their own writes)
                 self._validate_constraints(updated, meta)
