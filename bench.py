@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "txn_rename_column",
     "txn_type_widening",
     "txn_generated_columns",
+    # r10-new compressed-domain ANN (PQ-ADC + exact re-rank): the encode
+    # UDF + code-scan cost must be bench-visible next to the IVF/LSH tiers
+    "sim_pq_ann_topk",
     # end-to-end star pipeline (ingest→ODS→staging→target→BI agg) with a
     # COLD warehouse cache — guards the pipeline plans, not just micro ops
     "pipe_bi_sales_by_category",

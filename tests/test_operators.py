@@ -1050,3 +1050,35 @@ def test_semdedup_lsh_drops_subset_with_high_recall(spark):
              if not r["kept"]}
     assert lsh03 <= exact03
     assert len(lsh03 & exact03) / len(exact03) >= 0.95
+
+
+def test_pq_ann_recall_and_determinism(spark):
+    """Product-quantization ANN at the defaults (m=8, nbits=6,
+    rerank=8): measured recall@10 = 0.94 vs brute force on this seeded
+    corpus (sweep in operators/similarity.py:pq_ann_topk); pinned with
+    margin — must stay far above random (~2%). Two runs must be
+    identical (seeded per-subspace KMeans)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where("vec_id % 100 = 7").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    approx = similarity.pq_ann_topk(emb, queries, k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.85
+    again = {(r["query_id"], r["vec_id"])
+             for r in similarity.pq_ann_topk(emb, queries, k=10).collect()}
+    assert a == again
+
+
+def test_pq_codes_shape_and_guards(spark):
+    """Encode output is m codes in [0, 2^nbits); a dimension not
+    divisible by m rejects loudly."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    books = similarity.pq_train(emb, m=4, nbits=4)
+    assert len(books) == 4 and len(books[0]) == 16 and len(books[0][0]) == 16
+    codes = similarity.pq_encode(emb, books).collect()
+    assert all(len(r["pq_code"]) == 4 and
+               all(0 <= c < 16 for c in r["pq_code"]) for r in codes)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(emb, m=7, nbits=3)

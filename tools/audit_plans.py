@@ -41,6 +41,10 @@ ALLOW = {
     "pipe_f31_f32_synthetic_facts": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     # brute-force exact baselines (documented: oracle twin of the LSH path)
     "sim_cosine_topk": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    # PQ-ADC: same broadcast(query batch) × corpus-scan shape as the
+    # brute baseline, but the scanned side is the COMPRESSED codes table
+    # (m bytes/vector) and the per-pair cost is m LUT lookups
+    "sim_pq_ann_topk": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     # nearest-centroid assignment: corpus × broadcast(k centroids) — the
     # broadcast side is bounded by the cluster count (10 labels here;
     # k-means codebooks are small by construction), the pair join itself

@@ -90,7 +90,12 @@ _PRIORITY = (
     "j10_optional_dim_left_join",
     "mm_real_decode_png",
 )
-#: r6-era rows deferred to the r11 window (25): mm_real_decode_wav,
+#: r10-NEW entries (never driver-checked — LEAD the r11 window, before
+#: the freshness backlog): txn_update_where, txn_delete_where,
+#: txn_agg_mv_minmax, txn_merge_schema, txn_rename_column,
+#: txn_drop_column, txn_type_widening, txn_generated_columns,
+#: sim_pq_ann_topk.
+#: Then the r6-era rows deferred from r10 (25): mm_real_decode_wav,
 #: olap_cube_lineitem, olap_grouping_sets_orders, olap_histogram,
 #: olap_rollup_lineitem, olap_share_of_total, olap_time_rollup_events,
 #: p01_projection_rename, p02_distinct_nonnull_dates, p03_null_filter,

@@ -1713,3 +1713,22 @@ def stream_agg_mv_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv.snapshot().select(
         "mv_key", "o_orderstatus", "n_rows",
         F.round(F.col("total"), 2).cast("double").alias("total"))
+
+
+@q("sim_pq_ann_topk", pinned("sim_pq_ann_topk"))
+def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN with ADC + exact re-rank
+    (operators/similarity.py:pq_ann_topk): seeded per-subspace KMeans
+    codebooks, Arrow-batched encode to m=8 small-int codes, then a
+    corpus-scale COMPRESSED-DOMAIN scan — approximate cosine is one
+    JVM zip_with over the code array (m bytes per vector instead of d
+    floats), top rerank·k candidates re-ranked by exact cosine. The
+    memory-bound similarity tier FAISS-PQ provides, as DataFrame ops;
+    recall@10 = 0.94 vs brute force at the defaults (sweep in the
+    operator docstring), gated in tests/test_similarity.py. Oracle =
+    pinned sf0.01 golden (seeded KMeans is engine-internal but
+    deterministic)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 7) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.pq_ann_topk(emb, queries, k=10)
