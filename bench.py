@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     # r10-new compressed-domain ANN (PQ-ADC + exact re-rank): the encode
     # UDF + code-scan cost must be bench-visible next to the IVF/LSH tiers
     "sim_pq_ann_topk",
+    # r10-new: identity-column assignment rides the append/merge writes
+    "txn_identity_column",
     # end-to-end star pipeline (ingest→ODS→staging→target→BI agg) with a
     # COLD warehouse cache — guards the pipeline plans, not just micro ops
     "pipe_bi_sales_by_category",

@@ -2044,3 +2044,48 @@ def txn_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("o_totalprice")
                                .cast("decimal(28,6)")), 2)
                  .cast("double").alias("total")))
+
+
+@q("txn_identity_column",
+   """WITH final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 90 = 0 THEN -1.0
+                    ELSE o_totalprice END AS v
+        FROM orders)
+      SELECT count(*) AS n_rows,
+             count(*) AS n_distinct_ids,
+             round(sum(CAST(v AS DECIMAL(28,6))), 2)::DOUBLE AS total_v
+      FROM final""")
+def txn_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMN (Delta GENERATED ALWAYS AS IDENTITY,
+    sources/txlog.py:create(identity_col=)): an auto-keyed dimension —
+    the surrogate key is assigned by the engine (distributed:
+    high-water mark + per-partition counters, the mark advancing in
+    the same commit as the data), never by the writer. Two appends and
+    a merge later, ``n_distinct_ids`` returned from the engine equals
+    the row count — the uniqueness contract expressed as an
+    exact-SQL-checkable value (raw ids are engine-internal and carry
+    gaps by design). Pinned in tests/test_txlog_identity.py."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("nk"),
+        F.col("o_totalprice").alias("v"))
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_ident")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o.where(F.col("nk") % 2 == 0), "sk", n_files=4,
+              identity_col="sk")
+    tt.append(o.where(F.col("nk") % 2 == 1))
+    # the merge carries table-assigned ids (the SCD1 shape)
+    upd = (tt.snapshot().where(F.col("nk") % 90 == 0)
+           .withColumn("v", F.lit(-1.0)))
+    tt.merge_upsert(spark.createDataFrame(upd.collect(), upd.schema))
+    s = tt.snapshot()
+    return s.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("sk").alias("n_distinct_ids"),
+        F.round(F.sum(F.col("v").cast("decimal(28,6)")), 2)
+         .cast("double").alias("total_v"))

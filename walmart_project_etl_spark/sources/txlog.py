@@ -1182,7 +1182,8 @@ class TxTable:
                stats_cols: list[str] | None = None,
                change_feed: bool = False,
                partition_by=None,
-               generated: dict[str, str] | None = None) -> None:
+               generated: dict[str, str] | None = None,
+               identity_col: str | None = None) -> None:
         """``stats_cols`` declares extra data-skipping COLUMNS beyond the
         merge key (``stats_col`` remains as the single-column spelling):
         every data file records each declared column's [min, max] in the
@@ -1221,7 +1222,25 @@ class TxTable:
         generated PARTITION column (a month/day derived from a
         timestamp): writers never hand-maintain it, and partition
         pruning stays exact by construction. If the create ``df`` omits
-        a generated column it is computed here too."""
+        a generated column it is computed here too.
+
+        ``identity_col`` declares an IDENTITY column (Delta's
+        ``GENERATED ALWAYS AS IDENTITY``): the engine assigns a fresh
+        unique monotonically-increasing bigint to every row that
+        create/append writes — the surrogate-key ingest pattern, with
+        no driver-side sequencing: ids are ``high_water_mark +
+        monotonically_increasing_id()`` (per-partition counters, fully
+        distributed), the mark advances in the SAME commit as the data,
+        and a lost optimistic race reassigns from the winner's mark.
+        Like Delta, ids are unique and increasing but NOT dense — gaps
+        are the price of distributed assignment. Providing the column
+        on create/append is rejected (ALWAYS semantics); merges accept
+        it as data, since an upsert's rows legitimately carry the ids
+        the table already assigned them. The identity column may BE the
+        merge key — the classic auto-keyed dimension. RESTORE rolls the
+        mark back with the rest of the meta (post-restore assignments
+        may then reuse ids that only ever existed in rolled-back
+        versions)."""
         # validation raises ValueError (not assert — must survive
         # ``python -O``; a skipped check here commits wrong metadata
         # that poisons every later prune)
@@ -1230,6 +1249,16 @@ class TxTable:
         for c, expr in (generated or {}).items():
             if c not in df.columns:
                 df = df.withColumn(c, F.expr(expr))
+        if identity_col is not None:
+            if identity_col in df.columns:
+                raise ValueError(
+                    f"identity column '{identity_col}' is GENERATED "
+                    f"ALWAYS — it must not be provided")
+            if generated and identity_col in generated:
+                raise ValueError("a column cannot be both generated "
+                                 "and identity")
+            df = df.withColumn(identity_col,
+                               F.monotonically_increasing_id())
         if stats_col is not None and stats_cols is not None:
             raise ValueError("pass stats_col OR stats_cols, not both")
         cols = list(stats_cols) if stats_cols is not None else \
@@ -1247,6 +1276,8 @@ class TxTable:
             meta["change_feed"] = True
         if generated:
             meta["generated"] = dict(generated)
+        if identity_col is not None:
+            meta["identity"] = {"col": identity_col, "next": 0}
         if cols:
             unknown = [c for c in cols if c not in df.columns]
             if unknown:
@@ -1269,8 +1300,26 @@ class TxTable:
         self._validate_constraints(df, meta)     # provided generated cols
         adds = self._write_files(df, key_col, n_files, cols or None,
                                  partition_by=partition_by)
+        if identity_col is not None:
+            # the WRITTEN files are the single truth for the mark (the
+            # assignment expression is per-materialization)
+            meta["identity"]["next"] = self._identity_hwm(
+                adds, identity_col, meta)
         if not self._commit([{"op": "create"}, {"meta": meta}, *adds], 0):
             raise RuntimeError(f"concurrent create at {self.root}")
+
+    def _identity_hwm(self, adds: list[dict], col: str,
+                      meta: dict) -> int:
+        """max(identity) + 1 over freshly written add actions — one
+        footer-stats-sized aggregation of the new files only (which
+        store PHYSICAL names under column mapping)."""
+        paths = [os.path.join(self.data_dir, a["add"]["path"])
+                 for a in adds]
+        if not paths:
+            return 0
+        pcol = (meta.get("column_mapping") or {}).get(col, col)
+        top = self.spark.read.parquet(*paths).agg(F.max(pcol)).first()[0]
+        return int(top) + 1 if top is not None else 0
 
     def add_columns(self, cols: dict[str, str]) -> None:
         """EXPLICIT schema evolution: append new nullable columns to the
@@ -1436,6 +1485,9 @@ class TxTable:
                     else [new if c == old else c for c in pb]
             if old in (meta.get("generated") or {}):
                 new_meta["generated"] = gen
+            ident = meta.get("identity")
+            if ident and ident["col"] == old:
+                new_meta["identity"] = dict(ident, col=new)
             v = base + 1
             if self._commit([{"op": "rename_column",
                               "col": old, "to": new},
@@ -1493,6 +1545,9 @@ class TxTable:
                     new_meta["generated"] = gen
                 else:
                     new_meta.pop("generated", None)
+            ident = meta.get("identity")
+            if ident and ident["col"] == name:
+                new_meta.pop("identity", None)   # the feature drops too
             scols = _meta_stats_cols(meta)
             if scols and name in scols:
                 scols = [c for c in scols if c != name]
@@ -1847,7 +1902,12 @@ class TxTable:
         not clobber a concurrent evolve); the default path keeps the
         cheap commit-only retry."""
         meta, _ = self._state()
-        if not merge_schema:
+        ident = meta.get("identity")
+        if ident and ident["col"] in df.columns:
+            raise ValueError(
+                f"identity column '{ident['col']}' is GENERATED ALWAYS "
+                f"— it must not be provided on append")
+        if not merge_schema and not ident:
             df = self._check_schema(df, meta)
             adds = self._write_files(df, meta["key_col"],
                                      stats_cols=_meta_stats_cols(meta),
@@ -1858,15 +1918,35 @@ class TxTable:
                 if self._commit([{"op": "append"}, *adds], v):
                     self._maybe_checkpoint(v)
                     return
+        # evolving path: the schema action and/or the identity mark must
+        # be derived AT the pinned base, so a lost race recomputes both
         while True:
             base = self.versions()[-1]          # pinned read (see merge)
             meta, _ = self._state(base)
-            meta2, dfx = self._merged_schema(meta, df)
+            ident = meta.get("identity")
+            dfx = df
+            if ident:
+                # distributed assignment from the CURRENT mark; the
+                # written files are the truth for the next mark
+                dfx = dfx.withColumn(
+                    ident["col"],
+                    (F.lit(ident["next"]).cast("long")
+                     + F.monotonically_increasing_id()))
+            if merge_schema:
+                meta2, dfx = self._merged_schema(meta, dfx)
+            else:
+                meta2 = meta
             dfx = self._check_schema(dfx, meta2)
             adds = self._write_files(dfx, meta2["key_col"],
                                      stats_cols=_meta_stats_cols(meta2),
                                      partition_by=meta2.get(
                                          "partition_by"), meta=meta2)
+            if ident:
+                meta2 = dict(meta2)
+                meta2["identity"] = {
+                    "col": ident["col"],
+                    "next": self._identity_hwm(adds, ident["col"],
+                                               meta2)}
             actions: list[dict] = [{"op": "append"}]
             if meta2 is not meta:
                 actions.append({"meta": meta2})
@@ -1874,8 +1954,8 @@ class TxTable:
             if self._commit(actions, base + 1):
                 self._maybe_checkpoint(base + 1)
                 return
-            # lost the race: the base schema may have changed — orphan
-            # the written files and recompute the merge from scratch
+            # lost the race: the base schema/mark may have changed —
+            # orphan the written files and recompute from scratch
 
     def merge_upsert(self, updates: DataFrame,
                      txn: tuple[str, int] | None = None,
