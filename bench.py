@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "sim_pq_ann_topk",
     # r10-new: identity-column assignment rides the append/merge writes
     "txn_identity_column",
+    # r10-new CDC replication: the streaming replica (CDF source ->
+    # netted apply_changes per batch) is the heaviest new composed path
+    "stream_replicate_cdc",
     # end-to-end star pipeline (ingest→ODS→staging→target→BI agg) with a
     # COLD warehouse cache — guards the pipeline plans, not just micro ops
     "pipe_bi_sales_by_category",

@@ -2079,3 +2079,42 @@ def test_merge_schema_write_option(spark, orders, tmp_path):
         t.append(base.limit(1))
     with pytest.raises(ValueError, match="schema mismatch"):
         t.append(s.limit(1).withColumn("zz", F.lit(1)))
+
+
+def test_export_manifest_external_reader(spark, orders, tmp_path):
+    """Symlink-manifest export: an EXTERNAL engine (DuckDB) reads the
+    manifest's file list and sees exactly the snapshot — including
+    after a merge (new manifest) — and the export refuses while
+    deletion vectors are attached (external readers would resurrect
+    the deleted rows)."""
+    import duckdb
+
+    t = TxTable(spark, str(tmp_path / "m"))
+    t.create(orders, "o_orderkey", n_files=3)
+    man = t.export_manifest()
+    files = [ln.strip() for ln in open(man)]
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT count(*), sum(o_orderkey) FROM read_parquet(?)",
+        [files]).fetchone()
+    exp = orders.agg(F.count(F.lit(1)),
+                     F.sum("o_orderkey")).first()
+    assert (got[0], got[1]) == (exp[0], exp[1])
+    # regenerate after a merge — the new snapshot, atomically swapped
+    t.merge_upsert(orders.where("o_orderkey % 100 = 7")
+                   .withColumn("o_totalprice", F.lit(1.0)))
+    files2 = [ln.strip() for ln in open(t.export_manifest())]
+    assert files != files2
+    got2 = con.execute(
+        "SELECT sum(o_totalprice) FROM read_parquet(?)",
+        [files2]).fetchone()[0]
+    exp2 = t.snapshot().agg(F.sum("o_totalprice")).first()[0]
+    assert abs(float(got2) - float(exp2)) < 1e-4
+    # DV state refuses
+    t2 = TxTable(spark, str(tmp_path / "dv"))
+    t2.create(orders, "o_orderkey", n_files=3)
+    t2.delete_keys_dv(orders.limit(3).select("o_orderkey"))
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t2.export_manifest()
+    t2.purge_deletes()
+    assert t2.export_manifest()

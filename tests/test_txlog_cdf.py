@@ -499,3 +499,59 @@ def test_minmax_mv_incremental_and_ivm_fallback(spark, orders, tmp_path,
     refresh_agg_mv_minmax(spark, src, mv_root,
                           ["o_orderstatus"], "o_totalprice")
     assert mv.versions()[-1] == v_before
+
+
+def _seq(spark, root):
+    """A source table with a mixed commit history: create, merge,
+    delete, append — the four change-producing shapes."""
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") * 1.0).alias("v"))
+    src = TxTable(spark, root)
+    src.create(df, "k", n_files=3, change_feed=True)
+    src.merge_upsert(spark.range(5).select(F.col("id").alias("k"),
+                                           F.lit(-1.0).alias("v")))
+    src.delete_keys(spark.range(90, 95).select(F.col("id").alias("k")))
+    src.append(spark.range(200, 210).select(F.col("id").alias("k"),
+                                            F.lit(7.0).alias("v")))
+    return src
+
+
+def test_apply_changes_nets_and_replays(spark, tmp_path):
+    """APPLY CHANGES INTO: one call over the WHOLE multi-commit feed
+    nets per key (last change wins across versions) and lands in one
+    atomic commit equal to the source snapshot; a replayed txn batch
+    is a logged no-op; a delete for a key the replica never saw is
+    harmless."""
+    src = _seq(spark, str(tmp_path / "src"))
+    rep = TxTable(spark, str(tmp_path / "rep"))
+    rep.create(spark.createDataFrame([], src.snapshot().schema), "k",
+               change_feed=True)
+    rep.apply_changes(src.read_changes(0), txn=("r", 1))
+    cols = ["k", "v"]
+    assert _rows(rep.snapshot(), cols) == _rows(src.snapshot(), cols)
+    n = len(rep.versions())
+    rep.apply_changes(src.read_changes(0), txn=("r", 1))   # replay
+    assert len(rep.versions()) == n
+    # replica's own CDF captured the apply — a second-tier replica chains
+    rep2 = TxTable(spark, str(tmp_path / "rep2"))
+    rep2.create(spark.createDataFrame([], src.snapshot().schema), "k")
+    rep2.apply_changes(rep.read_changes(0))
+    assert _rows(rep2.snapshot(), cols) == _rows(src.snapshot(), cols)
+
+
+def test_stream_replicate_table_follows_source(spark, tmp_path):
+    """The streaming replica: backlog drain equals the source; more
+    source commits + a second run catch up exactly-once (the replica's
+    txn marker makes redelivered batches no-ops)."""
+    from walmart_project_etl_spark.streaming.jobs import \
+        stream_replicate_table
+
+    src = _seq(spark, str(tmp_path / "s"))
+    rep_root = str(tmp_path / "r")
+    rep = stream_replicate_table(spark, str(tmp_path / "s"), rep_root)
+    cols = ["k", "v"]
+    assert _rows(rep.snapshot(), cols) == _rows(src.snapshot(), cols)
+    src.update_where({"v": "v * 10"}, "k < 3")
+    src.delete_keys(spark.range(3, 5).select(F.col("id").alias("k")))
+    rep = stream_replicate_table(spark, str(tmp_path / "s"), rep_root)
+    assert _rows(rep.snapshot(), cols) == _rows(src.snapshot(), cols)

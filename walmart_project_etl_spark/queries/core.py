@@ -2089,3 +2089,110 @@ def txn_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sk").alias("n_distinct_ids"),
         F.round(F.sum(F.col("v").cast("decimal(28,6)")), 2)
          .cast("double").alias("total_v"))
+
+
+_REPL_SQL = """WITH base AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 45 = 0 THEN -1.0
+                    ELSE o_totalprice END AS v
+        FROM orders WHERE o_orderkey % 11 <> 0)
+      SELECT k, v FROM base"""
+
+
+def _repl_source(spark: SparkSession, sf_dir: str, root: str):
+    """Shared fixture: a change-feed source with merge + delete +
+    append history (the four change-producing commit shapes)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v"))
+    shutil.rmtree(root, ignore_errors=True)
+    src = TxTable(spark, root)
+    src.create(o.where(F.col("k") % 2 == 0), "k", n_files=4,
+               change_feed=True)
+    src.append(o.where(F.col("k") % 2 == 1))
+    src.merge_upsert(o.where(F.col("k") % 45 == 0)
+                     .withColumn("v", F.lit(-1.0)))
+    src.delete_keys(o.where(F.col("k") % 11 == 0).select("k"))
+    return src
+
+
+@q("txn_apply_changes", _REPL_SQL)
+def txn_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES INTO (sources/txlog.py:apply_changes — the
+    consumer half of the change feed, Delta Live Tables' CDC-apply):
+    one call nets the source's whole multi-commit feed per key (last
+    change wins by commit version, preimages ignored) and applies the
+    upserts AND deletes in ONE atomic bloom-pruned commit — the
+    primitive that turns a 100 TB table's change feed into a row-level
+    replica for the cost of the CHANGES. The oracle recomputes the
+    source's final state; the replica must equal it exactly. Pinned in
+    tests/test_txlog_cdf.py::test_apply_changes_nets_and_replays."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_apply")
+    src = _repl_source(spark, sf_dir, root)
+    shutil.rmtree(root + "_rep", ignore_errors=True)
+    rep = TxTable(spark, root + "_rep")
+    rep.create(spark.createDataFrame([], src.snapshot().schema), "k")
+    rep.apply_changes(src.read_changes(0), txn=("apply", 1))
+    return rep.snapshot()
+
+
+@q("stream_replicate_cdc", _REPL_SQL)
+def stream_replicate_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC REPLICATION (streaming/jobs.py:
+    stream_replicate_table): the txlog_changes Structured-Streaming
+    source paces micro-batches of the source's change feed into
+    apply_changes on a replica table — one atomic commit per batch,
+    exactly-once via the replica's txn marker (redelivered batches are
+    logged no-ops). The replica's final state must equal the source's
+    recomputed final state exactly — the cross-region mirror pattern,
+    end-to-end on this repo's primitives."""
+    root = os.path.join(tempfile.gettempdir(), "wpe_stream_repl")
+    import shutil
+
+    from walmart_project_etl_spark.streaming.jobs import \
+        stream_replicate_table
+
+    _repl_source(spark, sf_dir, root)
+    shutil.rmtree(root + "_rep", ignore_errors=True)
+    rep = stream_replicate_table(spark, root, root + "_rep")
+    return rep.snapshot()
+
+
+@q("txn_manifest_export",
+   """SELECT o_orderkey,
+             CASE WHEN o_orderkey % 70 = 0 THEN 0.5
+                  ELSE o_totalprice END AS v
+      FROM orders""")
+def txn_manifest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYMLINK MANIFEST export (sources/txlog.py:export_manifest —
+    Delta's symlink_format_manifest): after a create + merge the
+    manifest lists exactly the live snapshot's files, and an external
+    reader needs only that list + parquet to see a consistent
+    snapshot. This query plays the external reader: it reads BACK
+    through the manifest's file list (never the log) and must equal
+    the oracle's recomputed final state. Cross-engine interop is
+    additionally pinned against a real second engine (DuckDB) in
+    tests/test_txlog.py::test_export_manifest_external_reader."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_totalprice").alias("v"))
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_manifest")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=4)
+    tt.merge_upsert(o.where(F.col("o_orderkey") % 70 == 0)
+                    .withColumn("v", F.lit(0.5)))
+    manifest = tt.export_manifest()
+    files = [ln.strip() for ln in open(manifest)]
+    return spark.read.parquet(*files)

@@ -2163,6 +2163,97 @@ class TxTable:
                         "files_rewritten": len(touched),
                         "files_untouched": len(live) - len(touched)}
 
+    def apply_changes(self, changes: DataFrame,
+                      txn: tuple[str, int] | None = None) -> dict:
+        """APPLY CHANGES INTO (the consumer half of the change feed —
+        Delta Live Tables' CDC-apply): take a batch of row-level
+        changes (table columns + ``_change_type``, optionally
+        ``_commit_version`` — exactly :meth:`read_changes`' shape), NET
+        them per key (the LAST change by ``_commit_version`` wins;
+        ``update_preimage`` rows are bookkeeping and ignored), and
+        apply the resulting upserts AND deletes in ONE atomic commit —
+        the primitive that turns a change feed into a row-level
+        REPLICA of the source table.
+
+        Storage shape matches :meth:`merge_upsert`: only files whose
+        range+bloom stats can hold an affected key rewrite; the
+        optional ``txn`` marker makes a replayed micro-batch a logged
+        no-op (exactly-once replication on at-least-once delivery);
+        CDF capture when enabled, so replicas can chain."""
+        from pyspark.sql.window import Window as W
+
+        meta = self._state()[0]
+        key = meta["key_col"]
+        if "_change_type" not in changes.columns:
+            raise ValueError("changes must carry _change_type "
+                             "(read_changes' shape)")
+        ord_col = F.col("_commit_version") \
+            if "_commit_version" in changes.columns else F.lit(0)
+        last = (changes.where(F.col("_change_type") != "update_preimage")
+                .withColumn("__rn", F.row_number().over(
+                    W.partitionBy(key).orderBy(F.desc(ord_col))))
+                .where(F.col("__rn") == 1))
+        cols = [f["name"]
+                for f in json.loads(meta["schema"])["fields"]]
+        ups = self._check_schema(
+            last.where(F.col("_change_type") != "delete").select(*cols),
+            meta)
+        dels = last.where(F.col("_change_type") == "delete") \
+                   .select(key).distinct()
+        all_keys = ups.select(key).unionByName(dels).distinct()
+        prune = self._key_pruner(all_keys, key)
+
+        while True:
+            if txn is not None and self.last_txn(txn[0]) >= txn[1]:
+                return {"files_scanned": 0, "files_rewritten": 0,
+                        "files_untouched": 0, "skipped_replay": True}
+            base = self.versions()[-1]          # pinned read (see merge)
+            _, live = self._state(base)
+            touched = prune(list(live.values()))
+            if touched:
+                old = self._read_files(meta, touched)
+                new_rows = old.join(all_keys, key, "left_anti") \
+                              .unionByName(ups)
+            else:
+                new_rows = ups
+            adds = self._write_files(new_rows, key,
+                                     stats_cols=_meta_stats_cols(meta),
+                                     partition_by=meta.get("partition_by"),
+                                     meta=meta)
+            cdf: list[dict] = []
+            if meta.get("change_feed"):
+                if touched:
+                    old_hit = old.join(all_keys, key, "semi")
+                    old_keys = old_hit.select(key)
+                    out = (
+                        old_hit.join(ups.select(key), key, "semi")
+                        .withColumn("_change_type",
+                                    F.lit("update_preimage"))
+                        .unionByName(
+                            old_hit.join(dels, key, "semi")
+                            .withColumn("_change_type", F.lit("delete")))
+                        .unionByName(
+                            ups.join(old_keys, key, "semi")
+                            .withColumn("_change_type",
+                                        F.lit("update_postimage")))
+                        .unionByName(
+                            ups.join(old_keys, key, "left_anti")
+                            .withColumn("_change_type",
+                                        F.lit("insert"))))
+                else:
+                    out = ups.withColumn("_change_type", F.lit("insert"))
+                cdf = self._write_cdf(out, meta)
+            actions = [{"op": "merge"}, *adds, *cdf,
+                       *({"remove": {"path": a["path"]}}
+                         for a in touched)]
+            if txn is not None:
+                actions.append({"txn": {"app": txn[0], "batch": txn[1]}})
+            if self._commit(actions, base + 1):
+                self._maybe_checkpoint(base + 1)
+                return {"files_scanned": len(live),
+                        "files_rewritten": len(touched),
+                        "files_untouched": len(live) - len(touched)}
+
     def delete_keys(self, keys: DataFrame) -> dict:
         """Transactional DELETE by key: rewrite only the files that can
         contain a deleted key (same range+bloom pruning as the merge),
@@ -2664,6 +2755,41 @@ class TxTable:
             ref.update(a["cdf"]["path"] for a in acts if "cdf" in a)
             ref.update(a["dv"]["keys"] for a in acts if "dv" in a)
         return ref
+
+    def export_manifest(self, version: int | None = None) -> str:
+        """SYMLINK MANIFEST export (Delta's
+        ``symlink_format_manifest`` for Presto/Trino/external readers):
+        write ``_symlink_format_manifest/manifest.txt`` — one absolute
+        data-file path per line for the LIVE file set at ``version`` —
+        so any engine that can read a file list + parquet can read a
+        consistent table SNAPSHOT without understanding the log.
+        Returns the manifest path. Metadata-sized cost (one line per
+        live file). Refuses when deletion vectors are attached
+        (merge-on-read state is invisible to external readers — run
+        :meth:`purge_deletes` first; same restriction as Delta), and
+        the manifest must be regenerated after every commit (it is a
+        snapshot, not a subscription). Columns appear under PHYSICAL
+        names to an external reader — export after renames hands them
+        the mapping problem, so prefer exporting tables without active
+        mapping (documented trade of the interop seam)."""
+        meta, live = self._state(version, self._read_mode(version))
+        if meta is None:
+            raise FileNotFoundError(f"no table at {self.root}")
+        dv = [a["path"] for a in live.values() if a.get("_dvs")]
+        if dv:
+            raise ValueError(
+                f"{len(dv)} live file(s) carry deletion vectors — an "
+                f"external reader would resurrect the deleted rows; "
+                f"run purge_deletes() first (e.g. {dv[0]})")
+        mdir = os.path.join(self.root, "_symlink_format_manifest")
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".manifest-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            for a in sorted(live.values(), key=lambda a: a["path"]):
+                f.write(os.path.join(self.data_dir, a["path"]) + "\n")
+        final = os.path.join(mdir, "manifest.txt")
+        os.replace(tmp, final)               # atomic swap for readers
+        return final
 
     def vacuum_uncommitted(self, older_than_s: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO commit (crashed or

@@ -459,3 +459,51 @@ def stream_mv_refresh(spark: SparkSession, source_root: str,
          .start())
     q.awaitTermination()
     return TxTable(spark, mv_root)
+
+
+def stream_replicate_table(spark: SparkSession, source_root: str,
+                           replica_root: str):
+    """CDC REPLICATION: follow a tx table's change feed with the
+    Structured-Streaming source and apply every micro-batch to a
+    REPLICA table with :meth:`TxTable.apply_changes` — one atomic
+    commit per batch, exactly-once via the replica's txn marker (a
+    replayed batch after restart is a logged no-op). The replica is a
+    row-level copy that tracks the source for the cost of its CHANGES
+    — the cross-region / dev-mirror pattern a 100 TB source table
+    cannot afford as snapshot copies. The replica is created here
+    (same schema + merge key, change feed enabled so replicas chain);
+    returns its handle after the backlog drains."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    from .txsource import TxLogChangesDataSource
+
+    spark.dataSource.register(TxLogChangesDataSource)
+    src = TxTable(spark, source_root)
+    meta = src._state()[0]
+    replica = TxTable(spark, replica_root)
+    if not replica.versions():
+        schema = StructType.fromJson(_json.loads(meta["schema"]))
+        replica.create(spark.createDataFrame([], schema),
+                       meta["key_col"], change_feed=True)
+    feed = (spark.readStream.format("txlog_changes")
+            .option("root", source_root).load())
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        TxTable(spark, replica_root).apply_changes(
+            batch_df, txn=(f"replica:{source_root}", int(batch_id)))
+
+    q = (feed.writeStream
+         .foreachBatch(apply)
+         .option("checkpointLocation",
+                 os.path.join(replica_root, "_stream_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return TxTable(spark, replica_root)
