@@ -108,10 +108,30 @@ names (the role Delta's field IDs play). Legacy tables are
 identity-mapped (physical == logical) until their first rename/drop,
 so the mapping costs nothing before it is used.
 
+TYPE WIDENING (``widen_column``, or implicitly via a wider
+``mergeSchema`` source): metadata-only widening restricted to the
+upcasts the parquet reader performs natively (int chain, float→double,
+same-scale decimal precision growth) — old files stay readable with no
+rewrite. Writes are type-CHECKED: narrower input upcasts losslessly,
+lossy drift is rejected before a file lands.
+
+GENERATED COLUMNS (``create(generated=...)``, Delta's GENERATED ALWAYS
+AS): omitted on write → computed; provided → validated pre-commit;
+recomputed by predicate UPDATE after its SETs. IDENTITY COLUMNS
+(``create(identity_col=...)``): engine-assigned surrogate bigints from
+a high-water mark that advances in the data's own commit — unique,
+increasing, gaps allowed, race-safe under optimistic concurrency.
+
+APPLY CHANGES (``apply_changes``): the CDC-apply consumer of
+``read_changes``' output — per-key netting, upserts + deletes in one
+atomic bloom-pruned commit, exactly-once txn markers; the primitive
+behind ``streaming.jobs.stream_replicate_table``'s row-level replica.
+``export_manifest`` writes the symlink-format manifest so external
+engines read a consistent snapshot from a plain file list.
+
 Single-format caveat vs real Delta/Iceberg: single table, stats only on
-the merge key + DECLARED columns (not automatically all columns), no
-type changes (rename/drop are supported via column mapping; widening
-is not) — the seam ``operators/merge.py`` needs, not a storage product.
+the merge key + DECLARED columns (not automatically all columns) —
+the seam ``operators/merge.py`` needs, not a storage product.
 """
 
 from __future__ import annotations

@@ -472,7 +472,13 @@ def stream_replicate_table(spark: SparkSession, source_root: str,
     — the cross-region / dev-mirror pattern a 100 TB source table
     cannot afford as snapshot copies. The replica is created here
     (same schema + merge key, change feed enabled so replicas chain);
-    returns its handle after the backlog drains."""
+    returns its handle after the backlog drains.
+
+    A RESTORE on the source raises ChangeFeedRestoredError through the
+    stream (the feed does not row-track restores): recover by
+    resyncing the replica from a source snapshot and restarting with a
+    fresh checkpoint — the same recovery contract as
+    operators/matview.refresh_agg_mv, which implements it."""
     import json as _json
     import os
 
