@@ -2118,3 +2118,32 @@ def test_export_manifest_external_reader(spark, orders, tmp_path):
         t2.export_manifest()
     t2.purge_deletes()
     assert t2.export_manifest()
+
+
+def test_null_count_skipping(spark, tmp_path):
+    """nullCount data skipping (Delta's null stats): an IS NOT NULL
+    read skips the ingest batches where the declared column was
+    entirely NULL (a late-arriving column), and equals the unpruned
+    filter exactly. Files written with values keep scanning; the
+    pruned file count is pinned via _prune_live."""
+    t = TxTable(spark, str(tmp_path / "n"))
+    with_val = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("tag"))
+    all_null = spark.range(100, 200).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("string").alias("tag"))
+    t.create(with_val, "k", n_files=2, stats_cols=["tag"])
+    t.append(all_null.limit(50))
+    t.append(all_null.where("k >= 150"))
+    meta, live = t._state()
+    files, _ = t._prune_live(meta, live, not_null=["tag"])
+    assert len(files) < len(live)            # the all-null files skip
+    got = t.read_where(not_null=["tag"])
+    assert got.count() == 100
+    assert got.where("tag is null").count() == 0
+    # composes with a range band on the same stats tier
+    band = t.read_where(stats={"tag": ("10", "19")}, not_null=["tag"])
+    assert band.count() == \
+        t.snapshot().where("tag >= '10' and tag <= '19'").count()
+    with pytest.raises(ValueError, match="no stats"):
+        t.read_where(not_null=["k"])

@@ -95,7 +95,7 @@ _PRIORITY = (
 #: txn_agg_mv_minmax, txn_merge_schema, txn_rename_column,
 #: txn_drop_column, txn_type_widening, txn_generated_columns,
 #: sim_pq_ann_topk, txn_identity_column, txn_apply_changes,
-#: stream_replicate_cdc, txn_manifest_export.
+#: stream_replicate_cdc, txn_manifest_export, txn_null_skipping.
 #: Then the r6-era rows deferred from r10 (25): mm_real_decode_wav,
 #: olap_cube_lineitem, olap_grouping_sets_orders, olap_histogram,
 #: olap_rollup_lineitem, olap_share_of_total, olap_time_rollup_events,

@@ -2196,3 +2196,32 @@ def txn_manifest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = tt.export_manifest()
     files = [ln.strip() for ln in open(manifest)]
     return spark.read.parquet(*files)
+
+
+@q("txn_null_skipping",
+   """SELECT o_orderkey, o_orderstatus AS note
+      FROM orders WHERE o_orderkey % 2 = 1""")
+def txn_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nullCount DATA SKIPPING (Delta's per-file null stats): the
+    first ingest era wrote the ``note`` column entirely NULL (the
+    late-arriving-column pattern); an ``IS NOT NULL`` read via
+    read_where(not_null=) skips those files on the LOG alone — no
+    file opens — and equals the unpruned filter exactly (the oracle
+    recomputes it). Pruned-file count pinned in
+    tests/test_txlog.py::test_null_count_skipping."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_nullskip")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o.where(F.col("o_orderkey") % 2 == 0)
+              .withColumn("note", F.lit(None).cast("string"))
+              .drop("o_orderstatus"),
+              "o_orderkey", n_files=4, stats_cols=["note"])
+    tt.append(o.where(F.col("o_orderkey") % 2 == 1)
+              .withColumn("note", F.col("o_orderstatus"))
+              .drop("o_orderstatus"))
+    return tt.read_where(not_null=["note"])

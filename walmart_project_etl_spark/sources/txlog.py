@@ -665,7 +665,11 @@ class TxTable:
                     "tinyint", "smallint", "int", "bigint", "string"):
                 sc = sc.cast("string")       # ISO serialization for JSON
             extra += [F.min(sc).alias(f"__smin{i}"),
-                      F.max(sc).alias(f"__smax{i}")]
+                      F.max(sc).alias(f"__smax{i}"),
+                      # per-file NULL count (Delta's nullCount stats):
+                      # lets IS NOT NULL reads skip all-null files
+                      F.sum(F.col(scol).isNull().cast("long"))
+                       .alias(f"__snull{i}")]
         if pcols is not None:
             for i, c in enumerate(pcols):
                 pc = F.col(c)
@@ -736,6 +740,8 @@ class TxTable:
                 # on the first declared column) + the per-column map
                 a["smin"], a["smax"] = r["__smin0"], r["__smax0"]
                 a["cstats"] = {c: [r[f"__smin{i}"], r[f"__smax{i}"]]
+                               for i, c in enumerate(stats_cols)}
+                a["cnulls"] = {c: r[f"__snull{i}"]
                                for i, c in enumerate(stats_cols)}
             if pcols is not None:
                 # purity asserted above; scalar for one column (the
@@ -982,6 +988,7 @@ class TxTable:
 
     def read_where(self, partitions=None, key_lo=None, key_hi=None,
                    stats: dict | None = None,
+                   not_null: list[str] | None = None,
                    version: int | None = None) -> DataFrame:
         """COMPOSED pruned read — the single reader entry point that
         stacks every skipping tier the log carries, the way a Delta
@@ -993,7 +1000,11 @@ class TxTable:
         - ``key_lo``/``key_hi``: [kmin, kmax] intersects the band;
         - ``stats``: {col: (lo, hi)} — every declared column's per-file
           [min, max] intersects its band (either bound may be None;
-          files predating a column's stats scan conservatively).
+          files predating a column's stats scan conservatively);
+        - ``not_null``: [col, ...] — the per-file NULL count (Delta's
+          nullCount stats) shows the declared column is not all-null
+          in the file: an ``IS NOT NULL`` read skips the ingest batches
+          where a late-arriving column hadn't started populating.
 
         The exact predicates re-apply as residual filters, so the
         result equals the unpruned filter at any layout. At 100 TB this
@@ -1003,14 +1014,16 @@ class TxTable:
         if meta is None:
             raise FileNotFoundError(f"no table at {self.root}")
         files, residual = self._prune_live(meta, live, partitions,
-                                           key_lo, key_hi, stats)
+                                           key_lo, key_hi, stats,
+                                           not_null)
         df = self._read_files(meta, files)
         if residual is not None:
             df = df.where(residual)
         return df
 
     def _prune_live(self, meta: dict, live: dict, partitions=None,
-                    key_lo=None, key_hi=None, stats: dict | None = None):
+                    key_lo=None, key_hi=None, stats: dict | None = None,
+                    not_null: list[str] | None = None):
         """The composed file-skipping tiers of :meth:`read_where`,
         factored for every reader/writer that needs "which live files
         can hold rows matching these bounds" (read_where itself, the
@@ -1027,7 +1040,8 @@ class TxTable:
         declared = meta.get("stats_cols") or \
             ([meta["stats_col"]] if meta.get("stats_col") else [])
         stats = stats or {}
-        unknown = [c for c in stats if c not in declared]
+        not_null = not_null or []
+        unknown = [c for c in (*stats, *not_null) if c not in declared]
         if unknown:
             raise ValueError(
                 f"columns {unknown} carry no stats (declared: {declared})")
@@ -1058,6 +1072,10 @@ class TxTable:
                 if (hi is not None and smin > hi) or \
                         (lo is not None and smax < lo):
                     return False
+            for col in not_null:
+                nulls = (a.get("cnulls") or {}).get(mp.get(col, col))
+                if nulls is not None and nulls == a["rows"]:
+                    return False                 # every row NULL — skip
             return True
 
         files = [a for a in live.values() if survives(a)]
@@ -1073,6 +1091,8 @@ class TxTable:
                 conds.append(F.col(col) >= lo)
             if hi is not None:
                 conds.append(F.col(col) <= hi)
+        for col in not_null:
+            conds.append(F.col(col).isNotNull())
         residual = None
         for c in conds:
             residual = c if residual is None else residual & c
