@@ -1860,7 +1860,7 @@ def test_model_combined_format_operations(spark, tmp_path, seed):
     OPS = (["append"] * 3 + ["merge"] * 3 + ["delete"] * 2
            + ["delete_dv"] * 2 + ["replace_where"] * 2
            + ["purge", "restore", "compact", "compact_partitions",
-              "zorder"] + ["rename"] * 2)
+              "zorder"] + ["rename"] * 2 + ["widen"])
     for step in range(n_steps):
         op = rng.choice(OPS)
         if op == "append":
@@ -1917,6 +1917,15 @@ def test_model_combined_format_operations(spark, tmp_path, seed):
             new = f"n{step}"
             t.rename_column(names[i], new)
             names[i] = new
+        elif op == "widen":
+            # metadata-only int→bigint on the stats column; a RESTORE
+            # may narrow it back, re-arming the op. Values compare
+            # equal either way (python ints), so the model is blind to
+            # it — exactly what reader-safe widening promises.
+            try:
+                t.widen_column(names[3], "bigint")
+            except ValueError:
+                pass                     # already bigint at this meta
         else:
             t.optimize_zorder([names[0], names[3]], target_rows=100)
         assert snap_rows() == model, \
