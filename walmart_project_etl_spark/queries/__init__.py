@@ -24,19 +24,35 @@ _MODULES = (core, funcs, pipeline, llm, trainprep)
 
 #: Curated registration order. The driver's correctness harness records rows
 #: for (at most) the first 50 registry entries. Rounds 2-9 put green driver
-#: rows on 192 of the 217 entries with zero value failures; freshness after
-#: r9 is r5×2, r6×49, r7×41, r8×50, r9×50, never×24 (the entire r9-new
-#: surface). This round's window (r10, per VERDICT r9 task 1) leads with
-#: those 24 never-driver-checked entries (tx-table partitioning / DV / CDF /
-#: cross-table / restore / clone / constraints / conditional merge / MV /
-#: maintenance advisor / multi-column skipping, SemDeDup ×2, BPE ×2 + its
-#: pipeline, and the three new streaming shapes), then the 2 r5-era rows
-#: deferred from r9 (text_tfidf_top_terms, ts_yoy_growth), then the 24
-#: alphabetically-first r6-era rows. After this round every registry entry
-#: has a driver row and no row predates r6; the 25 remaining r6-era rows
-#: (deferred, named below the tuple) rotate in r11.
+#: rows on 192 of the 217 entries with zero value failures. NOTE: the r10
+#: driver correctness/bench runs never materialized (no CORRECTNESS_r10 /
+#: BENCH_r10 artifact exists), so the r10 window below never executed —
+#: freshness entering r11 is still r5×2, r6×49, r7×41, r8×50, r9×50, and
+#: never×38 (the 24 r9-new entries PLUS the 14 r10-new entries). This
+#: round's window (r11) therefore leads with the r11-new entries, then the
+#: 14 r10-new (schema evolution / identity / generated columns / PQ ANN /
+#: CDC apply+replicate / manifest export / null skipping / predicate DML /
+#: MV min-max), then the 24 r9-new, then the 2 r5-era rows
+#: (text_tfidf_top_terms, ts_yoy_growth), filling to 50 with the oldest
+#: r6-era rows. The r6-era backlog (~49 rows) rotates in over r12-r13;
+#: the deferred names are listed below the tuple.
 _PRIORITY = (
-    # r9-new entries, never driver-checked (lead per VERDICT r9 task 1)
+    # r10-new entries, never driver-checked (r10 window never ran)
+    "txn_update_where",
+    "txn_delete_where",
+    "txn_agg_mv_minmax",
+    "txn_merge_schema",
+    "txn_rename_column",
+    "txn_drop_column",
+    "txn_type_widening",
+    "txn_generated_columns",
+    "sim_pq_ann_topk",
+    "txn_identity_column",
+    "txn_apply_changes",
+    "stream_replicate_cdc",
+    "txn_manifest_export",
+    "txn_null_skipping",
+    # r9-new entries, never driver-checked (r10 window never ran)
     "txn_partition_prune",
     "txn_partition_prune_multicol",
     "txn_replace_where",
@@ -61,10 +77,10 @@ _PRIORITY = (
     "stream_cdf_follow",
     "stream_partition_ingest",
     "stream_agg_mv_follow",
-    # r5-era rows deferred from the r9 window (code unchanged; freshness)
+    # r5-era rows (oldest driver rows in the registry; freshness)
     "text_tfidf_top_terms",
     "ts_yoy_growth",
-    # r6-era rows, 24 of 49 (alphabetical; code unchanged; freshness)
+    # r6-era rows, 10 of 49 (alphabetical; code unchanged; freshness)
     "a02_groupby_first",
     "a03_distinct_count_per_group",
     "a05_count_distinct",
@@ -75,34 +91,20 @@ _PRIORITY = (
     "clean_winsorize",
     "clean_zscore",
     "curate_pipeline",
-    "dedup_boilerplate_lines",
-    "dedup_boilerplate_sentences",
-    "dedup_canonical_longest",
-    "dedup_cluster_components",
-    "dedup_contamination_scores",
-    "dedup_decontaminate",
-    "dedup_fuzzy_blocked",
-    "dedup_ngram_containment",
-    "dedup_ngram_jaccard",
-    "events_attribution",
-    "events_transition_matrix",
-    "j01_left_equi_join",
-    "j10_optional_dim_left_join",
-    "mm_real_decode_png",
 )
-#: r10-NEW entries (never driver-checked — LEAD the r11 window, before
-#: the freshness backlog): txn_update_where, txn_delete_where,
-#: txn_agg_mv_minmax, txn_merge_schema, txn_rename_column,
-#: txn_drop_column, txn_type_widening, txn_generated_columns,
-#: sim_pq_ann_topk, txn_identity_column, txn_apply_changes,
-#: stream_replicate_cdc, txn_manifest_export, txn_null_skipping.
-#: Then the r6-era rows deferred from r10 (25): mm_real_decode_wav,
-#: olap_cube_lineitem, olap_grouping_sets_orders, olap_histogram,
-#: olap_rollup_lineitem, olap_share_of_total, olap_time_rollup_events,
-#: p01_projection_rename, p02_distinct_nonnull_dates, p03_null_filter,
-#: profile_lineitem, s02_empty_string_to_null, s03_table_scan,
-#: s04_parquet_sink_roundtrip, s06_ddl_create_insert, s07_truncate, s08_drop,
-#: s09_temp_view, skew_salted_latest, stream_static_enrich, stream_tx_upsert,
+#: r6-era rows deferred from this window (39) — rotate in over r12-r13:
+#: dedup_boilerplate_lines, dedup_boilerplate_sentences,
+#: dedup_canonical_longest, dedup_cluster_components,
+#: dedup_contamination_scores, dedup_decontaminate, dedup_fuzzy_blocked,
+#: dedup_ngram_containment, dedup_ngram_jaccard, events_attribution,
+#: events_transition_matrix, j01_left_equi_join, j10_optional_dim_left_join,
+#: mm_real_decode_png, mm_real_decode_wav, olap_cube_lineitem,
+#: olap_grouping_sets_orders, olap_histogram, olap_rollup_lineitem,
+#: olap_share_of_total, olap_time_rollup_events, p01_projection_rename,
+#: p02_distinct_nonnull_dates, p03_null_filter, profile_lineitem,
+#: s02_empty_string_to_null, s03_table_scan, s04_parquet_sink_roundtrip,
+#: s06_ddl_create_insert, s07_truncate, s08_drop, s09_temp_view,
+#: skew_salted_latest, stream_static_enrich, stream_tx_upsert,
 #: text_unigram_logprob, ts_gap_fill_locf, txn_merge_fileprune,
 #: txn_time_travel.
 
