@@ -1818,8 +1818,9 @@ def test_model_combined_format_operations(spark, tmp_path, seed):
     a file's write and its zorder rewrite; pruning through the mapping)
     are where format bugs live. Per step: snapshot == model (positional
     — logical names rotate), partition purity, and an incremental CDF
-    consumer fold == model (resyncing across restores via
-    ChangeFeedRestoredError); spot time-travel every 5 steps, full
+    consumer fold == model (folding exactly through row-TRACKED
+    restores; resyncing via ChangeFeedRestoredError on restores that
+    cross a schema change); spot time-travel every 5 steps, full
     sweep at the end. ``WPE_COMBINED_MODEL_STEPS`` overrides the step
     count (default 200)."""
     import random
@@ -1903,7 +1904,7 @@ def test_model_combined_format_operations(spark, tmp_path, seed):
             t.purge_deletes()
         elif op == "restore":
             tgt = rng.choice(sorted(versioned))
-            t.restore(tgt)
+            restored = t.restore(tgt)
             model = dict(versioned[tgt])
             names = list(vnames[tgt])    # old logical names come back
         elif op == "compact":
@@ -1935,9 +1936,10 @@ def test_model_combined_format_operations(spark, tmp_path, seed):
                    and len(a["pval"]) == 2 for a in live.values()), \
             f"purity broken after step {step}: {op}"
         cur_v = t.versions()[-1]
-        if op == "restore":
-            # the feed refuses to fold across the restore; the
-            # consumer resyncs from the restored snapshot
+        if op == "restore" and not restored["cdf_tracked"]:
+            # a restore ACROSS a schema change (rename/widen between
+            # target and now) is untracked: the feed refuses to fold
+            # across it and the consumer resyncs from the snapshot
             with pytest.raises(ChangeFeedRestoredError):
                 t.read_changes(since_version=cdf_since, upto=cur_v)
             fold = dict(model)

@@ -286,36 +286,98 @@ def test_stream_mv_refresh_follows_and_resumes(spark, orders, tmp_path):
     check(mv)
 
 
-def test_read_changes_raises_across_restore(spark, orders, tmp_path):
-    """A RESTORE inside the feed range raises (the feed does not
-    row-track restores — folding across one silently diverges); a
-    range starting after the restore reads normally."""
+def test_read_changes_folds_through_tracked_restore(spark, orders,
+                                                    tmp_path):
+    """A RESTORE on a change-feed table materializes its own row-level
+    diff (beyond Delta, where RESTORE breaks CDF consumers): the feed
+    flows exactly across it — the restore commit's changes are the
+    insert-back of the rows the undone commit deleted — and the diff
+    read touches only the files that CHANGED since the target, never
+    the common untouched ones."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=4, change_feed=True)
+    n0 = t.snapshot().count()
+    # contiguous low key range: the delete rewrites ONE range-clustered
+    # file, so the restore diff has untouched files to skip
+    doomed = orders.where("o_orderkey <= 200").select("o_orderkey")
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+    t.delete_keys(doomed)                                 # v1
+
+    read_sizes = []
+    orig = t._read_files
+
+    def spying(meta, actions, **kw):
+        acts = list(actions)
+        read_sizes.append(len(acts))
+        return orig(meta, acts, **kw)
+
+    t._read_files = spying                  # type: ignore[assignment]
+    res = t.restore(0)                                    # v2: tracked
+    t._read_files = orig                    # type: ignore[assignment]
+    assert res["cdf_tracked"] is True
+    # O(changed files): each diff-side read is smaller than the table
+    _, live = t._state()
+    assert read_sizes and all(n < len(live) for n in read_sizes)
+
+    t.append(orders.select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey", "o_totalprice", "o_orderstatus").limit(5))  # v3
+
+    ch = t.read_changes(since_version=1).collect()
+    v2 = [r for r in ch if r["_commit_version"] == 2]
+    assert len(v2) == n_doomed              # exactly the undone deletes
+    assert {r["_change_type"] for r in v2} == {"insert"}
+    # fold the whole feed onto the v0 snapshot == the latest snapshot
+    keys = {r["o_orderkey"] for r in
+            t.snapshot(0).select("o_orderkey").collect()}
+    for v in sorted({r["_commit_version"] for r in ch}):
+        vr = [r for r in ch if r["_commit_version"] == v]
+        keys -= {r["o_orderkey"] for r in vr
+                 if r["_change_type"] in ("delete", "update_preimage")}
+        keys |= {r["o_orderkey"] for r in vr
+                 if r["_change_type"] in ("insert", "update_postimage")}
+    assert keys == {r["o_orderkey"] for r in
+                    t.snapshot().select("o_orderkey").collect()}
+    assert len(keys) == n0 + 5
+
+
+def test_read_changes_raises_across_schema_crossing_restore(
+        spark, orders, tmp_path):
+    """A restore ACROSS a schema change (rename between target and now)
+    cannot represent pre-image rows under the restored schema — it
+    commits UNTRACKED and the feed raises, preserving the legacy resync
+    contract; a range starting after it reads normally."""
     from walmart_project_etl_spark.sources.txlog import \
         ChangeFeedRestoredError
 
     t = TxTable(spark, str(tmp_path / "t"))
     t.create(orders, "o_orderkey", n_files=4, change_feed=True)
+    t.rename_column("o_custkey", "cust_id")               # v1
     t.delete_keys(orders.where("o_orderkey % 10 = 1")
-                  .select("o_orderkey"))                  # v1
-    t.restore(0)                                          # v2
+                  .select("o_orderkey"))                  # v2
+    res = t.restore(0)                                    # v3: untracked
+    assert res["cdf_tracked"] is False
     t.append(orders.select(
         (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-        "o_custkey", "o_totalprice", "o_orderstatus").limit(5))  # v3
+        "o_custkey", "o_totalprice", "o_orderstatus").limit(5))  # v4
 
     with pytest.raises(ChangeFeedRestoredError) as ei:
         t.read_changes(since_version=1)
-    assert ei.value.restore_version == 2
+    assert ei.value.restore_version == 3
     # consumer resynced at/after the restore: range past it is clean
-    ch = t.read_changes(since_version=3)
+    ch = t.read_changes(since_version=4)
     assert ch.count() == 5
     assert {r["_change_type"] for r in
             ch.select("_change_type").distinct().collect()} == {"insert"}
 
 
-def test_mv_full_resync_after_source_restore(spark, orders, tmp_path):
-    """refresh_agg_mv recovers from a source RESTORE with a full
-    resync: the MV equals a from-scratch aggregate of the restored
-    snapshot, and groups that existed only pre-restore are dropped."""
+def test_mv_folds_through_tracked_restore(spark, orders, tmp_path):
+    """refresh_agg_mv folds a row-TRACKED source RESTORE through the
+    ordinary incremental path (no resync): the MV equals a from-scratch
+    aggregate of the restored snapshot, and a group that existed only
+    pre-restore is deleted by its zero-count fold."""
+    from walmart_project_etl_spark.operators import matview
     from walmart_project_etl_spark.operators.matview import \
         refresh_agg_mv
 
@@ -328,11 +390,22 @@ def test_mv_full_resync_after_source_restore(spark, orders, tmp_path):
                         ["o_orderstatus"], "o_totalprice")
     assert mv.snapshot().where("o_orderstatus = 'Z'").count() == 1
 
-    t.restore(0)                                          # v2: Z gone
+    res = t.restore(0)                                    # v2: Z gone
+    assert res["cdf_tracked"] is True
     t.delete_keys(orders.where("o_orderkey % 10 = 3")
                   .select("o_orderkey"))                  # v3
-    mv = refresh_agg_mv(spark, t, str(tmp_path / "mv"),
-                        ["o_orderstatus"], "o_totalprice")
+
+    def no_resync(*a, **kw):                # the O(changed rows)
+        raise AssertionError(               # contract must hold
+            "tracked restore must not trigger a full resync")
+
+    orig = matview._resync_plan
+    matview._resync_plan = no_resync
+    try:
+        mv = refresh_agg_mv(spark, t, str(tmp_path / "mv"),
+                            ["o_orderstatus"], "o_totalprice")
+    finally:
+        matview._resync_plan = orig
 
     got = {r["o_orderstatus"]: (r["n_rows"], str(r["total"]))
            for r in mv.snapshot().collect()}
@@ -349,6 +422,46 @@ def test_mv_full_resync_after_source_restore(spark, orders, tmp_path):
     refresh_agg_mv(spark, t, str(tmp_path / "mv"),
                    ["o_orderstatus"], "o_totalprice")
     assert mv.versions()[-1] == v_before
+
+
+def test_mv_full_resync_after_untracked_restore(spark, orders,
+                                                tmp_path):
+    """refresh_agg_mv recovers from an UNTRACKED source RESTORE (one
+    crossing a schema change) with a full resync: the MV equals a
+    from-scratch aggregate of the restored snapshot, and groups that
+    existed only pre-restore are dropped."""
+    from walmart_project_etl_spark.operators.matview import \
+        refresh_agg_mv
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=4, change_feed=True)
+    # v1: a rename the restore will cross, making it untracked
+    t.rename_column("o_custkey", "cust_id")
+    # v2: introduce a brand-new group 'Z' the restore will erase
+    t.merge_upsert(orders.limit(7)
+                   .withColumnRenamed("o_custkey", "cust_id")
+                   .withColumn("o_orderstatus", F.lit("Z")))
+    mv = refresh_agg_mv(spark, t, str(tmp_path / "mv"),
+                        ["o_orderstatus"], "o_totalprice")
+    assert mv.snapshot().where("o_orderstatus = 'Z'").count() == 1
+
+    res = t.restore(0)                                    # v3: Z gone
+    assert res["cdf_tracked"] is False
+    t.delete_keys(orders.where("o_orderkey % 10 = 3")
+                  .select("o_orderkey"))                  # v4
+    mv = refresh_agg_mv(spark, t, str(tmp_path / "mv"),
+                        ["o_orderstatus"], "o_totalprice")
+
+    got = {r["o_orderstatus"]: (r["n_rows"], str(r["total"]))
+           for r in mv.snapshot().collect()}
+    exp = {r["o_orderstatus"]: (r["n"], str(r["s"])) for r in
+           t.snapshot().groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("double")
+                       .cast("decimal(28,6)")).alias("s")).collect()}
+    assert got == exp
+    assert "Z" not in got                    # stale group deleted
+    assert mv.last_txn("agg_mv_refresh") == t.versions()[-1]
 
 
 def test_stream_source_rate_limit_bounded_batches(spark, orders,
@@ -411,6 +524,26 @@ def test_stream_source_carries_dv_and_replace_where_changes(
     assert _rows(got, ALL) == _rows(t.read_changes(0), ALL)
     assert got.where("_commit_version = 1").count() > 0
     assert got.where("_commit_version = 2").count() > 0
+
+
+def test_stream_source_flows_across_tracked_restore(spark, orders,
+                                                    tmp_path):
+    """A row-tracked RESTORE streams through the CDF source as its
+    materialized diff — the stream no longer dies on an undo of a bad
+    commit (parity with the batch feed's tracked-restore behavior)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=4, change_feed=True)
+    t.delete_keys(orders.where("o_orderkey <= 200")
+                  .select("o_orderkey"))                         # v1
+    res = t.restore(0)                                           # v2
+    assert res["cdf_tracked"] is True
+    t.append(orders.select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey", "o_totalprice", "o_orderstatus").limit(5))  # v3
+    got = _drain(spark, t.root, str(tmp_path / "sink"),
+                 str(tmp_path / "ckpt"))
+    assert _rows(got, ALL) == _rows(t.read_changes(0), ALL)
+    assert got.where("_commit_version = 2").count() > 0  # the diff
 
 
 def test_minmax_mv_incremental_and_ivm_fallback(spark, orders, tmp_path,

@@ -76,12 +76,13 @@ def refresh_agg_mv(spark: SparkSession, source, mv_root: str,
     overwrites the touched groups with the correctly-folded state; the
     exactly-once ``txn`` marker skips true replays.
 
-    Recovery: a RESTORE on the source raises
-    :class:`ChangeFeedRestoredError` from the feed read — the refresh
-    then falls back to a FULL RESYNC (re-aggregate the source snapshot
-    at ``src_version``, delete stale groups), the one case where the
-    O(changed rows) contract cannot hold because the feed does not
-    row-track restores."""
+    Recovery: a row-TRACKED source RESTORE (the common case — see
+    :meth:`TxTable.restore`) simply folds through as ordinary
+    insert/delete deltas, keeping the O(changed rows) contract. Only
+    an UNTRACKED restore (pre-row-tracking, or across a schema change)
+    raises :class:`ChangeFeedRestoredError` from the feed read — the
+    refresh then falls back to a FULL RESYNC (re-aggregate the source
+    snapshot at ``src_version``, delete stale groups)."""
     from walmart_project_etl_spark.sources.txlog import (
         ChangeFeedRestoredError, TxTable)
 

@@ -37,6 +37,8 @@ _MODULES = (core, funcs, pipeline, llm, trainprep)
 #: r6-era rows. The r6-era backlog (~49 rows) rotates in over r12-r13;
 #: the deferred names are listed below the tuple.
 _PRIORITY = (
+    # r11-new entries
+    "txn_restore_cdf",
     # r10-new entries, never driver-checked (r10 window never ran)
     "txn_update_where",
     "txn_delete_where",
@@ -90,10 +92,9 @@ _PRIORITY = (
     "clean_quantile_bins",
     "clean_winsorize",
     "clean_zscore",
-    "curate_pipeline",
 )
-#: r6-era rows deferred from this window (39) — rotate in over r12-r13:
-#: dedup_boilerplate_lines, dedup_boilerplate_sentences,
+#: r6-era rows deferred from this window (40) — rotate in over r12-r13:
+#: curate_pipeline, dedup_boilerplate_lines, dedup_boilerplate_sentences,
 #: dedup_canonical_longest, dedup_cluster_components,
 #: dedup_contamination_scores, dedup_decontaminate, dedup_fuzzy_blocked,
 #: dedup_ngram_containment, dedup_ngram_jaccard, events_attribution,

@@ -1438,6 +1438,38 @@ def txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.snapshot()
 
 
+@q("txn_restore_cdf",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+             'insert' AS _change_type,
+             CAST(2 AS BIGINT) AS _commit_version
+      FROM orders WHERE o_orderkey % 7 = 3""")
+def txn_restore_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-TRACKED RESTORE (beyond Delta, whose RESTORE breaks CDF
+    consumers): the restore commit materializes its own row-level diff
+    into the change feed, so ``read_changes`` — and every incremental
+    consumer built on it (aggregate MV, streaming replication) — flows
+    EXACTLY across the undo instead of resyncing. Here the restore
+    undoes a DELETE, so its change rows are precisely the deleted rows
+    coming back as inserts; the diff read touches only the files the
+    delete rewrote (O(changed files), pinned in
+    tests/test_txlog_cdf.py), never the untouched ones."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_restore_cdf")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=6, change_feed=True)
+    tt.delete_keys(o.where(F.col("o_orderkey") % 7 == 3)       # v1
+                    .select("o_orderkey"))
+    res = tt.restore(0)                                        # v2
+    assert res["cdf_tracked"], "restore must be row-tracked"
+    return tt.read_changes(since_version=2)
+
+
 @q("txn_shallow_clone",
    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
       FROM orders WHERE o_orderkey % 9 <> 1""")

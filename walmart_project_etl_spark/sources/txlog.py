@@ -305,12 +305,16 @@ class TxnAbortedError(RuntimeError):
 
 
 class ChangeFeedRestoredError(ValueError):
-    """The requested change-feed range crosses a RESTORE commit. A
-    restore resets the live row set without row-tracking the change
-    (same as Delta), so folding the feed across it silently diverges
-    from the source — incremental consumers must RESYNC from a
-    snapshot at-or-after the restore version instead.
-    ``restore_version`` is the offending commit."""
+    """The requested change-feed range crosses an UNTRACKED restore
+    commit — one written before :meth:`TxTable.restore` materialized
+    row-level diffs, or one that crossed a schema change. Such a
+    restore reset the live row set without row-tracking the change
+    (Delta's behavior for every restore), so folding the feed across
+    it silently diverges from the source — incremental consumers must
+    RESYNC from a snapshot at-or-after the restore version instead.
+    ``restore_version`` is the offending commit. Tracked restores
+    (the common case) never raise: their diff flows through the feed
+    as ordinary insert/delete rows."""
 
     def __init__(self, msg: str, restore_version: int):
         super().__init__(msg)
@@ -1122,13 +1126,16 @@ class TxTable:
         rows. Change files follow :meth:`vacuum`'s version retention —
         don't read changes past the vacuum horizon.
 
-        A RESTORE commit inside the requested range raises
-        :class:`ChangeFeedRestoredError` — restore changes the live row
-        set without row-tracking it, so a fold across it would silently
-        diverge; consumers must resync from a snapshot (see
-        :func:`operators.matview.refresh_agg_mv` for the recovery
-        pattern). Restores BEFORE ``since_version`` are fine: a consumer
-        whose watermark already passed the restore resynced then."""
+        RESTORE commits are row-tracked: :meth:`restore` materializes
+        its own diff as change files at commit time, so the feed flows
+        exactly across a restore (beyond Delta, where RESTORE breaks
+        CDF consumers). Only an UNTRACKED restore — one written before
+        row tracking, or one that crossed a schema change — raises
+        :class:`ChangeFeedRestoredError`; consumers then resync from a
+        snapshot (see :func:`operators.matview.refresh_agg_mv` for the
+        recovery pattern). Untracked restores BEFORE ``since_version``
+        are fine: a consumer whose watermark already passed the restore
+        resynced then."""
         meta, _ = self._state(upto, self._read_mode(upto))
         if meta is None:
             raise FileNotFoundError(f"no table at {self.root}")
@@ -1155,16 +1162,19 @@ class TxTable:
                 break                      # sealed prefix: stop early
             ops = [a["op"] for a in acts if "op" in a]
             op = ops[0] if ops else None
-            if op == "restore":
+            if op == "restore" and not next(
+                    a for a in acts if "op" in a).get("tracked"):
+                # legacy / schema-crossing restore: no row-level diff
+                # was captured at commit time — consumers must resync
                 raise ChangeFeedRestoredError(
                     f"change-feed range [{since_version}, "
                     f"{upto if upto is not None else 'latest'}] of "
-                    f"{self.root} crosses the RESTORE commit at version "
-                    f"{v} (restored to "
+                    f"{self.root} crosses the untracked RESTORE commit "
+                    f"at version {v} (restored to "
                     f"{next(a for a in acts if 'op' in a).get('to')}); "
-                    f"the feed "
-                    f"does not row-track restores — resync from a "
-                    f"snapshot at version >= {v}", restore_version=v)
+                    f"this restore predates row tracking or crossed a "
+                    f"schema change — resync from a snapshot at "
+                    f"version >= {v}", restore_version=v)
             if op in ("create", "append"):
                 paths = [a["add"]["path"] for a in acts if "add" in a]
                 if not paths:
@@ -1172,11 +1182,11 @@ class TxTable:
                 df = self._read_files(meta, paths) \
                     .withColumn("_change_type", F.lit("insert"))
             elif op in ("merge", "delete", "delete_dv", "replace_where",
-                        "update"):
+                        "update", "restore"):
                 paths = [os.path.join(self.data_dir, a["cdf"]["path"])
                          for a in acts if "cdf" in a]
                 if not paths:
-                    continue               # no-op merge/delete
+                    continue               # no-op merge/delete/restore
                 df = self.spark.read.schema(cdf_schema).parquet(*paths)
                 if mp:
                     df = df.select(
@@ -1779,8 +1789,23 @@ class TxTable:
         NEW commit — an undo that preserves history: every version
         between stays time-travelable, and the restore itself is just
         another version. Fails with a clear error if the target
-        version's files were already vacuumed. The change feed does not
-        row-track a restore (same caveat as Delta — consumers resync)."""
+        version's files were already vacuumed.
+
+        ROW-TRACKED when the table has a change feed: the restore
+        materializes its own row-level diff as change files, so
+        :meth:`read_changes` (and the streaming CDF source) flow
+        EXACTLY across the restore instead of forcing a consumer
+        resync — a step beyond Delta, whose RESTORE breaks CDF
+        consumers. The diff costs O(files that changed since the
+        target): files live in BOTH states with identical deletion
+        vectors cannot contribute changed rows and are never read;
+        the rest diff via ``exceptAll`` (rows leaving the live set →
+        ``delete``, rows returning → ``insert``). The one case that
+        keeps the legacy resync contract is a restore ACROSS a schema
+        change (declared schema or column mapping differ between the
+        current and target versions) — the pre-image rows then have no
+        faithful representation under the restored schema, so the
+        commit is marked untracked and consumers resync as before."""
         while True:
             base = self.versions()[-1]          # pinned read (see merge)
             meta_t, live_t = self._state(version)
@@ -1793,9 +1818,33 @@ class TxTable:
                 raise ValueError(
                     f"cannot restore to version {version}: {len(gone)} "
                     f"file(s) already vacuumed (e.g. {gone[0]})")
-            _, live_now = self._state(base)
-            actions: list[dict] = [{"op": "restore", "to": version},
-                                   {"meta": meta_t}]
+            meta_now, live_now = self._state(base)
+            op_act: dict = {"op": "restore", "to": version}
+            cdf: list[dict] = []
+            if (meta_t.get("change_feed")
+                    and meta_now.get("schema") == meta_t.get("schema")
+                    and (meta_now.get("column_mapping") or {})
+                    == (meta_t.get("column_mapping") or {})):
+                def sig(a: dict):
+                    return tuple(sorted(a.get("_dvs", [])))
+                common = {p for p, a in live_t.items()
+                          if p in live_now and sig(a) == sig(live_now[p])}
+                old_ch = [a for p, a in live_now.items()
+                          if p not in common]
+                new_ch = [a for p, a in live_t.items() if p not in common]
+                if old_ch or new_ch:
+                    old_df = self._read_files(meta_t, old_ch)
+                    new_df = self._read_files(meta_t, new_ch)
+                    changes = (
+                        old_df.exceptAll(new_df)
+                        .withColumn("_change_type", F.lit("delete"))
+                        .unionByName(
+                            new_df.exceptAll(old_df)
+                            .withColumn("_change_type", F.lit("insert"))))
+                    cdf = self._write_cdf(changes, meta_t)
+                op_act["tracked"] = True      # row-level diff captured
+            actions: list[dict] = [op_act, {"meta": meta_t}]
+            actions.extend(cdf)
             for a in live_t.values():
                 actions.append(
                     {"add": {k: v for k, v in a.items() if k != "_dvs"}})
@@ -1806,7 +1855,8 @@ class TxTable:
             if self._commit(actions, base + 1):
                 self._maybe_checkpoint(base + 1)
                 return {"restored_to": version,
-                        "files_live": len(live_t)}
+                        "files_live": len(live_t),
+                        "cdf_tracked": op_act.get("tracked", False)}
 
     def clone_to(self, dest_root: str) -> "TxTable":
         """Delta-style SHALLOW CLONE, zero-copy: a NEW table whose

@@ -133,20 +133,24 @@ class TxLogStreamReader(DataSourceStreamReader):
             acts = t._commit_actions(v, "strict")
             ops = [a["op"] for a in acts if "op" in a]
             op = ops[0] if ops else None
-            if op == "restore":
-                # same contract as the batch feed: a restore is not
-                # row-tracked; silently yielding nothing would diverge
+            if op == "restore" and not next(
+                    a for a in acts if "op" in a).get("tracked"):
+                # same contract as the batch feed: an UNTRACKED restore
+                # (pre-row-tracking, or across a schema change) carries
+                # no row-level diff; silently yielding nothing would
+                # diverge. Tracked restores stream their cdf files below.
                 raise ChangeFeedRestoredError(
-                    f"stream over {self.root} reached the RESTORE "
-                    f"commit at version {v}; restart the stream from a "
-                    f"snapshot at version >= {v}", restore_version=v)
+                    f"stream over {self.root} reached the untracked "
+                    f"RESTORE commit at version {v}; restart the stream "
+                    f"from a snapshot at version >= {v}",
+                    restore_version=v)
             if op in ("create", "append"):
                 parts += [_FilePart(os.path.join(t.data_dir,
                                                  a["add"]["path"]),
                                     "insert", v)
                           for a in acts if "add" in a]
             elif op in ("merge", "delete", "delete_dv", "replace_where",
-                        "update"):
+                        "update", "restore"):
                 parts += [_FilePart(os.path.join(t.data_dir,
                                                  a["cdf"]["path"]),
                                     None, v)
