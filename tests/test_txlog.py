@@ -1378,6 +1378,57 @@ def test_interleaved_writer_commit_fails_instead_of_losing_update(
     assert 2 not in rows2 and rows2[3] == 77.0 and len(rows2) == 49
 
 
+# ------------------------------------------------------------ copy into
+
+
+def test_copy_into_idempotent_file_ingest(spark, orders, tmp_path):
+    """COPY INTO: loads landing-dir files as an append, records each
+    file's identity in the same commit, and skips already-loaded files
+    on re-run — a retried ingest never double-loads; a file REWRITTEN
+    in place (new mtime/size) counts as new; the data read touches
+    only the not-yet-loaded files."""
+    land = tmp_path / "landing"
+    a = orders.where("o_orderkey % 3 = 0")
+    b = orders.where("o_orderkey % 3 = 1")
+    c = orders.where("o_orderkey % 3 = 2")
+    a.coalesce(1).write.parquet(str(land / "a"))
+    b.coalesce(1).write.parquet(str(land / "b"))
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders.limit(0), "o_orderkey", change_feed=True)
+    res = t.copy_into(str(land))
+    assert res["files_loaded"] == 2 and res["files_skipped"] == 0
+    assert res["rows_loaded"] == a.count() + b.count()
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _rows(t.snapshot(), cols) == _rows(a.unionByName(b), cols)
+
+    # exact re-run: full no-op, no new version
+    v = t.versions()[-1]
+    res = t.copy_into(str(land))
+    assert res == {"files_loaded": 0, "files_skipped": 2,
+                   "rows_loaded": 0}
+    assert t.versions()[-1] == v
+
+    # a third file lands: only IT is read and loaded
+    c.coalesce(1).write.parquet(str(land / "c"))
+    res = t.copy_into(str(land))
+    assert res["files_loaded"] == 1 and res["files_skipped"] == 2
+    assert _rows(t.snapshot(), cols) == _rows(orders, cols)
+
+    # the ledger is in the log; CDF serves copy_into commits as inserts
+    assert len(t.copied_files()) == 3
+    ch = t.read_changes(since_version=1)
+    assert {r["_change_type"] for r in
+            ch.select("_change_type").distinct().collect()} == {"insert"}
+    assert ch.count() == orders.count()
+
+    # identity tables reject copy_into (generated keys need append path)
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.create(orders.limit(1), "o_orderkey", identity_col="sk")
+    with pytest.raises(ValueError, match="identity"):
+        t2.copy_into(str(land))
+
+
 # ----------------------------------------- restore / clone / constraints
 
 

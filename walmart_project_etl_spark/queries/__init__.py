@@ -39,6 +39,7 @@ _MODULES = (core, funcs, pipeline, llm, trainprep)
 _PRIORITY = (
     # r11-new entries
     "txn_restore_cdf",
+    "txn_copy_into",
     # r10-new entries, never driver-checked (r10 window never ran)
     "txn_update_where",
     "txn_delete_where",
@@ -91,10 +92,10 @@ _PRIORITY = (
     "clean_mad_outliers",
     "clean_quantile_bins",
     "clean_winsorize",
-    "clean_zscore",
 )
-#: r6-era rows deferred from this window (40) — rotate in over r12-r13:
-#: curate_pipeline, dedup_boilerplate_lines, dedup_boilerplate_sentences,
+#: r6-era rows deferred from this window (41) — rotate in over r12-r13:
+#: clean_zscore, curate_pipeline, dedup_boilerplate_lines,
+#: dedup_boilerplate_sentences,
 #: dedup_canonical_longest, dedup_cluster_components,
 #: dedup_contamination_scores, dedup_decontaminate, dedup_fuzzy_blocked,
 #: dedup_ngram_containment, dedup_ngram_jaccard, events_attribution,

@@ -1411,6 +1411,36 @@ def txn_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.snapshot()
 
 
+@q("txn_copy_into",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders""")
+def txn_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO (Delta/Snowflake): idempotent bulk file ingest — each
+    loaded file's identity rides in the commit, a re-run of the same
+    command skips every already-loaded file (asserted here: the second
+    run loads 0), and only files that appeared since are read. The
+    landing-dir pattern for orchestrated ingest at 100 TB: the retry of
+    a crashed load job is a metadata no-op, never a double-load
+    (semantics pinned in tests/test_txlog.py)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_copy_into")
+    shutil.rmtree(root, ignore_errors=True)
+    land = os.path.join(root, "landing")
+    o.where("o_orderkey % 3 = 0").write.parquet(os.path.join(land, "a"))
+    o.where("o_orderkey % 3 <> 0").write.parquet(os.path.join(land, "b"))
+    tt = TxTable(spark, os.path.join(root, "t"))
+    tt.create(o.limit(0), "o_orderkey")
+    tt.copy_into(land)
+    res = tt.copy_into(land)                     # retry: must no-op
+    assert res["files_loaded"] == 0 and res["rows_loaded"] == 0
+    return tt.snapshot()
+
+
 @q("txn_restore",
    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
       FROM orders""")

@@ -1175,7 +1175,7 @@ class TxTable:
                     f"this restore predates row tracking or crossed a "
                     f"schema change — resync from a snapshot at "
                     f"version >= {v}", restore_version=v)
-            if op in ("create", "append"):
+            if op in ("create", "append", "copy_into"):
                 paths = [a["add"]["path"] for a in acts if "add" in a]
                 if not paths:
                     continue
@@ -2046,6 +2046,93 @@ class TxTable:
                 return
             # lost the race: the base schema/mark may have changed —
             # orphan the written files and recompute from scratch
+
+    def copied_files(self, version: int | None = None) -> set[str]:
+        """The file identities (``path|size|mtime_ms``) every
+        ``copy_into`` commit at-or-before ``version`` has loaded — the
+        idempotence ledger. Metadata-plane: one pass over the log's op
+        actions, same order as a log replay, no data read."""
+        out: set[str] = set()
+        for v in self.versions():
+            if version is not None and v > version:
+                break
+            acts = self._read_commit(v)
+            op = next((a for a in acts if "op" in a), None)
+            if op and op["op"] == "copy_into":
+                out.update(op["files"])
+        return out
+
+    def copy_into(self, paths: list[str] | str, fmt: str = "parquet",
+                  options: dict | None = None) -> dict:
+        """Delta/Snowflake ``COPY INTO``: idempotent bulk file ingest.
+        Loads the given files (or every data file under a directory)
+        into the table as an append, recording each source file's
+        identity (absolute path + size + mtime) in the SAME commit —
+        re-running the exact command skips files already loaded, so a
+        retried ingest job (orchestrator re-run, crashed driver) never
+        double-loads. A file that was rewritten in place (size or mtime
+        changed) counts as new, matching Delta's semantics.
+
+        Scale shape: listing and the ledger replay are metadata-plane
+        (O(#files ever copied), same order as the log replay every read
+        already does); the DATA read touches only the not-yet-loaded
+        files. Non-parquet formats (csv/json) read under the table's
+        declared schema — no inference pass over a 100 TB landing dir.
+
+        Concurrency: the ledger is recomputed against the pinned base
+        on every attempt, so two racing ``copy_into`` runs over the
+        same landing directory never load a file twice (the loser
+        re-plans; its orphaned files fall to ``vacuum_uncommitted``)."""
+        if isinstance(paths, str):
+            root = paths
+            cand = sorted(
+                os.path.join(dp, f) for dp, _, fs in os.walk(root)
+                for f in fs
+                if not f.startswith((".", "_")))
+        else:
+            cand = sorted(paths)
+
+        def ident_of(p: str) -> str:
+            st = os.stat(p)
+            return f"{os.path.abspath(p)}|{st.st_size}|" \
+                   f"{int(st.st_mtime * 1000)}"
+
+        idents = {p: ident_of(p) for p in cand}
+        while True:
+            base = self.versions()[-1]          # pinned read (see merge)
+            meta, _ = self._state(base)
+            if meta.get("identity"):
+                raise ValueError(
+                    "copy_into on a table with an identity column is "
+                    "not supported — use append")
+            loaded = self.copied_files(base)
+            todo = [p for p in cand if idents[p] not in loaded]
+            if not todo:
+                return {"files_loaded": 0, "files_skipped": len(cand),
+                        "rows_loaded": 0}
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            reader = self.spark.read.format(fmt)
+            for k, v in (options or {}).items():
+                reader = reader.option(k, v)
+            if fmt != "parquet":
+                # declared schema, not inference — one less full pass
+                reader = reader.schema(schema)
+            df = self._check_schema(reader.load(todo), meta)
+            adds = self._write_files(df, meta["key_col"],
+                                     stats_cols=_meta_stats_cols(meta),
+                                     partition_by=meta.get("partition_by"),
+                                     meta=meta)
+            actions: list[dict] = [
+                {"op": "copy_into",
+                 "files": sorted(idents[p] for p in todo)}, *adds]
+            rows = sum(a["add"]["rows"] for a in adds)
+            if self._commit(actions, base + 1):
+                self._maybe_checkpoint(base + 1)
+                return {"files_loaded": len(todo),
+                        "files_skipped": len(cand) - len(todo),
+                        "rows_loaded": rows}
+            # lost the race: a concurrent copy_into may have loaded
+            # part of our todo set — orphan the files and re-plan
 
     def merge_upsert(self, updates: DataFrame,
                      txn: tuple[str, int] | None = None,

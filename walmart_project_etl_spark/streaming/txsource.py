@@ -144,7 +144,7 @@ class TxLogStreamReader(DataSourceStreamReader):
                     f"RESTORE commit at version {v}; restart the stream "
                     f"from a snapshot at version >= {v}",
                     restore_version=v)
-            if op in ("create", "append"):
+            if op in ("create", "append", "copy_into"):
                 parts += [_FilePart(os.path.join(t.data_dir,
                                                  a["add"]["path"]),
                                     "insert", v)
