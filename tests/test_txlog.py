@@ -1378,6 +1378,78 @@ def test_interleaved_writer_commit_fails_instead_of_losing_update(
     assert 2 not in rows2 and rows2[3] == 77.0 and len(rows2) == 49
 
 
+# ------------------------------------------------------- bloom col index
+
+
+def test_bloom_col_index_point_lookup(spark, orders, tmp_path):
+    """Bloom filter index on a non-key column (Delta's BLOOMFILTER
+    INDEX): point lookups on a high-cardinality UNCLUSTERED column —
+    where min/max stats never prune because every file spans the whole
+    domain — skip the files whose bloom rejects the value; writes after
+    create (merge) maintain the blooms from the table meta; the index
+    survives a column rename (blooms are keyed by physical name); a
+    bloom column cannot widen (probes hash the native type)."""
+    # reversed key digits: unique per row, high-cardinality, and
+    # deliberately UNCLUSTERED relative to the key-ranged files
+    o = orders.withColumn(
+        "tracking", F.concat(F.lit("T"),
+                             F.reverse(F.col("o_orderkey")
+                                       .cast("string"))))
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(o, "o_orderkey", n_files=8, bloom_cols=["tracking"])
+
+    picks = [r["tracking"] for r in
+             o.where("o_orderkey IN (7, 4000, 14997)")
+              .select("tracking").collect()]
+    reads = []
+    orig = t._read_files
+
+    def spying(meta, actions, **kw):
+        acts = list(actions)
+        reads.append(len(acts))
+        return orig(meta, acts, **kw)
+
+    t._read_files = spying                      # type: ignore[assignment]
+    got = t.read_col_in("tracking", picks).collect()
+    t._read_files = orig                        # type: ignore[assignment]
+    assert sorted(r["tracking"] for r in got) == sorted(picks)
+    assert reads and reads[-1] < 8              # bloom actually pruned
+
+    # a write AFTER create maintains the index from the meta
+    extra = o.limit(3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 5_000_000) \
+        .withColumn("tracking", F.concat(F.lit("NEW-"),
+                                         F.col("o_orderkey")))
+    t.merge_upsert(extra)
+    new_track = [r["tracking"] for r in extra.select("tracking")
+                 .collect()]
+    got = t.read_col_in("tracking", new_track)
+    assert got.count() == 3
+    _, live = t._state()
+    assert all("cblooms" in a for a in live.values())
+
+    # rename keeps pruning (cblooms keyed by physical names)
+    t.rename_column("tracking", "trk")
+    reads.clear()
+    t._read_files = spying                      # type: ignore[assignment]
+    got = t.read_col_in("trk", picks).collect()
+    t._read_files = orig                        # type: ignore[assignment]
+    assert sorted(r["trk"] for r in got) == sorted(picks)
+    assert reads and reads[-1] < 8
+
+    with pytest.raises(ValueError, match="no bloom index"):
+        t.read_col_in("o_custkey", [1])
+
+    # bloom columns cannot widen: probes hash the native type
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.create(orders.withColumn("c32", F.col("o_custkey").cast("int")),
+              "o_orderkey", bloom_cols=["c32"])
+    with pytest.raises(ValueError, match="bloom-indexed"):
+        t2.widen_column("c32", "bigint")
+    got = t2.read_col_in("c32", [7, 11])
+    assert got.count() == orders.where("o_custkey IN (7, 11)").count()
+
+
 # ------------------------------------------------------------ copy into
 
 

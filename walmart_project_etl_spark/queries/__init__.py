@@ -40,6 +40,7 @@ _PRIORITY = (
     # r11-new entries
     "txn_restore_cdf",
     "txn_copy_into",
+    "txn_bloom_col_prune",
     # r10-new entries, never driver-checked (r10 window never ran)
     "txn_update_where",
     "txn_delete_where",
@@ -91,10 +92,9 @@ _PRIORITY = (
     "a07_minmax_month_span",
     "clean_mad_outliers",
     "clean_quantile_bins",
-    "clean_winsorize",
 )
-#: r6-era rows deferred from this window (41) — rotate in over r12-r13:
-#: clean_zscore, curate_pipeline, dedup_boilerplate_lines,
+#: r6-era rows deferred from this window (42) — rotate in over r12-r13:
+#: clean_winsorize, clean_zscore, curate_pipeline, dedup_boilerplate_lines,
 #: dedup_boilerplate_sentences,
 #: dedup_canonical_longest, dedup_cluster_components,
 #: dedup_contamination_scores, dedup_decontaminate, dedup_fuzzy_blocked,

@@ -1411,6 +1411,40 @@ def txn_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.snapshot()
 
 
+@q("txn_bloom_col_prune",
+   """SELECT o_orderkey, o_custkey, o_totalprice,
+             'T' || reverse(CAST(o_orderkey AS VARCHAR)) AS tracking
+      FROM orders WHERE o_orderkey % 1000 = 1""")
+def txn_bloom_col_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM FILTER INDEX on a non-key column (Delta's ``CREATE
+    BLOOMFILTER INDEX``): ``tracking`` is high-cardinality and
+    deliberately UNCLUSTERED relative to the key-ranged files (reversed
+    key digits), so min/max stats can never prune it — the per-file
+    column bloom is what lets a point-lookup batch skip files that
+    cannot contain any requested value. At 100 TB this is the
+    secondary-id lookup path (a tracking number, an order UUID): O(k)
+    probe hashes per row at write, O(matching files) at read
+    (prune counts pinned in tests/test_txlog.py)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = (t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_custkey", "o_totalprice")
+         .withColumn("tracking",
+                     F.concat(F.lit("T"),
+                              F.reverse(F.col("o_orderkey")
+                                        .cast("string")))))
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_bloomcol")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8, bloom_cols=["tracking"])
+    picks = [r["tracking"] for r in
+             o.where(F.col("o_orderkey") % 1000 == 1)
+              .select("tracking").collect()]
+    return tt.read_col_in("tracking", picks)
+
+
 @q("txn_copy_into",
    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
       FROM orders""")

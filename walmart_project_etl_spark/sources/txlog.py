@@ -145,7 +145,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 
 _BLOOM_BITS = 4096   # ~0.5 KB hex per file in the log; <1% FP at ~1k keys
@@ -158,11 +158,21 @@ _BLOOM_K = 4
 _BLOOM_PROBE_CAP = 100_000
 
 
-def _bloom_positions(key_col: str):
+def _bloom_positions(key_col: str, bits: int = _BLOOM_BITS):
     """k probe bit-positions per key (xxhash64 seeded per probe)."""
     return F.array(*[F.pmod(F.xxhash64(F.col(key_col), F.lit(i)),
-                            F.lit(_BLOOM_BITS))
+                            F.lit(bits))
                      for i in range(_BLOOM_K)])
+
+
+#: default size of a per-file COLUMN bloom (``create(bloom_cols=...)``):
+#: 32 Kbit = at most 4 KB hex per file per column in the log, <1% FP at
+#: ~2.5k distinct values per file. Larger than the key bloom because a
+#: bloom-indexed column is by definition unclustered — every file holds
+#: values from the whole domain, so the filter must absorb a full
+#: file's distinct count, where the key bloom only supplements already
+#: tight [kmin, kmax] ranges.
+_COL_BLOOM_BITS = 32768
 
 
 def _meta_stats_cols(meta: dict) -> list[str] | None:
@@ -277,14 +287,15 @@ def _bloom_match_sql() -> str:
     return "(bloom IS NULL OR (" + " AND ".join(terms) + "))"
 
 
-def _word_mask_sql(word: int) -> str:
+def _word_mask_sql(word: int, arr: str = "__p") -> str:
     """Per-row contribution to 64-bit bloom word ``word``: OR of
-    ``1 << (pos % 64)`` over the row's probe positions (column ``__p``)
-    that land in this word. Feeds a ``bit_or`` aggregate, so the per-file
-    bloom is built in CONSTANT memory per group — no per-file
-    materialization of every key's bit positions."""
-    terms = [f"IF(CAST(__p[{i}] DIV 64 AS INT) = {word}, "
-             f"SHIFTLEFT(CAST(1 AS BIGINT), CAST(__p[{i}] % 64 AS INT)), "
+    ``1 << (pos % 64)`` over the row's probe positions (column ``arr``,
+    default the key's ``__p``) that land in this word. Feeds a
+    ``bit_or`` aggregate, so the per-file bloom is built in CONSTANT
+    memory per group — no per-file materialization of every key's bit
+    positions."""
+    terms = [f"IF(CAST({arr}[{i}] DIV 64 AS INT) = {word}, "
+             f"SHIFTLEFT(CAST(1 AS BIGINT), CAST({arr}[{i}] % 64 AS INT)), "
              f"CAST(0 AS BIGINT))" for i in range(_BLOOM_K)]
     return " | ".join(terms)
 
@@ -560,7 +571,8 @@ class TxTable:
                      stats_cols: list[str] | None = None,
                      order_expr=None,
                      partition_by=None,
-                     meta: dict | None = None) -> list[dict]:
+                     meta: dict | None = None,
+                     bloom_cols: list[str] | None = None) -> list[dict]:
         """Materialize ``df`` as immutable data files with per-file key
         stats. Range-partitioned on the key so file key ranges are tight
         and disjoint — what makes merge-time file pruning effective.
@@ -582,7 +594,19 @@ class TxTable:
         Hive/Delta partition-pruning contract, enforced for every write
         path (create/append/merge/delete/compact/zorder) so partition
         reads can skip files on the log alone, no stats comparison
-        needed."""
+        needed.
+
+        ``bloom_cols`` (explicit at create; derived from the table meta
+        on every later write) additionally records a per-file BLOOM
+        FILTER over each declared NON-KEY column — Delta's bloom filter
+        index: point lookups on a high-cardinality column that is
+        neither the key nor clustered (so min/max stats don't prune)
+        skip every file whose bloom rejects the value
+        (:meth:`read_col_in`). Same bitmap/aggregate machinery as the
+        key bloom: k probe positions per row, per-64-bit-word
+        ``bit_or`` — constant memory per file at any row count."""
+        if bloom_cols is None:
+            bloom_cols = (meta or {}).get("bloom_cols")
         mp = (meta or {}).get("column_mapping")
         if mp:
             # COLUMN MAPPING: data files store PHYSICAL names (stable
@@ -598,6 +622,8 @@ class TxTable:
             key_col = mp.get(key_col, key_col)
             if stats_cols:
                 stats_cols = [mp.get(c, c) for c in stats_cols]
+            if bloom_cols:
+                bloom_cols = [mp.get(c, c) for c in bloom_cols]
             if partition_by is not None:
                 partition_by = mp.get(partition_by, partition_by) \
                     if isinstance(partition_by, str) \
@@ -695,6 +721,34 @@ class TxTable:
                       *[F.expr(f"bit_or({_word_mask_sql(w)})").alias(f"w{w}")
                         for w in range(_BLOOM_BITS // 64)])
                  ).collect()
+        # per-file COLUMN blooms (Delta's bloom filter index), sized for
+        # an unclustered column's full per-file distinct count. One
+        # distributed distinct-positions pass per indexed column over
+        # the NEW files only; each row costs O(k) probe hashes (never
+        # O(bits) like a word fold would), and the driver only ever
+        # sees ≤ k × distinct set bits per file — commit-metadata-sized.
+        cblooms_by_file: dict[str, dict[str, str]] = {}
+        if bloom_cols:
+            bbits = int((meta or {}).get("bloom_bits") or _COL_BLOOM_BITS)
+            src = self.spark.read.parquet(
+                *[os.path.join(self.data_dir, p) for p in paths])
+            for bcol in bloom_cols:
+                rows = (src.select(
+                            F.element_at(F.split(F.input_file_name(),
+                                                 "/"), -1).alias("__f"),
+                            F.explode(_bloom_positions(bcol, bbits))
+                             .alias("__pos"))
+                        .distinct()
+                        .groupBy("__f")
+                        .agg(F.collect_set("__pos").alias("ps"))
+                        .collect())
+                per_file = {}
+                for r in rows:
+                    bm = 0
+                    for p in r["ps"]:
+                        bm |= 1 << p
+                    per_file[r["__f"]] = f"{bm:x}"
+                cblooms_by_file[bcol] = per_file
         by_name = {r["__f"]: r for r in stats}
         if any(r["nnull"] for r in stats):
             # a NULL key writes kmin/kmax as JSON null and poisons every
@@ -739,6 +793,11 @@ class TxTable:
             r = by_name[p]
             a = {"path": p, "rows": r["rows"], "kmin": r["kmin"],
                  "kmax": r["kmax"], "bloom": bloom_hex(r)}
+            if bloom_cols:
+                # "0" for a file whose column is all-NULL: rejects every
+                # probe, which is exact (no non-null value to match)
+                a["cblooms"] = {c: cblooms_by_file[c].get(p, "0")
+                                for c in bloom_cols}
             if stats_cols:
                 # legacy single-column fields (format-v2 readers prune
                 # on the first declared column) + the per-column map
@@ -1233,7 +1292,9 @@ class TxTable:
                change_feed: bool = False,
                partition_by=None,
                generated: dict[str, str] | None = None,
-               identity_col: str | None = None) -> None:
+               identity_col: str | None = None,
+               bloom_cols: list[str] | None = None,
+               bloom_bits: int = _COL_BLOOM_BITS) -> None:
         """``stats_cols`` declares extra data-skipping COLUMNS beyond the
         merge key (``stats_col`` remains as the single-column spelling):
         every data file records each declared column's [min, max] in the
@@ -1273,6 +1334,18 @@ class TxTable:
         timestamp): writers never hand-maintain it, and partition
         pruning stays exact by construction. If the create ``df`` omits
         a generated column it is computed here too.
+
+        ``bloom_cols`` declares per-file BLOOM FILTER INDEX columns
+        (Delta's ``CREATE BLOOMFILTER INDEX``): every data file records
+        a bloom bitmap over each declared column's values, and
+        :meth:`read_col_in` point-lookups on those columns prune files
+        the bloom rejects — the data-skipping answer for a
+        high-cardinality column that is neither the merge key nor
+        clustered (where min/max stats never prune: every file's range
+        spans the whole domain). ~0.5 KB of log per file per column.
+        Same integral-or-string constraint as the key (probes hash the
+        native type), and like the key a bloom column cannot later
+        widen (hashes would turn into silent false negatives).
 
         ``identity_col`` declares an IDENTITY column (Delta's
         ``GENERATED ALWAYS AS IDENTITY``): the engine assigns a fresh
@@ -1334,6 +1407,20 @@ class TxTable:
                 raise ValueError(f"unknown stats_cols {unknown}")
             meta["stats_col"] = cols[0]          # legacy v2 field
             meta["stats_cols"] = cols
+        if bloom_cols:
+            unknown = [c for c in bloom_cols if c not in df.columns]
+            if unknown:
+                raise ValueError(f"unknown bloom_cols {unknown}")
+            for c in bloom_cols:
+                if dict(df.dtypes)[c] not in (
+                        "tinyint", "smallint", "int", "bigint", "string"):
+                    raise ValueError(
+                        f"bloom column must be integral or string, got "
+                        f"{dict(df.dtypes)[c]} for '{c}' (probes hash "
+                        f"the native type)")
+            meta["bloom_cols"] = list(bloom_cols)
+            meta["bloom_bits"] = int(bloom_bits)   # frozen at create:
+            # probe positions are modulo this size on BOTH sides
         if partition_by is not None:
             pcols = [partition_by] if isinstance(partition_by, str) \
                 else list(partition_by)
@@ -1349,7 +1436,7 @@ class TxTable:
                 else pcols
         self._validate_constraints(df, meta)     # provided generated cols
         adds = self._write_files(df, key_col, n_files, cols or None,
-                                 partition_by=partition_by)
+                                 partition_by=partition_by, meta=meta)
         if identity_col is not None:
             # the WRITTEN files are the single truth for the mark (the
             # assignment expression is per-materialization)
@@ -1443,6 +1530,11 @@ class TxTable:
                     f"cannot widen the merge key '{name}': per-file "
                     f"key blooms hash the native type; recreate the "
                     f"table instead")
+            if name in (meta.get("bloom_cols") or []):
+                raise ValueError(
+                    f"cannot widen bloom-indexed column '{name}': "
+                    f"per-file column blooms hash the native type; "
+                    f"recreate the table instead")
             new_meta = dict(meta)
             new_meta["schema"] = StructType(
                 [type(f)(f.name, new_t if f.name == name else f.dataType,
@@ -1528,6 +1620,10 @@ class TxTable:
                 scols = [new if c == old else c for c in scols]
                 new_meta["stats_cols"] = scols
                 new_meta["stats_col"] = scols[0]
+            bcols = meta.get("bloom_cols")
+            if bcols and old in bcols:
+                new_meta["bloom_cols"] = [new if c == old else c
+                                          for c in bcols]
             pb = meta.get("partition_by")
             if pb is not None:
                 new_meta["partition_by"] = \
@@ -1607,6 +1703,13 @@ class TxTable:
                 else:
                     new_meta.pop("stats_cols", None)
                     new_meta.pop("stats_col", None)
+            bcols = meta.get("bloom_cols")
+            if bcols and name in bcols:
+                bcols = [c for c in bcols if c != name]
+                if bcols:
+                    new_meta["bloom_cols"] = bcols
+                else:
+                    new_meta.pop("bloom_cols", None)
             v = base + 1
             if self._commit([{"op": "drop_column", "col": name},
                              {"meta": new_meta}], v):
@@ -1977,6 +2080,53 @@ class TxTable:
         prune = self._key_pruner(keys, key)
         files = prune(list(live.values()))
         return self._read_files(meta, files).join(keys, key, "semi")
+
+    def read_col_in(self, col: str, values: list,
+                    version: int | None = None) -> DataFrame:
+        """BLOOM-INDEX point lookup on a declared ``bloom_cols`` column
+        (Delta's bloom filter index read path): scan only the files
+        whose per-file column bloom may contain ANY of the requested
+        values, with the exact ``IN`` predicate as a residual filter.
+        The data-skipping answer for a high-cardinality column that is
+        neither the merge key (use :meth:`read_matching`) nor clustered
+        (where :meth:`read_stats_range`'s min/max never prune — every
+        file's range spans the domain). Files written before the column
+        was indexed carry no bloom and are conservatively scanned.
+        ``values`` is a small literal set (a point-lookup batch);
+        probe positions come from one value-set-sized Spark job so the
+        hashes match the write side exactly."""
+        meta, live = self._state(version, self._read_mode(version))
+        if meta is None:
+            raise FileNotFoundError(f"no table at {self.root}")
+        declared = meta.get("bloom_cols") or []
+        if col not in declared:
+            raise ValueError(
+                f"column '{col}' has no bloom index (declared: "
+                f"{declared}) — create(bloom_cols=[...]) to index it")
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        bbits = int(meta.get("bloom_bits") or _COL_BLOOM_BITS)
+        vdf = self.spark.createDataFrame(
+            [(v,) for v in values],
+            StructType([StructField(col, schema[col].dataType, True)]))
+        probes = [tuple(int(x) for x in r["__p"]) for r in
+                  vdf.where(F.col(col).isNotNull()).distinct()
+                     .select(_bloom_positions(col, bbits).alias("__p"))
+                     .collect()]
+        # blooms are keyed by PHYSICAL name — pre-rename files keep
+        # pruning, exactly like cstats
+        pcol = (meta.get("column_mapping") or {}).get(col, col)
+
+        def may_contain(a: dict) -> bool:
+            cb = a.get("cblooms")
+            if cb is None or pcol not in cb:
+                return True                  # pre-index file — scan
+            bm = int(cb[pcol], 16)
+            return any(all((bm >> p) & 1 for p in probe)
+                       for probe in probes)
+
+        files = [a for a in live.values() if may_contain(a)]
+        return self._read_files(meta, files) \
+                   .where(F.col(col).isin(list(values)))
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> None:
         """ACID append: new files + one log commit; retries the commit
