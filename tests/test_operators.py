@@ -1082,3 +1082,35 @@ def test_pq_codes_shape_and_guards(spark):
                all(0 <= c < 16 for c in r["pq_code"]) for r in codes)
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_train(emb, m=7, nbits=3)
+
+
+def test_dsir_weights_favor_target_and_resample_biases(spark):
+    """DSIR semantics: docs from the target distribution (en) score a
+    higher mean importance log-weight than the rest of the pool, and
+    the Gumbel top-k resample (a) is deterministic, (b) draws without
+    replacement, (c) over-represents the target vs the raw pool."""
+    from walmart_project_etl_spark.operators import selection
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = selection.dsir_importance_weights(
+        d.where("lang = 'en'"), d, "doc_id", "text")
+    j = w.join(d.select("doc_id", "lang"), "doc_id")
+    means = {r["is_en"]: r["m"] for r in
+             j.groupBy((F.col("lang") == "en").alias("is_en"))
+              .agg(F.avg("logw").alias("m")).collect()}
+    assert means[True] > means[False]
+
+    k = 50
+    s1 = selection.dsir_resample(w, "doc_id", k=k).collect()
+    s2 = selection.dsir_resample(w, "doc_id", k=k).collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]
+    ids = [r["doc_id"] for r in s1]
+    assert len(ids) == k and len(set(ids)) == k     # without replacement
+    pool_en = d.where("lang = 'en'").count() / d.count()
+    en = {r["doc_id"] for r in d.where("lang = 'en'")
+          .select("doc_id").collect()}
+    sample_en = sum(1 for i in ids if i in en) / k
+    assert sample_en > pool_en                      # importance bias
+    # a different seed draws a different (but equally valid) sample
+    s3 = selection.dsir_resample(w, "doc_id", k=k, seed="other")
+    assert {r["doc_id"] for r in s3.collect()} != set(ids)

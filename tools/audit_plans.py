@@ -57,6 +57,13 @@ ALLOW = {
                              # corpus-total vocab scalar: SinglePartition
                              # merges ~n_partitions partial sums (1 row out)
                              "Exchange SinglePartition (non-scalar result)"},
+    # same corpus-total-scalar shape (target/raw token totals + Laplace
+    # floors are 1-row aggregates crossJoined into the 10k-bucket ratio
+    # table); the scoring join itself is a broadcast equi-join
+    "sel_dsir_weights": {"BroadcastNestedLoopJoin", "CartesianProduct",
+                         "Exchange SinglePartition (non-scalar result)"},
+    "sel_dsir_resample": {"BroadcastNestedLoopJoin", "CartesianProduct",
+                          "Exchange SinglePartition (non-scalar result)"},
     "sample_weighted_mixture": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     # same corpus-total-scalar shape as text_unigram_logprob (n_docs is a
     # 1-row in-plan aggregate crossJoined into the vocabulary)

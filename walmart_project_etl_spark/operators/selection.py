@@ -1,0 +1,147 @@
+"""Data selection for LM training corpora — DSIR-style importance
+resampling (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling": hashed n-gram bucket features, a target-vs-raw
+importance weight per document, then Gumbel top-k resampling).
+
+Spark-first shape, built for a 100 TB raw pool:
+
+- **Featurization** is the same lowercase-whitespace tokenization the
+  corpus quality scorers use, bucketed by an md5 hash so every step has
+  an exact cross-engine oracle (md5, not xxhash64 — the same trade the
+  sampling operators make: determinism any engine can reproduce, paid
+  only at selection time).
+- **Bucket distributions** are two corpus-wide aggregates that reduce
+  to ``n_buckets`` rows (default 10k) — broadcast-sized regardless of
+  corpus size, so the scoring join never shuffles on the (Zipf-skewed)
+  token key.
+- **Scoring** is one explode + broadcast-join + per-doc sum: shuffle
+  volume is the token count with map-side partial aggregation — the
+  same cost envelope as the unigram-LM quality score.
+- **Resampling** uses the Gumbel top-k trick (add seeded Gumbel noise
+  to the log-weight, take the k largest), which turns weighted
+  sampling WITHOUT replacement into an ``orderBy().limit(k)`` —
+  Spark's TakeOrdered, a per-partition top-k plus one driver merge,
+  never a full sort shuffle.
+
+Determinism for the oracle: per-bucket log-ratios round to 6 places
+and accumulate as exact DECIMALs (the repo-wide pattern from
+``operators/text.py::unigram_logprob``); the Gumbel noise derives from
+the md5 of (seed, doc id), so engine RNGs never enter the picture.
+
+The reference has no analogue (its selection is a WHERE clause on
+business columns); this operator family is part of the engine's
+LLM-training-data surface alongside dedup/quality/sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: default hashed-feature bucket count (the DSIR paper uses 10k hashed
+#: unigram+bigram buckets; collisions are part of the method)
+N_BUCKETS = 10_000
+
+
+def _tokens(text_col: str):
+    """Lowercase whitespace tokens — identical to the quality scorers'
+    tokenization (operators/text.py) so scores compose."""
+    return F.split(
+        F.lower(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")),
+        r"\s+")
+
+
+def _bucket(col, n_buckets: int):
+    """md5 hash bucket of a token — ``('0x' || substr(md5(t), 1, 8))
+    :: BIGINT % n`` in the DuckDB oracle spelling."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+             .cast("long") % n_buckets)
+
+
+def _bucket_logprob(df: DataFrame, text_col: str, n_buckets: int,
+                    out: str) -> DataFrame:
+    """Smoothed hashed-unigram bucket distribution of a corpus:
+    ``ln((count_b + 1) / (total + n_buckets))`` (Laplace — every bucket
+    gets mass, so the log-ratio below is always finite). Reduces to
+    ``n_buckets`` rows: broadcast-sized at any corpus size."""
+    counts = (df.select(F.explode(_tokens(text_col)).alias("__t"))
+                .select(_bucket(F.col("__t"), n_buckets).alias("__b"))
+                .groupBy("__b")
+                .agg(F.count(F.lit(1)).alias("__c")))
+    total = counts.agg(F.sum("__c").alias("__n"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("__b",
+                    F.log((F.col("__c") + F.lit(1.0))
+                          / (F.col("__n") + F.lit(float(n_buckets))))
+                     .alias(out)))
+
+
+def dsir_importance_weights(target: DataFrame, raw: DataFrame,
+                            id_col: str, text_col: str,
+                            n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Per-document DSIR importance log-weight of every ``raw`` doc:
+    ``logw(x) = Σ_tokens ln(p_target(bucket) / p_raw(bucket))`` over
+    hashed unigram buckets, with Laplace-smoothed bucket distributions
+    fit on the two corpora. High ``logw`` = looks like the target
+    distribution; resample with :func:`dsir_resample`.
+
+    Output: ``id_col``, ``n_tokens`` (long), ``logw`` (double — the
+    exact DECIMAL sum of 6-dp-rounded per-bucket log-ratios times
+    counts, so any engine reproduces it bit-for-bit).
+    """
+    p_t = _bucket_logprob(target, text_col, n_buckets, "__lpt")
+    p_r = _bucket_logprob(raw, text_col, n_buckets, "__lpr")
+    # missing buckets on either side take the smoothing floor
+    # ln(1 / (total + n_buckets)); an outer join + coalesce against
+    # each side's floor keeps the ratio finite everywhere
+    t_floor = (target.select(F.explode(_tokens(text_col)).alias("__t"))
+               .agg(F.log(F.lit(1.0)
+                          / (F.count(F.lit(1)) + F.lit(float(n_buckets))))
+                    .alias("__tf")))
+    r_floor = (raw.select(F.explode(_tokens(text_col)).alias("__t"))
+               .agg(F.log(F.lit(1.0)
+                          / (F.count(F.lit(1)) + F.lit(float(n_buckets))))
+                    .alias("__rf")))
+    ratio = (p_t.join(p_r, "__b", "full")
+             .crossJoin(F.broadcast(t_floor))
+             .crossJoin(F.broadcast(r_floor))
+             .select("__b",
+                     F.round(F.coalesce(F.col("__lpt"), F.col("__tf"))
+                             - F.coalesce(F.col("__lpr"), F.col("__rf")),
+                             6).cast("decimal(20,6)").alias("__lr")))
+    doc_b = (raw.select(F.col(id_col),
+                        F.explode(_tokens(text_col)).alias("__t"))
+             .select(id_col, _bucket(F.col("__t"), n_buckets).alias("__b"))
+             .groupBy(id_col, "__b")
+             .agg(F.count(F.lit(1)).alias("__c")))
+    return (doc_b.join(F.broadcast(ratio), "__b")
+            .groupBy(id_col)
+            .agg(F.sum("__c").cast("long").alias("n_tokens"),
+                 F.sum(F.col("__lr") * F.col("__c")).cast("double")
+                  .alias("logw")))
+
+
+def dsir_resample(weighted: DataFrame, id_col: str, k: int,
+                  seed: str = "dsir") -> DataFrame:
+    """Gumbel top-k importance resampling: draw ``k`` docs WITHOUT
+    replacement with probability ∝ exp(logw), deterministically.
+
+    ``key = logw + Gumbel(md5(seed, id))`` and the k largest keys are
+    exactly a weighted without-replacement sample (the Gumbel-max
+    trick); ``orderBy(key).limit(k)`` plans as TakeOrdered — a
+    per-partition top-k plus one driver-side merge of k-row heads,
+    never a full sort shuffle. The uniform comes from the md5 of
+    (seed, doc id): 15 hex chars → (0, 1), the repo's standard
+    engine-reproducible randomness. The sort key rounds to 6 dp with
+    the id as tie-break, so the oracle's ORDER BY agrees bit-for-bit.
+    """
+    u = ((F.conv(F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed),
+                              F.col(id_col).cast("string"))), 1, 15),
+            16, 10).cast("double") + F.lit(0.5))
+         / F.lit(float(16 ** 15)))
+    gumbel = -F.log(-F.log(u))
+    out = weighted.withColumn(
+        "sel_key", F.round(F.col("logw") + gumbel, 6))
+    return (out.orderBy(F.col("sel_key").desc(), F.col(id_col))
+               .limit(k))

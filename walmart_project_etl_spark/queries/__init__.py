@@ -41,6 +41,8 @@ _PRIORITY = (
     "txn_restore_cdf",
     "txn_copy_into",
     "txn_bloom_col_prune",
+    "sel_dsir_weights",
+    "sel_dsir_resample",
     # r10-new entries, never driver-checked (r10 window never ran)
     "txn_update_where",
     "txn_delete_where",
@@ -90,12 +92,10 @@ _PRIORITY = (
     "a05_count_distinct",
     "a06_max_per_group",
     "a07_minmax_month_span",
-    "clean_mad_outliers",
-    "clean_quantile_bins",
 )
-#: r6-era rows deferred from this window (42) — rotate in over r12-r13:
-#: clean_winsorize, clean_zscore, curate_pipeline, dedup_boilerplate_lines,
-#: dedup_boilerplate_sentences,
+#: r6-era rows deferred from this window (44) — rotate in over r12-r13:
+#: clean_mad_outliers, clean_quantile_bins, clean_winsorize, clean_zscore,
+#: curate_pipeline, dedup_boilerplate_lines, dedup_boilerplate_sentences,
 #: dedup_canonical_longest, dedup_cluster_components,
 #: dedup_contamination_scores, dedup_decontaminate, dedup_fuzzy_blocked,
 #: dedup_ngram_containment, dedup_ngram_jaccard, events_attribution,

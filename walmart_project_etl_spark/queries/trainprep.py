@@ -1180,3 +1180,83 @@ def pipe_bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq_offset").cast("long").alias("seq_offset"),
         F.col("shard").cast("long").alias("shard"),
         F.col("shard_pos").cast("long").alias("shard_pos"))
+
+
+# ------------------------------------------------- DSIR importance resampling
+
+#: shared oracle CTE: hashed unigram buckets of every document's tokens
+#: (md5 bucket — the engine-reproducible hash the sampling family uses),
+#: plus the Laplace-smoothed target (lang='en') vs raw log-ratio per
+#: bucket, 6-dp-rounded DECIMAL exactly like the Spark side
+_DSIR_LR_SQL = r"""
+    tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(
+                 lower(regexp_replace(text, '^\s+|\s+$', '')), '\s+')) AS t
+      FROM documents),
+    bk AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT % 10000 AS b
+      FROM tok),
+    tcnt AS (SELECT b, count(*) AS c FROM bk WHERE lang = 'en' GROUP BY b),
+    ttot AS (SELECT count(*) AS n FROM bk WHERE lang = 'en'),
+    rcnt AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+    rtot AS (SELECT count(*) AS n FROM bk),
+    lr AS (
+      SELECT r.b,
+             CAST(round(
+                 ln(COALESCE((t.c + 1.0) / (ttot.n + 10000.0),
+                             1.0 / (ttot.n + 10000.0)))
+                 - ln((r.c + 1.0) / (rtot.n + 10000.0)), 6)
+               AS DECIMAL(20,6)) AS lr
+      FROM rcnt r LEFT JOIN tcnt t ON r.b = t.b, ttot, rtot),
+    dc AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY doc_id, b),
+    w AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(lr * c) AS DOUBLE) AS logw
+      FROM dc JOIN lr USING (b) GROUP BY doc_id)"""
+
+
+@q("sel_dsir_weights",
+   f"""WITH {_DSIR_LR_SQL}
+      SELECT doc_id, n_tokens, logw FROM w""")
+def sel_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram bucket
+    distributions fit on the target (lang='en') and the raw pool, then
+    every raw doc scores ``Σ ln(p_target(bucket)/p_raw(bucket))``. The
+    bucket tables reduce to 10k rows (broadcast-sized at any corpus
+    size), so scoring is one token explode + broadcast join + per-doc
+    sum — the unigram-LM cost envelope at 100 TB. Exact oracle: md5
+    buckets, 6-dp DECIMAL log-ratios."""
+    from walmart_project_etl_spark.operators import selection
+
+    d = t(spark, sf_dir, "documents")
+    return selection.dsir_importance_weights(
+        d.where(F.col("lang") == "en"), d, "doc_id", "text")
+
+
+@q("sel_dsir_resample",
+   f"""WITH {_DSIR_LR_SQL},
+      keyed AS (
+        SELECT doc_id, n_tokens, logw,
+               round(logw - ln(-ln(
+                   (('0x' || substr(md5('dsir|' || doc_id::VARCHAR),
+                                    1, 15))::BIGINT + 0.5)
+                   / 1152921504606846976.0)), 6) AS sel_key
+        FROM w)
+      SELECT doc_id, n_tokens, logw, sel_key FROM keyed
+      QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id) <= 64""")
+def sel_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k resampling: add seeded Gumbel noise (from the
+    md5 of the doc id — engine-reproducible, no RNG) to each log-weight
+    and keep the 64 largest keys — exactly a weighted
+    without-replacement draw of 64 docs with probability ∝ exp(logw).
+    Plans as TakeOrdered (per-partition top-k + one driver merge of
+    64-row heads), never a full sort shuffle — the selection step stays
+    O(k) past the scoring aggregates at any pool size."""
+    from walmart_project_etl_spark.operators import selection
+
+    d = t(spark, sf_dir, "documents")
+    w = selection.dsir_importance_weights(
+        d.where(F.col("lang") == "en"), d, "doc_id", "text")
+    return selection.dsir_resample(w, "doc_id", k=64)
