@@ -1378,6 +1378,47 @@ def test_interleaved_writer_commit_fails_instead_of_losing_update(
     assert 2 not in rows2 and rows2[3] == 77.0 and len(rows2) == 49
 
 
+# ------------------------------------------------------ analyze / advise
+
+
+def test_analyze_stats_and_broadcast_advice(spark, orders, tmp_path):
+    """ANALYZE computes exact row/null/min-max stats and HLL NDV in one
+    pass, commits them to the log, and table_stats()/advise_broadcast()
+    read them back metadata-only with staleness tracking."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=4)
+    st = t.analyze()
+    n = orders.count()
+    assert st["rows"] == n
+    ok = st["columns"]["o_orderkey"]
+    assert ok["n_nonnull"] == n
+    exact = orders.select("o_orderkey").distinct().count()
+    assert abs(ok["ndv"] - exact) / exact < 0.05      # HLL++ rsd
+    assert int(ok["min"]) == orders.agg(F.min("o_orderkey")).first()[0]
+    assert st["bytes"] > 0
+    assert t.history()[-1]["op"] == "analyze"
+
+    # stats ride the log: a fresh handle sees them without a scan
+    st2 = TxTable(spark, str(tmp_path / "t")).table_stats()
+    assert st2["rows"] == n and st2["stale_commits"] == 0
+
+    # staleness: a row-moving commit after the analyze is counted
+    t.append(orders.limit(5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 9_000_000))
+    assert t.table_stats()["stale_commits"] == 1
+
+    # advice: a small dim broadcasts, a fact does not
+    small = TxTable(spark, str(tmp_path / "dim"))
+    small.create(orders.limit(20), "o_orderkey")
+    small.analyze()
+    assert small.advise_broadcast()["broadcast"] is True
+    assert t.advise_broadcast(threshold_bytes=1024)["broadcast"] is False
+    with pytest.raises(ValueError, match="analyze"):
+        TxTable(spark, str(tmp_path / "dim2")).advise_broadcast()
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.analyze(columns=["nope"])
+
+
 # ------------------------------------------------------- bloom col index
 
 

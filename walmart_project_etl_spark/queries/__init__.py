@@ -43,6 +43,8 @@ _PRIORITY = (
     "txn_bloom_col_prune",
     "sel_dsir_weights",
     "sel_dsir_resample",
+    "txn_analyze",
+    "txn_broadcast_advice",
     # r10-new entries, never driver-checked (r10 window never ran)
     "txn_update_where",
     "txn_delete_where",
@@ -90,11 +92,11 @@ _PRIORITY = (
     "a02_groupby_first",
     "a03_distinct_count_per_group",
     "a05_count_distinct",
-    "a06_max_per_group",
-    "a07_minmax_month_span",
 )
-#: r6-era rows deferred from this window (44) — rotate in over r12-r13:
-#: clean_mad_outliers, clean_quantile_bins, clean_winsorize, clean_zscore,
+#: r6-era rows deferred from this window (47) — rotate in over r12-r13:
+#: a06_max_per_group, a07_minmax_month_span, clean_mad_outliers,
+#: clean_quantile_bins,
+#: clean_winsorize, clean_zscore,
 #: curate_pipeline, dedup_boilerplate_lines, dedup_boilerplate_sentences,
 #: dedup_canonical_longest, dedup_cluster_components,
 #: dedup_contamination_scores, dedup_decontaminate, dedup_fuzzy_blocked,

@@ -1411,6 +1411,79 @@ def txn_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.snapshot()
 
 
+@q("txn_analyze",
+   """SELECT col, n_rows, n_nonnull, vmin, vmax FROM (
+        SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+               count(o_orderkey) AS n_nonnull,
+               CAST(min(o_orderkey) AS VARCHAR) AS vmin,
+               CAST(max(o_orderkey) AS VARCHAR) AS vmax FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(o_custkey),
+               CAST(min(o_custkey) AS VARCHAR),
+               CAST(max(o_custkey) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus) FROM orders)""")
+def txn_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE: one distributed pass computes row count + per
+    column non-null/NDV/min/max, committed to the LOG as a metadata
+    action — any later reader or planner sees the stats without a
+    rescan (table_stats() is log-replay only; staleness counted per
+    row-moving commit). The oracle checks the exact stats (count /
+    nulls / min / max); the HLL++ NDV is engine-approximate by design
+    and is pinned within ±5% in tests/test_txlog.py instead."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_analyze")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=4)
+    tt.analyze(columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    st = TxTable(spark, root).table_stats()    # fresh handle: log only
+    rows = [(c, st["rows"], cs["n_nonnull"], cs["min"], cs["max"])
+            for c, cs in st["columns"].items()]
+    return spark.createDataFrame(
+        rows, "col string, n_rows long, n_nonnull long, "
+              "vmin string, vmax string")
+
+
+@q("txn_broadcast_advice",
+   """SELECT 'dim' AS tbl, (SELECT count(*) FROM orders WHERE
+             o_orderkey <= 200) AS n_rows, true AS broadcast
+      UNION ALL
+      SELECT 'fact', (SELECT count(*) FROM orders), false""")
+def txn_broadcast_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO join-side advice from analyzed stats: the dim table's live
+    byte size (exact, filesystem metadata recorded by ANALYZE) is under
+    the broadcast threshold, the fact's is over — the
+    autoBroadcastJoinThreshold decision made from LOG stats instead of
+    a scan. The oracle pins the decisions plus the exact row counts the
+    stats carry."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_advice")
+    shutil.rmtree(root, ignore_errors=True)
+    dim = TxTable(spark, os.path.join(root, "dim"))
+    dim.create(o.where(F.col("o_orderkey") <= 200), "o_orderkey")
+    fact = TxTable(spark, os.path.join(root, "fact"))
+    fact.create(o, "o_orderkey", n_files=4)
+    rows = []
+    for name, tt in (("dim", dim), ("fact", fact)):
+        tt.analyze(columns=["o_orderkey"])
+        adv = tt.advise_broadcast(threshold_bytes=8 * 1024)
+        rows.append((name, adv["rows"], adv["broadcast"]))
+    return spark.createDataFrame(
+        rows, "tbl string, n_rows long, broadcast boolean")
+
+
 @q("txn_bloom_col_prune",
    """SELECT o_orderkey, o_custkey, o_totalprice,
              'T' || reverse(CAST(o_orderkey AS VARCHAR)) AS tracking

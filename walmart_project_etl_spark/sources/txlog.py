@@ -3118,6 +3118,88 @@ class TxTable:
         os.replace(tmp, final)               # atomic swap for readers
         return final
 
+    def analyze(self, columns: list[str] | None = None) -> dict:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS``: one distributed
+        pass over the live rows computes table row count plus, per
+        column, the non-null count, approximate NDV (HyperLogLog++ via
+        ``approx_count_distinct`` — every column in the SAME pass, no
+        per-column scans), and min/max (string-serialized). The result
+        is committed to the log as a metadata-only ``analyze`` action
+        (like Delta, stats live WITH the table, so any reader/planner
+        sees them without re-scanning), together with the live byte
+        size (filesystem metadata, exact). :meth:`table_stats` reads
+        the latest analyze back with a staleness indicator;
+        :meth:`advise_broadcast` turns it into the classic CBO
+        broadcast-vs-shuffle join-side decision."""
+        while True:
+            base = self.versions()[-1]          # pinned read (see merge)
+            meta, live = self._state(base)
+            if meta is None:
+                raise FileNotFoundError(f"no table at {self.root}")
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            cols = columns or schema.fieldNames()
+            unknown = [c for c in cols if c not in schema.fieldNames()]
+            if unknown:
+                raise ValueError(f"unknown columns {unknown}")
+            df = self._read_files(meta, live.values())
+            aggs = [F.count(F.lit(1)).alias("__rows")]
+            for i, c in enumerate(cols):
+                aggs += [F.sum(F.col(c).isNotNull().cast("long"))
+                          .alias(f"__nn{i}"),
+                         F.approx_count_distinct(c, 0.02)
+                          .alias(f"__ndv{i}"),
+                         F.min(c).cast("string").alias(f"__min{i}"),
+                         F.max(c).cast("string").alias(f"__max{i}")]
+            r = df.agg(*aggs).first()
+            nbytes = sum(
+                os.path.getsize(os.path.join(self.data_dir, a["path"]))
+                for a in live.values())
+            stats = {"rows": int(r["__rows"]), "bytes": int(nbytes),
+                     "as_of_version": base,
+                     "columns": {c: {"n_nonnull": int(r[f"__nn{i}"]),
+                                     "ndv": int(r[f"__ndv{i}"]),
+                                     "min": r[f"__min{i}"],
+                                     "max": r[f"__max{i}"]}
+                                 for i, c in enumerate(cols)}}
+            if self._commit([{"op": "analyze", "stats": stats}],
+                            base + 1):
+                self._maybe_checkpoint(base + 1)
+                return stats
+
+    def table_stats(self) -> dict | None:
+        """The latest :meth:`analyze` result, or None. Metadata-plane
+        (log replay only). Adds ``stale_commits`` — how many row-moving
+        commits landed after the analyze — so a planner can decide when
+        to re-analyze."""
+        vs = self.versions()
+        for v in reversed(vs):
+            acts = self._read_commit(v)
+            op = next((a for a in acts if "op" in a), None)
+            if op and op["op"] == "analyze":
+                out = dict(op["stats"])
+                out["stale_commits"] = sum(
+                    1 for w in vs if w > v
+                    and any("add" in a or "remove" in a or "dv" in a
+                            for a in self._read_commit(w)))
+                return out
+        return None
+
+    def advise_broadcast(self,
+                         threshold_bytes: int = 10 * 1024 * 1024) -> dict:
+        """CBO join-side advice from the analyzed stats: broadcast this
+        table iff its live byte size is at or under ``threshold_bytes``
+        (Spark's ``autoBroadcastJoinThreshold`` contract, default 10 MB).
+        Requires a prior :meth:`analyze`; refuses (rather than guesses)
+        without one."""
+        st = self.table_stats()
+        if st is None:
+            raise ValueError(
+                f"no analyze stats at {self.root} — run analyze() first")
+        return {"broadcast": st["bytes"] <= threshold_bytes,
+                "bytes": st["bytes"], "rows": st["rows"],
+                "as_of_version": st["as_of_version"],
+                "stale_commits": st["stale_commits"]}
+
     def vacuum_uncommitted(self, older_than_s: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO commit (crashed or
         lost-race transactions).
