@@ -1114,3 +1114,45 @@ def test_dsir_weights_favor_target_and_resample_biases(spark):
     # a different seed draws a different (but equally valid) sample
     s3 = selection.dsir_resample(w, "doc_id", k=k, seed="other")
     assert {r["doc_id"] for r in s3.collect()} != set(ids)
+
+
+def test_temperature_mixture_upweights_small_sources(spark):
+    """α=0.5 temperature mixing: every source's share of the KEPT
+    tokens moves toward uniform relative to its raw share (small
+    sources up, large sources down), budgets are met greedily
+    (overshoot ≤ 1 doc per source), and the draw is deterministic."""
+    from walmart_project_etl_spark.operators import sampling
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = F.size(F.split(F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""),
+                       r"\s+"))
+    sized = d.select("doc_id", F.col("lang").alias("src"),
+                     n.cast("long").alias("n_tokens"))
+    total = 6000
+    out = sampling.temperature_mixture(sized, "src", "n_tokens",
+                                       "doc_id", total_budget=total)
+    raw = {r["src"]: r["n"] for r in
+           sized.groupBy("src").agg(F.sum("n_tokens").alias("n"))
+           .collect()}
+    kept = {r["src"]: r["n"] for r in
+            out.groupBy("src").agg(F.sum("n_tokens").alias("n"))
+            .collect()}
+    raw_tot, kept_tot = sum(raw.values()), sum(kept.values())
+    big = max(raw, key=raw.get)
+    small = min(raw, key=raw.get)
+    assert kept[small] / kept_tot > raw[small] / raw_tot
+    assert kept[big] / kept_tot < raw[big] / raw_tot
+    # budget adherence: each source's kept tokens ≥ its budget but
+    # overshoots by at most its boundary doc
+    import math
+    z = sum(math.sqrt(v) for v in raw.values())
+    for s, k in kept.items():
+        budget = math.floor(total * math.sqrt(raw[s]) / z)
+        max_doc = out.where(F.col("src") == s) \
+                     .agg(F.max("n_tokens")).first()[0]
+        assert budget <= k < budget + max_doc + 1
+    # deterministic
+    again = sampling.temperature_mixture(sized, "src", "n_tokens",
+                                         "doc_id", total_budget=total)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())

@@ -65,6 +65,12 @@ ALLOW = {
     "sel_dsir_resample": {"BroadcastNestedLoopJoin", "CartesianProduct",
                           "Exchange SinglePartition (non-scalar result)"},
     "sample_weighted_mixture": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    # temperature normalizer Σ n_s^α is a 1-row aggregate crossJoined
+    # into the source-count table (≤ #sources rows); the doc-level join
+    # on source is a broadcast equi-join
+    "sample_temperature_mixture": {
+        "BroadcastNestedLoopJoin", "CartesianProduct",
+        "Exchange SinglePartition (non-scalar result)"},
     # same corpus-total-scalar shape as text_unigram_logprob (n_docs is a
     # 1-row in-plan aggregate crossJoined into the vocabulary)
     "text_tfidf_top_terms": {"BroadcastNestedLoopJoin", "CartesianProduct",

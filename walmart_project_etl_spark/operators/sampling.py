@@ -165,6 +165,48 @@ def weighted_mixture(df: DataFrame, source: str, key: str,
     return df.where(keep)
 
 
+def temperature_mixture(df: DataFrame, source: str, tokens: str, key: str,
+                        total_budget: int,
+                        alpha: float = 0.5) -> DataFrame:
+    """Temperature-weighted corpus mixing (the GPT-3/Pile recipe): each
+    source's token budget is ``total_budget × n_s^α / Σ n_s^α`` where
+    ``n_s`` is the source's token count — ``α < 1`` upweights small
+    high-quality sources relative to their raw size, ``α = 1`` is
+    proportional, ``α = 0`` is uniform. Docs fill each source's budget
+    in hash order via the same greedy window cumsum as
+    :func:`token_budget_per_group` (overshoot ≤ 1 doc per source).
+
+    Shape at scale: the per-source totals reduce to a source-count-sized
+    table (broadcast), budgets derive in-plan, and the only shuffle is
+    the per-source window — identical cost to the fixed-budget mixer.
+
+    Determinism: ``α = 0.5`` (the default) computes ``sqrt(n_s)``,
+    which IEEE 754 requires to be CORRECTLY rounded — so the per-source
+    budgets (floor of a product of correctly-rounded doubles) are
+    bit-identical on any engine, and the oracle can replay the whole
+    mix exactly. Other ``α`` go through ``pow`` (1-ulp libm variance:
+    budgets could differ by one token unit across engines — fine for
+    training mixes, not for exact oracles).
+    """
+    wcol = (F.sqrt(F.col("__n").cast("double")) if alpha == 0.5
+            else F.pow(F.col("__n").cast("double"), F.lit(float(alpha))))
+    counts = df.groupBy(source).agg(F.sum(tokens).alias("__n"))
+    z = (counts.select(wcol.alias("__w"))
+         .agg(F.sum("__w").alias("__z")))
+    budgets = (counts.crossJoin(F.broadcast(z))
+               .select(source,
+                       F.floor(F.lit(float(total_budget)) * wcol
+                               / F.col("__z")).alias("__budget")))
+    rk = rank_hash(F.col(key))
+    w = (Window.partitionBy(source).orderBy(rk, F.col(key))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_before = F.sum(F.col(tokens)).over(w) - F.col(tokens)
+    return (df.join(F.broadcast(budgets), source)
+              .withColumn("_cum_before", cum_before)
+              .where(F.col("_cum_before") < F.col("__budget"))
+              .drop("_cum_before", "__budget"))
+
+
 def assign_shards(df: DataFrame, key: str, n_shards: int) -> DataFrame:
     """Deterministic training-shard layout: every row gets a stable
     ``(shard, shard_pos)`` — shard from an md5 bucket of the key,

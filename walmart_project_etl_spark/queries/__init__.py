@@ -45,6 +45,7 @@ _PRIORITY = (
     "sel_dsir_resample",
     "txn_analyze",
     "txn_broadcast_advice",
+    "sample_temperature_mixture",
     # r10-new entries, never driver-checked (r10 window never ran)
     "txn_update_where",
     "txn_delete_where",
@@ -91,11 +92,10 @@ _PRIORITY = (
     # r6-era rows, 10 of 49 (alphabetical; code unchanged; freshness)
     "a02_groupby_first",
     "a03_distinct_count_per_group",
-    "a05_count_distinct",
 )
-#: r6-era rows deferred from this window (47) — rotate in over r12-r13:
-#: a06_max_per_group, a07_minmax_month_span, clean_mad_outliers,
-#: clean_quantile_bins,
+#: r6-era rows deferred from this window (48) — rotate in over r12-r13:
+#: a05_count_distinct, a06_max_per_group, a07_minmax_month_span,
+#: clean_mad_outliers, clean_quantile_bins,
 #: clean_winsorize, clean_zscore,
 #: curate_pipeline, dedup_boilerplate_lines, dedup_boilerplate_sentences,
 #: dedup_canonical_longest, dedup_cluster_components,

@@ -527,6 +527,43 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         sized, "source", "n_tokens", budget=800, key="doc_id")
 
 
+@q("sample_temperature_mixture",
+   r"""WITH sized AS (
+        SELECT doc_id, source,
+               len(string_split_regex(regexp_replace(text, '^\s+|\s+$', ''),
+                                      '\s+'))::BIGINT AS n_tokens
+        FROM documents),
+      n AS (SELECT source, sum(n_tokens) AS ns FROM sized GROUP BY source),
+      z AS (SELECT sum(sqrt(ns::DOUBLE)) AS z FROM n),
+      b AS (SELECT source,
+                   floor(8000.0 * sqrt(ns::DOUBLE) / z) AS budget
+            FROM n, z),
+      c AS (
+        SELECT s.doc_id, s.source, s.n_tokens, b.budget,
+               sum(s.n_tokens) OVER (PARTITION BY s.source
+                   ORDER BY md5(s.doc_id::VARCHAR) NULLS FIRST,
+                            s.doc_id NULLS FIRST
+                   ROWS UNBOUNDED PRECEDING) - s.n_tokens AS cum_before
+        FROM sized s JOIN b USING (source))
+      SELECT doc_id, source, n_tokens FROM c WHERE cum_before < budget""")
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixing (GPT-3/Pile α=0.5): per-source token
+    budgets ∝ sqrt(source token count) — small sources upweighted
+    relative to raw size — filled greedily in hash order. sqrt is
+    IEEE-correctly-rounded, so the budgets (and therefore the exact doc
+    selection) reproduce bit-for-bit on any engine; the totals reduce
+    to a broadcast-sized source table, so the only shuffle is the same
+    per-source window the fixed-budget mixer pays."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(
+        F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"))
+    sized = d.select("doc_id", "source",
+                     n_tokens.cast("long").alias("n_tokens"))
+    return sampling.temperature_mixture(
+        sized, "source", "n_tokens", "doc_id", total_budget=8000) \
+        .select("doc_id", "source", "n_tokens")
+
+
 @q("dedup_canonical_longest",
    _PAIRS_SQL + r""",
   edges AS (SELECT id_a AS a, id_b AS b FROM pairs
