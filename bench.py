@@ -119,6 +119,17 @@ BENCH_QUERIES = [
     # same star, WARM cache — isolates the BI query plan itself, so plan
     # regressions are visible separately from the fixture-build cost above
     "pipe_bi_sales_by_state",
+    # r11-new: row-tracked RESTORE (diff materialization on the changed
+    # files), COPY INTO (ledger replay + selective load), the bloom-index
+    # write+lookup, single-pass ANALYZE, DSIR scoring (corpus token
+    # explode + broadcast ratio join), and the temperature mixer — each a
+    # new write/read/scoring family whose regressions must be visible
+    "txn_restore_cdf",
+    "txn_copy_into",
+    "txn_bloom_col_prune",
+    "txn_analyze",
+    "sel_dsir_weights",
+    "sample_temperature_mixture",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other
