@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     # explode + broadcast ratio join), and the temperature mixer — each a
     # new write/read/scoring family whose regressions must be visible
     "txn_restore_cdf",
+    "txn_table_diff",
     "txn_copy_into",
     "txn_bloom_col_prune",
     "txn_analyze",

@@ -1378,6 +1378,60 @@ def test_interleaved_writer_commit_fails_instead_of_losing_update(
     assert 2 not in rows2 and rows2[3] == 77.0 and len(rows2) == 49
 
 
+# --------------------------------------------------------- snapshot diff
+
+
+def test_diff_between_versions(spark, orders, tmp_path):
+    """diff(v_from, v_to): row-level delta of two snapshots with no
+    change feed and no per-commit replay — equals the exceptAll of the
+    snapshots, reads only the files that differ, empty on identical
+    versions, and refuses to diff across a rename (ambiguous)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=6)
+    t.merge_upsert(orders.where("o_orderkey % 50 = 3")
+                   .withColumn("o_totalprice",
+                               F.col("o_orderkey") * 0.5))     # v1
+    t.delete_keys(orders.where("o_orderkey <= 200")
+                  .select("o_orderkey"))                       # v2
+
+    d = t.diff(0)
+    cols = ["o_orderkey", "o_totalprice", "_change_type"]
+    s0, s2 = t.snapshot(0), t.snapshot(2)
+    exp_del = s0.exceptAll(s2).withColumn("_change_type",
+                                          F.lit("delete"))
+    exp_ins = s2.exceptAll(s0).withColumn("_change_type",
+                                          F.lit("insert"))
+    assert _rows(d, cols) == _rows(exp_del.unionByName(exp_ins), cols)
+    assert d.where("_change_type = 'delete'").count() > 0
+    assert d.where("_change_type = 'insert'").count() > 0
+
+    # identical versions: empty diff with the full schema
+    empty = t.diff(2, 2)
+    assert empty.count() == 0
+    assert empty.columns == [*t.snapshot().columns, "_change_type"]
+
+    # O(changed files): the delete touched one range-clustered file
+    reads = []
+    orig = t._read_files
+
+    def spying(meta, actions, **kw):
+        acts = list(actions)
+        reads.append(len(acts))
+        return orig(meta, acts, **kw)
+
+    t._read_files = spying                      # type: ignore[assignment]
+    t.diff(1, 2).count()
+    t._read_files = orig                        # type: ignore[assignment]
+    _, live = t._state()
+    assert reads and all(n <= 2 for n in reads)
+
+    t.rename_column("o_custkey", "cust_id")                    # v3
+    with pytest.raises(ValueError, match="rename"):
+        t.diff(0, 3)
+    with pytest.raises(ValueError, match="v_from"):
+        t.diff(3, 1)
+
+
 # ------------------------------------------------------ analyze / advise
 
 

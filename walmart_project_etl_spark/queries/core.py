@@ -1411,6 +1411,40 @@ def txn_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.snapshot()
 
 
+@q("txn_table_diff",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+             'delete' AS _change_type
+      FROM orders WHERE o_orderkey % 50 IN (3, 11)
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderkey * 0.5, o_orderstatus,
+             'insert'
+      FROM orders WHERE o_orderkey % 50 = 3""")
+def txn_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF between versions (no change feed required): rows
+    leaving the live set surface as deletes, rows entering as inserts
+    — here the %50=3 reprice shows as its delete/insert pair and the
+    %50=11 delete as deletes. Only the files that DIFFER between the
+    two live sets are read (O(changed files), pinned in
+    tests/test_txlog.py) — the audit primitive for "what moved between
+    two versions" on a 100 TB table."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_diff")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8)
+    tt.merge_upsert(o.where(F.col("o_orderkey") % 50 == 3)
+                    .withColumn("o_totalprice",
+                                F.col("o_orderkey") * 0.5))    # v1
+    tt.delete_keys(o.where(F.col("o_orderkey") % 50 == 11)     # v2
+                    .select("o_orderkey"))
+    return tt.diff(0)
+
+
 @q("txn_analyze",
    """SELECT col, n_rows, n_nonnull, vmin, vmax FROM (
         SELECT 'o_orderkey' AS col, count(*) AS n_rows,

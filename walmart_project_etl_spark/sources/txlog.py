@@ -1886,6 +1886,63 @@ class TxTable:
                 self._maybe_checkpoint(base + 1)
                 return
 
+    def _live_set_diff(self, meta: dict, live_from: dict,
+                       live_to: dict) -> DataFrame | None:
+        """Row-level diff between two live file sets, read under
+        ``meta``: rows leaving → ``delete``, rows entering → ``insert``
+        (``_change_type`` column). Files present in BOTH sets with
+        identical deletion vectors cannot contribute and are never
+        read — the diff costs O(files that differ), not O(table).
+        Returns None when the sets are identical. Shared by the
+        row-tracked RESTORE and :meth:`diff`."""
+        def sig(a: dict):
+            return tuple(sorted(a.get("_dvs", [])))
+        common = {p for p, a in live_to.items()
+                  if p in live_from and sig(a) == sig(live_from[p])}
+        old_ch = [a for p, a in live_from.items() if p not in common]
+        new_ch = [a for p, a in live_to.items() if p not in common]
+        if not old_ch and not new_ch:
+            return None
+        old_df = self._read_files(meta, old_ch)
+        new_df = self._read_files(meta, new_ch)
+        return (old_df.exceptAll(new_df)
+                .withColumn("_change_type", F.lit("delete"))
+                .unionByName(new_df.exceptAll(old_df)
+                             .withColumn("_change_type",
+                                         F.lit("insert"))))
+
+    def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """SNAPSHOT DIFF between two versions — what changed, as rows:
+        table columns + ``_change_type`` (``delete`` = live at
+        ``v_from`` but not ``v_to``, ``insert`` = the reverse; an
+        update appears as its delete/insert pair). Unlike
+        :meth:`read_changes` this needs NO change feed and no
+        per-commit replay: it diffs only the files that differ between
+        the two live sets (O(changed files)), so auditing "what moved
+        between Monday and Tuesday" on a 100 TB table costs the
+        changed data, not the table. Both sides read under ``v_to``'s
+        schema (reader-safe widenings make old files readable; a
+        column added in between surfaces as NULL on the old side)."""
+        if v_to is None:
+            v_to = self.versions()[-1]
+        if v_from > v_to:
+            raise ValueError(f"v_from {v_from} > v_to {v_to}")
+        meta_f, live_f = self._state(v_from)
+        meta_t, live_t = self._state(v_to, self._read_mode(v_to))
+        if meta_f is None or meta_t is None:
+            raise FileNotFoundError(f"no table at {self.root}")
+        if (meta_f.get("column_mapping") or {}) != \
+                (meta_t.get("column_mapping") or {}):
+            raise ValueError(
+                "diff across a column rename/drop is ambiguous — "
+                "compare snapshots explicitly instead")
+        out = self._live_set_diff(meta_t, live_f, live_t)
+        if out is None:
+            schema = StructType.fromJson(json.loads(meta_t["schema"])) \
+                .add("_change_type", "string")
+            return self.spark.createDataFrame([], schema)
+        return out
+
     def restore(self, version: int) -> dict:
         """Delta RESTORE: reset the table's LIVE state (files, attached
         deletion vectors, AND declared metadata) to ``version`` in one
@@ -1928,22 +1985,8 @@ class TxTable:
                     and meta_now.get("schema") == meta_t.get("schema")
                     and (meta_now.get("column_mapping") or {})
                     == (meta_t.get("column_mapping") or {})):
-                def sig(a: dict):
-                    return tuple(sorted(a.get("_dvs", [])))
-                common = {p for p, a in live_t.items()
-                          if p in live_now and sig(a) == sig(live_now[p])}
-                old_ch = [a for p, a in live_now.items()
-                          if p not in common]
-                new_ch = [a for p, a in live_t.items() if p not in common]
-                if old_ch or new_ch:
-                    old_df = self._read_files(meta_t, old_ch)
-                    new_df = self._read_files(meta_t, new_ch)
-                    changes = (
-                        old_df.exceptAll(new_df)
-                        .withColumn("_change_type", F.lit("delete"))
-                        .unionByName(
-                            new_df.exceptAll(old_df)
-                            .withColumn("_change_type", F.lit("insert"))))
+                changes = self._live_set_diff(meta_t, live_now, live_t)
+                if changes is not None:
                     cdf = self._write_cdf(changes, meta_t)
                 op_act["tracked"] = True      # row-level diff captured
             actions: list[dict] = [op_act, {"meta": meta_t}]
