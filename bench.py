@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "txn_analyze",
     "sel_dsir_weights",
     "sample_temperature_mixture",
+    "text_bigram_logprob",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other

@@ -1156,3 +1156,26 @@ def test_temperature_mixture_upweights_small_sources(spark):
                                          "doc_id", total_budget=total)
     assert sorted(r["doc_id"] for r in out.collect()) == \
         sorted(r["doc_id"] for r in again.collect())
+
+
+def test_bigram_logprob_rewards_word_order(spark):
+    """The interpolated bigram LM scores fluent repeated word order
+    above the same tokens shuffled — the signal the unigram model is
+    blind to (both docs have identical unigram profiles)."""
+    fluent = " ".join(["the quick brown fox jumps over the lazy dog"] * 6)
+    toks = fluent.split()
+    # deterministic derangement: reverse — same bag of words,
+    # destroyed transitions
+    shuffled = " ".join(reversed(toks))
+    corpus = spark.createDataFrame(
+        [(i, fluent) for i in range(8)] + [(100, shuffled)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["mean_logprob"]
+           for r in text.bigram_logprob(corpus, "doc_id", "text")
+           .collect()}
+    assert out[0] > out[100]
+    # unigram model cannot separate them (same token multiset)
+    uni = {r["doc_id"]: r["mean_logprob"]
+           for r in text.unigram_logprob(corpus, "doc_id", "text")
+           .collect()}
+    assert abs(uni[0] - uni[100]) < 1e-9

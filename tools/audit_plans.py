@@ -62,6 +62,10 @@ ALLOW = {
     # table); the scoring join itself is a broadcast equi-join
     "sel_dsir_weights": {"BroadcastNestedLoopJoin", "CartesianProduct",
                          "Exchange SinglePartition (non-scalar result)"},
+    # corpus-total scalar (token count N) crossJoined into the bigram
+    # probability table — the unigram scorer's exact shape
+    "text_bigram_logprob": {"BroadcastNestedLoopJoin", "CartesianProduct",
+                            "Exchange SinglePartition (non-scalar result)"},
     "sel_dsir_resample": {"BroadcastNestedLoopJoin", "CartesianProduct",
                           "Exchange SinglePartition (non-scalar result)"},
     "sample_weighted_mixture": {"BroadcastNestedLoopJoin", "CartesianProduct"},

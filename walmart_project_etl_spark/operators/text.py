@@ -327,6 +327,67 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
                   / F.sum("__c").cast("double")).alias("mean_logprob")))
 
 
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                   lam: float = 0.7,
+                   broadcast_vocab: bool = True) -> DataFrame:
+    """Mean per-position INTERPOLATED bigram log-probability of each
+    document — the CCNet-style LM perplexity filter, one modeling step
+    past :func:`unigram_logprob`: fluent word ORDER now scores above
+    shuffled bags of common words, which the unigram model cannot
+    distinguish. ``P(w2 | w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N``
+    (interpolated with the unigram model, so unseen bigrams stay
+    finite without discounting machinery).
+
+    Shape at scale, same envelope as the unigram scorer: bigram pairs
+    come from one in-row ``transform`` over the token array (no
+    self-join), the corpus bigram/unigram tables are groupBy counts
+    with map-side combine, and scoring joins are broadcast by default
+    (pass ``broadcast_vocab=False`` when the bigram vocabulary outgrows
+    executor memory — it grows faster than the unigram one).
+
+    Determinism: per-bigram logprobs round to 6 places and sum as exact
+    DECIMALs — the repo's standard cross-engine contract.
+
+    Output: one row per document with ≥1 bigram — ``n_bigrams`` (long)
+    and ``mean_logprob`` (double).
+    """
+    toks = F.split(F.lower(F.regexp_replace(_c(text_col), r"^\s+|\s+$", "")),
+                   r"\s+")
+    pairs = F.expr(
+        "transform(slice(__toks, 1, size(__toks) - 1), "
+        "(w, i) -> struct(w AS w1, __toks[i + 1] AS w2))")
+    doc_bi = (df.select(F.col(id_col), toks.alias("__toks"))
+              .select(id_col, F.explode(pairs).alias("__p"))
+              .select(id_col, F.col("__p.w1").alias("__w1"),
+                      F.col("__p.w2").alias("__w2"))
+              .groupBy(id_col, "__w1", "__w2")
+              .agg(F.count(F.lit(1)).alias("__c")))
+    bi = doc_bi.groupBy("__w1", "__w2").agg(F.sum("__c").alias("__c12"))
+    # context totals c(w1) from the bigram table (= token count minus
+    # each doc's last token) and unigram counts c(w2)/N from the full
+    # token stream — the standard interpolation denominators
+    ctx = bi.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
+    uni = (df.select(F.explode(toks).alias("__w2"))
+           .groupBy("__w2").agg(F.count(F.lit(1)).alias("__c2")))
+    total = uni.agg(F.sum("__c2").alias("__n"))
+    lp = (bi.join(ctx, "__w1")
+          .join(uni, "__w2")
+          .crossJoin(F.broadcast(total))
+          .select("__w1", "__w2",
+                  F.round(F.log(
+                      F.lit(float(lam)) * F.col("__c12") / F.col("__c1")
+                      + F.lit(1.0 - float(lam))
+                      * F.col("__c2") / F.col("__n")), 6)
+                   .cast("decimal(20,6)").alias("__lp")))
+    if broadcast_vocab:
+        lp = F.broadcast(lp)
+    return (doc_bi.join(lp, ["__w1", "__w2"])
+            .groupBy(id_col)
+            .agg(F.sum("__c").cast("long").alias("n_bigrams"),
+                 (F.sum(F.col("__lp") * F.col("__c")).cast("double")
+                  / F.sum("__c").cast("double")).alias("mean_logprob")))
+
+
 def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 5,
                     broadcast_vocab: bool = True) -> DataFrame:
     """Per-document top-k TF-IDF terms — the classic keyword/topic-surface

@@ -47,6 +47,7 @@ _PRIORITY = (
     "txn_broadcast_advice",
     "sample_temperature_mixture",
     "txn_table_diff",
+    "text_bigram_logprob",
     # r10-new entries, never driver-checked (r10 window never ran)
     "txn_update_where",
     "txn_delete_where",
@@ -90,11 +91,9 @@ _PRIORITY = (
     # r5-era rows (oldest driver rows in the registry; freshness)
     "text_tfidf_top_terms",
     "ts_yoy_growth",
-    # r6-era rows, 1 of 50 (alphabetical; code unchanged; freshness)
-    "a02_groupby_first",
 )
-#: r6-era rows deferred from this window (49) — rotate in over r12-r13:
-#: a03_distinct_count_per_group, a05_count_distinct, a06_max_per_group, a07_minmax_month_span,
+#: r6-era rows deferred from this window (50) — rotate in over r12-r13:
+#: a02_groupby_first, a03_distinct_count_per_group, a05_count_distinct, a06_max_per_group, a07_minmax_month_span,
 #: clean_mad_outliers, clean_quantile_bins,
 #: clean_winsorize, clean_zscore,
 #: curate_pipeline, dedup_boilerplate_lines, dedup_boilerplate_sentences,

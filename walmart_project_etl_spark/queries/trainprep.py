@@ -384,6 +384,42 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob(d, "doc_id", "text")
 
 
+@q("text_bigram_logprob",
+   r"""WITH tok AS (
+        SELECT doc_id,
+               string_split_regex(
+                   lower(regexp_replace(text, '^\s+|\s+$', '')), '\s+') AS w
+        FROM documents),
+      pr AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM tok, unnest(range(1, len(w))) AS u(i)),
+      dbi AS (SELECT doc_id, w1, w2, count(*) AS c
+              FROM pr GROUP BY doc_id, w1, w2),
+      bi AS (SELECT w1, w2, sum(c) AS c12 FROM dbi GROUP BY w1, w2),
+      ctx AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY w1),
+      uni AS (SELECT t AS w2, count(*) AS c2
+              FROM (SELECT unnest(w) AS t FROM tok) GROUP BY t),
+      tot AS (SELECT sum(c2) AS n FROM uni),
+      lp AS (SELECT w1, w2,
+                    CAST(round(ln(0.7 * c12 / c1
+                                  + 0.30000000000000004 * c2 / n), 6)
+                      AS DECIMAL(20,6)) AS lp
+             FROM bi JOIN ctx USING (w1) JOIN uni USING (w2), tot)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(sum(lp * c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+               AS mean_logprob
+      FROM dbi JOIN lp USING (w1, w2) GROUP BY doc_id""")
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score (CCNet-style perplexity
+    filter): mean ln(0.7·P_bigram + 0.3·P_unigram) per document — word
+    ORDER now matters, which the unigram scorer cannot see. Bigrams
+    come from one in-row transform over the token array (no self-join);
+    the oracle's 0.30000000000000004 literal is the exact double Python
+    computes for 1.0 − 0.7, so both engines interpolate identically."""
+    d = t(spark, sf_dir, "documents")
+    return text.bigram_logprob(d, "doc_id", "text")
+
+
 @q("dedup_incremental",
    """WITH corpus AS (
         SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 2 = 0),
