@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "sel_dsir_weights",
     "sample_temperature_mixture",
     "text_bigram_logprob",
+    "pipe_dsir_select_pack",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other

@@ -68,6 +68,9 @@ ALLOW = {
                             "Exchange SinglePartition (non-scalar result)"},
     "sel_dsir_resample": {"BroadcastNestedLoopJoin", "CartesianProduct",
                           "Exchange SinglePartition (non-scalar result)"},
+    "pipe_dsir_select_pack": {
+        "BroadcastNestedLoopJoin", "CartesianProduct",
+        "Exchange SinglePartition (non-scalar result)"},
     "sample_weighted_mixture": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     # temperature normalizer Σ n_s^α is a 1-row aggregate crossJoined
     # into the source-count table (≤ #sources rows); the doc-level join

@@ -48,6 +48,7 @@ _PRIORITY = (
     "sample_temperature_mixture",
     "txn_table_diff",
     "text_bigram_logprob",
+    "pipe_dsir_select_pack",
     # r10-new entries, never driver-checked (r10 window never ran)
     "txn_update_where",
     "txn_delete_where",
@@ -90,9 +91,9 @@ _PRIORITY = (
     "stream_agg_mv_follow",
     # r5-era rows (oldest driver rows in the registry; freshness)
     "text_tfidf_top_terms",
-    "ts_yoy_growth",
 )
-#: r6-era rows deferred from this window (50) — rotate in over r12-r13:
+#: Deferred from this window — rotate in over r12-r13: ts_yoy_growth
+#: (r5-era), then the 50 r6-era rows:
 #: a02_groupby_first, a03_distinct_count_per_group, a05_count_distinct, a06_max_per_group, a07_minmax_month_span,
 #: clean_mad_outliers, clean_quantile_bins,
 #: clean_winsorize, clean_zscore,

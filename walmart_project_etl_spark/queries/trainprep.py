@@ -1333,3 +1333,52 @@ def sel_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = selection.dsir_importance_weights(
         d.where(F.col("lang") == "en"), d, "doc_id", "text")
     return selection.dsir_resample(w, "doc_id", k=64)
+
+
+@q("pipe_dsir_select_pack",
+   f"""WITH {_DSIR_LR_SQL},
+      keyed AS (
+        SELECT doc_id, n_tokens, logw,
+               round(logw - ln(-ln(
+                   (('0x' || substr(md5('dsir|' || doc_id::VARCHAR),
+                                    1, 15))::BIGINT + 0.5)
+                   / 1152921504606846976.0)), 6) AS sel_key
+        FROM w),
+      sel AS (
+        SELECT doc_id, n_tokens FROM keyed
+        QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id) <= 128),
+      g AS (
+        SELECT doc_id, n_tokens,
+               ('0x' || substr(md5('#' || doc_id::VARCHAR), 1, 8))::BIGINT
+                 % 4 AS pack_group
+        FROM sel),
+      s AS (
+        SELECT doc_id, n_tokens, pack_group,
+               sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id)
+                 - n_tokens AS strt
+        FROM g)
+      SELECT doc_id, n_tokens, pack_group,
+             CAST(strt // 128 AS BIGINT) AS seq_id,
+             CAST(strt % 128 AS BIGINT) AS seq_offset
+      FROM s""")
+def pipe_dsir_select_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed selection pipeline: DSIR importance weights over the
+    raw pool (target = lang='en') → Gumbel top-128 without-replacement
+    draw → GPT-style concatenate-and-split packing of the selected
+    docs (capacity 128, 4 hash groups). The whole chain — corpus
+    scoring, weighted selection, and training layout — stays one lazy
+    plan with exactly the scoring shuffle, a TakeOrdered, and one
+    packing window; the oracle replays every stage in SQL, exact."""
+    from walmart_project_etl_spark.operators import selection
+
+    d = t(spark, sf_dir, "documents")
+    w = selection.dsir_importance_weights(
+        d.where(F.col("lang") == "en"), d, "doc_id", "text")
+    sel = selection.dsir_resample(w, "doc_id", k=128) \
+        .select("doc_id", "n_tokens")
+    packed = packing.pack_sequences(sel, "doc_id", "n_tokens",
+                                    capacity=128, n_groups=4)
+    return packed.select("doc_id", "n_tokens", "pack_group",
+                         F.col("seq_id").cast("long").alias("seq_id"),
+                         F.col("seq_offset").cast("long")
+                          .alias("seq_offset"))
