@@ -2034,13 +2034,16 @@ def test_model_combined_format_operations(spark, tmp_path, seed):
     change-feed capture — the interactions (a DV on a file that
     replace_where then drops; RESTORE across a purge; a rename between
     a file's write and its zorder rewrite; pruning through the mapping)
-    are where format bugs live. Per step: snapshot == model (positional
-    — logical names rotate), partition purity, and an incremental CDF
-    consumer fold == model (folding exactly through row-TRACKED
-    restores; resyncing via ChangeFeedRestoredError on restores that
-    cross a schema change); spot time-travel every 5 steps, full
-    sweep at the end. ``WPE_COMBINED_MODEL_STEPS`` overrides the step
-    count (default 200)."""
+    are where format bugs live — plus COPY INTO (the same landing dir
+    twice must ledger-skip) and metadata-only ANALYZE commits
+    interleaved. Per step: snapshot == model (positional — logical
+    names rotate), partition purity, and an incremental CDF consumer
+    fold == model (folding exactly through row-TRACKED restores;
+    resyncing via ChangeFeedRestoredError on restores that cross a
+    schema change); spot time-travel every 5 steps, a snapshot-DIFF
+    == model-transition check every 7, full sweep at the end.
+    ``WPE_COMBINED_MODEL_STEPS`` overrides the step count (default
+    200)."""
     import random
 
     from walmart_project_etl_spark.sources.txlog import \
@@ -2079,8 +2082,11 @@ def test_model_combined_format_operations(spark, tmp_path, seed):
     OPS = (["append"] * 3 + ["merge"] * 3 + ["delete"] * 2
            + ["delete_dv"] * 2 + ["replace_where"] * 2
            + ["purge", "restore", "compact", "compact_partitions",
-              "zorder"] + ["rename"] * 2 + ["widen"])
+              "zorder"] + ["rename"] * 2 + ["widen"]
+           + ["copy_into", "analyze"])
     for step in range(n_steps):
+        v_before = t.versions()[-1]
+        model_before = dict(model)
         op = rng.choice(OPS)
         if op == "append":
             new = {k: row(k, step)
@@ -2145,6 +2151,25 @@ def test_model_combined_format_operations(spark, tmp_path, seed):
                 t.widen_column(names[3], "bigint")
             except ValueError:
                 pass                     # already bigint at this meta
+        elif op == "copy_into":
+            # idempotent landing-dir ingest: the SAME directory twice —
+            # the second call must be a ledger no-op (no new version)
+            new = {k: row(k, step + 0.25)
+                   for k in rng.sample(range(40_000, 50_000), 4)
+                   if k not in model}
+            land = str(tmp_path / f"land{step}")
+            df_of(new.values()).coalesce(1).write.parquet(land)
+            t.copy_into(land)
+            v_after = t.versions()[-1]
+            res = t.copy_into(land)      # replay: ledger skips all
+            assert res["files_loaded"] == 0
+            assert t.versions()[-1] == v_after
+            model.update(new)
+        elif op == "analyze":
+            # metadata-only stats commit: exact row count, no row moves
+            st = t.analyze(columns=[names[0]])
+            assert st["rows"] == len(model)
+            assert t.table_stats()["stale_commits"] == 0
         else:
             t.optimize_zorder([names[0], names[3]], target_rows=100)
         assert snap_rows() == model, \
@@ -2183,6 +2208,25 @@ def test_model_combined_format_operations(spark, tmp_path, seed):
             got = {r[0]: tuple(r) for r in t.snapshot(v).collect()}
             assert got == versioned[v], \
                 f"time travel broken at version {v} (step {step})"
+        if step % 7 == 3 and cur_v > v_before:
+            # snapshot-diff invariant: diff(before, after) is exactly
+            # the model transition (refusals across a rename are the
+            # documented contract, not a failure)
+            try:
+                dd = t.diff(v_before, cur_v).collect()
+            except ValueError:
+                pass
+            else:
+                got_del = {tuple(r)[:5] for r in dd
+                           if r["_change_type"] == "delete"}
+                got_ins = {tuple(r)[:5] for r in dd
+                           if r["_change_type"] == "insert"}
+                exp_del = {r for k, r in model_before.items()
+                           if model.get(k) != r}
+                exp_ins = {r for k, r in model.items()
+                           if model_before.get(k) != r}
+                assert got_del == exp_del and got_ins == exp_ins, \
+                    f"diff diverged after step {step}: {op}"
         versioned[cur_v] = dict(model)
         vnames[cur_v] = list(names)
     for v, expected in versioned.items():

@@ -1921,8 +1921,11 @@ class TxTable:
         the two live sets (O(changed files)), so auditing "what moved
         between Monday and Tuesday" on a 100 TB table costs the
         changed data, not the table. Both sides read under ``v_to``'s
-        schema (reader-safe widenings make old files readable; a
-        column added in between surfaces as NULL on the old side)."""
+        column set with each column at the WIDER of the two versions'
+        declared types (reader-safe widenings make every live file of
+        either version readable — including a file written wide before
+        a RESTORE narrowed the declared type back; a column added in
+        between surfaces as NULL on the old side)."""
         if v_to is None:
             v_to = self.versions()[-1]
         if v_from > v_to:
@@ -1936,10 +1939,24 @@ class TxTable:
             raise ValueError(
                 "diff across a column rename/drop is ambiguous — "
                 "compare snapshots explicitly instead")
-        out = self._live_set_diff(meta_t, live_f, live_t)
+        sch_f = StructType.fromJson(json.loads(meta_f["schema"]))
+        sch_t = StructType.fromJson(json.loads(meta_t["schema"]))
+        fields = []
+        for f in sch_t.fields:
+            if f.name in sch_f.fieldNames():
+                ft = sch_f[f.name].dataType
+                if ft != f.dataType and _widens(f.dataType, ft):
+                    # v_from declared wider (e.g. a widen the restore
+                    # between the versions rolled back): its files
+                    # need the wide read; v_to's files upcast safely
+                    fields.append(type(f)(f.name, ft, f.nullable))
+                    continue
+            fields.append(f)
+        meta_w = dict(meta_t)
+        meta_w["schema"] = StructType(fields).json()
+        out = self._live_set_diff(meta_w, live_f, live_t)
         if out is None:
-            schema = StructType.fromJson(json.loads(meta_t["schema"])) \
-                .add("_change_type", "string")
+            schema = StructType(fields).add("_change_type", "string")
             return self.spark.createDataFrame([], schema)
         return out
 
