@@ -1860,7 +1860,9 @@ def test_maintenance_plan_and_run(spark, orders, tmp_path):
     t.delete_keys_dv(orders.select("o_orderkey"))
     plan = maintenance_plan(t, target_rows=10_000)
     actions = [p["action"] for p in plan]
-    assert actions == ["purge_deletes", "compact", "optimize_zorder"]
+    # analyze fires too: the table has churned and never been analyzed
+    assert actions == ["purge_deletes", "compact", "optimize_zorder",
+                       "analyze"]
 
     before = _rows(t.snapshot(), ["o_orderkey", "o_totalprice"])
     executed = run_maintenance(t, target_rows=10_000)
@@ -1868,8 +1870,17 @@ def test_maintenance_plan_and_run(spark, orders, tmp_path):
     assert _rows(t.snapshot(), ["o_orderkey", "o_totalprice"]) == before
     _, live = t._state()
     assert not any(a.get("_dvs") for a in live.values())
-    # post-maintenance the table is quiet again
+    # post-maintenance the table is quiet again (analyze ran LAST, so
+    # the fresh stats see zero row-moving commits after them)
     assert maintenance_plan(t, target_rows=10_000) == []
+    assert t.table_stats()["rows"] == t.snapshot().count()
+    # staleness re-arms the advisor after enough churn
+    for i in range(3):
+        t.append(orders.limit(3).withColumn(
+            "o_orderkey", F.col("o_orderkey") + (i + 50) * 10**7))
+    assert "analyze" in [
+        p["action"] for p in maintenance_plan(
+            t, target_rows=10_000, analyze_stale_threshold=3)]
 
 
 def test_concurrent_mixed_writers_no_lost_updates(spark, tmp_path):

@@ -14,7 +14,12 @@ the table needs, optionally run it. Decisions and their thresholds:
 - ``optimize_zorder`` — the declared stats columns' per-file ranges
   overlap heavily (``overlap_threshold`` × file count), i.e. the
   clustering that makes data skipping effective has drifted — the
-  post-churn re-cluster signal.
+  post-churn re-cluster signal;
+- ``analyze`` — the table has no ANALYZE statistics, or
+  ``analyze_stale_threshold`` row-moving commits landed since the last
+  one (a planner reading :meth:`TxTable.table_stats` would be working
+  from a stale row count / NDV — Delta's predictive-optimization
+  freshness signal).
 
 Everything is O(#live files) driver-side metadata math: at 100 TB the
 plan costs a log read, and only the chosen ACTIONS touch data (each
@@ -48,7 +53,8 @@ def _range_overlap_fraction(bounds: list[tuple]) -> float:
 def maintenance_plan(t: TxTable, target_rows: int = 1_000_000,
                      small_file_threshold: int = 4,
                      dv_purge_threshold: float = 0.25,
-                     overlap_threshold: float = 0.5) -> list[dict]:
+                     overlap_threshold: float = 0.5,
+                     analyze_stale_threshold: int = 10) -> list[dict]:
     """The table's recommended maintenance actions, metadata-only.
     Returns [{"action", "reason", ...}] in execution order
     (purge → compact → zorder: purging first shrinks the rewrite sets
@@ -69,13 +75,18 @@ def maintenance_plan(t: TxTable, target_rows: int = 1_000_000,
                                f"{target_rows // 2} rows"})
     cols = _meta_stats_cols(meta)
     if cols:
+        # cstats are keyed by PHYSICAL names (stable across renames) —
+        # look them up through the mapping like every read path does,
+        # or a renamed stats column would silently stop advising
+        mp = meta.get("column_mapping") or {}
         worst, worst_frac = None, 0.0
         for i, c in enumerate(cols):
+            pc = mp.get(c, c)
             bounds = []
             for a in live.values():
                 cs = a.get("cstats") or {}
-                if c in cs:
-                    bounds.append(tuple(cs[c]))
+                if pc in cs:
+                    bounds.append(tuple(cs[pc]))
                 elif i == 0:
                     bounds.append((a.get("smin"), a.get("smax")))
             frac = _range_overlap_fraction(bounds)
@@ -86,6 +97,15 @@ def maintenance_plan(t: TxTable, target_rows: int = 1_000_000,
                          "reason": f"stats column '{worst}' ranges "
                                    f"overlap {worst_frac:.0%} of file "
                                    f"pairs — clustering drifted"})
+    st = t.table_stats()
+    if st is None:
+        if len(t.versions()) > 1:     # a freshly created table is quiet
+            plan.append({"action": "analyze",
+                         "reason": "no ANALYZE statistics in the log"})
+    elif st["stale_commits"] >= analyze_stale_threshold:
+        plan.append({"action": "analyze",
+                     "reason": f"{st['stale_commits']} row-moving "
+                               f"commits since the last ANALYZE"})
     return plan
 
 
@@ -102,4 +122,6 @@ def run_maintenance(t: TxTable, **kwargs) -> list[dict]:
                 target_rows=entry.get("target_rows", 1_000_000))
         elif entry["action"] == "optimize_zorder":
             entry["stats"] = t.optimize_zorder(entry["cols"])
+        elif entry["action"] == "analyze":
+            entry["stats"] = t.analyze()
     return plan
