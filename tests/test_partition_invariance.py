@@ -140,6 +140,24 @@ def _op_semdedup(spark, df):
                           threshold=0.3)
 
 
+def _op_dsir(spark, df):
+    from walmart_project_etl_spark.operators import selection
+    w = selection.dsir_importance_weights(
+        df.where("lang = 'en'"), df, "doc_id", "text")
+    return selection.dsir_resample(w, "doc_id", k=50)
+
+
+def _op_temperature(spark, df):
+    from walmart_project_etl_spark.operators import sampling
+    return sampling.temperature_mixture(df, "source", "n_tokens",
+                                        "doc_id", total_budget=5000)
+
+
+def _op_bigram(spark, df):
+    from walmart_project_etl_spark.operators import text
+    return text.bigram_logprob(df, "doc_id", "text")
+
+
 def _op_bpe(spark, df):
     from walmart_project_etl_spark.operators import bpe
     merges = bpe.bpe_train(df, "text", n_merges=10)
@@ -171,6 +189,9 @@ CASES = {
         _op_incr_agg),
     "shard_assignment": (_docs, _op_shards),
     "bpe_train_encode": (_docs, _op_bpe),
+    "dsir_resample": (_docs, _op_dsir),
+    "temperature_mixture": (_sized_docs, _op_temperature),
+    "bigram_logprob": (_docs, _op_bigram),
     "semdedup": (
         lambda spark: spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
         _op_semdedup),
