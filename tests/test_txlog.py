@@ -2431,3 +2431,34 @@ def test_null_count_skipping(spark, tmp_path):
         t.snapshot().where("tag >= '10' and tag <= '19'").count()
     with pytest.raises(ValueError, match="no stats"):
         t.read_where(not_null=["k"])
+
+
+def test_vacuum_dry_run_and_time_retention(spark, orders, tmp_path):
+    """VACUUM RETAIN n HOURS + DRY RUN (Delta's spellings): dry run
+    lists exactly the files the real run then removes; an hour window
+    covering the whole log reclaims nothing; retain_hours=0 matches the
+    version-based horizon at the head."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=4)
+    t.merge_upsert(orders.limit(30).withColumn("o_totalprice",
+                                               F.lit(1.0)))
+    t.merge_upsert(orders.limit(30).withColumn("o_totalprice",
+                                               F.lit(2.0)))
+
+    # a window covering the whole (just-written) log keeps everything —
+    # even though version-retention alone would reclaim
+    res = t.vacuum(retain_versions=1, retain_hours=1.0, dry_run=True)
+    assert res["would_remove"] == [] and res["horizon"] == 0
+
+    dry = t.vacuum(retain_versions=1, retain_hours=0.0, dry_run=True)
+    assert dry["removed"] == 0 and len(dry["would_remove"]) > 0
+    for name in dry["would_remove"]:          # nothing actually deleted
+        assert os.path.exists(os.path.join(t.data_dir, name))
+
+    real = t.vacuum(retain_versions=1, retain_hours=0.0)
+    assert real["removed"] == len(dry["would_remove"])
+    assert real["horizon"] == dry["horizon"]
+    for name in dry["would_remove"]:
+        assert not os.path.exists(os.path.join(t.data_dir, name))
+    # the retained head still reads
+    assert t.snapshot().count() == orders.count()

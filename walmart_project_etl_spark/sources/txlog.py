@@ -3290,7 +3290,9 @@ class TxTable:
         return removed
 
 
-    def vacuum(self, retain_versions: int = 10) -> dict:
+    def vacuum(self, retain_versions: int = 10,
+               retain_hours: float | None = None,
+               dry_run: bool = False) -> dict:
         """Delta-style VACUUM with VERSION-based retention: physically
         delete data files that are live in NO retained version. The
         newest ``retain_versions`` commits stay fully time-travelable; a
@@ -3303,9 +3305,33 @@ class TxTable:
         horizon, and the caller picks a retention covering the
         longest-running reader. Change-feed files follow the same
         retention: commits after the horizon keep theirs, older ones
-        are reclaimed. Returns {"removed": n, "horizon": v}."""
+        are reclaimed. Returns {"removed": n, "horizon": v}.
+
+        ``retain_hours`` is Delta's own spelling (``VACUUM ... RETAIN n
+        HOURS``): the horizon becomes the OLDEST commit whose wall-clock
+        stamp is within the window (falling back to the commit file's
+        mtime for pre-stamp logs, like ``version_at``) — every version
+        a reader started within the window could still be reading stays
+        time-travelable. When both are given the more conservative
+        (older) horizon wins. ``dry_run=True`` deletes nothing and
+        returns the reclaimable file list (Delta's ``VACUUM ... DRY
+        RUN``) — the operator's look-before-you-leap."""
         vs = self.versions()
         horizon = max(vs[-1] - retain_versions + 1, vs[0])
+        if retain_hours is not None:
+            cutoff = time.time() - retain_hours * 3600.0
+            h_time = vs[-1]
+            for v in vs:                 # oldest commit inside the window
+                acts = self._read_commit(v)
+                stamp = next((a["ts"] for a in acts
+                              if "op" in a and "ts" in a), None)
+                if stamp is None:
+                    stamp = os.path.getmtime(
+                        os.path.join(self.log_dir, f"{v:08d}.json"))
+                if stamp >= cutoff:
+                    h_time = v
+                    break
+            horizon = min(horizon, h_time)
         _, live_h = self._state(horizon)
         needed = set(live_h)
         needed.update(dv for a in live_h.values()
@@ -3320,13 +3346,15 @@ class TxTable:
                     elif "dv" in a:
                         needed.add(a["dv"]["keys"])
         referenced = self._referenced_paths()
-        removed = 0
-        for name in referenced - needed:
-            p = os.path.join(self.data_dir, name)
-            if os.path.exists(p):
-                os.unlink(p)
-                removed += 1
-        return {"removed": removed, "horizon": horizon}
+        doomed = sorted(
+            name for name in referenced - needed
+            if os.path.exists(os.path.join(self.data_dir, name)))
+        if dry_run:
+            return {"removed": 0, "horizon": horizon, "would_remove":
+                    doomed}
+        for name in doomed:
+            os.unlink(os.path.join(self.data_dir, name))
+        return {"removed": len(doomed), "horizon": horizon}
 
 
 class TxCatalog:
