@@ -2462,3 +2462,45 @@ def test_vacuum_dry_run_and_time_retention(spark, orders, tmp_path):
         assert not os.path.exists(os.path.join(t.data_dir, name))
     # the retained head still reads
     assert t.snapshot().count() == orders.count()
+
+
+def test_concurrent_copy_into_loads_each_file_once(spark, orders,
+                                                   tmp_path):
+    """Two writers race copy_into over the SAME landing directory: the
+    ledger is recomputed against the pinned base on every commit
+    attempt, so every landing file loads EXACTLY once no matter who
+    wins each race (the loser re-plans; its orphaned data files are
+    unreferenced by construction)."""
+    import threading
+
+    land = tmp_path / "landing"
+    parts = [orders.where(f"o_orderkey % 4 = {i}") for i in range(4)]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(land / f"f{i}"))
+
+    root = str(tmp_path / "t")
+    t = TxTable(spark, root)
+    t.create(orders.limit(0), "o_orderkey")
+    errors: list[Exception] = []
+    loaded: list[int] = []
+
+    def loader() -> None:
+        try:
+            w = TxTable(spark, root)
+            loaded.append(w.copy_into(str(land))["files_loaded"])
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=loader) for _ in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert sum(loaded) == 4                      # each file exactly once
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _rows(t.snapshot(), cols) == _rows(orders, cols)
+    assert len(t.copied_files()) == 4
+    # the losers' orphaned files are invisible and reclaimable
+    t.vacuum_uncommitted(older_than_s=0)
+    assert _rows(t.snapshot(), cols) == _rows(orders, cols)
