@@ -29,13 +29,16 @@ _MODULES = (core, funcs, pipeline, llm, trainprep)
 #: BENCH_r10 artifact exists), so the r10 window below never executed —
 #: freshness entering r11 is still r5×2, r6×49, r7×41, r8×50, r9×50, and
 #: never×38 (the 24 r9-new entries PLUS the 14 r10-new entries). This
-#: round's window (r11) therefore leads with the r11-new entries, then the
-#: 14 r10-new (schema evolution / identity / generated columns / PQ ANN /
-#: CDC apply+replicate / manifest export / null skipping / predicate DML /
-#: MV min-max), then the 24 r9-new, then the 2 r5-era rows
-#: (text_tfidf_top_terms, ts_yoy_growth), filling to 50 with the oldest
-#: r6-era rows. The r6-era backlog (~49 rows) rotates in over r12-r13;
-#: the deferred names are listed below the tuple.
+#: round's window (r11) therefore leads with the 11 r11-new entries
+#: (row-tracked restore CDF, COPY INTO, bloom column index, DSIR ×2,
+#: ANALYZE + broadcast advice, temperature mixing, snapshot diff,
+#: bigram LM, the DSIR→pack pipeline), then the 14 r10-new (schema
+#: evolution / identity / generated columns / PQ ANN / CDC
+#: apply+replicate / manifest export / null skipping / predicate DML /
+#: MV min-max), then the 24 r9-new, then the oldest green row
+#: (text_tfidf_top_terms, r5-era) — exactly 50. The rest of the
+#: backlog (ts_yoy_growth r5-era first, then the 50 r6-era rows named
+#: below the tuple) rotates in over r12-r13.
 _PRIORITY = (
     # r11-new entries
     "txn_restore_cdf",
