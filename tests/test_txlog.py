@@ -2504,3 +2504,20 @@ def test_concurrent_copy_into_loads_each_file_once(spark, orders,
     # the losers' orphaned files are invisible and reclaimable
     t.vacuum_uncommitted(older_than_s=0)
     assert _rows(t.snapshot(), cols) == _rows(orders, cols)
+
+
+def test_restore_at_timestamp(spark, orders, tmp_path):
+    """RESTORE TO TIMESTAMP AS OF: resolves through version_at and
+    restores that snapshot (tracked like any other restore)."""
+    import time as _t
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=4, change_feed=True)
+    _t.sleep(0.05)
+    mark = _t.time()
+    _t.sleep(0.05)
+    t.delete_keys(orders.where("o_orderkey <= 300")
+                  .select("o_orderkey"))
+    res = t.restore_at(mark)
+    assert res["restored_to"] == 0 and res["cdf_tracked"] is True
+    assert t.snapshot().count() == orders.count()

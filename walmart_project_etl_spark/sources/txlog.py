@@ -1960,6 +1960,13 @@ class TxTable:
             return self.spark.createDataFrame([], schema)
         return out
 
+    def restore_at(self, ts: float) -> dict:
+        """RESTORE TO TIMESTAMP AS OF: restore to the newest version
+        committed at-or-before ``ts`` (Delta's ``RESTORE TABLE ...
+        TO TIMESTAMP AS OF`` spelling) — :meth:`version_at` resolution,
+        :meth:`restore` semantics."""
+        return self.restore(self.version_at(ts))
+
     def restore(self, version: int) -> dict:
         """Delta RESTORE: reset the table's LIVE state (files, attached
         deletion vectors, AND declared metadata) to ``version`` in one
