@@ -2521,3 +2521,34 @@ def test_restore_at_timestamp(spark, orders, tmp_path):
     res = t.restore_at(mark)
     assert res["restored_to"] == 0 and res["cdf_tracked"] is True
     assert t.snapshot().count() == orders.count()
+
+
+def test_copy_into_ledger_checkpointed_and_force(spark, orders,
+                                                 tmp_path):
+    """The COPY INTO ledger folds into checkpoints (O(recent) replay),
+    survives a RESTORE (history, not state — Delta's documented
+    behavior), and force=True reloads regardless."""
+    land = tmp_path / "landing"
+    orders.where("o_orderkey % 2 = 0").coalesce(1) \
+        .write.parquet(str(land / "a"))
+
+    t = TxTable(spark, str(tmp_path / "t"), checkpoint_interval=2)
+    t.create(orders.limit(0), "o_orderkey")
+    t.copy_into(str(land))                                     # v1
+    t.append(orders.where("o_orderkey % 2 = 1"))               # v2 → ckpt
+    ck = os.path.join(t.log_dir, "00000002.checkpoint.json")
+    assert os.path.exists(ck)
+    import json as _json
+    assert len(_json.load(open(ck))["copied"]) == 1
+    # checkpoint-resumed ledger still skips
+    assert TxTable(spark, str(tmp_path / "t")) \
+        .copy_into(str(land))["files_loaded"] == 0
+
+    # RESTORE resets data but not the ledger; force reloads
+    t.restore(0)
+    assert t.snapshot().count() == 0
+    assert t.copy_into(str(land))["files_loaded"] == 0   # ledger holds
+    res = t.copy_into(str(land), force=True)
+    assert res["files_loaded"] == 1
+    assert t.snapshot().count() == orders.where("o_orderkey % 2 = 0") \
+                                         .count()

@@ -517,13 +517,15 @@ class TxTable:
         try:
             meta, live = self._state(v)
             txns = self._txns(v)           # resolve BEFORE the temp exists
+            copied = sorted(self.copied_files(v))
         except TxnInDoubtError:
             return      # undecided pending ≤ v: checkpoints only ever
             #             capture decided prefixes — defer to a later one
         tmp = os.path.join(self.log_dir, f".ck-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump({"version": v, "meta": meta,
-                       "live": list(live.values()), "txns": txns}, fh)
+                       "live": list(live.values()), "txns": txns,
+                       "copied": copied}, fh)
         dst = os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
         try:
             os.link(tmp, dst)
@@ -2267,12 +2269,27 @@ class TxTable:
     def copied_files(self, version: int | None = None) -> set[str]:
         """The file identities (``path|size|mtime_ms``) every
         ``copy_into`` commit at-or-before ``version`` has loaded — the
-        idempotence ledger. Metadata-plane: one pass over the log's op
-        actions, same order as a log replay, no data read."""
+        idempotence ledger. Checkpoint-aware like :meth:`_state`
+        (O(recent-commits) replay, not O(history)); checkpoints written
+        before the ledger existed fall back to a full replay. Note the
+        ledger is HISTORY, not state: a RESTORE does not erase it (the
+        same gotcha Delta documents for COPY INTO after RESTORE — pass
+        ``force=True`` to reload)."""
         out: set[str] = set()
+        start = -1
+        cks = [v for v in self._checkpoint_versions()
+               if version is None or v <= version]
+        if cks:
+            with open(os.path.join(
+                    self.log_dir,
+                    f"{cks[-1]:08d}.checkpoint.json")) as fh:
+                snap = json.load(fh)
+            if "copied" in snap:         # pre-ledger checkpoints: replay
+                out = set(snap["copied"])
+                start = cks[-1]
         for v in self.versions():
-            if version is not None and v > version:
-                break
+            if v <= start or (version is not None and v > version):
+                continue
             acts = self._read_commit(v)
             op = next((a for a in acts if "op" in a), None)
             if op and op["op"] == "copy_into":
@@ -2280,7 +2297,8 @@ class TxTable:
         return out
 
     def copy_into(self, paths: list[str] | str, fmt: str = "parquet",
-                  options: dict | None = None) -> dict:
+                  options: dict | None = None,
+                  force: bool = False) -> dict:
         """Delta/Snowflake ``COPY INTO``: idempotent bulk file ingest.
         Loads the given files (or every data file under a directory)
         into the table as an append, recording each source file's
@@ -2299,7 +2317,12 @@ class TxTable:
         Concurrency: the ledger is recomputed against the pinned base
         on every attempt, so two racing ``copy_into`` runs over the
         same landing directory never load a file twice (the loser
-        re-plans; its orphaned files fall to ``vacuum_uncommitted``)."""
+        re-plans; its orphaned files fall to ``vacuum_uncommitted``).
+
+        The ledger is HISTORY: a RESTORE resets the data but not the
+        ledger (Delta's documented COPY INTO behavior) — pass
+        ``force=True`` to load regardless, e.g. to re-ingest after an
+        undo."""
         if isinstance(paths, str):
             root = paths
             cand = sorted(
@@ -2322,7 +2345,7 @@ class TxTable:
                 raise ValueError(
                     "copy_into on a table with an identity column is "
                     "not supported — use append")
-            loaded = self.copied_files(base)
+            loaded = set() if force else self.copied_files(base)
             todo = [p for p in cand if idents[p] not in loaded]
             if not todo:
                 return {"files_loaded": 0, "files_skipped": len(cand),
