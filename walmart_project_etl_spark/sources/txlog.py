@@ -2290,7 +2290,11 @@ class TxTable:
         for v in self.versions():
             if v <= start or (version is not None and v > version):
                 continue
-            acts = self._read_commit(v)
+            # decision-aware like every writer read: an ABORTED staged
+            # copy_into must not poison the ledger (its files were
+            # never visibly loaded), and an undecided one blocks like
+            # any strict read
+            acts = self._commit_actions(v, "strict")
             op = next((a for a in acts if "op" in a), None)
             if op and op["op"] == "copy_into":
                 out.update(op["files"])
