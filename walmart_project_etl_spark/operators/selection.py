@@ -58,22 +58,23 @@ def _bucket(col, n_buckets: int):
              .cast("long") % n_buckets)
 
 
-def _bucket_logprob(df: DataFrame, text_col: str, n_buckets: int,
-                    out: str) -> DataFrame:
-    """Smoothed hashed-unigram bucket distribution of a corpus:
+def _smoothed(counts: DataFrame, n_buckets: int, out: str, floor: str):
+    """(distribution, floor) from a bucket-count table: per-bucket
     ``ln((count_b + 1) / (total + n_buckets))`` (Laplace — every bucket
-    gets mass, so the log-ratio below is always finite). Reduces to
-    ``n_buckets`` rows: broadcast-sized at any corpus size."""
-    counts = (df.select(F.explode(_tokens(text_col)).alias("__t"))
-                .select(_bucket(F.col("__t"), n_buckets).alias("__b"))
-                .groupBy("__b")
-                .agg(F.count(F.lit(1)).alias("__c")))
+    gets mass) plus the 1-row missing-bucket floor
+    ``ln(1 / (total + n_buckets))``, both derived from ONE total so the
+    corpus is never re-scanned. Reduces to ``n_buckets`` rows:
+    broadcast-sized at any corpus size."""
     total = counts.agg(F.sum("__c").alias("__n"))
-    return (counts.crossJoin(F.broadcast(total))
+    dist = (counts.crossJoin(F.broadcast(total))
             .select("__b",
                     F.log((F.col("__c") + F.lit(1.0))
                           / (F.col("__n") + F.lit(float(n_buckets))))
                      .alias(out)))
+    fl = total.select(
+        F.log(F.lit(1.0) / (F.col("__n") + F.lit(float(n_buckets))))
+         .alias(floor))
+    return dist, fl
 
 
 def dsir_importance_weights(target: DataFrame, raw: DataFrame,
@@ -85,23 +86,30 @@ def dsir_importance_weights(target: DataFrame, raw: DataFrame,
     fit on the two corpora. High ``logw`` = looks like the target
     distribution; resample with :func:`dsir_resample`.
 
+    Plan shape: exactly TWO corpus token explodes — the target's bucket
+    counts, and the raw side's per-(doc, bucket) counts, from which the
+    raw bucket distribution re-aggregates (doc-count-sized shuffle, not
+    a corpus re-scan) and the smoothing floors derive from the same
+    totals. Everything bucket-sized broadcasts into the scoring join.
+
     Output: ``id_col``, ``n_tokens`` (long), ``logw`` (double — the
     exact DECIMAL sum of 6-dp-rounded per-bucket log-ratios times
     counts, so any engine reproduces it bit-for-bit).
     """
-    p_t = _bucket_logprob(target, text_col, n_buckets, "__lpt")
-    p_r = _bucket_logprob(raw, text_col, n_buckets, "__lpr")
-    # missing buckets on either side take the smoothing floor
-    # ln(1 / (total + n_buckets)); an outer join + coalesce against
-    # each side's floor keeps the ratio finite everywhere
-    t_floor = (target.select(F.explode(_tokens(text_col)).alias("__t"))
-               .agg(F.log(F.lit(1.0)
-                          / (F.count(F.lit(1)) + F.lit(float(n_buckets))))
-                    .alias("__tf")))
-    r_floor = (raw.select(F.explode(_tokens(text_col)).alias("__t"))
-               .agg(F.log(F.lit(1.0)
-                          / (F.count(F.lit(1)) + F.lit(float(n_buckets))))
-                    .alias("__rf")))
+    t_counts = (target.select(F.explode(_tokens(text_col)).alias("__t"))
+                .select(_bucket(F.col("__t"), n_buckets).alias("__b"))
+                .groupBy("__b")
+                .agg(F.count(F.lit(1)).alias("__c")))
+    doc_b = (raw.select(F.col(id_col),
+                        F.explode(_tokens(text_col)).alias("__t"))
+             .select(id_col, _bucket(F.col("__t"), n_buckets).alias("__b"))
+             .groupBy(id_col, "__b")
+             .agg(F.count(F.lit(1)).alias("__c")))
+    r_counts = doc_b.groupBy("__b").agg(F.sum("__c").alias("__c"))
+    p_t, t_floor = _smoothed(t_counts, n_buckets, "__lpt", "__tf")
+    p_r, r_floor = _smoothed(r_counts, n_buckets, "__lpr", "__rf")
+    # missing buckets on either side take that side's smoothing floor;
+    # the outer join + coalesce keeps the ratio finite everywhere
     ratio = (p_t.join(p_r, "__b", "full")
              .crossJoin(F.broadcast(t_floor))
              .crossJoin(F.broadcast(r_floor))
@@ -109,11 +117,6 @@ def dsir_importance_weights(target: DataFrame, raw: DataFrame,
                      F.round(F.coalesce(F.col("__lpt"), F.col("__tf"))
                              - F.coalesce(F.col("__lpr"), F.col("__rf")),
                              6).cast("decimal(20,6)").alias("__lr")))
-    doc_b = (raw.select(F.col(id_col),
-                        F.explode(_tokens(text_col)).alias("__t"))
-             .select(id_col, _bucket(F.col("__t"), n_buckets).alias("__b"))
-             .groupBy(id_col, "__b")
-             .agg(F.count(F.lit(1)).alias("__c")))
     return (doc_b.join(F.broadcast(ratio), "__b")
             .groupBy(id_col)
             .agg(F.sum("__c").cast("long").alias("n_tokens"),
