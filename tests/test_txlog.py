@@ -1534,6 +1534,9 @@ def test_bloom_col_index_point_lookup(spark, orders, tmp_path):
 
     with pytest.raises(ValueError, match="no bloom index"):
         t.read_col_in("o_custkey", [1])
+    # the merge key routes to the stronger range+bloom lookup path
+    got = t.read_col_in("o_orderkey", [7, 4000])
+    assert got.count() == orders.where("o_orderkey IN (7, 4000)").count()
 
     # bloom columns cannot widen: probes hash the native type
     t2 = TxTable(spark, str(tmp_path / "t2"))

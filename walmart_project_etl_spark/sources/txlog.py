@@ -2167,6 +2167,16 @@ class TxTable:
         meta, live = self._state(version, self._read_mode(version))
         if meta is None:
             raise FileNotFoundError(f"no table at {self.root}")
+        if col == meta["key_col"]:
+            # the key has the strictly stronger range+bloom path
+            keys = self.spark.createDataFrame(
+                [(v,) for v in values],
+                StructType([StructField(
+                    col,
+                    StructType.fromJson(
+                        json.loads(meta["schema"]))[col].dataType,
+                    True)]))
+            return self.read_matching(keys, version=version)
         declared = meta.get("bloom_cols") or []
         if col not in declared:
             raise ValueError(
