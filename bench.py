@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "sample_temperature_mixture",
     "text_bigram_logprob",
     "pipe_dsir_select_pack",
+    "sim_kmeans_labels",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other

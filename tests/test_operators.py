@@ -1179,3 +1179,20 @@ def test_bigram_logprob_rewards_word_order(spark):
            for r in text.unigram_logprob(corpus, "doc_id", "text")
            .collect()}
     assert abs(uni[0] - uni[100]) < 1e-9
+
+
+def test_kmeans_labels_deterministic_and_clusters_cohere(spark):
+    """Deterministic Lloyd's: identical labels at any parallelism (md5
+    init + decimal means), every cluster non-trivial under k << n, and
+    iterating IMPROVES mean centroid similarity over the init round."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = similarity.kmeans_labels(emb.coalesce(1), k=8, iters=3)
+    b = similarity.kmeans_labels(emb.repartition(17), k=8, iters=3)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+    assert len({r[1] for r in ra}) == 8          # no empty clusters here
+    sim3 = a.agg(F.avg("centroid_sim")).first()[0]
+    sim0 = similarity.kmeans_labels(emb, k=8, iters=0) \
+        .agg(F.avg("centroid_sim")).first()[0]
+    assert sim3 > sim0                           # Lloyd's made progress

@@ -348,6 +348,65 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select(query_id_col, id_col, "cosine_sim", F.col("__rn").alias("rank")))
 
 
+def kmeans_labels(corpus: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding", k: int = 8,
+                  iters: int = 3) -> DataFrame:
+    """DETERMINISTIC distributed Lloyd's k-means over an embedding
+    column — the cluster-label producer SemDeDup/IVF consume, with the
+    reproducibility MLlib's KMeans cannot give (k-means|| sampling and
+    float mean order vary with partitioning; this one is bit-identical
+    at any parallelism, so it carries an exact cross-engine oracle):
+
+    - **init**: the ``k`` vectors with the smallest md5(id) (the repo's
+      seeded uniform pick), cluster id = rank order;
+    - **assign**: argmax round-6 cosine against the centroid literals
+      (ties → smaller cluster id) — pure JVM arithmetic, no shuffle;
+    - **update**: per-(cluster, dim) DECIMAL-routed mean rounded to 6
+      (``embedding_centroids``'s exact-merge recipe), one uniform
+      (cluster, dim)-keyed aggregation per round; a cluster that loses
+      all members keeps its previous centroid;
+    - ``iters`` (assign, update) rounds, then one final assignment
+      against the last centroids.
+
+    Per-round driver sync is k×d rounded floats (metadata-sized — the
+    same shape as BPE's per-round argmax); the data-plane cost per
+    round is one corpus scan + one posexplode aggregation. Output:
+    (``id_col``, ``cluster`` int, ``centroid_sim`` double round-6).
+    """
+    work = corpus.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    init = (work.orderBy(F.md5(F.col(id_col).cast("string")),
+                         F.col(id_col))
+            .limit(k).collect())
+    cents = [list(r["__v"]) for r in init]
+
+    def argmax_cos(vec):
+        coss = F.array(*[
+            F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in c])),
+                    6) for c in cents])
+        # first position of the max → smallest cluster id on ties
+        return (F.array_position(coss, F.array_max(coss)).cast("int")
+                - 1).alias("__c"), F.array_max(coss).alias("__cs")
+
+    for _ in range(iters):
+        ccol, _scol = argmax_cos(F.col("__v"))
+        flat = (work.withColumn("__c", ccol)
+                .select("__c", F.posexplode("__v").alias("__p", "__x")))
+        mean = (F.sum(F.col("__x").cast("double").cast("decimal(28,6)"))
+                 .cast("double") / F.count(F.lit(1)))
+        rows = (flat.groupBy("__c", "__p")
+                .agg(F.round(mean.cast("decimal(28,8)"), 6)
+                      .cast("double").alias("__m"))
+                .collect())
+        new = [list(c) for c in cents]      # empty clusters keep theirs
+        for r in rows:
+            new[r["__c"]][r["__p"]] = r["__m"]
+        cents = new
+    ccol, scol = argmax_cos(F.col("__v"))
+    return (work.select(F.col(id_col), ccol, scol)
+            .select(id_col, F.col("__c").alias("cluster"),
+                    F.col("__cs").alias("centroid_sim")))
+
+
 def embedding_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """Mean-pooled centroid per label, flattened to (label, dim_idx, centroid).
 

@@ -29,16 +29,16 @@ _MODULES = (core, funcs, pipeline, llm, trainprep)
 #: BENCH_r10 artifact exists), so the r10 window below never executed —
 #: freshness entering r11 is still r5×2, r6×49, r7×41, r8×50, r9×50, and
 #: never×38 (the 24 r9-new entries PLUS the 14 r10-new entries). This
-#: round's window (r11) therefore leads with the 11 r11-new entries
+#: round's window (r11) therefore leads with the 12 r11-new entries
 #: (row-tracked restore CDF, COPY INTO, bloom column index, DSIR ×2,
 #: ANALYZE + broadcast advice, temperature mixing, snapshot diff,
-#: bigram LM, the DSIR→pack pipeline), then the 14 r10-new (schema
-#: evolution / identity / generated columns / PQ ANN / CDC
-#: apply+replicate / manifest export / null skipping / predicate DML /
-#: MV min-max), then the 24 r9-new, then the oldest green row
-#: (text_tfidf_top_terms, r5-era) — exactly 50. The rest of the
-#: backlog (ts_yoy_growth r5-era first, then the 50 r6-era rows named
-#: below the tuple) rotates in over r12-r13.
+#: bigram LM, the DSIR→pack pipeline, deterministic k-means), then the
+#: 14 r10-new (schema evolution / identity / generated columns /
+#: PQ ANN / CDC apply+replicate / manifest export / null skipping /
+#: predicate DML / MV min-max), then the 24 r9-new — exactly 50. The
+#: rest of the backlog (text_tfidf_top_terms and ts_yoy_growth r5-era
+#: first, then the 50 r6-era rows named below the tuple) rotates in
+#: over r12-r13.
 _PRIORITY = (
     # r11-new entries
     "txn_restore_cdf",
@@ -52,6 +52,7 @@ _PRIORITY = (
     "txn_table_diff",
     "text_bigram_logprob",
     "pipe_dsir_select_pack",
+    "sim_kmeans_labels",
     # r10-new entries, never driver-checked (r10 window never ran)
     "txn_update_where",
     "txn_delete_where",
@@ -92,11 +93,10 @@ _PRIORITY = (
     "stream_cdf_follow",
     "stream_partition_ingest",
     "stream_agg_mv_follow",
-    # r5-era rows (oldest driver rows in the registry; freshness)
-    "text_tfidf_top_terms",
 )
-#: Deferred from this window — rotate in over r12-r13: ts_yoy_growth
-#: (r5-era), then the 50 r6-era rows:
+#: Deferred from this window — rotate in over r12-r13:
+#: text_tfidf_top_terms and ts_yoy_growth (r5-era) first, then the 50
+#: r6-era rows:
 #: a02_groupby_first, a03_distinct_count_per_group, a05_count_distinct, a06_max_per_group, a07_minmax_month_span,
 #: clean_mad_outliers, clean_quantile_bins,
 #: clean_winsorize, clean_zscore,

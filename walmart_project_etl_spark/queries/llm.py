@@ -1732,3 +1732,66 @@ def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 100 == 7) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.pq_ann_topk(emb, queries, k=10)
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Generated exact oracle for the deterministic Lloyd's k-means:
+    the init + each (assign, update) round unrolled as CTEs, with the
+    SAME rounding discipline as the engine (round-6 cosines, decimal
+    means). Ends with the final assignment."""
+    cos = ("round(list_dot_product(v.e, {c}.ce)"
+           " / (sqrt(list_dot_product(v.e, v.e))"
+           " * sqrt(list_dot_product({c}.ce, {c}.ce))), 6)")
+    parts = [f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+init AS (
+  SELECT vec_id, e,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+           AS cl
+  FROM v
+  QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+    <= {k}),
+c0 AS (SELECT cl, e AS ce FROM init)"""]
+    for i in range(1, iters + 1):
+        prev, cur = f"c{i - 1}", f"c{i}"
+        parts.append(f""",
+a{i} AS (
+  SELECT v.vec_id, {prev}.cl, {cos.format(c=prev)} AS cs
+  FROM v CROSS JOIN {prev}
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                             ORDER BY cs DESC, cl ASC) = 1),
+m{i} AS (
+  SELECT a{i}.cl, i::INT AS p,
+         round(CAST(sum(CAST(v.e[i::INT] AS DECIMAL(28,6)))::DOUBLE
+                    / count(*) AS DECIMAL(28,8)), 6)::DOUBLE AS x
+  FROM a{i} JOIN v USING (vec_id),
+       unnest(range(1, len(v.e) + 1)) AS r(i)
+  GROUP BY a{i}.cl, p),
+{cur} AS (
+  SELECT {prev}.cl, COALESCE(mm.ce, {prev}.ce) AS ce
+  FROM {prev} LEFT JOIN (SELECT cl, list(x ORDER BY p) AS ce
+                         FROM m{i} GROUP BY cl) mm USING (cl))""")
+    last = f"c{iters}"
+    parts.append(f"""
+SELECT v.vec_id, {last}.cl AS cluster, {cos.format(c=last)} AS centroid_sim
+FROM v CROSS JOIN {last}
+QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY centroid_sim DESC, cl ASC) = 1""")
+    return "".join(parts)
+
+
+@q("sim_kmeans_labels", _kmeans_oracle(k=8, iters=3))
+def sim_kmeans_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means (k=8, 3 rounds) over
+    the embeddings: md5-seeded init, argmax round-6 cosine assignment,
+    decimal-routed per-(cluster, dim) mean updates — bit-identical at
+    any parallelism, which is what lets the ORACLE recompute all three
+    rounds in SQL exactly (MLlib's k-means|| cannot be oracled this
+    way). The missing producer for SemDeDup/IVF cluster labels at
+    100 TB: per round one corpus scan + one uniform (cluster, dim)
+    aggregation; the driver syncs k×d rounded floats per round."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.kmeans_labels(emb, "vec_id", "embedding",
+                                   k=8, iters=3)
+    return out.select("vec_id", F.col("cluster").cast("long")
+                      .alias("cluster"), "centroid_sim")
