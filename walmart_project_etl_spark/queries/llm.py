@@ -1734,11 +1734,12 @@ def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_ann_topk(emb, queries, k=10)
 
 
-def _kmeans_oracle(k: int, iters: int) -> str:
-    """Generated exact oracle for the deterministic Lloyd's k-means:
-    the init + each (assign, update) round unrolled as CTEs, with the
-    SAME rounding discipline as the engine (round-6 cosines, decimal
-    means). Ends with the final assignment."""
+def _kmeans_cte(k: int, iters: int) -> str:
+    """Generated CTE chain for the deterministic Lloyd's k-means: the
+    init + each (assign, update) round unrolled, with the SAME rounding
+    discipline as the engine (round-6 cosines, decimal means). Opens
+    the WITH clause and ends at ``af`` — the final assignment
+    (vec_id, cl, cs) — so callers append their own consumers."""
     cos = ("round(list_dot_product(v.e, {c}.ce)"
            " / (sqrt(list_dot_product(v.e, v.e))"
            " * sqrt(list_dot_product({c}.ce, {c}.ce))), 6)")
@@ -1772,15 +1773,18 @@ m{i} AS (
   FROM {prev} LEFT JOIN (SELECT cl, list(x ORDER BY p) AS ce
                          FROM m{i} GROUP BY cl) mm USING (cl))""")
     last = f"c{iters}"
-    parts.append(f"""
-SELECT v.vec_id, {last}.cl AS cluster, {cos.format(c=last)} AS centroid_sim
-FROM v CROSS JOIN {last}
-QUALIFY row_number() OVER (PARTITION BY v.vec_id
-                           ORDER BY centroid_sim DESC, cl ASC) = 1""")
+    parts.append(f""",
+af AS (
+  SELECT v.vec_id, {last}.cl, {cos.format(c=last)} AS cs
+  FROM v CROSS JOIN {last}
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                             ORDER BY cs DESC, cl ASC) = 1)""")
     return "".join(parts)
 
 
-@q("sim_kmeans_labels", _kmeans_oracle(k=8, iters=3))
+@q("sim_kmeans_labels",
+   _kmeans_cte(k=8, iters=3)
+   + "\nSELECT vec_id, cl AS cluster, cs AS centroid_sim FROM af")
 def sim_kmeans_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed Lloyd's k-means (k=8, 3 rounds) over
     the embeddings: md5-seeded init, argmax round-6 cosine assignment,
@@ -1795,3 +1799,70 @@ def sim_kmeans_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    k=8, iters=3)
     return out.select("vec_id", F.col("cluster").cast("long")
                       .alias("cluster"), "centroid_sim")
+
+
+#: SemDeDup seeded by the deterministic k-means — the paper's ACTUAL
+#: pipeline (k-means the corpus, then dedup within clusters), fully
+#: recomputed in SQL: the k-means CTEs feed a labeled source, then the
+#: same one-round-refine + cluster-blocked-pair + keep-least-prototypical
+#: chain as _SEMDEDUP_ORACLE runs over it.
+_SEMDEDUP_KMEANS_ORACLE = _kmeans_cte(k=8, iters=2) + """,
+v2 AS (SELECT v.vec_id, af.cl AS label, v.e AS e
+       FROM v JOIN af USING (vec_id)),
+flat2 AS (
+  SELECT label, i::INT AS dim_idx, e[i::INT] AS x
+  FROM v2, unnest(range(1, len(e) + 1)) AS r(i)),
+cent2 AS (
+  SELECT label, dim_idx,
+         round(CAST(sum(CAST(x AS DECIMAL(28,6)))::DOUBLE / count(*)
+                    AS DECIMAL(28,8)), 6)::DOUBLE AS c
+  FROM flat2 GROUP BY label, dim_idx),
+carr2 AS (SELECT label AS scl, list(c ORDER BY dim_idx) AS ce
+          FROM cent2 GROUP BY label),
+scored2 AS (
+  SELECT v2.vec_id, carr2.scl,
+         round(list_dot_product(v2.e, carr2.ce)
+               / (sqrt(list_dot_product(v2.e, v2.e))
+                  * sqrt(list_dot_product(carr2.ce, carr2.ce))), 6) AS cs
+  FROM v2 CROSS JOIN carr2),
+assign2 AS (
+  SELECT vec_id, scl, cs FROM scored2
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cs DESC, scl ASC) = 1),
+pairs2 AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb, a.cs AS csa, b.cs AS csb
+  FROM assign2 a
+  JOIN assign2 b ON a.scl = b.scl AND a.vec_id < b.vec_id
+  JOIN v2 va ON va.vec_id = a.vec_id
+  JOIN v2 vb ON vb.vec_id = b.vec_id
+  WHERE round(list_dot_product(va.e, vb.e)
+              / (sqrt(list_dot_product(va.e, va.e))
+                 * sqrt(list_dot_product(vb.e, vb.e))), 6) >= 0.3),
+dropped2 AS (
+  SELECT DISTINCT CASE WHEN (csa < csb) OR (csa = csb AND ida < idb)
+                       THEN idb ELSE ida END AS vec_id
+  FROM pairs2)
+SELECT a.vec_id, CAST(a.scl AS BIGINT) AS cluster,
+       a.cs AS centroid_sim, (d.vec_id IS NULL) AS kept
+FROM assign2 a LEFT JOIN dropped2 d USING (vec_id)"""
+
+
+@q("dedup_semdedup_kmeans", _SEMDEDUP_KMEANS_ORACLE)
+def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over REAL k-means clusters — the paper's actual
+    pipeline end-to-end: the deterministic Lloyd's k-means (k=8, 2
+    rounds) produces the cluster seeds, SemDeDup refines one more
+    round and dedups within clusters. The synthetic-label variant
+    (``dedup_semdedup``) pins the dedup semantics in isolation; this
+    one proves the composed pipeline a 100 TB corpus would actually
+    run, and the whole chain — every k-means round included — is
+    recomputed exactly by the SQL oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    labels = similarity.kmeans_labels(emb, "vec_id", "embedding",
+                                      k=8, iters=2) \
+        .select("vec_id", F.col("cluster").alias("km"))
+    seeded = emb.join(labels, "vec_id")
+    out = dedup.semdedup(seeded, "vec_id", "embedding", "km",
+                         threshold=0.3)
+    return out.select("vec_id", F.col("cluster").cast("long")
+                      .alias("cluster"), "centroid_sim", "kept")
