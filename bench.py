@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "text_bigram_logprob",
     "pipe_dsir_select_pack",
     "sim_kmeans_labels",
+    "dedup_semdedup_kmeans",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other
