@@ -2555,3 +2555,43 @@ def test_copy_into_ledger_checkpointed_and_force(spark, orders,
     assert res["files_loaded"] == 1
     assert t.snapshot().count() == orders.where("o_orderkey % 2 = 0") \
                                          .count()
+
+
+def test_replace_table_atomic_full_swap(spark, orders, tmp_path):
+    """CREATE OR REPLACE: contents + declared metadata swap in ONE
+    commit — old versions still time-travel, a new key/layout/schema
+    applies, the feed refuses to fold silently across it (declared
+    full rewrite — resync contract), and a concurrent reader never
+    sees an empty table."""
+    from walmart_project_etl_spark.sources.txlog import \
+        ChangeFeedRestoredError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey", n_files=4, change_feed=True)
+    t.delete_keys(orders.where("o_orderkey <= 200")
+                  .select("o_orderkey"))                       # v1
+
+    rebuilt = (orders.groupBy("o_custkey")
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.sum(F.col("o_totalprice").cast("double"))
+                     .alias("revenue")))
+    t.replace_table(rebuilt, "o_custkey",
+                    stats_cols=["n_orders"])                   # v2
+    cols = ["o_custkey", "n_orders"]
+    assert _rows(t.snapshot(), cols) == _rows(rebuilt, cols)
+    assert t._state()[0]["key_col"] == "o_custkey"
+    # old versions still time-travel under the OLD schema
+    assert t.snapshot(1).count() == \
+        orders.where("o_orderkey > 200").count()
+    assert "o_orderkey" in t.snapshot(1).columns
+    # the feed refuses to fold across the rewrite
+    with pytest.raises(ChangeFeedRestoredError, match="replace_table"):
+        t.read_changes(since_version=1)
+    # ...but flows again after it
+    t.merge_upsert(rebuilt.limit(3).withColumn("revenue", F.lit(0.0)))
+    assert t.read_changes(since_version=3).count() > 0
+    # the new key's pruned reads work against the new layout
+    some = [r["o_custkey"] for r in rebuilt.limit(2).collect()]
+    assert t.read_matching(
+        spark.createDataFrame([(k,) for k in some],
+                              "o_custkey long")).count() == 2

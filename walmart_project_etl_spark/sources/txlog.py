@@ -1223,19 +1223,20 @@ class TxTable:
                 break                      # sealed prefix: stop early
             ops = [a["op"] for a in acts if "op" in a]
             op = ops[0] if ops else None
-            if op == "restore" and not next(
-                    a for a in acts if "op" in a).get("tracked"):
-                # legacy / schema-crossing restore: no row-level diff
-                # was captured at commit time — consumers must resync
+            if (op == "restore" and not next(
+                    a for a in acts if "op" in a).get("tracked")) \
+                    or op == "replace_table":
+                # untracked full-state change: no row-level diff was
+                # captured at commit time — consumers must resync
+                # (a restore across a schema change, a pre-row-tracking
+                # restore, or a CREATE OR REPLACE full rewrite)
                 raise ChangeFeedRestoredError(
                     f"change-feed range [{since_version}, "
                     f"{upto if upto is not None else 'latest'}] of "
-                    f"{self.root} crosses the untracked RESTORE commit "
-                    f"at version {v} (restored to "
-                    f"{next(a for a in acts if 'op' in a).get('to')}); "
-                    f"this restore predates row tracking or crossed a "
-                    f"schema change — resync from a snapshot at "
-                    f"version >= {v}", restore_version=v)
+                    f"{self.root} crosses the untracked {op} commit "
+                    f"at version {v}; the feed does not row-track it — "
+                    f"resync from a snapshot at version >= {v}",
+                    restore_version=v)
             if op in ("create", "append", "copy_into"):
                 paths = [a["add"]["path"] for a in acts if "add" in a]
                 if not paths:
@@ -1961,6 +1962,67 @@ class TxTable:
             schema = StructType(fields).add("_change_type", "string")
             return self.spark.createDataFrame([], schema)
         return out
+
+    def replace_table(self, df: DataFrame, key_col: str,
+                      stats_cols: list[str] | None = None,
+                      partition_by=None,
+                      change_feed: bool | None = None) -> None:
+        """Delta's ``CREATE OR REPLACE TABLE``: swap the table's entire
+        contents AND declared metadata in ONE commit — the atomic
+        full-refresh spelling (a dimension rebuilt from scratch nightly,
+        a re-keyed layout) that a drop + create cannot give: readers see
+        the old table until the commit lands, then the new one, never an
+        empty gap — and every old version still time-travels. Declares
+        a fresh schema/key/layout like :meth:`create`; ``change_feed``
+        defaults to the table's current setting. The change feed does
+        NOT row-track a replace (it is a declared full rewrite —
+        consumers resync, the same contract as an untracked restore);
+        the replace commit is marked untracked accordingly."""
+        while True:
+            base = self.versions()[-1]          # pinned read (see merge)
+            meta_old, live_old = self._state(base)
+            if meta_old is None:
+                raise FileNotFoundError(f"no table at {self.root}")
+            if dict(df.dtypes)[key_col] not in (
+                    "tinyint", "smallint", "int", "bigint", "string"):
+                raise ValueError(
+                    f"merge key must be integral or string, got "
+                    f"{dict(df.dtypes)[key_col]}")
+            meta = {"key_col": key_col, "schema": df.schema.json(),
+                    "format": 2}
+            cf = meta_old.get("change_feed") if change_feed is None \
+                else change_feed
+            if cf:
+                meta["change_feed"] = True
+            if stats_cols:
+                unknown = [c for c in stats_cols if c not in df.columns]
+                if unknown:
+                    raise ValueError(f"unknown stats_cols {unknown}")
+                meta["stats_col"] = stats_cols[0]
+                meta["stats_cols"] = list(stats_cols)
+            if partition_by is not None:
+                pcols = [partition_by] if isinstance(partition_by, str) \
+                    else list(partition_by)
+                for c in pcols:
+                    if dict(df.dtypes)[c] not in (
+                            "tinyint", "smallint", "int", "bigint",
+                            "string"):
+                        raise ValueError(
+                            f"partition column must be integral or "
+                            f"string, got {dict(df.dtypes)[c]}")
+                meta["partition_by"] = pcols[0] if len(pcols) == 1 \
+                    else pcols
+            adds = self._write_files(df, key_col,
+                                     stats_cols=stats_cols,
+                                     partition_by=partition_by,
+                                     meta=meta)
+            actions: list[dict] = [{"op": "replace_table"},
+                                   {"meta": meta}, *adds]
+            actions.extend({"remove": {"path": p}} for p in live_old)
+            if self._commit(actions, base + 1):
+                self._maybe_checkpoint(base + 1)
+                return
+            # lost the race — orphan the files, re-plan on the winner
 
     def restore_at(self, ts: float) -> dict:
         """RESTORE TO TIMESTAMP AS OF: restore to the newest version

@@ -133,15 +133,17 @@ class TxLogStreamReader(DataSourceStreamReader):
             acts = t._commit_actions(v, "strict")
             ops = [a["op"] for a in acts if "op" in a]
             op = ops[0] if ops else None
-            if op == "restore" and not next(
-                    a for a in acts if "op" in a).get("tracked"):
+            if (op == "restore" and not next(
+                    a for a in acts if "op" in a).get("tracked")) \
+                    or op == "replace_table":
                 # same contract as the batch feed: an UNTRACKED restore
-                # (pre-row-tracking, or across a schema change) carries
-                # no row-level diff; silently yielding nothing would
-                # diverge. Tracked restores stream their cdf files below.
+                # (pre-row-tracking, or across a schema change) or a
+                # CREATE OR REPLACE full rewrite carries no row-level
+                # diff; silently yielding nothing would diverge.
+                # Tracked restores stream their cdf files below.
                 raise ChangeFeedRestoredError(
                     f"stream over {self.root} reached the untracked "
-                    f"RESTORE commit at version {v}; restart the stream "
+                    f"{op} commit at version {v}; restart the stream "
                     f"from a snapshot at version >= {v}",
                     restore_version=v)
             if op in ("create", "append", "copy_into"):
