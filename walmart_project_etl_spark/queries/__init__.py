@@ -95,10 +95,10 @@ _PRIORITY = (
     "stream_agg_mv_follow",
 )
 #: Deferred from this window — rotate in over r12-r13:
-#: dedup_semdedup_kmeans (r11-new, the one r11 entry without a slot —
-#: its components sim_kmeans_labels and dedup_semdedup are both in
-#: window) LEADS r12, then text_tfidf_top_terms and ts_yoy_growth
-#: (r5-era), then the 50 r6-era rows:
+#: dedup_semdedup_kmeans and txn_replace_table (r11-new without slots —
+#: sim_kmeans_labels / dedup_semdedup / the other txn ops cover their
+#: components in-window) LEAD r12, then text_tfidf_top_terms and
+#: ts_yoy_growth (r5-era), then the 50 r6-era rows:
 #: a02_groupby_first, a03_distinct_count_per_group, a05_count_distinct, a06_max_per_group, a07_minmax_month_span,
 #: clean_mad_outliers, clean_quantile_bins,
 #: clean_winsorize, clean_zscore,

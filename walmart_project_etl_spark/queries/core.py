@@ -1411,6 +1411,34 @@ def txn_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.snapshot()
 
 
+@q("txn_replace_table",
+   f"""SELECT o_custkey, count(*) AS n_orders,
+              {sql_dsum('o_totalprice', 'revenue')}
+      FROM orders GROUP BY o_custkey""")
+def txn_replace_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE OR REPLACE TABLE: the nightly full-rebuild spelling — a
+    per-customer aggregate replaces the raw orders table (new schema,
+    new merge key, new stats layout) in ONE commit; readers see
+    old-then-new with no gap, old versions still time-travel, and the
+    change feed raises its resync contract at the rewrite instead of
+    folding past it silently (tests/test_txlog.py pins all three)."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_replace_table")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=6)
+    rebuilt = (o.groupBy("o_custkey")
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    dsum("o_totalprice", "revenue")))
+    tt.replace_table(rebuilt, "o_custkey", stats_cols=["n_orders"])
+    return tt.snapshot()
+
+
 @q("txn_table_diff",
    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
              'delete' AS _change_type
