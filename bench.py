@@ -146,6 +146,31 @@ COLD_PIPE = {"pipe_bi_sales_by_category"}
 #: bench shows both the closure cost and the serve-many read cost.
 COLD_LABELED = {"dedup_canonical_longest"}
 
+#: Load-contamination canary (VERDICT r11 task 3): r11's driver bench ran
+#: on a loaded box and every family drifted 1.5-8x with no code change —
+#: only a judge re-run could tell a hot machine from a regression. The
+#: canary is a tiny pinned-cost query run (untimed) before the first and
+#: after the last measured query; if even the BEST of its runs exceeds
+#: factor x pinned on either side, the whole window is suspect and the
+#: JSON line carries "load_skewed": true.
+CANARY = "o01_orderby_limit_topk"
+CANARY_PINNED_SEC = 0.15   # idle-box median: 0.139s in BENCH_r09
+CANARY_SKEW_FACTOR = 2.0
+CANARY_RUNS = 3
+
+
+def is_load_skewed(canary_secs: list[float],
+                   pinned: float = CANARY_PINNED_SEC,
+                   factor: float = CANARY_SKEW_FACTOR) -> bool:
+    """True when a canary probe shows the box was loaded.
+
+    ``canary_secs`` holds the best-of-N canary time for each probe point
+    (start and end of the bench window). min-of-runs is the statistic:
+    a single-run hiccup on an idle box never flags, but a box loaded for
+    the whole probe can't produce even one clean run.
+    """
+    return any(t > pinned * factor for t in canary_secs)
+
 
 def main() -> int:
     from walmart_project_etl_spark.queries import registry
@@ -231,6 +256,13 @@ def main() -> int:
     unknown = [n for n in names if n not in reg]
     assert not unknown, f"not in registry: {unknown}"
 
+    def canary_probe() -> float:
+        best = min(run_once(CANARY)[0] for _ in range(CANARY_RUNS))
+        print(f"# canary {CANARY}: best {best:.3f}s "
+              f"(pin {CANARY_PINNED_SEC}s)", file=sys.stderr)
+        return round(best, 3)
+
+    canary_secs = [canary_probe()]
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names:
@@ -246,6 +278,13 @@ def main() -> int:
               f"(spread {runs[0]:.2f}-{runs[-1]:.2f}, "
               f"failed_tasks={failed_tasks})", file=sys.stderr)
 
+    canary_secs.append(canary_probe())
+    skewed = is_load_skewed(canary_secs)
+    if skewed:
+        print(f"# LOAD SKEW: canary best-of-{CANARY_RUNS} {canary_secs} "
+              f"exceeds {CANARY_SKEW_FACTOR}x pin {CANARY_PINNED_SEC}s — "
+              "timings below are machine-load-contaminated", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     # per-query min/max spread goes to a SIDE FILE: the driver tails
     # stdout for ONE compact JSON line, and r6's inline spread dict grew
@@ -256,11 +295,29 @@ def main() -> int:
             with open(os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),
                     "BENCH_spread.json"), "w") as fh:
-                json.dump({"sf": sf, "spread": spread}, fh)
+                json.dump({"sf": sf, "canary": canary_secs,
+                           "timings": timings, "spread": spread}, fh)
         except OSError as e:
             print(f"# spread file not written: {e}", file=sys.stderr)
-    print(json.dumps({"metric": "total_wall_seconds", "value": total,
-                      "unit": "sec", "queries": timings, "sf": sf}))
+    # Compact separators + 2-dp: r11's 73-query line with default
+    # separators and 3-dp floats outgrew the driver's ~4 KB tail capture
+    # ("parsed": null, first 6 timings lost). At 2-dp/compact, 100
+    # queries fit in ~3.1 KB. The summary line prints LAST and ALONE.
+    line = json.dumps(
+        {"metric": "total_wall_seconds", "value": round(total, 2),
+         "unit": "sec",
+         "queries": {n: round(t, 2) for n, t in timings.items()},
+         "sf": sf, "load_skewed": skewed},
+        separators=(",", ":"))
+    if len(line) > 3800:  # stay under the driver's tail capture
+        print(f"# JSON line {len(line)}B > 3800B budget — dropping "
+              "per-query map to the spread side file", file=sys.stderr)
+        line = json.dumps(
+            {"metric": "total_wall_seconds", "value": round(total, 2),
+             "unit": "sec", "queries": {}, "sf": sf,
+             "load_skewed": skewed, "see": "BENCH_spread.json"},
+            separators=(",", ":"))
+    print(line)
     return 0
 
 
