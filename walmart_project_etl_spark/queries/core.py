@@ -2310,10 +2310,14 @@ def txn_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt.create(o.where(F.col("nk") % 2 == 0), "sk", n_files=4,
               identity_col="sk")
     tt.append(o.where(F.col("nk") % 2 == 1))
-    # the merge carries table-assigned ids (the SCD1 shape)
+    # the merge carries table-assigned ids (the SCD1 shape). The source
+    # reads the SAME table the merge rewrites, so its lineage must be cut
+    # before the write; localCheckpoint materializes on the executors —
+    # no driver round-trip (the r11 nit: collect()+createDataFrame).
     upd = (tt.snapshot().where(F.col("nk") % 90 == 0)
-           .withColumn("v", F.lit(-1.0)))
-    tt.merge_upsert(spark.createDataFrame(upd.collect(), upd.schema))
+           .withColumn("v", F.lit(-1.0))
+           .localCheckpoint(eager=True))
+    tt.merge_upsert(upd)
     s = tt.snapshot()
     return s.agg(
         F.count(F.lit(1)).alias("n_rows"),
