@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     "pipe_dsir_select_pack",
     "sim_kmeans_labels",
     "dedup_semdedup_kmeans",
+    # r12-new: the avg/approx-distinct MV (HLL union + sketch-recompute
+    # fallback riding the same refresh loop) — sketch-maintenance cost
+    # regressions must be bench-visible next to the count/sum/minmax MVs
+    "txn_agg_mv_avg_distinct",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other

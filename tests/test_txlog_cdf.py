@@ -634,6 +634,101 @@ def test_minmax_mv_incremental_and_ivm_fallback(spark, orders, tmp_path,
     assert mv.versions()[-1] == v_before
 
 
+def test_avgdist_mv_incremental_and_sketch_fallback(spark, orders,
+                                                    tmp_path,
+                                                    monkeypatch):
+    """(count, AVG, approx COUNT(DISTINCT)) MV: inserts maintain the
+    HLL sketch incrementally (zero recomputed groups — union of
+    partial sketches is lossless, so the estimate EQUALS a
+    from-scratch sketch); a delete carrying a non-NULL distinct value
+    triggers the sketch-recompute fallback for only the touched
+    groups, partition-pruned; AVG derives from the exact (count, sum)
+    state; replay is a logged no-op."""
+    from walmart_project_etl_spark.operators import matview
+    from walmart_project_etl_spark.operators.matview import (
+        MV_HLL_LG_K, finalize_avg_distinct, refresh_agg_mv_avg_distinct)
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.create(orders, "o_orderkey", n_files=6, change_feed=True,
+               partition_by="o_orderstatus")
+
+    recomputed: list[tuple[list, int]] = []
+    orig = matview._pruned_group_rows
+
+    def spy(source, v, gcols, rec):
+        groups = sorted(tuple(r) for r in rec.collect())
+        df = orig(source, v, gcols, rec)
+        if groups:
+            recomputed.append((groups, len(df.inputFiles())))
+        return df
+
+    monkeypatch.setattr(matview, "_pruned_group_rows", spy)
+
+    mv_root = str(tmp_path / "mv")
+
+    def refresh():
+        return refresh_agg_mv_avg_distinct(
+            spark, src, mv_root, ["o_orderstatus"], "o_totalprice",
+            "o_custkey")
+
+    def check(mv):
+        got = {r["o_orderstatus"]: (r["n_rows"], r["total"], r["avg_v"],
+                                    r["approx_distinct"])
+               for r in finalize_avg_distinct(
+                   mv.snapshot(), ["o_orderstatus"]).collect()}
+        dec = F.col("o_totalprice").cast("double").cast("decimal(28,6)")
+        exp = {r["o_orderstatus"]:
+               (r["n"], float(r["s"]),
+                round(float(r["s"]) / r["n"], 6), r["d"])
+               for r in src.snapshot().groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.round(F.sum(dec), 2).cast("double").alias("s"),
+                    F.hll_sketch_estimate(
+                        F.hll_sketch_agg("o_custkey",
+                                         F.lit(MV_HLL_LG_K))).alias("d"))
+               .collect()}
+        assert got == exp
+
+    check(refresh())
+    assert recomputed == []                 # create fold: inserts only
+
+    # insert-only refresh: sketch unions stay incremental AND exact
+    src.append(orders.select(
+        (F.col("o_orderkey") + 10**8).alias("o_orderkey"),
+        (F.col("o_custkey") + 10**7).alias("o_custkey"),
+        "o_totalprice", "o_orderstatus").limit(50))
+    check(refresh())
+    assert recomputed == []
+
+    # delete rows whose o_custkey is NULL-free (every row here) from
+    # group 'F' only: fallback recomputes ONLY 'F', partition-pruned
+    doomed = (src.snapshot().where("o_orderstatus = 'F'")
+              .limit(5).select("o_orderkey"))
+    src.delete_keys(doomed)
+    check(refresh())
+    assert len(recomputed) == 1
+    groups, n_files_read = recomputed[0]
+    assert groups == [("F",)]
+    n_live = len(src._state()[1])
+    assert 0 < n_files_read < n_live        # partition-pruned recompute
+
+    # update that rewrites o_custkey: pre-images are removals → the
+    # touched groups recompute; result still equals from-scratch
+    upd = (src.snapshot().where("o_orderstatus = 'O'").limit(3)
+           .withColumn("o_custkey", F.col("o_custkey") + 10**9)
+           .localCheckpoint(eager=True))
+    src.merge_upsert(upd)
+    mv = refresh()
+    check(mv)
+    assert len(recomputed) == 2
+    assert recomputed[1][0] == [("O",)]
+
+    # exactly-once: replay is a logged no-op
+    v_before = mv.versions()[-1]
+    refresh()
+    assert mv.versions()[-1] == v_before
+
+
 def _seq(spark, root):
     """A source table with a mixed commit history: create, merge,
     delete, append — the four change-producing shapes."""

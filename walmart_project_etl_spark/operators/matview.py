@@ -296,6 +296,176 @@ def _pruned_group_rows(source, src_version, group_cols,
     return source.snapshot(src_version)
 
 
+#: txn app name for the avg/approx-distinct MV's watermark
+MV_AVGDIST_APP = "agg_mv_avgdist_refresh"
+
+#: HLL sketch precision for the maintained distinct state (~1.6% rel err)
+MV_HLL_LG_K = 12
+
+
+def refresh_agg_mv_avg_distinct(spark: SparkSession, source, mv_root: str,
+                                group_cols: list[str], val_col: str,
+                                distinct_col: str,
+                                upto_version: int | None = None):
+    """Create-or-refresh a grouped (count, sum→AVG, approx
+    COUNT(DISTINCT)) materialized view from ``source``'s change feed —
+    completing the MV family (count/sum r9, min/max r11) with the two
+    remaining common BI aggregates:
+
+    - AVG is never stored: the state keeps the exact self-inverting
+      (count, decimal sum) pair and :func:`finalize_avg_distinct`
+      derives it at read time, so the fold stays exact in any order;
+    - DISTINCT state is a Datasketches HLL sketch (binary) per group.
+      INSERTS maintain it incrementally for free — sketches union
+      losslessly (union of partials == sketch of the union, proven in
+      tests), so ``new_hll = hll_union(cur_hll, sketch(inserted))``;
+      a DELETE (or update pre-image) with a non-NULL distinct value is
+      the case the sketch cannot answer — registers don't subtract and
+      other rows may still carry the value — so ONLY those groups
+      recompute their sketch from the source through the most-pruned
+      read the layout offers (:func:`_pruned_group_rows`), the exact
+      IVM-fallback shape min/max uses. NULL-valued removals never
+      enter a sketch and stay incremental.
+
+    Same exactly-once contract as :func:`refresh_agg_mv`: pinned-base
+    MV read, one conditional merge, ``txn=(app, source_version)``
+    marker, zero-count groups dropped, full resync on an untracked
+    source RESTORE. Cost per refresh: O(changed rows) + O(files of
+    sketch-recomputed groups).
+    """
+    from walmart_project_etl_spark.sources.txlog import (
+        ChangeFeedRestoredError, TxTable)
+
+    mv = TxTable(spark, mv_root)
+    src_version = upto_version if upto_version is not None \
+        else source.versions()[-1]
+    schema = ("mv_key string, " +
+              ", ".join(f"{c} string" for c in group_cols) +
+              ", n_rows long, total decimal(28,6), hll binary")
+    if not mv.versions():
+        mv.create(spark.createDataFrame([], schema), "mv_key")
+    base = mv.versions()[-1]            # pinned read (see refresh_agg_mv)
+    last = mv.last_txn(MV_AVGDIST_APP, version=base)
+    if src_version <= last:
+        return mv                       # already folded — no-op
+    try:
+        changes = source.read_changes(since_version=last + 1,
+                                      upto=src_version)
+    except ChangeFeedRestoredError:
+        upserts = _avgdist_resync_plan(mv, base, source, src_version,
+                                       group_cols, val_col, distinct_col)
+    else:
+        upserts = _avgdist_delta_plan(mv, base, source, src_version,
+                                      group_cols, val_col, distinct_col,
+                                      changes)
+    mv.merge_when(upserts, delete_cond="src.n_rows = 0",
+                  insert_cond="src.n_rows <> 0",
+                  txn=(MV_AVGDIST_APP, src_version))
+    return mv
+
+
+def _avgdist_agg(val_col: str, distinct_col: str):
+    val = F.col(val_col).cast("double").cast("decimal(28,6)")
+    return [F.count(F.lit(1)).alias("n_rows"),
+            F.sum(val).cast("decimal(28,6)").alias("total"),
+            F.hll_sketch_agg(distinct_col, F.lit(MV_HLL_LG_K))
+             .alias("hll")]
+
+
+def _hll_merge(a, b):
+    """NULL-tolerant pairwise sketch union: a brand-new group has no
+    current sketch; an all-NULL-valued insert batch has no delta one."""
+    return (F.when(a.isNull(), b).when(b.isNull(), a)
+            .otherwise(F.hll_union(a, b)))
+
+
+def _avgdist_delta_plan(mv, base, source, src_version, group_cols,
+                        val_col, distinct_col, changes) -> DataFrame:
+    val = F.col(val_col).cast("double").cast("decimal(28,6)")
+    is_add = F.col("_change_type").isin("insert", "update_postimage")
+    delta = (changes
+             .groupBy(*group_cols)
+             .agg(F.sum(F.when(is_add, 1).otherwise(-1)).alias("nd"),
+                  F.sum((val * F.when(is_add, 1).otherwise(-1)
+                         .cast("decimal(28,6)")))
+                   .cast("decimal(28,6)").alias("sval"),
+                  F.hll_sketch_agg(F.when(is_add, F.col(distinct_col)),
+                                   F.lit(MV_HLL_LG_K)).alias("ins_hll"),
+                  # the IVM fallback trigger: any removed row carrying a
+                  # non-NULL distinct value may strand a stale register
+                  F.max(F.when(~is_add
+                               & F.col(distinct_col).isNotNull(),
+                               True).otherwise(False)).alias("has_rm"))
+             .withColumn("mv_key", _group_key(group_cols)))
+    cur = mv.read_matching(delta.select("mv_key"), version=base) \
+            .select("mv_key", F.col("n_rows").alias("cur_n"),
+                    F.col("total").alias("cur_total"),
+                    F.col("hll").alias("cur_hll"))
+    m = delta.join(cur, "mv_key", "left")
+    new_n = (F.coalesce("cur_n", F.lit(0)) + F.col("nd")).alias("n_rows")
+    new_total = (F.coalesce(F.col("cur_total"),
+                            F.lit(0).cast("decimal(28,6)"))
+                 + F.coalesce(F.col("sval"),
+                              F.lit(0).cast("decimal(28,6)"))) \
+        .cast("decimal(28,6)").alias("total")
+    flagged = m.select("mv_key", *group_cols, new_n, new_total,
+                       _hll_merge(F.col("cur_hll"),
+                                  F.col("ins_hll")).alias("hll"),
+                       (F.col("has_rm")
+                        & ((F.coalesce("cur_n", F.lit(0))
+                            + F.col("nd")) > 0)).alias("__need"))
+    rec_groups = flagged.where("__need").select(*group_cols).distinct()
+    proj = ["mv_key",
+            *[F.col(c).cast("string").alias(c) for c in group_cols],
+            "n_rows", "total", "hll"]
+    plain = flagged.where(~F.col("__need")).select(*proj)
+    # count/sum are exact either way; recomputing them alongside the
+    # sketch keeps the recompute path a single grouped pass
+    exact = (_pruned_group_rows(source, src_version, group_cols,
+                                rec_groups)
+             .join(rec_groups, group_cols, "semi")
+             .groupBy(*group_cols)
+             .agg(*_avgdist_agg(val_col, distinct_col))
+             .withColumn("mv_key", _group_key(group_cols))
+             .select(*proj))
+    return plain.unionByName(exact)
+
+
+def _avgdist_resync_plan(mv, base, source, src_version, group_cols,
+                         val_col, distinct_col) -> DataFrame:
+    """Full-resync source after an untracked RESTORE (see
+    :func:`_resync_plan`)."""
+    full = (source.snapshot(src_version)
+            .groupBy(*group_cols)
+            .agg(*_avgdist_agg(val_col, distinct_col))
+            .withColumn("mv_key", _group_key(group_cols))
+            .select("mv_key",
+                    *[F.col(c).cast("string").alias(c)
+                      for c in group_cols],
+                    "n_rows", "total", "hll"))
+    stale = (mv.snapshot(base)
+             .select("mv_key", *group_cols)
+             .join(full.select("mv_key"), "mv_key", "left_anti")
+             .withColumn("n_rows", F.lit(0).cast("long"))
+             .withColumn("total", F.lit(None).cast("decimal(28,6)"))
+             .withColumn("hll", F.lit(None).cast("binary")))
+    return full.unionByName(stale)
+
+
+def finalize_avg_distinct(mv_snapshot: DataFrame,
+                          group_cols: list[str]) -> DataFrame:
+    """Derived read view over the avg/distinct MV state: AVG from the
+    exact (count, sum) pair (double-domain division, matching
+    operators/incremental.py's finalize rationale) and the HLL
+    estimate — neither is ever stored."""
+    return mv_snapshot.select(
+        "mv_key", *group_cols, "n_rows",
+        F.round(F.col("total"), 2).cast("double").alias("total"),
+        F.round(F.col("total").cast("double") / F.col("n_rows"), 6)
+         .alias("avg_v"),
+        F.hll_sketch_estimate("hll").alias("approx_distinct"))
+
+
 def _minmax_resync_plan(mv, base, source, src_version, group_cols,
                         val_col) -> DataFrame:
     """Full-resync source after a RESTORE (see :func:`_resync_plan`)."""

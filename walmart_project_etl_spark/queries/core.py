@@ -20,7 +20,7 @@ from walmart_project_etl_spark.operators.interval_join import interval_join
 from walmart_project_etl_spark.operators.merge import scd1_merge
 from walmart_project_etl_spark.operators.scd2 import scd2_apply
 
-from .util import dsum, sql_dsum, t
+from .util import dsum, pinned, sql_dsum, t
 
 QUERIES: dict = {}
 
@@ -1353,6 +1353,61 @@ def txn_agg_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mv_key", "o_orderstatus", "n_rows",
         F.round(F.col("vmin"), 2).cast("double").alias("vmin"),
         F.round(F.col("vmax"), 2).cast("double").alias("vmax"))
+
+
+@q("txn_agg_mv_avg_distinct", pinned("txn_agg_mv_avg_distinct"))
+def txn_agg_mv_avg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained (count, AVG, approx COUNT(DISTINCT))
+    MATERIALIZED VIEW (operators/matview.py
+    refresh_agg_mv_avg_distinct) — the MV family's final two common BI
+    aggregates. AVG is derived at read time from the exact
+    self-inverting (count, decimal sum) state; the distinct state is a
+    per-group HLL sketch maintained incrementally on inserts (lossless
+    sketch union) with the min/max-style IVM fallback — a removal
+    carrying a non-NULL distinct value recomputes only its group's
+    sketch through the partition-pruned read (pinned in
+    tests/test_txlog_cdf.py::test_avgdist_mv_incremental_and_sketch_fallback).
+    Same refresh loop as txn_agg_mv: three refreshes across
+    append + custkey-rewriting merge + keyed delete, exactly-once txn
+    markers. The oracle is a PINNED GOLDEN (docs/COVERAGE.md): the HLL
+    estimate is engine-internal, so the full finalized row set —
+    including the exact n_rows/total/avg columns — is value-hashed
+    against the pin."""
+    import shutil
+
+    from walmart_project_etl_spark.operators.matview import (
+        finalize_avg_distinct, refresh_agg_mv_avg_distinct)
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_mvad")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_mv", ignore_errors=True)
+    src = TxTable(spark, root)
+    src.create(o.where(F.col("o_orderkey") % 2 == 0), "o_orderkey",
+               n_files=4, change_feed=True,
+               partition_by="o_orderstatus")
+
+    def refresh():
+        return refresh_agg_mv_avg_distinct(
+            spark, src, root + "_mv", ["o_orderstatus"],
+            "o_totalprice", "o_custkey")
+
+    refresh()
+    src.append(o.where(F.col("o_orderkey") % 2 == 1))
+    # the merge rewrites o_custkey for its keys — update pre-images
+    # remove distinct values, exercising the sketch-recompute fallback
+    src.merge_upsert(o.where(F.col("o_orderkey") % 30 == 0)
+                     .withColumn("o_totalprice",
+                                 F.col("o_totalprice") * 3)
+                     .withColumn("o_custkey",
+                                 F.col("o_custkey") + 10**7))
+    refresh()
+    src.delete_keys(o.where(F.col("o_orderkey") % 7 == 0)
+                    .select("o_orderkey"))
+    mv = refresh()
+    return finalize_avg_distinct(mv.snapshot(), ["o_orderstatus"])
 
 
 @q("txn_merge_when",
