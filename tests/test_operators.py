@@ -1196,3 +1196,56 @@ def test_kmeans_labels_deterministic_and_clusters_cohere(spark):
     sim0 = similarity.kmeans_labels(emb, k=8, iters=0) \
         .agg(F.avg("centroid_sim")).first()[0]
     assert sim3 > sim0                           # Lloyd's made progress
+
+
+def test_kmeans_assignment_paths_bit_identical(spark, monkeypatch):
+    """The broadcast-join assignment (the k ∝ N regime, plan size O(1)
+    in k) produces BIT-IDENTICAL labels and similarities to the
+    centroid-literal path — same round-6 cosines, same smaller-id tie
+    break — so the path switch at KMEANS_LITERAL_K_MAX is invisible to
+    results."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    lit = similarity.kmeans_labels(emb, k=8, iters=2)
+    rows_lit = sorted(tuple(r) for r in lit.collect())
+    monkeypatch.setattr(similarity, "KMEANS_LITERAL_K_MAX", 0)
+    join = similarity.kmeans_labels(emb, k=8, iters=2)
+    rows_join = sorted(tuple(r) for r in join.collect())
+    assert rows_lit == rows_join
+
+
+def test_semdedup_kmeans_cluster_size_bounded(spark):
+    """The SemDeDup scale rule as a knob: target_cluster_size derives
+    k = ceil(N / target), bounding EXPECTED cluster size — the mean
+    stays at-or-under the target by construction and the
+    within-cluster pair cost stays O(N × target) instead of the
+    O(N²/k) a fixed small k degrades to."""
+    from walmart_project_etl_spark.operators.similarity import \
+        kmeans_k_for
+
+    assert kmeans_k_for(500, 8) == 63
+    assert kmeans_k_for(500, 64) == 8
+    assert kmeans_k_for(10, 1000) == 2           # k_min floor
+    assert kmeans_k_for(0, 8) == 2
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    target = 16
+    out = dedup.semdedup_kmeans(emb, "vec_id", "embedding",
+                                threshold=0.3,
+                                target_cluster_size=target, iters=1)
+    sizes = [r["c"] for r in out.groupBy("cluster")
+             .agg(F.count(F.lit(1)).alias("c")).collect()]
+    k = kmeans_k_for(n, target)
+    # mean ≤ target by construction (k = ceil(N/target) clusters
+    # partition N rows; empty clusters only shrink the denominator's
+    # upper bound, never push the mean over N/k)
+    assert n / k <= target
+    assert sum(sizes) == n
+    # pair cost bounded: Σ c·(c-1)/2 stays O(N × target) — allow 2×
+    # for k-means skew on real data, still far under the fixed-k cost
+    pair_cost = sum(c * (c - 1) // 2 for c in sizes)
+    assert pair_cost <= 2 * n * target
+
+    # explicit-k and missing-knob validation
+    with pytest.raises(ValueError, match="target_cluster_size"):
+        dedup.semdedup_kmeans(emb, "vec_id", "embedding")

@@ -955,6 +955,39 @@ def _semdedup_resolve(av: DataFrame, pairs: DataFrame, id_col: str,
                      .alias("kept")))
 
 
+def semdedup_kmeans(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    threshold: float = 0.3, k: int | None = None,
+                    target_cluster_size: int | None = None,
+                    iters: int = 2) -> DataFrame:
+    """SemDeDup's full pipeline with the paper's SCALE RULE built in:
+    k-means the corpus, then dedup within clusters — where k is either
+    given explicitly or derived as ``ceil(N / target_cluster_size)``
+    (:func:`similarity.kmeans_k_for`), the bounded-cluster-size answer
+    that keeps the within-cluster pair join O(N × target) in
+    expectation instead of O(N²/k) at a fixed k. The corpus count that
+    sizes k is one metadata-cheap aggregate; the k-means assignment
+    switches to its broadcast-join path automatically past
+    ``KMEANS_LITERAL_K_MAX``, so the plan stays O(1)-sized as k grows
+    with N. Output matches :func:`semdedup`:
+    (id, cluster, centroid_sim, kept).
+
+    Exactly reproducible end-to-end (deterministic k-means seeds +
+    round-6 arithmetic), so at a known N the whole chain carries an
+    exact SQL oracle with the derived k baked in."""
+    from walmart_project_etl_spark.operators.similarity import (
+        kmeans_k_for, kmeans_labels)
+
+    if k is None:
+        if target_cluster_size is None:
+            raise ValueError("pass k or target_cluster_size")
+        k = kmeans_k_for(df.count(), target_cluster_size)
+    labels = kmeans_labels(df, id_col, vec_col, k=k, iters=iters) \
+        .select(id_col, F.col("cluster").alias("__km"))
+    return semdedup(df.join(labels, id_col), id_col, vec_col, "__km",
+                    threshold)
+
+
 def semdedup_lsh(df: DataFrame, id_col: str, vec_col: str,
                  cluster_col: str, threshold: float = 0.3,
                  dim: int = 64, n_planes: int | None = None,

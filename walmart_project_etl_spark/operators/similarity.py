@@ -348,6 +348,26 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select(query_id_col, id_col, "cosine_sim", F.col("__rn").alias("rank")))
 
 
+#: Above this k the per-round assignment switches from centroid
+#: LITERALS (zero shuffle, but the plan carries k×d expressions —
+#: codegen chokes as k ∝ N) to a broadcast-join + per-id window (one
+#: shuffle per round, plan size O(1) in k). Both paths round cosines
+#: to 6 and break ties to the smaller cluster id, so they are
+#: bit-identical (pinned in tests).
+KMEANS_LITERAL_K_MAX = 32
+
+
+def kmeans_k_for(n_rows: int, target_cluster_size: int,
+                 k_min: int = 2) -> int:
+    """The SemDeDup paper's scale rule made executable: bound the
+    EXPECTED cluster size by deriving ``k = ceil(N / target)`` instead
+    of fixing k. Within-cluster pair cost is then O(N * target) in
+    expectation — linear in N at constant target — rather than the
+    O(N²/k) a fixed k degrades to as the corpus grows."""
+    import math
+    return max(k_min, math.ceil(n_rows / max(1, target_cluster_size)))
+
+
 def kmeans_labels(corpus: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding", k: int = 8,
                   iters: int = 3) -> DataFrame:
@@ -370,8 +390,12 @@ def kmeans_labels(corpus: DataFrame, id_col: str = "vec_id",
 
     Per-round driver sync is k×d rounded floats (metadata-sized — the
     same shape as BPE's per-round argmax); the data-plane cost per
-    round is one corpus scan + one posexplode aggregation. Output:
-    (``id_col``, ``cluster`` int, ``centroid_sim`` double round-6).
+    round is one corpus scan + one posexplode aggregation. Assignment
+    is centroid LITERALS up to ``KMEANS_LITERAL_K_MAX`` (zero shuffle)
+    and a broadcast-join + per-id window past it (plan size O(1) in k
+    — the k ∝ N regime SemDeDup's bounded-cluster rule needs); the two
+    paths are bit-identical. Output: (``id_col``, ``cluster`` int,
+    ``centroid_sim`` double round-6).
     """
     work = corpus.select(F.col(id_col), _as_double(vec_col).alias("__v"))
     init = (work.orderBy(F.md5(F.col(id_col).cast("string")),
@@ -379,18 +403,36 @@ def kmeans_labels(corpus: DataFrame, id_col: str = "vec_id",
             .limit(k).collect())
     cents = [list(r["__v"]) for r in init]
 
-    def argmax_cos(vec):
-        coss = F.array(*[
-            F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in c])),
-                    6) for c in cents])
-        # first position of the max → smallest cluster id on ties
-        return (F.array_position(coss, F.array_max(coss)).cast("int")
-                - 1).alias("__c"), F.array_max(coss).alias("__cs")
+    def assign(cents) -> DataFrame:        # -> (id, __v, __c, __cs)
+        if len(cents) <= KMEANS_LITERAL_K_MAX:
+            coss = F.array(*[
+                F.round(cosine(F.col("__v"),
+                               F.array(*[F.lit(float(x)) for x in c])),
+                        6) for c in cents])
+            # first position of the max → smallest cluster id on ties
+            return work.select(
+                F.col(id_col), "__v",
+                (F.array_position(coss, F.array_max(coss)).cast("int")
+                 - 1).alias("__c"),
+                F.array_max(coss).alias("__cs"))
+        spark = work.sparkSession
+        carr = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "__cand int, __cent array<double>")
+        scored = work.crossJoin(F.broadcast(carr)).select(
+            F.col(id_col), "__v", "__cand",
+            F.round(cosine(F.col("__v"), F.col("__cent")), 6)
+             .alias("__cs"))
+        w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(),
+                                               F.col("__cand").asc())
+        return (scored.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(id_col, "__v", F.col("__cand").alias("__c"),
+                        "__cs"))
 
     for _ in range(iters):
-        ccol, _scol = argmax_cos(F.col("__v"))
-        flat = (work.withColumn("__c", ccol)
-                .select("__c", F.posexplode("__v").alias("__p", "__x")))
+        flat = assign(cents).select(
+            "__c", F.posexplode("__v").alias("__p", "__x"))
         mean = (F.sum(F.col("__x").cast("double").cast("decimal(28,6)"))
                  .cast("double") / F.count(F.lit(1)))
         rows = (flat.groupBy("__c", "__p")
@@ -401,8 +443,7 @@ def kmeans_labels(corpus: DataFrame, id_col: str = "vec_id",
         for r in rows:
             new[r["__c"]][r["__p"]] = r["__m"]
         cents = new
-    ccol, scol = argmax_cos(F.col("__v"))
-    return (work.select(F.col(id_col), ccol, scol)
+    return (assign(cents)
             .select(id_col, F.col("__c").alias("cluster"),
                     F.col("__cs").alias("centroid_sim")))
 

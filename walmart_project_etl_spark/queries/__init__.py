@@ -23,99 +23,76 @@ from . import core, funcs, llm, pipeline, trainprep
 _MODULES = (core, funcs, pipeline, llm, trainprep)
 
 #: Curated registration order. The driver's correctness harness records rows
-#: for (at most) the first 50 registry entries. Rounds 2-9 put green driver
-#: rows on 192 of the 217 entries with zero value failures. NOTE: the r10
-#: driver correctness/bench runs never materialized (no CORRECTNESS_r10 /
-#: BENCH_r10 artifact exists), so the r10 window below never executed —
-#: freshness entering r11 is still r5×2, r6×49, r7×41, r8×50, r9×50, and
-#: never×38 (the 24 r9-new entries PLUS the 14 r10-new entries). This
-#: round's window (r11) therefore leads with the 12 r11-new entries
-#: (row-tracked restore CDF, COPY INTO, bloom column index, DSIR ×2,
-#: ANALYZE + broadcast advice, temperature mixing, snapshot diff,
-#: bigram LM, the DSIR→pack pipeline, deterministic k-means), then the
-#: 14 r10-new (schema evolution / identity / generated columns /
-#: PQ ANN / CDC apply+replicate / manifest export / null skipping /
-#: predicate DML / MV min-max), then the 24 r9-new — exactly 50. The
-#: rest of the backlog (text_tfidf_top_terms and ts_yoy_growth r5-era
-#: first, then the 50 r6-era rows named below the tuple) rotates in
-#: over r12-r13.
+#: for (at most) the first 50 registry entries. After r11 (50/50 green,
+#: every value hash matched) the union of driver rows covers 242 of the
+#: then-244 entries; freshness entering r12: r11×50, r9×50, r8×50,
+#: r7×41, r6×49, r5×2, never×2 (dedup_semdedup_kmeans, txn_replace_table
+#: — r11-new without slots). This round's window (r12) therefore leads
+#: with those 2, then the r12-new entries (the avg/approx-distinct MV
+#: and the k ∝ N SemDeDup scale knob), then the 2 r5-era stale rows
+#: (text_tfidf_top_terms, ts_yoy_growth), then the first 44 of the 49
+#: r6-era rows — exactly 50. The remaining 5 r6-era rows (named below
+#: the tuple) lead the r13 rotation.
 _PRIORITY = (
-    # r11-new entries
-    "txn_restore_cdf",
-    "txn_copy_into",
-    "txn_bloom_col_prune",
-    "sel_dsir_weights",
-    "sel_dsir_resample",
-    "txn_analyze",
-    "txn_broadcast_advice",
-    "sample_temperature_mixture",
-    "txn_table_diff",
-    "text_bigram_logprob",
-    "pipe_dsir_select_pack",
-    "sim_kmeans_labels",
-    # r10-new entries, never driver-checked (r10 window never ran)
-    "txn_update_where",
-    "txn_delete_where",
-    "txn_agg_mv_minmax",
-    "txn_merge_schema",
-    "txn_rename_column",
-    "txn_drop_column",
-    "txn_type_widening",
-    "txn_generated_columns",
-    "sim_pq_ann_topk",
-    "txn_identity_column",
-    "txn_apply_changes",
-    "stream_replicate_cdc",
-    "txn_manifest_export",
-    "txn_null_skipping",
-    # r9-new entries, never driver-checked (r10 window never ran)
-    "txn_partition_prune",
-    "txn_partition_prune_multicol",
-    "txn_replace_where",
-    "txn_delete_dv",
-    "txn_change_feed",
-    "txn_cdf_incremental_agg",
-    "txn_multitable_publish",
-    "txn_restore",
-    "txn_shallow_clone",
-    "txn_check_constraint",
-    "txn_merge_when",
-    "txn_agg_mv",
-    "txn_auto_maintenance",
-    "txn_stats_multicol_prune",
-    "txn_zorder_multicol_prune",
-    "txn_read_where_composed",
-    "dedup_semdedup",
-    "dedup_semdedup_lsh",
-    "text_bpe_train",
-    "text_bpe_encode",
-    "pipe_bpe_tokenize_pack",
-    "stream_cdf_follow",
-    "stream_partition_ingest",
-    "stream_agg_mv_follow",
+    # never driver-checked (r11-new without slots; judge-verified r11)
+    "dedup_semdedup_kmeans",
+    "txn_replace_table",
+    # r12-new entries
+    "txn_agg_mv_avg_distinct",
+    "dedup_semdedup_kmeans_scaled",
+    # r5-era stale rows (last driver row 7 rounds ago)
+    "text_tfidf_top_terms",
+    "ts_yoy_growth",
+    # r6-era rotation, first 44 of 49
+    "a02_groupby_first",
+    "a03_distinct_count_per_group",
+    "a05_count_distinct",
+    "a06_max_per_group",
+    "a07_minmax_month_span",
+    "clean_mad_outliers",
+    "clean_quantile_bins",
+    "clean_winsorize",
+    "clean_zscore",
+    "curate_pipeline",
+    "dedup_boilerplate_lines",
+    "dedup_boilerplate_sentences",
+    "dedup_canonical_longest",
+    "dedup_cluster_components",
+    "dedup_contamination_scores",
+    "dedup_decontaminate",
+    "dedup_fuzzy_blocked",
+    "dedup_ngram_containment",
+    "dedup_ngram_jaccard",
+    "events_attribution",
+    "events_transition_matrix",
+    "j01_left_equi_join",
+    "j10_optional_dim_left_join",
+    "mm_real_decode_png",
+    "mm_real_decode_wav",
+    "olap_cube_lineitem",
+    "olap_grouping_sets_orders",
+    "olap_histogram",
+    "olap_rollup_lineitem",
+    "olap_share_of_total",
+    "olap_time_rollup_events",
+    "p01_projection_rename",
+    "p02_distinct_nonnull_dates",
+    "p03_null_filter",
+    "profile_lineitem",
+    "s02_empty_string_to_null",
+    "s03_table_scan",
+    "s04_parquet_sink_roundtrip",
+    "s06_ddl_create_insert",
+    "s07_truncate",
+    "s08_drop",
+    "s09_temp_view",
+    "skew_salted_latest",
+    "stream_static_enrich",
 )
-#: Deferred from this window — rotate in over r12-r13:
-#: dedup_semdedup_kmeans and txn_replace_table (r11-new without slots —
-#: sim_kmeans_labels / dedup_semdedup / the other txn ops cover their
-#: components in-window) LEAD r12, then text_tfidf_top_terms and
-#: ts_yoy_growth (r5-era), then the 50 r6-era rows:
-#: a02_groupby_first, a03_distinct_count_per_group, a05_count_distinct, a06_max_per_group, a07_minmax_month_span,
-#: clean_mad_outliers, clean_quantile_bins,
-#: clean_winsorize, clean_zscore,
-#: curate_pipeline, dedup_boilerplate_lines, dedup_boilerplate_sentences,
-#: dedup_canonical_longest, dedup_cluster_components,
-#: dedup_contamination_scores, dedup_decontaminate, dedup_fuzzy_blocked,
-#: dedup_ngram_containment, dedup_ngram_jaccard, events_attribution,
-#: events_transition_matrix, j01_left_equi_join, j10_optional_dim_left_join,
-#: mm_real_decode_png, mm_real_decode_wav, olap_cube_lineitem,
-#: olap_grouping_sets_orders, olap_histogram, olap_rollup_lineitem,
-#: olap_share_of_total, olap_time_rollup_events, p01_projection_rename,
-#: p02_distinct_nonnull_dates, p03_null_filter, profile_lineitem,
-#: s02_empty_string_to_null, s03_table_scan, s04_parquet_sink_roundtrip,
-#: s06_ddl_create_insert, s07_truncate, s08_drop, s09_temp_view,
-#: skew_salted_latest, stream_static_enrich, stream_tx_upsert,
-#: text_unigram_logprob, ts_gap_fill_locf, txn_merge_fileprune,
-#: txn_time_travel.
+#: Deferred from this window — lead the r13 rotation with the 5
+#: remaining r6-era rows: stream_tx_upsert, text_unigram_logprob,
+#: ts_gap_fill_locf, txn_merge_fileprune, txn_time_travel — then start
+#: re-rotating the r7-era block (41 rows).
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

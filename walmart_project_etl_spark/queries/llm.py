@@ -1805,8 +1805,9 @@ def sim_kmeans_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pipeline (k-means the corpus, then dedup within clusters), fully
 #: recomputed in SQL: the k-means CTEs feed a labeled source, then the
 #: same one-round-refine + cluster-blocked-pair + keep-least-prototypical
-#: chain as _SEMDEDUP_ORACLE runs over it.
-_SEMDEDUP_KMEANS_ORACLE = _kmeans_cte(k=8, iters=2) + """,
+#: chain as _SEMDEDUP_ORACLE runs over it. Parametric in k via
+#: _kmeans_cte, so the k ∝ N scaled twin reuses it with its derived k.
+_SEMDEDUP_CONSUMER_SQL = """,
 v2 AS (SELECT v.vec_id, af.cl AS label, v.e AS e
        FROM v JOIN af USING (vec_id)),
 flat2 AS (
@@ -1846,23 +1847,50 @@ SELECT a.vec_id, CAST(a.scl AS BIGINT) AS cluster,
        a.cs AS centroid_sim, (d.vec_id IS NULL) AS kept
 FROM assign2 a LEFT JOIN dropped2 d USING (vec_id)"""
 
+_SEMDEDUP_KMEANS_ORACLE = _kmeans_cte(k=8, iters=2) \
+    + _SEMDEDUP_CONSUMER_SQL
+
 
 @q("dedup_semdedup_kmeans", _SEMDEDUP_KMEANS_ORACLE)
 def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over REAL k-means clusters — the paper's actual
     pipeline end-to-end: the deterministic Lloyd's k-means (k=8, 2
     rounds) produces the cluster seeds, SemDeDup refines one more
-    round and dedups within clusters. The synthetic-label variant
-    (``dedup_semdedup``) pins the dedup semantics in isolation; this
-    one proves the composed pipeline a 100 TB corpus would actually
-    run, and the whole chain — every k-means round included — is
-    recomputed exactly by the SQL oracle."""
+    round and dedups within clusters (operators/dedup.py
+    semdedup_kmeans with k pinned). The synthetic-label variant
+    (``dedup_semdedup``) pins the dedup semantics in isolation; the
+    SCALED twin (``dedup_semdedup_kmeans_scaled``) derives k ∝ N. The
+    whole chain — every k-means round included — is recomputed
+    exactly by the SQL oracle."""
     emb = t(spark, sf_dir, "embeddings")
-    labels = similarity.kmeans_labels(emb, "vec_id", "embedding",
-                                      k=8, iters=2) \
-        .select("vec_id", F.col("cluster").alias("km"))
-    seeded = emb.join(labels, "vec_id")
-    out = dedup.semdedup(seeded, "vec_id", "embedding", "km",
-                         threshold=0.3)
+    out = dedup.semdedup_kmeans(emb, "vec_id", "embedding",
+                                threshold=0.3, k=8, iters=2)
+    return out.select("vec_id", F.col("cluster").cast("long")
+                      .alias("cluster"), "centroid_sim", "kept")
+
+
+#: sf0.01 embeddings N = 500; the oracle bakes the SAME k the query
+#: derives at that N: kmeans_k_for(500, target=8) = ceil(500/8) = 63.
+_SEMDEDUP_KMEANS_SCALED_ORACLE = _kmeans_cte(k=63, iters=2) \
+    + _SEMDEDUP_CONSUMER_SQL
+
+
+@q("dedup_semdedup_kmeans_scaled", _SEMDEDUP_KMEANS_SCALED_ORACLE)
+def dedup_semdedup_kmeans_scaled(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's SCALE RULE as a tested knob
+    (operators/dedup.py semdedup_kmeans, target_cluster_size=8): k is
+    DERIVED as ceil(N / target) from one corpus count, bounding
+    expected cluster size — within-cluster pair cost stays O(N ×
+    target) as the corpus grows, where the fixed-k twin degrades
+    O(N²/k) (measured in docs/SCALE.md). Past KMEANS_LITERAL_K_MAX
+    the k-means assignment runs its broadcast-join path (plan size
+    O(1) in k), exercised here: the derived k at sf0.01 is 63. The
+    oracle recomputes the whole chain with that same k baked in —
+    exact, because the derivation is deterministic at a known N."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = dedup.semdedup_kmeans(emb, "vec_id", "embedding",
+                                threshold=0.3, target_cluster_size=8,
+                                iters=2)
     return out.select("vec_id", F.col("cluster").cast("long")
                       .alias("cluster"), "centroid_sim", "kept")
