@@ -420,15 +420,23 @@ def kmeans_labels(corpus: DataFrame, id_col: str = "vec_id",
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
             "__cand int, __cent array<double>")
         scored = work.crossJoin(F.broadcast(carr)).select(
-            F.col(id_col), "__v", "__cand",
-            F.round(cosine(F.col("__v"), F.col("__cent")), 6)
-             .alias("__cs"))
-        w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(),
-                                               F.col("__cand").asc())
-        return (scored.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .select(id_col, "__v", F.col("__cand").alias("__c"),
-                        "__cs"))
+            F.col(id_col), "__v",
+            F.struct(F.round(cosine(F.col("__v"), F.col("__cent")), 6)
+                      .alias("__cs"),
+                     (-F.col("__cand")).alias("__negc")).alias("__sc"))
+        # argmax via max(struct(cs, -cand)): lexicographic struct max =
+        # highest cosine, then SMALLEST cluster id — identical to the
+        # literal path's first-position-of-max. Map-side combinable:
+        # every id's k candidate rows sit in ONE partition (corpus
+        # partition × broadcast), so the partial agg collapses them
+        # before the shuffle — N small rows move, never N×k and never
+        # the vector ×k (the window formulation shuffled both).
+        return (scored.groupBy(id_col)
+                .agg(F.any_value("__v").alias("__v"),  # constant per id
+                     F.max("__sc").alias("__b"))
+                .select(id_col, "__v",
+                        (-F.col("__b.__negc")).cast("int").alias("__c"),
+                        F.col("__b.__cs").alias("__cs")))
 
     for _ in range(iters):
         flat = assign(cents).select(
