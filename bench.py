@@ -139,6 +139,10 @@ BENCH_QUERIES = [
     # fallback riding the same refresh loop) — sketch-maintenance cost
     # regressions must be bench-visible next to the count/sum/minmax MVs
     "txn_agg_mv_avg_distinct",
+    # r12-new: metadata-only aggregates (count/min/max from the log's
+    # per-file stats, DV'd files hybrid-read) — the stats fold must stay
+    # log-replay-sized, so its cost rides next to the other txn reads
+    "txn_agg_pushdown",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other

@@ -2595,3 +2595,70 @@ def test_replace_table_atomic_full_swap(spark, orders, tmp_path):
     assert t.read_matching(
         spark.createDataFrame([(k,) for k in some],
                               "o_custkey long")).count() == 2
+
+
+def test_agg_pushdown_metadata_only_and_dv_hybrid(spark, tmp_path):
+    """Metadata-only aggregates: COUNT(*)/MIN/MAX answered from the log
+    alone on a DV-free table (files_read == 0 — proven against a full
+    recompute); DV'd files are the ONLY ones read; float columns and
+    undeclared columns refuse rather than mis-answer; NULLs are
+    ignored by MIN/MAX exactly as the per-file stats are."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    t = TxTable(spark, str(tmp_path / "ap"))
+    t.create(o.where("o_orderkey % 2 = 0"), "o_orderkey", n_files=4,
+             stats_cols=["o_orderdate"])
+    t.append(o.where("o_orderkey % 2 = 1"))
+
+    def expect(df, col=None):
+        exprs = [F.count(F.lit(1)).alias("n")]
+        if col:
+            exprs += [F.min(F.col(col).cast("string")).alias("lo"),
+                      F.max(F.col(col).cast("string")).alias("hi")]
+        return df.agg(*exprs).first()
+
+    # clean table: zero data read, exact count
+    r = t.agg_pushdown()
+    assert r["n_rows"] == o.count()
+    assert r["files_read"] == 0 and r["files_metadata"] > 0
+
+    # key min/max from kmin/kmax (native int domain)
+    ek = o.agg(F.count(F.lit(1)).alias("n"),
+               F.min("o_orderkey").alias("lo"),
+               F.max("o_orderkey").alias("hi")).first()
+    r = t.agg_pushdown("o_orderkey")
+    assert (r["n_rows"], r["min"], r["max"]) == \
+        (ek["n"], ek["lo"], ek["hi"])
+    assert r["files_read"] == 0
+
+    # stats-column min/max (date → ISO string domain)
+    e = expect(o, "o_orderdate")
+    r = t.agg_pushdown("o_orderdate")
+    assert (r["min"], r["max"]) == (e["lo"], e["hi"])
+    assert r["files_read"] == 0
+
+    # ineligible: float dtype; undeclared column
+    with pytest.raises(ValueError, match="out of value order"):
+        t.agg_pushdown("o_totalprice")
+    with pytest.raises(ValueError, match="neither the key nor"):
+        t.agg_pushdown("o_custkey")
+
+    # DV-delete: only the DV'd files are read; the fold stays exact
+    t.delete_keys_dv(o.where("o_orderkey % 11 = 0").select("o_orderkey"))
+    live_n = len(t._state()[1])
+    surv = o.where("o_orderkey % 11 <> 0")
+    e = expect(surv, "o_orderdate")
+    r = t.agg_pushdown("o_orderdate")
+    assert r["n_rows"] == e["n"]
+    assert (r["min"], r["max"]) == (e["lo"], e["hi"])
+    assert 0 < r["files_read"] <= live_n
+    assert r["files_metadata"] + r["files_read"] == live_n
+
+    # NULL stats values never poison min/max (all-NULL column → None)
+    n = TxTable(spark, str(tmp_path / "apn"))
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("string").alias("tag"))
+    n.create(df, "k", n_files=2, stats_cols=["tag"])
+    r = n.agg_pushdown("tag")
+    assert r["n_rows"] == 10 and r["min"] is None and r["max"] is None

@@ -40,6 +40,7 @@ _PRIORITY = (
     # r12-new entries
     "txn_agg_mv_avg_distinct",
     "dedup_semdedup_kmeans_scaled",
+    "txn_agg_pushdown",
     # r5-era stale rows (last driver row 7 rounds ago)
     "text_tfidf_top_terms",
     "ts_yoy_growth",
@@ -87,10 +88,9 @@ _PRIORITY = (
     "s08_drop",
     "s09_temp_view",
     "skew_salted_latest",
-    "stream_static_enrich",
 )
-#: Deferred from this window — lead the r13 rotation with the 5
-#: remaining r6-era rows: stream_tx_upsert, text_unigram_logprob,
+#: Deferred from this window — lead the r13 rotation with the 6
+#: remaining r6-era rows: stream_static_enrich, stream_tx_upsert, text_unigram_logprob,
 #: ts_gap_fill_locf, txn_merge_fileprune, txn_time_travel — then start
 #: re-rotating the r7-era block (41 rows).
 

@@ -1355,6 +1355,47 @@ def txn_agg_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("vmax"), 2).cast("double").alias("vmax"))
 
 
+@q("txn_agg_pushdown",
+   """WITH final AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate
+        FROM orders WHERE o_orderkey % 11 <> 0)
+      SELECT count(*) AS n_rows,
+             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             CAST(min(odate) AS VARCHAR) AS min_date,
+             CAST(max(odate) AS VARCHAR) AS max_date
+      FROM final""")
+def txn_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY AGGREGATE (sources/txlog.py:agg_pushdown —
+    Delta/Iceberg's metadata-only query optimization): COUNT(*) and
+    MIN/MAX of the key and of a declared stats column answered from
+    the transaction log's per-file stats with ZERO data read on
+    DV-free files — O(live files) at any table size; the fixture's
+    DV-delete makes exactly the DV'd files fall back to a pruned read
+    (hybrid counts pinned in tests/test_txlog.py::
+    test_agg_pushdown_metadata_only_and_dv_hybrid). The oracle
+    recomputes all five aggregates from the surviving rows — exact."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("odate"))
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_aggpd")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o.where(F.col("o_orderkey") % 2 == 0), "o_orderkey",
+              n_files=4, stats_cols=["odate"])
+    tt.append(o.where(F.col("o_orderkey") % 2 == 1))
+    tt.delete_keys_dv(o.where(F.col("o_orderkey") % 11 == 0)
+                      .select("o_orderkey"))
+    rk = tt.agg_pushdown("o_orderkey")
+    rd = tt.agg_pushdown("odate")
+    return spark.createDataFrame(
+        [(rk["n_rows"], rk["min"], rk["max"], rd["min"], rd["max"])],
+        "n_rows long, min_key long, max_key long, "
+        "min_date string, max_date string")
+
+
 @q("txn_agg_mv_avg_distinct", pinned("txn_agg_mv_avg_distinct"))
 def txn_agg_mv_avg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained (count, AVG, approx COUNT(DISTINCT))

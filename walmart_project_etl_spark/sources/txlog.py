@@ -3350,6 +3350,115 @@ class TxTable:
                 return out
         return None
 
+    #: stats-column Spark dtypes whose serialized order equals value
+    #: order — eligible for metadata min/max (ints/strings are stored
+    #: natively; date/timestamp serialize as ISO strings, lexical ==
+    #: temporal). float/decimal stats serialize as strings whose lexical
+    #: order is NOT numeric order, so they are pushdown-ineligible.
+    _PUSHDOWN_TYPES = ("tinyint", "smallint", "int", "bigint", "string",
+                       "date", "timestamp", "timestamp_ntz")
+
+    def agg_pushdown(self, col: str | None = None,
+                     version: int | None = None) -> dict:
+        """METADATA-ONLY AGGREGATE (Delta/Iceberg's metadata-only query
+        optimization): answer ``COUNT(*)`` — and ``MIN(col)``/
+        ``MAX(col)`` for the key or a declared stats column — from the
+        transaction log alone. On a DV-free table this is O(live files)
+        log replay with ZERO data read: the per-file ``rows`` /
+        ``kmin,kmax`` / ``cstats`` every write already maintains fold
+        exactly. Files carrying DELETION VECTORS are the one inexact
+        case (their stats count/bound rows the DVs have hidden), so
+        ONLY those files are read — with DVs applied — and folded in;
+        a 100 TB table with a handful of DV'd files still answers in
+        file-metadata time.
+
+        ``col`` eligibility: the merge key (always) or a declared
+        ``stats_cols`` member whose dtype's serialized order equals its
+        value order (ints, strings, date/timestamp ISO — NOT float/
+        decimal, whose stringified lexical order diverges; those raise
+        rather than silently mis-answer). MIN/MAX ignore NULLs (the
+        per-file stats already do); an all-NULL column returns None.
+
+        Returns ``{"n_rows", "min", "max", "files_metadata",
+        "files_read"}`` — min/max in the log's serialized domain (ISO
+        strings for date/timestamp), matching :meth:`read_where` stats
+        predicates. Pinned in tests/test_txlog.py."""
+        meta, live = self._state(version, self._read_mode(version))
+        if meta is None:
+            raise FileNotFoundError(f"no table at {self.root}")
+        key = meta["key_col"]
+
+        def col_dtype(c: str) -> str:
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            return {f.name: f.dataType.simpleString()
+                    for f in schema.fields}[c]
+
+        mcol = None                          # metadata accessor for col
+        if col is not None:
+            scols = _meta_stats_cols(meta) or []
+            dtype = col_dtype(col)
+            if dtype not in self._PUSHDOWN_TYPES:
+                raise ValueError(
+                    f"agg_pushdown: dtype {dtype} of '{col}' serializes "
+                    f"out of value order — read the data instead")
+            if col == key:
+                def mcol(a):
+                    return a["kmin"], a["kmax"]
+            elif col in scols:
+                # cstats are keyed by PHYSICAL name (stable across
+                # renames); legacy v2 files carry only smin/smax for
+                # the first declared column
+                pcol = (meta.get("column_mapping") or {}).get(col, col)
+                first = scols[0]
+
+                def mcol(a):
+                    cs = a.get("cstats")
+                    if cs is not None and pcol in cs:
+                        return tuple(cs[pcol])
+                    if col == first and "smin" in a:
+                        return a.get("smin"), a.get("smax")
+                    return None              # no bounds → read the file
+            else:
+                raise ValueError(
+                    f"agg_pushdown: '{col}' is neither the key nor a "
+                    f"declared stats column of {self.root} — no "
+                    f"per-file bounds to fold")
+        clean, dirty = [], []
+        for a in live.values():
+            if a.get("_dvs") or (mcol is not None and mcol(a) is None):
+                dirty.append(a)
+            else:
+                clean.append(a)
+        n = sum(a["rows"] for a in clean)
+        lo = hi = None
+        if mcol is not None:
+            los = [m[0] for a in clean for m in (mcol(a),)
+                   if m[0] is not None]
+            his = [m[1] for a in clean for m in (mcol(a),)
+                   if m[1] is not None]
+            lo = min(los) if los else None
+            hi = max(his) if his else None
+        if dirty:
+            exprs = [F.count(F.lit(1)).alias("__n")]
+            if col is not None:
+                c = F.col(col)
+                if col_dtype(col) not in ("tinyint", "smallint", "int",
+                                          "bigint", "string"):
+                    c = c.cast("string")     # match the log's domain
+                exprs += [F.min(c).alias("__lo"), F.max(c).alias("__hi")]
+            r = self._read_files(meta, dirty).agg(*exprs).first()
+            n += r["__n"]
+            if col is not None:
+                lo = min((x for x in (lo, r["__lo"]) if x is not None),
+                         default=None)
+                hi = max((x for x in (hi, r["__hi"]) if x is not None),
+                         default=None)
+        out = {"n_rows": n, "files_metadata": len(clean),
+               "files_read": len(dirty)}
+        if col is not None:
+            out["min"], out["max"] = lo, hi
+        return out
+
     def advise_broadcast(self,
                          threshold_bytes: int = 10 * 1024 * 1024) -> dict:
         """CBO join-side advice from the analyzed stats: broadcast this
