@@ -1346,6 +1346,44 @@ def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("yoy_diff"))
 
 
+@q("ts_rolling_window",
+   """SELECT o_orderkey, o_custkey,
+             count(*) OVER w AS n_last3,
+             round(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w, 2)
+               ::DOUBLE AS sum_last3,
+             round((sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w)
+                   ::DOUBLE / (count(*) OVER w), 6) AS avg_last3,
+             min(o_totalprice) OVER w AS min_last3,
+             max(o_totalprice) OVER w AS max_last3
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""")
+def ts_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window time-series features: per-customer trailing-3-order
+    count/sum/avg/min/max — the moving-aggregate feature-engineering
+    primitive (trailing spend, rolling extremes). ONE window pass,
+    partitioned by the entity key (parallelism = customers, never a
+    global sort); the frame's total order is (date, orderkey) so ties
+    resolve identically on any engine, and the rolling sum is
+    decimal-routed with the double-domain avg division — bit-exact vs
+    the SQL oracle. At 100 TB this is one shuffle by customer; a
+    skewed entity would salt exactly like skew_salted_latest."""
+    o = t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-2, 0))
+    sdec = F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        n.alias("n_last3"),
+        F.round(sdec, 2).cast("double").alias("sum_last3"),
+        F.round(sdec.cast("double") / n, 6).alias("avg_last3"),
+        F.min("o_totalprice").over(w).alias("min_last3"),
+        F.max("o_totalprice").over(w).alias("max_last3"))
+
+
 @q("olap_time_rollup_events",
    """WITH e AS (SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, value
                  FROM events)
