@@ -143,6 +143,11 @@ BENCH_QUERIES = [
     # per-file stats, DV'd files hybrid-read) — the stats fold must stay
     # log-replay-sized, so its cost rides next to the other txn reads
     "txn_agg_pushdown",
+    # r12-new: distributed PCA (tree-aggregated Gram + broadcast
+    # projection) and the per-entity rolling-window features — two new
+    # compute families, bench-visible
+    "sim_pca_project",
+    "ts_rolling_window",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other

@@ -1249,3 +1249,33 @@ def test_semdedup_kmeans_cluster_size_bounded(spark):
     # explicit-k and missing-knob validation
     with pytest.raises(ValueError, match="target_cluster_size"):
         dedup.semdedup_kmeans(emb, "vec_id", "embedding")
+
+
+def test_pca_deterministic_and_matches_numpy(spark):
+    """Distributed PCA: the tree-aggregated Gram + decimal merge is
+    invariant to input partitioning, the explained variances equal a
+    driver-side numpy eigendecomposition of the same covariance, and
+    the projection equals the numpy matmul against the fitted basis."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    m1 = similarity.pca_fit(emb, k=4)
+    m2 = similarity.pca_fit(emb.repartition(17), k=4)
+    assert m1 == m2                               # parallelism-invariant
+
+    X = np.array([r["embedding"] for r in emb.collect()],
+                 dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    ev = np.linalg.eigvalsh((Xc.T @ Xc) / X.shape[0])
+    assert m1["explained"] == [round(float(v), 6)
+                               for v in sorted(ev)[::-1][:4]]
+
+    proj = {r["vec_id"]: r["pc"]
+            for r in similarity.pca_project(emb, m1).collect()}
+    mean = np.array(m1["mean"])
+    comps = np.array(m1["components"])
+    for r in emb.limit(5).collect():
+        want = comps @ (np.array(r["embedding"], dtype=np.float64) - mean)
+        got = proj[r["vec_id"]]
+        assert got == [round(float(v), 6) for v in want] or \
+            max(abs(g - w) for g, w in zip(got, want)) < 1e-6

@@ -641,3 +641,119 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("__rn") <= k)
             .select(query_id_col, id_col, "cosine_sim",
                     F.col("__rn").alias("rank")))
+
+
+# ------------------------------------------------------------------- PCA
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8,
+            id_col: str = "vec_id", n_parts: int = 8) -> dict:
+    """Distributed PCA fit over an embedding column — the
+    dimensionality-reduction preprocessor for embedding storage and
+    ANN (project 64-dim to k dims before indexing). The scale shape is
+    the tree-aggregated GRAM MATRIX: each partition folds its rows
+    into one d×d partial Gram + d-dim sum + count with a single numpy
+    matmul (Arrow-batched ``mapInPandas``, O(d²) output per partition
+    regardless of row count), the partials merge in one uniform
+    (i, j)-keyed aggregation (d² rows total — 4096 at d=64, metadata-
+    sized at any corpus size), and ONLY the d×d covariance
+    eigendecomposition runs on the driver. No row ever leaves the
+    executors; a 100 TB corpus costs one scan.
+
+    Determinism (what lets consumers pin goldens): the input is
+    repartitioned by ``id_col`` and sorted within partitions, so every
+    partition's numpy fold sees identical rows in identical order on
+    any run; the cross-partition merge routes through DECIMAL sums
+    (exact, order-free); eigenvector signs are fixed (largest-|x|
+    component positive) and components round to 6.
+
+    Returns ``{"mean": [d], "components": [k][d], "explained": [k]}``.
+    """
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    work = (df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+            .repartition(n_parts, id_col)
+            .sortWithinPartitions(id_col))
+    d = len(work.select("__v").first()["__v"])
+
+    out_schema = StructType([
+        StructField("n", LongType()),
+        StructField("s", ArrayType(DoubleType())),      # column sums
+        StructField("g", ArrayType(DoubleType())),      # flat d×d Gram
+    ])
+
+    def partial_gram(batches):
+        tot_n, tot_s, tot_g = 0, None, None
+        for pdf in batches:
+            x = np.asarray(list(pdf["__v"]), dtype=np.float64)
+            if x.size == 0:
+                continue
+            tot_n += x.shape[0]
+            s = x.sum(axis=0)
+            g = x.T @ x
+            tot_s = s if tot_s is None else tot_s + s
+            tot_g = g if tot_g is None else tot_g + g
+        if tot_n:
+            yield pd.DataFrame({"n": [tot_n], "s": [tot_s.tolist()],
+                                "g": [tot_g.ravel().tolist()]})
+
+    parts = work.select("__v").mapInPandas(partial_gram, out_schema)
+    # exact order-free merge in ONE pass: prepend the count as element
+    # 0, explode to (idx, val), DECIMAL-sum per idx (1 + d + d² rows)
+    flat = parts.select(
+        F.posexplode(F.concat(F.array(F.col("n").cast("double")),
+                              F.col("s"), F.col("g")))
+         .alias("__i", "__x"))
+    merged = (flat.groupBy("__i")
+              .agg(F.sum(F.col("__x").cast("decimal(38,12)"))
+                    .cast("double").alias("__x"))
+              .collect())
+    vals = [0.0] * (1 + d + d * d)
+    for r in merged:
+        vals[r["__i"]] = r["__x"]
+    n = int(vals[0])
+    s = np.asarray(vals[1:1 + d])
+    g = np.asarray(vals[1 + d:]).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    for j in order:
+        v = evecs[:, j]
+        if v[int(np.argmax(np.abs(v)))] < 0:    # sign convention
+            v = -v
+        comps.append([round(float(x), 6) for x in v])
+    return {"mean": [round(float(x), 6) for x in mean],
+            "components": comps,
+            "explained": [round(float(evals[j]), 6) for j in order]}
+
+
+def pca_project(df: DataFrame, model: dict, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Project vectors onto a fitted PCA basis: center by the model
+    mean, dot with each component — a broadcast join against the k
+    component rows (k×d floats, broadcastable at any k×d that fits a
+    model), one map-side pass over the corpus, no shuffle beyond the
+    k-row pivot. Output: (id, pc array<double> round-6)."""
+    spark = df.sparkSession
+    comps = spark.createDataFrame(
+        [(i, model["components"][i]) for i in
+         range(len(model["components"]))],
+        "pc_idx int, comp array<double>")
+    mean = F.array(*[F.lit(float(x)) for x in model["mean"]])
+    centered = df.select(
+        F.col(id_col),
+        F.zip_with(_as_double(vec_col), mean,
+                   lambda a, b: a - b).alias("__c"))
+    scored = centered.crossJoin(F.broadcast(comps)).select(
+        id_col, "pc_idx",
+        F.round(F.aggregate(
+            F.zip_with(F.col("__c"), F.col("comp"),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, v: acc + v), 6).alias("__p"))
+    return (scored.groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("pc_idx", "__p"))),
+                lambda s: s["__p"]).alias("pc")))

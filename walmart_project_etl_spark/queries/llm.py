@@ -1820,6 +1820,30 @@ af AS (
     return "".join(parts)
 
 
+@q("sim_pca_project", pinned("sim_pca_project"))
+def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/similarity.py pca_fit/pca_project):
+    the embedding dimensionality-reduction preprocessor (64→4 dims
+    before storage/ANN). Fit is ONE corpus scan — each partition folds
+    to a d×d partial Gram via an Arrow-batched numpy matmul, partials
+    merge through an exact decimal-summed (i,j) aggregation (d²+d+1
+    rows at any corpus size), and only the 64×64 eigendecomposition
+    runs on the driver; projection is a broadcast of the k components.
+    Deterministic at any parallelism (sorted partition folds + exact
+    merge + fixed eigenvector signs, proven in tests), so the golden
+    pins the full projected row set; the eigensolve itself is the
+    engine-internal step DuckDB cannot recompute."""
+    from walmart_project_etl_spark.operators.similarity import (pca_fit,
+                                                                pca_project)
+
+    emb = t(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=4)
+    proj = pca_project(emb, model)
+    return proj.select(
+        "vec_id", *[F.element_at("pc", i + 1).alias(f"pc{i + 1}")
+                    for i in range(4)])
+
+
 @q("sim_kmeans_labels",
    _kmeans_cte(k=8, iters=3)
    + "\nSELECT vec_id, cl AS cluster, cs AS centroid_sim FROM af")
