@@ -51,6 +51,9 @@ ALLOW = {
     # is a cluster-key equi-join, never all-pairs
     "dedup_semdedup": {"BroadcastNestedLoopJoin"},
     "dedup_semdedup_lsh": {"BroadcastNestedLoopJoin"},
+    # PCA projection: corpus × broadcast(k=4 component rows) — the
+    # broadcast side is the fitted basis (k×d floats), never data-sized
+    "sim_pca_project": {"BroadcastNestedLoopJoin"},
     "dedup_embedding_cosine": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     # corpus-total scalars broadcast back over the corpus (1-row side)
     "text_unigram_logprob": {"BroadcastNestedLoopJoin", "CartesianProduct",

@@ -1820,6 +1820,58 @@ af AS (
     return "".join(parts)
 
 
+@q("sim_quantize_int8",
+   """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s AS (SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) AS amax
+            FROM v),
+      q AS (SELECT vec_id, amax,
+                   CASE WHEN amax > 0 THEN
+                     CAST(round(CAST(x * 127 / amax AS DECIMAL(28,8)), 0)
+                          AS INT)
+                   ELSE 0 END AS qi
+            FROM s, unnest(e) AS u(x))
+      SELECT vec_id,
+             round(CAST(amax AS DECIMAL(28,8)), 6)::DOUBLE AS scale,
+             CAST(sum(qi) AS BIGINT) AS sum_q,
+             min(qi) AS min_q, max(qi) AS max_q,
+             CAST(sum(CASE WHEN abs(qi) = 127 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_sat
+      FROM q GROUP BY vec_id, amax""")
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar quantization of the embedding column — the standard
+    4× storage compression for a 100 TB embedding store (absmax
+    scaling: q_i = round(x_i·127/max|x|), scale stored per vector for
+    dequantization). Pure Column expressions (transform + aggregate —
+    whole-stage codegen, zero shuffle, zero UDF); the round routes
+    through DECIMAL so Spark and the oracle tie-break identically.
+    Output is the per-vector quantization summary (scale, q-sum/
+    extremes, saturation count) — exact SQL oracle; zero vectors
+    quantize to all-zero with scale 0."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = similarity._as_double("embedding")
+    amax = F.array_max(F.transform(v, F.abs))
+    qi = F.transform(
+        v, lambda x: F.when(
+            amax > 0,
+            F.round((x * 127 / amax).cast("decimal(28,8)"), 0)
+             .cast("int")).otherwise(F.lit(0)))
+    q = emb.select(
+        "vec_id",
+        F.round(amax.cast("decimal(28,8)"), 6).cast("double")
+         .alias("scale"),
+        qi.alias("__q"))
+    return q.select(
+        "vec_id", "scale",
+        F.aggregate(F.col("__q"), F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("sum_q"),
+        F.array_min("__q").alias("min_q"),
+        F.array_max("__q").alias("max_q"),
+        F.aggregate(F.col("__q"), F.lit(0).cast("long"),
+                    lambda a, x: a + (F.abs(x) == 127).cast("long"))
+         .alias("n_sat"))
+
+
 @q("sim_pca_project", pinned("sim_pca_project"))
 def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/similarity.py pca_fit/pca_project):
