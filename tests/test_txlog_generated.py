@@ -94,3 +94,35 @@ def test_merge_and_cdf_carry_generated(spark, table):
     ch = t.read_changes(0)
     assert "day" in ch.columns
     assert ch.where("day is null").count() == 0
+
+
+def test_generated_partition_filter_inference(spark, table):
+    """read_generated_range: a range predicate on the SOURCE column
+    infers the partition band through the generation expression —
+    pruned to the covered days' files, exact rows, and cyclic
+    expressions (month()) never match the monotone whitelist."""
+    t = table
+    import datetime as dt
+
+    lo = dt.datetime(2026, 1, 3)
+    hi = dt.datetime(2026, 1, 5, 23, 59, 59)
+    got = t.read_generated_range("ts", lo, hi)
+    exp = t.snapshot().where(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    assert sorted(r["k"] for r in got.collect()) == \
+        sorted(r["k"] for r in exp.collect())
+    assert got.count() > 0
+    # pruned: only the 3 covered days' files are read
+    n_live = len(t._state()[1])
+    assert 0 < len(got.inputFiles()) < n_live
+
+    # a column with no monotone generated partition refuses
+    with pytest.raises(ValueError, match="monotonically"):
+        t.read_generated_range("v", 0.0, 1.0)
+
+    # cyclic generation (month-of-year) must NOT be inferred from
+    c = TxTable(spark, str(t.root) + "_cyc")
+    c.create(_events(spark), "k", n_files=2, partition_by="m",
+             generated={"m": "month(ts)"})
+    with pytest.raises(ValueError, match="monotonically"):
+        c.read_generated_range("ts", lo, hi)

@@ -41,6 +41,7 @@ _PRIORITY = (
     "txn_agg_mv_avg_distinct",
     "dedup_semdedup_kmeans_scaled",
     "txn_agg_pushdown",
+    "txn_generated_partition_prune",
     # r5-era stale rows (last driver row 7 rounds ago)
     "text_tfidf_top_terms",
     "ts_yoy_growth",
@@ -87,10 +88,9 @@ _PRIORITY = (
     "s03_table_scan",
     "s04_parquet_sink_roundtrip",
     "s06_ddl_create_insert",
-    "s07_truncate",
 )
 #: Deferred from this window — lead the r13 rotation with the 6
-#: remaining r6-era rows: s08_drop, s09_temp_view, skew_salted_latest, stream_static_enrich,
+#: remaining r6-era rows: s07_truncate, s08_drop, s09_temp_view, skew_salted_latest, stream_static_enrich,
 #: stream_tx_upsert, text_unigram_logprob,
 #: ts_gap_fill_locf, txn_merge_fileprune, txn_time_travel — then start
 #: re-rotating the r7-era block (41 rows).

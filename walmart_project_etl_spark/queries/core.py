@@ -2373,6 +2373,53 @@ def txn_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("total")))
 
 
+@q("txn_generated_partition_prune",
+   """WITH band AS (
+        SELECT o_orderdate, o_totalprice FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND o_orderdate <= TIMESTAMP '1996-11-15 23:59:59')
+      SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+             count(*) AS n_orders,
+             round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2)::DOUBLE
+               AS total
+      FROM band GROUP BY 1""")
+def txn_generated_partition_prune(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """GENERATED-COLUMN PARTITION FILTER INFERENCE
+    (sources/txlog.py:read_generated_range — Delta's optimization): a
+    timestamp-band predicate on the SOURCE column prunes the generated
+    month partitions the caller never named — the band maps through
+    the same date_format expression the writers used, so only the
+    covered months' files are read (file counts pinned in
+    tests/test_txlog_generated.py::
+    test_generated_partition_filter_inference); the exact predicate
+    stays as the residual filter. The oracle recomputes the banded
+    month aggregate from scratch — exact."""
+    import datetime as dt
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
+                                          "o_totalprice")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_genprune")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o.where(F.col("o_orderkey") % 2 == 0), "o_orderkey",
+              n_files=4, partition_by="order_month",
+              generated={"order_month":
+                         "date_format(o_orderdate, 'yyyy-MM')"})
+    tt.append(o.where(F.col("o_orderkey") % 2 == 1))
+    band = tt.read_generated_range(
+        "o_orderdate",
+        dt.datetime(1996, 3, 1), dt.datetime(1996, 11, 15, 23, 59, 59))
+    return (band.groupBy("order_month")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(28,6)")), 2)
+                 .cast("double").alias("total")))
+
+
 @q("txn_identity_column",
    """WITH final AS (
         SELECT o_orderkey,

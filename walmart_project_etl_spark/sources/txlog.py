@@ -1051,6 +1051,75 @@ class TxTable:
         df = self._read_files(meta, files)
         return df.where(_pval_predicate(pcols, vals))
 
+    #: generation-expression shapes MONOTONE in their source column —
+    #: the inference is only sound when src_a <= src_b implies
+    #: g(src_a) <= g(src_b) (date_format with a PREFIX pattern keeps
+    #: lexical == temporal; year/to_date/date_trunc are monotone;
+    #: month()/day() alone are cyclic and must never match)
+    _MONOTONE_GEN = (
+        r"^date_format\(\s*{c}\s*,\s*'yyyy(-MM(-dd)?)?'\s*\)$",
+        r"^year\(\s*{c}\s*\)$",
+        r"^to_date\(\s*{c}\s*\)$",
+        r"^cast\(\s*{c}\s+as\s+date\s*\)$",
+        r"^date_trunc\(\s*'(year|month|week|day)'\s*,\s*{c}\s*\)$",
+    )
+
+    def read_generated_range(self, col: str, lo, hi,
+                             version: int | None = None) -> DataFrame:
+        """GENERATED-COLUMN PARTITION FILTER INFERENCE (Delta's
+        optimization): a range predicate on the SOURCE column of a
+        generated partition column prunes partitions the caller never
+        named — ``WHERE ts BETWEEN lo AND hi`` on a table partitioned
+        by ``month = date_format(ts, 'yyyy-MM')`` reads only the
+        months [g(lo), g(hi)]. Sound only for generation expressions
+        MONOTONE in the source (whitelisted shapes above; cyclic
+        month()/day() never match). The bounds are evaluated through
+        THE SAME engine expression the writers used (one 2-row local
+        job), so the inferred band can never disagree with the stored
+        pvals; the exact predicate stays as a residual filter. At
+        100 TB this turns every timestamp-band query into a
+        partition-pruned read without the caller knowing the partition
+        scheme exists. Pinned in tests/test_txlog_generated.py."""
+        meta, live = self._state(version, self._read_mode(version))
+        if meta is None:
+            raise FileNotFoundError(f"no table at {self.root}")
+        pcols = _meta_parts(meta) or []
+        gen = meta.get("generated") or {}
+        target = None
+        cpat = re.escape(col)
+        for g in pcols:
+            expr = (gen.get(g) or "").strip()
+            if any(re.match(p.format(c=cpat), expr, re.IGNORECASE)
+                   for p in self._MONOTONE_GEN):
+                target = g
+                break
+        if target is None:
+            raise ValueError(
+                f"no partition column of {self.root} is generated "
+                f"monotonically from '{col}' (generated: {gen}, "
+                f"partition_by: {pcols})")
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        src_type = {f.name: f.dataType for f in schema.fields}[col]
+        bounds = self.spark.createDataFrame(
+            [(lo,), (hi,)], StructType([StructField(col, src_type)]))
+        vals = [r["__g"] for r in
+                bounds.select(F.expr(gen[target]).alias("__g"))
+                .collect()]
+        g_lo, g_hi = min(vals), max(vals)
+        idx = pcols.index(target)
+
+        def pv(a):
+            v = a.get("pval")
+            if v is None:
+                return None                  # pre-partitioning file
+            return v[idx] if isinstance(v, list) else v
+
+        files = [a for a in live.values()
+                 if pv(a) is None or g_lo <= pv(a) <= g_hi]
+        df = self._read_files(meta, files)
+        return df.where((F.col(col) >= F.lit(lo))
+                        & (F.col(col) <= F.lit(hi)))
+
     def read_where(self, partitions=None, key_lo=None, key_hi=None,
                    stats: dict | None = None,
                    not_null: list[str] | None = None,
