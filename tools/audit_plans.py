@@ -34,6 +34,11 @@ ALLOW = {
     # truth's per-query top-k window over a bounded (25-query) set
     "sim_recall_report": {"BroadcastNestedLoopJoin",
                           "Exchange SinglePartition (non-scalar result)"},
+    # same shape: brute truth + two compressed-tier brute scans, count
+    # scalars crossJoined, plus the PCA basis broadcast (4-32 rows)
+    "sim_compressed_recall_report": {
+        "BroadcastNestedLoopJoin", "CartesianProduct",
+        "Exchange SinglePartition (non-scalar result)"},
     "pipe_j03_a04_quality_gates": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     # broadcast literal parameter grids (bounded by n_groups × n_draws)
     "clean_winsorize": {"BroadcastNestedLoopJoin"},

@@ -48,6 +48,7 @@ _PRIORITY = (
     "ts_rolling_window",
     "sim_pca_project",
     "sim_quantize_int8",
+    "sim_compressed_recall_report",
     # r6-era rotation, first 44 of 49
     "a02_groupby_first",
     "a03_distinct_count_per_group",
@@ -87,10 +88,9 @@ _PRIORITY = (
     "s02_empty_string_to_null",
     "s03_table_scan",
     "s04_parquet_sink_roundtrip",
-    "s06_ddl_create_insert",
 )
 #: Deferred from this window — lead the r13 rotation with the 6
-#: remaining r6-era rows: s07_truncate, s08_drop, s09_temp_view, skew_salted_latest, stream_static_enrich,
+#: remaining r6-era rows: s06_ddl_create_insert, s07_truncate, s08_drop, s09_temp_view, skew_salted_latest, stream_static_enrich,
 #: stream_tx_upsert, text_unigram_logprob,
 #: ts_gap_fill_locf, txn_merge_fileprune, txn_time_travel — then start
 #: re-rotating the r7-era block (41 rows).

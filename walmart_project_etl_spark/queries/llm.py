@@ -382,6 +382,72 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row("ivf", ivf).unionByName(row("lsh", lsh))
 
 
+@q("sim_compressed_recall_report",
+   """SELECT 'int8' AS algo, 10 AS k,
+             CAST(25 AS BIGINT) AS n_queries, CAST(250 AS BIGINT) AS n_truth,
+             CAST(249 AS BIGINT) AS n_hits
+      UNION ALL
+      SELECT 'pca32_int8', 10, CAST(25 AS BIGINT), CAST(250 AS BIGINT),
+             CAST(125 AS BIGINT)""")
+def sim_compressed_recall_report(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The COMPRESSED-SERVING quality gate: recall@10 of brute cosine
+    over DEQUANTIZED compressed embeddings against the full-precision
+    truth, on the same seeded query batch as sim_recall_report — two
+    compression tiers, both via operators/similarity.py:
+
+    - ``int8``: absmax INT8 at full 64 dims (sim_quantize_int8's
+      recipe, 4× storage) — recall 249/250 = 0.996: quantization noise
+      is far below the neighbor margins;
+    - ``pca32_int8``: PCA to 32 dims then INT8 (8× storage) —
+      125/250 = 0.50, HONESTLY pessimal: the synthetic embeddings are
+      near-isotropic (the pca_fit eigen-spectrum is flat, ~0.026-0.029
+      each), so half the variance lives in the dropped 32 dims. Real
+      text-embedding spectra decay fast and keep far more; the row
+      exists so any regression in the fit's exact merge, the sign
+      convention, or the quantizer moves a pinned count, and so the
+      isotropic-data cliff is measured rather than assumed.
+
+    Same pinned-environment caveat as the other recall golden."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 7) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    truth = similarity.cosine_topk(emb, queries, k=10) \
+                      .select("query_id", "vec_id")
+    base = truth.agg(F.countDistinct("query_id").alias("n_queries"),
+                     F.count(F.lit(1)).alias("n_truth"))
+
+    def dequant(src: DataFrame, vcol: str) -> DataFrame:
+        amax = F.array_max(F.transform(F.col(vcol), F.abs))
+        deq = F.transform(
+            F.col(vcol),
+            lambda x: F.when(
+                amax > 0,
+                F.round((x * 127 / amax).cast("decimal(28,8)"), 0)
+                 .cast("int") * amax / 127).otherwise(F.lit(0.0)))
+        return src.select("vec_id", deq.alias("embedding"))
+
+    def row(algo: str, comp: DataFrame) -> DataFrame:
+        cq = comp.where(F.col("vec_id") % 20 == 7) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+        approx = similarity.cosine_topk(comp, cq, k=10) \
+                           .select("query_id", "vec_id")
+        hits = truth.join(approx, ["query_id", "vec_id"], "semi")
+        return (base.crossJoin(hits.agg(F.count(F.lit(1))
+                                        .alias("n_hits")))
+                .select(F.lit(algo).alias("algo"), F.lit(10).alias("k"),
+                        "n_queries", "n_truth", "n_hits"))
+
+    full = emb.select("vec_id",
+                      similarity._as_double("embedding")
+                      .alias("embedding"))
+    proj = similarity.pca_project(
+        emb, similarity.pca_fit(emb, k=32)) \
+        .select("vec_id", F.col("pc").alias("embedding"))
+    return row("int8", dequant(full, "embedding")) \
+        .unionByName(row("pca32_int8", dequant(proj, "embedding")))
+
+
 @q("text_quality_classifier_report",
    """SELECT 0 AS label, 0 AS prediction, CAST(65 AS BIGINT) AS n
       UNION ALL SELECT 0, 1, CAST(3 AS BIGINT)
