@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     "pipe_dsir_select_pack",
     "sim_kmeans_labels",
     "dedup_semdedup_kmeans",
+    # r12: the k ∝ N scale twin (derived k, broadcast-join assignment)
+    # — the pair-cost-vs-k tradeoff must be bench-visible next to the
+    # fixed-k oracle anchor above
+    "dedup_semdedup_kmeans_scaled",
     # r12-new: the avg/approx-distinct MV (HLL union + sketch-recompute
     # fallback riding the same refresh loop) — sketch-maintenance cost
     # regressions must be bench-visible next to the count/sum/minmax MVs
