@@ -1279,3 +1279,32 @@ def test_pca_deterministic_and_matches_numpy(spark):
         got = proj[r["vec_id"]]
         assert got == [round(float(v), 6) for v in want] or \
             max(abs(g - w) for g, w in zip(got, want)) < 1e-6
+
+
+def test_duplicate_spans_marks_and_merges(spark):
+    # docs 1 and 2 share a 10-token run -> with width=4 every window in
+    # the run duplicates; the marks must merge into ONE maximal span each
+    shared = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(1, f"x1 y1 {shared} z1"),
+         (2, f"{shared} q2 r2 s2"),
+         (3, "totally unrelated words only here once now")],
+        "doc_id int, text string")
+    spans = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in dedup.duplicate_spans(df, width=4).collect()}
+    # doc 1: shared run occupies tokens 2..11; doc 2: tokens 0..9
+    assert spans == {(1, 2, 11), (2, 0, 9)}
+
+
+def test_remove_duplicate_spans_cuts_all_copies(spark):
+    shared = "a b c d e f"
+    df = spark.createDataFrame(
+        [(1, f"p q {shared}"), (2, f"{shared} u v"),
+         (3, "w x y z only once")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.remove_duplicate_spans(df, width=6).collect()}
+    assert out[1]["clean_text"] == "p q" and out[1]["n_removed"] == 6
+    assert out[2]["clean_text"] == "u v" and out[2]["n_removed"] == 6
+    assert out[3]["clean_text"] == "w x y z only once"
+    assert out[3]["n_removed"] == 0 and out[3]["n_tokens"] == 6

@@ -1040,3 +1040,104 @@ def semdedup_lsh(df: DataFrame, id_col: str, vec_col: str,
                      "__csa", "__csb", "__va", "__vb")
              .dropDuplicates(["__ida", "__idb"]))
     return _semdedup_resolve(av, cands, id_col, threshold)
+
+
+# --------------------------------------------------- exact-substring span dedup
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", width: int = 8,
+                    hash_fn: str = "xxhash64") -> DataFrame:
+    """Corpus-duplicated token spans per document (ExactSubstr dedup,
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — the suffix-array pass re-expressed relationally).
+
+    Every window of ``width`` whitespace tokens becomes one shingle row
+    (stride 1, so the shingle table is O(total corpus tokens) — the same
+    order as the corpus itself, built by a narrow in-row ``transform`` +
+    ``explode``, no self-join). A shingle that occurs more than once
+    ANYWHERE in the corpus marks token interval [pos, pos+width) in every
+    document containing it; overlapping marks merge into maximal spans via
+    the gaps-and-islands window (one shuffle on ``id_col``).
+
+    Scale: the duplicate-shingle set is tiny relative to the corpus (dups
+    are the exception), so after the one hash-keyed groupBy the semi-join
+    back is broadcast-eligible under AQE. ``hash_fn='xxhash64'`` (default)
+    groups on a 64-bit key — 8 shuffle bytes/shingle; ``'md5'`` groups on
+    the 128-bit md5 hex so a SQL oracle (DuckDB) reproduces bucketing
+    bit-for-bit. Collisions merely over-mark a span; at 64 bits the odds
+    are ~n²/2⁶⁵.
+
+    Returns (id_col, span_start, span_end) — token positions, 0-based
+    inclusive, one row per maximal duplicated span.
+    """
+    toks = df.select(
+        id_col,
+        F.filter(F.split(F.col(text_col), r"\s+"),
+                 lambda x: x != "").alias("__w"))
+    shingle = F.array_join(
+        F.slice("__w", F.col("__i") + 1, width), " ")
+    key = (F.xxhash64(shingle) if hash_fn == "xxhash64"
+           else F.md5(shingle))
+    sh = (toks.where(F.size("__w") >= width)
+              .select(id_col, "__w",
+                      F.explode(F.sequence(
+                          F.lit(0), F.size("__w") - width)).alias("__i"))
+              .select(id_col, F.col("__i").alias("pos"),
+                      key.alias("__h")))
+    dup = sh.groupBy("__h").count().where(F.col("count") > 1).select("__h")
+    marked = sh.join(dup, "__h", "left_semi").select(
+        id_col, F.col("pos").alias("__s"),
+        (F.col("pos") + width - 1).alias("__e"))
+    w_prev = (Window.partitionBy(id_col).orderBy("__s")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = Window.partitionBy(id_col).orderBy("__s")
+    islands = (marked
+               .withColumn("__pmax", F.max("__e").over(w_prev))
+               .withColumn("__brk", F.when(
+                   F.col("__s") > F.coalesce("__pmax", F.lit(-1)), 1)
+                   .otherwise(0))
+               .withColumn("__gid", F.sum("__brk").over(w_run)))
+    return (islands.groupBy(id_col, "__gid")
+            .agg(F.min("__s").alias("span_start"),
+                 F.max("__e").alias("span_end"))
+            .drop("__gid"))
+
+
+def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", width: int = 8,
+                           hash_fn: str = "xxhash64") -> DataFrame:
+    """Cut every corpus-duplicated ``width``-token span out of each
+    document (the ExactSubstr removal policy: drop ALL copies of a
+    duplicated substring; Lee et al. 2022 §4).
+
+    Tokens covered by a :func:`duplicate_spans` interval are dropped via a
+    per-document range join (equi on ``id_col`` — a sort-merge join keyed
+    on the doc, never a cartesian) and the survivors reassemble in
+    position order with ``array_sort`` + ``array_join`` (in-row, no
+    second window sort).
+
+    Returns (id_col, clean_text, n_tokens, n_removed); documents with no
+    duplicated spans pass through with n_removed = 0.
+    """
+    spans = duplicate_spans(df, text_col, id_col, width, hash_fn)
+    toks = (df.select(
+                id_col,
+                F.filter(F.split(F.col(text_col), r"\s+"),
+                         lambda x: x != "").alias("__w"))
+              .select(id_col, F.posexplode("__w").alias("pos", "tok")))
+    sp = spans.select(F.col(id_col).alias("__sid"),
+                      "span_start", "span_end")
+    joined = toks.join(
+        sp, (toks[id_col] == sp["__sid"])
+        & (toks["pos"] >= sp["span_start"])
+        & (toks["pos"] <= sp["span_end"]), "left")
+    return (joined.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.when(
+                             F.col("__sid").isNull(),
+                             F.struct("pos", "tok")))),
+                         lambda s: s["tok"]), " ").alias("clean_text"),
+                 F.count("*").alias("n_tokens"),
+                 F.sum(F.when(F.col("__sid").isNotNull(), 1)
+                       .otherwise(0)).alias("n_removed")))

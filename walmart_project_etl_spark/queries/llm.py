@@ -2074,3 +2074,79 @@ def dedup_semdedup_kmeans_scaled(spark: SparkSession,
                                 iters=2)
     return out.select("vec_id", F.col("cluster").cast("long")
                       .alias("cluster"), "centroid_sim", "kept")
+
+
+# ------------------------------------------- exact-substring span dedup (r12)
+
+#: shared tokenize + shingle CTE for the span-dedup oracles — mirrors the
+#: operator exactly: whitespace split, empty tokens dropped, stride-1
+#: windows of 8 tokens, md5 grouping (the sql_compatible hash path).
+_SPAN_CTE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(w) AS tok,
+         unnest(range(len(w))) AS pos
+  FROM toks),
+sh AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(w[i+1:i+8], ' ')) AS h
+  FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i
+        FROM toks WHERE len(w) >= 8)),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+marked AS (
+  SELECT doc_id, pos AS s, pos + 7 AS e
+  FROM sh WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                  PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM marked),
+spans AS (
+  SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+  FROM (SELECT doc_id, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+        FROM isl)
+  GROUP BY doc_id, gid)
+"""
+
+
+@q("dedup_span_marks", _SPAN_CTE + """
+SELECT doc_id, span_start, span_end FROM spans""")
+def dedup_span_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span marking (Lee et al. 2022): maximal token spans
+    covered by any 8-token window occurring more than once anywhere in
+    the corpus. Shingling is a narrow in-row transform (O(corpus
+    tokens), no self-join); the duplicate set comes from one hash-keyed
+    groupBy and joins back broadcast-style under AQE. md5 hash path so
+    the DuckDB oracle reproduces bucketing exactly."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, "text", "doc_id", width=8,
+                                 hash_fn="md5")
+
+
+@q("dedup_span_removal", _SPAN_CTE + """
+SELECT p.doc_id,
+       coalesce(string_agg(CASE WHEN sp.span_start IS NULL THEN p.tok END,
+                           ' ' ORDER BY p.pos), '') AS clean_text,
+       count(*) AS n_tokens,
+       sum(CASE WHEN sp.span_start IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_removed
+FROM pos p
+LEFT JOIN spans sp
+  ON p.doc_id = sp.doc_id AND p.pos BETWEEN sp.span_start AND sp.span_end
+GROUP BY p.doc_id""")
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal policy: cut EVERY copy of each duplicated
+    8-token span out of each document and reassemble the survivors in
+    position order (Lee et al. 2022 §4 — dropping all copies, not
+    keeping one canonical, is what the paper ships for training data).
+    The span→token application is an equi-join on doc_id with a range
+    predicate — sort-merge keyed on the document, never cartesian."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(docs, "text", "doc_id", width=8,
+                                        hash_fn="md5")
