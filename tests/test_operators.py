@@ -1308,3 +1308,33 @@ def test_remove_duplicate_spans_cuts_all_copies(spark):
     assert out[2]["clean_text"] == "u v" and out[2]["n_removed"] == 6
     assert out[3]["clean_text"] == "w x y z only once"
     assert out[3]["n_removed"] == 0 and out[3]["n_tokens"] == 6
+
+
+def test_cms_never_underestimates(spark):
+    from walmart_project_etl_spark.operators import sketch
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(500)], "item long")
+    sk = sketch.cms_sketch(df, "item", depth=4, width=16)
+    true = {r["item"]: r["cnt"] for r in
+            df.groupBy("item").agg(F.count("*").alias("cnt")).collect()}
+    est = {r["item"]: r["cms_est"] for r in sketch.cms_estimate(
+        sk, df.select("item").distinct(), "item",
+        depth=4, width=16).collect()}
+    assert all(est[i] >= true[i] for i in true)  # CMS one-sided error
+    # sketch state is bounded by the grid, not the input
+    assert sk.count() <= 4 * 16
+
+
+def test_kmv_exact_below_k_and_close_above(spark):
+    from walmart_project_etl_spark.operators import sketch
+    df = spark.createDataFrame(
+        [("small", i) for i in range(10)]
+        + [("big", i) for i in range(2000)], "g string, item long")
+    out = {r["g"]: r for r in
+           sketch.kmv_distinct(df, "item", ["g"], k=64).collect()}
+    assert out["small"]["kmv_est"] == 10.0  # below k -> exact
+    assert out["small"]["n_kept"] == 10
+    assert abs(out["big"]["kmv_est"] - 2000) / 2000 < 0.35  # ~1/sqrt(k)
+    # global (ungrouped) path: TakeOrdered bottom-k, no window
+    g = sketch.kmv_distinct(df, "item", None, k=64).collect()
+    assert len(g) == 1 and abs(g[0]["kmv_est"] - 2000) / 2000 < 0.35

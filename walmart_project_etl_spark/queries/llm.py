@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from walmart_project_etl_spark.operators import (dedup, events, multimodal,
-                                                 similarity, text)
+                                                 similarity, sketch, text)
 
 from .util import dsum, events_dir, events_t, pinned, t
 
@@ -2150,3 +2150,72 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return dedup.remove_duplicate_spans(docs, "text", "doc_id", width=8,
                                         hash_fn="md5")
+
+
+# ------------------------------------------------- sketch family (r12)
+
+@q("sketch_cms_heavy_hitters", """
+WITH it AS (SELECT user_id::VARCHAR AS item FROM events
+            WHERE user_id IS NOT NULL),
+cells AS (
+  SELECT row, ('0x' || substr(md5(row::VARCHAR || ':' || item), 1, 15))
+             ::BIGINT % 256 AS bucket, count(*) AS cnt
+  FROM (SELECT item, unnest(range(4)) AS row FROM it)
+  GROUP BY row, bucket),
+probes AS (
+  SELECT user_id, user_id::VARCHAR AS item, unnest(range(4)) AS row
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)),
+pb AS (
+  SELECT user_id, row,
+         ('0x' || substr(md5(row::VARCHAR || ':' || item), 1, 15))
+             ::BIGINT % 256 AS bucket
+  FROM probes),
+est AS (
+  SELECT user_id, min(coalesce(cnt, 0))::BIGINT AS cms_est
+  FROM pb LEFT JOIN cells USING (row, bucket) GROUP BY user_id)
+SELECT e.user_id, e.cms_est, t.true_cnt
+FROM est e
+JOIN (SELECT user_id, count(*) AS true_cnt FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id) t USING (user_id)
+WHERE e.cms_est >= 100""")
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: users whose CMS-estimated event count
+    clears a phi=1% support threshold, alongside the true count (the
+    estimate never under-counts — collisions only inflate). The sketch is
+    a bounded 4x256 grid built map-side-combined in one shuffle, then
+    broadcast to the probe join: at 100 TB the exact per-user GROUP BY
+    this replaces is the shuffle bottleneck, the sketch is O(1) state."""
+    ev = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    sk = sketch.cms_sketch(ev, "user_id", depth=4, width=256)
+    users = ev.select("user_id").distinct()
+    est = sketch.cms_estimate(sk, users, "user_id", depth=4, width=256)
+    true_cnt = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    return (est.join(true_cnt, "user_id")
+            .where(F.col("cms_est") >= 100)
+            .select("user_id", "cms_est", "true_cnt"))
+
+
+@q("sketch_kmv_distinct_users", """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT event_type, hh,
+             row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+      FROM h),
+a AS (SELECT event_type, count(*) AS n_kept, max(hh) AS hk
+      FROM r WHERE rn <= 32 GROUP BY event_type)
+SELECT event_type,
+       CASE WHEN n_kept < 32 THEN n_kept::DOUBLE
+            ELSE round(31.0 * 1152921504606846976.0 / hk::DOUBLE, 4)
+       END AS kmv_est,
+       n_kept
+FROM a""")
+def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-user estimate per event type: k=32 smallest
+    60-bit hashes per group; exact below k, (k-1)/r_k above. The per-group
+    state is 32 longs and MERGEABLE (union = re-take bottom-k), which is
+    the scalable stand-in for COUNT(DISTINCT) across 100 TB shards; the
+    md5-prefix hash makes DuckDB reproduce the estimate bit-for-bit."""
+    ev = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return sketch.kmv_distinct(ev, "user_id", ["event_type"], k=32)
