@@ -265,3 +265,30 @@ def test_operators_tolerate_empty_input(spark):
     state = incremental.agg_state(empty_li, ["l_returnflag"], "x")
     merged = incremental.merge_agg_state(state, state, ["l_returnflag"])
     assert incremental.finalize(merged, ["l_returnflag"]).count() == 0
+
+
+def test_ewma_matches_pandas_recursion(spark):
+    import pandas as pd
+    from walmart_project_etl_spark.operators.timeseries import ewma
+    xs = [10.0, 12.0, 8.0, 20.0, 15.0]
+    df = spark.createDataFrame(
+        [("u", i, x) for i, x in enumerate(xs)], "k string, t int, x double")
+    out = ewma(df, "k", ["t"], "x", alpha=0.3).collect()[0]
+    expect = pd.Series(xs).ewm(alpha=0.3, adjust=False).mean().iloc[-1]
+    assert out["n_points"] == 5
+    assert abs(out["ewma"] - expect) < 1e-6
+
+
+def test_rolling_zscore_flags_only_the_spike(spark):
+    from walmart_project_etl_spark.operators.timeseries import \
+        rolling_zscore_anomalies
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 100.0, 10.1, 9.9]
+    df = spark.createDataFrame(
+        [("u", i, v) for i, v in enumerate(vals)], "k string, t int, x double")
+    out = rolling_zscore_anomalies(df, "k", ["t"], "x",
+                                   lookback=10, min_n=5, z_cut=3.0)
+    rows = out.collect()
+    # only the spike flags: it inflates the trailing sigma of its
+    # successors, which therefore stay within 3 sigma of their baseline
+    assert [r["t"] for r in rows] == [7]
+    assert rows[0]["zscore"] > 3

@@ -65,3 +65,75 @@ def gap_fill_forward(df: DataFrame, group_cols: list[str], date_col: str,
               for v in value_cols]
     return joined.select(*group_cols, date_col, *filled,
                          F.coalesce("__obs", F.lit(False)).alias("is_observed"))
+
+
+def ewma(df: DataFrame, entity_col: str, order_cols: list[str],
+         value_col: str, alpha: float = 0.2) -> DataFrame:
+    """Exponentially-weighted moving average per entity, final value:
+    s_0 = x_0, s_t = (1-alpha)*s_{t-1} + alpha*x_t (pandas ewm
+    adjust=False semantics).
+
+    The recursion is inherently sequential per entity, so it runs as ONE
+    in-row fold: collect the entity's ordered series into an array
+    (one shuffle on the entity key), then ``aggregate()`` folds it
+    left-to-right inside the row — no window re-scan per step, no Python.
+    DuckDB's ``list_reduce`` folds in the identical order, so the result
+    is bit-exact across engines (same IEEE ops, same sequence).
+
+    Scale: per-entity series must fit one array (~millions of points is
+    fine); pathologically long entities would segment the fold by time
+    block and chain s across blocks — same recursion, bounded arrays.
+
+    Returns (entity_col, n_points, ewma double round-6).
+    """
+    ordered = (df.groupBy(entity_col)
+               .agg(F.array_sort(F.collect_list(F.struct(
+                       *[F.col(c) for c in order_cols],
+                       F.col(value_col).cast("double").alias("__x"))))
+                    .alias("__s")))
+    xs = F.transform("__s", lambda s: s["__x"])
+    fold = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha))
+    return ordered.select(
+        entity_col, F.size("__s").alias("n_points"),
+        F.round(fold, 6).alias("ewma"))
+
+
+def rolling_zscore_anomalies(df: DataFrame, entity_col: str,
+                             order_cols: list[str], value_col: str,
+                             lookback: int = 10, min_n: int = 5,
+                             z_cut: float = 3.0) -> DataFrame:
+    """Streaming-style anomaly detection: each point scored against the
+    mean/stddev of its own trailing ``lookback`` points (current row
+    EXCLUDED — the anomaly must not contaminate its own baseline).
+
+    Moments come from decimal-domain Σx and Σx² over the frame, so the
+    window aggregation is exact and engine-order-independent; the final
+    μ/σ/z arithmetic drops to double with an identical expression shape
+    on both engines. One window pass partitioned by entity — at 100 TB
+    this is a single shuffle on the entity key.
+
+    Returns the anomalous rows: (entity, order_cols..., value, zscore
+    round-4) where the trailing baseline has ≥ ``min_n`` points, positive
+    variance, and |z| > ``z_cut``.
+    """
+    w = (Window.partitionBy(entity_col).orderBy(*order_cols)
+         .rowsBetween(-lookback, -1))
+    xd = F.col(value_col).cast("decimal(18,6)")
+    sx = F.sum(xd).over(w).cast("double")
+    sxx = F.sum(xd * xd).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    scored = df.select(
+        entity_col, *order_cols, F.col(value_col),
+        n.alias("__n"), sx.alias("__sx"), sxx.alias("__sxx"))
+    mu = F.col("__sx") / F.col("__n")
+    var = (F.col("__sxx") - F.col("__sx") * F.col("__sx") / F.col("__n")) \
+        / (F.col("__n") - 1)
+    z = (F.col(value_col) - mu) / F.sqrt(var)
+    return (scored
+            .where((F.col("__n") >= min_n) & (var > 0)
+                   & (F.abs(z) > z_cut))
+            .select(entity_col, *order_cols, value_col,
+                    F.round(z, 4).alias("zscore")))

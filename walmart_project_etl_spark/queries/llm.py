@@ -2219,3 +2219,52 @@ def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-prefix hash makes DuckDB reproduce the estimate bit-for-bit."""
     ev = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     return sketch.kmv_distinct(ev, "user_id", ["event_type"], k=32)
+
+
+# -------------------------------------------- time-series analytics (r12)
+
+@q("ts_ewma_value", """
+WITH s AS (
+  SELECT user_id, array_agg(value ORDER BY ts, event_id) AS xs,
+         count(*) AS n_points
+  FROM events GROUP BY user_id)
+SELECT user_id, n_points,
+       round(list_reduce(xs, (acc, x) -> acc * 0.8 + x * 0.2), 6) AS ewma
+FROM s""")
+def ts_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value
+    (alpha=0.2, pandas adjust=False recursion). The inherently sequential
+    recursion runs as one in-row array fold after a single shuffle on the
+    entity — no per-step window rescan, no Python; DuckDB's list_reduce
+    folds in the identical order so the double is bit-exact."""
+    from walmart_project_etl_spark.operators import timeseries
+    ev = t(spark, sf_dir, "events")
+    return timeseries.ewma(ev, "user_id", ["ts", "event_id"], "value",
+                           alpha=0.2)
+
+
+@q("ts_anomaly_zscore", """
+WITH sc AS (
+  SELECT user_id, ts, event_id, value,
+         count(*) OVER w AS n,
+         (sum(CAST(value AS DECIMAL(18,6))) OVER w)::DOUBLE AS sx,
+         (sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+            OVER w)::DOUBLE AS sxx
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+SELECT user_id, ts, event_id, value,
+       round((value - sx/n) / sqrt((sxx - sx*sx/n)/(n-1)), 4) AS zscore
+FROM sc
+WHERE n >= 5 AND (sxx - sx*sx/n)/(n-1) > 0
+  AND abs((value - sx/n) / sqrt((sxx - sx*sx/n)/(n-1))) > 3""")
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each event scored against the
+    mean/stddev of its user's previous ≤10 events (current row excluded
+    so the outlier can't raise its own baseline); |z| > 3 flags. Moments
+    are decimal-exact window sums; one shuffle on the user key."""
+    from walmart_project_etl_spark.operators import timeseries
+    ev = t(spark, sf_dir, "events")
+    return timeseries.rolling_zscore_anomalies(
+        ev, "user_id", ["ts", "event_id"], "value",
+        lookback=10, min_n=5, z_cut=3.0)
