@@ -1338,3 +1338,24 @@ def test_kmv_exact_below_k_and_close_above(spark):
     # global (ungrouped) path: TakeOrdered bottom-k, no window
     g = sketch.kmv_distinct(df, "item", None, k=64).collect()
     assert len(g) == 1 and abs(g[0]["kmv_est"] - 2000) / 2000 < 0.35
+
+
+def test_ivfpq_recall_and_precision_floor(spark):
+    """IVF-PQ residual ANN: recall@10 vs brute truth must clear 0.7 at
+    the shipped defaults (sweep in the operator docstring measured
+    0.78); output is exact-cosine re-ranked so similarity values are
+    true cosines, and ranks are dense 1..k."""
+    from walmart_project_etl_spark.operators import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 100 == 7) \
+           .select(F.col("vec_id").alias("query_id"), "embedding")
+    truth = {(r["query_id"], r["vec_id"])
+             for r in S.cosine_topk(emb, q, k=10).collect()}
+    rows = S.ivfpq_ann_topk(emb, q, k=10).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in rows}
+    assert len(truth & got) / len(truth) >= 0.7
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_q.values())

