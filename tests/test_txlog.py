@@ -2662,3 +2662,76 @@ def test_agg_pushdown_metadata_only_and_dv_hybrid(spark, tmp_path):
     n.create(df, "k", n_files=2, stats_cols=["tag"])
     r = n.agg_pushdown("tag")
     assert r["n_rows"] == 10 and r["min"] is None and r["max"] is None
+
+
+def test_merge_lost_race_disjoint_append_avoids_rerun(spark, orders, tmp_path):
+    """WriteSerializable classification: a merge that loses its commit
+    race to a DISJOINT blind append re-commits its already-written
+    rewrite at the new head — the data plane runs exactly once."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey")
+    other = TxTable(spark, str(tmp_path / "t"))
+    far = spark.createDataFrame(
+        [(10 ** 12 + i, 1, 9.9, "N") for i in range(3)], orders.schema)
+
+    state = {"raced": False, "writes": 0}
+    real_commit, real_write = t._commit, t._write_files
+
+    def racing_commit(actions, v):
+        if not state["raced"]:
+            state["raced"] = True
+            other.append(far)              # steals version v
+        return real_commit(actions, v)
+
+    def counting_write(*a, **k):
+        state["writes"] += 1
+        return real_write(*a, **k)
+
+    t._commit, t._write_files = racing_commit, counting_write
+    updates = orders.where("o_orderkey % 100 = 7") \
+                    .withColumn("o_totalprice", F.lit(2.5))
+    stats = t.merge_upsert(updates)
+    assert stats.get("rerun_avoided") is True
+    assert state["writes"] == 1            # rewrite ran ONCE
+    got = t.snapshot()
+    expected = (orders.join(updates.select("o_orderkey"), "o_orderkey",
+                            "left_anti")
+                .unionByName(updates).unionByName(far))
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _rows(got, cols) == _rows(expected, cols)
+
+
+def test_merge_lost_race_overlapping_append_reruns(spark, orders, tmp_path):
+    """A concurrent append whose file MAY contain one of the merge's
+    keys is a real conflict: the merge re-runs against the winner's
+    snapshot, so the appended duplicate key is absorbed by the rewrite
+    (update wins, no duplicate row survives)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey")
+    other = TxTable(spark, str(tmp_path / "t"))
+    dup = spark.createDataFrame([(107, 1, 0.01, "N")], orders.schema)
+
+    state = {"raced": False, "writes": 0}
+    real_commit, real_write = t._commit, t._write_files
+
+    def racing_commit(actions, v):
+        if not state["raced"]:
+            state["raced"] = True
+            other.append(dup)
+        return real_commit(actions, v)
+
+    def counting_write(*a, **k):
+        state["writes"] += 1
+        return real_write(*a, **k)
+
+    t._commit, t._write_files = racing_commit, counting_write
+    updates = orders.where("o_orderkey % 100 = 7") \
+                    .withColumn("o_totalprice", F.lit(2.5))
+    stats = t.merge_upsert(updates)
+    assert "rerun_avoided" not in stats
+    assert state["writes"] == 2            # conflict -> full re-run
+    got = t.snapshot()
+    # the raced-in duplicate of key 107 was absorbed by the re-run
+    assert got.where("o_orderkey = 107").count() == 1
+    assert got.where("o_orderkey = 107").collect()[0]["o_totalprice"] == 2.5
+    assert got.count() == orders.count()

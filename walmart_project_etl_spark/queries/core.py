@@ -2603,3 +2603,46 @@ def txn_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("note", F.col("o_orderstatus"))
               .drop("o_orderstatus"))
     return tt.read_where(not_null=["note"])
+
+
+@q("txn_concurrent_disjoint_writers",
+   f"""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                            o_orderstatus FROM orders),
+      u AS (SELECT * FROM {_TXN_UPDATES_SQL} updates)
+      SELECT * FROM base ANTI JOIN u USING (o_orderkey)
+      UNION ALL SELECT * FROM u
+      UNION ALL SELECT * FROM (VALUES
+        (1000000000001, 1, 9.9, 'N'), (1000000000002, 1, 9.9, 'N'),
+        (1000000000003, 1, 9.9, 'N'))
+        AS far(o_orderkey, o_custkey, o_totalprice, o_orderstatus)""")
+def txn_concurrent_disjoint_writers(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Two writers race one table: a blind append of key-DISJOINT rows
+    steals the merge's commit slot at exactly the lost-update window
+    (deterministically, via the table's one-shot pre-commit race hook).
+    The merge then classifies the interleaved commit under the
+    WriteSerializable rule (sources/txlog.py:_retry_if_disjoint — the
+    appended file's [kmin,kmax]+bloom cannot contain any merge key),
+    re-commits its already-written rewrite at the new head, and SKIPS
+    the data-plane re-run; the query raises if the fast path didn't
+    take, so the driver's green row proves both the semantics and the
+    optimization. Final state = merge result ∪ appended rows, exact
+    against the SQL oracle."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o, updates = _txn_updates(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_race")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o, "o_orderkey", n_files=8)
+    other = TxTable(spark, root)
+    far = spark.createDataFrame(
+        [(1000000000001, 1, 9.9, "N"), (1000000000002, 1, 9.9, "N"),
+         (1000000000003, 1, 9.9, "N")], o.schema)
+    tt._pre_commit_hook = lambda: other.append(far)
+    stats = tt.merge_upsert(updates)
+    if not stats.get("rerun_avoided"):
+        raise ValueError(f"expected the disjoint-append fast path: {stats}")
+    return tt.snapshot()

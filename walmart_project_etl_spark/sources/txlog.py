@@ -381,6 +381,12 @@ class TxTable:
         # {"txn": id, "decision": path} ref, and replay applies own
         # undecided pendings (read-your-writes)
         self._txn_ref: dict | None = None
+        #: one-shot deterministic race-injection point: a callable fired
+        #: (and cleared) immediately before the next commit attempt —
+        #: lets tests and demo queries interleave a concurrent writer at
+        #: exactly the lost-update window (the same trick Delta's own
+        #: concurrency suite uses)
+        self._pre_commit_hook = None
         self._self_txn: str | None = None
         self._last_commit_version: int | None = None
         self._decision_cache: dict[str, str] = {}
@@ -541,6 +547,9 @@ class TxTable:
         version slot is taken normally (so concurrent writers still
         serialize on it), but a leading marker defers visibility to the
         transaction's decision file."""
+        if self._pre_commit_hook is not None:
+            hook, self._pre_commit_hook = self._pre_commit_hook, None
+            hook()
         if self._txn_ref is not None:
             actions = [{"pending": {**self._txn_ref, "ts": time.time()}},
                        *actions]
@@ -2519,6 +2528,56 @@ class TxTable:
             # lost the race: a concurrent copy_into may have loaded
             # part of our todo set — orphan the files and re-plan
 
+    def _retry_if_disjoint(self, base: int, actions: list[dict],
+                           prune, txn_app: str | None = None,
+                           max_attempts: int = 20) -> int | None:
+        """WriteSerializable conflict classification (the Delta rule:
+        ConcurrentAppendException only when an interleaved file MIGHT
+        match this command's read predicate). Called after a merge/delete
+        lost its optimistic commit at ``base+1``: examine every commit
+        that landed after ``base``; if ALL of them are blind appends
+        whose added files the key pruner rejects (their [kmin,kmax]+bloom
+        cannot contain any of our keys), our read set is untouched and
+        our rewrite is still exactly the right one — RE-COMMIT the
+        already-written actions at the new head instead of re-running
+        the whole data plane. Returns the committed version, or None on
+        a real conflict (caller re-runs against the fresh snapshot —
+        the pre-existing, always-correct path).
+
+        Conservative by construction: any non-append op, schema change,
+        pending (in-doubt) transaction marker, remove action, or add
+        without key stats counts as a conflict. A false conflict only
+        costs the re-run that would have happened anyway.
+        """
+        checked_to = base
+        for _ in range(max_attempts):
+            latest = self.versions()[-1]
+            for v in range(checked_to + 1, latest + 1):
+                for a in self._read_commit(v):
+                    if "op" in a:
+                        if a["op"] != "append":
+                            return None
+                    elif "add" in a:
+                        add = a["add"]
+                        if "kmin" not in add or "kmax" not in add:
+                            return None          # stats-less: can't prove
+                        if prune([add]):
+                            return None          # may hold one of our keys
+                    elif "txn" in a:
+                        if txn_app is not None \
+                                and a["txn"].get("app") == txn_app:
+                            # a concurrent writer of OUR app committed a
+                            # batch — the replay guard at the loop top
+                            # must re-evaluate, so take the re-run path
+                            return None
+                    else:
+                        # pending/meta/remove/dv/anything future — bail
+                        return None
+            checked_to = latest
+            if self._commit(actions, latest + 1):
+                return latest + 1
+        return None
+
     def merge_upsert(self, updates: DataFrame,
                      txn: tuple[str, int] | None = None,
                      merge_schema: bool = False) -> dict:
@@ -2620,7 +2679,21 @@ class TxTable:
                 return {"files_scanned": len(live),
                         "files_rewritten": len(touched),
                         "files_untouched": untouched}
-            # lost the race: orphan the files we just wrote (invisible —
+            # lost the race. Before re-running the data plane, classify
+            # the interleaved commits (WriteSerializable): if they are
+            # all blind appends provably disjoint from our key set, the
+            # rewrite we already wrote is still exactly right — land it
+            # at the new head and skip the re-run.
+            rv = self._retry_if_disjoint(
+                base, actions, prune,
+                txn_app=txn[0] if txn is not None else None)
+            if rv is not None:
+                self._maybe_checkpoint(rv)
+                return {"files_scanned": len(live),
+                        "files_rewritten": len(touched),
+                        "files_untouched": untouched,
+                        "rerun_avoided": True}
+            # real conflict: orphan the files we just wrote (invisible —
             # no commit references them) and retry on the new snapshot
 
     def merge_when(self, source: DataFrame,
