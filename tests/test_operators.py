@@ -1359,3 +1359,17 @@ def test_ivfpq_recall_and_precision_floor(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1))
                for v in per_q.values())
+
+
+def test_pagerank_star_center_dominates_and_sums_to_one(spark):
+    from walmart_project_etl_spark.operators import graph
+    # star: hub <-> 4 spokes, symmetrized => mass conserved
+    edges = [("hub", f"s{i}") for i in range(4)] + \
+            [(f"s{i}", "hub") for i in range(4)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    pr = {r["node"]: r["pagerank"]
+          for r in graph.pagerank(df, iters=10).collect()}
+    assert pr["hub"] > max(v for k, v in pr.items() if k != "hub")
+    assert abs(sum(pr.values()) - 1.0) < 1e-6   # no dangling mass loss
+    spokes = [v for k, v in pr.items() if k != "hub"]
+    assert max(spokes) - min(spokes) < 1e-9     # symmetry

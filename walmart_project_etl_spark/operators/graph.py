@@ -176,3 +176,52 @@ def canonical_by_score(labeled: DataFrame, id_col: str, cluster_col: str,
                                                 F.asc(id_col))
     return labeled.withColumn(
         "is_canonical", (F.row_number().over(w) == 1).cast("boolean"))
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 3, damping: float = 0.85) -> DataFrame:
+    """PageRank (Brin & Page 1998) over a directed edge list, as pure
+    DataFrame rounds: pr_{t+1}(v) = (1-d)/N + d·Σ_{u→v} pr_t(u)/out(u).
+
+    Per round ONE join of the rank vector to the edge list on ``src``
+    and ONE aggregation on ``dst`` — both shuffles keyed on vertex id
+    (uniform for id-keyed graphs; a celebrity-skewed ``dst`` would salt
+    the sum exactly like skew_salted_latest). Contribution sums are
+    decimal-routed and every round's ranks are rounded to 10 places, so
+    the fixed-round result is bit-identical on any engine/partitioning —
+    an unrolled SQL oracle can replay it exactly. Nodes with no inbound
+    edges hold the (1-d)/N floor via the left join to the node set.
+
+    Multi-edges are collapsed (DISTINCT) — rank flows along the link
+    structure, not the event count; pass pre-weighted edges through a
+    custom variant if multiplicity should matter. Dangling nodes
+    (out-degree 0) keep their rank out of circulation, the simple
+    variant — symmetrize the edge list if mass conservation matters.
+
+    Returns (node, pagerank double round-10).
+    """
+    e = edges.select(F.col(src).alias("__s"),
+                     F.col(dst).alias("__d")).distinct()
+    nodes = (e.select(F.col("__s").alias("node"))
+             .unionByName(e.select(F.col("__d").alias("node")))
+             .distinct())
+    n = nodes.count()
+    out = e.groupBy("__s").agg(F.count("*").alias("__out"))
+    ew = e.join(out, "__s")
+    base = float(1.0 - damping) / n
+    pr = nodes.withColumn("pagerank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (ew.join(pr.withColumnRenamed("node", "__s"), "__s")
+                   .select("__d", (F.col("pagerank") / F.col("__out"))
+                           .alias("__c"))
+                   .groupBy("__d")
+                   .agg(F.sum(F.col("__c").cast("decimal(28,14)"))
+                        .cast("double").alias("__sum")))
+        pr = (nodes.join(contrib.withColumnRenamed("__d", "node"),
+                         "node", "left")
+              .select("node",
+                      F.round(F.lit(base) + F.lit(damping)
+                              * F.coalesce("__sum", F.lit(0.0)), 10)
+                      .alias("pagerank")))
+        pr = pr.localCheckpoint(eager=False)
+    return pr

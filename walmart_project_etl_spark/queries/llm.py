@@ -2285,3 +2285,54 @@ def sim_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 100 == 7) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.ivfpq_ann_topk(emb, queries, k=10)
+
+
+# ------------------------------------------------------ graph analytics (r12)
+
+def _pagerank_cte(iters: int, damping: float = 0.85) -> str:
+    """Unrolled PageRank rounds mirroring operators/graph.py:pagerank
+    exactly (same IEEE expression shapes: 1.0/n init, (1.0-d)/n floor,
+    decimal(28,14)-routed contribution sums, round-10 per round)."""
+    parts = ["""
+WITH e AS (
+  SELECT DISTINCT 'p' || l_partkey::VARCHAR AS s,
+                  's' || l_suppkey::VARCHAR AS d FROM lineitem
+  UNION
+  SELECT DISTINCT 's' || l_suppkey::VARCHAR, 'p' || l_partkey::VARCHAR
+  FROM lineitem),
+nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outd AS (SELECT s, count(*) AS o FROM e GROUP BY s),
+pr0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS pr FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT d, (sum(CAST(pr / o AS DECIMAL(28,14))))::DOUBLE AS sm
+  FROM e JOIN outd USING (s) JOIN pr{i - 1} ON pr{i - 1}.node = e.s
+  GROUP BY d),
+pr{i} AS (
+  SELECT node, round((SELECT (1.0 - {damping}) / n FROM nn)
+                     + {damping} * coalesce(sm, 0.0), 10) AS pr
+  FROM nodes LEFT JOIN c{i} ON c{i}.d = node)""")
+    parts.append(f"""
+SELECT node, pr AS pagerank FROM pr{iters}""")
+    return "".join(parts)
+
+
+@q("graph_pagerank_partsupp", _pagerank_cte(3))
+def graph_pagerank_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized part↔supplier co-purchase graph
+    from lineitem (operators/graph.py:pagerank): 3 fixed rounds, each
+    ONE rank-to-edges join keyed on src + ONE dst-keyed decimal sum —
+    the iterative-algorithm shape at 100 TB is per-round edge-linear
+    shuffles with localCheckpoint lineage truncation, never a
+    driver-side adjacency structure. Decimal-routed sums + round-10
+    ranks per round make the fixed-round result engine-exact, so the
+    unrolled SQL oracle replays it bit-for-bit."""
+    from walmart_project_etl_spark.operators import graph
+    li = t(spark, sf_dir, "lineitem")
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    e = (li.select(p.alias("src"), s.alias("dst"))
+         .unionByName(li.select(s.alias("src"), p.alias("dst"))))
+    return graph.pagerank(e, iters=3)
