@@ -2646,3 +2646,59 @@ def txn_concurrent_disjoint_writers(spark: SparkSession,
     if not stats.get("rerun_avoided"):
         raise ValueError(f"expected the disjoint-append fast path: {stats}")
     return tt.snapshot()
+
+
+@q("dq_expectations_report",
+   """SELECT 'not_null_o_custkey' AS check_name,
+             (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+               AS n_violations
+      UNION ALL
+      SELECT 'unique_o_orderkey',
+             (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+      UNION ALL
+      SELECT 'accepted_values_o_orderstatus',
+             (SELECT count(*) FROM orders
+              WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+      UNION ALL
+      SELECT 'fk_orders_customer',
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'positive_o_totalprice',
+             (SELECT count(*) FROM orders WHERE o_totalprice <= 0)""")
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the dbt-test / Deequ
+    check suite shape): not-null, uniqueness, accepted-values,
+    referential-integrity, and range checks evaluated as independent
+    aggregates and unioned into ONE report table — each check is a
+    map-side-combinable scan or an anti-join (the FK check broadcasts
+    the dim at any fact size), so the whole suite is a handful of
+    bounded-output jobs at 100 TB, never a row-level materialization.
+    Generalizes the reference's hand-rolled FK/count gates
+    (etl_quality_checks; J3/A4) into a uniform contract."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    def chk(name, df):
+        return df.select(F.lit(name).alias("check_name"),
+                         F.count(F.lit(1)).alias("n_violations"))
+
+    checks = [
+        chk("not_null_o_custkey", o.where(F.col("o_custkey").isNull())),
+        o.agg((F.count(F.lit(1))
+               - F.countDistinct("o_orderkey")).alias("n_violations"))
+         .select(F.lit("unique_o_orderkey").alias("check_name"),
+                 "n_violations"),
+        chk("accepted_values_o_orderstatus",
+            o.where(~F.col("o_orderstatus").isin("O", "F", "P"))),
+        chk("fk_orders_customer",
+            o.join(F.broadcast(c.select(F.col("c_custkey")
+                                        .alias("o_custkey"))),
+                   "o_custkey", "left_anti")),
+        chk("positive_o_totalprice", o.where(F.col("o_totalprice") <= 0)),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionByName(df)
+    return out
