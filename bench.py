@@ -152,6 +152,19 @@ BENCH_QUERIES = [
     # compute families, bench-visible
     "sim_pca_project",
     "ts_rolling_window",
+    # r12-new, late session: the ExactSubstr span-removal corpus pass
+    # (shingle explode + islands + range-join reassembly), the IVF-PQ
+    # residual ANN (coarse fit + residual encode + cell-pruned ADC),
+    # PageRank's iterative join rounds, the CMS sketch build+probe, the
+    # trailing-window anomaly scorer, and the race-forced concurrent
+    # merge (conflict classification + no-rerun re-commit) — six new
+    # compute families, all bench-visible
+    "dedup_span_removal",
+    "sim_ivfpq_ann_topk",
+    "graph_pagerank_partsupp",
+    "sketch_cms_heavy_hitters",
+    "ts_anomaly_zscore",
+    "txn_concurrent_disjoint_writers",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other

@@ -37,11 +37,23 @@ _PRIORITY = (
     # never driver-checked (r11-new without slots; judge-verified r11)
     "dedup_semdedup_kmeans",
     "txn_replace_table",
-    # r12-new entries
+    # r12-new, early session: MV avg/distinct, k-prop-N twin, pushdown, generated-prune
     "txn_agg_mv_avg_distinct",
     "dedup_semdedup_kmeans_scaled",
     "txn_agg_pushdown",
     "txn_generated_partition_prune",
+    # r12-new, late session: span dedup, sketches, ts analytics, IVF-PQ,
+    # concurrent-writer race, PageRank, DQ expectations
+    "dedup_span_marks",
+    "dedup_span_removal",
+    "sketch_cms_heavy_hitters",
+    "sketch_kmv_distinct_users",
+    "ts_ewma_value",
+    "ts_anomaly_zscore",
+    "sim_ivfpq_ann_topk",
+    "txn_concurrent_disjoint_writers",
+    "graph_pagerank_partsupp",
+    "dq_expectations_report",
     # r5-era stale rows (last driver row 7 rounds ago)
     "text_tfidf_top_terms",
     "ts_yoy_growth",
@@ -49,7 +61,7 @@ _PRIORITY = (
     "sim_pca_project",
     "sim_quantize_int8",
     "sim_compressed_recall_report",
-    # r6-era rotation, first 44 of 49
+    # r6-era rotation, first 28 of 49
     "a02_groupby_first",
     "a03_distinct_count_per_group",
     "a05_count_distinct",
@@ -78,22 +90,18 @@ _PRIORITY = (
     "olap_cube_lineitem",
     "olap_grouping_sets_orders",
     "olap_histogram",
-    "olap_rollup_lineitem",
-    "olap_share_of_total",
-    "olap_time_rollup_events",
-    "p01_projection_rename",
-    "p02_distinct_nonnull_dates",
-    "p03_null_filter",
-    "profile_lineitem",
-    "s02_empty_string_to_null",
-    "s03_table_scan",
-    "s04_parquet_sink_roundtrip",
 )
-#: Deferred from this window — lead the r13 rotation with the 6
-#: remaining r6-era rows: s06_ddl_create_insert, s07_truncate, s08_drop, s09_temp_view, skew_salted_latest, stream_static_enrich,
-#: stream_tx_upsert, text_unigram_logprob,
-#: ts_gap_fill_locf, txn_merge_fileprune, txn_time_travel — then start
-#: re-rotating the r7-era block (41 rows).
+#: Deferred from this window — lead the r13 rotation with these
+#: 21 rows (the 10 bumped r6-era rows first, then the earlier
+#: deferrals):
+#: olap_rollup_lineitem, olap_share_of_total, olap_time_rollup_events,
+#: p01_projection_rename, p02_distinct_nonnull_dates, p03_null_filter,
+#: profile_lineitem, s02_empty_string_to_null, s03_table_scan,
+#: s04_parquet_sink_roundtrip, s06_ddl_create_insert, s07_truncate,
+#: s08_drop, s09_temp_view, skew_salted_latest, stream_static_enrich,
+#: stream_tx_upsert, text_unigram_logprob, ts_gap_fill_locf,
+#: txn_merge_fileprune, txn_time_travel
+#: — then re-rotate the r7-era block (41 rows).
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
