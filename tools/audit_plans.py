@@ -93,6 +93,12 @@ ALLOW = {
     # per-table COUNT(*) scalars unioned: each SinglePartition merges only
     # the per-partition partial counts (≤ cores rows), then 1-row outputs
     "a04_count_star_tables": {"Exchange SinglePartition (non-scalar result)"},
+    # one fact scan folds five conditional-count checks into ONE scalar
+    # aggregate; the SinglePartition merges per-partition partials of
+    # that single row, and stack() unpivots it to the 5-row report —
+    # the exchange never carries more than one row
+    "dq_expectations_report": {
+        "Exchange SinglePartition (non-scalar result)"},
     "pipe_a08_quality_ratios": {"Exchange SinglePartition (non-scalar result)"},
     # broadcast literal grid over bounded limit(100)/limit(50) dim samples:
     # GlobalLimit's single partition carries ≤100 rows into the grid

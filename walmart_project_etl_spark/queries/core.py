@@ -2670,35 +2670,34 @@ def txn_concurrent_disjoint_writers(spark: SparkSession,
 def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations (the dbt-test / Deequ
     check suite shape): not-null, uniqueness, accepted-values,
-    referential-integrity, and range checks evaluated as independent
-    aggregates and unioned into ONE report table — each check is a
-    map-side-combinable scan or an anti-join (the FK check broadcasts
-    the dim at any fact size), so the whole suite is a handful of
-    bounded-output jobs at 100 TB, never a row-level materialization.
+    referential-integrity, and range checks evaluated in ONE fact scan
+    (conditional-sum flags + a broadcast FK probe fold into a single
+    scalar aggregate, then ``stack`` unpivots the 1×5 row to the report)
+    — the whole suite costs one map-side-combinable pass at 100 TB,
+    never a row-level materialization or a per-check rescan.
     Generalizes the reference's hand-rolled FK/count gates
     (etl_quality_checks; J3/A4) into a uniform contract."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-
-    def chk(name, df):
-        return df.select(F.lit(name).alias("check_name"),
-                         F.count(F.lit(1)).alias("n_violations"))
-
-    checks = [
-        chk("not_null_o_custkey", o.where(F.col("o_custkey").isNull())),
-        o.agg((F.count(F.lit(1))
-               - F.countDistinct("o_orderkey")).alias("n_violations"))
-         .select(F.lit("unique_o_orderkey").alias("check_name"),
-                 "n_violations"),
-        chk("accepted_values_o_orderstatus",
-            o.where(~F.col("o_orderstatus").isin("O", "F", "P"))),
-        chk("fk_orders_customer",
-            o.join(F.broadcast(c.select(F.col("c_custkey")
-                                        .alias("o_custkey"))),
-                   "o_custkey", "left_anti")),
-        chk("positive_o_totalprice", o.where(F.col("o_totalprice") <= 0)),
-    ]
-    out = checks[0]
-    for df in checks[1:]:
-        out = out.unionByName(df)
-    return out
+    flagged = o.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"),
+                             F.lit(1).alias("__fk"))),
+        "o_custkey", "left")
+    agg = flagged.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+         .alias("v_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+         .alias("v_unique"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+               .otherwise(0)).alias("v_accept"),
+        F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0))
+         .alias("v_fk"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+         .alias("v_range"))
+    return agg.select(F.expr(
+        "stack(5, 'not_null_o_custkey', v_null,"
+        " 'unique_o_orderkey', v_unique,"
+        " 'accepted_values_o_orderstatus', v_accept,"
+        " 'fk_orders_customer', v_fk,"
+        " 'positive_o_totalprice', v_range)"
+        " AS (check_name, n_violations)"))
