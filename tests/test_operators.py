@@ -1373,3 +1373,27 @@ def test_pagerank_star_center_dominates_and_sums_to_one(spark):
     assert abs(sum(pr.values()) - 1.0) < 1e-6   # no dangling mass loss
     spokes = [v for k, v in pr.items() if k != "hub"]
     assert max(spokes) - min(spokes) < 1e-9     # symmetry
+
+
+def test_unigram_train_covers_chars_and_compresses(spark):
+    from walmart_project_etl_spark.operators import unigram
+    df = spark.createDataFrame(
+        [(i, "the quick quick brown fox the the quick")
+         for i in range(4)], "doc_id int, text string")
+    vocab = unigram.unigram_train(df, vocab_size=40, rounds=2)
+    rows = vocab.collect()
+    pieces = {r["piece"] for r in rows}
+    # single-char coverage guarantee
+    for ch in set("thequickbrownfx"):
+        assert ch in pieces, ch
+    # frequent words survive as whole pieces
+    assert "quick" in pieces and "the" in pieces
+    enc = unigram.unigram_encode(df, vocab).collect()
+    for r in enc:
+        assert r["n_words"] == 8
+        assert r["n_tokens"] <= 12      # far fewer than the 33 chars
+    # deterministic retrain
+    again = {(r["piece"], r["logprob"])
+             for r in unigram.unigram_train(df, vocab_size=40,
+                                            rounds=2).collect()}
+    assert again == {(r["piece"], r["logprob"]) for r in rows}

@@ -2336,3 +2336,32 @@ def graph_pagerank_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (li.select(p.alias("src"), s.alias("dst"))
          .unionByName(li.select(s.alias("src"), p.alias("dst"))))
     return graph.pagerank(e, iters=3)
+
+
+# ------------------------------------------- unigram-LM tokenizer (r12)
+
+@q("text_unigram_train", pinned("text_unigram_train"))
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators/unigram.py — Kudo 2018
+    hard-EM simplification, documented in the module): substring seed
+    over the DISTINCT-word table, two Viterbi-E / count-M rounds with
+    rank pruning, single-char coverage guarantee. The corpus-scale cost
+    is ONE word-count groupBy; every EM round is distinct-words-sized
+    with the ≤vocab piece table in the UDF closure. Oracle = pinned
+    sf0.01 golden (Viterbi DP is engine-internal but deterministic:
+    integer counts, fixed tie-breaks)."""
+    from walmart_project_etl_spark.operators import unigram
+    docs = t(spark, sf_dir, "documents")
+    return unigram.unigram_train(docs, "text", vocab_size=300, rounds=2)
+
+
+@q("text_unigram_encode", pinned("text_unigram_encode"))
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with the trained unigram vocabulary: Viterbi
+    over distinct words ONCE, broadcast word→token-count map, one corpus
+    scan — the tokenization-cache shape; per-doc word/token totals and
+    compression ratio."""
+    from walmart_project_etl_spark.operators import unigram
+    docs = t(spark, sf_dir, "documents")
+    vocab = unigram.unigram_train(docs, "text", vocab_size=300, rounds=2)
+    return unigram.unigram_encode(docs, vocab, "text", "doc_id")
