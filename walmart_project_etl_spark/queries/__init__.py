@@ -54,6 +54,8 @@ _PRIORITY = (
     "txn_concurrent_disjoint_writers",
     "graph_pagerank_partsupp",
     "dq_expectations_report",
+    "text_unigram_train",
+    "text_unigram_encode",
     # r5-era stale rows (last driver row 7 rounds ago)
     "text_tfidf_top_terms",
     "ts_yoy_growth",
@@ -61,7 +63,7 @@ _PRIORITY = (
     "sim_pca_project",
     "sim_quantize_int8",
     "sim_compressed_recall_report",
-    # r6-era rotation, first 28 of 49
+    # r6-era rotation, first 26 of 49
     "a02_groupby_first",
     "a03_distinct_count_per_group",
     "a05_count_distinct",
@@ -88,10 +90,9 @@ _PRIORITY = (
     "mm_real_decode_png",
     "mm_real_decode_wav",
     "olap_cube_lineitem",
-    "olap_grouping_sets_orders",
-    "olap_histogram",
 )
 #: Deferred from this window — lead the r13 rotation with these
+#: (plus olap_grouping_sets_orders, olap_histogram, bumped late)
 #: 21 rows (the 10 bumped r6-era rows first, then the earlier
 #: deferrals):
 #: olap_rollup_lineitem, olap_share_of_total, olap_time_rollup_events,
