@@ -2735,3 +2735,31 @@ def test_merge_lost_race_overlapping_append_reruns(spark, orders, tmp_path):
     assert got.where("o_orderkey = 107").count() == 1
     assert got.where("o_orderkey = 107").collect()[0]["o_totalprice"] == 2.5
     assert got.count() == orders.count()
+
+
+def test_reader_feature_fence(spark, orders, tmp_path):
+    """Table-features protocol: reader-critical features stamp into meta
+    atomically with first use; a feature from a future format revision
+    fences this reader out LOUDLY instead of silently mis-reading."""
+    from walmart_project_etl_spark.sources.txlog import \
+        UnsupportedTableFeatureError
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders, "o_orderkey")
+    meta0 = t._state()[0]
+    assert not meta0.get("reader_features")     # plain table: no fence
+    t.delete_keys_dv(spark.createDataFrame(
+        [(7,), (107,)], "o_orderkey long"))
+    meta = t._state()[0]
+    assert meta["reader_features"] == ["deletion_vectors"]
+    assert t.snapshot().where("o_orderkey in (7, 107)").count() == 0
+    # a FUTURE feature: this build must refuse to read
+    v = t.versions()[-1] + 1
+    assert t._commit(
+        [{"op": "evolve"},
+         {"meta": {**meta, "reader_features":
+                   ["deletion_vectors", "row_encryption_v9"]}}], v)
+    with pytest.raises(UnsupportedTableFeatureError) as ei:
+        t.snapshot().count()
+    assert "row_encryption_v9" in str(ei.value)
+    # time travel BEFORE the upgrade commit still reads fine
+    assert t.snapshot(v - 1).count() > 0

@@ -332,6 +332,34 @@ class ChangeFeedRestoredError(ValueError):
         self.restore_version = restore_version
 
 
+#: Table features THIS reader build understands (Delta table-features
+#: protocol, simplified to the reader side): a table whose meta names a
+#: feature outside this set CANNOT be read correctly here — e.g. its
+#: files carry deletion vectors this code wouldn't apply. Readers fail
+#: loudly (UnsupportedTableFeatureError) instead of returning silently
+#: wrong rows; writers stamp the feature into meta IN THE SAME COMMIT
+#: that first uses it, so the fence and the feature are atomic.
+SUPPORTED_READER_FEATURES = {
+    "deletion_vectors", "column_mapping", "type_widening",
+    "generated_columns", "identity_columns", "change_data_feed",
+    "check_constraints", "row_tracked_restore", "column_blooms",
+}
+
+
+class UnsupportedTableFeatureError(RuntimeError):
+    """The table requires reader features this build does not support —
+    reading would silently drop or corrupt rows (e.g. unapplied deletion
+    vectors from a future format revision). Upgrade the reader; the
+    offending names are in ``.features``."""
+
+    def __init__(self, features: set[str]):
+        super().__init__(
+            f"table requires unsupported reader feature(s) "
+            f"{sorted(features)}; supported here: "
+            f"{sorted(SUPPORTED_READER_FEATURES)}")
+        self.features = features
+
+
 def _read_decision(path: str) -> str | None:
     """Status of a transaction decision file — ``"committed"``,
     ``"aborted"``, or None while undecided. Decisions are immutable
@@ -479,6 +507,11 @@ class TxTable:
                     tgt = live.get(a["dv"]["path"])
                     if tgt is not None:
                         tgt.setdefault("_dvs", []).append(a["dv"]["keys"])
+        if meta is not None:
+            unknown = set(meta.get("reader_features") or ()) \
+                - SUPPORTED_READER_FEATURES
+            if unknown:
+                raise UnsupportedTableFeatureError(unknown)
         return meta, live
 
     def _txns(self, upto: int | None = None, mode: str = "strict") -> dict:
@@ -1622,6 +1655,7 @@ class TxTable:
                          f.nullable)
                  for f in schema.fields]).json()
             v = base + 1
+            new_meta = self._stamp_feature(new_meta, "type_widening")[0]
             if self._commit([{"op": "widen_column", "col": name,
                               "to": dtype}, {"meta": new_meta}], v):
                 self._maybe_checkpoint(v)
@@ -1716,6 +1750,7 @@ class TxTable:
             if ident and ident["col"] == old:
                 new_meta["identity"] = dict(ident, col=new)
             v = base + 1
+            new_meta = self._stamp_feature(new_meta, "column_mapping")[0]
             if self._commit([{"op": "rename_column",
                               "col": old, "to": new},
                              {"meta": new_meta}], v):
@@ -1792,6 +1827,7 @@ class TxTable:
                 else:
                     new_meta.pop("bloom_cols", None)
             v = base + 1
+            new_meta = self._stamp_feature(new_meta, "column_mapping")[0]
             if self._commit([{"op": "drop_column", "col": name},
                              {"meta": new_meta}], v):
                 self._maybe_checkpoint(v)
@@ -2528,6 +2564,22 @@ class TxTable:
             # lost the race: a concurrent copy_into may have loaded
             # part of our todo set — orphan the files and re-plan
 
+    @staticmethod
+    def _stamp_feature(meta: dict, *names: str) -> tuple[dict, bool]:
+        """(meta', changed): meta with ``names`` added to
+        ``reader_features``. Writers call this in the SAME commit that
+        first uses a reader-critical feature (DVs, column mapping, type
+        widening) so old readers hit the
+        :class:`UnsupportedTableFeatureError` fence atomically with the
+        first unreadable-by-them byte."""
+        have = set(meta.get("reader_features") or ())
+        want = have | set(names)
+        if want == have:
+            return meta, False
+        m = dict(meta)
+        m["reader_features"] = sorted(want)
+        return m, True
+
     def _retry_if_disjoint(self, base: int, actions: list[dict],
                            prune, txn_app: str | None = None,
                            max_attempts: int = 20) -> int | None:
@@ -3001,7 +3053,9 @@ class TxTable:
                     doomed.drop("__file")
                     .withColumn("_change_type", F.lit("delete")), meta)
             v = base + 1
+            meta2, stamped = self._stamp_feature(meta, "deletion_vectors")
             actions = [{"op": "delete_dv"},
+                       *([{"meta": meta2}] if stamped else []),
                        *({"dv": {"path": a["path"],
                                  "keys": dv_of[a["path"]]}}
                          for a in touched if a["path"] in dv_of),
