@@ -79,7 +79,8 @@ def latest_event_per_key(events: DataFrame, keys: list[str],
 
 def funnel_stages(events: DataFrame, stages: list[str],
                   user_col: str = "user_id", ts_col: str = "ts",
-                  type_col: str = "event_type") -> DataFrame:
+                  type_col: str = "event_type",
+                  max_gap_s: int | None = None) -> DataFrame:
     """Strict ordered-funnel analysis: for each user, the first time they
     completed each stage IN ORDER — stage k counts only if it happens at or
     after the user's stage-(k-1) completion (the standard conversion-funnel
@@ -93,6 +94,11 @@ def funnel_stages(events: DataFrame, stages: list[str],
     against the (user-cardinality, so AQE-broadcastable) previous frontier.
     len(stages) passes, all keyed on the same uniform user hash — no
     windows over whole histories, no per-user state.
+
+    ``max_gap_s`` bounds each stage-to-stage hop (the windowed-funnel
+    variant every product-analytics engine ships): stage k only counts
+    within ``max_gap_s`` seconds of the user's stage-(k-1) completion —
+    same plan, one extra predicate per stage join.
     """
     first = (events.where(F.col(type_col) == stages[0])
              .groupBy(user_col)
@@ -100,9 +106,13 @@ def funnel_stages(events: DataFrame, stages: list[str],
     out = first
     for k, stage in enumerate(stages[1:], start=2):
         prev = f"stage{k - 1}_ts"
+        gate = F.col(ts_col) >= F.col(prev)
+        if max_gap_s is not None:
+            gate = gate & (F.col(ts_col) <= F.col(prev)
+                           + F.make_interval(secs=F.lit(max_gap_s)))
         nxt = (events.where(F.col(type_col) == stage)
                .join(out.select(user_col, prev), user_col)
-               .where(F.col(ts_col) >= F.col(prev))
+               .where(gate)
                .groupBy(user_col)
                .agg(F.min(ts_col).alias(f"stage{k}_ts")))
         out = out.join(nxt, user_col, "left")

@@ -2365,3 +2365,33 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     vocab = unigram.unigram_train(docs, "text", vocab_size=300, rounds=2)
     return unigram.unigram_encode(docs, vocab, "text", "doc_id")
+
+
+@q("events_funnel_gap",
+   """WITH s1 AS (
+        SELECT user_id, min(ts) AS stage1_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS stage2_ts
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= s1.stage1_ts
+          AND e.ts <= s1.stage1_ts + INTERVAL 86400 SECOND
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS stage3_ts
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.stage2_ts
+          AND e.ts <= s2.stage2_ts + INTERVAL 86400 SECOND
+        GROUP BY e.user_id)
+      SELECT s1.user_id, s1.stage1_ts, s2.stage2_ts, s3.stage3_ts,
+             1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+               AS stages_completed
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")
+def events_funnel_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED funnel (the product-analytics default): each hop must
+    land within 24h of the previous stage's completion — same
+    stage-join plan as events_funnel plus one interval predicate per
+    hop, so the gap constraint is free at any scale."""
+    ev = events_t(spark, sf_dir)
+    return events.funnel_stages(ev, ["view", "click", "purchase"],
+                                max_gap_s=86400)
