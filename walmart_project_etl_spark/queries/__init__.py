@@ -56,6 +56,8 @@ _PRIORITY = (
     "dq_expectations_report",
     "text_unigram_train",
     "text_unigram_encode",
+    "pipe_exactsubstr_unigram_pack",
+    "events_funnel_gap",
     # r5-era stale rows (last driver row 7 rounds ago)
     "text_tfidf_top_terms",
     "ts_yoy_growth",
@@ -63,7 +65,7 @@ _PRIORITY = (
     "sim_pca_project",
     "sim_quantize_int8",
     "sim_compressed_recall_report",
-    # r6-era rotation, first 26 of 49
+    # r6-era rotation, first 24 of 49
     "a02_groupby_first",
     "a03_distinct_count_per_group",
     "a05_count_distinct",
@@ -88,11 +90,10 @@ _PRIORITY = (
     "j01_left_equi_join",
     "j10_optional_dim_left_join",
     "mm_real_decode_png",
-    "mm_real_decode_wav",
-    "olap_cube_lineitem",
 )
 #: Deferred from this window — lead the r13 rotation with these
-#: (plus olap_grouping_sets_orders, olap_histogram, bumped late)
+#: (plus olap_grouping_sets_orders, olap_histogram, mm_real_decode_wav,
+#: olap_cube_lineitem, bumped late)
 #: 21 rows (the 10 bumped r6-era rows first, then the earlier
 #: deferrals):
 #: olap_rollup_lineitem, olap_share_of_total, olap_time_rollup_events,

@@ -1382,3 +1382,30 @@ def pipe_dsir_select_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("seq_id").cast("long").alias("seq_id"),
                          F.col("seq_offset").cast("long")
                           .alias("seq_offset"))
+
+
+@q("pipe_exactsubstr_unigram_pack", pinned("pipe_exactsubstr_unigram_pack"))
+def pipe_exactsubstr_unigram_pack(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The r12 text-pipeline composition: ExactSubstr span removal
+    (drop every copy of corpus-duplicated 8-token spans — Lee et al.
+    2022) → unigram-LM tokenization of the CLEANED text (Viterbi over
+    distinct words, broadcast token-count map) → GPT-style packed
+    layout (capacity-128 concatenate-and-split index over 16 hash
+    groups). Three corpus scans total; the only non-SQL stage is the
+    tokenizer's Viterbi DP, so the composed output pins as a golden.
+    Returns one row per surviving document: its packed position and
+    token accounting."""
+    from walmart_project_etl_spark.operators import (dedup, packing,
+                                                     unigram)
+    docs = t(spark, sf_dir, "documents")
+    clean = dedup.remove_duplicate_spans(docs, "text", "doc_id",
+                                         width=8, hash_fn="md5")
+    clean = clean.where(F.col("n_tokens") > F.col("n_removed")) \
+                 .select("doc_id", F.col("clean_text").alias("text"))
+    vocab = unigram.unigram_train(docs, "text", vocab_size=300, rounds=2)
+    enc = unigram.unigram_encode(clean, vocab, "text", "doc_id")
+    packed = packing.pack_sequences(enc, "doc_id", "n_tokens",
+                                    capacity=128, n_groups=16)
+    return packed.select("doc_id", "n_words", "n_tokens",
+                         "pack_group", "seq_id", "seq_offset")
