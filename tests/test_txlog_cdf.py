@@ -783,3 +783,31 @@ def test_stream_replicate_table_follows_source(spark, tmp_path):
     src.delete_keys(spark.range(3, 5).select(F.col("id").alias("k")))
     rep = stream_replicate_table(spark, str(tmp_path / "s"), rep_root)
     assert _rows(rep.snapshot(), cols) == _rows(src.snapshot(), cols)
+
+
+def test_join_agg_mv_tracks_dimension_groups(spark, tmp_path):
+    """enrich-hook MV: groups live in a joined dim; a delete that
+    empties a dim group drops it from the view."""
+    from walmart_project_etl_spark.operators.matview import refresh_agg_mv
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    dim = spark.createDataFrame(
+        [(1, "red"), (2, "blue"), (3, "red")], "k long, color string")
+    facts = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 2, 7.0), (12, 3, 9.0), (13, 2, 1.0)],
+        "fid long, k long, amt double")
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.create(facts, "fid", change_feed=True)
+
+    def enrich(df):
+        return df.join(F.broadcast(dim), "k")
+
+    mv_root = str(tmp_path / "mv")
+    refresh_agg_mv(spark, src, mv_root, ["color"], "amt", enrich=enrich)
+    # delete BOTH blue facts -> the blue group must vanish from the MV
+    src.delete_keys(spark.createDataFrame([(11,), (13,)], "fid long"))
+    mv = refresh_agg_mv(spark, src, mv_root, ["color"], "amt",
+                        enrich=enrich)
+    rows = {r["color"]: (r["n_rows"], float(r["total"]))
+            for r in mv.snapshot().collect()}
+    assert rows == {"red": (2, 14.0)}

@@ -59,7 +59,8 @@ def _delta(changes: DataFrame, group_cols: list[str],
 
 def refresh_agg_mv(spark: SparkSession, source, mv_root: str,
                    group_cols: list[str], sum_col: str,
-                   upto_version: int | None = None):
+                   upto_version: int | None = None,
+                   enrich=None):
     """Create-or-refresh the MV at ``mv_root`` from ``source``'s change
     feed. Returns the MV TxTable. Idempotent: re-running against an
     unchanged source (or replaying after a crash between the MV commit
@@ -82,7 +83,17 @@ def refresh_agg_mv(spark: SparkSession, source, mv_root: str,
     an UNTRACKED restore (pre-row-tracking, or across a schema change)
     raises :class:`ChangeFeedRestoredError` from the feed read — the
     refresh then falls back to a FULL RESYNC (re-aggregate the source
-    snapshot at ``src_version``, delete stale groups)."""
+    snapshot at ``src_version``, delete stale groups).
+
+    ``enrich`` turns this into a JOIN-AGGREGATE view (the star-rollup
+    MV): a callback applied to the change rows before the delta fold
+    (and to the snapshot on resync), letting ``group_cols`` come from a
+    joined dimension. The delta rule stays exact because the callback
+    must be ROW-WISE 1:1 and STATELESS over a static dimension — an
+    inner equi-join on a NOT-NULL FK against a broadcast dim (or any
+    per-row mapping) qualifies; it must preserve ``_change_type`` and
+    ``sum_col``, and a dim UPDATE is out of contract (re-create the MV
+    or resync — same rule Delta's CDF-maintained aggregates live by)."""
     from walmart_project_etl_spark.sources.txlog import (
         ChangeFeedRestoredError, TxTable)
 
@@ -103,8 +114,10 @@ def refresh_agg_mv(spark: SparkSession, source, mv_root: str,
                                       upto=src_version)
     except ChangeFeedRestoredError:
         upserts = _resync_plan(mv, base, source, src_version,
-                               group_cols, sum_col)
+                               group_cols, sum_col, enrich)
     else:
+        if enrich is not None:
+            changes = enrich(changes)
         delta = _delta(changes, group_cols, sum_col) \
             .withColumn("mv_key", _group_key(group_cols))
         # fold MV state AT base for ONLY the touched groups (pruned)
@@ -129,13 +142,17 @@ def refresh_agg_mv(spark: SparkSession, source, mv_root: str,
 
 
 def _resync_plan(mv, base: int, source, src_version: int,
-                 group_cols: list[str], sum_col: str) -> DataFrame:
+                 group_cols: list[str], sum_col: str,
+                 enrich=None) -> DataFrame:
     """Full-resync merge source: the complete re-aggregate of the
     source snapshot at ``src_version``, plus a zero-count tombstone
     for every group live in the MV (at ``base``) but absent from the
     re-aggregate — the merge's delete clause drops those."""
     val = F.col(sum_col).cast("double").cast("decimal(28,6)")
-    full = (source.snapshot(src_version)
+    snap = source.snapshot(src_version)
+    if enrich is not None:
+        snap = enrich(snap)
+    full = (snap
             .groupBy(*group_cols)
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum(val).cast("decimal(28,6)").alias("total"))

@@ -2701,3 +2701,62 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'fk_orders_customer', v_fk,"
         " 'positive_o_totalprice', v_range)"
         " AS (check_name, n_violations)"))
+
+
+@q("txn_agg_mv_join",
+   """WITH final AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 30 = 0 THEN o_totalprice * 3
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT md5(c.c_mktsegment) AS mv_key, c.c_mktsegment,
+             count(*) AS n_rows,
+             round(sum(CAST(price AS DECIMAL(28,6))), 2)::DOUBLE AS total
+      FROM final f JOIN customer c ON c.c_custkey = f.o_custkey
+      GROUP BY c.c_mktsegment""")
+def txn_agg_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-AGGREGATE materialized view (the star-rollup MV): revenue
+    by customer MARKET SEGMENT — a group column that lives in the
+    DIMENSION, not the fact. The maintenance loop is txn_agg_mv's
+    (three CDF folds across append / conditional merge / delete, one
+    conditional merge per refresh, exactly-once txn watermarks); the
+    ``enrich`` hook broadcast-joins each change slice to the static
+    customer dim BEFORE the delta fold, which keeps the delta rule
+    exact because the join is row-wise 1:1 on a NOT-NULL FK. At 100 TB
+    the per-refresh cost is still O(changed fact rows) × one broadcast
+    probe — the fact is never re-scanned, the dim never shuffled. The
+    oracle recomputes the final join-aggregate from scratch."""
+    import shutil
+
+    from walmart_project_etl_spark.operators.matview import refresh_agg_mv
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_totalprice")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_mvj")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_mv", ignore_errors=True)
+
+    def enrich(df: DataFrame) -> DataFrame:
+        return df.join(F.broadcast(cust), "o_custkey")
+
+    src = TxTable(spark, root)
+    src.create(o.where(F.col("o_orderkey") % 2 == 0), "o_orderkey",
+               n_files=4, change_feed=True)
+    refresh_agg_mv(spark, src, root + "_mv", ["c_mktsegment"],
+                   "o_totalprice", enrich=enrich)
+    src.append(o.where(F.col("o_orderkey") % 2 == 1))
+    src.merge_upsert(o.where(F.col("o_orderkey") % 30 == 0)
+                     .withColumn("o_totalprice",
+                                 F.col("o_totalprice") * 3))
+    refresh_agg_mv(spark, src, root + "_mv", ["c_mktsegment"],
+                   "o_totalprice", enrich=enrich)
+    src.delete_keys(o.where(F.col("o_orderkey") % 7 == 0)
+                    .select("o_orderkey"))
+    mv = refresh_agg_mv(spark, src, root + "_mv", ["c_mktsegment"],
+                        "o_totalprice", enrich=enrich)
+    return mv.snapshot().select(
+        "mv_key", "c_mktsegment", "n_rows",
+        F.round(F.col("total"), 2).cast("double").alias("total"))
