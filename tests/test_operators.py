@@ -1397,3 +1397,22 @@ def test_unigram_train_covers_chars_and_compresses(spark):
              for r in unigram.unigram_train(df, vocab_size=40,
                                             rounds=2).collect()}
     assert again == {(r["piece"], r["logprob"]) for r in rows}
+
+
+def test_matryoshka_recall_floor_and_exact_rerank(spark):
+    from walmart_project_etl_spark.operators import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 100 == 7) \
+           .select(F.col("vec_id").alias("query_id"), "embedding")
+    truth = S.cosine_topk(emb, q, k=10).collect()
+    got = S.matryoshka_topk(emb, q, k=10).collect()
+    tset = {(r["query_id"], r["vec_id"]) for r in truth}
+    gset = {(r["query_id"], r["vec_id"]) for r in got}
+    # unstructured synthetic vectors = the documented floor case
+    assert len(tset & gset) / len(tset) >= 0.3
+    # survivors carry TRUE cosine values (exact re-rank)
+    tvals = {(r["query_id"], r["vec_id"]): r["cosine_sim"] for r in truth}
+    for r in got:
+        key = (r["query_id"], r["vec_id"])
+        if key in tvals:
+            assert abs(r["cosine_sim"] - tvals[key]) < 1e-9

@@ -50,6 +50,9 @@ ALLOW = {
     # brute baseline, but the scanned side is the COMPRESSED codes table
     # (m bytes/vector) and the per-pair cost is m LUT lookups
     "sim_pq_ann_topk": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    # Matryoshka coarse pass: same broadcast(5 queries) × corpus scan
+    # as the brute baseline, reading the 16-dim prefix only
+    "sim_matryoshka_topk": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     # nearest-centroid assignment: corpus × broadcast(k centroids) — the
     # broadcast side is bounded by the cluster count (10 labels here;
     # k-means codebooks are small by construction), the pair join itself

@@ -2395,3 +2395,42 @@ def events_funnel_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_t(spark, sf_dir)
     return events.funnel_stages(ev, ["view", "click", "purchase"],
                                 max_gap_s=86400)
+
+
+@q("sim_matryoshka_topk", """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 7),
+cand AS (
+  SELECT q.query_id, v.vec_id, v.e, q.qe,
+         round(list_dot_product(v.e[1:16], q.qe[1:16])
+               / (sqrt(list_dot_product(v.e[1:16], v.e[1:16]))
+                  * sqrt(list_dot_product(q.qe[1:16], q.qe[1:16]))), 6)
+           AS pre
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> q.query_id
+  QUALIFY row_number() OVER (PARTITION BY q.query_id
+                             ORDER BY pre DESC, v.vec_id ASC) <= 80),
+exact AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e))
+                  * sqrt(list_dot_product(qe, qe))), 6) AS cosine_sim
+  FROM cand)
+SELECT query_id, vec_id, cosine_sim,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine_sim DESC, vec_id ASC)::INT
+         AS rank
+FROM exact
+QUALIFY rank <= 10""")
+def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension ANN (coarse cosine on the first 16
+    of 64 dims, exact re-rank of the top-80): the ONLY ANN tier with a
+    fully RECOMPUTED SQL oracle — no trained state, no seeds, so
+    DuckDB replays the whole two-stage rank end-to-end. Coarse scan
+    reads 4× fewer floats than brute force; with MRL-trained
+    embeddings the prefix carries most of the signal (these synthetic
+    vectors are the documented floor case)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 7) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.matryoshka_topk(emb, queries, k=10)
