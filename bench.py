@@ -165,6 +165,13 @@ BENCH_QUERIES = [
     "sketch_cms_heavy_hitters",
     "ts_anomaly_zscore",
     "txn_concurrent_disjoint_writers",
+    # r12-new, latest: the join-aggregate MV (enrich-hook CDF folds),
+    # the ExactSubstr→unigram→pack composed pipeline (3 corpus scans +
+    # the Viterbi tokenize hop), and the Matryoshka two-stage rank —
+    # all new composed paths, bench-visible
+    "txn_agg_mv_join",
+    "pipe_exactsubstr_unigram_pack",
+    "sim_matryoshka_topk",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other
