@@ -811,3 +811,25 @@ def test_join_agg_mv_tracks_dimension_groups(spark, tmp_path):
     rows = {r["color"]: (r["n_rows"], float(r["total"]))
             for r in mv.snapshot().collect()}
     assert rows == {"red": (2, 14.0)}
+
+
+def test_scd2_from_changes_versions_and_tombstones(spark, tmp_path):
+    from walmart_project_etl_spark.operators.scd2 import scd2_from_changes
+    from walmart_project_etl_spark.sources.txlog import TxTable
+    t0 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, val string")
+    src = TxTable(spark, str(tmp_path / "s"))
+    src.create(t0, "k", change_feed=True)
+    src.merge_upsert(spark.createDataFrame([(1, "a2")],
+                                           "k long, val string"))   # v1
+    src.delete_keys(spark.createDataFrame([(2,)], "k long"))         # v2
+    hist = scd2_from_changes(src.snapshot(0), src.read_changes(1),
+                             "k", ["val"])
+    rows = {(r["k"], r["val"]): (r["eff_from"], r["eff_to"],
+                                 r["is_current"])
+            for r in hist.collect()}
+    assert rows == {
+        (1, "a"): (0, 1, False),     # superseded by the merge
+        (1, "a2"): (1, None, True),  # current version
+        (2, "b"): (0, 2, False),     # closed by the delete, no successor
+    }

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from walmart_project_etl_spark.functions.keys import hash_surrogate
 from walmart_project_etl_spark.functions.rules import (FAR_FUTURE_EXPIRY,
@@ -160,3 +161,53 @@ def scd2_merge_tx(table, source: DataFrame, key: str,
     new_rows = scd2_apply(affected, source, key, tracked_cols,
                           surrogate_col, run_date, now_ts)
     return table.merge_upsert(new_rows)
+
+
+def scd2_from_changes(initial: DataFrame, changes: DataFrame, key: str,
+                      attrs: list[str],
+                      version_col: str = "_commit_version") -> DataFrame:
+    """Derive a full SCD2 HISTORY from a change-data feed: every row
+    version a key ever had, with [eff_from, eff_to) in SOURCE COMMIT
+    VERSIONS (not wall clocks — versions are the feed's own total order
+    per key, so the history is deterministic and replayable; Delta's
+    CDF-to-SCD2 recipes that stamp processing time are not).
+
+    ``initial`` is the snapshot the feed starts from (version 0 rows);
+    ``changes`` is a CDF slice (insert / update_preimage /
+    update_postimage / delete + ``version_col``). Open events (initial,
+    insert, update_postimage) each START a row version; delete events
+    only CLOSE the previous one. ONE window per key ordered by version
+    assigns each open row its close: ``eff_to`` = the next event's
+    version (NULL = still current). Pre-images are dropped — the
+    postimage carries the new state, the window the old row's end.
+
+    One shuffle on the key; the history is output-sized (rows =
+    open events), never a self-join of the feed.
+
+    Returns (key, attrs..., eff_from, eff_to, is_current).
+    """
+    opens = initial.select(
+        F.col(key), *[F.col(a) for a in attrs],
+        F.lit(0).cast("long").alias("__v"),
+        F.lit("open").alias("__kind"))
+    ch = changes.where(
+        F.col("_change_type").isin("insert", "update_postimage",
+                                   "delete"))
+    opens2 = ch.where(F.col("_change_type") != "delete").select(
+        F.col(key), *[F.col(a) for a in attrs],
+        F.col(version_col).cast("long").alias("__v"),
+        F.lit("open").alias("__kind"))
+    closes = ch.where(F.col("_change_type") == "delete").select(
+        F.col(key), *[F.lit(None).cast(t).alias(a) for a, t in
+                      [(a, dict(changes.dtypes)[a]) for a in attrs]],
+        F.col(version_col).cast("long").alias("__v"),
+        F.lit("close").alias("__kind"))
+    ev = opens.unionByName(opens2).unionByName(closes)
+    w = Window.partitionBy(key).orderBy("__v")
+    out = (ev.withColumn("__next", F.lead("__v").over(w))
+           .where(F.col("__kind") == "open")
+           .select(key, *attrs,
+                   F.col("__v").alias("eff_from"),
+                   F.col("__next").alias("eff_to"),
+                   F.col("__next").isNull().alias("is_current")))
+    return out

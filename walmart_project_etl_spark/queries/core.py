@@ -2760,3 +2760,57 @@ def txn_agg_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv.snapshot().select(
         "mv_key", "c_mktsegment", "n_rows",
         F.round(F.col("total"), 2).cast("double").alias("total"))
+
+
+@q("txn_cdf_scd2_history",
+   """WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderkey % 2 = 0),
+      upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+                     o_orderstatus
+              FROM base WHERE o_orderkey % 40 = 0),
+      del AS (SELECT o_orderkey FROM base WHERE o_orderkey % 100 = 0),
+      ev AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               0::BIGINT AS v, 'open' AS kind FROM base
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderstatus, 1, 'open'
+        FROM upd
+        UNION ALL
+        SELECT o_orderkey, NULL, NULL, 2, 'close' FROM del)
+      SELECT o_orderkey, o_totalprice, o_orderstatus,
+             v AS eff_from,
+             lead(v) OVER (PARTITION BY o_orderkey ORDER BY v) AS eff_to,
+             lead(v) OVER (PARTITION BY o_orderkey ORDER BY v) IS NULL
+               AS is_current
+      FROM ev QUALIFY kind = 'open'""")
+def txn_cdf_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 HISTORY derived from the table's own change feed
+    (operators/scd2.py:scd2_from_changes): create (v0) → price merge
+    (v1) → keyed delete (v2), then the CDF slice folds into the full
+    versioned dimension — [eff_from, eff_to) in SOURCE COMMIT VERSIONS,
+    so the history is deterministic and replayable (no processing-time
+    stamps). One window per key over the feed events; the oracle
+    reconstructs the same event algebra from the known batch
+    definitions. At 100 TB the fold cost is O(changed rows), and the
+    history appends incrementally batch after batch."""
+    import shutil
+
+    from walmart_project_etl_spark.operators.scd2 import scd2_from_changes
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice",
+                                          "o_orderstatus")
+    base = o.where(F.col("o_orderkey") % 2 == 0)
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_scd2cdf")
+    shutil.rmtree(root, ignore_errors=True)
+    src = TxTable(spark, root)
+    src.create(base, "o_orderkey", n_files=4, change_feed=True)
+    src.merge_upsert(base.where(F.col("o_orderkey") % 40 == 0)
+                     .withColumn("o_totalprice",
+                                 F.col("o_totalprice") * 2))
+    src.delete_keys(base.where(F.col("o_orderkey") % 100 == 0)
+                    .select("o_orderkey"))
+    changes = src.read_changes(since_version=1)
+    return scd2_from_changes(src.snapshot(0), changes, "o_orderkey",
+                             ["o_totalprice", "o_orderstatus"])
