@@ -287,3 +287,31 @@ def test_stream_partition_ingest_exactly_once_and_compacted(
                                 t.last_txn("stream_partition_ingest")))
     assert stats.get("skipped_replay")
     assert t.snapshot().count() == ev.count()
+
+
+def test_stream_scd2_history_incremental_restart(spark, tmp_path):
+    """The SCD2 follower resumes from its checkpoint: a second drain
+    after more source commits extends the history exactly — no
+    double-applied versions, closes land on the right rows."""
+    from pyspark.sql import functions as F
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+    from walmart_project_etl_spark.streaming.jobs import stream_scd2_history
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.create(spark.createDataFrame([(1, "a"), (2, "b")],
+                                     "k long, val string"),
+               "k", change_feed=True)
+    hist_root = str(tmp_path / "hist")
+    h1 = stream_scd2_history(spark, str(tmp_path / "src"), hist_root)
+    assert h1.snapshot().where("is_current").count() == 2
+    # more source commits, then RESUME the same checkpoint
+    src.merge_upsert(spark.createDataFrame([(1, "a2")],
+                                           "k long, val string"))  # v1
+    src.delete_keys(spark.createDataFrame([(2,)], "k long"))        # v2
+    h2 = stream_scd2_history(spark, str(tmp_path / "src"), hist_root)
+    rows = {(r["k"], r["val"]): (r["eff_from"], r["eff_to"],
+                                 r["is_current"])
+            for r in h2.snapshot().collect()}
+    assert rows == {(1, "a"): (0, 1, False), (1, "a2"): (1, None, True),
+                    (2, "b"): (0, 2, False)}

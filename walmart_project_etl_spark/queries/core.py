@@ -2814,3 +2814,83 @@ def txn_cdf_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = src.read_changes(since_version=1)
     return scd2_from_changes(src.snapshot(0), changes, "o_orderkey",
                              ["o_totalprice", "o_orderstatus"])
+
+
+@q("s12_orc_roundtrip",
+   """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+             o_orderstatus
+      FROM orders""")
+def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip: orders → ORC files (zlib,
+    Spark-native vectorized writer) → scan, value-identical to the
+    parquet original. ORC is the other columnar interchange format a
+    warehouse migration meets (Hive/Trino estates); predicate pushdown
+    and column pruning work through the same DataSource V2 scan path
+    as parquet — the oracle proves the type round-trip (dates,
+    decimals-as-doubles, strings) is lossless."""
+    import hashlib
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        "o_orderstatus")
+    path = os.path.join(tempfile.gettempdir(),
+                        "wpe_orc_roundtrip_"
+                        + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    o.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@q("stream_scd2_follow",
+   """WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderkey % 2 = 0),
+      upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+                     o_orderstatus
+              FROM base WHERE o_orderkey % 40 = 0),
+      del AS (SELECT o_orderkey FROM base WHERE o_orderkey % 100 = 0),
+      ev AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               0::BIGINT AS v, 'open' AS kind FROM base
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderstatus, 1, 'open'
+        FROM upd
+        UNION ALL
+        SELECT o_orderkey, NULL, NULL, 2, 'close' FROM del)
+      SELECT o_orderkey, o_totalprice, o_orderstatus,
+             v AS eff_from,
+             lead(v) OVER (PARTITION BY o_orderkey ORDER BY v) AS eff_to,
+             lead(v) OVER (PARTITION BY o_orderkey ORDER BY v) IS NULL
+               AS is_current
+      FROM ev QUALIFY kind = 'open'""")
+def stream_scd2_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2 replica (streaming/jobs.py:stream_scd2_history):
+    the change feed of create → merge → delete drains through the
+    Structured-Streaming CDF source into an incrementally-maintained
+    history table — per batch one event window, one key-bloom-pruned
+    read of affected current rows, ONE exactly-once merge. Commit-
+    version effective dating makes the result independent of how the
+    stream batches the commits, so the oracle is the SAME event
+    algebra as the batch twin (txn_cdf_scd2_history) — green proves
+    batch/stream equivalence end-to-end."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+    from walmart_project_etl_spark.streaming.jobs import \
+        stream_scd2_history
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice",
+                                          "o_orderstatus")
+    base = o.where(F.col("o_orderkey") % 2 == 0)
+    root = os.path.join(tempfile.gettempdir(), "wpe_stream_scd2")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_hist", ignore_errors=True)
+    src = TxTable(spark, root)
+    src.create(base, "o_orderkey", n_files=4, change_feed=True)
+    src.merge_upsert(base.where(F.col("o_orderkey") % 40 == 0)
+                     .withColumn("o_totalprice",
+                                 F.col("o_totalprice") * 2))
+    src.delete_keys(base.where(F.col("o_orderkey") % 100 == 0)
+                    .select("o_orderkey"))
+    hist = stream_scd2_history(spark, root, root + "_hist")
+    return hist.snapshot().select("o_orderkey", "o_totalprice",
+                                  "o_orderstatus", "eff_from", "eff_to",
+                                  "is_current")

@@ -17,6 +17,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType, TimestampType)
 
@@ -513,3 +514,99 @@ def stream_replicate_table(spark: SparkSession, source_root: str,
          .start())
     q.awaitTermination()
     return TxTable(spark, replica_root)
+
+
+def stream_scd2_history(spark: SparkSession, source_root: str,
+                        hist_root: str):
+    """SCD2 HISTORY REPLICA: follow a tx table's change feed and
+    maintain the full versioned-dimension history incrementally — the
+    streaming twin of ``operators/scd2.py:scd2_from_changes``, with the
+    same commit-version effective dating, so the result is IDENTICAL
+    however the stream batches the commits (per-batch the events chain
+    through one key-ordered window; across batches the first event of a
+    key closes its pre-batch current row — an associative fold over the
+    version-ordered feed).
+
+    Per micro-batch: one window over the batch's events, one pruned
+    read of the affected keys' CURRENT rows (key-bloom column index),
+    and ONE merge (closed rows update in place via their (key,
+    eff_from) surrogate, new versions insert) with a txn marker —
+    exactly-once, replay-safe. History grows by O(changed rows) per
+    batch; nothing ever rescans the source.
+
+    Returns the history TxTable after the backlog drains.
+    """
+    import json as _json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    from .txsource import TxLogChangesDataSource
+
+    spark.dataSource.register(TxLogChangesDataSource)
+    src = TxTable(spark, source_root)
+    meta = src._state()[0]
+    key = meta["key_col"]
+    schema = StructType.fromJson(_json.loads(meta["schema"]))
+    attrs = [f.name for f in schema.fields if f.name != key]
+
+    hist = TxTable(spark, hist_root)
+    if not hist.versions():
+        hschema = ("hk string, " + key + " " +
+                   dict((f.name, f.dataType.simpleString())
+                        for f in schema.fields)[key] + ", " +
+                   ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                             for f in schema.fields if f.name != key) +
+                   ", eff_from long, eff_to long, is_current boolean")
+        hist.create(spark.createDataFrame([], hschema), "hk",
+                    bloom_cols=[key])
+
+    feed = (spark.readStream.format("txlog_changes")
+            .option("root", source_root).load())
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        h = TxTable(spark, hist_root)
+        evs = batch_df.where(F.col("_change_type").isin(
+            "insert", "update_postimage", "delete"))
+        w = Window.partitionBy(key).orderBy("_commit_version")
+        evs = evs.withColumn("__next",
+                             F.lead("_commit_version").over(w))
+        opens = (evs.where(F.col("_change_type") != "delete")
+                 .select(F.col(key), *[F.col(a) for a in attrs],
+                         F.col("_commit_version").cast("long")
+                          .alias("eff_from"),
+                         F.col("__next").cast("long").alias("eff_to"),
+                         F.col("__next").isNull().alias("is_current")))
+        first_v = (evs.groupBy(key)
+                   .agg(F.min("_commit_version").cast("long")
+                        .alias("__first")))
+        affected = [r[key] for r in first_v.collect()]  # batch-sized
+        cur = (h.read_col_in(key, affected)
+               .where(F.col("is_current")))
+        closed = (cur.drop("eff_to", "is_current", "hk")
+                  .join(first_v, key)
+                  .select(F.col(key), *[F.col(a) for a in attrs],
+                          F.col("eff_from"),
+                          F.col("__first").alias("eff_to"),
+                          F.lit(False).alias("is_current")))
+        upserts = closed.unionByName(opens).withColumn(
+            "hk", F.md5(F.concat_ws(
+                "\x1f", F.col(key).cast("string"),
+                F.col("eff_from").cast("string"))))
+        h.merge_upsert(
+            upserts.select("hk", key, *attrs, "eff_from", "eff_to",
+                           "is_current"),
+            txn=(f"scd2:{source_root}", int(batch_id)))
+
+    q = (feed.writeStream
+         .foreachBatch(apply)
+         .option("checkpointLocation",
+                 os.path.join(hist_root, "_stream_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return TxTable(spark, hist_root)
