@@ -172,6 +172,12 @@ BENCH_QUERIES = [
     "txn_agg_mv_join",
     "pipe_exactsubstr_unigram_pack",
     "sim_matryoshka_topk",
+    # r12-new, latest: the CDF→SCD2 derivations — the batch fold and
+    # the streaming follower (per-batch window + bloom-pruned current
+    # read + exactly-once merge); replica-maintenance cost regressions
+    # must be bench-visible next to stream_replicate_cdc
+    "txn_cdf_scd2_history",
+    "stream_scd2_follow",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other
