@@ -2434,3 +2434,45 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 100 == 7) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.matryoshka_topk(emb, queries, k=10)
+
+
+@q("w04_running_distinct_users", """
+WITH firstday AS (
+  SELECT event_type, user_id, min(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY event_type, user_id),
+newu AS (
+  SELECT event_type, first_day AS day, count(*) AS new_users
+  FROM firstday GROUP BY event_type, first_day),
+days AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE))
+SELECT d.event_type, d.day::TIMESTAMP AS day, d.n_events,
+       coalesce(n.new_users, 0) AS new_users,
+       (sum(coalesce(n.new_users, 0)) OVER (
+         PARTITION BY d.event_type ORDER BY d.day))::BIGINT
+         AS cum_distinct_users
+FROM days d LEFT JOIN newu n USING (event_type, day)""")
+def w04_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING DISTINCT count done the scalable way: a naive
+    count(distinct) over an expanding window re-materializes the set
+    per row (quadratic state); instead each (type, user) contributes a
+    FIRST-OCCURRENCE day (one uniform groupBy), days aggregate those
+    flags, and a cumulative sum over the tiny day grain yields the
+    exact running distinct — two map-side-combinable aggregations plus
+    a window over O(days) rows, at any corpus size."""
+    ev = t(spark, sf_dir, "events")
+    firstday = (ev.groupBy("event_type", "user_id")
+                .agg(F.min(F.to_date("ts")).alias("first_day")))
+    newu = (firstday.groupBy("event_type",
+                             F.col("first_day").alias("day"))
+            .agg(F.count(F.lit(1)).alias("new_users")))
+    days = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (days.join(newu, ["event_type", "day"], "left")
+            .select("event_type",
+                    F.col("day").cast("timestamp").alias("day"),
+                    "n_events",
+                    F.coalesce("new_users", F.lit(0)).alias("new_users"),
+                    F.sum(F.coalesce("new_users", F.lit(0))).over(w)
+                     .alias("cum_distinct_users")))
