@@ -126,6 +126,11 @@ ALLOW = {
     # keyed-aggregated 5-row priority table (the fact collapses first),
     # so the SinglePartition carries ≤ distinct-priority rows
     "olap_share_of_total": {"Exchange SinglePartition (non-scalar result)"},
+    # RFM quartile ntiles rank the USER-GRAIN aggregate (orders of
+    # magnitude smaller than the event corpus); past ~10^8 users swap
+    # the global ntile for broadcast quantile boundaries (docstring)
+    "events_rfm_segments": {
+        "Exchange SinglePartition (non-scalar result)"},
 }
 
 HAZARDS = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -2476,3 +2476,82 @@ def w04_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("new_users", F.lit(0)).alias("new_users"),
                     F.sum(F.coalesce("new_users", F.lit(0))).over(w)
                      .alias("cum_distinct_users")))
+
+
+@q("olap_exact_percentiles", """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY l_returnflag""")
+def olap_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped percentiles (linear interpolation — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, proven equal to 4dp by
+    the oracle): the exact twin of the HLL/approx sketch entry. Exact
+    percentiles need a per-group sort — fine when groups are few and
+    fat (one shuffle, sort within group); at billions of rows per
+    group the approx_percentile sketch entry is the scale path."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4)
+         .alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+         .alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4)
+         .alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4)
+         .alias("p95"))
+
+
+@q("events_rfm_segments", """
+WITH mx AS (SELECT max(ts) AS now FROM events),
+per_user AS (
+  SELECT user_id,
+         date_diff('day', max(ts), (SELECT now FROM mx)) AS recency_days,
+         count(*) AS frequency,
+         round(sum(CAST(value AS DECIMAL(28,6))), 2)::DOUBLE AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS r_q,
+         ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+         ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+  FROM per_user)
+SELECT user_id, recency_days, frequency, monetary, r_q, f_q, m_q,
+       CASE WHEN r_q = 1 AND f_q = 1 THEN 'champion'
+            WHEN r_q <= 2 AND f_q <= 2 THEN 'loyal'
+            WHEN r_q >= 3 AND f_q <= 2 THEN 'at_risk'
+            ELSE 'casual' END AS segment
+FROM scored""")
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION (the retail-analytics classic the reference's
+    BI layer stops short of): per-user recency/frequency/monetary over
+    purchase events, quartiled with deterministic ntile tie-breaks,
+    mapped to named segments. One user-keyed aggregation; the ntile
+    windows run over the user-grain aggregate — a single-partition
+    rank of the SMALL frame, fine to ~10^8 users; past that, swap the
+    global ntile for approx-quantile boundaries broadcast against the
+    same aggregate. Recency anchors on max(ts) IN THE DATA, not wall
+    clock — deterministic at any run time."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase")
+    now = ev.agg(F.max("ts")).collect()[0][0]
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(F.lit(now), F.max("ts")).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+         .cast("double").alias("monetary"))
+    r_q = F.ntile(4).over(Window.orderBy(F.asc("recency_days"),
+                                         F.asc("user_id")))
+    f_q = F.ntile(4).over(Window.orderBy(F.desc("frequency"),
+                                         F.asc("user_id")))
+    m_q = F.ntile(4).over(Window.orderBy(F.desc("monetary"),
+                                         F.asc("user_id")))
+    scored = per_user.select("*", r_q.alias("r_q"), f_q.alias("f_q"),
+                             m_q.alias("m_q"))
+    seg = (F.when((F.col("r_q") == 1) & (F.col("f_q") == 1), "champion")
+           .when((F.col("r_q") <= 2) & (F.col("f_q") <= 2), "loyal")
+           .when((F.col("r_q") >= 3) & (F.col("f_q") <= 2), "at_risk")
+           .otherwise("casual"))
+    return scored.withColumn("segment", seg)
