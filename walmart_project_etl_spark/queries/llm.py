@@ -343,7 +343,13 @@ def dedup_cross_doc_ngram_score(spark: SparkSession,
              CAST(208 AS BIGINT) AS n_hits
       UNION ALL
       SELECT 'lsh', 10, CAST(25 AS BIGINT), CAST(250 AS BIGINT),
-             CAST(226 AS BIGINT)""")
+             CAST(226 AS BIGINT)
+      UNION ALL
+      SELECT 'ivfpq', 10, CAST(25 AS BIGINT), CAST(250 AS BIGINT),
+             CAST(189 AS BIGINT)
+      UNION ALL
+      SELECT 'mrl16', 10, CAST(25 AS BIGINT), CAST(250 AS BIGINT),
+             CAST(139 AS BIGINT)""")
 def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DRIVER-VISIBLE ANN quality gate: recall@10 of the IVF and LSH
     paths against the IN-PLAN brute-force truth, over a seeded
@@ -356,7 +362,11 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     in operators/similarity.py; LSH 226/250 = 0.90 at 64 planes / 8 bands /
     2 probe bits — both re-verified deterministic across runs). Any
     change to the quantizer, banding, or probe logic that moves recall
-    shows up as a value mismatch here. PINNED-ENVIRONMENT: the hit
+    shows up as a value mismatch here. r12 adds the ivfpq tier
+    (189/250 = 0.76 — residual-PQ compression costs ~0.07 vs flat IVF
+    at the same 25% scan) and the mrl16 prefix tier (139/250 = 0.56 —
+    the documented floor case on unstructured synthetic vectors; MRL-
+    trained embeddings sit far higher). PINNED-ENVIRONMENT: the hit
     counts ride on this build's float behavior (KMeans/cosine sums); a
     platform upgrade that shifts low bits means re-pin via
     tools/pin_golden.py, not a correctness bug (docs/COVERAGE.md
@@ -379,7 +389,11 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ivf = similarity.ivf_ann_topk(emb, queries, k=10)
     lsh = similarity.lsh_ann_topk(emb, queries, k=10)
-    return row("ivf", ivf).unionByName(row("lsh", lsh))
+    ivfpq = similarity.ivfpq_ann_topk(emb, queries, k=10)
+    mrl = similarity.matryoshka_topk(emb, queries, k=10)
+    return (row("ivf", ivf).unionByName(row("lsh", lsh))
+            .unionByName(row("ivfpq", ivfpq))
+            .unionByName(row("mrl16", mrl)))
 
 
 @q("sim_compressed_recall_report",
