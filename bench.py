@@ -178,6 +178,10 @@ BENCH_QUERIES = [
     # must be bench-visible next to stream_replicate_cdc
     "txn_cdf_scd2_history",
     "stream_scd2_follow",
+    # r12-new: partition evolution (metadata commit + mixed-layout
+    # pruned read + materializing compact) — layout-migration cost
+    # regressions must be bench-visible
+    "txn_partition_evolution",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other

@@ -2763,3 +2763,49 @@ def test_reader_feature_fence(spark, orders, tmp_path):
     assert "row_encryption_v9" in str(ei.value)
     # time travel BEFORE the upgrade commit still reads fine
     assert t.snapshot(v - 1).count() > 0
+
+
+def test_partition_evolution_conservative_then_materialized(
+        spark, orders, tmp_path):
+    """Iceberg-style partition evolution: a metadata-only layout change;
+    old-layout files scan conservatively (results exact via the
+    residual), new writes prune under the new scheme, compact()
+    materializes the migration, and replace_where refuses to run on a
+    half-migrated table."""
+    import pytest as _pytest
+    o = orders.withColumn("band", (F.col("o_custkey") % 3).cast("long"))
+    t = TxTable(spark, str(tmp_path / "t"))
+    half = o.where("o_orderkey % 2 = 0")
+    t.create(half, "o_orderkey", partition_by="o_orderstatus", n_files=4)
+    t.alter_partitioning(["band"])
+    meta = t._state()[0]
+    assert meta["partition_by"] == "band"
+    assert "partition_evolution" in meta["reader_features"]
+    # exact results immediately: old files conservatively scanned
+    got = sorted(r["o_orderkey"]
+                 for r in t.read_partitions([1]).collect())
+    want = sorted(r["o_orderkey"]
+                  for r in half.where("band = 1").collect())
+    assert got == want
+    # new writes stamp the new layout and prune by it
+    t.append(o.where("o_orderkey % 2 = 1"))
+    _, live = t._state()
+    new_adds = [a for a in live.values() if a.get("pby") == ["band"]]
+    old_adds = [a for a in live.values()
+                if a.get("pby") == ["o_orderstatus"]]
+    assert new_adds and old_adds
+    got2 = sorted(r["o_orderkey"]
+                  for r in t.read_partitions([1]).collect())
+    want2 = sorted(r["o_orderkey"]
+                   for r in o.where("band = 1").collect())
+    assert got2 == want2
+    # replaceWhere refuses while old-layout files are live
+    with _pytest.raises(ValueError, match="partition layout"):
+        t.replace_where(1, o.where("band = 1").limit(10))
+    # OPTIMIZE materializes the evolution; then replaceWhere is exact
+    t.compact(target_rows=10**6)
+    _, live2 = t._state()
+    assert all(a.get("pby") == ["band"] for a in live2.values())
+    t.replace_where(2, o.where("band = 2 AND o_orderkey % 5 = 0"))
+    got3 = t.snapshot().where("band = 2").count()
+    assert got3 == o.where("band = 2 AND o_orderkey % 5 = 0").count()

@@ -95,7 +95,7 @@ _PRIORITY = (
 #: r12-late entries that missed the 50-slot cap (sim_matryoshka_topk,
 #: txn_agg_mv_join, txn_cdf_scd2_history, stream_scd2_follow,
 #: s12_orc_roundtrip, w04_running_distinct_users, events_rfm_segments,
-#: olap_exact_percentiles), then these
+#: olap_exact_percentiles, txn_partition_evolution), then these
 #: (plus olap_grouping_sets_orders, olap_histogram, mm_real_decode_wav,
 #: olap_cube_lineitem, bumped late)
 #: 21 rows (the 10 bumped r6-era rows first, then the earlier

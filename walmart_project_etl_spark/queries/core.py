@@ -2894,3 +2894,44 @@ def stream_scd2_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.snapshot().select("o_orderkey", "o_totalprice",
                                   "o_orderstatus", "eff_from", "eff_to",
                                   "is_current")
+
+
+@q("txn_partition_evolution",
+   """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+             o_custkey % 3 AS band
+      FROM orders""")
+def txn_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION (sources/txlog.py:alter_partitioning —
+    Iceberg's layout-change feature, conservative-reader variant):
+    half the table lands partitioned by status, the layout evolves to
+    a customer band in ONE metadata-only commit, the other half lands
+    under the NEW scheme (stamped ``pby``), a band-pruned read stays
+    EXACT across the mixed layouts (old files conservatively scanned
+    behind the residual filter), and compact() materializes the
+    migration so every live file prunes under the new scheme. The
+    commit stamps the partition_evolution reader feature — a
+    pre-evolution reader fences out instead of wrongly skipping
+    old-layout files. Oracle: the full table — proving no row was
+    lost or duplicated across the evolution + migration."""
+    import shutil
+
+    from walmart_project_etl_spark.sources.txlog import TxTable
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        (F.col("o_custkey") % 3).alias("band"))
+    root = os.path.join(tempfile.gettempdir(), "wpe_txn_pevo")
+    shutil.rmtree(root, ignore_errors=True)
+    tt = TxTable(spark, root)
+    tt.create(o.where(F.col("o_orderkey") % 2 == 0), "o_orderkey",
+              partition_by="o_orderstatus", n_files=4)
+    tt.alter_partitioning(["band"])
+    tt.append(o.where(F.col("o_orderkey") % 2 == 1))
+    # band-pruned read across mixed layouts must be exact
+    n_band1 = tt.read_partitions([1]).count()
+    expect = o.where(F.col("band") == 1).count()
+    if n_band1 != expect:
+        raise ValueError(f"evolution read drift: {n_band1} != {expect}")
+    tt.compact(target_rows=10 ** 6)
+    return tt.snapshot().select("o_orderkey", "o_custkey",
+                                "o_totalprice", "o_orderstatus", "band")

@@ -194,6 +194,22 @@ def _meta_parts(meta: dict) -> list[str] | None:
     return [pb] if isinstance(pb, str) else list(pb)
 
 
+def _file_layout(a: dict, meta: dict) -> list[str] | None:
+    """The partition layout a file's ``pval`` was recorded under.
+    Files stamp ``pby`` since partition evolution landed; older files
+    are only attributable to the CURRENT layout when the table has
+    never evolved — after an evolution their layout is unknowable and
+    the pruners must keep them (the residual filter preserves
+    exactness; Iceberg solves the same problem with per-spec split
+    planning)."""
+    pby = a.get("pby")
+    if pby is not None:
+        return list(pby)
+    if not meta.get("partition_evolved"):
+        return _meta_parts(meta)
+    return None
+
+
 def _pval_tuple(a: dict) -> tuple:
     """A file's recorded partition value(s) normalized to a tuple —
     scalar ``pval`` for single-column tables, JSON list for composite."""
@@ -343,6 +359,7 @@ SUPPORTED_READER_FEATURES = {
     "deletion_vectors", "column_mapping", "type_widening",
     "generated_columns", "identity_columns", "change_data_feed",
     "check_constraints", "row_tracked_restore", "column_blooms",
+    "partition_evolution",
 }
 
 
@@ -855,6 +872,7 @@ class TxTable:
                 # pre-multi-col on-disk form), list for composite
                 vals = [r[f"__pvmin{i}"] for i in range(len(pcols))]
                 a["pval"] = vals[0] if len(pcols) == 1 else vals
+                a["pby"] = list(pcols)
             return a
 
         return [{"add": add_action(p)} for p in paths if p in by_name]
@@ -1089,7 +1107,9 @@ class TxTable:
                 f"with partition_by=")
         vals = _norm_pvals(values, len(pcols))
         files = [a for a in live.values()
-                 if "pval" not in a or _pval_tuple(a) in vals]
+                 if "pval" not in a
+                 or _file_layout(a, meta) != pcols
+                 or _pval_tuple(a) in vals]
         df = self._read_files(meta, files)
         return df.where(_pval_predicate(pcols, vals))
 
@@ -1236,7 +1256,8 @@ class TxTable:
             return None, None
 
         def survives(a: dict) -> bool:
-            if pvals is not None and _pval_tuple(a) not in pvals:
+            if pvals is not None and _file_layout(a, meta) == pcols \
+                    and _pval_tuple(a) not in pvals:
                 return False
             if (key_hi is not None and a["kmin"] > key_hi) or \
                     (key_lo is not None and a["kmax"] < key_lo):
@@ -3218,6 +3239,53 @@ class TxTable:
                 self._maybe_checkpoint(v)
                 return {"files_in": len(dirty), "files_out": len(adds)}
 
+    def alter_partitioning(self, cols: list[str] | str | None) -> None:
+        """PARTITION EVOLUTION (Iceberg's headline layout feature, the
+        conservative-reader variant): change the table's partition
+        columns in ONE metadata-only commit — no data rewrite. New
+        writes lay out and stamp (``pby``) under the new scheme and
+        prune exactly; files written under any OLDER scheme remain
+        readable and CONSERVATIVELY scanned by partition-pruned reads
+        (their residual filter keeps results exact — only the skip is
+        lost), and every rewrite (merge, compact, zorder) migrates the
+        rows it touches to the new layout. ``compact()`` is therefore
+        the explicit "materialize the evolution" knob, and
+        :meth:`replace_where` refuses to run while unmigrated files
+        remain (it must not leave hidden rows of the target partition
+        live). Readers that predate evolution would trust every
+        ``pval`` under the new column list and WRONGLY SKIP old-layout
+        files, so the commit stamps the ``partition_evolution`` reader
+        feature — old readers fence out loudly instead.
+        """
+        if cols is not None and not isinstance(cols, list):
+            cols = [cols]
+        while True:
+            base = self.versions()[-1]
+            meta, _ = self._state(base)
+            from pyspark.sql.types import StructType
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            have = {f.name for f in schema.fields}
+            missing = [c for c in (cols or []) if c not in have]
+            if missing:
+                raise ValueError(
+                    f"partition column(s) {missing} not in schema")
+            if _meta_parts(meta) == cols:
+                return                           # no-op
+            new_meta = dict(meta)
+            if cols is None:
+                new_meta.pop("partition_by", None)
+            else:
+                new_meta["partition_by"] = \
+                    cols[0] if len(cols) == 1 else list(cols)
+            new_meta["partition_evolved"] = True
+            new_meta = self._stamp_feature(new_meta,
+                                           "partition_evolution")[0]
+            v = base + 1
+            if self._commit([{"op": "alter_partitioning",
+                              "to": cols}, {"meta": new_meta}], v):
+                self._maybe_checkpoint(v)
+                return
+
     def replace_where(self, value, df: DataFrame) -> dict:
         """Atomic PARTITION OVERWRITE — Delta's ``replaceWhere``: in ONE
         commit, drop every file of partition ``value`` and add ``df``'s
@@ -3257,6 +3325,19 @@ class TxTable:
         while True:
             base = self.versions()[-1]          # pinned read (see merge)
             _, live = self._state(base)
+            foreign = [a for a in live.values()
+                       if _file_layout(a, meta) != pcols]
+            if foreign:
+                # post-evolution files of an older layout may hold rows
+                # of the target partition without being addressable by
+                # pval — overwriting would silently leave them live.
+                # OPTIMIZE first (compact() rewrites under the current
+                # layout), then replaceWhere is exact again.
+                raise ValueError(
+                    f"replace_where({value!r}): {len(foreign)} live "
+                    f"file(s) predate the current partition layout "
+                    f"(partition evolution) — run compact() to "
+                    f"materialize the new layout first")
             doomed = [a for a in live.values()
                       if _pval_tuple(a) == tval]
             cdf: list[dict] = []
