@@ -585,8 +585,16 @@ def stream_scd2_history(spark: SparkSession, source_root: str,
                    .agg(F.min("_commit_version").cast("long")
                         .alias("__first")))
         affected = [r[key] for r in first_v.collect()]  # batch-sized
-        cur = (h.read_col_in(key, affected)
-               .where(F.col("is_current")))
+        # current-row lookup: bloom-pruned point reads for a narrow
+        # batch; a backfill-sized batch (or the first drain, when most
+        # keys are new) does one scan+semi-join instead — 10^4 bloom
+        # probes cost more than the scan they'd save
+        if len(affected) <= 1000:
+            cur = (h.read_col_in(key, affected)
+                   .where(F.col("is_current")))
+        else:
+            cur = (h.snapshot().where(F.col("is_current"))
+                   .join(first_v.select(key), key, "left_semi"))
         closed = (cur.drop("eff_to", "is_current", "hk")
                   .join(first_v, key)
                   .select(F.col(key), *[F.col(a) for a in attrs],
