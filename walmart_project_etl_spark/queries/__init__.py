@@ -58,6 +58,15 @@ _PRIORITY = (
     "text_unigram_encode",
     "pipe_exactsubstr_unigram_pack",
     "events_funnel_gap",
+    "sim_matryoshka_topk",
+    "txn_agg_mv_join",
+    "txn_cdf_scd2_history",
+    "stream_scd2_follow",
+    "txn_partition_evolution",
+    "s12_orc_roundtrip",
+    "w04_running_distinct_users",
+    "events_rfm_segments",
+    "olap_exact_percentiles",
     # r5-era stale rows (last driver row 7 rounds ago)
     "text_tfidf_top_terms",
     "ts_yoy_growth",
@@ -65,7 +74,7 @@ _PRIORITY = (
     "sim_pca_project",
     "sim_quantize_int8",
     "sim_compressed_recall_report",
-    # r6-era rotation, first 24 of 49
+    # r6-era rotation, first 15 of 49
     "a02_groupby_first",
     "a03_distinct_count_per_group",
     "a05_count_distinct",
@@ -81,32 +90,22 @@ _PRIORITY = (
     "dedup_canonical_longest",
     "dedup_cluster_components",
     "dedup_contamination_scores",
-    "dedup_decontaminate",
-    "dedup_fuzzy_blocked",
-    "dedup_ngram_containment",
-    "dedup_ngram_jaccard",
-    "events_attribution",
-    "events_transition_matrix",
-    "j01_left_equi_join",
-    "j10_optional_dim_left_join",
-    "mm_real_decode_png",
 )
-#: Deferred from this window — lead the r13 rotation with the
-#: r12-late entries that missed the 50-slot cap (sim_matryoshka_topk,
-#: txn_agg_mv_join, txn_cdf_scd2_history, stream_scd2_follow,
-#: s12_orc_roundtrip, w04_running_distinct_users, events_rfm_segments,
-#: olap_exact_percentiles, txn_partition_evolution), then these
-#: (plus olap_grouping_sets_orders, olap_histogram, mm_real_decode_wav,
-#: olap_cube_lineitem, bumped late)
-#: 21 rows (the 10 bumped r6-era rows first, then the earlier
-#: deferrals):
-#: olap_rollup_lineitem, olap_share_of_total, olap_time_rollup_events,
-#: p01_projection_rename, p02_distinct_nonnull_dates, p03_null_filter,
-#: profile_lineitem, s02_empty_string_to_null, s03_table_scan,
-#: s04_parquet_sink_roundtrip, s06_ddl_create_insert, s07_truncate,
-#: s08_drop, s09_temp_view, skew_salted_latest, stream_static_enrich,
-#: stream_tx_upsert, text_unigram_logprob, ts_gap_fill_locf,
-#: txn_merge_fileprune, txn_time_travel
+#: Deferred from this window — every r12-new entry holds a slot, so
+#: the r13 rotation leads with the bumped r6-era rows, then the earlier
+#: deferrals:
+#: dedup_decontaminate, dedup_fuzzy_blocked, dedup_ngram_containment,
+#: dedup_ngram_jaccard, events_attribution, events_transition_matrix,
+#: j01_left_equi_join, j10_optional_dim_left_join, mm_real_decode_png,
+#: mm_real_decode_wav, olap_cube_lineitem, olap_grouping_sets_orders,
+#: olap_histogram, olap_rollup_lineitem, olap_share_of_total,
+#: olap_time_rollup_events, p01_projection_rename,
+#: p02_distinct_nonnull_dates, p03_null_filter, profile_lineitem,
+#: s02_empty_string_to_null, s03_table_scan, s04_parquet_sink_roundtrip,
+#: s06_ddl_create_insert, s07_truncate, s08_drop, s09_temp_view,
+#: skew_salted_latest, stream_static_enrich, stream_tx_upsert,
+#: text_unigram_logprob, ts_gap_fill_locf, txn_merge_fileprune,
+#: txn_time_travel
 #: — then re-rotate the r7-era block (41 rows).
 
 
