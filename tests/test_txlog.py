@@ -2809,3 +2809,33 @@ def test_partition_evolution_conservative_then_materialized(
     t.replace_where(2, o.where("band = 2 AND o_orderkey % 5 = 0"))
     got3 = t.snapshot().where("band = 2").count()
     assert got3 == o.where("band = 2 AND o_orderkey % 5 = 0").count()
+
+
+def test_in_commit_timestamps_monotone_under_clock_skew(
+        spark, orders, tmp_path, monkeypatch):
+    """ICT: a writer whose clock runs BEHIND the previous committer's
+    still stamps a later timestamp, so TIMESTAMP AS OF cuts stay
+    well-ordered across writers."""
+    import time as _time
+
+    import walmart_project_etl_spark.sources.txlog as txmod
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.create(orders.limit(10), "o_orderkey")
+    t.append(orders.where("o_orderkey % 7 = 1").limit(5))
+    real = _time.time
+    skewed = real() - 3600.0             # an hour in the past
+    monkeypatch.setattr(txmod.time, "time", lambda: skewed)
+    try:
+        other = TxTable(spark, str(tmp_path / "t"))
+        other.append(orders.where("o_orderkey % 7 = 2").limit(5))
+    finally:
+        monkeypatch.setattr(txmod.time, "time", real)
+    stamps = []
+    for v in t.versions():
+        acts = t._read_commit(v)
+        stamps.append(next(a["ts"] for a in acts
+                           if "op" in a and "ts" in a))
+    assert stamps == sorted(stamps) and len(set(stamps)) == len(stamps)
+    # the skewed commit resolves AFTER its predecessor for AS OF reads
+    assert t.version_at(stamps[1]) == 1
+    assert t.version_at(stamps[2]) == 2

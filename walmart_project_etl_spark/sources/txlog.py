@@ -603,10 +603,25 @@ class TxTable:
         if self._txn_ref is not None:
             actions = [{"pending": {**self._txn_ref, "ts": time.time()}},
                        *actions]
-        # wall-clock stamp on the op action — TIMESTAMP AS OF reads
-        # (:meth:`snapshot_at`); same caveat as Delta: commit times come
-        # from writer clocks, so cross-writer ordering is best-effort
-        actions = [{**a, "ts": time.time()}
+        # IN-COMMIT TIMESTAMP (Delta's ICT feature): the op action's
+        # stamp is clamped to strictly exceed the PREDECESSOR commit's —
+        # each committer reads version N-1's stamp before writing N, so
+        # commit timestamps are monotone across ALL writers even under
+        # clock skew, and TIMESTAMP AS OF resolution (version_at) is a
+        # well-ordered cut instead of Delta's best-effort writer-clock
+        # ordering
+        now = time.time()
+        if expected_version > 0:
+            try:
+                prev = next(
+                    (a["ts"] for a in
+                     self._read_commit(expected_version - 1)
+                     if "op" in a and "ts" in a), None)
+                if prev is not None and now <= prev:
+                    now = prev + 1e-6
+            except FileNotFoundError:
+                pass                      # vacuumed predecessor: keep now
+        actions = [{**a, "ts": now}
                    if "op" in a and "ts" not in a else a
                    for a in actions]
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
