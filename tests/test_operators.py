@@ -1416,3 +1416,29 @@ def test_matryoshka_recall_floor_and_exact_rerank(spark):
         key = (r["query_id"], r["vec_id"])
         if key in tvals:
             assert abs(r["cosine_sim"] - tvals[key]) < 1e-9
+
+
+def test_pack_bins_bfd_invariants(spark):
+    from walmart_project_etl_spark.operators.packing import pack_bins_bfd
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 90) for i in range(200)],
+        "doc_id long, n_tokens long")
+    out = pack_bins_bfd(df, "doc_id", "n_tokens", capacity=128,
+                        n_groups=4).collect()
+    assert len(out) == 200                       # every doc packed once
+    fills = {}
+    for r in out:
+        fills.setdefault((r["pack_group"], r["bin_id"]), 0)
+        fills[(r["pack_group"], r["bin_id"])] += r["n_tokens"]
+    assert all(v <= 128 for v in fills.values())  # capacity respected
+    for r in out:                                 # fill column is truth
+        assert r["bin_fill"] == fills[(r["pack_group"], r["bin_id"])]
+    # deterministic
+    again = {(r["doc_id"], r["bin_id"]) for r in pack_bins_bfd(
+        df, "doc_id", "n_tokens", capacity=128, n_groups=4).collect()}
+    assert again == {(r["doc_id"], r["bin_id"]) for r in out}
+    # oversize rejection
+    import pytest as _pytest
+    big = spark.createDataFrame([(1, 200)], "doc_id long, n_tokens long")
+    with _pytest.raises(Exception, match="exceed"):
+        pack_bins_bfd(big, "doc_id", "n_tokens", capacity=128).collect()

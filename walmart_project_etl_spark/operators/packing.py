@@ -59,3 +59,73 @@ def pack_sequences(df: DataFrame, id_col: str, token_count_col: str,
               .withColumn("seq_id", F.expr(f"__start div {int(capacity)}"))
               .withColumn("seq_offset", F.col("__start") % capacity)
               .drop("__start"))
+
+
+def pack_bins_bfd(df: DataFrame, id_col: str, token_count_col: str,
+                  capacity: int, n_groups: int = 256,
+                  salt: str = "") -> DataFrame:
+    """BEST-FIT-DECREASING bin packing — the no-straddle alternative to
+    :func:`pack_sequences`: documents are never split across sequences
+    (needed when attention must not cross document boundaries and
+    truncation is unacceptable), at the cost of per-bin slack instead.
+
+    Classic BFD (sort decreasing, place each doc in the FULLEST bin it
+    still fits, else open a new one) is inherently sequential, so it
+    runs per hash group: docs land in ``n_groups`` md5 buckets (same
+    scheme as pack_sequences — group count sets task parallelism and
+    bounds per-task state), and one Arrow-batched ``applyInPandas``
+    packs each group independently. BFD is an 11/9·OPT+1
+    approximation (Johnson 1973) INSIDE each group; grouping costs a
+    little cross-group slack but is what makes the policy run on 100 TB
+    — per-task memory is one group's (tokens, id) pairs, never the
+    corpus.
+
+    Deterministic: docs sort by (tokens DESC, id ASC); the fullest-bin
+    tie breaks on the LOWEST bin id. Documents longer than ``capacity``
+    are rejected (ValueError) — filter or chunk them first
+    (``operators/text.py:chunk_text``).
+
+    Adds ``pack_group``, ``bin_id`` (dense per group, fill order) and
+    ``bin_fill`` (the bin's total tokens after packing).
+    """
+    import pandas as pd
+
+    grp = hash_bucket(
+        F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string")),
+        buckets=n_groups)
+    work = df.withColumn("pack_group", grp)
+    cols = work.columns
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        toobig = pdf[pdf[token_count_col] > capacity]
+        if len(toobig):
+            raise ValueError(
+                f"pack_bins_bfd: {len(toobig)} document(s) exceed "
+                f"capacity {capacity} (e.g. id "
+                f"{toobig[id_col].iloc[0]!r}) — chunk or filter first")
+        pdf = pdf.sort_values([token_count_col, id_col],
+                              ascending=[False, True])
+        fills: list[int] = []
+        bin_of = []
+        for tok in pdf[token_count_col]:
+            best, best_fill = -1, -1
+            for b, f in enumerate(fills):
+                if f + tok <= capacity and f > best_fill:
+                    best, best_fill = b, f
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            fills[best] += int(tok)
+            bin_of.append(best)
+        pdf = pdf.assign(bin_id=bin_of,
+                         bin_fill=[fills[b] for b in bin_of])
+        return pdf
+
+    from pyspark.sql.types import IntegerType, LongType
+    out_schema = work.schema.add("bin_id", IntegerType()) \
+                            .add("bin_fill", LongType())
+    return (work.repartition(n_groups, "pack_group")
+            .groupBy("pack_group")
+            .applyInPandas(
+                lambda pdf: pack(pdf)[[*cols, "bin_id", "bin_fill"]],
+                out_schema))

@@ -1409,3 +1409,25 @@ def pipe_exactsubstr_unigram_pack(spark: SparkSession,
                                     capacity=128, n_groups=16)
     return packed.select("doc_id", "n_words", "n_tokens",
                          "pack_group", "seq_id", "seq_offset")
+
+
+@q("pack_bins_bfd", pinned("pack_bins_bfd"))
+def pack_bins_bfd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEST-FIT-DECREASING bin packing (operators/packing.py — the
+    no-straddle twin of pack_sequences, for training recipes where
+    attention must not cross document boundaries): whitespace token
+    counts per document, BFD inside 16 hash groups via one
+    applyInPandas hop (per-task state = one group, capacity 128, docs
+    over capacity rejected upstream by the length filter). Oracle =
+    pinned sf0.01 golden (the greedy DP is engine-internal but fully
+    deterministic: decreasing sort with id tie-breaks, lowest-bin-id
+    fullest-fit)."""
+    from walmart_project_etl_spark.operators.packing import pack_bins_bfd
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                        lambda x: x != "")).cast("long")
+         .alias("n_tokens")).where(F.col("n_tokens") <= 128)
+    return pack_bins_bfd(sized, "doc_id", "n_tokens", capacity=128,
+                         n_groups=16)
