@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     # pruned read + materializing compact) — layout-migration cost
     # regressions must be bench-visible
     "txn_partition_evolution",
+    # r12-new: BFD no-straddle packing (per-group Arrow hop)
+    "pack_bins_bfd",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other
