@@ -843,11 +843,15 @@ def test_sim_recall_report_is_consistent(spark):
     random chance for both algorithms."""
     from walmart_project_etl_spark.queries.llm import sim_recall_report
     rows = {r["algo"]: r for r in sim_recall_report(spark, SF_DIR).collect()}
-    assert set(rows) == {"ivf", "lsh"}
-    for r in rows.values():
+    assert set(rows) == {"ivf", "lsh", "ivfpq", "mrl16"}
+    #: per-tier floors: cell-pruned exact (ivf/lsh) clear 0.5 easily;
+    #: residual-PQ compression costs a bit more; the 16/64 prefix tier
+    #: is the documented floor case on unstructured synthetic vectors
+    floors = {"ivf": 0.5, "lsh": 0.5, "ivfpq": 0.45, "mrl16": 0.25}
+    for algo, r in rows.items():
         assert r["n_truth"] == r["n_queries"] * r["k"]
         assert 0 < r["n_hits"] <= r["n_truth"]
-        assert r["n_hits"] / r["n_truth"] >= 0.5, (r["algo"], r)
+        assert r["n_hits"] / r["n_truth"] >= floors[algo], (algo, r)
 
 
 def test_quality_classifier_train_score_roundtrip(spark):

@@ -194,20 +194,27 @@ def _meta_parts(meta: dict) -> list[str] | None:
     return [pb] if isinstance(pb, str) else list(pb)
 
 
-def _file_layout(a: dict, meta: dict) -> list[str] | None:
-    """The partition layout a file's ``pval`` was recorded under.
-    Files stamp ``pby`` since partition evolution landed; older files
-    are only attributable to the CURRENT layout when the table has
-    never evolved — after an evolution their layout is unknowable and
-    the pruners must keep them (the residual filter preserves
-    exactness; Iceberg solves the same problem with per-spec split
-    planning)."""
+def _layout_matches(a: dict, meta: dict) -> bool:
+    """True when the file's ``pval`` was recorded under the CURRENT
+    partition layout, compared by PHYSICAL column names — so a
+    column-mapping rename of a partition column does not orphan the
+    layout (the physical identity is unchanged). Files stamp ``pby``
+    (physical) since partition evolution landed; an un-stamped file is
+    attributable to the current layout only when the table has never
+    evolved — after an evolution its layout is unknowable and the
+    pruners must keep it (the residual filter preserves exactness;
+    Iceberg solves the same problem with per-spec split planning)."""
+    pcols = _meta_parts(meta)
+    if pcols is None:
+        return False
+    mp = meta.get("column_mapping") or {}
+    cur = [mp.get(c, c) for c in pcols]
     pby = a.get("pby")
     if pby is not None:
-        return list(pby)
-    if not meta.get("partition_evolved"):
-        return _meta_parts(meta)
-    return None
+        return list(pby) == cur
+    if meta.get("partition_evolved"):
+        return False
+    return "pval" in a
 
 
 def _pval_tuple(a: dict) -> tuple:
@@ -887,7 +894,8 @@ class TxTable:
                 # pre-multi-col on-disk form), list for composite
                 vals = [r[f"__pvmin{i}"] for i in range(len(pcols))]
                 a["pval"] = vals[0] if len(pcols) == 1 else vals
-                a["pby"] = list(pcols)
+                mpw = (meta or {}).get("column_mapping") or {}
+                a["pby"] = [mpw.get(c, c) for c in pcols]
             return a
 
         return [{"add": add_action(p)} for p in paths if p in by_name]
@@ -1123,7 +1131,7 @@ class TxTable:
         vals = _norm_pvals(values, len(pcols))
         files = [a for a in live.values()
                  if "pval" not in a
-                 or _file_layout(a, meta) != pcols
+                 or not _layout_matches(a, meta)
                  or _pval_tuple(a) in vals]
         df = self._read_files(meta, files)
         return df.where(_pval_predicate(pcols, vals))
@@ -1271,7 +1279,7 @@ class TxTable:
             return None, None
 
         def survives(a: dict) -> bool:
-            if pvals is not None and _file_layout(a, meta) == pcols \
+            if pvals is not None and _layout_matches(a, meta) \
                     and _pval_tuple(a) not in pvals:
                 return False
             if (key_hi is not None and a["kmin"] > key_hi) or \
@@ -3341,7 +3349,7 @@ class TxTable:
             base = self.versions()[-1]          # pinned read (see merge)
             _, live = self._state(base)
             foreign = [a for a in live.values()
-                       if _file_layout(a, meta) != pcols]
+                       if not _layout_matches(a, meta)]
             if foreign:
                 # post-evolution files of an older layout may hold rows
                 # of the target partition without being addressable by
