@@ -292,3 +292,20 @@ def test_rolling_zscore_flags_only_the_spike(spark):
     # successors, which therefore stay within 3 sigma of their baseline
     assert [r["t"] for r in rows] == [7]
     assert rows[0]["zscore"] > 3
+
+
+def test_holt_linear_matches_reference_recursion(spark):
+    from walmart_project_etl_spark.operators.timeseries import holt_linear
+    xs = [28.17, 71.69, 19.57, 40.0]
+    df = spark.createDataFrame([("u", i, x) for i, x in enumerate(xs)],
+                               "k string, t int, x double")
+    out = holt_linear(df, "k", ["t"], "x", alpha=0.25, beta=0.5,
+                      horizon=3).collect()[0]
+    l, tr = xs[0], 0.0
+    for x in xs[1:]:
+        lnew = 0.25 * x + 0.75 * (l + tr)
+        tr = 0.5 * (lnew - l) + 0.5 * tr
+        l = lnew
+    assert abs(out["level"] - l) < 1e-6
+    assert abs(out["trend"] - tr) < 1e-6
+    assert abs(out["forecast"] - (l + 3 * tr)) < 1e-6

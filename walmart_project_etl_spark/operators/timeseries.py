@@ -137,3 +137,48 @@ def rolling_zscore_anomalies(df: DataFrame, entity_col: str,
                    & (F.abs(z) > z_cut))
             .select(entity_col, *order_cols, value_col,
                     F.round(z, 4).alias("zscore")))
+
+
+def holt_linear(df: DataFrame, entity_col: str, order_cols: list[str],
+                value_col: str, alpha: float = 0.25, beta: float = 0.5,
+                horizon: int = 3) -> DataFrame:
+    """Holt double-exponential smoothing per entity (level + trend):
+    l_t = α·x_t + (1-α)(l+t), t_t = β(l_t - l) + (1-β)t, initialized
+    l₀ = x₀, t₀ = 0 — the classic short-horizon demand forecaster one
+    step up from :func:`ewma`.
+
+    Same scale shape as the EWMA fold: one shuffle on the entity, the
+    sequential recursion runs as an in-row array fold with a STRUCT
+    accumulator (level, trend). DuckDB's ``list_reduce`` over
+    ``struct_pack`` folds in the identical order with identical IEEE
+    expression shapes, so the oracle is exact — pick binary-exact
+    α/β literals (0.25, 0.5) so ``1-α`` constants agree bit-for-bit.
+
+    Returns (entity, n_points, level, trend, forecast round-6) where
+    forecast = level + horizon·trend.
+    """
+    ordered = (df.groupBy(entity_col)
+               .agg(F.array_sort(F.collect_list(F.struct(
+                       *[F.col(c) for c in order_cols],
+                       F.col(value_col).cast("double").alias("__x"))))
+                    .alias("__s")))
+    xs = F.transform("__s", lambda s: s["__x"])
+    a, b = float(alpha), float(beta)
+
+    def step(acc, x):
+        lnew = F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["t"])
+        tnew = (F.lit(b) * ((F.lit(a) * x + F.lit(1.0 - a)
+                             * (acc["l"] + acc["t"])) - acc["l"])
+                + F.lit(1.0 - b) * acc["t"])
+        return F.struct(lnew.alias("l"), tnew.alias("t"))
+
+    fold = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.struct(F.element_at(xs, 1).alias("l"), F.lit(0.0).alias("t")),
+        step)
+    return ordered.select(
+        entity_col, F.size("__s").alias("n_points"),
+        F.round(fold["l"], 6).alias("level"),
+        F.round(fold["t"], 6).alias("trend"),
+        F.round(fold["l"] + F.lit(float(horizon)) * fold["t"], 6)
+         .alias("forecast"))

@@ -2569,3 +2569,19 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
            .when((F.col("r_q") >= 3) & (F.col("f_q") <= 2), "at_risk")
            .otherwise("casual"))
     return scored.withColumn("segment", seg)
+
+
+@q("ts_holt_forecast", pinned("ts_holt_forecast"))
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing per user with a 3-step forecast
+    (operators/timeseries.py:holt_linear): the sequential recursion as
+    ONE in-row struct-accumulator fold after a single entity shuffle.
+    Oracle = pinned sf0.01 golden: DuckDB's list_reduce updates struct
+    accumulator fields IN PLACE during a step (later field expressions
+    see the new 'l'), so it cannot replay a two-field recursion —
+    verified while building this entry; the EWMA twin's scalar fold
+    (ts_ewma_value) stays a recomputed oracle."""
+    from walmart_project_etl_spark.operators import timeseries
+    ev = t(spark, sf_dir, "events")
+    return timeseries.holt_linear(ev, "user_id", ["ts", "event_id"],
+                                  "value")
