@@ -68,6 +68,7 @@ _PRIORITY = (
     "events_rfm_segments",
     "olap_exact_percentiles",
     "pack_bins_bfd",
+    "ts_holt_forecast",
     # r5-era stale rows (last driver row 7 rounds ago)
     "text_tfidf_top_terms",
     "ts_yoy_growth",
@@ -75,7 +76,7 @@ _PRIORITY = (
     "sim_pca_project",
     "sim_quantize_int8",
     "sim_compressed_recall_report",
-    # r6-era rotation, first 14 of 49
+    # r6-era rotation, first 13 of 49
     "a02_groupby_first",
     "a03_distinct_count_per_group",
     "a05_count_distinct",
@@ -89,12 +90,12 @@ _PRIORITY = (
     "dedup_boilerplate_lines",
     "dedup_boilerplate_sentences",
     "dedup_canonical_longest",
-    "dedup_cluster_components",
 )
 #: Deferred from this window — every r12-new entry holds a slot, so
 #: the r13 rotation leads with the bumped r6-era rows, then the earlier
 #: deferrals:
-#: dedup_contamination_scores, dedup_decontaminate, dedup_fuzzy_blocked, dedup_ngram_containment,
+#: dedup_contamination_scores, dedup_cluster_components,
+#: dedup_decontaminate, dedup_fuzzy_blocked, dedup_ngram_containment,
 #: dedup_ngram_jaccard, events_attribution, events_transition_matrix,
 #: j01_left_equi_join, j10_optional_dim_left_join, mm_real_decode_png,
 #: mm_real_decode_wav, olap_cube_lineitem, olap_grouping_sets_orders,
