@@ -158,3 +158,21 @@ def test_mad_outliers_zero_mad_is_null(spark):
            for r in cleaning.mad_outliers(df, "x").collect()}
     # median=5, deviations [0,0,0,0,94] -> MAD=0: scores NULL, flags False
     assert all(rz is None and flag is False for rz, flag in out.values())
+
+
+def test_split_expectations_routes_and_reconciles(spark):
+    from pyspark.sql import functions as F
+
+    from walmart_project_etl_spark.operators.cleaning import \
+        split_expectations
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (4, 9.0)],
+        "k int, v double")
+    clean, quar = split_expectations(df, [
+        ("v_not_null", F.col("v").isNotNull()),
+        ("v_positive", F.col("v") > 0)])
+    assert {r["k"] for r in clean.collect()} == {1, 4}
+    reasons = {r["k"]: r["dq_reason"] for r in quar.collect()}
+    # first failing check tags the row: NULL fails not_null first
+    assert reasons == {2: "v_positive", 3: "v_not_null"}
+    assert clean.count() + quar.count() == df.count()

@@ -191,3 +191,26 @@ def mad_outliers(df: DataFrame, value_col: str,
                           F.coalesce(F.abs(F.col(out_col)) > threshold,
                                      F.lit(False)))
               .drop("__med", "__mad"))
+
+
+def split_expectations(df, checks: list[tuple]):
+    """DLT-style expectation routing: ``checks`` is an ordered list of
+    (name, Column-predicate); every row either passes ALL checks (clean
+    side) or is quarantined tagged with the FIRST failing check's name
+    — the expect_or_quarantine pattern (Delta Live Tables / Great
+    Expectations), so bad upstream rows never poison the table AND
+    never silently vanish.
+
+    One pass, no shuffle: the failure reason is a single chained
+    ``when`` expression evaluated per row; both outputs are lazy
+    filters over it. Returns (clean_df, quarantined_df) where the
+    quarantine side carries ``dq_reason``.
+    """
+    from pyspark.sql import functions as F
+    reason = F.lit(None).cast("string")
+    for name, pred in reversed(checks):
+        reason = F.when(~pred, F.lit(name)).otherwise(reason)
+    tagged = df.withColumn("dq_reason", reason)
+    clean = tagged.where(F.col("dq_reason").isNull()).drop("dq_reason")
+    quarantined = tagged.where(F.col("dq_reason").isNotNull())
+    return clean, quarantined

@@ -91,7 +91,9 @@ _PRIORITY = (
     "dedup_boilerplate_sentences",
     "dedup_canonical_longest",
 )
-#: Deferred from this window — every r12-new entry holds a slot, so
+#: Deferred from this window — every r12-new entry except
+#: dq_quarantine_split (added last, slot-capped) holds a slot, so —
+#: after dq_quarantine_split —
 #: the r13 rotation leads with the bumped r6-era rows, then the earlier
 #: deferrals:
 #: dedup_contamination_scores, dedup_cluster_components,

@@ -2935,3 +2935,68 @@ def txn_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt.compact(target_rows=10 ** 6)
     return tt.snapshot().select("o_orderkey", "o_custkey",
                                 "o_totalprice", "o_orderstatus", "band")
+
+
+@q("dq_quarantine_split",
+   """WITH src AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                    ELSE o_custkey END AS o_custkey,
+               CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_orderkey % 83 = 0 THEN 'Z'
+                    ELSE o_orderstatus END AS o_orderstatus
+        FROM orders),
+      tagged AS (
+        SELECT *,
+               CASE WHEN o_custkey IS NULL THEN 'custkey_not_null'
+                    WHEN o_totalprice <= 0 THEN 'price_positive'
+                    WHEN o_orderstatus NOT IN ('O','F','P')
+                      THEN 'status_accepted'
+               END AS dq_reason
+        FROM src)
+      SELECT 'clean' AS side, count(*) AS n_rows,
+             count(DISTINCT dq_reason) AS n_reasons
+      FROM tagged WHERE dq_reason IS NULL
+      UNION ALL
+      SELECT 'quarantine:' || dq_reason, count(*),
+             1 FROM tagged WHERE dq_reason IS NOT NULL
+      GROUP BY dq_reason""")
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation ROUTING (the DLT expect_or_quarantine pattern,
+    operators/cleaning.py:split_expectations): a corrupted feed (nulled
+    FKs, negated prices, invalid statuses injected deterministically)
+    splits in ONE pass into the clean side and a per-reason quarantine
+    — first-failing-check tagging via a chained when expression, no
+    shuffle, no row lost or double-counted (the oracle's clean+
+    quarantine counts reconcile to the source exactly). At 100 TB this
+    is the ingest-gate shape: both sides stream straight into their
+    respective tables without a rescan."""
+    from walmart_project_etl_spark.operators.cleaning import \
+        split_expectations
+    o = t(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, None)
+         .otherwise(F.col("o_custkey")).alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 89 == 0, -F.col("o_totalprice"))
+         .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 83 == 0, "Z")
+         .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"))
+    checks = [
+        ("custkey_not_null", F.col("o_custkey").isNotNull()),
+        ("price_positive", F.col("o_totalprice") > 0),
+        ("status_accepted", F.col("o_orderstatus").isin("O", "F", "P")),
+    ]
+    clean, quar = split_expectations(src, checks)
+    clean_row = clean.agg(
+        F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("clean").alias("side"), "n_rows",
+        F.lit(0).cast("long").alias("n_reasons"))
+    quar_rows = (quar.groupBy("dq_reason")
+                 .agg(F.count(F.lit(1)).alias("n_rows"))
+                 .select(F.concat(F.lit("quarantine:"),
+                                  F.col("dq_reason")).alias("side"),
+                         "n_rows",
+                         F.lit(1).cast("long").alias("n_reasons")))
+    return clean_row.unionByName(quar_rows)
