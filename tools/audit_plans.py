@@ -102,6 +102,13 @@ ALLOW = {
     # the exchange never carries more than one row
     "dq_expectations_report": {
         "Exchange SinglePartition (non-scalar result)"},
+    # clean-side scalar count unions with the per-reason quarantine
+    # counts: the SinglePartition merges one scalar row's partials
+    "dq_quarantine_split": {
+        "Exchange SinglePartition (non-scalar result)"},
+    # merged-estimate row (1) x exact-distinct scalar (1): a 1x1
+    # crossJoin of bounded aggregates
+    "sketch_kmv_union": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     "pipe_a08_quality_ratios": {"Exchange SinglePartition (non-scalar result)"},
     # broadcast literal grid over bounded limit(100)/limit(50) dim samples:
     # GlobalLimit's single partition carries ≤100 rows into the grid

@@ -117,3 +117,37 @@ def kmv_distinct(df: DataFrame, item_col: str,
         F.round((F.lit(float(k - 1)) * F.lit(_HASH_SPACE))
                 / F.col("__hk").cast("double"), 4))
     return agg.select(*gcols, est.alias("kmv_est"), "n_kept")
+
+
+def kmv_hashes(df: DataFrame, item_col: str,
+               group_cols: list[str] | None = None,
+               k: int = 64) -> DataFrame:
+    """The KMV sketch STATE: the k smallest 60-bit item hashes per
+    group (the mergeable representation — union two states and re-take
+    the bottom k to combine shards/partitions/days). Bottom-k of a
+    union is always a subset of the union of bottom-ks, so merging
+    loses nothing: estimates from merged state equal a direct sketch
+    of the union. Returns (group_cols..., __h)."""
+    gcols = group_cols or []
+    hashed = (df.select(*gcols,
+                        _h60(F.col(item_col).cast("string")).alias("__h"))
+              .dropDuplicates([*gcols, "__h"]))
+    if gcols:
+        w = Window.partitionBy(*gcols).orderBy("__h")
+        return (hashed.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= k).drop("__rn"))
+    return hashed.orderBy("__h").limit(k)
+
+
+def kmv_from_hashes(hashes: DataFrame, k: int = 64) -> DataFrame:
+    """Finalize a (possibly merged) KMV state into ONE global distinct
+    estimate: dedupe, re-take the bottom k, apply (k-1)/r_k. One
+    TakeOrdered over the tiny state — never the corpus."""
+    kept = hashes.select("__h").dropDuplicates().orderBy("__h").limit(k)
+    agg = kept.agg(F.count("*").alias("n_kept"),
+                   F.max("__h").alias("__hk"))
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.round((F.lit(float(k - 1)) * F.lit(_HASH_SPACE))
+                / F.col("__hk").cast("double"), 4))
+    return agg.select(est.alias("kmv_est"), "n_kept")

@@ -2585,3 +2585,46 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return timeseries.holt_linear(ev, "user_id", ["ts", "event_id"],
                                   "value")
+
+
+@q("sketch_kmv_union", """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM events WHERE user_id IS NOT NULL),
+state AS (
+  SELECT event_type, hh,
+         row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+  FROM h),
+merged AS (
+  SELECT DISTINCT hh FROM state WHERE rn <= 32),
+bot AS (
+  SELECT hh, row_number() OVER (ORDER BY hh) AS rn FROM merged),
+a AS (SELECT count(*) AS n_kept, max(hh) AS hk
+      FROM bot WHERE rn <= 32),
+x AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events
+      WHERE user_id IS NOT NULL)
+SELECT CASE WHEN n_kept < 32 THEN n_kept::DOUBLE
+            ELSE round(31.0 * 1152921504606846976.0 / hk::DOUBLE, 4)
+       END AS kmv_est,
+       n_kept, exact_distinct
+FROM a, x""")
+def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV MERGEABILITY — the property that makes bottom-k the
+    100 TB COUNT(DISTINCT) shape: per-event-type sketch STATES (32
+    longs each) union and re-bottom-k into a global estimate, and the
+    query RAISES unless that merged estimate equals a direct global
+    sketch of the same corpus (bottom-k(∪ bottom-k's) = bottom-k(∪) —
+    checked at runtime, so the driver's green row proves the merge
+    law, not just the arithmetic). Output: merged estimate next to the
+    exact distinct count."""
+    ev = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_type = sketch.kmv_hashes(ev, "user_id", ["event_type"], k=32)
+    merged = sketch.kmv_from_hashes(per_type, k=32)
+    direct = sketch.kmv_from_hashes(
+        sketch.kmv_hashes(ev, "user_id", None, k=32), k=32)
+    m, d = merged.collect()[0], direct.collect()[0]
+    if (m["kmv_est"], m["n_kept"]) != (d["kmv_est"], d["n_kept"]):
+        raise ValueError(f"KMV merge law violated: {m} vs {d}")
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return merged.crossJoin(exact)
