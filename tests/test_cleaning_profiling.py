@@ -176,3 +176,19 @@ def test_split_expectations_routes_and_reconciles(spark):
     # first failing check tags the row: NULL fails not_null first
     assert reasons == {2: "v_positive", 3: "v_not_null"}
     assert clean.count() + quar.count() == df.count()
+
+
+def test_split_expectations_null_predicate_quarantines(spark):
+    """A predicate that evaluates to NULL (v > 0 with v NULL) is a
+    VIOLATION (DLT expect_or_quarantine semantics) — the row must land
+    in quarantine, not silently pass through to the clean side."""
+    from pyspark.sql import functions as F
+
+    from walmart_project_etl_spark.operators.cleaning import \
+        split_expectations
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "k int, v double")
+    clean, quar = split_expectations(df, [("v_positive", F.col("v") > 0)])
+    assert {r["k"] for r in clean.collect()} == {1}
+    reasons = {r["k"]: r["dq_reason"] for r in quar.collect()}
+    assert reasons == {2: "v_positive", 3: "v_positive"}

@@ -205,11 +205,18 @@ def split_expectations(df, checks: list[tuple]):
     ``when`` expression evaluated per row; both outputs are lazy
     filters over it. Returns (clean_df, quarantined_df) where the
     quarantine side carries ``dq_reason``.
+
+    A predicate that evaluates to NULL (e.g. ``col > 0`` with col NULL)
+    counts as a FAILURE — matching DLT's expect_or_quarantine, where an
+    expectation that can't be proven true is a violation. Without the
+    coalesce, ``F.when(~pred, ...)`` would not match on NULL and the row
+    would silently land on the clean side.
     """
     from pyspark.sql import functions as F
     reason = F.lit(None).cast("string")
     for name, pred in reversed(checks):
-        reason = F.when(~pred, F.lit(name)).otherwise(reason)
+        reason = F.when(~F.coalesce(pred, F.lit(False)),
+                        F.lit(name)).otherwise(reason)
     tagged = df.withColumn("dq_reason", reason)
     clean = tagged.where(F.col("dq_reason").isNull()).drop("dq_reason")
     quarantined = tagged.where(F.col("dq_reason").isNotNull())

@@ -220,8 +220,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         pr = (nodes.join(contrib.withColumnRenamed("__d", "node"),
                          "node", "left")
               .select("node",
-                      F.round(F.lit(base) + F.lit(damping)
-                              * F.coalesce("__sum", F.lit(0.0)), 10)
-                      .alias("pagerank")))
+                      F.round((F.lit(base) + F.lit(damping)
+                               * F.coalesce("__sum", F.lit(0.0)))
+                              .cast("decimal(28,14)"), 10)
+                      .cast("double").alias("pagerank")))
         pr = pr.localCheckpoint(eager=False)
     return pr

@@ -96,9 +96,13 @@ def ewma(df: DataFrame, entity_col: str, order_cols: list[str],
         F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
         F.element_at(xs, 1),
         lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha))
+    # decimal-routed final rounding (queries/util.py:round2 convention):
+    # raw-double F.round and DuckDB round() disagree on exact .xx5
+    # boundaries; rounding the decimal(28,8) image is engine-exact
     return ordered.select(
         entity_col, F.size("__s").alias("n_points"),
-        F.round(fold, 6).alias("ewma"))
+        F.round(fold.cast("decimal(28,8)"), 6).cast("double")
+         .alias("ewma"))
 
 
 def rolling_zscore_anomalies(df: DataFrame, entity_col: str,
@@ -136,7 +140,8 @@ def rolling_zscore_anomalies(df: DataFrame, entity_col: str,
             .where((F.col("__n") >= min_n) & (var > 0)
                    & (F.abs(z) > z_cut))
             .select(entity_col, *order_cols, value_col,
-                    F.round(z, 4).alias("zscore")))
+                    F.round(z.cast("decimal(28,8)"), 4).cast("double")
+                     .alias("zscore")))
 
 
 def holt_linear(df: DataFrame, entity_col: str, order_cols: list[str],

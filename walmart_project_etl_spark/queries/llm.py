@@ -2199,7 +2199,7 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bounded 4x256 grid built map-side-combined in one shuffle, then
     broadcast to the probe join: at 100 TB the exact per-user GROUP BY
     this replaces is the shuffle bottleneck, the sketch is O(1) state."""
-    ev = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ev = events_t(spark, sf_dir).where(F.col("user_id").isNotNull())
     sk = sketch.cms_sketch(ev, "user_id", depth=4, width=256)
     users = ev.select("user_id").distinct()
     est = sketch.cms_estimate(sk, users, "user_id", depth=4, width=256)
@@ -2231,7 +2231,7 @@ def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is 32 longs and MERGEABLE (union = re-take bottom-k), which is
     the scalable stand-in for COUNT(DISTINCT) across 100 TB shards; the
     md5-prefix hash makes DuckDB reproduce the estimate bit-for-bit."""
-    ev = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ev = events_t(spark, sf_dir).where(F.col("user_id").isNotNull())
     return sketch.kmv_distinct(ev, "user_id", ["event_type"], k=32)
 
 
@@ -2243,7 +2243,8 @@ WITH s AS (
          count(*) AS n_points
   FROM events GROUP BY user_id)
 SELECT user_id, n_points,
-       round(list_reduce(xs, (acc, x) -> acc * 0.8 + x * 0.2), 6) AS ewma
+       round(CAST(list_reduce(xs, (acc, x) -> acc * 0.8 + x * 0.2)
+                  AS DECIMAL(28,8)), 6)::DOUBLE AS ewma
 FROM s""")
 def ts_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially-weighted moving average of event value
@@ -2252,7 +2253,7 @@ def ts_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity — no per-step window rescan, no Python; DuckDB's list_reduce
     folds in the identical order so the double is bit-exact."""
     from walmart_project_etl_spark.operators import timeseries
-    ev = t(spark, sf_dir, "events")
+    ev = events_t(spark, sf_dir)
     return timeseries.ewma(ev, "user_id", ["ts", "event_id"], "value",
                            alpha=0.2)
 
@@ -2268,7 +2269,8 @@ WITH sc AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
 SELECT user_id, ts, event_id, value,
-       round((value - sx/n) / sqrt((sxx - sx*sx/n)/(n-1)), 4) AS zscore
+       round(CAST((value - sx/n) / sqrt((sxx - sx*sx/n)/(n-1))
+                  AS DECIMAL(28,8)), 4)::DOUBLE AS zscore
 FROM sc
 WHERE n >= 5 AND (sxx - sx*sx/n)/(n-1) > 0
   AND abs((value - sx/n) / sqrt((sxx - sx*sx/n)/(n-1))) > 3""")
@@ -2278,7 +2280,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the outlier can't raise its own baseline); |z| > 3 flags. Moments
     are decimal-exact window sums; one shuffle on the user key."""
     from walmart_project_etl_spark.operators import timeseries
-    ev = t(spark, sf_dir, "events")
+    ev = events_t(spark, sf_dir)
     return timeseries.rolling_zscore_anomalies(
         ev, "user_id", ["ts", "event_id"], "value",
         lookback=10, min_n=5, z_cut=3.0)
@@ -2325,8 +2327,9 @@ c{i} AS (
   FROM e JOIN outd USING (s) JOIN pr{i - 1} ON pr{i - 1}.node = e.s
   GROUP BY d),
 pr{i} AS (
-  SELECT node, round((SELECT (1.0 - {damping}) / n FROM nn)
-                     + {damping} * coalesce(sm, 0.0), 10) AS pr
+  SELECT node, round(CAST((SELECT (1.0 - {damping}) / n FROM nn)
+                          + {damping} * coalesce(sm, 0.0)
+                          AS DECIMAL(28,14)), 10)::DOUBLE AS pr
   FROM nodes LEFT JOIN c{i} ON c{i}.d = node)""")
     parts.append(f"""
 SELECT node, pr AS pagerank FROM pr{iters}""")
@@ -2474,7 +2477,7 @@ def w04_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags, and a cumulative sum over the tiny day grain yields the
     exact running distinct — two map-side-combinable aggregations plus
     a window over O(days) rows, at any corpus size."""
-    ev = t(spark, sf_dir, "events")
+    ev = events_t(spark, sf_dir)
     firstday = (ev.groupBy("event_type", "user_id")
                 .agg(F.min(F.to_date("ts")).alias("first_day")))
     newu = (firstday.groupBy("event_type",
@@ -2547,10 +2550,13 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank of the SMALL frame, fine to ~10^8 users; past that, swap the
     global ntile for approx-quantile boundaries broadcast against the
     same aggregate. Recency anchors on max(ts) IN THE DATA, not wall
-    clock — deterministic at any run time."""
-    ev = t(spark, sf_dir, "events").where(
-        F.col("event_type") == "purchase")
-    now = ev.agg(F.max("ts")).collect()[0][0]
+    clock — deterministic at any run time. The anchor is max(ts) over
+    ALL events (matching the oracle's mx CTE), not just purchases — a
+    purchase-only anchor would shift every recency whenever the
+    corpus's latest day has no purchase."""
+    allev = events_t(spark, sf_dir)
+    now = allev.agg(F.max("ts")).collect()[0][0]
+    ev = allev.where(F.col("event_type") == "purchase")
     per_user = ev.groupBy("user_id").agg(
         F.datediff(F.lit(now), F.max("ts")).alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
@@ -2582,7 +2588,7 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified while building this entry; the EWMA twin's scalar fold
     (ts_ewma_value) stays a recomputed oracle."""
     from walmart_project_etl_spark.operators import timeseries
-    ev = t(spark, sf_dir, "events")
+    ev = events_t(spark, sf_dir)
     return timeseries.holt_linear(ev, "user_id", ["ts", "event_id"],
                                   "value")
 
@@ -2618,7 +2624,7 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked at runtime, so the driver's green row proves the merge
     law, not just the arithmetic). Output: merged estimate next to the
     exact distinct count."""
-    ev = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ev = events_t(spark, sf_dir).where(F.col("user_id").isNotNull())
     per_type = sketch.kmv_hashes(ev, "user_id", ["event_type"], k=32)
     merged = sketch.kmv_from_hashes(per_type, k=32)
     direct = sketch.kmv_from_hashes(
