@@ -208,6 +208,18 @@ CANARY_SKEW_FACTOR = 2.0
 CANARY_RUNS = 3
 
 
+def _family(name: str) -> str:
+    """Bench-reporting family of a query name: SURVEY-core ids
+    (``j08_...``, ``a01_...``) collapse to ``core``; everything else
+    groups by its leading token (``txn_*``, ``dedup_*``, ``sim_*``...).
+    Used only to aggregate the stdout JSON line under the driver's ~2 KB
+    tail capture — per-query detail stays in BENCH_spread.json."""
+    head = name.split("_", 1)[0]
+    if len(head) >= 2 and head[0].isalpha() and head[1:].isdigit():
+        return "core"
+    return head
+
+
 def is_load_skewed(canary_secs: list[float],
                    pinned: float = CANARY_PINNED_SEC,
                    factor: float = CANARY_SKEW_FACTOR) -> bool:
@@ -348,23 +360,37 @@ def main() -> int:
                            "timings": timings, "spread": spread}, fh)
         except OSError as e:
             print(f"# spread file not written: {e}", file=sys.stderr)
-    # Compact separators + 2-dp: r11's 73-query line with default
-    # separators and 3-dp floats outgrew the driver's ~4 KB tail capture
-    # ("parsed": null, first 6 timings lost). At 2-dp/compact, 100
-    # queries fit in ~3.1 KB. The summary line prints LAST and ALONE.
+    # The driver tails stdout for ONE JSON line and its capture window is
+    # only ~2 KB: r11's 73-query line (~3.5 KB) AND r12's 2-dp compact
+    # 96-query line both outgrew it ("parsed": null two rounds running).
+    # So stdout carries PER-FAMILY wall-second totals (~20 keys, <1 KB —
+    # every family represented, a family-level regression is still
+    # driver-visible) and the per-query medians + spreads live in
+    # BENCH_spread.json, written above. The line prints LAST and ALONE.
+    fam_secs: dict[str, float] = {}
+    fam_n: dict[str, int] = {}
+    for n_, t_ in timings.items():
+        f_ = _family(n_)
+        fam_secs[f_] = fam_secs.get(f_, 0.0) + t_
+        fam_n[f_] = fam_n.get(f_, 0) + 1
     line = json.dumps(
         {"metric": "total_wall_seconds", "value": round(total, 2),
          "unit": "sec",
-         "queries": {n: round(t, 2) for n, t in timings.items()},
-         "sf": sf, "load_skewed": skewed},
+         "queries": {f_: round(s_, 2) for f_, s_ in sorted(fam_secs.items())},
+         "n_queries": len(timings),
+         "per_family_n": {f_: fam_n[f_] for f_ in sorted(fam_n)},
+         "sf": sf, "load_skewed": skewed, "detail": "BENCH_spread.json"},
         separators=(",", ":"))
-    if len(line) > 3800:  # stay under the driver's tail capture
-        print(f"# JSON line {len(line)}B > 3800B budget — dropping "
-              "per-query map to the spread side file", file=sys.stderr)
+    if len(line) > 1800:  # stay well under the driver's ~2 KB tail capture
+        print(f"# JSON line {len(line)}B > 1800B budget — dropping "
+              "per-family counts", file=sys.stderr)
         line = json.dumps(
             {"metric": "total_wall_seconds", "value": round(total, 2),
-             "unit": "sec", "queries": {}, "sf": sf,
-             "load_skewed": skewed, "see": "BENCH_spread.json"},
+             "unit": "sec",
+             "queries": {f_: round(s_, 2)
+                         for f_, s_ in sorted(fam_secs.items())},
+             "n_queries": len(timings), "sf": sf,
+             "load_skewed": skewed, "detail": "BENCH_spread.json"},
             separators=(",", ":"))
     print(line)
     return 0

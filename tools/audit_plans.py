@@ -153,19 +153,13 @@ def main() -> int:
     spark = get_spark("audit-plans")
     spark.sparkContext.setLogLevel("ERROR")
 
-    bad: dict[str, list[str]] = {}
-    for name, fn in entry.queries().items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
+    def audit_one(name: str, fn) -> list[str]:
         try:
             df = fn(spark, SF_DIR)
             plan = spark._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "simple")
         except Exception as e:  # noqa: BLE001 — audit must cover the rest
-            bad[name] = [f"BUILD ERROR: {type(e).__name__}: {str(e)[:200]}"]
-            print(f"✗ {name}: build error ({time.time()-t0:.1f}s)")
-            continue
+            return [f"BUILD ERROR: {type(e).__name__}: {str(e)[:200]}"]
         flags = []
         for h in HAZARDS:
             if h in plan and h not in ALLOW.get(name, set()):
@@ -180,11 +174,41 @@ def main() -> int:
                 pass
             if n_out is None or n_out > 1:
                 flags.append(single_flag)
+        return flags
+
+    queries = {name: fn for name, fn in entry.queries().items()
+               if not only or name in only}
+    bad: dict[str, list[str]] = {}
+    for name, fn in queries.items():
+        t0 = time.time()
+        flags = audit_one(name, fn)
         if flags:
             bad[name] = flags
             print(f"✗ {name}: {flags} ({time.time()-t0:.1f}s)")
         else:
             print(f"✓ {name} ({time.time()-t0:.1f}s)")
+
+    # Retry-once (VERDICT r12 task 3): running this audit concurrently with
+    # pytest + the oracle sweep produced spurious FAILING rows that vanish
+    # on an idle re-run (fixture-build contention, not plan hazards). A
+    # flagged entry gets ONE fresh re-audit before it is reported, so a
+    # loaded box can't fabricate a red; a real hazard is deterministic in
+    # the plan text and fails both passes.
+    if bad:
+        print(f"\n# retrying {len(bad)} flagged entr"
+              f"{'y' if len(bad) == 1 else 'ies'} once "
+              "(load-contention guard)")
+        still_bad: dict[str, list[str]] = {}
+        for name in sorted(bad):
+            t0 = time.time()
+            flags = audit_one(name, queries[name])
+            if flags:
+                still_bad[name] = flags
+                print(f"✗ {name} (retry): {flags} ({time.time()-t0:.1f}s)")
+            else:
+                print(f"✓ {name} (retry clean — first pass was transient, "
+                      f"{time.time()-t0:.1f}s)")
+        bad = still_bad
 
     print(f"\n{'FAILING: ' + str(sorted(bad)) if bad else 'all plans clean'}")
     return 1 if bad else 0

@@ -23,93 +23,83 @@ from . import core, funcs, llm, pipeline, trainprep
 _MODULES = (core, funcs, pipeline, llm, trainprep)
 
 #: Curated registration order. The driver's correctness harness records rows
-#: for (at most) the first 50 registry entries. After r11 (50/50 green,
-#: every value hash matched) the union of driver rows covers 242 of the
-#: then-244 entries; freshness entering r12: r11×50, r9×50, r8×50,
-#: r7×41, r6×49, r5×2, never×2 (dedup_semdedup_kmeans, txn_replace_table
-#: — r11-new without slots). This round's window (r12) therefore leads
-#: with those 2, then the r12-new entries (the avg/approx-distinct MV
-#: and the k ∝ N SemDeDup scale knob), then the 2 r5-era stale rows
-#: (text_tfidf_top_terms, ts_yoy_growth), then the first 44 of the 49
-#: r6-era rows — exactly 50. The remaining 5 r6-era rows (named below
-#: the tuple) lead the r13 rotation.
+#: for (at most) the first 50 registry entries. Freshness entering r13
+#: (computed from the union of CORRECTNESS_r*.json): r12×50, r11×50,
+#: r9×50, r8×50, r7×41, r6×36, never×2 (dq_quarantine_split and
+#: sketch_kmv_union — r12-late, slot-capped). This round's window (r13)
+#: leads with those 2 never-checked entries (VERDICT r12 task 2), then
+#: any r13-new entries, then ALL 36 r6-era stale rows, then the first
+#: r7-era rows (alphabetical) up to the 50-slot cap — r13-new entries
+#: displace from the r7-era tail.
 _PRIORITY = (
-    # never driver-checked (r11-new without slots; judge-verified r11)
-    "dedup_semdedup_kmeans",
-    "txn_replace_table",
-    # r12-new, early session: MV avg/distinct, k-prop-N twin, pushdown, generated-prune
-    "txn_agg_mv_avg_distinct",
-    "dedup_semdedup_kmeans_scaled",
-    "txn_agg_pushdown",
-    "txn_generated_partition_prune",
-    # r12-new, late session: span dedup, sketches, ts analytics, IVF-PQ,
-    # concurrent-writer race, PageRank, DQ expectations
-    "dedup_span_marks",
-    "dedup_span_removal",
-    "sketch_cms_heavy_hitters",
-    "sketch_kmv_distinct_users",
-    "ts_ewma_value",
-    "ts_anomaly_zscore",
-    "sim_ivfpq_ann_topk",
-    "txn_concurrent_disjoint_writers",
-    "graph_pagerank_partsupp",
-    "dq_expectations_report",
-    "text_unigram_train",
-    "text_unigram_encode",
-    "pipe_exactsubstr_unigram_pack",
-    "events_funnel_gap",
-    "sim_matryoshka_topk",
-    "txn_agg_mv_join",
-    "txn_cdf_scd2_history",
-    "stream_scd2_follow",
-    "txn_partition_evolution",
-    "s12_orc_roundtrip",
-    "w04_running_distinct_users",
-    "events_rfm_segments",
-    "olap_exact_percentiles",
-    "pack_bins_bfd",
-    "ts_holt_forecast",
-    # r5-era stale rows (last driver row 7 rounds ago)
-    "text_tfidf_top_terms",
-    "ts_yoy_growth",
-    "ts_rolling_window",
-    "sim_pca_project",
-    "sim_quantize_int8",
-    "sim_compressed_recall_report",
-    # r6-era rotation, first 13 of 49
-    "a02_groupby_first",
-    "a03_distinct_count_per_group",
-    "a05_count_distinct",
-    "a06_max_per_group",
-    "a07_minmax_month_span",
-    "clean_mad_outliers",
-    "clean_quantile_bins",
-    "clean_winsorize",
-    "clean_zscore",
-    "curate_pipeline",
-    "dedup_boilerplate_lines",
-    "dedup_boilerplate_sentences",
-    "dedup_canonical_longest",
+    # never driver-checked (r12-late, slot-capped; judge-verified r12)
+    "dq_quarantine_split",
+    "sketch_kmv_union",
+    # r6-era rotation: all 36 rows whose newest driver row is 7 rounds old
+    "dedup_cluster_components",
+    "dedup_contamination_scores",
+    "dedup_decontaminate",
+    "dedup_fuzzy_blocked",
+    "dedup_ngram_containment",
+    "dedup_ngram_jaccard",
+    "events_attribution",
+    "events_transition_matrix",
+    "j01_left_equi_join",
+    "j10_optional_dim_left_join",
+    "mm_real_decode_png",
+    "mm_real_decode_wav",
+    "olap_cube_lineitem",
+    "olap_grouping_sets_orders",
+    "olap_histogram",
+    "olap_rollup_lineitem",
+    "olap_share_of_total",
+    "olap_time_rollup_events",
+    "p01_projection_rename",
+    "p02_distinct_nonnull_dates",
+    "p03_null_filter",
+    "profile_lineitem",
+    "s02_empty_string_to_null",
+    "s03_table_scan",
+    "s04_parquet_sink_roundtrip",
+    "s06_ddl_create_insert",
+    "s07_truncate",
+    "s08_drop",
+    "s09_temp_view",
+    "skew_salted_latest",
+    "stream_static_enrich",
+    "stream_tx_upsert",
+    "text_unigram_logprob",
+    "ts_gap_fill_locf",
+    "txn_merge_fileprune",
+    "txn_time_travel",
+    # r7-era rotation, first 12 of 41 (alphabetical)
+    "a01_groupby_mode",
+    "a04_count_star_tables",
+    "a08_conditional_ratio",
+    "a09_distinct_rows",
+    "f01_md5_key_generation",
+    "f02_f29_date_int_id",
+    "f03_f05_f06_date_parts",
+    "f04_multiformat_date_parse",
+    "f07_f08_safe_cast_age_group",
+    "f09_title_case_clean",
+    "f10_null_defaults",
+    "f11_f13_product_rules",
 )
-#: Deferred from this window — every r12-new entry except
-#: dq_quarantine_split (added last, slot-capped) holds a slot, so —
-#: after dq_quarantine_split —
-#: the r13 rotation leads with the bumped r6-era rows, then the earlier
-#: deferrals:
-#: dedup_contamination_scores, dedup_cluster_components,
-#: dedup_decontaminate, dedup_fuzzy_blocked, dedup_ngram_containment,
-#: dedup_ngram_jaccard, events_attribution, events_transition_matrix,
-#: j01_left_equi_join, j10_optional_dim_left_join, mm_real_decode_png,
-#: mm_real_decode_wav, olap_cube_lineitem, olap_grouping_sets_orders,
-#: olap_histogram, olap_rollup_lineitem, olap_share_of_total,
-#: olap_time_rollup_events, p01_projection_rename,
-#: p02_distinct_nonnull_dates, p03_null_filter, profile_lineitem,
-#: s02_empty_string_to_null, s03_table_scan, s04_parquet_sink_roundtrip,
-#: s06_ddl_create_insert, s07_truncate, s08_drop, s09_temp_view,
-#: skew_salted_latest, stream_static_enrich, stream_tx_upsert,
-#: text_unigram_logprob, ts_gap_fill_locf, txn_merge_fileprune,
-#: txn_time_travel
-#: — then re-rotate the r7-era block (41 rows).
+#: r14 plan: after this window the stalest rows are the remaining 29
+#: r7-era entries (j02_broadcast_key_map_join, j04_d01_scd1_merge,
+#: j05_j06_j07_d02_scd2_two_run, j06_grouped_max_lookup_join,
+#: j08_multiway_fact_join, j09_interval_join_scd2,
+#: j12_bucketed_colocated_join, o01_orderby_limit_topk, o02_full_sort,
+#: o03_recent_slice, p04_date_membership_semi_join,
+#: p05_skip_missing_dim_key, p06_boolean_flag_filters, p07_rn1_filter,
+#: pipe_d02_scd_fixture, pipe_s01_s02_f04_csv_ingest, sim_recall_report,
+#: skew_salted_aggregate, skew_salted_join, text_langid,
+#: text_quality_classifier_report, text_stats_quality, text_token_counts,
+#: txn_catalog_star, txn_date_skipping, txn_delete_compact,
+#: txn_schema_evolution, u01_union_distinct, w01_window_dedup_latest),
+#: then the r8-era block (50 rows) — lead r14 with any r13-new entries
+#: that missed this window, then those 29, then the first r8-era rows.
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
