@@ -48,37 +48,52 @@ class TestLoadSkewCanary:
 
 
 class TestFinalJsonLine:
-    def _line(self, n_queries: int) -> str:
-        # mirror main()'s final-line construction exactly: compact
-        # separators, 2-dp floats, load_skewed flag present
-        # 19-char names = the current BENCH_QUERIES average (18.9)
-        names = [f"txn_query_name_{i:04d}" for i in range(n_queries)]
+    """The stdout line aggregates per FAMILY (VERDICT r12 task 1): the
+    driver's tail capture is only ~2 KB — the r11 per-query line
+    (~3.5 KB) and the r12 2-dp compact one both overflowed it, leaving
+    BENCH "parsed": null two rounds running. Per-query detail lives in
+    BENCH_spread.json."""
+
+    def _line(self, timings: dict) -> str:
+        # mirror main()'s final-line construction exactly
+        fam_secs, fam_n = {}, {}
+        for n_, t_ in timings.items():
+            f_ = bench._family(n_)
+            fam_secs[f_] = fam_secs.get(f_, 0.0) + t_
+            fam_n[f_] = fam_n.get(f_, 0) + 1
         return json.dumps(
-            {"metric": "total_wall_seconds", "value": round(1234.56, 2),
-             "unit": "sec",
-             "queries": {n: round(12.345, 2) for n in names},
-             "sf": 0.1, "load_skewed": False},
+            {"metric": "total_wall_seconds",
+             "value": round(sum(timings.values()), 2), "unit": "sec",
+             "queries": {f_: round(s_, 2)
+                         for f_, s_ in sorted(fam_secs.items())},
+             "n_queries": len(timings),
+             "per_family_n": {f_: fam_n[f_] for f_ in sorted(fam_n)},
+             "sf": 0.1, "load_skewed": False,
+             "detail": "BENCH_spread.json"},
             separators=(",", ":"))
+
+    def test_family_mapping(self):
+        assert bench._family("j08_multiway_fact_join") == "core"
+        assert bench._family("a01_groupby_mode") == "core"
+        assert bench._family("f11_f13_product_rules") == "core"
+        assert bench._family("txn_agg_mv") == "txn"
+        assert bench._family("dedup_semdedup_kmeans_scaled") == "dedup"
+        assert bench._family("stream_scd2_follow") == "stream"
 
     def test_current_benchlist_fits_capture(self):
-        # the REAL query names at worst-case 2-dp widths must fit the
-        # driver's tail capture with margin
-        line = json.dumps(
-            {"metric": "total_wall_seconds", "value": 99999.99,
-             "unit": "sec",
-             "queries": {n: 99999.99 for n in bench.BENCH_QUERIES},
-             "sf": 0.1, "load_skewed": False},
-            separators=(",", ":"))
-        assert len(line) <= 3500, (
-            f"bench JSON line {len(line)}B; trim BENCH_QUERIES or widen "
-            "the fallback — the driver tail capture is ~4 KB")
+        # worst-case widths over the REAL bench list must stay under the
+        # driver's ~2 KB tail capture with margin
+        line = self._line({n: 99999.99 for n in bench.BENCH_QUERIES})
+        assert len(line) <= 1800, (
+            f"bench JSON line {len(line)}B; the driver tail capture is "
+            "~2 KB — aggregate more or drop per_family_n")
 
-    def test_100_queries_fit_budget(self):
-        # VERDICT r11 task 2: budget <= 3.5 KB at 100 queries
-        assert len(self._line(100)) <= 3500
-
-    def test_line_parses_back(self):
-        d = json.loads(self._line(73))
+    def test_line_parses_back_with_every_family(self):
+        timings = {n: 12.345 for n in bench.BENCH_QUERIES}
+        d = json.loads(self._line(timings))
         assert d["metric"] == "total_wall_seconds"
-        assert len(d["queries"]) == 73
+        assert d["n_queries"] == len(bench.BENCH_QUERIES)
+        assert set(d["queries"]) == {bench._family(n)
+                                     for n in bench.BENCH_QUERIES}
+        assert abs(sum(d["queries"].values()) - d["value"]) < 0.5
         assert d["load_skewed"] is False

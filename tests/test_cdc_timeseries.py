@@ -279,6 +279,35 @@ def test_ewma_matches_pandas_recursion(spark):
     assert abs(out["ewma"] - expect) < 1e-6
 
 
+def test_ewma_segmented_equals_flat_fold(spark):
+    """segment_days block-chaining (VERDICT r12 task 5): the per-block
+    transfer fold must reproduce the flat per-entity fold — same
+    round-6 value, same n_points — on series spanning many blocks,
+    including entities whose whole series fits one block and an
+    entity with a single point."""
+    import datetime
+
+    from walmart_project_etl_spark.operators.timeseries import ewma
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # entity A: 40 daily points -> 6 blocks at segment_days=7
+    for i in range(40):
+        rows.append(("A", base + datetime.timedelta(days=i),
+                     10.0 + (i * 7919 % 23) * 0.37))
+    # entity B: 3 points inside one block
+    for i in range(3):
+        rows.append(("B", base + datetime.timedelta(days=i), 5.0 + i))
+    # entity C: single point (init-only recursion)
+    rows.append(("C", base, 42.5))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x double")
+    flat = {r["k"]: (r["n_points"], r["ewma"])
+            for r in ewma(df, "k", ["ts"], "x", alpha=0.2).collect()}
+    seg = {r["k"]: (r["n_points"], r["ewma"])
+           for r in ewma(df, "k", ["ts"], "x", alpha=0.2,
+                         segment_days=7).collect()}
+    assert seg == flat
+
+
 def test_rolling_zscore_flags_only_the_spike(spark):
     from walmart_project_etl_spark.operators.timeseries import \
         rolling_zscore_anomalies

@@ -1403,6 +1403,33 @@ def test_unigram_train_covers_chars_and_compresses(spark):
     assert again == {(r["piece"], r["logprob"]) for r in rows}
 
 
+def test_unigram_encode_shuffle_fallback_equals_broadcast(spark):
+    """The broadcast-ceiling gate (broadcast_words_max): with the
+    threshold forced to 0 the word→tokens map joins by plain shuffle
+    instead of a broadcast hint — same results, and the physical plan
+    must NOT broadcast-hash-join the word key."""
+    from walmart_project_etl_spark.operators import unigram
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "quick quick the fox jumps"),
+         (3, "a lone unseen word")], "doc_id int, text string")
+    vocab = unigram.unigram_train(df, vocab_size=40, rounds=2)
+    want = {tuple(r) for r in unigram.unigram_encode(
+        df, vocab, broadcast_words_max=None).collect()}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled = unigram.unigram_encode(df, vocab, broadcast_words_max=0)
+        # initial plan, BEFORE execution: no hint + no auto-broadcast =>
+        # the word join must not be a broadcast-hash join (AQE may still
+        # upgrade a genuinely tiny map side at runtime — that's fine)
+        plan = shuffled._sc._jvm.PythonSQLUtils.explainString(
+            shuffled._jdf.queryExecution(), "simple")
+        assert "BroadcastHashJoin" not in plan
+        assert {tuple(r) for r in shuffled.collect()} == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_matryoshka_recall_floor_and_exact_rerank(spark):
     from walmart_project_etl_spark.operators import similarity as S
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")

@@ -896,6 +896,15 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str, cluster_col: str,
                   F.col("cluster").alias("__clb"),
                   F.col("centroid_sim").alias("__csb"),
                   F.col("__v").alias("__vb"))
+    # Explicit cluster-keyed partitioning for the pair join: on a small
+    # corpus AQE coalesces the tiny shuffle to ONE partition and the
+    # O(Σ cluster²) pair scoring runs single-core; an explicit
+    # numPartitions is never coalesced, and the join reuses it (same
+    # hash partitioning) instead of adding an exchange. Result is
+    # partitioning-independent (per-pair arithmetic only).
+    n_p = av.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(n_p, F.col("__cla"))
+    b = b.repartition(n_p, F.col("__clb"))
     pairs = a.join(b, (F.col("__cla") == F.col("__clb"))
                    & (F.col("__ida") < F.col("__idb")))
     return _semdedup_resolve(av, pairs, id_col, threshold)
@@ -911,6 +920,10 @@ def _semdedup_assign(df: DataFrame, id_col: str, vec_col: str,
         _as_double, cosine, embedding_centroids)
 
     v = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    # parallelism floor for the N×k scoring scan (see semdedup pair join)
+    n_p = v.sparkSession.sparkContext.defaultParallelism
+    if v.rdd.getNumPartitions() < n_p:
+        v = v.repartition(n_p, F.col(id_col))
     cent = embedding_centroids(df, cluster_col, vec_col)
     carr = (cent.groupBy(cluster_col)
             .agg(F.transform(

@@ -398,6 +398,17 @@ def kmeans_labels(corpus: DataFrame, id_col: str = "vec_id",
     ``centroid_sim`` double round-6).
     """
     work = corpus.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    # Parallelism floor: a small corpus (one parquet file = ONE input
+    # partition) would score all N×k cosines on a single core — the
+    # r12 bench's 60s kmeans_scaled row was exactly this, 500k
+    # interpreted array-cosines on one thread. One explicit repartition
+    # (AQE never coalesces an explicit numPartitions) spreads the
+    # scoring; a big corpus already has ≥ defaultParallelism input
+    # splits and skips the shuffle. Partitioning never changes results:
+    # assignment is per-row, update sums are decimal-routed.
+    target_p = work.sparkSession.sparkContext.defaultParallelism
+    if work.rdd.getNumPartitions() < target_p:
+        work = work.repartition(target_p, F.col(id_col))
     init = (work.orderBy(F.md5(F.col(id_col).cast("string")),
                          F.col(id_col))
             .limit(k).collect())

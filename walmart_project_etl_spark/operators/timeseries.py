@@ -68,7 +68,8 @@ def gap_fill_forward(df: DataFrame, group_cols: list[str], date_col: str,
 
 
 def ewma(df: DataFrame, entity_col: str, order_cols: list[str],
-         value_col: str, alpha: float = 0.2) -> DataFrame:
+         value_col: str, alpha: float = 0.2,
+         segment_days: int | None = None) -> DataFrame:
     """Exponentially-weighted moving average per entity, final value:
     s_0 = x_0, s_t = (1-alpha)*s_{t-1} + alpha*x_t (pandas ewm
     adjust=False semantics).
@@ -81,11 +82,24 @@ def ewma(df: DataFrame, entity_col: str, order_cols: list[str],
     is bit-exact across engines (same IEEE ops, same sequence).
 
     Scale: per-entity series must fit one array (~millions of points is
-    fine); pathologically long entities would segment the fold by time
-    block and chain s across blocks — same recursion, bounded arrays.
+    fine). For pathologically long entities pass ``segment_days=N``
+    (VERDICT r12 task 5): the series folds per (entity, N-day time
+    block) — bounded arrays at block grain — and blocks chain through
+    the closed-form block transfer s_out = (1-α)^k·s_in + Σα(1-α)^{k-i}x_i
+    (decay + zero-start contribution, both computed by the SAME
+    sequential in-block fold), then one outer fold over the per-entity
+    block summaries (2 doubles per block). Mathematically identical to
+    the flat recursion; floating-point association differs at ~1 ulp, so
+    the segmented twin is for scale, not for oracle replay. Requires
+    ``order_cols[0]`` to be a timestamp/date column (it defines the
+    blocks). Holt's level+trend recursion segments the same way with a
+    2×2 matrix transfer per block — not built until an entity needs it.
 
     Returns (entity_col, n_points, ewma double round-6).
     """
+    if segment_days is not None:
+        return _ewma_segmented(df, entity_col, order_cols, value_col,
+                               alpha, segment_days)
     ordered = (df.groupBy(entity_col)
                .agg(F.array_sort(F.collect_list(F.struct(
                        *[F.col(c) for c in order_cols],
@@ -101,6 +115,52 @@ def ewma(df: DataFrame, entity_col: str, order_cols: list[str],
     # boundaries; rounding the decimal(28,8) image is engine-exact
     return ordered.select(
         entity_col, F.size("__s").alias("n_points"),
+        F.round(fold.cast("decimal(28,8)"), 6).cast("double")
+         .alias("ewma"))
+
+
+def _ewma_segmented(df: DataFrame, entity_col: str, order_cols: list[str],
+                    value_col: str, alpha: float,
+                    segment_days: int) -> DataFrame:
+    """Block-chained EWMA fold (see :func:`ewma` ``segment_days``).
+
+    Shape: one shuffle to (entity, block) grain — each row holds ONLY its
+    block's points — then one entity-grain aggregation over per-block
+    summaries (first_fold for the opening block, decay + zero-start
+    contrib for the rest), then an in-row fold over the ordered block
+    array. Both aggregation rows are bounded: points-per-block by the
+    block span, blocks-per-entity by series_span/segment_days.
+    """
+    a = float(alpha)
+    block = F.floor(F.unix_timestamp(F.col(order_cols[0]))
+                    / F.lit(segment_days * 86400)).alias("__blk")
+    per_block = (df.groupBy(F.col(entity_col), block)
+                 .agg(F.array_sort(F.collect_list(F.struct(
+                         *[F.col(c) for c in order_cols],
+                         F.col(value_col).cast("double").alias("__x"))))
+                      .alias("__s")))
+    xs = F.transform("__s", lambda s: s["__x"])
+    tail = F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0)))
+    step = lambda acc, x: acc * F.lit(1.0 - a) + x * F.lit(a)  # noqa: E731
+    summaries = per_block.select(
+        entity_col, "__blk", F.size("__s").alias("__n"),
+        # opening-block value: s0 = x0, recursion over the rest
+        F.aggregate(tail, F.element_at(xs, 1), step).alias("__first"),
+        # interior-block transfer: zero-start contribution + decay
+        F.aggregate(xs, F.lit(0.0), step).alias("__contrib"),
+        F.pow(F.lit(1.0 - a), F.size("__s")).alias("__decay"))
+    chained = (summaries.groupBy(entity_col)
+               .agg(F.sum("__n").alias("n_points"),
+                    F.array_sort(F.collect_list(F.struct(
+                        "__blk", "__first", "__contrib", "__decay")))
+                    .alias("__b")))
+    fold = F.aggregate(
+        F.slice(F.col("__b"), 2,
+                F.greatest(F.size("__b") - 1, F.lit(0))),
+        F.element_at("__b", 1)["__first"],
+        lambda acc, b: acc * b["__decay"] + b["__contrib"])
+    return chained.select(
+        entity_col, F.col("n_points").cast("int").alias("n_points"),
         F.round(fold.cast("decimal(28,8)"), 6).cast("double")
          .alias("ewma"))
 
