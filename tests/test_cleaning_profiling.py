@@ -178,6 +178,50 @@ def test_split_expectations_routes_and_reconciles(spark):
     assert clean.count() + quar.count() == df.count()
 
 
+def test_psi_drift_zero_on_identical_and_positive_on_shift(spark):
+    """PSI ≈ 0 when current == reference; strictly positive under a
+    location shift; an unseen category stays finite (Laplace smoothing,
+    never ln(0))."""
+    from walmart_project_etl_spark.operators.cleaning import psi_drift
+    ref = spark.createDataFrame(
+        [(float(i), "a" if i % 2 else "b") for i in range(100)],
+        "x double, c string")
+    same = {r["feature"]: r["psi"]
+            for r in psi_drift(ref, ref, ["x"], ["c"]).collect()}
+    assert abs(same["x"]) < 1e-9 and abs(same["c"]) < 1e-9
+    cur = spark.createDataFrame(
+        [(float(i) + 60.0, "a" if i % 2 else "z") for i in range(100)],
+        "x double, c string")
+    drift = {r["feature"]: r for r in
+             psi_drift(ref, cur, ["x"], ["c"]).collect()}
+    assert drift["x"]["psi"] > 0.25          # gross location shift
+    assert drift["c"]["psi"] > 0.25          # category replaced
+    assert drift["x"]["n_ref"] == 100 and drift["x"]["n_cur"] == 100
+    import math
+    assert all(math.isfinite(r["psi"]) for r in drift.values())
+
+
+def test_fd_violations_counts_and_null_rhs(spark):
+    """FD holds iff every determinant group has <=1 distinct dependent;
+    all-NULL dependents count 0 distinct (SQL count-distinct semantics)
+    and never violate."""
+    from walmart_project_etl_spark.operators.cleaning import fd_violations
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 10),       # k=1 determines v
+         (2, "b", 20), (2, "c", 20),       # k=2 violates k->v2
+         (3, None, 30), (3, None, 30)],    # all-NULL v2: no violation
+        "k int, v2 string, v int")
+    out = {r["fd"]: r for r in fd_violations(df, [
+        ("k->v", ["k"], ["v"]),
+        ("k->v2", ["k"], ["v2"]),
+        ("v->k", ["v"], ["k"])]).collect()}
+    assert out["k->v"]["n_violations"] == 0
+    assert out["k->v2"]["n_violations"] == 1      # only k=2
+    assert out["k->v2"]["n_groups"] == 3
+    assert abs(out["k->v2"]["violation_pct"] - 1 / 3) < 1e-12
+    assert out["v->k"]["n_violations"] == 0       # v unique per k here
+
+
 def test_split_expectations_null_predicate_quarantines(spark):
     """A predicate that evaluates to NULL (v > 0 with v NULL) is a
     VIOLATION (DLT expect_or_quarantine semantics) — the row must land

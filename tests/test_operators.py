@@ -151,6 +151,34 @@ def test_ngram_jaccard_exact_value(spark):
     assert len(rows) == 1 and rows[0]["jaccard"] == 0.5
 
 
+def test_sorted_neighborhood_window_and_keep_rule(spark):
+    """SNM semantics: near-dups with a shared key prefix pair within the
+    window (keep-first-in-sort-order drops the successor); same-block
+    docs FARTHER apart than the window are never compared (the method's
+    documented recall bound); different-block docs never pair."""
+    rows = [(1, "abcd p q r s t u v"),      # kept (sort-order first)
+            (2, "abcd p q r s t u v w"),    # near-dup of 1 -> dropped
+            # same 4-char block ("abcd"); keys abcdq.. < abcdt.. sort
+            # BETWEEN doc 2 (abcdp..) and doc 9 (abcdz..), pushing doc 9
+            # outside doc 2's window=2 neighborhood
+            (3, "abcd q 11 12 13 14 15 16"), (4, "abcd r 21 22 23 24 25 26"),
+            (5, "abcd s 31 32 33 34 35 36"), (6, "abcd t 41 42 43 44 45 46"),
+            (9, "abcd z p q r s t u v"),    # near-dup of 1/2, far away
+            (20, "zulu yankee xray whiskey victor")]  # other block
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["kept"]
+           for r in dedup.sorted_neighborhood(
+               df, "doc_id", "text", window=2, threshold=0.5).collect()}
+    assert out[1] is True and out[2] is False
+    assert out[9] is True          # window=2 can't reach back past spacers
+    assert all(out[i] for i in (3, 4, 5, 6, 20))
+    # widening the window to cover the block finds doc 9 too
+    out2 = {r["doc_id"]: r["kept"]
+            for r in dedup.sorted_neighborhood(
+                df, "doc_id", "text", window=7, threshold=0.5).collect()}
+    assert out2[9] is False and out2[2] is False and out2[1] is True
+
+
 def test_cosine_topk_matches_numpy(spark):
     import numpy as np
     rng = np.random.RandomState(7)
@@ -1086,6 +1114,37 @@ def test_pq_codes_shape_and_guards(spark):
                all(0 <= c < 16 for c in r["pq_code"]) for r in codes)
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_train(emb, m=7, nbits=3)
+
+
+def test_mixture_divergence_closed_form(spark):
+    """Entropy/KL against hand-computed values (same round-6-then-sum
+    recipe): group A 'a a b', group B 'b b b c'; corpus a:2 b:4 c:1."""
+    import math
+
+    from walmart_project_etl_spark.operators.selection import \
+        mixture_divergence_report
+    df = spark.createDataFrame(
+        [("A", "a a b"), ("B", "b b b c")], "source string, text string")
+    out = {r["source"]: r
+           for r in mixture_divergence_report(df, "source", "text")
+           .collect()}
+
+    def h(counts, ns):
+        return -sum(round(math.log(c / ns), 6) * c for c in counts) / ns
+
+    def kl(pairs, ns, n=7):
+        return sum(round(math.log((c / ns) / (vc / n)), 6) * c
+                   for c, vc in pairs) / ns
+
+    assert out["A"]["n_tokens"] == 3 and out["B"]["n_tokens"] == 4
+    assert math.isclose(out["A"]["entropy"], h([2, 1], 3), abs_tol=1e-9)
+    assert math.isclose(out["B"]["entropy"], h([3, 1], 4), abs_tol=1e-9)
+    assert math.isclose(out["A"]["kl_vs_corpus"],
+                        kl([(2, 2), (1, 4)], 3), abs_tol=1e-9)
+    assert math.isclose(out["B"]["kl_vs_corpus"],
+                        kl([(3, 4), (1, 1)], 4), abs_tol=1e-9)
+    # both KLs strictly positive: the groups genuinely differ from the mix
+    assert out["A"]["kl_vs_corpus"] > 0 and out["B"]["kl_vs_corpus"] > 0
 
 
 def test_dsir_weights_favor_target_and_resample_biases(spark):

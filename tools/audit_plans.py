@@ -138,6 +138,20 @@ ALLOW = {
     # the global ntile for broadcast quantile boundaries (docstring)
     "events_rfm_segments": {
         "Exchange SinglePartition (non-scalar result)"},
+    # corpus-total scalar (token count N) crossJoined into the term
+    # table — the unigram/bigram logprob scorers' exact shape; the
+    # SinglePartition merges ≤ n_partitions partial sums into 1 row
+    "sel_mix_kl_report": {"BroadcastNestedLoopJoin", "CartesianProduct",
+                          "Exchange SinglePartition (non-scalar result)"},
+    # each FD summarizes to a 1-row scalar aggregate (its own
+    # SinglePartition merging ≤ n_partitions partials); the 3-row output
+    # is a union of those 1-row frames — profile_lineitem's contract ×3
+    "dq_fd_violations": {"Exchange SinglePartition (non-scalar result)"},
+    # decile edges (1×9 doubles) + side totals (1-row aggs) broadcast
+    # back over the ≤(n_buckets+n_categories)-row count tables; every
+    # BNLJ side is a scalar/edge frame, never data-sized
+    "dq_psi_drift": {"BroadcastNestedLoopJoin", "CartesianProduct",
+                     "Exchange SinglePartition (non-scalar result)"},
 }
 
 HAZARDS = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -221,3 +221,122 @@ def split_expectations(df, checks: list[tuple]):
     clean = tagged.where(F.col("dq_reason").isNull()).drop("dq_reason")
     quarantined = tagged.where(F.col("dq_reason").isNotNull())
     return clean, quarantined
+
+
+def fd_violations(df, fds: list[tuple]):
+    """Functional-dependency profiling (the discovery-side complement of
+    expectation gates): for each candidate FD ``(name, lhs_cols,
+    rhs_cols)``, count determinant groups and the groups where the
+    dependent is NOT functionally determined (>1 distinct RHS combo) —
+    the Tane/metanome-style violation summary that tells a pipeline
+    whether a "natural key" assumption actually holds before a MERGE or
+    dedup keys on it.
+
+    One aggregation per FD, shuffled on its own LHS (uniform key, map-
+    side combined to (lhs, distinct-rhs-count) partials via the exact
+    count-distinct), then a one-row summary per FD unioned into the
+    report. NULL handling: count(DISTINCT ...) ignores all-NULL RHS
+    tuples (SQL semantics, same on every engine); a group whose RHS is
+    always NULL therefore counts 0 distinct values and never violates.
+
+    Returns (fd, n_groups, n_violations, violation_pct double) — the
+    pct is a plain int/int double division, deterministic everywhere.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    parts = []
+    for name, lhs, rhs in fds:
+        per = (df.groupBy(*[F.col(c) for c in lhs])
+               .agg(F.countDistinct(*[F.col(c) for c in rhs])
+                    .alias("__nd")))
+        parts.append(per.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0))
+             .cast("long").alias("n_violations")).select(
+            "fd", "n_groups", "n_violations",
+            (F.col("n_violations") / F.col("n_groups"))
+            .alias("violation_pct")))
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def psi_drift(ref, cur, num_cols: list[str], cat_cols: list[str],
+              n_buckets: int = 10):
+    """Population Stability Index between a REFERENCE and a CURRENT
+    snapshot — the standard ML-serving drift monitor (PSI < 0.1 stable,
+    0.1–0.25 drifting, > 0.25 act). Numeric features bucket by the
+    reference's own exact decile edges (so the reference is ~uniform by
+    construction and drift shows as current-side mass imbalance);
+    categorical features compare category proportions directly.
+    Proportions are Laplace-smoothed ((c+1)/(n+k)) so an empty bucket
+    never produces ln(0).
+
+    Scale shape: per numeric feature one exact-percentile aggregation
+    over the reference (group-free scalar agg) broadcast back as 9 edge
+    doubles, then ONE (side, bucket) count per feature — every stage a
+    scan + tiny aggregation, no row-level joins. Cross-engine exactness:
+    bucket membership compares identical doubles (percentile ≡
+    quantile_cont); each ln ratio rounds to 6 and each PSI term to 9
+    before DECIMAL summation (the repo's logprob convention), so the
+    report carries an exact SQL oracle.
+
+    Returns one row per feature: (feature, psi, n_ref, n_cur).
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    sides = (ref.select(*(num_cols + cat_cols))
+             .withColumn("__side", F.lit("r"))
+             .unionByName(cur.select(*(num_cols + cat_cols))
+                          .withColumn("__side", F.lit("c"))))
+    out = []
+    for col in num_cols:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        edges = ref.agg(*[
+            F.expr(f"percentile({col}, {q})").alias(f"__e{i}")
+            for i, q in enumerate(qs)])
+        b = reduce(lambda acc, i: acc + F.when(
+            F.col(col) >= F.col(f"__e{i}"), 1).otherwise(0),
+            range(len(qs)), F.lit(0))
+        cnt = (sides.crossJoin(F.broadcast(edges))
+               .select("__side", b.alias("__b"))
+               .groupBy("__side", "__b")
+               .agg(F.count(F.lit(1)).alias("__c")))
+        out.append(_psi_from_counts(cnt, col, n_buckets))
+    for col in cat_cols:
+        cnt = (sides.groupBy("__side", F.col(col).alias("__b"))
+               .agg(F.count(F.lit(1)).alias("__c")))
+        k = sides.select(col).distinct().count()
+        out.append(_psi_from_counts(cnt, col, k))
+    return reduce(lambda a, b2: a.unionByName(b2), out)
+
+
+def _psi_from_counts(cnt, feature: str, k: int):
+    """PSI summary from a (__side, __b, __c) count table: full-join the
+    two sides over the bucket key (either side may miss a bucket),
+    Laplace-smooth, round-then-DECIMAL-sum the terms."""
+    from pyspark.sql import functions as F
+
+    r = cnt.where(F.col("__side") == "r") \
+           .select("__b", F.col("__c").alias("__cr"))
+    c = cnt.where(F.col("__side") == "c") \
+           .select("__b", F.col("__c").alias("__cc"))
+    nr = r.agg(F.sum("__cr").alias("__nr"))
+    nc = c.agg(F.sum("__cc").alias("__nc"))
+    j = (r.join(c, "__b", "full")
+         .select(F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                 F.coalesce("__cc", F.lit(0)).alias("__cc"))
+         .crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nc)))
+    pr = (F.col("__cr") + F.lit(1.0)) / (F.col("__nr") + F.lit(float(k)))
+    pc = (F.col("__cc") + F.lit(1.0)) / (F.col("__nc") + F.lit(float(k)))
+    lnr = F.round(F.log(pc / pr), 6).cast("decimal(20,6)")
+    term = F.round(((pc - pr) * lnr.cast("double"))
+                   .cast("decimal(28,12)"), 9).cast("decimal(20,9)")
+    return j.agg(
+        F.lit(feature).alias("feature"),
+        F.round(F.sum(term).cast("double").cast("decimal(28,8)"), 6)
+         .cast("double").alias("psi"),
+        F.any_value("__nr").cast("long").alias("n_ref"),
+        F.any_value("__nc").cast("long").alias("n_cur"))

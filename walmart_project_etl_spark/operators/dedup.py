@@ -1154,3 +1154,103 @@ def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
                  F.count("*").alias("n_tokens"),
                  F.sum(F.when(F.col("__sid").isNotNull(), 1)
                        .otherwise(0)).alias("n_removed")))
+
+
+def sorted_neighborhood_pairs(df: DataFrame, id_col: str, text_col: str,
+                              window: int = 4, block_len: int = 4,
+                              key_len: int = 24,
+                              threshold: float = 0.5) -> DataFrame:
+    """Sorted-Neighborhood Method (Hernández & Stolfo, SIGMOD '95): the
+    THIRD blocking strategy next to LSH banding and k-means clustering —
+    sort the corpus by a normalized key and compare each record only
+    against its ``window - 1`` predecessors in sort order, then verify
+    candidates by exact word-3-gram Jaccard.
+
+    Why it earns a slot beside MinHash-LSH: SNM finds near-dups whose
+    DIFFERENCES are late in the record (shared prefixes sort adjacent
+    regardless of how much the tails diverge), costs ONE sort-shuffle —
+    no shingle explosion, no signature computation — and its candidate
+    count is exactly ``N × (window-1)``, linear by construction. The
+    recall bound is the flip side: dups whose keys differ early (typo in
+    the first word) land far apart and are missed; production systems
+    run several passes with different key functions, all this same shape.
+
+    Distributed shape: the sort key's first ``block_len`` chars are the
+    shuffle/partition key, ordering + row_number run WITHIN blocks
+    (parallel, bounded window state), and candidate pairs never cross
+    block boundaries — the standard parallel-SNM compromise (a cross-
+    boundary pass would compare the ``window`` edge rows of adjacent
+    blocks; at key-prefix block grain, records that close share the
+    block anyway). Pair generation is an equi-join on (block, rn) after
+    an offset explode (never a range join); verification joins the
+    per-doc distinct shingle arrays by id — every stage a linear,
+    uniformly-keyed shuffle.
+
+    Exactly engine-reproducible (normalized-key sort over [a-z0-9]
+    strings is binary-collation stable; Jaccard on int counts), so the
+    whole chain carries an exact SQL oracle.
+
+    Returns verified pairs (id_a, id_b, jaccard round-6) with id_a the
+    sort-order predecessor.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    keyed = df.select(
+        F.col(id_col), F.col(text_col),
+        F.substring(norm, 1, key_len).alias("__key"))
+    keyed = keyed.withColumn("__blk", F.substring("__key", 1, block_len))
+    w = Window.partitionBy("__blk").orderBy("__key", id_col)
+    rn = keyed.select(id_col, "__blk",
+                      F.row_number().over(w).alias("__rn"))
+    # each row emits (blk, rn - off) probes for off in 1..window-1:
+    # an EQUI join on (blk, rn) pairs it with each predecessor
+    probes = rn.select(
+        F.col(id_col).alias("__idb"), "__blk",
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("__off"),
+        F.col("__rn"))
+    probes = probes.select(
+        "__idb", "__blk", (F.col("__rn") - F.col("__off")).alias("__rn"))
+    cand = (rn.select(F.col(id_col).alias("__ida"), "__blk", "__rn")
+            .join(probes, ["__blk", "__rn"])
+            .select("__ida", "__idb"))
+    # word-3-gram distinct shingle sets, built in-row (no self-join)
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                     lambda x: x != "")
+    sh = df.select(
+        F.col(id_col).alias("__sid"),
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, 3), " ")))
+        .alias("__sh"))
+    a = sh.select(F.col("__sid").alias("__ida"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col("__sid").alias("__idb"), F.col("__sh").alias("__shb"))
+    scored = (cand.join(a, "__ida").join(b, "__idb")
+              .select("__ida", "__idb",
+                      F.size(F.array_intersect("__sha", "__shb"))
+                       .cast("double").alias("__ni"),
+                      F.size("__sha").alias("__na"),
+                      F.size("__shb").alias("__nb")))
+    jac = (F.col("__ni")
+           / (F.col("__na") + F.col("__nb") - F.col("__ni")))
+    return (scored
+            .select(F.col("__ida").alias("id_a"),
+                    F.col("__idb").alias("id_b"),
+                    F.round(jac.cast("decimal(28,8)"), 6).cast("double")
+                     .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def sorted_neighborhood(df: DataFrame, id_col: str, text_col: str,
+                        window: int = 4, block_len: int = 4,
+                        key_len: int = 24,
+                        threshold: float = 0.5) -> DataFrame:
+    """SNM dedup decision over :func:`sorted_neighborhood_pairs`: a doc
+    is dropped iff it is the SORT-ORDER SUCCESSOR (id_b) of any verified
+    pair — keep-first-in-sort-order, deterministic at any parallelism.
+    Returns (id, kept)."""
+    pairs = sorted_neighborhood_pairs(df, id_col, text_col, window,
+                                      block_len, key_len, threshold)
+    dropped = (pairs.select(F.col("id_b").alias(id_col)).distinct()
+               .withColumn("__d", F.lit(True)))
+    return (df.select(id_col).join(dropped, id_col, "left")
+            .select(id_col, F.coalesce(~F.col("__d"), F.lit(True))
+                    .alias("kept")))

@@ -148,3 +148,52 @@ def dsir_resample(weighted: DataFrame, id_col: str, k: int,
         "sel_key", F.round(F.col("logw") + gumbel, 6))
     return (out.orderBy(F.col("sel_key").desc(), F.col(id_col))
                .limit(k))
+
+
+def mixture_divergence_report(df: DataFrame, group_col: str,
+                              text_col: str) -> DataFrame:
+    """Per-group token-distribution diagnostics for corpus MIXING: each
+    group's (source/domain) unigram entropy and its KL divergence from
+    the whole-corpus distribution — the quantities domain-reweighting
+    recipes (DoReMi-style mixture tuning, DSIR's target/raw framing)
+    monitor when composing a training mix. A source with near-zero KL
+    adds no distributional diversity; an extreme-KL source is the one to
+    up/down-weight deliberately.
+
+    KL(p_group ‖ p_corpus) is always finite here: every group token is
+    by construction in the corpus distribution (support ⊆ support).
+
+    Scale shape: one token explode feeding ONE (group, token) aggregation
+    (map-side combined); the corpus distribution derives from that same
+    table (never a second scan); joins are token-keyed and uniform. Per
+    the repo's cross-engine convention, each log term rounds to 6 places
+    and accumulates as an exact DECIMAL — sums are order-independent, so
+    the report carries an exact SQL oracle (the residual ln() last-ulp
+    boundary risk is the same one every logprob scorer here accepts).
+
+    Returns (group_col, n_tokens, entropy, kl_vs_corpus) — entropy in
+    nats; both final values are exact-decimal sums divided by the group
+    token count, no further rounding needed.
+    """
+    tok = df.select(F.col(group_col),
+                    F.explode(_tokens(text_col)).alias("__t")) \
+            .where(F.col("__t") != "")
+    st = tok.groupBy(group_col, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    ns = st.groupBy(group_col).agg(F.sum("__c").alias("__ns"))
+    v = st.groupBy("__t").agg(F.sum("__c").alias("__vc"))
+    tot = v.agg(F.sum("__vc").alias("__n"))
+    p = F.col("__c") / F.col("__ns")
+    q = F.col("__vc") / F.col("__n")
+    terms = (st.join(ns, group_col).join(v, "__t")
+             .crossJoin(F.broadcast(tot))
+             .select(group_col, "__c", "__ns",
+                     F.round(F.log(p), 6).cast("decimal(20,6)")
+                      .alias("__hp"),
+                     F.round(F.log(p / q), 6).cast("decimal(20,6)")
+                      .alias("__klp")))
+    return (terms.groupBy(group_col)
+            .agg(F.any_value("__ns").cast("long").alias("n_tokens"),
+                 (-F.sum(F.col("__hp") * F.col("__c")).cast("double")
+                  / F.any_value("__ns")).alias("entropy"),
+                 (F.sum(F.col("__klp") * F.col("__c")).cast("double")
+                  / F.any_value("__ns")).alias("kl_vs_corpus")))

@@ -35,6 +35,13 @@ _PRIORITY = (
     # never driver-checked (r12-late, slot-capped; judge-verified r12)
     "dq_quarantine_split",
     "sketch_kmv_union",
+    # r13-new entries (sorted-neighborhood dedup, mixing KL report,
+    # FD profiling, decimal-exact corr/regression, PSI drift)
+    "dedup_sorted_neighborhood",
+    "sel_mix_kl_report",
+    "dq_fd_violations",
+    "olap_corr_regr",
+    "dq_psi_drift",
     # r6-era rotation: all 36 rows whose newest driver row is 7 rounds old
     "dedup_cluster_components",
     "dedup_contamination_scores",
@@ -72,7 +79,8 @@ _PRIORITY = (
     "ts_gap_fill_locf",
     "txn_merge_fileprune",
     "txn_time_travel",
-    # r7-era rotation, first 12 of 41 (alphabetical)
+    # r7-era rotation, first 7 of 41 (alphabetical; 5 slots went to the
+    # r13-new entries above)
     "a01_groupby_mode",
     "a04_count_star_tables",
     "a08_conditional_ratio",
@@ -80,14 +88,11 @@ _PRIORITY = (
     "f01_md5_key_generation",
     "f02_f29_date_int_id",
     "f03_f05_f06_date_parts",
-    "f04_multiformat_date_parse",
-    "f07_f08_safe_cast_age_group",
-    "f09_title_case_clean",
-    "f10_null_defaults",
-    "f11_f13_product_rules",
 )
-#: r14 plan: after this window the stalest rows are the remaining 29
-#: r7-era entries (j02_broadcast_key_map_join, j04_d01_scd1_merge,
+#: r14 plan: after this window the stalest rows are the remaining 34
+#: r7-era entries (f04_multiformat_date_parse, f07_f08_safe_cast_age_group,
+#: f09_title_case_clean, f10_null_defaults, f11_f13_product_rules,
+#: and the 29 below: j02_broadcast_key_map_join, j04_d01_scd1_merge,
 #: j05_j06_j07_d02_scd2_two_run, j06_grouped_max_lookup_join,
 #: j08_multiway_fact_join, j09_interval_join_scd2,
 #: j12_bucketed_colocated_join, o01_orderby_limit_topk, o02_full_sort,

@@ -2703,6 +2703,149 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS (check_name, n_violations)"))
 
 
+@q("dq_fd_violations",
+   """WITH g1 AS (SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
+                  FROM orders GROUP BY o_orderkey),
+      g2 AS (SELECT o_custkey, count(DISTINCT o_orderstatus) AS nd
+             FROM orders GROUP BY o_custkey),
+      g3 AS (SELECT o_orderdate, o_orderpriority,
+                    count(DISTINCT o_orderstatus) AS nd
+             FROM orders GROUP BY o_orderdate, o_orderpriority),
+      u AS (
+        SELECT 'o_orderkey->o_custkey' AS fd, count(*) AS n_groups,
+               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_violations FROM g1
+        UNION ALL
+        SELECT 'o_custkey->o_orderstatus', count(*),
+               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT FROM g2
+        UNION ALL
+        SELECT 'o_orderdate,o_orderpriority->o_orderstatus', count(*),
+               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT FROM g3)
+      SELECT fd, n_groups, n_violations,
+             n_violations / n_groups AS violation_pct
+      FROM u""")
+def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY profiling (operators/cleaning.py:
+    fd_violations — the discovery-side complement of the expectation
+    gates): does X actually determine Y in the data? Three candidate
+    FDs over orders — the true key FD (orderkey→custkey, holds), a
+    deliberately false one (custkey→orderstatus), and a composite-LHS
+    one (orderdate,orderpriority→orderstatus) — each ONE aggregation
+    shuffled on its own determinant, summarized to a row. The report a
+    pipeline reads before trusting a 'natural key' for MERGE/dedup."""
+    from walmart_project_etl_spark.operators.cleaning import fd_violations
+    o = t(spark, sf_dir, "orders")
+    return fd_violations(o, [
+        ("o_orderkey->o_custkey", ["o_orderkey"], ["o_custkey"]),
+        ("o_custkey->o_orderstatus", ["o_custkey"], ["o_orderstatus"]),
+        ("o_orderdate,o_orderpriority->o_orderstatus",
+         ["o_orderdate", "o_orderpriority"], ["o_orderstatus"]),
+    ])
+
+
+@q("dq_psi_drift",
+   """WITH ref AS (
+        SELECT o_totalprice, o_orderpriority FROM orders
+        WHERE o_orderkey % 2 = 0),
+      cur AS (
+        SELECT CASE WHEN o_custkey % 3 = 0 THEN o_totalprice * 1.5
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_custkey % 5 = 0 THEN '1-URGENT'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1),
+      e AS (SELECT quantile_cont(o_totalprice, 0.1) AS e0,
+                   quantile_cont(o_totalprice, 0.2) AS e1,
+                   quantile_cont(o_totalprice, 0.3) AS e2,
+                   quantile_cont(o_totalprice, 0.4) AS e3,
+                   quantile_cont(o_totalprice, 0.5) AS e4,
+                   quantile_cont(o_totalprice, 0.6) AS e5,
+                   quantile_cont(o_totalprice, 0.7) AS e6,
+                   quantile_cont(o_totalprice, 0.8) AS e7,
+                   quantile_cont(o_totalprice, 0.9) AS e8
+            FROM ref),
+      sides AS (
+        SELECT 'r' AS side, o_totalprice AS x, o_orderpriority AS cat
+        FROM ref
+        UNION ALL
+        SELECT 'c', o_totalprice, o_orderpriority FROM cur),
+      nb AS (
+        SELECT side,
+               (CASE WHEN x >= e0 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e1 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e2 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e3 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e4 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e5 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e6 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e7 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e8 THEN 1 ELSE 0 END) AS b
+        FROM sides, e),
+      numc AS (SELECT side, b, count(*) AS c FROM nb GROUP BY side, b),
+      catc AS (SELECT side, cat AS b, count(*) AS c FROM sides
+               GROUP BY side, cat),
+      catk AS (SELECT count(DISTINCT cat)::DOUBLE AS k FROM sides),
+      r1 AS (SELECT b, c AS cr FROM numc WHERE side = 'r'),
+      c1 AS (SELECT b, c AS cc FROM numc WHERE side = 'c'),
+      nr1 AS (SELECT sum(cr) AS nr FROM r1),
+      nc1 AS (SELECT sum(cc) AS nc FROM c1),
+      j1 AS (SELECT coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+             FROM r1 FULL JOIN c1 USING (b)),
+      tm1 AS (
+        SELECT round(CAST(
+            ((cc + 1.0) / (nc + 10.0) - (cr + 1.0) / (nr + 10.0))
+            * CAST(round(ln(((cc + 1.0) / (nc + 10.0))
+                            / ((cr + 1.0) / (nr + 10.0))), 6)
+                   AS DECIMAL(20,6))::DOUBLE
+            AS DECIMAL(28,12)), 9)::DECIMAL(20,9) AS term, nr, nc
+        FROM j1, nr1, nc1),
+      r2 AS (SELECT b, c AS cr FROM catc WHERE side = 'r'),
+      c2 AS (SELECT b, c AS cc FROM catc WHERE side = 'c'),
+      nr2 AS (SELECT sum(cr) AS nr FROM r2),
+      nc2 AS (SELECT sum(cc) AS nc FROM c2),
+      j2 AS (SELECT coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+             FROM r2 FULL JOIN c2 USING (b)),
+      tm2 AS (
+        SELECT round(CAST(
+            ((cc + 1.0) / (nc + k) - (cr + 1.0) / (nr + k))
+            * CAST(round(ln(((cc + 1.0) / (nc + k))
+                            / ((cr + 1.0) / (nr + k))), 6)
+                   AS DECIMAL(20,6))::DOUBLE
+            AS DECIMAL(28,12)), 9)::DECIMAL(20,9) AS term, nr, nc
+        FROM j2, nr2, nc2, catk)
+      SELECT 'o_totalprice' AS feature,
+             round(CAST(CAST(sum(term) AS DOUBLE) AS DECIMAL(28,8)),
+                   6)::DOUBLE AS psi,
+             CAST(any_value(nr) AS BIGINT) AS n_ref,
+             CAST(any_value(nc) AS BIGINT) AS n_cur
+      FROM tm1
+      UNION ALL
+      SELECT 'o_orderpriority',
+             round(CAST(CAST(sum(term) AS DOUBLE) AS DECIMAL(28,8)),
+                   6)::DOUBLE,
+             CAST(any_value(nr) AS BIGINT), CAST(any_value(nc) AS BIGINT)
+      FROM tm2""")
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX drift report (operators/cleaning.py:
+    psi_drift) between a reference snapshot (even orderkeys) and a
+    deliberately drifted current one (odd orderkeys, every third
+    customer's prices ×1.5, every fifth customer forced to 1-URGENT) —
+    the ML-serving monitor that says whether a feature's distribution
+    moved. Numeric features bucket by the REFERENCE's exact deciles
+    (one scalar percentile agg, 9 doubles broadcast back); categorical
+    features compare smoothed category shares. Terms round-then-
+    DECIMAL-sum, so the report is engine-exact."""
+    from walmart_project_etl_spark.operators.cleaning import psi_drift
+    o = t(spark, sf_dir, "orders")
+    ref = o.where(F.col("o_orderkey") % 2 == 0) \
+           .select("o_totalprice", "o_orderpriority")
+    cur = o.where(F.col("o_orderkey") % 2 == 1).select(
+        F.when(F.col("o_custkey") % 3 == 0, F.col("o_totalprice") * 1.5)
+         .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("o_custkey") % 5 == 0, F.lit("1-URGENT"))
+         .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"))
+    return psi_drift(ref, cur, ["o_totalprice"], ["o_orderpriority"])
+
+
 @q("txn_agg_mv_join",
    """WITH final AS (
         SELECT o_orderkey, o_custkey,

@@ -2166,6 +2166,63 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         hash_fn="md5")
 
 
+@q("dedup_sorted_neighborhood", f"""
+WITH corpus AS (SELECT doc_id, text FROM {_DUPES_SQL} c),
+keyed AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, 24) AS key
+  FROM corpus),
+rn AS (
+  SELECT doc_id, substr(key, 1, 4) AS blk,
+         row_number() OVER (PARTITION BY substr(key, 1, 4)
+                            ORDER BY key, doc_id) AS rn
+  FROM keyed),
+cand AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM rn b
+  JOIN rn a ON a.blk = b.blk AND a.rn BETWEEN b.rn - 3 AND b.rn - 1),
+tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM corpus),
+pos AS (SELECT doc_id, w,
+               unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+        FROM tok),
+shi AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM pos),
+sized AS (SELECT doc_id, count(*) AS n FROM shi GROUP BY doc_id),
+inter AS (
+  SELECT c.ida, c.idb, count(*) AS ni
+  FROM cand c
+  JOIN shi a ON a.doc_id = c.ida
+  JOIN shi b ON b.doc_id = c.idb AND b.shingle = a.shingle
+  GROUP BY c.ida, c.idb),
+verified AS (
+  SELECT ida, idb
+  FROM inter
+  JOIN sized sa ON sa.doc_id = ida
+  JOIN sized sb ON sb.doc_id = idb
+  WHERE round(CAST(ni::DOUBLE / (sa.n + sb.n - ni)
+              AS DECIMAL(28,8)), 6)::DOUBLE >= 0.5)
+SELECT c.doc_id, (d.idb IS NULL) AS kept
+FROM corpus c
+LEFT JOIN (SELECT DISTINCT idb FROM verified) d ON d.idb = c.doc_id""")
+def dedup_sorted_neighborhood(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood dedup (Hernández & Stolfo 1995,
+    operators/dedup.py:sorted_neighborhood): the third blocking
+    strategy next to LSH banding and k-means — ONE sort-shuffle on a
+    normalized key, candidates = each doc × its ≤3 sort predecessors
+    (linear by construction, no shingle explosion), exact word-3-gram
+    Jaccard verify, keep-first-in-sort-order. Pair generation is an
+    equi-join on (block, row_number) after an offset explode; the
+    window never crosses key-prefix blocks (the parallel-SNM recall
+    compromise, documented in the operator)."""
+    corpus = _docs_with_dupes(spark, sf_dir)
+    return dedup.sorted_neighborhood(corpus, "doc_id", "text",
+                                     window=4, block_len=4,
+                                     key_len=24, threshold=0.5)
+
+
 # ------------------------------------------------- sketch family (r12)
 
 @q("sketch_cms_heavy_hitters", """
@@ -2519,6 +2576,75 @@ def olap_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("p75"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4)
          .alias("p95"))
+
+
+@q("olap_corr_regr", """
+WITH m AS (
+  -- DECIMAL(19,6) forces DuckDB's int128 arithmetic (the (18,6) int64
+  -- fast path overflows on the price products); Spark stays at (18,6)
+  -- so ITS product type (37,12) fits the 38-digit cap — both sides are
+  -- exact integers mathematically, so the values agree bit-for-bit
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(19,6))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS sy,
+         sum(CAST(l_quantity AS DECIMAL(19,6))
+             * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy,
+         sum(CAST(l_quantity AS DECIMAL(19,6))
+             * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+         sum(CAST(l_extendedprice AS DECIMAL(19,6))
+             * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n AS n_rows,
+       round(CAST((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+             AS DECIMAL(28,8)), 6)::DOUBLE AS corr,
+       round(CAST((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             AS DECIMAL(28,8)), 6)::DOUBLE AS slope,
+       round(CAST((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE
+                                  - sx::DOUBLE * sy::DOUBLE)
+                   / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                   * sx::DOUBLE) / n::DOUBLE
+             AS DECIMAL(28,8)), 6)::DOUBLE AS intercept
+FROM m""")
+def olap_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation + OLS slope/intercept of
+    quantity→extendedprice, from DECIMAL-EXACT moment sums (n, Σx, Σy,
+    Σxy, Σx², Σy² — the zscore operator's precision recipe: (18,6)
+    operands keep products inside the 38-digit cap, so every partial
+    sum is exact and order-independent). Built-in ``corr``/
+    ``regr_slope`` accumulate in doubles and drift with partition
+    order; the moment route gives the same answer bit-for-bit at any
+    parallelism, which is what lets a SQL oracle replay it. One
+    map-side-combinable aggregation — the 100 TB cost is one scan."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,6)")
+    y = F.col("l_extendedprice").cast("decimal(18,6)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = cov_n / varx_n
+
+    def r6(c):
+        return F.round(c.cast("decimal(28,8)"), 6).cast("double")
+
+    return m.select(
+        "l_returnflag", F.col("n").alias("n_rows"),
+        r6(cov_n / F.sqrt(varx_n * vary_n)).alias("corr"),
+        r6(slope).alias("slope"),
+        r6((sy - slope * sx) / n).alias("intercept"))
 
 
 @q("events_rfm_segments", """

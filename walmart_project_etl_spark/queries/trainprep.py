@@ -1335,6 +1335,42 @@ def sel_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selection.dsir_resample(w, "doc_id", k=64)
 
 
+@q("sel_mix_kl_report",
+   r"""WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(
+                   lower(regexp_replace(text, '^\s+|\s+$', '')),
+                   '\s+')) AS t
+        FROM documents),
+      st AS (SELECT source, t, count(*) AS c FROM tok
+             WHERE t <> '' GROUP BY source, t),
+      ns AS (SELECT source, sum(c) AS ns FROM st GROUP BY source),
+      v AS (SELECT t, sum(c) AS vc FROM st GROUP BY t),
+      tot AS (SELECT sum(vc) AS n FROM v),
+      terms AS (
+        SELECT st.source, st.c, ns.ns,
+               CAST(round(ln(st.c / ns.ns), 6) AS DECIMAL(20,6)) AS hp,
+               CAST(round(ln((st.c / ns.ns) / (v.vc / tot.n)), 6)
+                 AS DECIMAL(20,6)) AS klp
+        FROM st JOIN ns USING (source) JOIN v USING (t), tot)
+      SELECT source, CAST(any_value(ns) AS BIGINT) AS n_tokens,
+             -CAST(sum(hp * c) AS DOUBLE) / any_value(ns) AS entropy,
+             CAST(sum(klp * c) AS DOUBLE) / any_value(ns) AS kl_vs_corpus
+      FROM terms GROUP BY source""")
+def sel_mix_kl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing diagnostics (operators/selection.py:
+    mixture_divergence_report): per-source unigram entropy + KL from
+    the whole-corpus distribution — what DoReMi-style mixture tuning
+    monitors when composing a training mix. One token explode, one
+    (source, token) aggregation, the corpus distribution derived from
+    the same table; log terms round-6 then DECIMAL-sum, so the report
+    is exact on any engine at any summation order."""
+    from walmart_project_etl_spark.operators import selection
+
+    d = t(spark, sf_dir, "documents")
+    return selection.mixture_divergence_report(d, "source", "text")
+
+
 @q("pipe_dsir_select_pack",
    f"""WITH {_DSIR_LR_SQL},
       keyed AS (
