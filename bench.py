@@ -184,6 +184,13 @@ BENCH_QUERIES = [
     "txn_partition_evolution",
     # r12-new: BFD no-straddle packing (per-group Arrow hop)
     "pack_bins_bfd",
+    # r13-new: sorted-neighborhood blocking (one sort-shuffle dedup),
+    # PSI drift report (first dq-family bench row), decimal-exact
+    # corr/regression, seasonal Holt-Winters struct fold
+    "dedup_sorted_neighborhood",
+    "dq_psi_drift",
+    "olap_corr_regr",
+    "ts_holt_winters",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other

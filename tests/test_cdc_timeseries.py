@@ -308,6 +308,35 @@ def test_ewma_segmented_equals_flat_fold(spark):
     assert seg == flat
 
 
+def test_holt_winters_matches_reference_recursion(spark):
+    import datetime
+    import math
+
+    from walmart_project_etl_spark.operators.timeseries import holt_winters
+    base = datetime.datetime(2024, 1, 1)
+    xs = [10.0, 12.0, 9.0, 14.0, 11.0, 13.0, 8.0, 10.5, 12.5, 9.5, 14.5]
+    df = spark.createDataFrame(
+        [("u", base + datetime.timedelta(days=i), x)
+         for i, x in enumerate(xs)], "k string, ts timestamp, x double")
+    out = holt_winters(df, "k", "ts", "x", season=7,
+                       alpha=0.25, beta=0.5, gamma=0.25).collect()[0]
+    a, b, g, m = 0.25, 0.5, 0.25, 7
+    l, tr, s = xs[0], 0.0, [0.0] * m
+    for i, x in enumerate(xs[1:], start=1):
+        j = i % m
+        sh = s[j]
+        ln = a * (x - sh) + (1 - a) * (l + tr)
+        tn = b * (ln - l) + (1 - b) * tr
+        s[j] = g * (x - ln) + (1 - g) * sh
+        l, tr = ln, tn
+    nxt = s[len(xs) % m]
+    assert out["n_days"] == 11
+    for got, exp in [(out["level"], l), (out["trend"], tr),
+                     (out["seasonal_next"], nxt),
+                     (out["forecast"], l + tr + nxt)]:
+        assert math.isclose(got, exp, abs_tol=1e-6)
+
+
 def test_rolling_zscore_flags_only_the_spike(spark):
     from walmart_project_etl_spark.operators.timeseries import \
         rolling_zscore_anomalies

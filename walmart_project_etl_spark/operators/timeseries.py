@@ -247,3 +247,81 @@ def holt_linear(df: DataFrame, entity_col: str, order_cols: list[str],
         F.round(fold["t"], 6).alias("trend"),
         F.round(fold["l"] + F.lit(float(horizon)) * fold["t"], 6)
          .alias("forecast"))
+
+
+def holt_winters(df: DataFrame, entity_col: str, date_col: str,
+                 value_col: str, season: int = 7, alpha: float = 0.25,
+                 beta: float = 0.5, gamma: float = 0.25) -> DataFrame:
+    """Additive Holt-Winters (level + trend + seasonal) per entity over
+    its DAILY series — the triple-exponential step up from
+    :func:`holt_linear`, the classic short-horizon forecaster for
+    metrics with a weekly rhythm.
+
+    Recursion (x_t = day t's value, m = season):
+    l_t = α(x_t − s_{t−m}) + (1−α)(l + b);  b_t = β(l_t − l) + (1−β)b;
+    s_t = γ(x_t − l_t) + (1−γ)s_{t−m}; init l₀ = x₀, b₀ = 0, s ≡ 0 (the
+    simple deterministic init — no backcast fitting). One-step forecast
+    = l + b + s at the next slot.
+
+    Shape: ONE day-grain aggregation (decimal-routed daily sums), one
+    entity shuffle, then the sequential recursion as an in-row fold with
+    a STRUCT(l, b, s array[m], i) accumulator — the seasonal array
+    updates via an index-aware ``transform``, so each step is O(m)
+    expression work and the whole fold is O(days·m) per entity with no
+    Python. Missing days are treated as gaps in the index (the fold runs
+    over OBSERVED days in order; densify with gap_fill_forward first if
+    strict calendar slots matter). Oracle = pinned golden: DuckDB's
+    list_reduce mutates struct accumulator fields in place mid-step (the
+    ts_holt_forecast finding), so it cannot replay a three-field
+    recursion.
+
+    Returns (entity, n_days, level, trend, seasonal_next, forecast) —
+    all round-6 via the decimal route.
+    """
+    a, b, g = float(alpha), float(beta), float(gamma)
+    m = int(season)
+    daily = (df.groupBy(entity_col, F.to_date(date_col).alias("__d"))
+             .agg(F.round(F.sum(F.col(value_col).cast("decimal(28,6)")),
+                          2).cast("double").alias("__x")))
+    ordered = (daily.groupBy(entity_col)
+               .agg(F.array_sort(F.collect_list(F.struct("__d", "__x")))
+                    .alias("__s")))
+    xs = F.transform("__s", lambda s: s["__x"])
+    zeros = F.array_repeat(F.lit(0.0), m)
+    init = F.struct(F.element_at(xs, 1).alias("l"),
+                    F.lit(0.0).alias("b"),
+                    zeros.alias("s"),
+                    F.lit(1).alias("i"))
+
+    def step(acc, x):
+        j = acc["i"] % m                         # 0-based season slot
+        shat = F.element_at(acc["s"], j + 1)
+        lnew = (F.lit(a) * (x - shat)
+                + F.lit(1.0 - a) * (acc["l"] + acc["b"]))
+
+        def l_again():                           # inline recompute (holt
+            return (F.lit(a) * (x - shat)        # pattern: acc fields are
+                    + F.lit(1.0 - a) * (acc["l"] + acc["b"]))  # immutable)
+
+        bnew = (F.lit(b) * (l_again() - acc["l"])
+                + F.lit(1.0 - b) * acc["b"])
+        snew = (F.lit(g) * (x - l_again()) + F.lit(1.0 - g) * shat)
+        sarr = F.transform(
+            acc["s"],
+            lambda v, idx: F.when(idx == j, snew).otherwise(v))
+        return F.struct(lnew.alias("l"), bnew.alias("b"),
+                        sarr.alias("s"), (acc["i"] + 1).alias("i"))
+
+    fold = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))), init, step)
+    nxt = F.element_at(fold["s"], (fold["i"] % m) + 1)
+
+    def r6(c):
+        return F.round(c.cast("decimal(28,8)"), 6).cast("double")
+
+    return ordered.select(
+        entity_col, F.size("__s").alias("n_days"),
+        r6(fold["l"]).alias("level"),
+        r6(fold["b"]).alias("trend"),
+        r6(nxt).alias("seasonal_next"),
+        r6(fold["l"] + fold["b"] + nxt).alias("forecast"))

@@ -2719,6 +2719,22 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "value")
 
 
+@q("ts_holt_winters", pinned("ts_holt_winters"))
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters per user over the DAILY value series,
+    season=7 (operators/timeseries.py:holt_winters): the triple-
+    exponential forecaster — one day-grain aggregation, one entity
+    shuffle, the three-field recursion as an in-row struct fold whose
+    seasonal array updates via index-aware transform (O(days·season)
+    per entity, no Python). Oracle = pinned sf0.01 golden: DuckDB's
+    list_reduce mutates struct accumulators in place mid-step (the
+    ts_holt_forecast finding), so it cannot replay the recursion."""
+    from walmart_project_etl_spark.operators import timeseries
+    ev = events_t(spark, sf_dir)
+    return timeseries.holt_winters(ev, "user_id", "ts", "value",
+                                   season=7)
+
+
 @q("sketch_kmv_union", """
 WITH h AS (
   SELECT DISTINCT event_type,
