@@ -1116,6 +1116,30 @@ def test_pq_codes_shape_and_guards(spark):
         similarity.pq_train(emb, m=7, nbits=3)
 
 
+def test_contrastive_triplets_chain_and_negative_disjoint(spark):
+    """Positives chain within dup groups (k-sized group -> k-1 pairs);
+    negatives never share the anchor's text digest; the whole set is
+    deterministic across runs."""
+    from walmart_project_etl_spark.operators.sampling import \
+        contrastive_triplets
+    rows = ([(i, "unique text %d and filler" % i) for i in range(20)]
+            + [(100, "dup group one"), (101, "dup group one"),
+               (102, "dup group one"),
+               (200, "dup group two"), (201, "dup group two")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = contrastive_triplets(df, "doc_id", "text").collect()
+    pairs = {(r["anchor_id"], r["positive_id"]) for r in out}
+    # chained pairs only (100,101),(101,102),(200,201) modulo negative
+    # draws dropped for digest collision (impossible here: uniques differ)
+    assert pairs == {(100, 101), (101, 102), (200, 201)}
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    for r in out:
+        assert texts[r["negative_id"]] != texts[r["anchor_id"]]
+    again = {tuple(r) for r in
+             contrastive_triplets(df, "doc_id", "text").collect()}
+    assert again == {tuple(r) for r in out}
+
+
 def test_mixture_divergence_closed_form(spark):
     """Entropy/KL against hand-computed values (same round-6-then-sum
     recipe): group A 'a a b', group B 'b b b c'; corpus a:2 b:4 c:1."""

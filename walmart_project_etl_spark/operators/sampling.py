@@ -228,3 +228,56 @@ def assign_shards(df: DataFrame, key: str, n_shards: int) -> DataFrame:
                                             F.col(key))
     return (df.withColumn("shard", shard)
               .withColumn("shard_pos", F.row_number().over(w) - 1))
+
+
+def contrastive_triplets(df: DataFrame, id_col: str, text_col: str,
+                         pool_size: int = 256) -> DataFrame:
+    """Mine (anchor, positive, negative) training triplets from a corpus
+    with duplicates — the data-prep step for contrastive embedding
+    training (SimCSE/E5-style): positives are documents with IDENTICAL
+    text (exact-dup groups), negatives are hash-drawn unrelated docs.
+
+    Deterministic end-to-end (md5-derived choices, no RNG — the
+    sampling-module convention), so the full triplet set carries an
+    exact SQL oracle:
+
+    - positives: within each md5(text) group, each doc pairs with its
+      NEXT peer by id (a lead window over the group) — k-sized groups
+      yield k−1 CHAINED pairs, linear, never the all-pairs quadratic;
+    - negatives: a bounded ``pool_size`` negative pool (the docs with
+      the smallest md5(id) — one TakeOrdered, broadcast everywhere),
+      indexed by the anchor's own hash modulo the pool; a draw that
+      lands in the anchor's OWN dup group is dropped (rare, flagged by
+      digest equality) rather than silently kept.
+
+    Scale shape: one md5-group shuffle for positives; the pool is
+    metadata-sized at any corpus size and the negative assignment is a
+    broadcast equi-join on the pool index. Returns (anchor_id,
+    positive_id, negative_id).
+    """
+    d = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__dig"))
+    w = Window.partitionBy("__dig").orderBy(id_col)
+    pos = (d.select("__dig", F.col(id_col).alias("anchor_id"),
+                    F.lead(id_col, 1).over(w).alias("positive_id"))
+           .where(F.col("positive_id").isNotNull()))
+    # bounded negative pool: smallest md5(id) docs, rank = orderBy+limit
+    # (TakeOrdered), then a ≤pool_size-row window for the index
+    pool = (d.select(F.col(id_col).alias("negative_id"),
+                     F.col("__dig").alias("__ndig"),
+                     F.md5(F.col(id_col).cast("string")).alias("__h"))
+            .orderBy("__h", "negative_id").limit(pool_size))
+    pool = pool.select(
+        "negative_id", "__ndig",
+        (F.row_number().over(Window.orderBy("__h", "negative_id")) - 1)
+        .alias("__idx"))
+    # draw modulo the ACTUAL pool size (a corpus smaller than pool_size
+    # yields a shorter pool; the count is over ≤ pool_size rows)
+    n_pool = pool.count()
+    draw = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("neg|"),
+                       F.col("anchor_id").cast("string"))), 1, 8),
+        16, 10).cast("long") % n_pool).alias("__idx")
+    return (pos.select("__dig", "anchor_id", "positive_id", draw)
+            .join(F.broadcast(pool), "__idx")
+            .where(F.col("__ndig") != F.col("__dig"))
+            .select("anchor_id", "positive_id", "negative_id"))

@@ -2166,6 +2166,42 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         hash_fn="md5")
 
 
+@q("sample_contrastive_triplets", f"""
+WITH d AS (SELECT doc_id, md5(text) AS dig FROM {_DUPES_SQL} c),
+pos AS (
+  SELECT dig, doc_id AS anchor_id,
+         lead(doc_id) OVER (PARTITION BY dig ORDER BY doc_id)
+           AS positive_id
+  FROM d),
+p2 AS (SELECT * FROM pos WHERE positive_id IS NOT NULL),
+pool AS (
+  SELECT doc_id AS negative_id, dig AS ndig,
+         row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1
+           AS idx
+  FROM d
+  QUALIFY row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)
+            <= 256)
+SELECT anchor_id, positive_id, negative_id
+FROM p2 JOIN pool
+  ON pool.idx = ('0x' || substr(md5('neg|' || p2.anchor_id::VARCHAR),
+                                1, 8))::BIGINT % 256
+WHERE pool.ndig <> p2.dig""")
+def sample_contrastive_triplets(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """CONTRASTIVE TRIPLET mining (operators/sampling.py:
+    contrastive_triplets) — (anchor, positive, negative) training rows
+    for embedding models: positives chain within exact-dup groups (k−1
+    pairs per k-group, one md5-keyed shuffle, never all-pairs);
+    negatives come from a bounded 256-doc hash pool broadcast to an
+    equi-join on the anchor's own md5 draw. Deterministic end-to-end
+    (the sampling module's no-RNG convention), hence the exact SQL
+    oracle."""
+    from walmart_project_etl_spark.operators.sampling import \
+        contrastive_triplets
+    corpus = _docs_with_dupes(spark, sf_dir)
+    return contrastive_triplets(corpus, "doc_id", "text", pool_size=256)
+
+
 @q("dedup_sorted_neighborhood", f"""
 WITH corpus AS (SELECT doc_id, text FROM {_DUPES_SQL} c),
 keyed AS (
