@@ -315,3 +315,28 @@ def test_stream_scd2_history_incremental_restart(spark, tmp_path):
             for r in h2.snapshot().collect()}
     assert rows == {(1, "a"): (0, 1, False), (1, "a2"): (1, None, True),
                     (2, "b"): (0, 2, False)}
+
+
+def test_stream_psi_counts_equal_batch_for_any_split(spark, events, tmp_path):
+    """The accumulated PSI bucket counts must equal the plain batch
+    bucket counts regardless of micro-batch split (merge-add is
+    associative): run at 1 file/trigger (max batches) and compare."""
+    import pyspark.sql.functions as F
+    from functools import reduce
+
+    from walmart_project_etl_spark.streaming import stream_psi_bucket_counts
+
+    ref = events.where(F.col("user_id") % 2 == 0).select("value")
+    edges = [r for r in ref.agg(*[
+        F.expr(f"percentile(value, {i / 10})").alias(f"e{i}")
+        for i in range(1, 10)]).collect()[0]]
+    got = stream_psi_bucket_counts(
+        spark, events_dir(spark, SF_DIR), edges,
+        str(tmp_path / "wh"), user_parity=1, max_files_per_trigger=1)
+    bucket = reduce(
+        lambda acc, e: acc + F.when(F.col("value") >= F.lit(float(e)), 1)
+        .otherwise(0), edges, F.lit(0))
+    want = (events.where(F.col("user_id") % 2 == 1)
+            .select(bucket.alias("b"))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("c")))
+    assert _rows(got, ["b", "c"]) == _rows(want, ["b", "c"])

@@ -152,6 +152,10 @@ ALLOW = {
     # BNLJ side is a scalar/edge frame, never data-sized
     "dq_psi_drift": {"BroadcastNestedLoopJoin", "CartesianProduct",
                      "Exchange SinglePartition (non-scalar result)"},
+    # streaming twin of dq_psi_drift: same 1-row side-total broadcasts
+    # over the ≤10-row accumulated counts table
+    "stream_psi_drift": {"BroadcastNestedLoopJoin", "CartesianProduct",
+                         "Exchange SinglePartition (non-scalar result)"},
 }
 
 HAZARDS = ("CartesianProduct", "BroadcastNestedLoopJoin")

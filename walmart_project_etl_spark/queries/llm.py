@@ -2755,6 +2755,90 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "value")
 
 
+@q("stream_psi_drift", """
+WITH ref AS (SELECT value AS x FROM events WHERE user_id % 2 = 0),
+cur AS (SELECT value AS x FROM events WHERE user_id % 2 = 1),
+e AS (SELECT quantile_cont(x, 0.1) AS e0, quantile_cont(x, 0.2) AS e1,
+             quantile_cont(x, 0.3) AS e2, quantile_cont(x, 0.4) AS e3,
+             quantile_cont(x, 0.5) AS e4, quantile_cont(x, 0.6) AS e5,
+             quantile_cont(x, 0.7) AS e6, quantile_cont(x, 0.8) AS e7,
+             quantile_cont(x, 0.9) AS e8
+      FROM ref),
+sides AS (SELECT 'r' AS side, x FROM ref UNION ALL SELECT 'c', x FROM cur),
+nb AS (
+  SELECT side,
+         (CASE WHEN x >= e0 THEN 1 ELSE 0 END)
+       + (CASE WHEN x >= e1 THEN 1 ELSE 0 END)
+       + (CASE WHEN x >= e2 THEN 1 ELSE 0 END)
+       + (CASE WHEN x >= e3 THEN 1 ELSE 0 END)
+       + (CASE WHEN x >= e4 THEN 1 ELSE 0 END)
+       + (CASE WHEN x >= e5 THEN 1 ELSE 0 END)
+       + (CASE WHEN x >= e6 THEN 1 ELSE 0 END)
+       + (CASE WHEN x >= e7 THEN 1 ELSE 0 END)
+       + (CASE WHEN x >= e8 THEN 1 ELSE 0 END) AS b
+  FROM sides, e),
+numc AS (SELECT side, b, count(*) AS c FROM nb GROUP BY side, b),
+r1 AS (SELECT b, c AS cr FROM numc WHERE side = 'r'),
+c1 AS (SELECT b, c AS cc FROM numc WHERE side = 'c'),
+nr1 AS (SELECT sum(cr) AS nr FROM r1),
+nc1 AS (SELECT sum(cc) AS nc FROM c1),
+j1 AS (SELECT coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+       FROM r1 FULL JOIN c1 USING (b)),
+tm1 AS (
+  SELECT round(CAST(
+      ((cc + 1.0) / (nc + 10.0) - (cr + 1.0) / (nr + 10.0))
+      * CAST(round(ln(((cc + 1.0) / (nc + 10.0))
+                      / ((cr + 1.0) / (nr + 10.0))), 6)
+             AS DECIMAL(20,6))::DOUBLE
+      AS DECIMAL(28,12)), 9)::DECIMAL(20,9) AS term, nr, nc
+  FROM j1, nr1, nc1)
+SELECT 'value' AS feature,
+       round(CAST(CAST(sum(term) AS DOUBLE) AS DECIMAL(28,8)), 6)::DOUBLE
+         AS psi,
+       CAST(any_value(nr) AS BIGINT) AS n_ref,
+       CAST(any_value(nc) AS BIGINT) AS n_cur
+FROM tm1""")
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor (streaming/jobs.py:
+    stream_psi_bucket_counts): the live side's PSI bucket counts
+    accumulate over REAL micro-batches (foreachBatch merge-add into a
+    ≤10-row counts table — associative, so any batch split converges),
+    against decile edges frozen from the reference population (even
+    user ids, the serving-time setup where training-time edges are
+    fixed). The final report reuses the batch PSI arithmetic
+    (operators/cleaning.py:_psi_from_counts); the oracle is the plain
+    batch PSI of the same parity split — streaming-vs-batch equality
+    is the check, like every streaming twin here."""
+    import tempfile
+
+    from walmart_project_etl_spark.operators.cleaning import \
+        _psi_from_counts
+    from walmart_project_etl_spark.streaming import \
+        stream_psi_bucket_counts
+
+    ev = events_t(spark, sf_dir)
+    ref = ev.where(F.col("user_id") % 2 == 0).select("value")
+    qs = [i / 10 for i in range(1, 10)]
+    edges = [r for r in ref.agg(*[
+        F.expr(f"percentile(value, {q})").alias(f"e{i}")
+        for i, q in enumerate(qs)]).collect()[0]]
+    cur_cnt = stream_psi_bucket_counts(
+        spark, events_dir(spark, sf_dir), edges,
+        tempfile.mkdtemp(prefix="wpe_stream_psi_wh_"), user_parity=1)
+    from functools import reduce
+    bucket = reduce(
+        lambda acc, e: acc + F.when(F.col("value") >= F.lit(float(e)), 1)
+        .otherwise(0), edges, F.lit(0))
+    ref_cnt = (ref.select(bucket.alias("b"))
+               .groupBy("b").agg(F.count(F.lit(1)).alias("c")))
+    cnt = (ref_cnt.select(F.lit("r").alias("__side"),
+                          F.col("b").alias("__b"), F.col("c").alias("__c"))
+           .unionByName(cur_cnt.select(
+               F.lit("c").alias("__side"), F.col("b").alias("__b"),
+               F.col("c").alias("__c"))))
+    return _psi_from_counts(cnt, "value", 10)
+
+
 @q("ts_holt_winters", pinned("ts_holt_winters"))
 def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters per user over the DAILY value series,

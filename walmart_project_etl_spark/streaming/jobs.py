@@ -618,3 +618,69 @@ def stream_scd2_history(spark: SparkSession, source_root: str,
          .start())
     q.awaitTermination()
     return TxTable(spark, hist_root)
+
+
+def stream_psi_bucket_counts(spark: SparkSession, events_path: str,
+                             edges: list[float], warehouse_root: str,
+                             user_parity: int = 1,
+                             max_files_per_trigger: int = 4) -> DataFrame:
+    """STREAMING side of a PSI drift monitor: maintain the current
+    population's bucket counts incrementally over real micro-batches.
+
+    The reference distribution's decile ``edges`` are fixed up front
+    (they come from the historical/batch side — the standard serving
+    setup, where the monitor compares live traffic against a frozen
+    training-time distribution). Each micro-batch buckets its own rows
+    against those 9 literals (a codegen'd map, no shuffle beyond the
+    tiny per-batch count) and the per-bucket counts MERGE-ADD into a
+    ≤10-row warehouse table. Addition is associative and commutative,
+    so the final counts are identical for ANY micro-batch split of the
+    input — which is what lets the registered oracle be the plain batch
+    PSI. State is the counts table, not the state store: nothing to
+    watermark, restart resumes from the checkpoint.
+
+    Returns the accumulated (b, c) counts table.
+    """
+    import os
+    import tempfile
+
+    from functools import reduce
+
+    from walmart_project_etl_spark.sources.catalog import Warehouse
+
+    wh = Warehouse(spark, warehouse_root)
+    wh.drop("tgt", "psi_counts")
+
+    bucket = reduce(
+        lambda acc, e: acc + F.when(F.col("value") >= F.lit(float(e)), 1)
+        .otherwise(0), edges, F.lit(0))
+
+    def add_counts(batch_df: DataFrame, batch_id: int) -> None:
+        cnt = (batch_df.select(bucket.alias("b"))
+               .groupBy("b").agg(F.count(F.lit(1)).alias("c")))
+        if wh.exists("tgt", "psi_counts"):
+            cur = wh.read("tgt", "psi_counts")
+            merged = (cur.withColumnRenamed("c", "c0")
+                      .join(cnt.withColumnRenamed("c", "c1"), "b", "full")
+                      .select("b", (F.coalesce("c0", F.lit(0))
+                                    + F.coalesce("c1", F.lit(0)))
+                              .cast("long").alias("c")))
+            wh.replace("tgt", "psi_counts", merged)
+        else:
+            wh.write("tgt", "psi_counts",
+                     cnt.select("b", F.col("c").cast("long")))
+
+    ev = (spark.readStream
+          .schema(EVENTS_SCHEMA)
+          .option("maxFilesPerTrigger", max_files_per_trigger)
+          .format("parquet")
+          .load(events_path)
+          .where(F.col("user_id") % 2 == user_parity))
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="wpe_stream_psi_"), "ckpt")
+    q = (ev.writeStream
+         .foreachBatch(add_counts)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return wh.read("tgt", "psi_counts")
