@@ -29,6 +29,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _parallel_floor(df: DataFrame, key_col: str) -> DataFrame:
+    """Raise a small frame's partition count to defaultParallelism
+    before a broadcast-crossJoin scoring scan: a one-file corpus reads
+    as ONE partition and the N×Q interpreted array-cosines would run on
+    a single core (the r12 bench's 60s kmeans row — see kmeans_labels).
+    Explicit numPartitions is never AQE-coalesced; a big corpus already
+    has ≥ defaultParallelism input splits and skips the shuffle.
+    Value-neutral: every consumer scores per-row and re-ranks by
+    explicit (score, id) order."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key_col))
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-order dot product of two numeric arrays (double)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -64,7 +79,9 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     q = F.broadcast(queries.select(
         F.col(query_id_col),
         _as_double(vec_col).alias("__qvec")))
-    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__cvec"))
+    c = _parallel_floor(
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("__cvec")),
+        id_col)
     scored = (c.crossJoin(q)
               .where(F.col(id_col) != F.col(query_id_col))
               .select(query_id_col, id_col,
@@ -397,18 +414,13 @@ def kmeans_labels(corpus: DataFrame, id_col: str = "vec_id",
     paths are bit-identical. Output: (``id_col``, ``cluster`` int,
     ``centroid_sim`` double round-6).
     """
-    work = corpus.select(F.col(id_col), _as_double(vec_col).alias("__v"))
-    # Parallelism floor: a small corpus (one parquet file = ONE input
-    # partition) would score all N×k cosines on a single core — the
-    # r12 bench's 60s kmeans_scaled row was exactly this, 500k
-    # interpreted array-cosines on one thread. One explicit repartition
-    # (AQE never coalesces an explicit numPartitions) spreads the
-    # scoring; a big corpus already has ≥ defaultParallelism input
-    # splits and skips the shuffle. Partitioning never changes results:
-    # assignment is per-row, update sums are decimal-routed.
-    target_p = work.sparkSession.sparkContext.defaultParallelism
-    if work.rdd.getNumPartitions() < target_p:
-        work = work.repartition(target_p, F.col(id_col))
+    # parallelism floor (see _parallel_floor): a one-file corpus would
+    # score all N×k assignment cosines on a single core — the r12
+    # bench's 60s kmeans_scaled row. Partitioning never changes
+    # results: assignment is per-row, update sums are decimal-routed.
+    work = _parallel_floor(
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("__v")),
+        id_col)
     init = (work.orderBy(F.md5(F.col(id_col).cast("string")),
                          F.col(id_col))
             .limit(k).collect())
@@ -637,7 +649,7 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.zip_with(F.col("pq_code"), F.col("__lut"),
                    lambda c, l: F.element_at(l, c + F.lit(1))),
         F.lit(0.0), lambda acc, v: acc + v)
-    cand = (encoded.crossJoin(q)
+    cand = (_parallel_floor(encoded, id_col).crossJoin(q)
             .where(F.col(id_col) != F.col(query_id_col))
             .select(query_id_col, id_col, "__qvec",
                     adc.alias("__adc")))
@@ -909,8 +921,9 @@ def matryoshka_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     loosely in tests; real MRL embeddings sit far higher).
     """
     pc = F.slice(_as_double(vec_col), 1, prefix_dim)
-    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__cvec"),
-                      pc.alias("__cpre"))
+    c = _parallel_floor(
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("__cvec"),
+                      pc.alias("__cpre")), id_col)
     q = F.broadcast(queries.select(
         F.col(query_id_col), _as_double(vec_col).alias("__qvec"),
         pc.alias("__qpre")))
