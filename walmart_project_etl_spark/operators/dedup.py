@@ -981,9 +981,18 @@ def semdedup_kmeans(df: DataFrame, id_col: str = "vec_id",
     expectation instead of O(N²/k) at a fixed k. The corpus count that
     sizes k is one metadata-cheap aggregate; the k-means assignment
     switches to its broadcast-join path automatically past
-    ``KMEANS_LITERAL_K_MAX``, so the plan stays O(1)-sized as k grows
+    ``KMEANS_LITERAL_K_MAX``, so the PLAN stays O(1)-sized as k grows
     with N. Output matches :func:`semdedup`:
     (id, cluster, centroid_sim, kept).
+
+    Scale honesty (measured 38.6× wall at 10× data, docs/SCALE.md r13):
+    the pair join is linear, but exact brute-force assignment is
+    O(N × k) = O(N²/target) when k ∝ N — the assignment, not the pair
+    join, is the quadratic term. This twin is the ORACLE-CHECKABLE
+    baseline; at corpus scale ship :func:`semdedup_lsh` (1.3× at 10×)
+    or feed :func:`semdedup` clusters from an IVF-style hierarchical
+    assignment (``similarity.ivf_*`` — score only a coarse cell's
+    centroids), both of which trade exact SQL replay for linearity.
 
     Exactly reproducible end-to-end (deterministic k-means seeds +
     round-6 arithmetic), so at a known N the whole chain carries an
