@@ -41,5 +41,14 @@ def get_spark(app_name: str = "walmart-project-etl-spark",
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # localCheckpoint blocks (lineage truncation in txlog commits,
+        # SemDeDup assignment reuse, BPE/PageRank rounds) are only freed
+        # when the ContextCleaner sees their RDDs GC'd; the default
+        # periodic-GC interval is 30min, so a long multi-query session
+        # (the 95-query bench, the oracle sweep) accumulates dead blocks
+        # into block-manager pressure and mid-run stalls. 5min keeps the
+        # store bounded; same setting is the standard rec for iterative
+        # jobs on a real cluster.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     return builder.getOrCreate()
