@@ -308,6 +308,29 @@ def test_ewma_segmented_equals_flat_fold(spark):
     assert seg == flat
 
 
+def test_holt_segmented_equals_flat_fold(spark):
+    """Block-chained Holt (affine 2x2 transfer per block) must match the
+    flat per-entity fold at round-6 — multi-block entity, one-block
+    entity, single-point entity."""
+    import datetime
+
+    from walmart_project_etl_spark.operators.timeseries import (
+        holt_linear, holt_linear_segmented)
+    base = datetime.datetime(2024, 1, 1)
+    rows = [("A", base + datetime.timedelta(days=i),
+             10.0 + (i * 7919 % 23) * 0.37 + i * 0.05) for i in range(90)]
+    rows += [("B", base + datetime.timedelta(days=i), 5.0 + i)
+             for i in range(3)]
+    rows.append(("C", base, 42.5))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x double")
+    flat = {r["k"]: tuple(r)[1:]
+            for r in holt_linear(df, "k", ["ts"], "x").collect()}
+    seg = {r["k"]: tuple(r)[1:]
+           for r in holt_linear_segmented(df, "k", ["ts"], "x",
+                                          segment_days=30).collect()}
+    assert seg == flat
+
+
 def test_holt_winters_matches_reference_recursion(spark):
     import datetime
     import math

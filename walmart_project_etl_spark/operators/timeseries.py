@@ -93,7 +93,7 @@ def ewma(df: DataFrame, entity_col: str, order_cols: list[str],
     the segmented twin is for scale, not for oracle replay. Requires
     ``order_cols[0]`` to be a timestamp/date column (it defines the
     blocks). Holt's level+trend recursion segments the same way with a
-    2×2 matrix transfer per block — not built until an entity needs it.
+    2×2 affine transfer per block — :func:`holt_linear_segmented`.
 
     Returns (entity_col, n_points, ewma double round-6).
     """
@@ -325,3 +325,105 @@ def holt_winters(df: DataFrame, entity_col: str, date_col: str,
         r6(fold["b"]).alias("trend"),
         r6(nxt).alias("seasonal_next"),
         r6(fold["l"] + fold["b"] + nxt).alias("forecast"))
+
+
+def holt_linear_segmented(df: DataFrame, entity_col: str,
+                          order_cols: list[str], value_col: str,
+                          alpha: float = 0.25, beta: float = 0.5,
+                          horizon: int = 3,
+                          segment_days: int = 30) -> DataFrame:
+    """Block-chained twin of :func:`holt_linear` for pathologically long
+    entities (the 2×2 matrix transfer the EWMA docstring promises).
+
+    Holt's recursion is LINEAR in the state s = [l, b]ᵀ:
+    s_t = M·s_{t−1} + v·x_t with M = [[1−α, 1−α], [−αβ, 1−β+β(1−α)]],
+    v = [α, αβ]ᵀ — so a whole block of points composes into ONE affine
+    map s_out = A·s_in + c, where (A, c) folds per block as
+    (A, c) → (M·A, M·c + v·x). Blocks then chain with a second in-row
+    fold over the per-entity block summaries (6 doubles each). Memory
+    per row drops from O(series length) to O(max(points/block,
+    blocks/entity)), same trade as the segmented EWMA: mathematically
+    identical to the flat fold, FP association differs ~1 ulp, so this
+    is the scale twin, not the oracle-replay twin.
+
+    ``order_cols[0]`` must be a timestamp/date column (defines blocks).
+    Returns the same schema as :func:`holt_linear`.
+    """
+    a, b = float(alpha), float(beta)
+    m11, m12 = 1.0 - a, 1.0 - a
+    m21, m22 = -(a * b), (1.0 - b) + b * (1.0 - a)
+    v1, v2 = a, a * b
+    block = F.floor(F.unix_timestamp(F.col(order_cols[0]))
+                    / F.lit(segment_days * 86400)).alias("__blk")
+    per_block = (df.groupBy(F.col(entity_col), block)
+                 .agg(F.array_sort(F.collect_list(F.struct(
+                         *[F.col(c) for c in order_cols],
+                         F.col(value_col).cast("double").alias("__x"))))
+                      .alias("__s")))
+    xs = F.transform("__s", lambda s: s["__x"])
+
+    def affine_step(acc, x):
+        # (A, c) -> (M·A, M·c + v·x); A = [[a11,a12],[a21,a22]]
+        return F.struct(
+            (F.lit(m11) * acc["a11"] + F.lit(m12) * acc["a21"])
+            .alias("a11"),
+            (F.lit(m11) * acc["a12"] + F.lit(m12) * acc["a22"])
+            .alias("a12"),
+            (F.lit(m21) * acc["a11"] + F.lit(m22) * acc["a21"])
+            .alias("a21"),
+            (F.lit(m21) * acc["a12"] + F.lit(m22) * acc["a22"])
+            .alias("a22"),
+            (F.lit(m11) * acc["c1"] + F.lit(m12) * acc["c2"]
+             + F.lit(v1) * x).alias("c1"),
+            (F.lit(m21) * acc["c1"] + F.lit(m22) * acc["c2"]
+             + F.lit(v2) * x).alias("c2"))
+
+    ident = F.struct(F.lit(1.0).alias("a11"), F.lit(0.0).alias("a12"),
+                     F.lit(0.0).alias("a21"), F.lit(1.0).alias("a22"),
+                     F.lit(0.0).alias("c1"), F.lit(0.0).alias("c2"))
+    tail = F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0)))
+
+    def holt_step(acc, x):
+        lnew = (F.lit(a) * x
+                + F.lit(1.0 - a) * (acc["l"] + acc["t"]))
+        tnew = (F.lit(b) * ((F.lit(a) * x + F.lit(1.0 - a)
+                             * (acc["l"] + acc["t"])) - acc["l"])
+                + F.lit(1.0 - b) * acc["t"])
+        return F.struct(lnew.alias("l"), tnew.alias("t"))
+
+    summaries = per_block.select(
+        entity_col, "__blk", F.size("__s").alias("__n"),
+        # opening block: run the plain recursion from s0=(x0, 0)
+        F.aggregate(tail,
+                    F.struct(F.element_at(xs, 1).alias("l"),
+                             F.lit(0.0).alias("t")),
+                    holt_step).alias("__first"),
+        # interior block: the composed affine map over ALL its points
+        F.aggregate(xs, ident, affine_step).alias("__aff"))
+    chained = (summaries.groupBy(entity_col)
+               .agg(F.sum("__n").alias("n_points"),
+                    F.array_sort(F.collect_list(F.struct(
+                        "__blk", "__first", "__aff"))).alias("__b")))
+
+    def chain_step(acc, blk):
+        aff = blk["__aff"]
+        return F.struct(
+            (aff["a11"] * acc["l"] + aff["a12"] * acc["t"]
+             + aff["c1"]).alias("l"),
+            (aff["a21"] * acc["l"] + aff["a22"] * acc["t"]
+             + aff["c2"]).alias("t"))
+
+    fold = F.aggregate(
+        F.slice(F.col("__b"), 2, F.greatest(F.size("__b") - 1, F.lit(0))),
+        F.element_at("__b", 1)["__first"],
+        chain_step)
+
+    def r6(c):
+        return F.round(c.cast("decimal(28,8)"), 6).cast("double")
+
+    return chained.select(
+        entity_col, F.col("n_points").cast("int").alias("n_points"),
+        r6(fold["l"]).alias("level"),
+        r6(fold["t"]).alias("trend"),
+        r6(fold["l"] + F.lit(float(horizon)) * fold["t"])
+         .alias("forecast"))
