@@ -1116,6 +1116,26 @@ def test_pq_codes_shape_and_guards(spark):
         similarity.pq_train(emb, m=7, nbits=3)
 
 
+def test_pmi_collocations_ranks_exclusive_pair_first(spark):
+    """A pair whose words only ever occur together must out-PMI a pair
+    of independently frequent words; min_count hides hapax pairs."""
+    import math
+    corpus = (["zig zag"] * 4
+              + ["the cat", "the dog", "the cow", "the cat", "the dog",
+                 "the fox"]
+              + ["rare pair"])          # once: below min_count
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(corpus)],
+                               "doc_id int, text string")
+    rows = text.pmi_collocations(df, "text", min_count=2, top_k=10) \
+               .collect()
+    assert rows[0]["w1"] == "zig" and rows[0]["w2"] == "zag"
+    got = {(r["w1"], r["w2"]) for r in rows}
+    assert ("rare", "pair") not in got
+    # closed form: p(zig zag)=4/11 bigrams, p(zig)=p(zag)=4/22 tokens
+    expect = math.log((4 / 11) / ((4 / 22) * (4 / 22)))
+    assert abs(rows[0]["pmi"] - round(expect, 6)) < 1e-9
+
+
 def test_contrastive_triplets_chain_and_negative_disjoint(spark):
     """Positives chain within dup groups (k-sized group -> k-1 pairs);
     negatives never share the anchor's text digest; the whole set is

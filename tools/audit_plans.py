@@ -156,6 +156,11 @@ ALLOW = {
     # over the ≤10-row accumulated counts table
     "stream_psi_drift": {"BroadcastNestedLoopJoin", "CartesianProduct",
                          "Exchange SinglePartition (non-scalar result)"},
+    # corpus-total scalars (bigram + token counts) crossJoined into the
+    # ≥min_count pair table; the top-k itself is TakeOrdered
+    "text_pmi_collocations": {
+        "BroadcastNestedLoopJoin", "CartesianProduct",
+        "Exchange SinglePartition (non-scalar result)"},
 }
 
 HAZARDS = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -454,3 +454,54 @@ def doc_fingerprint(col: Column | str, k: int = 8) -> Column:
     n = F.greatest(F.length(c) - (k - 1), F.lit(1))
     grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(F.substring(c, i, k)))
     return F.array_min(grams)
+
+
+def pmi_collocations(df: DataFrame, text_col: str, min_count: int = 5,
+                     top_k: int = 50) -> DataFrame:
+    """Top collocations by pointwise mutual information —
+    PMI(w1, w2) = ln( p(w1 w2) / (p(w1)·p(w2)) ) over adjacent word
+    pairs (Church & Hanks 1990), the classic phrase-mining signal
+    ("new york" scores high because its parts rarely occur apart).
+    ``min_count`` filters the low-support pairs whose PMI is
+    pure noise (a hapax pair of two hapax words maxes the score).
+
+    Shape: bigrams from one in-row transform (no self-join), one
+    (w1, w2) count and one unigram count — both map-side combined —
+    then broadcast joins of the unigram counts onto the ≥min_count pair
+    table and a TakeOrdered top-k (per-partition heads + driver merge,
+    never a full sort). Per-pair PMI is pure arithmetic on exact int
+    ratios with the decimal-routed final rounding, so the oracle is
+    exact.
+
+    Returns (w1, w2, pair_count, pmi round-6) — top_k by (pmi desc,
+    w1, w2).
+    """
+    toks = F.split(F.lower(F.regexp_replace(_c(text_col),
+                                            r"^\s+|\s+$", "")), r"\s+")
+    pairs = F.expr(
+        "transform(slice(__toks, 1, size(__toks) - 1), "
+        "(w, i) -> struct(w AS w1, __toks[i + 1] AS w2))")
+    bi = (df.select(toks.alias("__toks"))
+          .select(F.explode(pairs).alias("__p"))
+          .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count")))
+    uni = (df.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    nb = bi.agg(F.sum("pair_count").alias("__nb"))
+    nt = uni.agg(F.sum("c").alias("__nt"))
+    strong = bi.where(F.col("pair_count") >= min_count)
+    scored = (strong
+              .join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                           F.col("c").alias("__c1"))), "w1")
+              .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                           F.col("c").alias("__c2"))), "w2")
+              .crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(nt)))
+    pmi = F.log((F.col("pair_count") / F.col("__nb"))
+                / ((F.col("__c1") / F.col("__nt"))
+                   * (F.col("__c2") / F.col("__nt"))))
+    return (scored.select(
+                "w1", "w2", "pair_count",
+                F.round(pmi.cast("decimal(28,8)"), 6).cast("double")
+                 .alias("pmi"))
+            .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+            .limit(top_k))

@@ -45,6 +45,7 @@ _PRIORITY = (
     "ts_holt_winters",
     "sample_contrastive_triplets",
     "stream_psi_drift",
+    "text_pmi_collocations",
     # r6-era rotation: all 36 rows whose newest driver row is 7 rounds old
     "dedup_cluster_components",
     "dedup_contamination_scores",
@@ -82,15 +83,15 @@ _PRIORITY = (
     "ts_gap_fill_locf",
     "txn_merge_fileprune",
     "txn_time_travel",
-    # r7-era rotation, first 4 of 41 (alphabetical; 8 slots went to the
+    # r7-era rotation, first 3 of 41 (alphabetical; 9 slots went to the
     # r13-new entries above)
     "a01_groupby_mode",
     "a04_count_star_tables",
     "a08_conditional_ratio",
-    "a09_distinct_rows",
 )
-#: r14 plan: after this window the stalest rows are the remaining 37
-#: r7-era entries (f01_md5_key_generation, f02_f29_date_int_id,
+#: r14 plan: after this window the stalest rows are the remaining 38
+#: r7-era entries (a09_distinct_rows, f01_md5_key_generation,
+#: f02_f29_date_int_id,
 #: f03_f05_f06_date_parts, f04_multiformat_date_parse,
 #: f07_f08_safe_cast_age_group, f09_title_case_clean, f10_null_defaults,
 #: f11_f13_product_rules,

@@ -420,6 +420,37 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logprob(d, "doc_id", "text")
 
 
+@q("text_pmi_collocations",
+   r"""WITH tok AS (
+        SELECT string_split_regex(
+            lower(regexp_replace(text, '^\s+|\s+$', '')), '\s+') AS w
+        FROM documents),
+      pr AS (SELECT w[i] AS w1, w[i + 1] AS w2
+             FROM tok, unnest(range(1, len(w))) AS u(i)),
+      bi AS (SELECT w1, w2, count(*) AS pair_count
+             FROM pr GROUP BY w1, w2),
+      uni AS (SELECT t AS w, count(*) AS c
+              FROM (SELECT unnest(w) AS t FROM tok) GROUP BY t),
+      nb AS (SELECT sum(pair_count) AS nb FROM bi),
+      nt AS (SELECT sum(c) AS nt FROM uni)
+      SELECT w1, w2, pair_count,
+             round(CAST(ln((pair_count / nb)
+                           / ((u1.c / nt) * (u2.c / nt)))
+                   AS DECIMAL(28,8)), 6)::DOUBLE AS pmi
+      FROM bi JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2, nb, nt
+      WHERE pair_count >= 5
+      ORDER BY pmi DESC, w1, w2 LIMIT 50""")
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (operators/text.py:pmi_collocations —
+    Church & Hanks 1990): top adjacent word pairs by pointwise mutual
+    information with a min-support floor, the classic phrase-mining
+    signal. Bigrams from one in-row transform, two map-side-combined
+    counts, broadcast unigram joins, TakeOrdered top-k — one corpus
+    scan's cost at any size."""
+    d = t(spark, sf_dir, "documents")
+    return text.pmi_collocations(d, "text", min_count=5, top_k=50)
+
+
 @q("dedup_incremental",
    """WITH corpus AS (
         SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 2 = 0),
