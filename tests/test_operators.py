@@ -179,6 +179,25 @@ def test_sorted_neighborhood_window_and_keep_rule(spark):
     assert out2[9] is False and out2[2] is False and out2[1] is True
 
 
+def test_snm_multipass_catches_head_corrupted_dup(spark):
+    """A duplicate with a corrupted FIRST word sorts far from its twin
+    under the forward key (single-pass misses it) but adjacent under
+    the reversed-token key — the multipass union must drop it."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, base),
+            (2, "zz " + base),            # head-corrupted near-dup
+            (3, "quebec romeo sierra tango uniform victor x1")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    single = {r["doc_id"]: r["kept"]
+              for r in dedup.sorted_neighborhood(
+                  df, "doc_id", "text", window=2, threshold=0.5).collect()}
+    multi = {r["doc_id"]: r["kept"]
+             for r in dedup.snm_multipass(
+                 df, "doc_id", "text", window=2, threshold=0.5).collect()}
+    assert single[2] is True              # forward pass blind to it
+    assert multi == {1: True, 2: False, 3: True}
+
+
 def test_cosine_topk_matches_numpy(spark):
     import numpy as np
     rng = np.random.RandomState(7)

@@ -1168,7 +1168,8 @@ def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
 def sorted_neighborhood_pairs(df: DataFrame, id_col: str, text_col: str,
                               window: int = 4, block_len: int = 4,
                               key_len: int = 24,
-                              threshold: float = 0.5) -> DataFrame:
+                              threshold: float = 0.5,
+                              sort_key=None) -> DataFrame:
     """Sorted-Neighborhood Method (Hernández & Stolfo, SIGMOD '95): the
     THIRD blocking strategy next to LSH banding and k-means clustering —
     sort the corpus by a normalized key and compare each record only
@@ -1200,12 +1201,15 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, text_col: str,
     whole chain carries an exact SQL oracle.
 
     Returns verified pairs (id_a, id_b, jaccard round-6) with id_a the
-    sort-order predecessor.
+    sort-order predecessor. ``sort_key`` overrides the default
+    normalized-prefix key with any Column (multipass SNM runs several
+    key functions — see :func:`snm_multipass`).
     """
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    if sort_key is None:
+        norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+        sort_key = F.substring(norm, 1, key_len)
     keyed = df.select(
-        F.col(id_col), F.col(text_col),
-        F.substring(norm, 1, key_len).alias("__key"))
+        F.col(id_col), F.col(text_col), sort_key.alias("__key"))
     keyed = keyed.withColumn("__blk", F.substring("__key", 1, block_len))
     w = Window.partitionBy("__blk").orderBy("__key", id_col)
     rn = keyed.select(id_col, "__blk",
@@ -1259,6 +1263,45 @@ def sorted_neighborhood(df: DataFrame, id_col: str, text_col: str,
     pairs = sorted_neighborhood_pairs(df, id_col, text_col, window,
                                       block_len, key_len, threshold)
     dropped = (pairs.select(F.col("id_b").alias(id_col)).distinct()
+               .withColumn("__d", F.lit(True)))
+    return (df.select(id_col).join(dropped, id_col, "left")
+            .select(id_col, F.coalesce(~F.col("__d"), F.lit(True))
+                    .alias("kept")))
+
+
+def snm_multipass(df: DataFrame, id_col: str, text_col: str,
+                  window: int = 4, block_len: int = 4, key_len: int = 24,
+                  threshold: float = 0.5) -> DataFrame:
+    """MULTI-PASS Sorted-Neighborhood (the production SNM recipe,
+    Hernández & Stolfo §4): run the window over SEVERAL key functions
+    and union the verified pairs — each pass is blind to dups whose
+    keys diverge early under ITS ordering, and the passes cover each
+    other. Two passes here: the forward normalized prefix (head-stable
+    dups) and the REVERSED-token-order prefix (tail-stable dups — a
+    typo in the first word breaks pass 1 but not pass 2).
+
+    Pairs from all passes reorient to (min_id, max_id) before the
+    union (each pass's own orientation is its sort order, meaningless
+    across passes); the keep rule then drops the LARGER id of every
+    verified pair — deterministic at any parallelism. Cost = passes ×
+    one sort-shuffle, still linear candidates per pass.
+
+    Returns (id, kept).
+    """
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                     lambda x: x != "")
+    rev_key = F.substring(
+        F.regexp_replace(F.lower(F.array_join(F.reverse(words), "")),
+                         "[^a-z0-9]", ""), 1, key_len)
+    p1 = sorted_neighborhood_pairs(df, id_col, text_col, window,
+                                   block_len, key_len, threshold)
+    p2 = sorted_neighborhood_pairs(df, id_col, text_col, window,
+                                   block_len, key_len, threshold,
+                                   sort_key=rev_key)
+    both = p1.unionByName(p2).select(
+        F.least("id_a", "id_b").alias("__lo"),
+        F.greatest("id_a", "id_b").alias("__hi"))
+    dropped = (both.select(F.col("__hi").alias(id_col)).distinct()
                .withColumn("__d", F.lit(True)))
     return (df.select(id_col).join(dropped, id_col, "left")
             .select(id_col, F.coalesce(~F.col("__d"), F.lit(True))

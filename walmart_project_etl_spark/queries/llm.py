@@ -2259,6 +2259,87 @@ def dedup_sorted_neighborhood(spark: SparkSession,
                                      key_len=24, threshold=0.5)
 
 
+@q("dedup_snm_multipass", """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 300000, 'xx ' || text FROM documents WHERE doc_id % 5 = 0),
+keyed AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, 24) AS kf,
+         substr(regexp_replace(lower(array_to_string(list_reverse(
+                    list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')), '')),
+                '[^a-z0-9]', '', 'g'), 1, 24) AS kr
+  FROM corpus),
+rf AS (
+  SELECT doc_id, substr(kf, 1, 4) AS blk,
+         row_number() OVER (PARTITION BY substr(kf, 1, 4)
+                            ORDER BY kf, doc_id) AS rn
+  FROM keyed),
+rr AS (
+  SELECT doc_id, substr(kr, 1, 4) AS blk,
+         row_number() OVER (PARTITION BY substr(kr, 1, 4)
+                            ORDER BY kr, doc_id) AS rn
+  FROM keyed),
+cand AS (
+  -- reorient + DISTINCT before verification: a pair surfaced by BOTH
+  -- passes must intersect its shingles once, not twice
+  SELECT DISTINCT least(ida, idb) AS ida, greatest(ida, idb) AS idb
+  FROM (
+    SELECT a.doc_id AS ida, b.doc_id AS idb
+    FROM rf b JOIN rf a ON a.blk = b.blk AND a.rn BETWEEN b.rn - 3 AND b.rn - 1
+    UNION ALL
+    SELECT a.doc_id, b.doc_id
+    FROM rr b JOIN rr a ON a.blk = b.blk AND a.rn BETWEEN b.rn - 3 AND b.rn - 1)),
+tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM corpus),
+pos AS (SELECT doc_id, w,
+               unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+        FROM tok),
+shi AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM pos),
+sized AS (SELECT doc_id, count(*) AS n FROM shi GROUP BY doc_id),
+inter AS (
+  SELECT c.ida, c.idb, count(*) AS ni
+  FROM cand c
+  JOIN shi a ON a.doc_id = c.ida
+  JOIN shi b ON b.doc_id = c.idb AND b.shingle = a.shingle
+  GROUP BY c.ida, c.idb),
+verified AS (
+  SELECT idb AS hi
+  FROM inter
+  JOIN sized sa ON sa.doc_id = ida
+  JOIN sized sb ON sb.doc_id = idb
+  WHERE round(CAST(ni::DOUBLE / (sa.n + sb.n - ni)
+              AS DECIMAL(28,8)), 6)::DOUBLE >= 0.5)
+SELECT c.doc_id, (d.hi IS NULL) AS kept
+FROM corpus c
+LEFT JOIN (SELECT DISTINCT hi FROM verified) d ON d.hi = c.doc_id""")
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PASS SNM (operators/dedup.py:snm_multipass): forward +
+    reversed-token-order key passes union their verified pairs, so a
+    head corruption (the injected 'xx '-prefixed copies — invisible to
+    the forward pass, whose keys diverge at char 1) is caught by the
+    reversed pass while exact copies fall to the forward one. Pairs
+    reorient to (min, max) before the union; drop the larger id. Two
+    sort-shuffles, linear candidates per pass."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (d.unionByName(
+        d.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"))
+        .unionByName(
+        d.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(F.lit("xx "), F.col("text")).alias("text"))))
+    return dedup.snm_multipass(corpus, "doc_id", "text",
+                               window=4, block_len=4, key_len=24,
+                               threshold=0.5)
+
+
 # ------------------------------------------------- sketch family (r12)
 
 @q("sketch_cms_heavy_hitters", """
