@@ -191,6 +191,9 @@ BENCH_QUERIES = [
     "dq_psi_drift",
     "olap_corr_regr",
     "ts_holt_winters",
+    # r13 late: PMI collocations (text), contrastive triplet mining
+    "text_pmi_collocations",
+    "sample_contrastive_triplets",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other
