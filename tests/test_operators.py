@@ -179,6 +179,28 @@ def test_sorted_neighborhood_window_and_keep_rule(spark):
     assert out2[9] is False and out2[2] is False and out2[1] is True
 
 
+def test_rrf_fusion_math_and_missing_candidates(spark):
+    """RRF score = sum of 1/(c+rank) over the lists a candidate appears
+    in; a candidate on one list only still fuses (missing term = 0);
+    final order by fused score with id tie-breaks."""
+    r1 = spark.createDataFrame(
+        [("q", 10, 1), ("q", 11, 2), ("q", 12, 3)],
+        "query_id string, vec_id int, rank int")
+    r2 = spark.createDataFrame(
+        [("q", 11, 1), ("q", 13, 2), ("q", 10, 3)],
+        "query_id string, vec_id int, rank int")
+    out = similarity.rrf_fusion([r1, r2], k=4, c=60,
+                                id_col="vec_id").collect()
+    got = {r["vec_id"]: (r["rrf_score"], r["rank"]) for r in out}
+    assert got[11][0] == round(1 / 62 + 1 / 61, 6)   # both lists
+    assert got[10][0] == round(1 / 61 + 1 / 63, 6)
+    assert got[12][0] == round(1 / 63, 6)            # list 1 only
+    assert got[13][0] == round(1 / 62, 6)            # list 2 only
+    # fused order: 11 (.0328) > 10 (.0323) > 13 (.0161) > 12 (.0159)
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] \
+        == [11, 10, 13, 12]
+
+
 def test_snm_multipass_catches_head_corrupted_dup(spark):
     """A duplicate with a corrupted FIRST word sorts far from its twin
     under the forward key (single-pass misses it) but adjacent under

@@ -161,6 +161,10 @@ ALLOW = {
     "text_pmi_collocations": {
         "BroadcastNestedLoopJoin", "CartesianProduct",
         "Exchange SinglePartition (non-scalar result)"},
+    # both tiers are broadcast(25 queries) × corpus brute scans (the
+    # documented exact-baseline shape, same as sim_cosine_topk); the
+    # fusion join itself is a (query, id) equi-join over Q×20 rows
+    "sim_rrf_fusion": {"BroadcastNestedLoopJoin", "CartesianProduct"},
 }
 
 HAZARDS = ("CartesianProduct", "BroadcastNestedLoopJoin")

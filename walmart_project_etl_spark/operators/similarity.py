@@ -945,3 +945,49 @@ def matryoshka_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("__rn") <= k)
             .select(query_id_col, id_col, "cosine_sim",
                     F.col("__rn").alias("rank")))
+
+
+def rrf_fusion(rankings: list[DataFrame], k: int = 10, c: int = 60,
+               id_col: str = "vec_id",
+               query_id_col: str = "query_id") -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack et al. 2009) — the standard way
+    to combine retrieval tiers (dense + lexical, full-dim + prefix-dim,
+    ANN + exact) WITHOUT calibrating their score scales: each list
+    contributes 1/(c + rank) per candidate, candidates missing from a
+    list contribute 0, and the fused top-k re-ranks by the sum. The
+    rank-only formulation is what makes it robust — incomparable
+    cosine/BM25/ADC scores never meet.
+
+    Inputs are per-query rankings (query_id, id, rank), e.g. from
+    :func:`cosine_topk`. Shape: one FULL outer join per extra tier on
+    (query, id) — candidate-list-sized frames, tiny next to the scans
+    that produced them — then one per-query top-k window. Determinism:
+    integer ranks (each tier breaks ties by id), the fused score is the
+    same few-term double sum on any engine, ties broken by id; round-6
+    decimal routing, so the whole fusion carries an exact SQL oracle.
+
+    Returns (query_id, id_col, rrf_score round-6, rank 1..k).
+    """
+    assert len(rankings) >= 2, "fuse at least two rankings"
+    parts = []
+    for i, r in enumerate(rankings):
+        parts.append(r.select(
+            F.col(query_id_col), F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank").cast("double")))
+            .alias(f"__s{i}")))
+    fused = parts[0]
+    for i in range(1, len(parts)):
+        fused = fused.join(parts[i], [query_id_col, id_col], "full")
+    score = None
+    for i in range(len(parts)):
+        term = F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+        score = term if score is None else score + term
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__rrf"), F.asc(id_col))
+    return (fused.withColumn("__rrf", score)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col,
+                    F.round(F.col("__rrf").cast("decimal(28,8)"), 6)
+                     .cast("double").alias("rrf_score"),
+                    "rank"))

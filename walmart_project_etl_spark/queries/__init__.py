@@ -47,6 +47,7 @@ _PRIORITY = (
     "stream_psi_drift",
     "text_pmi_collocations",
     "dedup_snm_multipass",
+    "sim_rrf_fusion",
     # r6-era rotation: all 36 rows whose newest driver row is 7 rounds old
     "dedup_cluster_components",
     "dedup_contamination_scores",
@@ -84,14 +85,13 @@ _PRIORITY = (
     "ts_gap_fill_locf",
     "txn_merge_fileprune",
     "txn_time_travel",
-    # r7-era rotation, first 2 of 41 (alphabetical; 10 slots went to the
+    # r7-era rotation, first 1 of 41 (alphabetical; 11 slots went to the
     # r13-new entries above)
     "a01_groupby_mode",
-    "a04_count_star_tables",
 )
-#: r14 plan: after this window the stalest rows are the remaining 39
-#: r7-era entries (a08_conditional_ratio, a09_distinct_rows,
-#: f01_md5_key_generation,
+#: r14 plan: after this window the stalest rows are the remaining 40
+#: r7-era entries (a04_count_star_tables, a08_conditional_ratio,
+#: a09_distinct_rows, f01_md5_key_generation,
 #: f02_f29_date_int_id,
 #: f03_f05_f06_date_parts, f04_multiformat_date_parse,
 #: f07_f08_safe_cast_age_group, f09_title_case_clean, f10_null_defaults,

@@ -183,6 +183,66 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=10)
 
 
+@q("sim_rrf_fusion", """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS e
+           FROM embeddings WHERE vec_id % 100 = 7),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+full_s AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 6) AS s
+  FROM q, c WHERE c.vec_id <> q.query_id),
+r1 AS (SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, vec_id) AS rank
+       FROM full_s QUALIFY rank <= 20),
+pre_s AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(q.e[1:16], c.e[1:16])
+               / (sqrt(list_dot_product(q.e[1:16], q.e[1:16]))
+                  * sqrt(list_dot_product(c.e[1:16], c.e[1:16]))), 6) AS s
+  FROM q, c WHERE c.vec_id <> q.query_id),
+r2 AS (SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, vec_id) AS rank
+       FROM pre_s QUALIFY rank <= 20),
+j AS (
+  SELECT coalesce(r1.query_id, r2.query_id) AS query_id,
+         coalesce(r1.vec_id, r2.vec_id) AS vec_id,
+         coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r1.rank),
+                  CAST(0.0 AS DOUBLE))
+         + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r2.rank),
+                    CAST(0.0 AS DOUBLE)) AS rrf
+  FROM r1 FULL JOIN r2
+    ON r1.query_id = r2.query_id AND r1.vec_id = r2.vec_id)
+SELECT query_id, vec_id,
+       round(CAST(rrf AS DECIMAL(28,8)), 6)::DOUBLE AS rrf_score, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, vec_id) AS rank
+      FROM j)
+WHERE rank <= 10""")
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL-RANK FUSION (operators/similarity.py:rrf_fusion —
+    Cormack et al. 2009, the hybrid-retrieval staple): fuse the exact
+    full-dim cosine top-20 with the prefix-16 (Matryoshka-style) cosine
+    top-20 by 1/(60+rank) sums — rank-only, so incomparable score
+    scales never meet. Both tiers are exact and SQL-replayable, so
+    unlike the pinned ANN tiers the WHOLE fusion carries a recomputed
+    oracle. The fusion join runs over candidate-list-sized frames
+    (Q×20 rows) — negligible next to the scans that produced them."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 7) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    full_r = similarity.cosine_topk(emb, queries, k=20)
+    pre = F.slice(F.transform("embedding",
+                              lambda x: x.cast("double")), 1, 16)
+    emb16 = emb.select("vec_id", pre.alias("embedding"))
+    q16 = queries.select("query_id", pre.alias("embedding"))
+    pre_r = similarity.cosine_topk(emb16, q16, k=20)
+    return similarity.rrf_fusion([full_r, pre_r], k=10, c=60)
+
+
 _EMB_COSINE_ORACLE = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 pairs AS (
