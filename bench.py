@@ -392,13 +392,15 @@ def main() -> int:
          "sf": sf, "load_skewed": skewed, "detail": "BENCH_spread.json"},
         separators=(",", ":"))
     if len(line) > 1800:  # stay well under the driver's ~2 KB tail capture
+        # the per-family queries map is the dominant term — the fallback
+        # must drop it too (keeping it only removes ~200 B of counts and
+        # leaves the line unbounded as the family set grows); the full
+        # detail always lives in BENCH_spread.json
         print(f"# JSON line {len(line)}B > 1800B budget — dropping "
-              "per-family counts", file=sys.stderr)
+              "per-family maps", file=sys.stderr)
         line = json.dumps(
             {"metric": "total_wall_seconds", "value": round(total, 2),
-             "unit": "sec",
-             "queries": {f_: round(s_, 2)
-                         for f_, s_ in sorted(fam_secs.items())},
+             "unit": "sec", "queries": {},
              "n_queries": len(timings), "sf": sf,
              "load_skewed": skewed, "detail": "BENCH_spread.json"},
             separators=(",", ":"))

@@ -201,6 +201,52 @@ def test_psi_drift_zero_on_identical_and_positive_on_shift(spark):
     assert all(math.isfinite(r["psi"]) for r in drift.values())
 
 
+def test_psi_drift_null_category_matches_sql_semantics(spark):
+    """A nullable categorical column: NULLs are excluded from both the
+    bucket counts AND the smoothing constant k (count(DISTINCT cat)
+    semantics — Spark's distinct() would count NULL as a value and
+    NULL bucket keys would never match in the full join). Engine PSI
+    must equal a DuckDB recomputation of the same definition."""
+    import duckdb
+    from walmart_project_etl_spark.operators.cleaning import psi_drift
+
+    ref_rows = [("a" if i % 2 else "b") if i % 7 else None
+                for i in range(70)]
+    cur_rows = [("a" if i % 3 else "b") if i % 5 else None
+                for i in range(70)]
+    ref = spark.createDataFrame([(c,) for c in ref_rows], "c string")
+    cur = spark.createDataFrame([(c,) for c in cur_rows], "c string")
+    got = psi_drift(ref, cur, [], ["c"]).collect()[0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r(c VARCHAR); CREATE TABLE u(c VARCHAR)")
+    con.executemany("INSERT INTO r VALUES (?)", [(c,) for c in ref_rows])
+    con.executemany("INSERT INTO u VALUES (?)", [(c,) for c in cur_rows])
+    want = con.execute("""
+        WITH rc AS (SELECT c, count(*) AS cr FROM r
+                    WHERE c IS NOT NULL GROUP BY c),
+        cc AS (SELECT c, count(*) AS cc FROM u
+               WHERE c IS NOT NULL GROUP BY c),
+        k AS (SELECT count(DISTINCT c)::DOUBLE AS k
+              FROM (SELECT c FROM r UNION ALL SELECT c FROM u)
+              WHERE c IS NOT NULL),
+        nr AS (SELECT sum(cr) AS nr FROM rc),
+        nc AS (SELECT sum(cc) AS nc FROM cc),
+        j AS (SELECT coalesce(cr,0) AS cr, coalesce(cc,0) AS cc
+              FROM rc FULL JOIN cc USING (c)),
+        t AS (SELECT round(CAST(
+                ((cc+1.0)/(nc+k) - (cr+1.0)/(nr+k))
+                * CAST(round(ln(((cc+1.0)/(nc+k))/((cr+1.0)/(nr+k))), 6)
+                       AS DECIMAL(20,6))::DOUBLE AS DECIMAL(28,12)), 9)
+                ::DECIMAL(20,9) AS term, nr, nc
+              FROM j, nr, nc, k)
+        SELECT round(CAST(CAST(sum(term) AS DOUBLE) AS DECIMAL(28,8)),
+                     6)::DOUBLE,
+               any_value(nr)::BIGINT, any_value(nc)::BIGINT FROM t
+    """).fetchone()
+    assert (got["psi"], got["n_ref"], got["n_cur"]) == want
+
+
 def test_fd_violations_counts_and_null_rhs(spark):
     """FD holds iff every determinant group has <=1 distinct dependent;
     all-NULL dependents count 0 distinct (SQL count-distinct semantics)

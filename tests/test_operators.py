@@ -1201,6 +1201,24 @@ def test_contrastive_triplets_chain_and_negative_disjoint(spark):
     assert again == {tuple(r) for r in out}
 
 
+def test_contrastive_triplets_small_and_empty_corpus(spark):
+    """A corpus smaller than pool_size draws modulo the EFFECTIVE pool
+    size (every negative_id stays a real doc); an empty corpus raises
+    instead of letting % 0 produce NULL draws and an empty result."""
+    import pytest
+    from walmart_project_etl_spark.operators.sampling import \
+        contrastive_triplets
+    rows = [(1, "dup"), (2, "dup"), (3, "other"), (4, "third")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = contrastive_triplets(df, "doc_id", "text",
+                               pool_size=256).collect()
+    assert {(r["anchor_id"], r["positive_id"]) for r in out} <= {(1, 2)}
+    assert all(r["negative_id"] in {1, 2, 3, 4} for r in out)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        contrastive_triplets(empty, "doc_id", "text")
+
+
 def test_mixture_divergence_closed_form(spark):
     """Entropy/KL against hand-computed values (same round-6-then-sum
     recipe): group A 'a a b', group B 'b b b c'; corpus a:2 b:4 c:1."""

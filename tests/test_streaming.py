@@ -340,3 +340,42 @@ def test_stream_psi_counts_equal_batch_for_any_split(spark, events, tmp_path):
             .select(bucket.alias("b"))
             .groupBy("b").agg(F.count(F.lit(1)).alias("c")))
     assert _rows(got, ["b", "c"]) == _rows(want, ["b", "c"])
+
+
+def test_stream_psi_counts_replay_idempotent(spark, events, tmp_path):
+    """Kill-and-restart replay: delete the checkpoint's LAST commit
+    marker (simulating a crash after the sink write but before the
+    checkpoint commit) and restart — foreachBatch re-runs that batch
+    under the same batch_id, and the counts must still equal the batch
+    oracle (a read-add-replace sink would double-add it)."""
+    import os
+    import time
+    import pyspark.sql.functions as F
+    from functools import reduce
+
+    from walmart_project_etl_spark.streaming import stream_psi_bucket_counts
+
+    ref = events.where(F.col("user_id") % 2 == 0).select("value")
+    edges = [r for r in ref.agg(*[
+        F.expr(f"percentile(value, {i / 10})").alias(f"e{i}")
+        for i in range(1, 10)]).collect()[0]]
+    ckpt = str(tmp_path / "ckpt")
+    src = events_dir(spark, SF_DIR)
+    first = stream_psi_bucket_counts(
+        spark, src, edges, str(tmp_path / "wh"), user_parity=1,
+        max_files_per_trigger=1, checkpoint_dir=ckpt)
+    first_rows = _rows(first, ["b", "c"])
+    commits = sorted(int(f) for f in os.listdir(os.path.join(
+        ckpt, "commits")) if not f.startswith("."))
+    assert len(commits) >= 2, "need multiple micro-batches to replay one"
+    deadline = time.time() + 30
+    while spark.streams.active and time.time() < deadline:
+        time.sleep(0.2)  # first run must fully deregister its checkpoint
+    os.remove(os.path.join(ckpt, "commits", str(commits[-1])))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar blocks rewrite
+        os.remove(crc)
+    replayed = stream_psi_bucket_counts(
+        spark, src, edges, str(tmp_path / "wh"), user_parity=1,
+        max_files_per_trigger=1, checkpoint_dir=ckpt)
+    assert _rows(replayed, ["b", "c"]) == first_rows

@@ -306,9 +306,16 @@ def psi_drift(ref, cur, num_cols: list[str], cat_cols: list[str],
                .agg(F.count(F.lit(1)).alias("__c")))
         out.append(_psi_from_counts(cnt, col, n_buckets))
     for col in cat_cols:
-        cnt = (sides.groupBy("__side", F.col(col).alias("__b"))
+        # NULL categories are missingness, not a category: a NULL key
+        # never equi-joins across sides (Spark and ANSI SQL alike), so
+        # keeping it would silently produce two phantom one-sided
+        # buckets AND inflate the smoothing constant k by one (Spark's
+        # distinct() counts NULL where SQL count(DISTINCT) does not).
+        # Monitor missingness separately via split_expectations.
+        nn = sides.where(F.col(col).isNotNull())
+        cnt = (nn.groupBy("__side", F.col(col).alias("__b"))
                .agg(F.count(F.lit(1)).alias("__c")))
-        k = sides.select(col).distinct().count()
+        k = nn.select(col).distinct().count()
         out.append(_psi_from_counts(cnt, col, k))
     return reduce(lambda a, b2: a.unionByName(b2), out)
 

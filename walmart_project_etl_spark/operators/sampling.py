@@ -273,6 +273,10 @@ def contrastive_triplets(df: DataFrame, id_col: str, text_col: str,
     # draw modulo the ACTUAL pool size (a corpus smaller than pool_size
     # yields a shorter pool; the count is over ≤ pool_size rows)
     n_pool = pool.count()
+    if n_pool == 0:
+        # % 0 would yield NULL draws and a silently empty result
+        raise ValueError("contrastive_triplets: empty corpus, no "
+                         "negative pool to draw from")
     draw = (F.conv(F.substring(
         F.md5(F.concat(F.lit("neg|"),
                        F.col("anchor_id").cast("string"))), 1, 8),

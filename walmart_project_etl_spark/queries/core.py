@@ -2782,8 +2782,9 @@ def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sides, e),
       numc AS (SELECT side, b, count(*) AS c FROM nb GROUP BY side, b),
       catc AS (SELECT side, cat AS b, count(*) AS c FROM sides
-               GROUP BY side, cat),
-      catk AS (SELECT count(DISTINCT cat)::DOUBLE AS k FROM sides),
+               WHERE cat IS NOT NULL GROUP BY side, cat),
+      catk AS (SELECT count(DISTINCT cat)::DOUBLE AS k FROM sides
+               WHERE cat IS NOT NULL),
       r1 AS (SELECT b, c AS cr FROM numc WHERE side = 'r'),
       c1 AS (SELECT b, c AS cc FROM numc WHERE side = 'c'),
       nr1 AS (SELECT sum(cr) AS nr FROM r1),

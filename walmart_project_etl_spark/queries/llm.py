@@ -2244,7 +2244,8 @@ pool AS (
 SELECT anchor_id, positive_id, negative_id
 FROM p2 JOIN pool
   ON pool.idx = ('0x' || substr(md5('neg|' || p2.anchor_id::VARCHAR),
-                                1, 8))::BIGINT % 256
+                                1, 8))::BIGINT
+                % (SELECT count(*) FROM pool)
 WHERE pool.ndig <> p2.dig""")
 def sample_contrastive_triplets(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:

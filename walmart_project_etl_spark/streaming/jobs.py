@@ -623,7 +623,8 @@ def stream_scd2_history(spark: SparkSession, source_root: str,
 def stream_psi_bucket_counts(spark: SparkSession, events_path: str,
                              edges: list[float], warehouse_root: str,
                              user_parity: int = 1,
-                             max_files_per_trigger: int = 4) -> DataFrame:
+                             max_files_per_trigger: int = 4,
+                             checkpoint_dir: str | None = None) -> DataFrame:
     """STREAMING side of a PSI drift monitor: maintain the current
     population's bucket counts incrementally over real micro-batches.
 
@@ -632,14 +633,26 @@ def stream_psi_bucket_counts(spark: SparkSession, events_path: str,
     setup, where the monitor compares live traffic against a frozen
     training-time distribution). Each micro-batch buckets its own rows
     against those 9 literals (a codegen'd map, no shuffle beyond the
-    tiny per-batch count) and the per-bucket counts MERGE-ADD into a
-    ≤10-row warehouse table. Addition is associative and commutative,
-    so the final counts are identical for ANY micro-batch split of the
-    input — which is what lets the registered oracle be the plain batch
-    PSI. State is the counts table, not the state store: nothing to
-    watermark, restart resumes from the checkpoint.
+    tiny per-batch count) and writes the per-bucket counts as a DELTA
+    keyed by its own ``batch_id`` (a ≤10-row parquet partition at
+    ``psi_counts_deltas/batch=<id>``). The write is REPLAY-IDEMPOTENT:
+    foreachBatch replays a micro-batch under the SAME batch_id after a
+    crash between the sink write and the checkpoint commit, and the
+    replay overwrites its own partition with identical content instead
+    of double-adding (the failure mode of a read-add-replace sink).
+    Addition is associative and commutative, so the final counts are
+    identical for ANY micro-batch split of the input — which is what
+    lets the registered oracle be the plain batch PSI.
 
-    Returns the accumulated (b, c) counts table.
+    State is the delta directory, not the state store: nothing to
+    watermark; a restart resumes from ``checkpoint_dir`` (pass one to
+    make the run resumable — a fresh run with an existing checkpoint
+    keeps the deltas already written and only processes what the
+    checkpoint says is pending). At serving scale the deltas compact
+    trivially (each is bucket-count-sized, never row-sized).
+
+    Returns the accumulated (b, c) counts table, also materialized at
+    ``tgt/psi_counts``.
     """
     import os
     import tempfile
@@ -650,6 +663,16 @@ def stream_psi_bucket_counts(spark: SparkSession, events_path: str,
 
     wh = Warehouse(spark, warehouse_root)
     wh.drop("tgt", "psi_counts")
+    deltas_root = wh.path("tgt", "psi_counts_deltas")
+    if checkpoint_dir is None:
+        ckpt = os.path.join(tempfile.mkdtemp(prefix="wpe_stream_psi_"),
+                            "ckpt")
+    else:
+        ckpt = checkpoint_dir
+    if not os.path.exists(ckpt):
+        # fresh run: stale deltas from a prior (different-checkpoint)
+        # run would double-count — the checkpoint owns the delta dir
+        wh.drop("tgt", "psi_counts_deltas")
 
     bucket = reduce(
         lambda acc, e: acc + F.when(F.col("value") >= F.lit(float(e)), 1)
@@ -657,18 +680,12 @@ def stream_psi_bucket_counts(spark: SparkSession, events_path: str,
 
     def add_counts(batch_df: DataFrame, batch_id: int) -> None:
         cnt = (batch_df.select(bucket.alias("b"))
-               .groupBy("b").agg(F.count(F.lit(1)).alias("c")))
-        if wh.exists("tgt", "psi_counts"):
-            cur = wh.read("tgt", "psi_counts")
-            merged = (cur.withColumnRenamed("c", "c0")
-                      .join(cnt.withColumnRenamed("c", "c1"), "b", "full")
-                      .select("b", (F.coalesce("c0", F.lit(0))
-                                    + F.coalesce("c1", F.lit(0)))
-                              .cast("long").alias("c")))
-            wh.replace("tgt", "psi_counts", merged)
-        else:
-            wh.write("tgt", "psi_counts",
-                     cnt.select("b", F.col("c").cast("long")))
+               .groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c")))
+        # idempotent sink: the delta dir is keyed by batch_id, so a
+        # replayed batch overwrites ITS OWN partition (same content)
+        # rather than re-adding into a running total
+        cnt.write.mode("overwrite").parquet(
+            os.path.join(deltas_root, f"batch={int(batch_id)}"))
 
     ev = (spark.readStream
           .schema(EVENTS_SCHEMA)
@@ -676,11 +693,14 @@ def stream_psi_bucket_counts(spark: SparkSession, events_path: str,
           .format("parquet")
           .load(events_path)
           .where(F.col("user_id") % 2 == user_parity))
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="wpe_stream_psi_"), "ckpt")
     q = (ev.writeStream
          .foreachBatch(add_counts)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    total = (spark.read.option("basePath", deltas_root)
+             .parquet(deltas_root)
+             .groupBy("b").agg(F.sum("c").cast("long").alias("c")))
+    wh.write("tgt", "psi_counts", total)
     return wh.read("tgt", "psi_counts")
