@@ -360,6 +360,38 @@ def test_holt_winters_matches_reference_recursion(spark):
         assert math.isclose(got, exp, abs_tol=1e-6)
 
 
+def test_holt_winters_segmented_equals_flat_fold(spark):
+    """Block-chained Holt-Winters (the (m+2)^2 affine transfer per
+    block, phase-corrected by a cumulative-count window) must match the
+    flat per-entity fold at round-6 — an entity spanning many blocks
+    (with a mid-series gap so blocks start at non-zero season phase),
+    a one-block entity, and a single-point entity."""
+    import datetime
+
+    from walmart_project_etl_spark.operators.timeseries import holt_winters
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # entity A: 90 daily points with a 5-day gap -> phases desync from
+    # calendar blocks, exercising the phi window
+    d = 0
+    for i in range(90):
+        if i == 40:
+            d += 5
+        rows.append(("A", base + datetime.timedelta(days=d),
+                     10.0 + (i * 7919 % 23) * 0.37 + i * 0.05))
+        d += 1
+    rows += [("B", base + datetime.timedelta(days=i), 5.0 + i)
+             for i in range(4)]
+    rows.append(("C", base, 42.5))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x double")
+    flat = {r["k"]: tuple(r)[1:]
+            for r in holt_winters(df, "k", "ts", "x", season=7).collect()}
+    seg = {r["k"]: tuple(r)[1:]
+           for r in holt_winters(df, "k", "ts", "x", season=7,
+                                 segment_days=13).collect()}
+    assert seg == flat
+
+
 def test_rolling_zscore_flags_only_the_spike(spark):
     from walmart_project_etl_spark.operators.timeseries import \
         rolling_zscore_anomalies

@@ -179,6 +179,32 @@ def test_sorted_neighborhood_window_and_keep_rule(spark):
     assert out2[9] is False and out2[2] is False and out2[1] is True
 
 
+def test_snm_cross_boundary_finds_edge_straddling_pair(spark):
+    """cross_boundary=True: a dup pair whose two docs land in ADJACENT
+    blocks (the only dup pair in the corpus) is invisible to the
+    default in-block pass and found by the edge pass; the t+h <= window
+    rule reproduces exactly the global-sort-window pairs."""
+    rows = [(1, "aaaa zz words one two three four five"),   # block aaaa
+            (2, "aaab zz words one two three four five"),   # block aaab h=1
+            (3, "aaab zz words one two three four six"),    # block aaab h=2
+            (9, "zulu yankee xray whiskey victor umbra")]   # far block
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def pairs(window, cross):
+        return {(r["id_a"], r["id_b"])
+                for r in dedup.sorted_neighborhood_pairs(
+                    df, "doc_id", "text", window=window,
+                    threshold=0.5, cross_boundary=cross).collect()}
+
+    # the in-block pass sees only the aaab-internal dup; the boundary
+    # pair (1,2) is invisible to it at ANY window
+    assert pairs(2, False) == {(2, 3)}
+    assert pairs(7, False) == {(2, 3)}
+    assert pairs(2, True) == {(1, 2), (2, 3)}  # t=1,h=1: t+h=2 <= 2
+    # window=3 also reaches the second head row (t=1,h=2: t+h=3 <= 3)
+    assert pairs(3, True) == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_rrf_fusion_math_and_missing_candidates(spark):
     """RRF score = sum of 1/(c+rank) over the lists a candidate appears
     in; a candidate on one list only still fuses (missing term = 0);

@@ -53,6 +53,16 @@ ALLOW = {
     # Matryoshka coarse pass: same broadcast(5 queries) × corpus scan
     # as the brute baseline, reading the 16-dim prefix only
     "sim_matryoshka_topk": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    # RRF over exact + IVF-PQ tiers: inherits the exact tier's
+    # broadcast(5 queries) × corpus scan (sim_cosine_topk's allowed
+    # shape); the fusion itself is a (query, id) equi-join over
+    # candidate-sized frames
+    "sim_rrf_ann_fusion": {"BroadcastNestedLoopJoin"},
+    # SNM cross-boundary pass: the block-index window
+    # (row_number over the DISTINCT-blocks frame — one row per block,
+    # metadata-scale next to the corpus) is the only SinglePartition;
+    # pair generation stays (block, rn)/(block-index) equi-joins
+    "dedup_snm_boundary": {"Exchange SinglePartition (non-scalar result)"},
     # nearest-centroid assignment: corpus × broadcast(k centroids) — the
     # broadcast side is bounded by the cluster count (10 labels here;
     # k-means codebooks are small by construction), the pair join itself

@@ -1169,7 +1169,8 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, text_col: str,
                               window: int = 4, block_len: int = 4,
                               key_len: int = 24,
                               threshold: float = 0.5,
-                              sort_key=None) -> DataFrame:
+                              sort_key=None,
+                              cross_boundary: bool = False) -> DataFrame:
     """Sorted-Neighborhood Method (Hernández & Stolfo, SIGMOD '95): the
     THIRD blocking strategy next to LSH banding and k-means clustering —
     sort the corpus by a normalized key and compare each record only
@@ -1188,13 +1189,21 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, text_col: str,
     Distributed shape: the sort key's first ``block_len`` chars are the
     shuffle/partition key, ordering + row_number run WITHIN blocks
     (parallel, bounded window state), and candidate pairs never cross
-    block boundaries — the standard parallel-SNM compromise (a cross-
-    boundary pass would compare the ``window`` edge rows of adjacent
-    blocks; at key-prefix block grain, records that close share the
-    block anyway). Pair generation is an equi-join on (block, rn) after
-    an offset explode (never a range join); verification joins the
-    per-doc distinct shingle arrays by id — every stage a linear,
-    uniformly-keyed shuffle.
+    block boundaries by default — the standard parallel-SNM compromise
+    (at key-prefix block grain, records that close usually share the
+    block anyway). ``cross_boundary=True`` closes the edge gap: each
+    block's first ``window−1`` rows equi-join against the PREVIOUS
+    block's last ``window−1`` rows (adjacent block index from one
+    count-per-block frame; positions t-from-tail and h-from-head pair
+    iff t + h ≤ window — exactly the global-sort-window pairs that
+    straddle ONE boundary). Still linear: ≤ (window−1)² candidate
+    pairs per boundary; the block-index window runs over the distinct-
+    blocks frame (one row per block, metadata-scale). Pairs spanning
+    a whole block (a block with < window−1 rows between two dups) are
+    the remaining, documented miss. Pair generation is an equi-join on
+    (block, rn) after an offset explode (never a range join);
+    verification joins the per-doc distinct shingle arrays by id —
+    every stage a linear, uniformly-keyed shuffle.
 
     Exactly engine-reproducible (normalized-key sort over [a-z0-9]
     strings is binary-collation stable; Jaccard on int counts), so the
@@ -1225,6 +1234,29 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, text_col: str,
     cand = (rn.select(F.col(id_col).alias("__ida"), "__blk", "__rn")
             .join(probes, ["__blk", "__rn"])
             .select("__ida", "__idb"))
+    if cross_boundary:
+        # adjacent-block edge pass: block index over the distinct-block
+        # frame (one row per block), then tails(t) × heads(h) of
+        # consecutive blocks with t + h ≤ window — the global-window
+        # pairs the in-block pass cannot see
+        nblk = rn.groupBy("__blk").agg(F.max("__rn").alias("__n"))
+        bidx = nblk.select(
+            "__blk", "__n",
+            F.row_number().over(Window.orderBy("__blk")).alias("__bi"))
+        heads = (rn.join(bidx.select("__blk", "__bi"), "__blk")
+                 .where(F.col("__rn") <= window - 1)
+                 .select(F.col(id_col).alias("__idb"),
+                         F.col("__bi").alias("__hbi"),
+                         F.col("__rn").alias("__h")))
+        tails = (rn.join(bidx, "__blk")
+                 .select(F.col(id_col).alias("__ida"),
+                         (F.col("__bi") + 1).alias("__hbi"),
+                         (F.col("__n") - F.col("__rn") + 1).alias("__t"))
+                 .where(F.col("__t") <= window - 1))
+        xpairs = (tails.join(heads, "__hbi")
+                  .where(F.col("__t") + F.col("__h") <= window)
+                  .select("__ida", "__idb"))
+        cand = cand.unionByName(xpairs)
     # word-3-gram distinct shingle sets, built in-row (no self-join)
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                      lambda x: x != "")

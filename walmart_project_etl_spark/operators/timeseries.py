@@ -251,7 +251,8 @@ def holt_linear(df: DataFrame, entity_col: str, order_cols: list[str],
 
 def holt_winters(df: DataFrame, entity_col: str, date_col: str,
                  value_col: str, season: int = 7, alpha: float = 0.25,
-                 beta: float = 0.5, gamma: float = 0.25) -> DataFrame:
+                 beta: float = 0.5, gamma: float = 0.25,
+                 segment_days: int | None = None) -> DataFrame:
     """Additive Holt-Winters (level + trend + seasonal) per entity over
     its DAILY series — the triple-exponential step up from
     :func:`holt_linear`, the classic short-horizon forecaster for
@@ -275,6 +276,16 @@ def holt_winters(df: DataFrame, entity_col: str, date_col: str,
     ts_holt_forecast finding), so it cannot replay a three-field
     recursion.
 
+    For pathologically long entities pass ``segment_days=N``: the
+    recursion is LINEAR in the (m+2)-dim state z = [l, b, s₀..s_{m−1}]ᵀ
+    given each point's season slot, so a whole time block composes into
+    ONE affine map z_out = A·z_in + c with A an (m+2)×(m+2) matrix —
+    the seasonal generalization of :func:`holt_linear_segmented`'s 2×2
+    transfer. Per-row memory drops from O(series) to
+    O(max(days/block, blocks·(m+2)²)). Same trade as the other
+    segmented twins: mathematically identical, FP association differs
+    ~1 ulp — the scale twin, not the oracle-replay twin.
+
     Returns (entity, n_days, level, trend, seasonal_next, forecast) —
     all round-6 via the decimal route.
     """
@@ -283,10 +294,32 @@ def holt_winters(df: DataFrame, entity_col: str, date_col: str,
     daily = (df.groupBy(entity_col, F.to_date(date_col).alias("__d"))
              .agg(F.round(F.sum(F.col(value_col).cast("decimal(28,6)")),
                           2).cast("double").alias("__x")))
+    if segment_days is not None:
+        return _holt_winters_segmented(daily, entity_col, m, a, b, g,
+                                       segment_days)
     ordered = (daily.groupBy(entity_col)
                .agg(F.array_sort(F.collect_list(F.struct("__d", "__x")))
                     .alias("__s")))
     xs = F.transform("__s", lambda s: s["__x"])
+    fold = _hw_fold(xs, m, a, b, g)
+    nxt = F.element_at(fold["s"], (fold["i"] % m) + 1)
+
+    def r6(c):
+        return F.round(c.cast("decimal(28,8)"), 6).cast("double")
+
+    return ordered.select(
+        entity_col, F.size("__s").alias("n_days"),
+        r6(fold["l"]).alias("level"),
+        r6(fold["b"]).alias("trend"),
+        r6(nxt).alias("seasonal_next"),
+        r6(fold["l"] + fold["b"] + nxt).alias("forecast"))
+
+
+def _hw_fold(xs, m: int, a: float, b: float, g: float):
+    """The flat Holt-Winters in-row fold over an ordered value array:
+    STRUCT(l, b, s array[m], i) accumulator, seasonal slot updated via
+    index-aware transform. Shared by the flat path (whole series) and
+    the segmented path (opening block only)."""
     zeros = F.array_repeat(F.lit(0.0), m)
     init = F.struct(F.element_at(xs, 1).alias("l"),
                     F.lit(0.0).alias("b"),
@@ -312,15 +345,140 @@ def holt_winters(df: DataFrame, entity_col: str, date_col: str,
         return F.struct(lnew.alias("l"), bnew.alias("b"),
                         sarr.alias("s"), (acc["i"] + 1).alias("i"))
 
-    fold = F.aggregate(
+    return F.aggregate(
         F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))), init, step)
-    nxt = F.element_at(fold["s"], (fold["i"] % m) + 1)
+
+
+def _holt_winters_segmented(daily: DataFrame, entity_col: str, m: int,
+                            a: float, b: float, g: float,
+                            segment_days: int) -> DataFrame:
+    """Block-chained Holt-Winters (see :func:`holt_winters`
+    ``segment_days``) — the (m+2)² affine transfer left unbuilt in r13
+    (docs/SCALE.md's one remaining collect_list caveat).
+
+    Per point at season slot j the recursion is z' = M_j·z + v_j·x over
+    z = [l, b, s₀..s_{m−1}]ᵀ, where M_j is identity except three rows:
+      l row:   (1−α)·l + (1−α)·b − α·s_j            (+ α·x)
+      b row:   −αβ·l + ((1−β)+β(1−α))·b − αβ·s_j    (+ αβ·x)
+      s_j row: −γ(1−α)·l − γ(1−α)·b + (γα+1−γ)·s_j  (+ γ(1−α)·x)
+    Slot j advances with the GLOBAL observed-day index, so each block's
+    starting phase φ = (days before it) comes from one cumulative-count
+    window over the per-block counts — then every block folds its own
+    (A, c) composition with i starting at φ, independent of the chain.
+
+    Shape: one (entity, block) shuffle with day-grain arrays, one
+    window for φ, one entity-grain aggregation over per-block
+    summaries (the opening block's plain fold + interior blocks'
+    (m+2)²+(m+2) doubles), then an in-row chain of O(blocks·(m+2)²)
+    dot products. Every stage bounded at block or summary grain.
+    """
+    dim = m + 2
+    c_bb = (1.0 - b) + b * (1.0 - a)
+    blk = F.floor(F.datediff(F.col("__d"), F.lit("1970-01-01"))
+                  / F.lit(segment_days)).alias("__blk")
+    per_block = (daily.groupBy(F.col(entity_col), blk)
+                 .agg(F.array_sort(F.collect_list(F.struct("__d", "__x")))
+                      .alias("__s")))
+    w = (Window.partitionBy(entity_col).orderBy("__blk")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    phased = per_block.select(
+        entity_col, "__blk", "__s",
+        F.coalesce(F.sum(F.size("__s")).over(w), F.lit(0))
+        .cast("int").alias("__phi"))
+    xs = F.transform("__s", lambda s: s["__x"])
+
+    ident_a = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda r: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda t: F.when(r == t, F.lit(1.0)).otherwise(F.lit(0.0))))
+    aff_init = F.struct(ident_a.alias("A"),
+                        F.array_repeat(F.lit(0.0), dim).alias("c"),
+                        F.col("__phi").alias("i"))
+
+    def aff_step(acc, x):
+        j = acc["i"] % m
+        rl = F.element_at(acc["A"], 1)
+        rb = F.element_at(acc["A"], 2)
+        rs = F.element_at(acc["A"], j + 3)
+
+        def combo(cl, cb, cs):
+            t1 = F.zip_with(rl, rb,
+                            lambda p, q: F.lit(cl) * p + F.lit(cb) * q)
+            return F.zip_with(t1, rs, lambda p, r: p + F.lit(cs) * r)
+
+        new_l = combo(1.0 - a, 1.0 - a, -a)
+        new_b = combo(-(a * b), c_bb, -(a * b))
+        new_s = combo(-(g * (1.0 - a)), -(g * (1.0 - a)), g * a + 1.0 - g)
+        a2 = F.transform(
+            acc["A"],
+            lambda row, ridx: F.when(ridx == 0, new_l)
+            .when(ridx == 1, new_b)
+            .when(ridx == j + 2, new_s)
+            .otherwise(row))
+        cl_ = F.element_at(acc["c"], 1)
+        cb_ = F.element_at(acc["c"], 2)
+        cs_ = F.element_at(acc["c"], j + 3)
+
+        def ccombo(cl, cb, cs, vx):
+            return (F.lit(cl) * cl_ + F.lit(cb) * cb_ + F.lit(cs) * cs_
+                    + F.lit(vx) * x)
+
+        c2 = F.transform(
+            acc["c"],
+            lambda v, ridx: F.when(
+                ridx == 0, ccombo(1.0 - a, 1.0 - a, -a, a))
+            .when(ridx == 1, ccombo(-(a * b), c_bb, -(a * b), a * b))
+            .when(ridx == j + 2, ccombo(-(g * (1.0 - a)),
+                                        -(g * (1.0 - a)),
+                                        g * a + 1.0 - g, g * (1.0 - a)))
+            .otherwise(v))
+        return F.struct(a2.alias("A"), c2.alias("c"),
+                        (acc["i"] + 1).alias("i"))
+
+    summaries = phased.select(
+        entity_col, "__blk", F.size("__s").alias("__n"),
+        # opening block (φ=0): the plain recursion from l₀=x₀
+        _hw_fold(xs, m, a, b, g).alias("__first"),
+        # interior block: the composed (A, c) over all its points,
+        # phase-correct because i starts at this block's φ
+        F.aggregate(xs, aff_init, aff_step).alias("__aff"))
+    chained = (summaries.groupBy(entity_col)
+               .agg(F.sum("__n").cast("int").alias("n_days"),
+                    F.array_sort(F.collect_list(F.struct(
+                        "__blk", "__first", "__aff"))).alias("__b")))
+
+    first = F.element_at("__b", 1)["__first"]
+
+    def chain_step(acc, blk_):
+        zvec = F.concat(F.array(acc["l"], acc["b"]), acc["s"])
+        amat = blk_["__aff"]["A"]
+        cvec = blk_["__aff"]["c"]
+
+        def dot(i1b):  # z'[i] = A[i]·z + c[i], i1b is 1-based
+            row = F.element_at(amat, i1b)
+            return (F.aggregate(
+                F.zip_with(row, zvec, lambda p, q: p * q),
+                F.lit(0.0), lambda s_, v: s_ + v)
+                + F.element_at(cvec, i1b))
+
+        return F.struct(
+            dot(F.lit(1)).alias("l"), dot(F.lit(2)).alias("b"),
+            F.transform(F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda k: dot(k + 3)).alias("s"))
+
+    fold = F.aggregate(
+        F.slice(F.col("__b"), 2, F.greatest(F.size("__b") - 1, F.lit(0))),
+        F.struct(first["l"].alias("l"), first["b"].alias("b"),
+                 first["s"].alias("s")),
+        chain_step)
+    nxt = F.element_at(fold["s"], (F.col("n_days") % m) + 1)
 
     def r6(c):
         return F.round(c.cast("decimal(28,8)"), 6).cast("double")
 
-    return ordered.select(
-        entity_col, F.size("__s").alias("n_days"),
+    return chained.select(
+        entity_col, "n_days",
         r6(fold["l"]).alias("level"),
         r6(fold["b"]).alias("trend"),
         r6(nxt).alias("seasonal_next"),

@@ -31,7 +31,9 @@ _MODULES = (core, funcs, pipeline, llm, trainprep)
 #: (alphabetical) up to the 50-slot cap — r14-new entries displace from
 #: the r8-era tail.
 _PRIORITY = (
-    # r14-new entries (inserted as built; displace the r8-era tail)
+    # r14-new entries (displace from the r8-era tail)
+    "dedup_snm_boundary",
+    "sim_rrf_ann_fusion",
     # r7-era rotation: all 40 rows whose newest driver row is r7
     "a04_count_star_tables",
     "a08_conditional_ratio",
@@ -73,7 +75,8 @@ _PRIORITY = (
     "txn_schema_evolution",
     "u01_union_distinct",
     "w01_window_dedup_latest",
-    # r8-era rotation, first 10 of 50 (alphabetical)
+    # r8-era rotation, first 8 of 50 (alphabetical; 2 slots went to the
+    # r14-new entries above)
     "dedup_cross_doc_ngram_score",
     "dedup_decontaminate_semantic",
     "dedup_embedding_lsh",
@@ -82,13 +85,11 @@ _PRIORITY = (
     "events_cohort_retention",
     "events_dedup_latest",
     "events_funnel",
-    "events_json_extract",
-    "events_sessionization",
 )
-#: r15 plan: after this window the stalest rows are the remaining 40
-#: r8-era entries (alphabetical from events_sliding_window onward), then
+#: r15 plan: after this window the stalest rows are the remaining 42
+#: r8-era entries (alphabetical from events_json_extract onward), then
 #: the r9-era block (50 rows) — lead r15 with any r14-new entries that
-#: missed this window, then those 40, then the first r9-era rows.
+#: missed this window, then those 42, then the first r9-era rows.
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

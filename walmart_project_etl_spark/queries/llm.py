@@ -243,6 +243,28 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rrf_fusion([full_r, pre_r], k=10, c=60)
 
 
+@q("sim_rrf_ann_fusion", pinned("sim_rrf_ann_fusion"))
+def sim_rrf_ann_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF over an ANN tier — the production use of reciprocal-rank
+    fusion (ANN recall repair): fuse the exact full-dim cosine top-20
+    with the IVF-PQ ADC top-20 (operators/similarity.py:ivfpq_ann_topk,
+    8/32 cells probed, residual PQ codes) by 1/(60+rank) sums. The
+    rank-only formulation is what lets the uncalibrated ADC estimates
+    meet exact cosines without a score-scale fight. The fused recall
+    floor is gated in sim_recall_report's rrf_ivfpq row (191/250 —
+    and that row's docstring documents the measured c-vs-depth
+    trade: at c=60 double-membership outvotes single-list rank, so
+    unweighted RRF leans toward tier consensus, not tier quality).
+    Oracle = pinned sf0.01 golden (the IVF-PQ tier's seeded KMeans
+    fit is engine-internal but deterministic)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 7) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.cosine_topk(emb, queries, k=20)
+    ann = similarity.ivfpq_ann_topk(emb, queries, k=20)
+    return similarity.rrf_fusion([exact, ann], k=10, c=60)
+
+
 _EMB_COSINE_ORACLE = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 pairs AS (
@@ -409,7 +431,13 @@ def dedup_cross_doc_ngram_score(spark: SparkSession,
              CAST(189 AS BIGINT)
       UNION ALL
       SELECT 'mrl16', 10, CAST(25 AS BIGINT), CAST(250 AS BIGINT),
-             CAST(139 AS BIGINT)""")
+             CAST(139 AS BIGINT)
+      UNION ALL
+      SELECT 'rrf_ivfpq', 10, CAST(25 AS BIGINT), CAST(250 AS BIGINT),
+             CAST(191 AS BIGINT)
+      UNION ALL
+      SELECT 'rrf_approx', 10, CAST(25 AS BIGINT), CAST(250 AS BIGINT),
+             CAST(141 AS BIGINT)""")
 def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DRIVER-VISIBLE ANN quality gate: recall@10 of the IVF and LSH
     paths against the IN-PLAN brute-force truth, over a seeded
@@ -426,7 +454,17 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (189/250 = 0.76 — residual-PQ compression costs ~0.07 vs flat IVF
     at the same 25% scan) and the mrl16 prefix tier (139/250 = 0.56 —
     the documented floor case on unstructured synthetic vectors; MRL-
-    trained embeddings sit far higher). PINNED-ENVIRONMENT: the hit
+    trained embeddings sit far higher). r14 adds the fused-tier
+    floors: rrf_ivfpq (exact top-20 + IVF-PQ top-20, the
+    sim_rrf_ann_fusion recipe) pins 191/250, and rrf_approx
+    (IVF-PQ + MRL-16, both lossy) pins 141/250 — an HONEST measured
+    negative result: at c=60 with depth-20 lists, a candidate on BOTH
+    lists outscores a single-list rank-1 (2/(60+20) > 1/61), so
+    unweighted RRF regresses toward the weaker tier when tier
+    qualities are far apart (0.76 vs 0.56 here); the repair story
+    needs comparable tiers or a smaller c (measured: c=5 lifts
+    rrf_ivfpq to 205 but rrf_approx only to 143). The rows pin the
+    fusion plumbing either way. PINNED-ENVIRONMENT: the hit
     counts ride on this build's float behavior (KMeans/cosine sums); a
     platform upgrade that shifts low bits means re-pin via
     tools/pin_golden.py, not a correctness bug (docs/COVERAGE.md
@@ -451,9 +489,24 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = similarity.lsh_ann_topk(emb, queries, k=10)
     ivfpq = similarity.ivfpq_ann_topk(emb, queries, k=10)
     mrl = similarity.matryoshka_topk(emb, queries, k=10)
+    # fused-tier floors (r14): rrf_ivfpq gates sim_rrf_ann_fusion's
+    # exact+IVF-PQ recipe; rrf_approx gates the pure recall-repair
+    # story — two lossy tiers (IVF-PQ 0.76, MRL-16 0.56) fused
+    # rank-only must beat BOTH alone
+    exact20 = similarity.cosine_topk(emb, queries, k=20)
+    ivfpq20 = similarity.ivfpq_ann_topk(emb, queries, k=20)
+    pre16 = F.slice(F.transform("embedding",
+                                lambda x: x.cast("double")), 1, 16)
+    mrl20 = similarity.cosine_topk(
+        emb.select("vec_id", pre16.alias("embedding")),
+        queries.select("query_id", pre16.alias("embedding")), k=20)
+    rrf_ivfpq = similarity.rrf_fusion([exact20, ivfpq20], k=10, c=60)
+    rrf_approx = similarity.rrf_fusion([ivfpq20, mrl20], k=10, c=60)
     return (row("ivf", ivf).unionByName(row("lsh", lsh))
             .unionByName(row("ivfpq", ivfpq))
-            .unionByName(row("mrl16", mrl)))
+            .unionByName(row("mrl16", mrl))
+            .unionByName(row("rrf_ivfpq", rrf_ivfpq))
+            .unionByName(row("rrf_approx", rrf_approx)))
 
 
 @q("sim_compressed_recall_report",
@@ -2318,6 +2371,71 @@ def dedup_sorted_neighborhood(spark: SparkSession,
     return dedup.sorted_neighborhood(corpus, "doc_id", "text",
                                      window=4, block_len=4,
                                      key_len=24, threshold=0.5)
+
+
+@q("dedup_snm_boundary", f"""
+WITH corpus AS (SELECT doc_id, text FROM {_DUPES_SQL} c),
+keyed AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, 24) AS key
+  FROM corpus),
+rn AS (
+  SELECT doc_id, substr(key, 1, 12) AS blk,
+         row_number() OVER (PARTITION BY substr(key, 1, 12)
+                            ORDER BY key, doc_id) AS rn
+  FROM keyed),
+n AS (SELECT blk, count(*) AS n FROM rn GROUP BY blk),
+bidx AS (SELECT blk, row_number() OVER (ORDER BY blk) AS bi FROM n),
+heads AS (
+  SELECT r.doc_id, x.bi, r.rn AS h
+  FROM rn r JOIN bidx x ON x.blk = r.blk WHERE r.rn <= 3),
+tails AS (
+  SELECT r.doc_id, x.bi, n.n - r.rn + 1 AS t
+  FROM rn r JOIN bidx x ON x.blk = r.blk JOIN n ON n.blk = r.blk
+  WHERE n.n - r.rn + 1 <= 3),
+cand AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM rn b
+  JOIN rn a ON a.blk = b.blk AND a.rn BETWEEN b.rn - 3 AND b.rn - 1
+  UNION ALL
+  SELECT t.doc_id, h.doc_id
+  FROM tails t JOIN heads h ON h.bi = t.bi + 1 AND t.t + h.h <= 4),
+tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM corpus),
+pos AS (SELECT doc_id, w,
+               unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+        FROM tok),
+shi AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM pos),
+sized AS (SELECT doc_id, count(*) AS n FROM shi GROUP BY doc_id),
+inter AS (
+  SELECT c.ida, c.idb, count(*) AS ni
+  FROM cand c
+  JOIN shi a ON a.doc_id = c.ida
+  JOIN shi b ON b.doc_id = c.idb AND b.shingle = a.shingle
+  GROUP BY c.ida, c.idb)
+SELECT ida AS id_a, idb AS id_b,
+       round(CAST(ni::DOUBLE / (sa.n + sb.n - ni)
+             AS DECIMAL(28,8)), 6)::DOUBLE AS jaccard
+FROM inter
+JOIN sized sa ON sa.doc_id = ida
+JOIN sized sb ON sb.doc_id = idb
+WHERE round(CAST(ni::DOUBLE / (sa.n + sb.n - ni)
+            AS DECIMAL(28,8)), 6)::DOUBLE >= 0.5""")
+def dedup_snm_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNM with the CROSS-BOUNDARY edge pass (operators/dedup.py:
+    sorted_neighborhood_pairs cross_boundary=True): at fine block grain
+    (12-char key prefix) the in-block window goes blind at block edges;
+    the edge pass equi-joins each block's first window−1 rows against
+    the previous block's last window−1 rows (t + h ≤ window — exactly
+    the global-sort-window pairs that straddle one boundary), so recall
+    at block edges is no longer silently lost. Returns the verified
+    pairs; exact SQL oracle reproduces the t/h rule."""
+    corpus = _docs_with_dupes(spark, sf_dir)
+    return dedup.sorted_neighborhood_pairs(
+        corpus, "doc_id", "text", window=4, block_len=12,
+        key_len=24, threshold=0.5, cross_boundary=True)
 
 
 @q("dedup_snm_multipass", """

@@ -48,7 +48,9 @@ def get_spark(app_name: str = "walmart-project-etl-spark",
         # (the 95-query bench, the oracle sweep) accumulates dead blocks
         # into block-manager pressure and mid-run stalls. 5min keeps the
         # store bounded; same setting is the standard rec for iterative
-        # jobs on a real cluster.
-        .config("spark.cleaner.periodicGC.interval", "5min")
+        # jobs on a real cluster. Env-overridable for A/B bisects of the
+        # full-GC pause cost (docs/SCALE.md records the r14 bisect).
+        .config("spark.cleaner.periodicGC.interval",
+                os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"))
     )
     return builder.getOrCreate()
