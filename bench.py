@@ -194,6 +194,11 @@ BENCH_QUERIES = [
     # r13 late: PMI collocations (text), contrastive triplet mining
     "text_pmi_collocations",
     "sample_contrastive_triplets",
+    # r14-new: SNM cross-boundary edge pass, RRF over the IVF-PQ ANN
+    # tier, exact two-sample KS drift (distributed prefix-sum)
+    "dedup_snm_boundary",
+    "sim_rrf_ann_fusion",
+    "dq_ks_drift",
 ]
 
 #: pipe_* queries that should pay the full cold pipeline build; other

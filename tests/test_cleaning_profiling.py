@@ -201,6 +201,57 @@ def test_psi_drift_zero_on_identical_and_positive_on_shift(spark):
     assert all(math.isfinite(r["psi"]) for r in drift.values())
 
 
+def test_ks_drift_closed_form_and_bucket_invariance(spark):
+    """Hand-computed two-sample KS: ref=[1,2,3,4], cur=[3,4,5,6] →
+    ECDF diffs .25/.5/.5/.5/.25/0 → D=0.5; identical samples → 0;
+    the bucket count must not change the statistic (it's a
+    parallelization knob, not a binning choice); NULLs excluded."""
+    from walmart_project_etl_spark.operators.cleaning import ks_drift
+    ref = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,), (None,)], "x double")
+    cur = spark.createDataFrame(
+        [(3.0,), (4.0,), (5.0,), (6.0,), (None,)], "x double")
+    for nb in (2, 8, 32):
+        r = ks_drift(ref, cur, ["x"], n_buckets=nb).collect()[0]
+        assert (r["feature"], r["ks"], r["n_ref"], r["n_cur"]) \
+            == ("x", 0.5, 4, 4)
+    same = ks_drift(ref, ref, ["x"]).collect()[0]
+    assert same["ks"] == 0.0 and same["n_ref"] == 4
+
+
+def test_ks_drift_matches_duckdb_prefix_sum(spark):
+    """Engine KS must equal a DuckDB recomputation of the same
+    integer-cross-product definition on an adversarial sample with
+    heavy ties across sides."""
+    import duckdb
+    from walmart_project_etl_spark.operators.cleaning import ks_drift
+
+    ref_v = [float((i * 7919) % 13) for i in range(200)]
+    cur_v = [float((i * 104729) % 17) * 0.9 for i in range(150)]
+    ref = spark.createDataFrame([(v,) for v in ref_v], "x double")
+    cur = spark.createDataFrame([(v,) for v in cur_v], "x double")
+    got = ks_drift(ref, cur, ["x"]).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r(x DOUBLE); CREATE TABLE u(x DOUBLE)")
+    con.executemany("INSERT INTO r VALUES (?)", [(v,) for v in ref_v])
+    con.executemany("INSERT INTO u VALUES (?)", [(v,) for v in cur_v])
+    want = con.execute("""
+        WITH s AS (SELECT x, 1 AS r, 0 AS c FROM r
+                   UNION ALL SELECT x, 0, 1 FROM u),
+        pv AS (SELECT x, sum(r) AS cr, sum(c) AS cc FROM s GROUP BY x),
+        n AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM pv),
+        cum AS (SELECT sum(cr) OVER (ORDER BY x) AS kr,
+                       sum(cc) OVER (ORDER BY x) AS kc FROM pv),
+        d AS (SELECT max(abs(kr::DECIMAL(38,0) * nc
+                             - kc::DECIMAL(38,0) * nr)) AS dn,
+                     any_value(nr) AS nr, any_value(nc) AS nc
+              FROM cum, n)
+        SELECT round(CAST(CAST(dn AS DOUBLE) / (nr::DOUBLE * nc::DOUBLE)
+                     AS DECIMAL(28,8)), 6)::DOUBLE,
+               nr::BIGINT, nc::BIGINT FROM d""").fetchone()
+    assert (got["ks"], got["n_ref"], got["n_cur"]) == want
+
+
 def test_psi_drift_null_category_matches_sql_semantics(spark):
     """A nullable categorical column: NULLs are excluded from both the
     bucket counts AND the smoothing constant k (count(DISTINCT cat)

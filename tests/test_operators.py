@@ -225,6 +225,16 @@ def test_rrf_fusion_math_and_missing_candidates(spark):
     # fused order: 11 (.0328) > 10 (.0323) > 13 (.0161) > 12 (.0159)
     assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] \
         == [11, 10, 13, 12]
+    # weighted: w=(3,1) makes list 1's rank-3 (10: 3/63) beat a
+    # double-membership mediocrity would-be tie and list 2's rank-1
+    # (11: 3/61 + 1/61); closed-form check of the weighted terms
+    wout = {r["vec_id"]: r["rrf_score"]
+            for r in similarity.rrf_fusion([r1, r2], k=4, c=60,
+                                           id_col="vec_id",
+                                           weights=[3.0, 1.0]).collect()}
+    assert wout[11] == round(3 / 62 + 1 / 61, 6)
+    assert wout[12] == round(3 / 63, 6)
+    assert wout[13] == round(1 / 62, 6)
 
 
 def test_snm_multipass_catches_head_corrupted_dup(spark):
@@ -938,11 +948,16 @@ def test_sim_recall_report_is_consistent(spark):
     random chance for both algorithms."""
     from walmart_project_etl_spark.queries.llm import sim_recall_report
     rows = {r["algo"]: r for r in sim_recall_report(spark, SF_DIR).collect()}
-    assert set(rows) == {"ivf", "lsh", "ivfpq", "mrl16"}
+    assert set(rows) == {"ivf", "lsh", "ivfpq", "mrl16",
+                         "rrf_ivfpq", "rrf_approx"}
     #: per-tier floors: cell-pruned exact (ivf/lsh) clear 0.5 easily;
     #: residual-PQ compression costs a bit more; the 16/64 prefix tier
-    #: is the documented floor case on unstructured synthetic vectors
-    floors = {"ivf": 0.5, "lsh": 0.5, "ivfpq": 0.45, "mrl16": 0.25}
+    #: is the documented floor case on unstructured synthetic vectors.
+    #: Fused tiers (r14): rrf_ivfpq must at least hold the IVF-PQ-alone
+    #: grade; rrf_approx is the measured consensus-regression case
+    #: (documented in the query) — floor at the weak-tier grade
+    floors = {"ivf": 0.5, "lsh": 0.5, "ivfpq": 0.45, "mrl16": 0.25,
+              "rrf_ivfpq": 0.45, "rrf_approx": 0.25}
     for algo, r in rows.items():
         assert r["n_truth"] == r["n_queries"] * r["k"]
         assert 0 < r["n_hits"] <= r["n_truth"]

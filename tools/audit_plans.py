@@ -58,6 +58,12 @@ ALLOW = {
     # shape); the fusion itself is a (query, id) equi-join over
     # candidate-sized frames
     "sim_rrf_ann_fusion": {"BroadcastNestedLoopJoin"},
+    # exact-KS prefix-sum: broadcast scalar frames only — the 9
+    # percentile edges and the two side-total counts crossJoined back
+    # over the value-grain frame (the per-bucket offsets window runs
+    # over the n_buckets-row totals frame)
+    "dq_ks_drift": {"BroadcastNestedLoopJoin",
+                    "Exchange SinglePartition (non-scalar result)"},
     # SNM cross-boundary pass: the block-index window
     # (row_number over the DISTINCT-blocks frame — one row per block,
     # metadata-scale next to the corpus) is the only SinglePartition;

@@ -320,6 +320,87 @@ def psi_drift(ref, cur, num_cols: list[str], cat_cols: list[str],
     return reduce(lambda a, b2: a.unionByName(b2), out)
 
 
+def ks_drift(ref, cur, num_cols: list[str],
+             n_buckets: int = 32):
+    """Two-sample Kolmogorov-Smirnov drift statistic per numeric
+    feature — PSI's nonparametric sibling: D = max over pooled distinct
+    values v of |F_ref(v) − F_cur(v)| (ECDFs evaluated after all ties
+    at v, the standard discrete treatment). Unlike PSI it needs no
+    binning choice and is sensitive to ANY distributional difference;
+    the trade is no per-bucket attribution.
+
+    Distributed shape (the exact-KS prefix-sum): ONE group-by on the
+    value (per-distinct-value side counts), range-bucket the distinct
+    values by the reference's percentile edges (scalar agg, broadcast
+    literals), cumulative side-counts WITHIN each bucket (parallel
+    windows, bounded state), plus per-bucket offsets from a
+    bucket-grain totals frame (n_buckets rows — metadata-sized; its
+    running sum is the only single-partition step). The maximized
+    quantity is the INTEGER cross product |k_r·n_c − k_c·n_r| in
+    decimal(38,0) — no floating point until the final divide — so the
+    statistic is bit-exact on any engine and carries a recomputed SQL
+    oracle. NULLs are missingness, not distribution values: excluded
+    from both ECDFs (the psi_drift convention).
+
+    Returns one row per feature: (feature, ks double round-6,
+    n_ref, n_cur).
+    """
+    from functools import reduce
+
+    out = []
+    for col in num_cols:
+        sides = (ref.select(F.col(col).alias("__x"))
+                 .withColumn("__side", F.lit("r"))
+                 .unionByName(cur.select(F.col(col).alias("__x"))
+                              .withColumn("__side", F.lit("c")))
+                 .where(F.col("__x").isNotNull()))
+        per_val = (sides.groupBy("__x")
+                   .agg(F.count(F.when(F.col("__side") == "r", 1))
+                        .alias("__cr"),
+                        F.count(F.when(F.col("__side") == "c", 1))
+                        .alias("__cc")))
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        edges = ref.where(F.col(col).isNotNull()).agg(*[
+            F.expr(f"percentile({col}, {q})").alias(f"__e{i}")
+            for i, q in enumerate(qs)])
+        b = reduce(lambda acc, i: acc + F.when(
+            F.col("__x") >= F.col(f"__e{i}"), 1).otherwise(0),
+            range(len(qs)), F.lit(0))
+        bucketed = (per_val.crossJoin(F.broadcast(edges))
+                    .select("__x", "__cr", "__cc", b.alias("__b")))
+        win = Window.partitionBy("__b").orderBy("__x")
+        within = bucketed.select(
+            "__b", "__x",
+            F.sum("__cr").over(win).alias("__kr0"),
+            F.sum("__cc").over(win).alias("__kc0"))
+        totals = (bucketed.groupBy("__b")
+                  .agg(F.sum("__cr").alias("__tr"),
+                       F.sum("__cc").alias("__tc")))
+        owin = (Window.orderBy("__b")
+                .rowsBetween(Window.unboundedPreceding, -1))
+        offsets = totals.select(
+            "__b",
+            F.coalesce(F.sum("__tr").over(owin), F.lit(0)).alias("__or"),
+            F.coalesce(F.sum("__tc").over(owin), F.lit(0)).alias("__oc"))
+        nr = per_val.agg(F.sum("__cr").alias("__nr"))
+        nc = per_val.agg(F.sum("__cc").alias("__nc"))
+        kr = (F.col("__kr0") + F.col("__or")).cast("decimal(38,0)")
+        kc = (F.col("__kc0") + F.col("__oc")).cast("decimal(38,0)")
+        dnum = F.abs(kr * F.col("__nc").cast("decimal(38,0)")
+                     - kc * F.col("__nr").cast("decimal(38,0)"))
+        scored = (within.join(F.broadcast(offsets), "__b")
+                  .crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nc)))
+        out.append(scored.agg(
+            F.lit(col).alias("feature"),
+            F.round((F.max(dnum).cast("double")
+                     / (F.any_value("__nr").cast("double")
+                        * F.any_value("__nc").cast("double")))
+                    .cast("decimal(28,8)"), 6).cast("double").alias("ks"),
+            F.any_value("__nr").cast("long").alias("n_ref"),
+            F.any_value("__nc").cast("long").alias("n_cur")))
+    return reduce(lambda a, b2: a.unionByName(b2), out)
+
+
 def _psi_from_counts(cnt, feature: str, k: int):
     """PSI summary from a (__side, __b, __c) count table: full-join the
     two sides over the bucket key (either side may miss a bucket),

@@ -949,7 +949,8 @@ def matryoshka_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def rrf_fusion(rankings: list[DataFrame], k: int = 10, c: int = 60,
                id_col: str = "vec_id",
-               query_id_col: str = "query_id") -> DataFrame:
+               query_id_col: str = "query_id",
+               weights: list[float] | None = None) -> DataFrame:
     """Reciprocal-Rank Fusion (Cormack et al. 2009) — the standard way
     to combine retrieval tiers (dense + lexical, full-dim + prefix-dim,
     ANN + exact) WITHOUT calibrating their score scales: each list
@@ -966,14 +967,30 @@ def rrf_fusion(rankings: list[DataFrame], k: int = 10, c: int = 60,
     same few-term double sum on any engine, ties broken by id; round-6
     decimal routing, so the whole fusion carries an exact SQL oracle.
 
+    ``weights`` (default all-1.0, the classic formula) scale each
+    tier's term to w_i/(c + rank) — the standard remedy when tier
+    qualities are far apart (unweighted RRF leans toward tier
+    CONSENSUS: with depth-d lists, double membership outscores a
+    single-list rank-1 whenever d < c + 2). Measured honestly on the
+    recall gate's tiers (sf0.01): up-weighting IVF-PQ 2-4× over MRL-16
+    recovers 185-189 of the 191 hits IVF-PQ gets alone, but can NEVER
+    exceed it — the weak tier's marginal truth (14/250 candidates only
+    it retrieves) is outweighed by the false candidates it votes up.
+    Weights tune the consensus/quality balance; they don't conjure
+    recall the tiers don't jointly have.
+
     Returns (query_id, id_col, rrf_score round-6, rank 1..k).
     """
     assert len(rankings) >= 2, "fuse at least two rankings"
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    assert len(weights) == len(rankings), "one weight per ranking"
     parts = []
     for i, r in enumerate(rankings):
         parts.append(r.select(
             F.col(query_id_col), F.col(id_col),
-            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank").cast("double")))
+            (F.lit(float(weights[i]))
+             / (F.lit(float(c)) + F.col("rank").cast("double")))
             .alias(f"__s{i}")))
     fused = parts[0]
     for i in range(1, len(parts)):

@@ -2847,6 +2847,48 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(ref, cur, ["o_totalprice"], ["o_orderpriority"])
 
 
+@q("dq_ks_drift",
+   """WITH ref AS (
+        SELECT o_totalprice AS x FROM orders WHERE o_orderkey % 2 = 0),
+      cur AS (
+        SELECT CASE WHEN o_custkey % 3 = 0 THEN o_totalprice * 1.5
+                    ELSE o_totalprice END AS x
+        FROM orders WHERE o_orderkey % 2 = 1),
+      s AS (SELECT x, 1 AS r, 0 AS c FROM ref
+            UNION ALL SELECT x, 0, 1 FROM cur),
+      pv AS (SELECT x, sum(r) AS cr, sum(c) AS cc FROM s GROUP BY x),
+      n AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM pv),
+      cum AS (SELECT sum(cr) OVER (ORDER BY x) AS kr,
+                     sum(cc) OVER (ORDER BY x) AS kc FROM pv),
+      d AS (SELECT max(abs(kr::DECIMAL(38,0) * nc
+                           - kc::DECIMAL(38,0) * nr)) AS dn,
+                   any_value(nr) AS nr, any_value(nc) AS nc
+            FROM cum, n)
+      SELECT 'o_totalprice' AS feature,
+             round(CAST(CAST(dn AS DOUBLE) / (nr::DOUBLE * nc::DOUBLE)
+                   AS DECIMAL(28,8)), 6)::DOUBLE AS ks,
+             nr::BIGINT AS n_ref, nc::BIGINT AS n_cur
+      FROM d""")
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV drift statistic
+    (operators/cleaning.py:ks_drift) on dq_psi_drift's fixture — PSI's
+    nonparametric sibling: D = max |ECDF_ref − ECDF_cur| over pooled
+    distinct values, no binning choice to tune. Distributed exact-KS
+    prefix-sum: one value-grain count shuffle, range-bucketed in-bucket
+    cumsums (parallel windows) plus broadcast per-bucket offsets (the
+    only single-partition step runs over the n_buckets-row totals
+    frame); the maximized quantity is the INTEGER cross product
+    |k_r·n_c − k_c·n_r| in decimal(38,0) — no floating point until the
+    final divide, so the oracle recomputes it exactly."""
+    from walmart_project_etl_spark.operators.cleaning import ks_drift
+    o = t(spark, sf_dir, "orders")
+    ref = o.where(F.col("o_orderkey") % 2 == 0).select("o_totalprice")
+    cur = o.where(F.col("o_orderkey") % 2 == 1).select(
+        F.when(F.col("o_custkey") % 3 == 0, F.col("o_totalprice") * 1.5)
+         .otherwise(F.col("o_totalprice")).alias("o_totalprice"))
+    return ks_drift(ref, cur, ["o_totalprice"])
+
+
 @q("txn_agg_mv_join",
    """WITH final AS (
         SELECT o_orderkey, o_custkey,
