@@ -342,6 +342,25 @@ def test_stream_psi_counts_equal_batch_for_any_split(spark, events, tmp_path):
     assert _rows(got, ["b", "c"]) == _rows(want, ["b", "c"])
 
 
+def test_stream_value_counts_equal_batch_for_any_split(spark, events,
+                                                       tmp_path):
+    """The accumulated per-distinct-value counts (the exact-KS ECDF
+    statistic) must equal the plain batch counts regardless of
+    micro-batch split — run at 1 file/trigger and compare."""
+    import pyspark.sql.functions as F
+
+    from walmart_project_etl_spark.streaming import stream_value_counts
+
+    got = stream_value_counts(
+        spark, events_dir(spark, SF_DIR), str(tmp_path / "wh"),
+        user_parity=1, max_files_per_trigger=1)
+    want = (events.where(F.col("user_id") % 2 == 1)
+            .where(F.col("value").isNotNull())
+            .groupBy(F.col("value").alias("x"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    assert _rows(got, ["x", "c"]) == _rows(want, ["x", "c"])
+
+
 def test_stream_psi_counts_replay_idempotent(spark, events, tmp_path):
     """Kill-and-restart replay: delete the checkpoint's LAST commit
     marker (simulating a crash after the sink write but before the

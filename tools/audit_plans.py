@@ -64,6 +64,10 @@ ALLOW = {
     # over the n_buckets-row totals frame)
     "dq_ks_drift": {"BroadcastNestedLoopJoin",
                     "Exchange SinglePartition (non-scalar result)"},
+    # streaming twin of the exact-KS prefix-sum — same scalar
+    # broadcast shapes over the accumulated value-counts table
+    "stream_ks_drift": {"BroadcastNestedLoopJoin",
+                        "Exchange SinglePartition (non-scalar result)"},
     # SNM cross-boundary pass: the block-index window
     # (row_number over the DISTINCT-blocks frame — one row per block,
     # metadata-scale next to the corpus) is the only SinglePartition;

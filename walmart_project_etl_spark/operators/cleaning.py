@@ -359,46 +359,57 @@ def ks_drift(ref, cur, num_cols: list[str],
                         .alias("__cr"),
                         F.count(F.when(F.col("__side") == "c", 1))
                         .alias("__cc")))
-        qs = [i / n_buckets for i in range(1, n_buckets)]
         edges = ref.where(F.col(col).isNotNull()).agg(*[
-            F.expr(f"percentile({col}, {q})").alias(f"__e{i}")
-            for i, q in enumerate(qs)])
-        b = reduce(lambda acc, i: acc + F.when(
-            F.col("__x") >= F.col(f"__e{i}"), 1).otherwise(0),
-            range(len(qs)), F.lit(0))
-        bucketed = (per_val.crossJoin(F.broadcast(edges))
-                    .select("__x", "__cr", "__cc", b.alias("__b")))
-        win = Window.partitionBy("__b").orderBy("__x")
-        within = bucketed.select(
-            "__b", "__x",
-            F.sum("__cr").over(win).alias("__kr0"),
-            F.sum("__cc").over(win).alias("__kc0"))
-        totals = (bucketed.groupBy("__b")
-                  .agg(F.sum("__cr").alias("__tr"),
-                       F.sum("__cc").alias("__tc")))
-        owin = (Window.orderBy("__b")
-                .rowsBetween(Window.unboundedPreceding, -1))
-        offsets = totals.select(
-            "__b",
-            F.coalesce(F.sum("__tr").over(owin), F.lit(0)).alias("__or"),
-            F.coalesce(F.sum("__tc").over(owin), F.lit(0)).alias("__oc"))
-        nr = per_val.agg(F.sum("__cr").alias("__nr"))
-        nc = per_val.agg(F.sum("__cc").alias("__nc"))
-        kr = (F.col("__kr0") + F.col("__or")).cast("decimal(38,0)")
-        kc = (F.col("__kc0") + F.col("__oc")).cast("decimal(38,0)")
-        dnum = F.abs(kr * F.col("__nc").cast("decimal(38,0)")
-                     - kc * F.col("__nr").cast("decimal(38,0)"))
-        scored = (within.join(F.broadcast(offsets), "__b")
-                  .crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nc)))
-        out.append(scored.agg(
-            F.lit(col).alias("feature"),
-            F.round((F.max(dnum).cast("double")
-                     / (F.any_value("__nr").cast("double")
-                        * F.any_value("__nc").cast("double")))
-                    .cast("decimal(28,8)"), 6).cast("double").alias("ks"),
-            F.any_value("__nr").cast("long").alias("n_ref"),
-            F.any_value("__nc").cast("long").alias("n_cur")))
+            F.expr(f"percentile({col}, {i / n_buckets})").alias(f"__e{i}")
+            for i in range(1, n_buckets)])
+        out.append(_ks_from_value_counts(per_val, edges,
+                                         n_buckets - 1, col))
     return reduce(lambda a, b2: a.unionByName(b2), out)
+
+
+def _ks_from_value_counts(per_val, edges, n_edges: int, feature: str):
+    """KS statistic from a per-distinct-value side-count table
+    (``__x``, ``__cr``, ``__cc``) + a 1-row edges frame with ``__e1..``
+    bucket boundaries — the distributed prefix-sum shared by the batch
+    operator and the streaming twin (whose count table accumulates
+    over micro-batches)."""
+    from functools import reduce
+
+    b = reduce(lambda acc, i: acc + F.when(
+        F.col("__x") >= F.col(f"__e{i}"), 1).otherwise(0),
+        range(1, n_edges + 1), F.lit(0))
+    bucketed = (per_val.crossJoin(F.broadcast(edges))
+                .select("__x", "__cr", "__cc", b.alias("__b")))
+    win = Window.partitionBy("__b").orderBy("__x")
+    within = bucketed.select(
+        "__b", "__x",
+        F.sum("__cr").over(win).alias("__kr0"),
+        F.sum("__cc").over(win).alias("__kc0"))
+    totals = (bucketed.groupBy("__b")
+              .agg(F.sum("__cr").alias("__tr"),
+                   F.sum("__cc").alias("__tc")))
+    owin = (Window.orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "__b",
+        F.coalesce(F.sum("__tr").over(owin), F.lit(0)).alias("__or"),
+        F.coalesce(F.sum("__tc").over(owin), F.lit(0)).alias("__oc"))
+    nr = per_val.agg(F.sum("__cr").alias("__nr"))
+    nc = per_val.agg(F.sum("__cc").alias("__nc"))
+    kr = (F.col("__kr0") + F.col("__or")).cast("decimal(38,0)")
+    kc = (F.col("__kc0") + F.col("__oc")).cast("decimal(38,0)")
+    dnum = F.abs(kr * F.col("__nc").cast("decimal(38,0)")
+                 - kc * F.col("__nr").cast("decimal(38,0)"))
+    scored = (within.join(F.broadcast(offsets), "__b")
+              .crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nc)))
+    return scored.agg(
+        F.lit(feature).alias("feature"),
+        F.round((F.max(dnum).cast("double")
+                 / (F.any_value("__nr").cast("double")
+                    * F.any_value("__nc").cast("double")))
+                .cast("decimal(28,8)"), 6).cast("double").alias("ks"),
+        F.any_value("__nr").cast("long").alias("n_ref"),
+        F.any_value("__nc").cast("long").alias("n_cur"))
 
 
 def _psi_from_counts(cnt, feature: str, k: int):

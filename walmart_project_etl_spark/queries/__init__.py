@@ -35,6 +35,7 @@ _PRIORITY = (
     "dedup_snm_boundary",
     "sim_rrf_ann_fusion",
     "dq_ks_drift",
+    "stream_ks_drift",
     # r7-era rotation: all 40 rows whose newest driver row is r7
     "a04_count_star_tables",
     "a08_conditional_ratio",
@@ -76,7 +77,7 @@ _PRIORITY = (
     "txn_schema_evolution",
     "u01_union_distinct",
     "w01_window_dedup_latest",
-    # r8-era rotation, first 7 of 50 (alphabetical; 3 slots went to the
+    # r8-era rotation, first 6 of 50 (alphabetical; 4 slots went to the
     # r14-new entries above)
     "dedup_cross_doc_ngram_score",
     "dedup_decontaminate_semantic",
@@ -84,12 +85,11 @@ _PRIORITY = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "events_cohort_retention",
-    "events_dedup_latest",
 )
-#: r15 plan: after this window the stalest rows are the remaining 43
-#: r8-era entries (alphabetical from events_funnel onward), then
+#: r15 plan: after this window the stalest rows are the remaining 44
+#: r8-era entries (alphabetical from events_dedup_latest onward), then
 #: the r9-era block (50 rows) — lead r15 with any r14-new entries that
-#: missed this window, then those 43, then the first r9-era rows.
+#: missed this window, then those 44, then the first r9-era rows.
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

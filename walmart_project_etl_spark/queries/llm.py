@@ -3099,6 +3099,64 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _psi_from_counts(cnt, "value", 10)
 
 
+@q("stream_ks_drift", """
+WITH ref AS (SELECT value AS x FROM events WHERE user_id % 2 = 0),
+cur AS (SELECT value AS x FROM events WHERE user_id % 2 = 1),
+s AS (SELECT x, 1 AS r, 0 AS c FROM ref
+      UNION ALL SELECT x, 0, 1 FROM cur),
+pv AS (SELECT x, sum(r) AS cr, sum(c) AS cc FROM s GROUP BY x),
+n AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM pv),
+cum AS (SELECT sum(cr) OVER (ORDER BY x) AS kr,
+               sum(cc) OVER (ORDER BY x) AS kc FROM pv),
+d AS (SELECT max(abs(kr::DECIMAL(38,0) * nc
+                     - kc::DECIMAL(38,0) * nr)) AS dn,
+             any_value(nr) AS nr, any_value(nc) AS nc
+      FROM cum, n)
+SELECT 'value' AS feature,
+       round(CAST(CAST(dn AS DOUBLE) / (nr::DOUBLE * nc::DOUBLE)
+             AS DECIMAL(28,8)), 6)::DOUBLE AS ks,
+       nr::BIGINT AS n_ref, nc::BIGINT AS n_cur
+FROM d""")
+def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact-KS drift monitor (streaming/jobs.py:
+    stream_value_counts): the live side's per-distinct-VALUE counts —
+    the ECDF's sufficient statistic — accumulate over REAL
+    micro-batches through the replay-idempotent batch-keyed delta sink
+    (a replayed batch overwrites its own partition; addition is
+    associative, so any batch split converges). The final statistic
+    reuses the batch prefix-sum arithmetic
+    (operators/cleaning.py:_ks_from_value_counts) over the streamed
+    counts full-joined with the frozen reference counts; the oracle is
+    the plain batch KS of the same parity split — streaming-vs-batch
+    equality, like every streaming twin here. State is bounded by the
+    metric's distinct-value cardinality, not the row count."""
+    import tempfile
+
+    from walmart_project_etl_spark.operators.cleaning import \
+        _ks_from_value_counts
+    from walmart_project_etl_spark.streaming import stream_value_counts
+
+    ev = events_t(spark, sf_dir)
+    ref = ev.where(F.col("user_id") % 2 == 0).select("value")
+    cur_cnt = stream_value_counts(
+        spark, events_dir(spark, sf_dir),
+        tempfile.mkdtemp(prefix="wpe_stream_ks_wh_"), user_parity=1)
+    ref_cnt = (ref.where(F.col("value").isNotNull())
+               .groupBy(F.col("value").alias("__x"))
+               .agg(F.count(F.lit(1)).alias("__cr")))
+    per_val = (ref_cnt.join(cur_cnt.select(F.col("x").alias("__x"),
+                                           F.col("c").alias("__cc")),
+                            "__x", "full")
+               .select("__x",
+                       F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                       F.coalesce("__cc", F.lit(0)).alias("__cc")))
+    n_buckets = 32
+    edges = ref.where(F.col("value").isNotNull()).agg(*[
+        F.expr(f"percentile(value, {i / n_buckets})").alias(f"__e{i}")
+        for i in range(1, n_buckets)])
+    return _ks_from_value_counts(per_val, edges, n_buckets - 1, "value")
+
+
 @q("ts_holt_winters", pinned("ts_holt_winters"))
 def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters per user over the DAILY value series,

@@ -704,3 +704,68 @@ def stream_psi_bucket_counts(spark: SparkSession, events_path: str,
              .groupBy("b").agg(F.sum("c").cast("long").alias("c")))
     wh.write("tgt", "psi_counts", total)
     return wh.read("tgt", "psi_counts")
+
+
+def stream_value_counts(spark: SparkSession, events_path: str,
+                        warehouse_root: str, user_parity: int = 1,
+                        max_files_per_trigger: int = 4,
+                        checkpoint_dir: str | None = None) -> DataFrame:
+    """STREAMING side of an exact-KS drift monitor: accumulate the
+    current population's per-distinct-VALUE counts over real
+    micro-batches — the sufficient statistic for the two-sample
+    Kolmogorov-Smirnov ECDF (where PSI needs only ≤10 bucket counts,
+    exact KS needs the value-grain histogram; state is bounded by the
+    metric's distinct-value cardinality, NOT the row count — fine for
+    discretized/quantized metrics, document the bound per metric).
+
+    Same replay-idempotent sink as :func:`stream_psi_bucket_counts`:
+    each micro-batch writes its (x, c) counts as a parquet delta keyed
+    by its batch_id; a replayed batch overwrites its own partition
+    instead of double-adding. Addition is associative, so the
+    accumulated counts equal the batch counts for ANY micro-batch
+    split — which is what lets the registered oracle be the plain
+    batch KS.
+
+    Returns the accumulated (x, c) counts table, also materialized at
+    ``tgt/ks_value_counts``.
+    """
+    import os
+    import tempfile
+
+    from walmart_project_etl_spark.sources.catalog import Warehouse
+
+    wh = Warehouse(spark, warehouse_root)
+    wh.drop("tgt", "ks_value_counts")
+    deltas_root = wh.path("tgt", "ks_value_counts_deltas")
+    if checkpoint_dir is None:
+        ckpt = os.path.join(tempfile.mkdtemp(prefix="wpe_stream_ks_"),
+                            "ckpt")
+    else:
+        ckpt = checkpoint_dir
+    if not os.path.exists(ckpt):
+        wh.drop("tgt", "ks_value_counts_deltas")
+
+    def add_counts(batch_df: DataFrame, batch_id: int) -> None:
+        cnt = (batch_df.select(F.col("value").alias("x"))
+               .where(F.col("x").isNotNull())
+               .groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c")))
+        cnt.write.mode("overwrite").parquet(
+            os.path.join(deltas_root, f"batch={int(batch_id)}"))
+
+    ev = (spark.readStream
+          .schema(EVENTS_SCHEMA)
+          .option("maxFilesPerTrigger", max_files_per_trigger)
+          .format("parquet")
+          .load(events_path)
+          .where(F.col("user_id") % 2 == user_parity))
+    q = (ev.writeStream
+         .foreachBatch(add_counts)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    total = (spark.read.option("basePath", deltas_root)
+             .parquet(deltas_root)
+             .groupBy("x").agg(F.sum("c").cast("long").alias("c")))
+    wh.write("tgt", "ks_value_counts", total)
+    return wh.read("tgt", "ks_value_counts")
