@@ -3157,6 +3157,41 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ks_from_value_counts(per_val, edges, n_buckets - 1, "value")
 
 
+@q("stream_session_stats", """
+WITH flagged AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000
+         AS duration_seconds,
+       round(sum(CAST(value AS DECIMAL(28,6))), 2)::DOUBLE AS sum_value
+FROM sess GROUP BY user_id, sid""")
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL STREAMING SESSION WINDOWS (streaming/jobs.py:
+    stream_session_stats): Spark's native session_window dynamic-gap
+    state — adjacent windows merge as events arrive, the watermark
+    bounds open-session state — drained with availableNow. The oracle
+    is the batch gaps-and-islands sessionization of the same events
+    with the >= gap boundary (session windows are half-open
+    [first, last+gap), so an event exactly gap after its predecessor
+    opens a new session; the batch events_sessionization twin keeps
+    the lag-> convention — both standard, boundary documented in the
+    job). Streaming-vs-batch equality, the 14th streaming shape."""
+    from walmart_project_etl_spark.streaming import stream_session_stats
+    return stream_session_stats(spark, events_dir(spark, sf_dir),
+                                gap="30 minutes")
+
+
 @q("ts_holt_winters", pinned("ts_holt_winters"))
 def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters per user over the DAILY value series,

@@ -75,6 +75,46 @@ def stream_tumbling_counts(spark: SparkSession, events_path: str,
                       "event_type", "n_events", "sum_value")
 
 
+def stream_session_stats(spark: SparkSession, events_path: str,
+                         gap: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """STATEFUL SESSION WINDOWS over the event stream — Spark's native
+    ``session_window`` dynamic-gap aggregation (state merges adjacent
+    windows as events arrive; the watermark bounds how long an open
+    session is kept). availableNow drains the backlog; complete mode
+    emits the final merged sessions, so on bounded input the result
+    equals batch sessionization.
+
+    Boundary semantics: a session window spans [first_ts, last_ts+gap),
+    so an event exactly ``gap`` after its predecessor starts a NEW
+    session (half-open windows never overlap at equality) — the
+    registered oracle's gaps-and-islands SQL uses ``>= gap``
+    accordingly (the batch ``events_sessionization`` twin uses the
+    lag-``>`` convention; both are standard, the boundary differs).
+
+    Returns (user_id, session_start, n_events, duration_seconds,
+    sum_value).
+    """
+    ev = _read_events_stream(spark, events_path).withWatermark("ts",
+                                                               watermark)
+    agg = (ev.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("__first"),
+                F.max("ts").alias("__last"),
+                F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+                 .cast("double").alias("sum_value")))
+    out = _run_available_now(agg, "stream_session")
+    # microsecond-exact duration floor: truncating each ENDPOINT to
+    # seconds (unix_timestamp) can over-count the span by 1s
+    dur = ((F.unix_micros("__last") - F.unix_micros("__first"))
+           / F.lit(1000000)).cast("long")
+    return out.select("user_id",
+                      F.col("__first").alias("session_start"),
+                      "n_events",
+                      dur.alias("duration_seconds"),
+                      "sum_value")
+
+
 def stream_latest_per_user(spark: SparkSession, events_path: str,
                            watermark: str = "2 hours") -> DataFrame:
     """Stateful latest-event-per-user via streaming max aggregation
