@@ -300,7 +300,12 @@ def psi_drift(ref, cur, num_cols: list[str], cat_cols: list[str],
         b = reduce(lambda acc, i: acc + F.when(
             F.col(col) >= F.col(f"__e{i}"), 1).otherwise(0),
             range(len(qs)), F.lit(0))
-        cnt = (sides.crossJoin(F.broadcast(edges))
+        # NULL values are missingness, not distribution mass: without
+        # the filter every NULL lands in bucket 0 (NULL >= e is never
+        # true) and masquerades as below-first-decile drift — same
+        # convention as the categorical branch and ks_drift
+        cnt = (sides.where(F.col(col).isNotNull())
+               .crossJoin(F.broadcast(edges))
                .select("__side", b.alias("__b"))
                .groupBy("__side", "__b")
                .agg(F.count(F.lit(1)).alias("__c")))
@@ -347,6 +352,9 @@ def ks_drift(ref, cur, num_cols: list[str],
     """
     from functools import reduce
 
+    # a pure parallelization knob: the statistic is bucket-invariant,
+    # so clamp rather than let n_buckets=1 produce an empty edges agg
+    n_buckets = max(int(n_buckets), 2)
     out = []
     for col in num_cols:
         sides = (ref.select(F.col(col).alias("__x"))

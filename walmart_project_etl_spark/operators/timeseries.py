@@ -438,11 +438,17 @@ def _holt_winters_segmented(daily: DataFrame, entity_col: str, m: int,
 
     summaries = phased.select(
         entity_col, "__blk", F.size("__s").alias("__n"),
+        # each block needs exactly ONE of the two folds — If() evaluates
+        # only the taken branch at runtime, so the guards halve the
+        # per-block expression work (the (m+2)² composition is the
+        # dominant cost in the long-entity regime this path exists for)
         # opening block (φ=0): the plain recursion from l₀=x₀
-        _hw_fold(xs, m, a, b, g).alias("__first"),
+        F.when(F.col("__phi") == 0,
+               _hw_fold(xs, m, a, b, g)).alias("__first"),
         # interior block: the composed (A, c) over all its points,
         # phase-correct because i starts at this block's φ
-        F.aggregate(xs, aff_init, aff_step).alias("__aff"))
+        F.when(F.col("__phi") != 0,
+               F.aggregate(xs, aff_init, aff_step)).alias("__aff"))
     chained = (summaries.groupBy(entity_col)
                .agg(F.sum("__n").cast("int").alias("n_days"),
                     F.array_sort(F.collect_list(F.struct(

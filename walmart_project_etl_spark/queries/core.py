@@ -2779,7 +2779,7 @@ def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
              + (CASE WHEN x >= e6 THEN 1 ELSE 0 END)
              + (CASE WHEN x >= e7 THEN 1 ELSE 0 END)
              + (CASE WHEN x >= e8 THEN 1 ELSE 0 END) AS b
-        FROM sides, e),
+        FROM sides, e WHERE x IS NOT NULL),
       numc AS (SELECT side, b, count(*) AS c FROM nb GROUP BY side, b),
       catc AS (SELECT side, cat AS b, count(*) AS c FROM sides
                WHERE cat IS NOT NULL GROUP BY side, cat),

@@ -3036,7 +3036,7 @@ nb AS (
        + (CASE WHEN x >= e6 THEN 1 ELSE 0 END)
        + (CASE WHEN x >= e7 THEN 1 ELSE 0 END)
        + (CASE WHEN x >= e8 THEN 1 ELSE 0 END) AS b
-  FROM sides, e),
+  FROM sides, e WHERE x IS NOT NULL),
 numc AS (SELECT side, b, count(*) AS c FROM nb GROUP BY side, b),
 r1 AS (SELECT b, c AS cr FROM numc WHERE side = 'r'),
 c1 AS (SELECT b, c AS cc FROM numc WHERE side = 'c'),
@@ -3089,7 +3089,8 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = reduce(
         lambda acc, e: acc + F.when(F.col("value") >= F.lit(float(e)), 1)
         .otherwise(0), edges, F.lit(0))
-    ref_cnt = (ref.select(bucket.alias("b"))
+    ref_cnt = (ref.where(F.col("value").isNotNull())
+               .select(bucket.alias("b"))
                .groupBy("b").agg(F.count(F.lit(1)).alias("c")))
     cnt = (ref_cnt.select(F.lit("r").alias("__side"),
                           F.col("b").alias("__b"), F.col("c").alias("__c"))
@@ -3100,8 +3101,10 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("stream_ks_drift", """
-WITH ref AS (SELECT value AS x FROM events WHERE user_id % 2 = 0),
-cur AS (SELECT value AS x FROM events WHERE user_id % 2 = 1),
+WITH ref AS (SELECT value AS x FROM events
+             WHERE user_id % 2 = 0 AND value IS NOT NULL),
+cur AS (SELECT value AS x FROM events
+        WHERE user_id % 2 = 1 AND value IS NOT NULL),
 s AS (SELECT x, 1 AS r, 0 AS c FROM ref
       UNION ALL SELECT x, 0, 1 FROM cur),
 pv AS (SELECT x, sum(r) AS cr, sum(c) AS cc FROM s GROUP BY x),

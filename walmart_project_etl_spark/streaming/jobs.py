@@ -691,59 +691,28 @@ def stream_psi_bucket_counts(spark: SparkSession, events_path: str,
     checkpoint says is pending). At serving scale the deltas compact
     trivially (each is bucket-count-sized, never row-sized).
 
+    NULL values are missingness, not distribution mass — excluded from
+    the bucket counts (the psi_drift/ks_drift convention).
+
     Returns the accumulated (b, c) counts table, also materialized at
     ``tgt/psi_counts``.
     """
-    import os
-    import tempfile
-
     from functools import reduce
-
-    from walmart_project_etl_spark.sources.catalog import Warehouse
-
-    wh = Warehouse(spark, warehouse_root)
-    wh.drop("tgt", "psi_counts")
-    deltas_root = wh.path("tgt", "psi_counts_deltas")
-    if checkpoint_dir is None:
-        ckpt = os.path.join(tempfile.mkdtemp(prefix="wpe_stream_psi_"),
-                            "ckpt")
-    else:
-        ckpt = checkpoint_dir
-    if not os.path.exists(ckpt):
-        # fresh run: stale deltas from a prior (different-checkpoint)
-        # run would double-count — the checkpoint owns the delta dir
-        wh.drop("tgt", "psi_counts_deltas")
 
     bucket = reduce(
         lambda acc, e: acc + F.when(F.col("value") >= F.lit(float(e)), 1)
         .otherwise(0), edges, F.lit(0))
 
-    def add_counts(batch_df: DataFrame, batch_id: int) -> None:
-        cnt = (batch_df.select(bucket.alias("b"))
-               .groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c")))
-        # idempotent sink: the delta dir is keyed by batch_id, so a
-        # replayed batch overwrites ITS OWN partition (same content)
-        # rather than re-adding into a running total
-        cnt.write.mode("overwrite").parquet(
-            os.path.join(deltas_root, f"batch={int(batch_id)}"))
+    def batch_counts(batch_df: DataFrame) -> DataFrame:
+        return (batch_df.where(F.col("value").isNotNull())
+                .select(bucket.alias("b"))
+                .groupBy("b")
+                .agg(F.count(F.lit(1)).cast("long").alias("c")))
 
-    ev = (spark.readStream
-          .schema(EVENTS_SCHEMA)
-          .option("maxFilesPerTrigger", max_files_per_trigger)
-          .format("parquet")
-          .load(events_path)
-          .where(F.col("user_id") % 2 == user_parity))
-    q = (ev.writeStream
-         .foreachBatch(add_counts)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    total = (spark.read.option("basePath", deltas_root)
-             .parquet(deltas_root)
-             .groupBy("b").agg(F.sum("c").cast("long").alias("c")))
-    wh.write("tgt", "psi_counts", total)
-    return wh.read("tgt", "psi_counts")
+    return _stream_count_deltas(spark, events_path, warehouse_root,
+                                "psi_counts", "b", batch_counts,
+                                user_parity, max_files_per_trigger,
+                                checkpoint_dir, "wpe_stream_psi_")
 
 
 def stream_value_counts(spark: SparkSession, events_path: str,
@@ -758,16 +727,43 @@ def stream_value_counts(spark: SparkSession, events_path: str,
     metric's distinct-value cardinality, NOT the row count — fine for
     discretized/quantized metrics, document the bound per metric).
 
-    Same replay-idempotent sink as :func:`stream_psi_bucket_counts`:
-    each micro-batch writes its (x, c) counts as a parquet delta keyed
-    by its batch_id; a replayed batch overwrites its own partition
-    instead of double-adding. Addition is associative, so the
-    accumulated counts equal the batch counts for ANY micro-batch
-    split — which is what lets the registered oracle be the plain
-    batch KS.
+    Same replay-idempotent sink as :func:`stream_psi_bucket_counts`
+    (shared: :func:`_stream_count_deltas`): each micro-batch writes its
+    (x, c) counts as a parquet delta keyed by its batch_id; a replayed
+    batch overwrites its own partition instead of double-adding.
+    Addition is associative, so the accumulated counts equal the batch
+    counts for ANY micro-batch split — which is what lets the
+    registered oracle be the plain batch KS.
 
     Returns the accumulated (x, c) counts table, also materialized at
     ``tgt/ks_value_counts``.
+    """
+
+    def batch_counts(batch_df: DataFrame) -> DataFrame:
+        return (batch_df.select(F.col("value").alias("x"))
+                .where(F.col("x").isNotNull())
+                .groupBy("x")
+                .agg(F.count(F.lit(1)).cast("long").alias("c")))
+
+    return _stream_count_deltas(spark, events_path, warehouse_root,
+                                "ks_value_counts", "x", batch_counts,
+                                user_parity, max_files_per_trigger,
+                                checkpoint_dir, "wpe_stream_ks_")
+
+
+def _stream_count_deltas(spark: SparkSession, events_path: str,
+                         warehouse_root: str, table: str, key_col: str,
+                         batch_counts, user_parity: int,
+                         max_files_per_trigger: int,
+                         checkpoint_dir: str | None,
+                         ckpt_prefix: str) -> DataFrame:
+    """Shared replay-idempotent count-accumulator sink: stream the
+    parity-filtered events, reduce each micro-batch to a (key, c)
+    count frame via ``batch_counts``, and write it as a parquet delta
+    keyed by the batch_id — a replayed micro-batch (crash between sink
+    write and checkpoint commit) overwrites ITS OWN partition with
+    identical content instead of double-adding into a running total.
+    The final table is the per-key sum over all deltas.
     """
     import os
     import tempfile
@@ -775,21 +771,19 @@ def stream_value_counts(spark: SparkSession, events_path: str,
     from walmart_project_etl_spark.sources.catalog import Warehouse
 
     wh = Warehouse(spark, warehouse_root)
-    wh.drop("tgt", "ks_value_counts")
-    deltas_root = wh.path("tgt", "ks_value_counts_deltas")
+    wh.drop("tgt", table)
+    deltas_root = wh.path("tgt", f"{table}_deltas")
     if checkpoint_dir is None:
-        ckpt = os.path.join(tempfile.mkdtemp(prefix="wpe_stream_ks_"),
-                            "ckpt")
+        ckpt = os.path.join(tempfile.mkdtemp(prefix=ckpt_prefix), "ckpt")
     else:
         ckpt = checkpoint_dir
     if not os.path.exists(ckpt):
-        wh.drop("tgt", "ks_value_counts_deltas")
+        # fresh run: stale deltas from a prior (different-checkpoint)
+        # run would double-count — the checkpoint owns the delta dir
+        wh.drop("tgt", f"{table}_deltas")
 
     def add_counts(batch_df: DataFrame, batch_id: int) -> None:
-        cnt = (batch_df.select(F.col("value").alias("x"))
-               .where(F.col("x").isNotNull())
-               .groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c")))
-        cnt.write.mode("overwrite").parquet(
+        batch_counts(batch_df).write.mode("overwrite").parquet(
             os.path.join(deltas_root, f"batch={int(batch_id)}"))
 
     ev = (spark.readStream
@@ -806,6 +800,6 @@ def stream_value_counts(spark: SparkSession, events_path: str,
     q.awaitTermination()
     total = (spark.read.option("basePath", deltas_root)
              .parquet(deltas_root)
-             .groupBy("x").agg(F.sum("c").cast("long").alias("c")))
-    wh.write("tgt", "ks_value_counts", total)
-    return wh.read("tgt", "ks_value_counts")
+             .groupBy(key_col).agg(F.sum("c").cast("long").alias("c")))
+    wh.write("tgt", table, total)
+    return wh.read("tgt", table)
