@@ -252,6 +252,58 @@ def test_ks_drift_matches_duckdb_prefix_sum(spark):
     assert (got["ks"], got["n_ref"], got["n_cur"]) == want
 
 
+def test_chisq_drift_closed_form_and_duckdb(spark):
+    """Hand-computed 2x2 homogeneity: ref a,a,a,b vs cur a,b,b,b →
+    all four expected cells are 2, each (O-E)^2/E term is 0.5,
+    chi-square = 2.0, dof = 1; identical sides → 0; NULLs excluded;
+    engine equals a DuckDB recomputation on a skewed-table sample."""
+    import duckdb
+    from walmart_project_etl_spark.operators.cleaning import chisq_drift
+
+    ref = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), (None,)], "c string")
+    cur = spark.createDataFrame(
+        [("a",), ("b",), ("b",), ("b",), (None,)], "c string")
+    r = chisq_drift(ref, cur, ["c"]).collect()[0]
+    assert (r["feature"], r["chisq"], r["dof"], r["n_ref"],
+            r["n_cur"]) == ("c", 2.0, 1, 4, 4)
+    same = chisq_drift(ref, ref, ["c"]).collect()[0]
+    assert same["chisq"] == 0.0
+
+    ref_v = [f"cat{(i * 7919) % 7}" for i in range(300)]
+    cur_v = [f"cat{(i * 104729) % 9}" for i in range(250)]
+    sref = spark.createDataFrame([(v,) for v in ref_v], "c string")
+    scur = spark.createDataFrame([(v,) for v in cur_v], "c string")
+    got = chisq_drift(sref, scur, ["c"]).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r(c VARCHAR); CREATE TABLE u(c VARCHAR)")
+    con.executemany("INSERT INTO r VALUES (?)", [(v,) for v in ref_v])
+    con.executemany("INSERT INTO u VALUES (?)", [(v,) for v in cur_v])
+    want = con.execute("""
+        WITH s AS (SELECT c AS b, 1 AS r, 0 AS c2 FROM r
+                   UNION ALL SELECT c, 0, 1 FROM u),
+        cnt AS (SELECT b, sum(r) AS cr, sum(c2) AS cc FROM s
+                WHERE b IS NOT NULL GROUP BY b),
+        tot AS (SELECT sum(cr) AS nr, sum(cc) AS nc, count(*) AS k
+                FROM cnt),
+        t0 AS (SELECT cr, cc, nr, nc, k,
+                 nr::DOUBLE * (cr+cc)::DOUBLE / (nr+nc)::DOUBLE AS er,
+                 nc::DOUBLE * (cr+cc)::DOUBLE / (nr+nc)::DOUBLE AS ec
+               FROM cnt, tot),
+        t AS (SELECT
+                round(CAST((cr::DOUBLE - er)*(cr::DOUBLE - er)/er
+                      AS DECIMAL(28,12)), 9)::DECIMAL(20,9) AS tr,
+                round(CAST((cc::DOUBLE - ec)*(cc::DOUBLE - ec)/ec
+                      AS DECIMAL(28,12)), 9)::DECIMAL(20,9) AS tc,
+                nr, nc, k
+              FROM t0)
+        SELECT round(CAST(CAST(sum(tr)+sum(tc) AS DOUBLE)
+                     AS DECIMAL(28,8)), 6)::DOUBLE,
+               (any_value(k)-1)::INT, any_value(nr)::BIGINT,
+               any_value(nc)::BIGINT FROM t""").fetchone()
+    assert (got["chisq"], got["dof"], got["n_ref"], got["n_cur"]) == want
+
+
 def test_psi_drift_null_category_matches_sql_semantics(spark):
     """A nullable categorical column: NULLs are excluded from both the
     bucket counts AND the smoothing constant k (count(DISTINCT cat)

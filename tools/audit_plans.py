@@ -58,6 +58,9 @@ ALLOW = {
     # shape); the fusion itself is a (query, id) equi-join over
     # candidate-sized frames
     "sim_rrf_ann_fusion": {"BroadcastNestedLoopJoin"},
+    # chi-square homogeneity: the 1-row (nr, nc, k) totals frame
+    # crossJoined back over the k-row category counts
+    "dq_chisq_drift": {"BroadcastNestedLoopJoin"},
     # exact-KS prefix-sum: broadcast scalar frames only — the 9
     # percentile edges and the two side-total counts crossJoined back
     # over the value-grain frame (the per-bucket offsets window runs

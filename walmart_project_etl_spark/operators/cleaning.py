@@ -375,6 +375,65 @@ def ks_drift(ref, cur, num_cols: list[str],
     return reduce(lambda a, b2: a.unionByName(b2), out)
 
 
+def chisq_drift(ref, cur, cat_cols: list[str]):
+    """Two-sample chi-square homogeneity statistic per CATEGORICAL
+    feature — the drift-monitor trio's third member (PSI = binned
+    divergence, KS = continuous nonparametric, chi² = the classic
+    contingency-table test whose statistic scales with sample size, so
+    it feeds a significance threshold where PSI feeds a fixed rule of
+    thumb). χ² = Σ over the 2×k table of (O − E)²/E with
+    E = row_total·col_total/n.
+
+    Shape: ONE (category) count with per-side conditional counts (the
+    PSI categorical shape), then scalar row totals broadcast back —
+    k-sized frames everywhere after the first shuffle. Each cell term
+    rounds to 9 and DECIMAL-sums (the PSI convention), so the report
+    carries an exact SQL oracle. NULL categories are missingness, not
+    categories (the module convention); both sides must be non-empty.
+
+    Returns one row per feature: (feature, chisq round-6, dof,
+    n_ref, n_cur).
+    """
+    from functools import reduce
+
+    out = []
+    for col in cat_cols:
+        sides = (ref.select(F.col(col).alias("__b"))
+                 .withColumn("__side", F.lit("r"))
+                 .unionByName(cur.select(F.col(col).alias("__b"))
+                              .withColumn("__side", F.lit("c")))
+                 .where(F.col("__b").isNotNull()))
+        cnt = (sides.groupBy("__b")
+               .agg(F.count(F.when(F.col("__side") == "r", 1))
+                    .alias("__cr"),
+                    F.count(F.when(F.col("__side") == "c", 1))
+                    .alias("__cc")))
+        tot = cnt.agg(F.sum("__cr").alias("__nr"),
+                      F.sum("__cc").alias("__nc"),
+                      F.count(F.lit(1)).alias("__k"))
+        j = cnt.crossJoin(F.broadcast(tot))
+        tj = (F.col("__cr") + F.col("__cc")).cast("double")
+        n = (F.col("__nr") + F.col("__nc")).cast("double")
+        er = F.col("__nr").cast("double") * tj / n
+        ec = F.col("__nc").cast("double") * tj / n
+
+        def term(o, e):
+            d = o.cast("double") - e
+            return F.round((d * d / e).cast("decimal(28,12)"), 9) \
+                    .cast("decimal(20,9)")
+
+        out.append(j.agg(
+            F.lit(col).alias("feature"),
+            F.round((F.sum(term(F.col("__cr"), er))
+                     + F.sum(term(F.col("__cc"), ec)))
+                    .cast("double").cast("decimal(28,8)"), 6)
+             .cast("double").alias("chisq"),
+            (F.any_value("__k") - 1).cast("int").alias("dof"),
+            F.any_value("__nr").cast("long").alias("n_ref"),
+            F.any_value("__nc").cast("long").alias("n_cur")))
+    return reduce(lambda a, b2: a.unionByName(b2), out)
+
+
 def _ks_from_value_counts(per_val, edges, n_edges: int, feature: str):
     """KS statistic from a per-distinct-value side-count table
     (``__x``, ``__cr``, ``__cc``) + a 1-row edges frame with ``__e1..``

@@ -2847,6 +2847,55 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(ref, cur, ["o_totalprice"], ["o_orderpriority"])
 
 
+@q("dq_chisq_drift",
+   """WITH ref AS (
+        SELECT o_orderpriority AS b FROM orders WHERE o_orderkey % 2 = 0),
+      cur AS (
+        SELECT CASE WHEN o_custkey % 5 = 0 THEN '1-URGENT'
+                    ELSE o_orderpriority END AS b
+        FROM orders WHERE o_orderkey % 2 = 1),
+      s AS (SELECT b, 1 AS r, 0 AS c FROM ref
+            UNION ALL SELECT b, 0, 1 FROM cur),
+      cnt AS (SELECT b, sum(r) AS cr, sum(c) AS cc FROM s
+              WHERE b IS NOT NULL GROUP BY b),
+      tot AS (SELECT sum(cr) AS nr, sum(cc) AS nc, count(*) AS k
+              FROM cnt),
+      t0 AS (SELECT cr, cc, nr, nc, k,
+               nr::DOUBLE * (cr+cc)::DOUBLE / (nr+nc)::DOUBLE AS er,
+               nc::DOUBLE * (cr+cc)::DOUBLE / (nr+nc)::DOUBLE AS ec
+             FROM cnt, tot),
+      t AS (SELECT
+              round(CAST((cr::DOUBLE - er)*(cr::DOUBLE - er)/er
+                    AS DECIMAL(28,12)), 9)::DECIMAL(20,9) AS tr,
+              round(CAST((cc::DOUBLE - ec)*(cc::DOUBLE - ec)/ec
+                    AS DECIMAL(28,12)), 9)::DECIMAL(20,9) AS tc,
+              nr, nc, k
+            FROM t0)
+      SELECT 'o_orderpriority' AS feature,
+             round(CAST(CAST(sum(tr)+sum(tc) AS DOUBLE)
+                   AS DECIMAL(28,8)), 6)::DOUBLE AS chisq,
+             (any_value(k)-1)::INT AS dof,
+             any_value(nr)::BIGINT AS n_ref,
+             any_value(nc)::BIGINT AS n_cur
+      FROM t""")
+def dq_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample CHI-SQUARE homogeneity drift
+    (operators/cleaning.py:chisq_drift) on dq_psi_drift's categorical
+    fixture — the drift trio's third member (PSI = binned divergence
+    with a fixed rule of thumb, KS = continuous nonparametric, chi² =
+    the contingency-table statistic that scales with sample size and
+    feeds a significance threshold). One category-grain count shuffle,
+    scalar totals broadcast back, per-cell (O−E)²/E terms rounded to 9
+    and DECIMAL-summed — exact SQL oracle."""
+    from walmart_project_etl_spark.operators.cleaning import chisq_drift
+    o = t(spark, sf_dir, "orders")
+    ref = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderpriority")
+    cur = o.where(F.col("o_orderkey") % 2 == 1).select(
+        F.when(F.col("o_custkey") % 5 == 0, F.lit("1-URGENT"))
+         .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"))
+    return chisq_drift(ref, cur, ["o_orderpriority"])
+
+
 @q("dq_ks_drift",
    """WITH ref AS (
         SELECT o_totalprice AS x FROM orders WHERE o_orderkey % 2 = 0),
