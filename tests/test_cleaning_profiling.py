@@ -252,6 +252,54 @@ def test_ks_drift_matches_duckdb_prefix_sum(spark):
     assert (got["ks"], got["n_ref"], got["n_cur"]) == want
 
 
+def test_mwu_drift_closed_form_and_duckdb(spark):
+    """Hand-computed rank-sum with a cross-side tie: ref=[1,2],
+    cur=[2,3] → midranks 1, 2.5, 4; R_cur=6.5, U=3.5,
+    auc = 3.5/4 = 0.875 (P(cur>ref) + P(tie)/2 over the 4 pairs);
+    identical sides → auc 0.5; bucket-count invariant; engine equals
+    DuckDB on a heavy-ties sample."""
+    import duckdb
+    from walmart_project_etl_spark.operators.cleaning import mwu_drift
+
+    ref = spark.createDataFrame([(1.0,), (2.0,), (None,)], "x double")
+    cur = spark.createDataFrame([(2.0,), (3.0,), (None,)], "x double")
+    for nb in (2, 32):
+        r = mwu_drift(ref, cur, ["x"], n_buckets=nb).collect()[0]
+        assert (r["feature"], r["u"], r["auc"], r["n_ref"],
+                r["n_cur"]) == ("x", 3.5, 0.875, 2, 2)
+    same = mwu_drift(ref, ref, ["x"]).collect()[0]
+    assert same["auc"] == 0.5
+
+    ref_v = [float((i * 7919) % 13) for i in range(200)]
+    cur_v = [float((i * 104729) % 17) for i in range(150)]
+    sref = spark.createDataFrame([(v,) for v in ref_v], "x double")
+    scur = spark.createDataFrame([(v,) for v in cur_v], "x double")
+    got = mwu_drift(sref, scur, ["x"]).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r(x DOUBLE); CREATE TABLE u(x DOUBLE)")
+    con.executemany("INSERT INTO r VALUES (?)", [(v,) for v in ref_v])
+    con.executemany("INSERT INTO u VALUES (?)", [(v,) for v in cur_v])
+    want = con.execute("""
+        WITH s AS (SELECT x, 1 AS r, 0 AS c FROM r
+                   UNION ALL SELECT x, 0, 1 FROM u),
+        pv AS (SELECT x, sum(r) AS cr, sum(c) AS cc FROM s GROUP BY x),
+        n AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM pv),
+        cum AS (SELECT cr, cc,
+                       sum(cr) OVER (ORDER BY x) AS kr,
+                       sum(cc) OVER (ORDER BY x) AS kc FROM pv),
+        m AS (SELECT cc, 2*(kr+kc) - (cr+cc) + 1 AS m2 FROM cum),
+        r2 AS (SELECT sum(cc::DECIMAL(19,0) * m2::DECIMAL(19,0)) AS s2
+               FROM m),
+        uu AS (SELECT s2 - nc::DECIMAL(19,0)*(nc::DECIMAL(19,0)+1)
+                      AS u2, nr, nc FROM r2, n)
+        SELECT CAST(u2 AS DOUBLE)/2,
+               round(CAST(CAST(u2 AS DOUBLE)
+                     / (2*nr::DOUBLE*nc::DOUBLE)
+                     AS DECIMAL(28,8)), 6)::DOUBLE,
+               nr::BIGINT, nc::BIGINT FROM uu""").fetchone()
+    assert (got["u"], got["auc"], got["n_ref"], got["n_cur"]) == want
+
+
 def test_chisq_drift_closed_form_and_duckdb(spark):
     """Hand-computed 2x2 homogeneity: ref a,a,a,b vs cur a,b,b,b →
     all four expected cells are 2, each (O-E)^2/E term is 0.5,

@@ -67,6 +67,10 @@ ALLOW = {
     # over the n_buckets-row totals frame)
     "dq_ks_drift": {"BroadcastNestedLoopJoin",
                     "Exchange SinglePartition (non-scalar result)"},
+    # Mann-Whitney rank-sum: same prefix-sum core and scalar
+    # broadcast shapes as dq_ks_drift
+    "dq_mwu_drift": {"BroadcastNestedLoopJoin",
+                     "Exchange SinglePartition (non-scalar result)"},
     # streaming twin of the exact-KS prefix-sum — same scalar
     # broadcast shapes over the accumulated value-counts table
     "stream_ks_drift": {"BroadcastNestedLoopJoin",

@@ -434,12 +434,15 @@ def chisq_drift(ref, cur, cat_cols: list[str]):
     return reduce(lambda a, b2: a.unionByName(b2), out)
 
 
-def _ks_from_value_counts(per_val, edges, n_edges: int, feature: str):
-    """KS statistic from a per-distinct-value side-count table
-    (``__x``, ``__cr``, ``__cc``) + a 1-row edges frame with ``__e1..``
-    bucket boundaries — the distributed prefix-sum shared by the batch
-    operator and the streaming twin (whose count table accumulates
-    over micro-batches)."""
+def _cum_value_counts(per_val, edges, n_edges: int):
+    """The distributed prefix-sum core shared by the rank statistics:
+    from a per-distinct-value side-count table (``__x``, ``__cr``,
+    ``__cc``) + a 1-row edges frame with ``__e1..`` range boundaries,
+    produce one row per distinct value carrying INCLUSIVE cumulative
+    side counts ``__kr``/``__kc`` (decimal(38,0)) and the side totals
+    ``__nr``/``__nc`` — in-bucket window cumsums plus broadcast
+    per-bucket offsets (the offsets window runs over the
+    n_buckets-row totals frame, the only single-partition step)."""
     from functools import reduce
 
     b = reduce(lambda acc, i: acc + F.when(
@@ -449,7 +452,7 @@ def _ks_from_value_counts(per_val, edges, n_edges: int, feature: str):
                 .select("__x", "__cr", "__cc", b.alias("__b")))
     win = Window.partitionBy("__b").orderBy("__x")
     within = bucketed.select(
-        "__b", "__x",
+        "__b", "__x", "__cr", "__cc",
         F.sum("__cr").over(win).alias("__kr0"),
         F.sum("__cc").over(win).alias("__kc0"))
     totals = (bucketed.groupBy("__b")
@@ -463,12 +466,23 @@ def _ks_from_value_counts(per_val, edges, n_edges: int, feature: str):
         F.coalesce(F.sum("__tc").over(owin), F.lit(0)).alias("__oc"))
     nr = per_val.agg(F.sum("__cr").alias("__nr"))
     nc = per_val.agg(F.sum("__cc").alias("__nc"))
-    kr = (F.col("__kr0") + F.col("__or")).cast("decimal(38,0)")
-    kc = (F.col("__kc0") + F.col("__oc")).cast("decimal(38,0)")
-    dnum = F.abs(kr * F.col("__nc").cast("decimal(38,0)")
-                 - kc * F.col("__nr").cast("decimal(38,0)"))
-    scored = (within.join(F.broadcast(offsets), "__b")
-              .crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nc)))
+    return (within.join(F.broadcast(offsets), "__b")
+            .crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nc))
+            .select("__x", "__cr", "__cc", "__nr", "__nc",
+                    (F.col("__kr0") + F.col("__or"))
+                    .cast("decimal(38,0)").alias("__kr"),
+                    (F.col("__kc0") + F.col("__oc"))
+                    .cast("decimal(38,0)").alias("__kc")))
+
+
+def _ks_from_value_counts(per_val, edges, n_edges: int, feature: str):
+    """KS statistic from a per-distinct-value side-count table — the
+    prefix-sum core (:func:`_cum_value_counts`) shared by the batch
+    operator and the streaming twin (whose count table accumulates
+    over micro-batches)."""
+    scored = _cum_value_counts(per_val, edges, n_edges)
+    dnum = F.abs(F.col("__kr") * F.col("__nc").cast("decimal(38,0)")
+                 - F.col("__kc") * F.col("__nr").cast("decimal(38,0)"))
     return scored.agg(
         F.lit(feature).alias("feature"),
         F.round((F.max(dnum).cast("double")
@@ -477,6 +491,69 @@ def _ks_from_value_counts(per_val, edges, n_edges: int, feature: str):
                 .cast("decimal(28,8)"), 6).cast("double").alias("ks"),
         F.any_value("__nr").cast("long").alias("n_ref"),
         F.any_value("__nc").cast("long").alias("n_cur"))
+
+
+def mwu_drift(ref, cur, num_cols: list[str], n_buckets: int = 32):
+    """Two-sample MANN-WHITNEY U (Wilcoxon rank-sum) per numeric
+    feature, with the common-language effect size — the rank
+    statistic that answers "did the distribution SHIFT?" where KS
+    answers "did it DIFFER anywhere?": auc = U/(n_ref·n_cur) is the
+    probability a random current value exceeds a random reference
+    value (ties count half), so 0.5 = no shift and the distance from
+    0.5 is directly interpretable drift.
+
+    Integer-exact ties: the t tied observations at a value share
+    midrank C_prev + (t+1)/2; DOUBLED midranks 2·K_incl − t + 1 are
+    integers (K_incl = pooled inclusive cumulative count), so the rank
+    sum, 2U = 2R_cur − n_cur(n_cur+1), and the final division are
+    computed from decimal(38,0) integers — bit-exact on any engine,
+    recomputed SQL oracle. Same distributed prefix-sum core as
+    :func:`ks_drift` (:func:`_cum_value_counts`); NULLs are
+    missingness, excluded.
+
+    Returns one row per feature: (feature, u double, auc round-6,
+    n_ref, n_cur).
+    """
+    from functools import reduce
+
+    n_buckets = max(int(n_buckets), 2)
+    out = []
+    for col in num_cols:
+        sides = (ref.select(F.col(col).alias("__x"))
+                 .withColumn("__side", F.lit("r"))
+                 .unionByName(cur.select(F.col(col).alias("__x"))
+                              .withColumn("__side", F.lit("c")))
+                 .where(F.col("__x").isNotNull()))
+        per_val = (sides.groupBy("__x")
+                   .agg(F.count(F.when(F.col("__side") == "r", 1))
+                        .alias("__cr"),
+                        F.count(F.when(F.col("__side") == "c", 1))
+                        .alias("__cc")))
+        edges = ref.where(F.col(col).isNotNull()).agg(*[
+            F.expr(f"percentile({col}, {i / n_buckets})").alias(f"__e{i}")
+            for i in range(1, n_buckets)])
+        scored = _cum_value_counts(per_val, edges, n_buckets - 1)
+        # doubled midrank of the ties at __x: 2*(kr+kc) - (cr+cc) + 1
+        # (a long; decimal(19,0) factors keep the product inside
+        # decimal(38,0) with no precision-loss capping)
+        m2 = (F.lit(2) * (F.col("__kr") + F.col("__kc")).cast("long")
+              - (F.col("__cr") + F.col("__cc")) + F.lit(1))
+        r2_term = (F.col("__cc").cast("decimal(19,0)")
+                   * m2.cast("decimal(19,0)"))
+        ncd = F.any_value("__nc").cast("decimal(19,0)")
+        u2 = (F.sum(r2_term)
+              - ncd * (ncd + F.lit(1).cast("decimal(19,0)")))
+        out.append(scored.agg(
+            F.lit(col).alias("feature"),
+            (u2.cast("double") / F.lit(2.0)).alias("u"),
+            F.round((u2.cast("double")
+                     / (F.lit(2.0) * F.any_value("__nr").cast("double")
+                        * F.any_value("__nc").cast("double")))
+                    .cast("decimal(28,8)"), 6).cast("double")
+             .alias("auc"),
+            F.any_value("__nr").cast("long").alias("n_ref"),
+            F.any_value("__nc").cast("long").alias("n_cur")))
+    return reduce(lambda a, b2: a.unionByName(b2), out)
 
 
 def _psi_from_counts(cnt, feature: str, k: int):

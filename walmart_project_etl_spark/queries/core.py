@@ -2847,6 +2847,51 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(ref, cur, ["o_totalprice"], ["o_orderpriority"])
 
 
+@q("dq_mwu_drift",
+   """WITH ref AS (
+        SELECT o_totalprice AS x FROM orders WHERE o_orderkey % 2 = 0),
+      cur AS (
+        SELECT CASE WHEN o_custkey % 3 = 0 THEN o_totalprice * 1.5
+                    ELSE o_totalprice END AS x
+        FROM orders WHERE o_orderkey % 2 = 1),
+      s AS (SELECT x, 1 AS r, 0 AS c FROM ref
+            UNION ALL SELECT x, 0, 1 FROM cur),
+      pv AS (SELECT x, sum(r) AS cr, sum(c) AS cc FROM s GROUP BY x),
+      n AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM pv),
+      cum AS (SELECT cr, cc,
+                     sum(cr) OVER (ORDER BY x) AS kr,
+                     sum(cc) OVER (ORDER BY x) AS kc FROM pv),
+      m AS (SELECT cc, 2*(kr+kc) - (cr+cc) + 1 AS m2 FROM cum),
+      r2 AS (SELECT sum(cc::DECIMAL(19,0) * m2::DECIMAL(19,0)) AS s2
+             FROM m),
+      uu AS (SELECT s2 - nc::DECIMAL(19,0)*(nc::DECIMAL(19,0)+1) AS u2,
+                    nr, nc FROM r2, n)
+      SELECT 'o_totalprice' AS feature,
+             CAST(u2 AS DOUBLE)/2 AS u,
+             round(CAST(CAST(u2 AS DOUBLE) / (2*nr::DOUBLE*nc::DOUBLE)
+                   AS DECIMAL(28,8)), 6)::DOUBLE AS auc,
+             nr::BIGINT AS n_ref, nc::BIGINT AS n_cur
+      FROM uu""")
+def dq_mwu_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample MANN-WHITNEY U / rank-sum drift
+    (operators/cleaning.py:mwu_drift) on the dq_ks_drift fixture — the
+    drift suite's SHIFT detector: auc = U/(n_ref·n_cur) is the
+    probability a random current value beats a random reference value
+    (ties half), 0.5 = no shift, directly interpretable where KS's max
+    ECDF gap is shape-agnostic. Doubled midranks keep every tie
+    computation in decimal integers (2·K_incl − t + 1), so the whole
+    statistic is bit-exact and the oracle recomputes it. Same
+    prefix-sum core as KS — one value-grain shuffle, bucketed
+    cumsums."""
+    from walmart_project_etl_spark.operators.cleaning import mwu_drift
+    o = t(spark, sf_dir, "orders")
+    ref = o.where(F.col("o_orderkey") % 2 == 0).select("o_totalprice")
+    cur = o.where(F.col("o_orderkey") % 2 == 1).select(
+        F.when(F.col("o_custkey") % 3 == 0, F.col("o_totalprice") * 1.5)
+         .otherwise(F.col("o_totalprice")).alias("o_totalprice"))
+    return mwu_drift(ref, cur, ["o_totalprice"])
+
+
 @q("dq_chisq_drift",
    """WITH ref AS (
         SELECT o_orderpriority AS b FROM orders WHERE o_orderkey % 2 = 0),
