@@ -1242,6 +1242,32 @@ def test_contrastive_triplets_chain_and_negative_disjoint(spark):
     assert again == {tuple(r) for r in out}
 
 
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """Splitting on the dup-CLUSTER id: every cluster lands in exactly
+    one split (a near-dup of a training doc can never reach the eval
+    set), singletons split independently, and the assignment matches
+    hash_split's md5 bucket rule applied to the cluster id."""
+    from walmart_project_etl_spark.operators import graph
+    from walmart_project_etl_spark.operators.sampling import hash_split
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    corpus = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long")
+    labeled = graph.cluster_dedup(pairs, corpus, "doc_id") \
+                   .drop("is_canonical")
+    out = hash_split(labeled, "cluster_id",
+                     {"train": 50, "test": 50}).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    docs = {r["doc_id"]: r for r in out}
+    # dup group {1,2,3} shares one split; {10,11} shares one split
+    assert docs[1]["split"] == docs[2]["split"] == docs[3]["split"]
+    assert docs[10]["split"] == docs[11]["split"]
+    assert len(out) == 7
+
+
 def test_contrastive_triplets_small_and_empty_corpus(spark):
     """A corpus smaller than pool_size draws modulo the EFFECTIVE pool
     size (every negative_id stays a real doc); an empty corpus raises

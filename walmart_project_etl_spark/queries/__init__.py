@@ -39,6 +39,7 @@ _PRIORITY = (
     "stream_session_stats",
     "dq_chisq_drift",
     "dq_mwu_drift",
+    "sample_leakage_safe_split",
     # r7-era rotation: all 40 rows whose newest driver row is r7
     "a04_count_star_tables",
     "a08_conditional_ratio",
@@ -80,16 +81,15 @@ _PRIORITY = (
     "txn_schema_evolution",
     "u01_union_distinct",
     "w01_window_dedup_latest",
-    # r8-era rotation, first 3 of 50 (alphabetical; 7 slots went to the
+    # r8-era rotation, first 2 of 50 (alphabetical; 8 slots went to the
     # r14-new entries above)
     "dedup_cross_doc_ngram_score",
     "dedup_decontaminate_semantic",
-    "dedup_embedding_lsh",
 )
-#: r15 plan: after this window the stalest rows are the remaining 47
-#: r8-era entries (alphabetical from dedup_minhash_lsh onward), then
+#: r15 plan: after this window the stalest rows are the remaining 48
+#: r8-era entries (alphabetical from dedup_embedding_lsh onward), then
 #: the r9-era block (50 rows) — lead r15 with any r14-new entries that
-#: missed this window, then those 47, then the first r9-era rows.
+#: missed this window, then those 48, then the first r9-era rows.
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

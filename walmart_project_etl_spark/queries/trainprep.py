@@ -198,6 +198,44 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "split")
 
 
+@q("sample_leakage_safe_split",
+   _PAIRS_SQL + """,
+  edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+  reach AS (
+    SELECT a AS id, a AS r FROM edges
+    UNION
+    SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+  cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+  labeled AS (
+    SELECT c.doc_id, coalesce(cc.component, c.doc_id) AS cluster_id
+    FROM (SELECT doc_id FROM """ + _CHAINED_SQL + """ u) c
+    LEFT JOIN cc ON cc.id = c.doc_id)
+  SELECT doc_id, cluster_id,
+         CASE WHEN b < 90 THEN 'train'
+              WHEN b < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, cluster_id,
+               ('0x' || substr(md5('#' || cluster_id::VARCHAR), 1, 8))
+                 ::BIGINT % 100 AS b
+        FROM labeled)""")
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: hash-bucket on the DUP-CLUSTER
+    id, not the doc id — every member of a near-dup cluster inherits one
+    split, so a training document's near-copy can never sit in the eval
+    set (the train-test contamination a doc-grain split silently
+    permits whenever the corpus has dups — which is why this composes
+    the closure with the split instead of leaving it to the caller).
+    Reuses the shared labeled-corpus artifact (pair graph + transitive
+    closure built once, served many — `_labeled_chained`); the oracle
+    recomputes the closure with a recursive CTE and the identical md5
+    bucket rule. Returns (doc_id, cluster_id, split)."""
+    labeled = _labeled_chained(spark, sf_dir).select("doc_id", "cluster_id")
+    return sampling.hash_split(labeled, "cluster_id",
+                               {"train": 90, "val": 5, "test": 5}) \
+        .select("doc_id", "cluster_id", "split")
+
+
 @q("sample_cap_per_source",
    """SELECT doc_id, source FROM documents
       QUALIFY row_number() OVER (
