@@ -23,73 +23,79 @@ from . import core, funcs, llm, pipeline, trainprep
 _MODULES = (core, funcs, pipeline, llm, trainprep)
 
 #: Curated registration order. The driver's correctness harness records rows
-#: for (at most) the first 50 registry entries. Freshness entering r14
-#: (union of CORRECTNESS_r*.json): r13×50, r12×50, r11×50, r9×50, r8×50,
-#: r7×40 — every entry has a green driver row, the r7-era 40 are the stale
-#: tail. This round's window (r14, per VERDICT r13 task 1) leads with any
-#: r14-new entries, then ALL 40 r7-era rows, then the first r8-era rows
-#: (alphabetical) up to the 50-slot cap — r14-new entries displace from
-#: the r8-era tail.
+#: for (at most) the first 50 registry entries. Freshness entering r15
+#: (union of CORRECTNESS_r*.json): r14×50, r13×50, r12×50, r11×50, r9×50,
+#: r8×48 — every entry has a green driver row, the r8-era 48 are the stale
+#: tail. This round's window (r15, per VERDICT r14 task 1) leads with the
+#: r15-new entries, then the 48 r8-era rows (alphabetical) up to the
+#: 50-slot cap — r15-new entries displace from the r8-era tail; displaced
+#: rows lead the r16 window.
 _PRIORITY = (
-    # r14-new entries (displace from the r8-era tail)
-    "dedup_snm_boundary",
-    "sim_rrf_ann_fusion",
-    "dq_ks_drift",
-    "stream_ks_drift",
-    "stream_session_stats",
-    "dq_chisq_drift",
-    "dq_mwu_drift",
-    "sample_leakage_safe_split",
-    # r7-era rotation: all 40 rows whose newest driver row is r7
-    "a04_count_star_tables",
-    "a08_conditional_ratio",
-    "a09_distinct_rows",
-    "f01_md5_key_generation",
-    "f02_f29_date_int_id",
-    "f03_f05_f06_date_parts",
-    "f04_multiformat_date_parse",
-    "f07_f08_safe_cast_age_group",
-    "f09_title_case_clean",
-    "f10_null_defaults",
-    "f11_f13_product_rules",
-    "j02_broadcast_key_map_join",
-    "j04_d01_scd1_merge",
-    "j05_j06_j07_d02_scd2_two_run",
-    "j06_grouped_max_lookup_join",
-    "j08_multiway_fact_join",
-    "j09_interval_join_scd2",
-    "j12_bucketed_colocated_join",
-    "o01_orderby_limit_topk",
-    "o02_full_sort",
-    "o03_recent_slice",
-    "p04_date_membership_semi_join",
-    "p05_skip_missing_dim_key",
-    "p06_boolean_flag_filters",
-    "p07_rn1_filter",
-    "pipe_d02_scd_fixture",
-    "pipe_s01_s02_f04_csv_ingest",
-    "sim_recall_report",
-    "skew_salted_aggregate",
-    "skew_salted_join",
-    "text_langid",
-    "text_quality_classifier_report",
-    "text_stats_quality",
-    "text_token_counts",
-    "txn_catalog_star",
-    "txn_date_skipping",
-    "txn_delete_compact",
-    "txn_schema_evolution",
-    "u01_union_distinct",
-    "w01_window_dedup_latest",
-    # r8-era rotation, first 2 of 50 (alphabetical; 8 slots went to the
-    # r14-new entries above)
-    "dedup_cross_doc_ngram_score",
-    "dedup_decontaminate_semantic",
+    # r15-new entries (displace from the r8-era tail)
+    # (uncommented as each lands this round)
+    # "stream_chisq_drift",
+    # "stream_mwu_drift",
+    # "dq_drift_multicol",
+    # "dq_embedding_drift",
+    # "dedup_snm_chained",
+    # r8-era rotation: the 48 rows whose newest driver row is r8
+    # (alphabetical; the last len(r15-new) fall past the 50-cap and
+    # lead the r16 window)
+    "dedup_embedding_lsh",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "events_cohort_retention",
+    "events_dedup_latest",
+    "events_funnel",
+    "events_json_extract",
+    "events_sessionization",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "f14_market_from_region",
+    "f15_supplier_type",
+    "f16_f17_return_reason_rules",
+    "f18_f21_sales_rules",
+    "f22_f23_return_timing",
+    "f24_f26_inventory_rules",
+    "f30_contact_synthesis",
+    "f31_seeded_random_draws",
+    "f32_synthetic_inventory_levels",
+    "incr_distinct_maintenance",
+    "mm_byte_histogram_features",
+    "mm_resize_images",
+    "olap_percentiles",
+    "olap_pivot_event_values",
+    "olap_unpivot_metrics",
+    "pipe_a08_quality_ratios",
+    "pipe_bi_kpi_totals",
+    "pipe_bi_net_revenue_by_region",
+    "pipe_bi_profit_by_year",
+    "pipe_bi_returns_by_category",
+    "pipe_bi_sales_by_agegroup",
+    "pipe_bi_sales_by_category",
+    "pipe_bi_sales_by_segment",
+    "pipe_f31_f32_synthetic_facts",
+    "sample_hash_split",
+    "sample_weighted_mixture",
+    "scd2_merge_tx",
+    "sim_ivf_ann_topk",
+    "sim_ivf_persisted_topk",
+    "sim_lsh_ann_topk",
+    "sketch_approx_aggs",
+    "text_fingerprint",
+    "text_normalize",
+    "text_redact_pii",
+    "txn_keyset_lookup",
+    "txn_point_lookup",
+    "w02_moving_average",
+    "w03_rank_family",
 )
-#: r15 plan: after this window the stalest rows are the remaining 48
-#: r8-era entries (alphabetical from dedup_embedding_lsh onward), then
-#: the r9-era block (50 rows) — lead r15 with any r14-new entries that
-#: missed this window, then those 48, then the first r9-era rows.
+#: r16 plan: after this window the stalest rows are the last 3 r8-era
+#: entries displaced past the 50-cap (txn_point_lookup, w02_moving_average,
+#: w03_rank_family — verify against the CORRECTNESS_r15 actually recorded),
+#: then the r9-era block (50 rows: cdc_snapshot_diff ... onward,
+#: alphabetical). Lead r16 with any r15-new entries that missed this
+#: window, then those 3, then the first r9-era rows to the cap.
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
