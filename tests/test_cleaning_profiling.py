@@ -433,3 +433,82 @@ def test_split_expectations_null_predicate_quarantines(spark):
     assert {r["k"] for r in clean.collect()} == {1}
     reasons = {r["k"]: r["dq_reason"] for r in quar.collect()}
     assert reasons == {2: "v_positive", 3: "v_positive"}
+
+
+def test_drift_multicol_single_pass_equals_per_column(spark):
+    """The melted single-pass path must return EXACTLY the per-column
+    results for a ≥3-feature list (the r15 job-count collapse:
+    one (feature, value) shuffle instead of one per feature) — for
+    KS, MWU, chi-square, and PSI alike, including mixed int/double
+    feature types riding the order-preserving double melt."""
+    from walmart_project_etl_spark.operators.cleaning import (
+        chisq_drift, ks_drift, mwu_drift, psi_drift)
+
+    ref = spark.createDataFrame(
+        [(float(i % 17), i % 7, float((i * 3) % 11),
+          "abc"[i % 3], "xy"[i % 2]) for i in range(120)],
+        "x double, y int, z double, c string, d string")
+    cur = spark.createDataFrame(
+        [(float(i % 19) * 1.1, (i % 9) + 1, float((i * 5) % 11),
+          "abd"[i % 3], "xy"[(i + 1) % 2]) for i in range(90)],
+        "x double, y int, z double, c string, d string")
+
+    for op, cols in ((ks_drift, ["x", "y", "z"]),
+                     (mwu_drift, ["x", "y", "z"])):
+        multi = {r["feature"]: r for r in op(ref, cur, cols).collect()}
+        assert set(multi) == set(cols)
+        for c in cols:
+            single = op(ref, cur, [c]).collect()[0]
+            assert multi[c].asDict() == single.asDict(), c
+
+    multi = {r["feature"]: r
+             for r in chisq_drift(ref, cur, ["c", "d"]).collect()}
+    for c in ("c", "d"):
+        single = chisq_drift(ref, cur, [c]).collect()[0]
+        assert multi[c].asDict() == single.asDict(), c
+
+    multi = {r["feature"]: r
+             for r in psi_drift(ref, cur, ["x", "y"], ["c", "d"])
+             .collect()}
+    assert set(multi) == {"x", "y", "c", "d"}
+    for nc, cc in ((["x"], []), (["y"], []), ([], ["c"]), ([], ["d"])):
+        single = psi_drift(ref, cur, nc, cc).collect()[0]
+        assert multi[(nc + cc)[0]].asDict() == single.asDict()
+
+
+def test_drift_empty_side_raises(spark):
+    """ADVICE r14: an empty reference or current side (including a
+    feature whose rows are ALL NULL after the missingness filter) must
+    raise at evaluation time, not silently report a NULL statistic —
+    for all four monitors. The guard is lazy (rides the result's own
+    evaluation, no extra jobs) and per-feature: a healthy sibling
+    feature doesn't mask the violation."""
+    import pytest
+    from walmart_project_etl_spark.operators.cleaning import (
+        chisq_drift, ks_drift, mwu_drift, psi_drift)
+
+    ok = spark.createDataFrame([(1.0, "a"), (2.0, "b")],
+                               "x double, c string")
+    empty = spark.createDataFrame([], "x double, c string")
+    all_null = spark.createDataFrame([(None, None), (None, None)],
+                                     "x double, c string")
+
+    for bad in (empty, all_null):
+        for op, args in ((ks_drift, (["x"],)),
+                         (mwu_drift, (["x"],)),
+                         (chisq_drift, (["c"],)),
+                         (psi_drift, (["x"], ["c"]))):
+            with pytest.raises(Exception, match="empty"):
+                op(ok, bad, *args).collect()
+            with pytest.raises(Exception, match="empty"):
+                op(bad, ok, *args).collect()
+
+    # mixed: one all-NULL feature among healthy ones still raises
+    ref = spark.createDataFrame([(1.0, None), (2.0, None)],
+                                "x double, y double")
+    cur = spark.createDataFrame([(1.5, None), (2.5, None)],
+                                "x double, y double")
+    with pytest.raises(Exception, match="feature 'y'"):
+        ks_drift(ref, cur, ["x", "y"]).collect()
+    # and the healthy single-feature call still works
+    assert ks_drift(ref, cur, ["x"]).collect()[0]["n_ref"] == 2

@@ -71,6 +71,12 @@ ALLOW = {
     # broadcast shapes as dq_ks_drift
     "dq_mwu_drift": {"BroadcastNestedLoopJoin",
                      "Exchange SinglePartition (non-scalar result)"},
+    # melted multi-feature KS: the only SinglePartition is the
+    # n_features-row edges frame exploded from the ONE scalar
+    # percentile aggregate (3 rows here; metadata-sized at any
+    # feature count) before its broadcast back over the value grain
+    "dq_drift_multicol": {"BroadcastNestedLoopJoin",
+                          "Exchange SinglePartition (non-scalar result)"},
     # streaming twin of the exact-KS prefix-sum — same scalar
     # broadcast shapes over the accumulated value-counts table
     "stream_ks_drift": {"BroadcastNestedLoopJoin",

@@ -260,6 +260,91 @@ def fd_violations(df, fds: list[tuple]):
             .alias("violation_pct")))
     return reduce(lambda a, b: a.unionByName(b), parts)
 
+def _melt_sides(ref, cur, cols: list[str], as_string: bool = False):
+    """Melt the two snapshots' feature columns into ONE long
+    ``(__f, __x, __side)`` frame — the single-scan shape that lets a
+    whole feature list ride ONE downstream shuffle instead of one per
+    feature (the r14 per-column fan-out: a 100-feature monitoring pass
+    was 100 jobs; melted it is one scan per side + one count shuffle).
+
+    Numeric features cast to double — order-preserving and injective
+    for values with ≤ 15 significant digits (every rank/bucket
+    statistic downstream depends only on ordering and tie structure,
+    so the statistics are unchanged; a decimal(38,18)-precision
+    feature would need a per-feature pass instead). Categorical
+    features cast to string (per-feature injective). NULLs are dropped
+    AFTER the melt so each feature's missingness is filtered
+    independently (the module's NULL-as-missingness convention).
+    """
+    cast_to = "string" if as_string else "double"
+
+    def melt(df, side):
+        pairs = F.array(*[
+            F.struct(F.lit(c).alias("__f"),
+                     F.col(c).cast(cast_to).alias("__x"))
+            for c in cols])
+        return (df.select(F.explode(pairs).alias("s"))
+                .select("s.__f", "s.__x")
+                .where(F.col("__x").isNotNull())
+                .withColumn("__side", F.lit(side)))
+
+    return melt(ref, "r").unionByName(melt(cur, "c"))
+
+
+def _edges_long(ref, num_cols: list[str], n_buckets: int):
+    """Per-feature reference percentile edges as an n_features-row
+    broadcastable frame ``(__f, __e1 .. __e{n_buckets-1})`` — ONE
+    scalar aggregation with one percentile buffer per feature (the
+    array-percentile form; the r14 shape held one buffer per feature
+    PER QUANTILE), exploded driver-free into long form. Edges are
+    computed on the native column type (percentile ignores NULLs and
+    returns double — identical values to the per-column path, so
+    existing oracles keep matching)."""
+    qs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    wide = ref.agg(*[F.percentile(F.col(c), qs).alias(f"__a{j}")
+                     for j, c in enumerate(num_cols)])
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("__f"),
+                 *[F.col(f"__a{j}")[i - 1].alias(f"__e{i}")
+                   for i in range(1, n_buckets)])
+        for j, c in enumerate(num_cols)])
+    return wide.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def _bucket_expr(n_edges: int):
+    """Range-bucket id against the broadcast ``__e1..__e{n_edges}``
+    edge columns: sum of (x >= e_i) — a codegen'd map."""
+    from functools import reduce
+
+    return reduce(lambda acc, i: acc + F.when(
+        F.col("__x") >= F.col(f"__e{i}"), 1).otherwise(0),
+        range(1, n_edges + 1), F.lit(0))
+
+
+def _guard_nonempty(result, features: list[str], op: str,
+                    stat_col: str):
+    """Enforce the 'both sides non-empty' precondition LAZILY: seed
+    one row per requested feature (a feature whose rows were entirely
+    NULL-filtered produces no aggregate row at all — the silent-NULL
+    hole this closes), left-join the computed stats, and route the
+    statistic through a runtime ``raise_error`` when either side's
+    count is 0/absent. Zero extra Spark jobs: the check rides the
+    result's own evaluation, unlike an eager ``isEmpty`` probe per
+    feature."""
+    seed = result.sparkSession.createDataFrame(
+        [(f,) for f in features], "feature string")
+    j = seed.join(result, "feature", "left")
+    ok = ((F.coalesce(F.col("n_ref"), F.lit(0)) > 0)
+          & (F.coalesce(F.col("n_cur"), F.lit(0)) > 0))
+    msg = F.concat(
+        F.lit(f"{op}: reference and/or current side is empty (after "
+              "the NOT NULL missingness filter) for feature '"),
+        F.col("feature"), F.lit("'"))
+    guarded = F.when(ok, F.col(stat_col)).otherwise(F.raise_error(msg))
+    others = [c for c in result.columns
+              if c not in ("feature", stat_col)]
+    return j.select("feature", guarded.alias(stat_col), *others)
+
 
 def psi_drift(ref, cur, num_cols: list[str], cat_cols: list[str],
               n_buckets: int = 10):
@@ -272,57 +357,55 @@ def psi_drift(ref, cur, num_cols: list[str], cat_cols: list[str],
     Proportions are Laplace-smoothed ((c+1)/(n+k)) so an empty bucket
     never produces ln(0).
 
-    Scale shape: per numeric feature one exact-percentile aggregation
-    over the reference (group-free scalar agg) broadcast back as 9 edge
-    doubles, then ONE (side, bucket) count per feature — every stage a
-    scan + tiny aggregation, no row-level joins. Cross-engine exactness:
+    Scale shape (single-pass): each side is scanned ONCE and melted to
+    ``(feature, value)`` (:func:`_melt_sides`), all numeric features'
+    reference edges come from ONE scalar aggregation
+    (:func:`_edges_long`, broadcast back), and the whole feature list
+    rides one (feature, bucket) count shuffle for the numeric branch
+    plus one for the categorical — job count is O(1) in the number of
+    features, not O(n_features) (the r14 loop). The categorical
+    smoothing constant k (pooled distinct categories per feature) now
+    derives lazily from the count frame itself instead of an eager
+    ``distinct().count()`` job per column. Cross-engine exactness:
     bucket membership compares identical doubles (percentile ≡
     quantile_cont); each ln ratio rounds to 6 and each PSI term to 9
     before DECIMAL summation (the repo's logprob convention), so the
     report carries an exact SQL oracle.
 
+    Both sides must be non-empty per feature (after the NULL filter):
+    a violating feature raises at evaluation time instead of silently
+    reporting NULL psi (:func:`_guard_nonempty`). NULL values are
+    missingness, not distribution mass — excluded from both the bucket
+    counts and the category table; monitor missingness separately via
+    ``split_expectations``.
+
     Returns one row per feature: (feature, psi, n_ref, n_cur).
     """
+    parts = []
+    if num_cols:
+        melted = _melt_sides(ref, cur, num_cols)
+        edges = _edges_long(ref, num_cols, n_buckets)
+        cnt = (melted.join(F.broadcast(edges), "__f")
+               .select("__f", "__side",
+                       _bucket_expr(n_buckets - 1).alias("__b"))
+               .groupBy("__f", "__side", "__b")
+               .agg(F.count(F.lit(1)).alias("__c")))
+        parts.append(_psi_from_counts_by(
+            cnt, k_expr=F.lit(float(n_buckets))))
+    if cat_cols:
+        # NULL categories are missingness, not a category: a NULL key
+        # never equi-joins across sides, so keeping it would produce
+        # two phantom one-sided buckets AND inflate k by one.
+        cnt = (_melt_sides(ref, cur, cat_cols, as_string=True)
+               .select("__f", "__side", F.col("__x").alias("__b"))
+               .groupBy("__f", "__side", "__b")
+               .agg(F.count(F.lit(1)).alias("__c")))
+        parts.append(_psi_from_counts_by(cnt, k_expr=None))
     from functools import reduce
 
-    from pyspark.sql import functions as F
-
-    sides = (ref.select(*(num_cols + cat_cols))
-             .withColumn("__side", F.lit("r"))
-             .unionByName(cur.select(*(num_cols + cat_cols))
-                          .withColumn("__side", F.lit("c"))))
-    out = []
-    for col in num_cols:
-        qs = [i / n_buckets for i in range(1, n_buckets)]
-        edges = ref.agg(*[
-            F.expr(f"percentile({col}, {q})").alias(f"__e{i}")
-            for i, q in enumerate(qs)])
-        b = reduce(lambda acc, i: acc + F.when(
-            F.col(col) >= F.col(f"__e{i}"), 1).otherwise(0),
-            range(len(qs)), F.lit(0))
-        # NULL values are missingness, not distribution mass: without
-        # the filter every NULL lands in bucket 0 (NULL >= e is never
-        # true) and masquerades as below-first-decile drift — same
-        # convention as the categorical branch and ks_drift
-        cnt = (sides.where(F.col(col).isNotNull())
-               .crossJoin(F.broadcast(edges))
-               .select("__side", b.alias("__b"))
-               .groupBy("__side", "__b")
-               .agg(F.count(F.lit(1)).alias("__c")))
-        out.append(_psi_from_counts(cnt, col, n_buckets))
-    for col in cat_cols:
-        # NULL categories are missingness, not a category: a NULL key
-        # never equi-joins across sides (Spark and ANSI SQL alike), so
-        # keeping it would silently produce two phantom one-sided
-        # buckets AND inflate the smoothing constant k by one (Spark's
-        # distinct() counts NULL where SQL count(DISTINCT) does not).
-        # Monitor missingness separately via split_expectations.
-        nn = sides.where(F.col(col).isNotNull())
-        cnt = (nn.groupBy("__side", F.col(col).alias("__b"))
-               .agg(F.count(F.lit(1)).alias("__c")))
-        k = nn.select(col).distinct().count()
-        out.append(_psi_from_counts(cnt, col, k))
-    return reduce(lambda a, b2: a.unionByName(b2), out)
+    res = reduce(lambda a, b: a.unionByName(b), parts)
+    return _guard_nonempty(res, num_cols + cat_cols, "psi_drift",
+                           "psi")
 
 
 def ks_drift(ref, cur, num_cols: list[str],
@@ -334,45 +417,62 @@ def ks_drift(ref, cur, num_cols: list[str],
     binning choice and is sensitive to ANY distributional difference;
     the trade is no per-bucket attribution.
 
-    Distributed shape (the exact-KS prefix-sum): ONE group-by on the
-    value (per-distinct-value side counts), range-bucket the distinct
-    values by the reference's percentile edges (scalar agg, broadcast
-    literals), cumulative side-counts WITHIN each bucket (parallel
-    windows, bounded state), plus per-bucket offsets from a
-    bucket-grain totals frame (n_buckets rows — metadata-sized; its
-    running sum is the only single-partition step). The maximized
+    Distributed shape (the exact-KS prefix-sum, single-pass across the
+    feature list): melt both sides to ``(feature, value)`` — one scan
+    per side — then ONE (feature, value) group-by for every feature's
+    per-distinct-value side counts, range-bucket against the
+    reference's percentile edges (one scalar agg for ALL features,
+    broadcast), cumulative side-counts WITHIN each (feature, bucket)
+    cell (parallel windows, bounded state) plus per-bucket offsets from
+    a (feature, bucket)-grain totals frame (n_features × n_buckets
+    rows — metadata-sized; its running sum partitions BY FEATURE, so
+    there is no global single-partition step left). The maximized
     quantity is the INTEGER cross product |k_r·n_c − k_c·n_r| in
     decimal(38,0) — no floating point until the final divide — so the
     statistic is bit-exact on any engine and carries a recomputed SQL
-    oracle. NULLs are missingness, not distribution values: excluded
-    from both ECDFs (the psi_drift convention).
+    oracle. The double melt cast is order/tie-preserving for ≤ 15
+    significant digits (:func:`_melt_sides`), which is what the rank
+    statistic depends on. NULLs are missingness, excluded from both
+    ECDFs; an empty side raises at evaluation time
+    (:func:`_guard_nonempty`) instead of silently yielding NULL ks.
 
     Returns one row per feature: (feature, ks double round-6,
     n_ref, n_cur).
     """
-    from functools import reduce
-
     # a pure parallelization knob: the statistic is bucket-invariant,
     # so clamp rather than let n_buckets=1 produce an empty edges agg
     n_buckets = max(int(n_buckets), 2)
-    out = []
-    for col in num_cols:
-        sides = (ref.select(F.col(col).alias("__x"))
-                 .withColumn("__side", F.lit("r"))
-                 .unionByName(cur.select(F.col(col).alias("__x"))
-                              .withColumn("__side", F.lit("c")))
-                 .where(F.col("__x").isNotNull()))
-        per_val = (sides.groupBy("__x")
-                   .agg(F.count(F.when(F.col("__side") == "r", 1))
-                        .alias("__cr"),
-                        F.count(F.when(F.col("__side") == "c", 1))
-                        .alias("__cc")))
-        edges = ref.where(F.col(col).isNotNull()).agg(*[
-            F.expr(f"percentile({col}, {i / n_buckets})").alias(f"__e{i}")
-            for i in range(1, n_buckets)])
-        out.append(_ks_from_value_counts(per_val, edges,
-                                         n_buckets - 1, col))
-    return reduce(lambda a, b2: a.unionByName(b2), out)
+    scored = _scored_value_counts(ref, cur, num_cols, n_buckets)
+    dnum = F.abs(F.col("__kr") * F.col("__nc").cast("decimal(38,0)")
+                 - F.col("__kc") * F.col("__nr").cast("decimal(38,0)"))
+    # try_divide: the denominator is 0 only in the empty-side case the
+    # guard below turns into a clean per-feature error (ANSI mode would
+    # otherwise kill the aggregate first with a bare DIVIDE_BY_ZERO)
+    res = (scored.groupBy("__f").agg(
+        F.round(F.try_divide(
+            F.max(dnum).cast("double"),
+            F.any_value("__nr").cast("double")
+            * F.any_value("__nc").cast("double"))
+                .cast("decimal(28,8)"), 6).cast("double").alias("ks"),
+        F.any_value("__nr").cast("long").alias("n_ref"),
+        F.any_value("__nc").cast("long").alias("n_cur"))
+        .withColumnRenamed("__f", "feature"))
+    return _guard_nonempty(res, num_cols, "ks_drift", "ks")
+
+
+def _scored_value_counts(ref, cur, num_cols: list[str],
+                         n_buckets: int):
+    """Shared KS/MWU front half: melt → ONE (feature, value) count
+    shuffle → per-feature cumulative side counts via
+    :func:`_cum_value_counts_by`."""
+    melted = _melt_sides(ref, cur, num_cols)
+    per_val = (melted.groupBy("__f", "__x")
+               .agg(F.count(F.when(F.col("__side") == "r", 1))
+                    .alias("__cr"),
+                    F.count(F.when(F.col("__side") == "c", 1))
+                    .alias("__cc")))
+    edges = _edges_long(ref, num_cols, n_buckets)
+    return _cum_value_counts_by(per_val, edges, n_buckets - 1)
 
 
 def chisq_drift(ref, cur, cat_cols: list[str]):
@@ -384,95 +484,107 @@ def chisq_drift(ref, cur, cat_cols: list[str]):
     thumb). χ² = Σ over the 2×k table of (O − E)²/E with
     E = row_total·col_total/n.
 
-    Shape: ONE (category) count with per-side conditional counts (the
-    PSI categorical shape), then scalar row totals broadcast back —
-    k-sized frames everywhere after the first shuffle. Each cell term
-    rounds to 9 and DECIMAL-sums (the PSI convention), so the report
-    carries an exact SQL oracle. NULL categories are missingness, not
-    categories (the module convention); both sides must be non-empty.
+    Shape (single-pass): melt both sides — one scan each — then ONE
+    (feature, category) count shuffle for the whole feature list, with
+    per-feature row totals derived lazily from the count frame and
+    broadcast back — k-sized frames everywhere after the first
+    shuffle. Each cell term rounds to 9 and DECIMAL-sums (the PSI
+    convention), so the report carries an exact SQL oracle. NULL
+    categories are missingness, not categories (the module
+    convention); an empty side raises at evaluation time
+    (:func:`_guard_nonempty`) instead of silently reporting NULL chisq
+    — closing the 0-expected-count divide this precondition guards.
 
     Returns one row per feature: (feature, chisq round-6, dof,
     n_ref, n_cur).
     """
-    from functools import reduce
+    cnt = (_melt_sides(ref, cur, cat_cols, as_string=True)
+           .groupBy("__f", F.col("__x").alias("__b"))
+           .agg(F.count(F.when(F.col("__side") == "r", 1))
+                .alias("__cr"),
+                F.count(F.when(F.col("__side") == "c", 1))
+                .alias("__cc")))
+    tot = (cnt.groupBy("__f")
+           .agg(F.sum("__cr").alias("__nr"),
+                F.sum("__cc").alias("__nc"),
+                F.count(F.lit(1)).alias("__k")))
+    j = cnt.join(F.broadcast(tot), "__f")
+    tj = (F.col("__cr") + F.col("__cc")).cast("double")
+    n = (F.col("__nr") + F.col("__nc")).cast("double")
+    er = F.col("__nr").cast("double") * tj / n
+    ec = F.col("__nc").cast("double") * tj / n
 
-    out = []
-    for col in cat_cols:
-        sides = (ref.select(F.col(col).alias("__b"))
-                 .withColumn("__side", F.lit("r"))
-                 .unionByName(cur.select(F.col(col).alias("__b"))
-                              .withColumn("__side", F.lit("c")))
-                 .where(F.col("__b").isNotNull()))
-        cnt = (sides.groupBy("__b")
-               .agg(F.count(F.when(F.col("__side") == "r", 1))
-                    .alias("__cr"),
-                    F.count(F.when(F.col("__side") == "c", 1))
-                    .alias("__cc")))
-        tot = cnt.agg(F.sum("__cr").alias("__nr"),
-                      F.sum("__cc").alias("__nc"),
-                      F.count(F.lit(1)).alias("__k"))
-        j = cnt.crossJoin(F.broadcast(tot))
-        tj = (F.col("__cr") + F.col("__cc")).cast("double")
-        n = (F.col("__nr") + F.col("__nc")).cast("double")
-        er = F.col("__nr").cast("double") * tj / n
-        ec = F.col("__nc").cast("double") * tj / n
+    def term(o, e):
+        # try_divide: e = n_side·t_j/n is 0 only when that side is
+        # empty — the case _guard_nonempty raises on; ANSI mode would
+        # otherwise abort the aggregate with a bare DIVIDE_BY_ZERO
+        d = o.cast("double") - e
+        return F.round(F.try_divide(d * d, e).cast("decimal(28,12)"),
+                       9).cast("decimal(20,9)")
 
-        def term(o, e):
-            d = o.cast("double") - e
-            return F.round((d * d / e).cast("decimal(28,12)"), 9) \
-                    .cast("decimal(20,9)")
-
-        out.append(j.agg(
-            F.lit(col).alias("feature"),
-            F.round((F.sum(term(F.col("__cr"), er))
-                     + F.sum(term(F.col("__cc"), ec)))
-                    .cast("double").cast("decimal(28,8)"), 6)
-             .cast("double").alias("chisq"),
-            (F.any_value("__k") - 1).cast("int").alias("dof"),
-            F.any_value("__nr").cast("long").alias("n_ref"),
-            F.any_value("__nc").cast("long").alias("n_cur")))
-    return reduce(lambda a, b2: a.unionByName(b2), out)
+    res = (j.groupBy("__f").agg(
+        F.round((F.sum(term(F.col("__cr"), er))
+                 + F.sum(term(F.col("__cc"), ec)))
+                .cast("double").cast("decimal(28,8)"), 6)
+         .cast("double").alias("chisq"),
+        (F.any_value("__k") - 1).cast("int").alias("dof"),
+        F.any_value("__nr").cast("long").alias("n_ref"),
+        F.any_value("__nc").cast("long").alias("n_cur"))
+        .withColumnRenamed("__f", "feature"))
+    return _guard_nonempty(res, cat_cols, "chisq_drift", "chisq")
 
 
-def _cum_value_counts(per_val, edges, n_edges: int):
-    """The distributed prefix-sum core shared by the rank statistics:
-    from a per-distinct-value side-count table (``__x``, ``__cr``,
-    ``__cc``) + a 1-row edges frame with ``__e1..`` range boundaries,
-    produce one row per distinct value carrying INCLUSIVE cumulative
-    side counts ``__kr``/``__kc`` (decimal(38,0)) and the side totals
-    ``__nr``/``__nc`` — in-bucket window cumsums plus broadcast
-    per-bucket offsets (the offsets window runs over the
-    n_buckets-row totals frame, the only single-partition step)."""
-    from functools import reduce
-
-    b = reduce(lambda acc, i: acc + F.when(
-        F.col("__x") >= F.col(f"__e{i}"), 1).otherwise(0),
-        range(1, n_edges + 1), F.lit(0))
-    bucketed = (per_val.crossJoin(F.broadcast(edges))
-                .select("__x", "__cr", "__cc", b.alias("__b")))
-    win = Window.partitionBy("__b").orderBy("__x")
+def _cum_value_counts_by(per_val, edges_long, n_edges: int):
+    """The distributed prefix-sum core shared by the rank statistics,
+    FEATURE-GRAIN: from a per-feature per-distinct-value side-count
+    table (``__f``, ``__x``, ``__cr``, ``__cc``) + an n_features-row
+    edges frame with ``__e1..`` range boundaries per feature, produce
+    one row per (feature, distinct value) carrying INCLUSIVE cumulative
+    side counts ``__kr``/``__kc`` (decimal(38,0)) and the per-feature
+    side totals ``__nr``/``__nc`` — in-cell window cumsums plus
+    broadcast per-(feature, bucket) offsets. Every window partitions by
+    feature (the offsets window runs over the n_features × n_buckets
+    totals frame, partitioned BY FEATURE — no global single-partition
+    step)."""
+    bucketed = (per_val.join(F.broadcast(edges_long), "__f")
+                .select("__f", "__x", "__cr", "__cc",
+                        _bucket_expr(n_edges).alias("__b")))
+    win = Window.partitionBy("__f", "__b").orderBy("__x")
     within = bucketed.select(
-        "__b", "__x", "__cr", "__cc",
+        "__f", "__b", "__x", "__cr", "__cc",
         F.sum("__cr").over(win).alias("__kr0"),
         F.sum("__cc").over(win).alias("__kc0"))
-    totals = (bucketed.groupBy("__b")
+    totals = (bucketed.groupBy("__f", "__b")
               .agg(F.sum("__cr").alias("__tr"),
                    F.sum("__cc").alias("__tc")))
-    owin = (Window.orderBy("__b")
+    owin = (Window.partitionBy("__f").orderBy("__b")
             .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.select(
-        "__b",
+        "__f", "__b",
         F.coalesce(F.sum("__tr").over(owin), F.lit(0)).alias("__or"),
         F.coalesce(F.sum("__tc").over(owin), F.lit(0)).alias("__oc"))
-    nr = per_val.agg(F.sum("__cr").alias("__nr"))
-    nc = per_val.agg(F.sum("__cc").alias("__nc"))
-    return (within.join(F.broadcast(offsets), "__b")
-            .crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nc))
-            .select("__x", "__cr", "__cc", "__nr", "__nc",
+    ns = (per_val.groupBy("__f")
+          .agg(F.sum("__cr").alias("__nr"),
+               F.sum("__cc").alias("__nc")))
+    return (within.join(F.broadcast(offsets), ["__f", "__b"])
+            .join(F.broadcast(ns), "__f")
+            .select("__f", "__x", "__cr", "__cc", "__nr", "__nc",
                     (F.col("__kr0") + F.col("__or"))
                     .cast("decimal(38,0)").alias("__kr"),
                     (F.col("__kc0") + F.col("__oc"))
                     .cast("decimal(38,0)").alias("__kc")))
+
+
+def _cum_value_counts(per_val, edges, n_edges: int):
+    """Single-feature compatibility wrapper over
+    :func:`_cum_value_counts_by` (callers: the streaming KS/MWU twins,
+    whose count tables accumulate over micro-batches): tags the
+    (``__x``, ``__cr``, ``__cc``) table and the 1-row ``__e1..`` edges
+    frame with a constant feature key and strips it from the output."""
+    per_val_f = per_val.withColumn("__f", F.lit("_"))
+    edges_f = edges.withColumn("__f", F.lit("_"))
+    return (_cum_value_counts_by(per_val_f, edges_f, n_edges)
+            .drop("__f"))
 
 
 def _ks_from_value_counts(per_val, edges, n_edges: int, feature: str):
@@ -493,6 +605,34 @@ def _ks_from_value_counts(per_val, edges, n_edges: int, feature: str):
         F.any_value("__nc").cast("long").alias("n_cur"))
 
 
+def _mwu_from_scored(scored):
+    """Mann-Whitney U + common-language AUC from a cumulative
+    side-count frame (the :func:`_cum_value_counts_by` output),
+    grouped per feature — shared by the batch operator and the
+    streaming twin. Doubled midranks 2·K_incl − t + 1 keep every tie
+    computation in decimal integers."""
+    m2 = (F.lit(2) * (F.col("__kr") + F.col("__kc")).cast("long")
+          - (F.col("__cr") + F.col("__cc")) + F.lit(1))
+    r2_term = (F.col("__cc").cast("decimal(19,0)")
+               * m2.cast("decimal(19,0)"))
+    ncd = F.any_value("__nc").cast("decimal(19,0)")
+    u2 = (F.sum(r2_term)
+          - ncd * (ncd + F.lit(1).cast("decimal(19,0)")))
+    # try_divide: 0 denominator only in the empty-side case the
+    # caller's guard raises on (ANSI would abort the agg first)
+    return (scored.groupBy("__f").agg(
+        (u2.cast("double") / F.lit(2.0)).alias("u"),
+        F.round(F.try_divide(
+            u2.cast("double"),
+            F.lit(2.0) * F.any_value("__nr").cast("double")
+            * F.any_value("__nc").cast("double"))
+                .cast("decimal(28,8)"), 6).cast("double")
+         .alias("auc"),
+        F.any_value("__nr").cast("long").alias("n_ref"),
+        F.any_value("__nc").cast("long").alias("n_cur"))
+        .withColumnRenamed("__f", "feature"))
+
+
 def mwu_drift(ref, cur, num_cols: list[str], n_buckets: int = 32):
     """Two-sample MANN-WHITNEY U (Wilcoxon rank-sum) per numeric
     feature, with the common-language effect size — the rank
@@ -507,79 +647,69 @@ def mwu_drift(ref, cur, num_cols: list[str], n_buckets: int = 32):
     integers (K_incl = pooled inclusive cumulative count), so the rank
     sum, 2U = 2R_cur − n_cur(n_cur+1), and the final division are
     computed from decimal(38,0) integers — bit-exact on any engine,
-    recomputed SQL oracle. Same distributed prefix-sum core as
-    :func:`ks_drift` (:func:`_cum_value_counts`); NULLs are
-    missingness, excluded.
+    recomputed SQL oracle. Same single-pass melted prefix-sum core as
+    :func:`ks_drift` (:func:`_scored_value_counts` — one scan per
+    side, one (feature, value) shuffle for the whole feature list);
+    NULLs are missingness, excluded; an empty side raises at
+    evaluation time (:func:`_guard_nonempty`).
 
     Returns one row per feature: (feature, u double, auc round-6,
     n_ref, n_cur).
     """
-    from functools import reduce
-
     n_buckets = max(int(n_buckets), 2)
-    out = []
-    for col in num_cols:
-        sides = (ref.select(F.col(col).alias("__x"))
-                 .withColumn("__side", F.lit("r"))
-                 .unionByName(cur.select(F.col(col).alias("__x"))
-                              .withColumn("__side", F.lit("c")))
-                 .where(F.col("__x").isNotNull()))
-        per_val = (sides.groupBy("__x")
-                   .agg(F.count(F.when(F.col("__side") == "r", 1))
-                        .alias("__cr"),
-                        F.count(F.when(F.col("__side") == "c", 1))
-                        .alias("__cc")))
-        edges = ref.where(F.col(col).isNotNull()).agg(*[
-            F.expr(f"percentile({col}, {i / n_buckets})").alias(f"__e{i}")
-            for i in range(1, n_buckets)])
-        scored = _cum_value_counts(per_val, edges, n_buckets - 1)
-        # doubled midrank of the ties at __x: 2*(kr+kc) - (cr+cc) + 1
-        # (a long; decimal(19,0) factors keep the product inside
-        # decimal(38,0) with no precision-loss capping)
-        m2 = (F.lit(2) * (F.col("__kr") + F.col("__kc")).cast("long")
-              - (F.col("__cr") + F.col("__cc")) + F.lit(1))
-        r2_term = (F.col("__cc").cast("decimal(19,0)")
-                   * m2.cast("decimal(19,0)"))
-        ncd = F.any_value("__nc").cast("decimal(19,0)")
-        u2 = (F.sum(r2_term)
-              - ncd * (ncd + F.lit(1).cast("decimal(19,0)")))
-        out.append(scored.agg(
-            F.lit(col).alias("feature"),
-            (u2.cast("double") / F.lit(2.0)).alias("u"),
-            F.round((u2.cast("double")
-                     / (F.lit(2.0) * F.any_value("__nr").cast("double")
-                        * F.any_value("__nc").cast("double")))
-                    .cast("decimal(28,8)"), 6).cast("double")
-             .alias("auc"),
-            F.any_value("__nr").cast("long").alias("n_ref"),
-            F.any_value("__nc").cast("long").alias("n_cur")))
-    return reduce(lambda a, b2: a.unionByName(b2), out)
+    scored = _scored_value_counts(ref, cur, num_cols, n_buckets)
+    return _guard_nonempty(_mwu_from_scored(scored), num_cols,
+                           "mwu_drift", "auc")
 
 
-def _psi_from_counts(cnt, feature: str, k: int):
-    """PSI summary from a (__side, __b, __c) count table: full-join the
-    two sides over the bucket key (either side may miss a bucket),
-    Laplace-smooth, round-then-DECIMAL-sum the terms."""
-    from pyspark.sql import functions as F
-
+def _psi_from_counts_by(cnt, k_expr):
+    """PSI summaries from a feature-grain (__f, __side, __b, __c)
+    count table: full-join the two sides over the (feature, bucket)
+    key (either side may miss a bucket), Laplace-smooth with k =
+    ``k_expr`` (a literal for the fixed numeric bucket count) or —
+    when ``k_expr`` is None — the pooled per-feature distinct-category
+    count derived LAZILY from the count frame itself (no eager
+    distinct().count() job), round-then-DECIMAL-sum the terms, one
+    output row per feature."""
     r = cnt.where(F.col("__side") == "r") \
-           .select("__b", F.col("__c").alias("__cr"))
+           .select("__f", "__b", F.col("__c").alias("__cr"))
     c = cnt.where(F.col("__side") == "c") \
-           .select("__b", F.col("__c").alias("__cc"))
-    nr = r.agg(F.sum("__cr").alias("__nr"))
-    nc = c.agg(F.sum("__cc").alias("__nc"))
-    j = (r.join(c, "__b", "full")
-         .select(F.coalesce("__cr", F.lit(0)).alias("__cr"),
+           .select("__f", "__b", F.col("__c").alias("__cc"))
+    ns = (cnt.groupBy("__f").agg(
+        F.sum(F.when(F.col("__side") == "r", F.col("__c")))
+         .alias("__nr"),
+        F.sum(F.when(F.col("__side") == "c", F.col("__c")))
+         .alias("__nc")))
+    j = (r.join(c, ["__f", "__b"], "full")
+         .select("__f",
+                 F.coalesce("__cr", F.lit(0)).alias("__cr"),
                  F.coalesce("__cc", F.lit(0)).alias("__cc"))
-         .crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nc)))
-    pr = (F.col("__cr") + F.lit(1.0)) / (F.col("__nr") + F.lit(float(k)))
-    pc = (F.col("__cc") + F.lit(1.0)) / (F.col("__nc") + F.lit(float(k)))
+         .join(F.broadcast(ns), "__f"))
+    if k_expr is None:
+        kf = (cnt.select("__f", "__b").distinct()
+              .groupBy("__f")
+              .agg(F.count(F.lit(1)).cast("double").alias("__k")))
+        j = j.join(F.broadcast(kf), "__f")
+        k_expr = F.col("__k")
+    pr = (F.col("__cr") + F.lit(1.0)) / (F.col("__nr") + k_expr)
+    pc = (F.col("__cc") + F.lit(1.0)) / (F.col("__nc") + k_expr)
     lnr = F.round(F.log(pc / pr), 6).cast("decimal(20,6)")
     term = F.round(((pc - pr) * lnr.cast("double"))
                    .cast("decimal(28,12)"), 9).cast("decimal(20,9)")
-    return j.agg(
-        F.lit(feature).alias("feature"),
+    return (j.groupBy("__f").agg(
         F.round(F.sum(term).cast("double").cast("decimal(28,8)"), 6)
          .cast("double").alias("psi"),
         F.any_value("__nr").cast("long").alias("n_ref"),
         F.any_value("__nc").cast("long").alias("n_cur"))
+        .withColumnRenamed("__f", "feature"))
+
+
+def _psi_from_counts(cnt, feature: str, k: int):
+    """Single-feature PSI from a (__side, __b, __c) count table — the
+    compatibility core the streaming PSI twin composes with its
+    micro-batch-accumulated bucket counts: tags a constant feature key
+    and delegates to :func:`_psi_from_counts_by`."""
+    res = _psi_from_counts_by(cnt.withColumn("__f", F.lit(feature)),
+                              k_expr=F.lit(float(k)))
+    return res.select(F.lit(feature).alias("feature"), "psi",
+                      "n_ref", "n_cur")

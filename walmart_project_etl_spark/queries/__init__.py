@@ -35,7 +35,7 @@ _PRIORITY = (
     # (uncommented as each lands this round)
     # "stream_chisq_drift",
     # "stream_mwu_drift",
-    # "dq_drift_multicol",
+    "dq_drift_multicol",
     # "dq_embedding_drift",
     # "dedup_snm_chained",
     # r8-era rotation: the 48 rows whose newest driver row is r8

@@ -2983,6 +2983,78 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift(ref, cur, ["o_totalprice"])
 
 
+def _ks_block(i: int, feature: str, rx: str, cx: str) -> str:
+    """One per-feature CTE chain of the exact-KS prefix-sum oracle
+    (the dq_ks_drift SQL, suffixed so three features share one
+    query)."""
+    return f"""
+      ref{i} AS (SELECT {rx} AS x FROM lineitem
+                 WHERE l_orderkey % 2 = 0 AND {rx} IS NOT NULL),
+      cur{i} AS (SELECT {cx} AS x FROM lineitem
+                 WHERE l_orderkey % 2 = 1),
+      s{i} AS (SELECT x, 1 AS r, 0 AS c FROM ref{i}
+               UNION ALL SELECT x, 0, 1 FROM cur{i}),
+      pv{i} AS (SELECT x, sum(r) AS cr, sum(c) AS cc FROM s{i}
+                GROUP BY x),
+      n{i} AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM pv{i}),
+      cum{i} AS (SELECT sum(cr) OVER (ORDER BY x) AS kr,
+                        sum(cc) OVER (ORDER BY x) AS kc FROM pv{i}),
+      d{i} AS (SELECT max(abs(kr::DECIMAL(38,0) * nc
+                              - kc::DECIMAL(38,0) * nr)) AS dn,
+                      any_value(nr) AS nr, any_value(nc) AS nc
+               FROM cum{i}, n{i}),
+      o{i} AS (SELECT '{feature}' AS feature,
+                      round(CAST(CAST(dn AS DOUBLE)
+                            / (nr::DOUBLE * nc::DOUBLE)
+                            AS DECIMAL(28,8)), 6)::DOUBLE AS ks,
+                      nr::BIGINT AS n_ref, nc::BIGINT AS n_cur
+               FROM d{i})"""
+
+
+_MULTICOL_FEATURES = (
+    ("l_quantity", "l_quantity",
+     "l_quantity + (l_suppkey % 3)"),
+    ("l_extendedprice", "l_extendedprice",
+     "CASE WHEN l_partkey % 4 = 0 THEN l_extendedprice * 1.1 "
+     "ELSE l_extendedprice END"),
+    ("l_discount", "l_discount", "l_discount"),
+)
+
+
+@q("dq_drift_multicol",
+   "WITH " + ",".join(_ks_block(i, f, rx, cx)
+                      for i, (f, rx, cx) in
+                      enumerate(_MULTICOL_FEATURES))
+   + " SELECT * FROM o0 UNION ALL SELECT * FROM o1"
+     " UNION ALL SELECT * FROM o2")
+def dq_drift_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COLUMN SINGLE-PASS drift (operators/cleaning.py:ks_drift
+    via _melt_sides): a 3-feature monitoring pass over lineitem —
+    quantity shifted by a supplier-keyed offset, extended price
+    inflated for a quarter of parts, discount untouched (ks must come
+    back 0) — rides ONE melted (feature, value) count shuffle and ONE
+    scalar edges aggregation instead of one job per feature (the r14
+    per-column fan-out this entry pins down: a 100-feature pass is now
+    O(1) jobs). The oracle recomputes each feature's exact-KS integer
+    cross product independently and unions the rows — per-feature
+    equality with the per-column path is also asserted in
+    tests/test_cleaning_profiling.py."""
+    from walmart_project_etl_spark.operators.cleaning import ks_drift
+    li = t(spark, sf_dir, "lineitem")
+    ref = li.where(F.col("l_orderkey") % 2 == 0) \
+            .select("l_quantity", "l_extendedprice", "l_discount")
+    cur = li.where(F.col("l_orderkey") % 2 == 1).select(
+        (F.col("l_quantity") + F.col("l_suppkey") % 3)
+        .alias("l_quantity"),
+        F.when(F.col("l_partkey") % 4 == 0,
+               F.col("l_extendedprice") * 1.1)
+         .otherwise(F.col("l_extendedprice"))
+         .alias("l_extendedprice"),
+        "l_discount")
+    return ks_drift(ref, cur,
+                    ["l_quantity", "l_extendedprice", "l_discount"])
+
+
 @q("txn_agg_mv_join",
    """WITH final AS (
         SELECT o_orderkey, o_custkey,
