@@ -398,3 +398,120 @@ def test_stream_psi_counts_replay_idempotent(spark, events, tmp_path):
         spark, src, edges, str(tmp_path / "wh"), user_parity=1,
         max_files_per_trigger=1, checkpoint_dir=ckpt)
     assert _rows(replayed, ["b", "c"]) == first_rows
+
+
+def test_stream_category_counts_equal_batch_for_any_split(spark, events,
+                                                          tmp_path):
+    """The accumulated per-category counts (the chi-square 2×k
+    contingency statistic's streaming side) must equal the plain batch
+    counts regardless of micro-batch split — run at 1 file/trigger and
+    compare. NULL categories excluded (missingness convention)."""
+    import pyspark.sql.functions as F
+
+    from walmart_project_etl_spark.streaming import stream_category_counts
+
+    got = stream_category_counts(
+        spark, events_dir(spark, SF_DIR), str(tmp_path / "wh"),
+        user_parity=1, max_files_per_trigger=1)
+    want = (events.where(F.col("user_id") % 2 == 1)
+            .where(F.col("event_type").isNotNull())
+            .groupBy(F.col("event_type").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    assert _rows(got, ["b", "c"]) == _rows(want, ["b", "c"])
+
+
+def test_stream_category_counts_replay_idempotent(spark, events, tmp_path):
+    """Kill-and-restart replay for the chi-square twin's sink: delete
+    the checkpoint's LAST commit marker (crash after the sink write,
+    before the checkpoint commit) and restart — the replayed batch
+    must overwrite its own delta partition, not double-add."""
+    import os
+    import time
+    import pyspark.sql.functions as F
+
+    from walmart_project_etl_spark.streaming import stream_category_counts
+
+    ckpt = str(tmp_path / "ckpt")
+    src = events_dir(spark, SF_DIR)
+    first = stream_category_counts(
+        spark, src, str(tmp_path / "wh"), user_parity=1,
+        max_files_per_trigger=1, checkpoint_dir=ckpt)
+    first_rows = _rows(first, ["b", "c"])
+    commits = sorted(int(f) for f in os.listdir(os.path.join(
+        ckpt, "commits")) if not f.startswith("."))
+    assert len(commits) >= 2, "need multiple micro-batches to replay one"
+    deadline = time.time() + 30
+    while spark.streams.active and time.time() < deadline:
+        time.sleep(0.2)
+    os.remove(os.path.join(ckpt, "commits", str(commits[-1])))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    replayed = stream_category_counts(
+        spark, src, str(tmp_path / "wh"), user_parity=1,
+        max_files_per_trigger=1, checkpoint_dir=ckpt)
+    assert _rows(replayed, ["b", "c"]) == first_rows
+    want = (events.where(F.col("user_id") % 2 == 1)
+            .where(F.col("event_type").isNotNull())
+            .groupBy(F.col("event_type").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    assert first_rows == _rows(want, ["b", "c"])
+
+
+def test_stream_drift_statistics_equal_batch_operators(spark, events,
+                                                       tmp_path):
+    """The three streamed drift statistics (chi-square over category
+    counts, MWU and KS over the shared value-count sink) must equal
+    the BATCH operators on the drained backlog — the
+    streaming-vs-batch contract for the completed drift-monitor trio."""
+    import pyspark.sql.functions as F
+
+    from walmart_project_etl_spark.operators.cleaning import (
+        _chisq_from_counts, _mwu_from_value_counts, chisq_drift,
+        mwu_drift)
+    from walmart_project_etl_spark.streaming import (
+        stream_category_counts, stream_value_counts)
+
+    ref = events.where(F.col("user_id") % 2 == 0)
+    cur = events.where(F.col("user_id") % 2 == 1)
+
+    # chi-square over the streamed category counts
+    cur_cat = stream_category_counts(
+        spark, events_dir(spark, SF_DIR), str(tmp_path / "wh1"),
+        user_parity=1, max_files_per_trigger=2)
+    ref_cat = (ref.where(F.col("event_type").isNotNull())
+               .groupBy(F.col("event_type").alias("__b"))
+               .agg(F.count(F.lit(1)).alias("__cr")))
+    cnt = (ref_cat.join(cur_cat.select(F.col("b").alias("__b"),
+                                       F.col("c").alias("__cc")),
+                        "__b", "full")
+           .select(F.lit("event_type").alias("__f"), "__b",
+                   F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                   F.coalesce("__cc", F.lit(0)).alias("__cc")))
+    got = _chisq_from_counts(cnt).collect()[0]
+    want = chisq_drift(ref.select("event_type"), cur.select("event_type"),
+                       ["event_type"]).collect()[0]
+    assert (got["chisq"], got["dof"], got["n_ref"], got["n_cur"]) == \
+        (want["chisq"], want["dof"], want["n_ref"], want["n_cur"])
+
+    # MWU over the streamed value counts (the KS twin's sink, reused)
+    cur_val = stream_value_counts(
+        spark, events_dir(spark, SF_DIR), str(tmp_path / "wh2"),
+        user_parity=1, max_files_per_trigger=2)
+    ref_val = (ref.where(F.col("value").isNotNull())
+               .groupBy(F.col("value").alias("__x"))
+               .agg(F.count(F.lit(1)).alias("__cr")))
+    per_val = (ref_val.join(cur_val.select(F.col("x").alias("__x"),
+                                           F.col("c").alias("__cc")),
+                            "__x", "full")
+               .select("__x",
+                       F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                       F.coalesce("__cc", F.lit(0)).alias("__cc")))
+    edges = ref.where(F.col("value").isNotNull()).agg(*[
+        F.expr(f"percentile(value, {i / 32})").alias(f"__e{i}")
+        for i in range(1, 32)])
+    got = _mwu_from_value_counts(per_val, edges, 31, "value").collect()[0]
+    want = mwu_drift(ref.select("value"), cur.select("value"),
+                     ["value"]).collect()[0]
+    assert (got["u"], got["auc"], got["n_ref"], got["n_cur"]) == \
+        (want["u"], want["auc"], want["n_ref"], want["n_cur"])

@@ -81,6 +81,14 @@ ALLOW = {
     # broadcast shapes over the accumulated value-counts table
     "stream_ks_drift": {"BroadcastNestedLoopJoin",
                         "Exchange SinglePartition (non-scalar result)"},
+    # streaming MWU rides the same accumulated value-counts table and
+    # prefix-sum core as stream_ks_drift — same scalar broadcasts
+    "stream_mwu_drift": {"BroadcastNestedLoopJoin",
+                         "Exchange SinglePartition (non-scalar result)"},
+    # streaming chi-square: the k-row per-feature totals frame joins
+    # back over the k-row category-count table on a constant feature
+    # key (both sides category-cardinality-sized)
+    "stream_chisq_drift": {"BroadcastNestedLoopJoin"},
     # SNM cross-boundary pass: the block-index window
     # (row_number over the DISTINCT-blocks frame — one row per block,
     # metadata-scale next to the corpus) is the only SinglePartition;

@@ -504,6 +504,17 @@ def chisq_drift(ref, cur, cat_cols: list[str]):
                 .alias("__cr"),
                 F.count(F.when(F.col("__side") == "c", 1))
                 .alias("__cc")))
+    return _guard_nonempty(_chisq_from_counts(cnt), cat_cols,
+                           "chisq_drift", "chisq")
+
+
+def _chisq_from_counts(cnt):
+    """Chi-square homogeneity statistic from a feature-grain
+    (__f, __b, __cr, __cc) category side-count table — shared by the
+    batch operator and the streaming twin (whose current-side counts
+    accumulate over micro-batches through the replay-idempotent delta
+    sink). Per-feature totals derive lazily from the count frame and
+    broadcast back; every frame after the input is k-sized."""
     tot = (cnt.groupBy("__f")
            .agg(F.sum("__cr").alias("__nr"),
                 F.sum("__cc").alias("__nc"),
@@ -522,7 +533,7 @@ def chisq_drift(ref, cur, cat_cols: list[str]):
         return F.round(F.try_divide(d * d, e).cast("decimal(28,12)"),
                        9).cast("decimal(20,9)")
 
-    res = (j.groupBy("__f").agg(
+    return (j.groupBy("__f").agg(
         F.round((F.sum(term(F.col("__cr"), er))
                  + F.sum(term(F.col("__cc"), ec)))
                 .cast("double").cast("decimal(28,8)"), 6)
@@ -531,7 +542,6 @@ def chisq_drift(ref, cur, cat_cols: list[str]):
         F.any_value("__nr").cast("long").alias("n_ref"),
         F.any_value("__nc").cast("long").alias("n_cur"))
         .withColumnRenamed("__f", "feature"))
-    return _guard_nonempty(res, cat_cols, "chisq_drift", "chisq")
 
 
 def _cum_value_counts_by(per_val, edges_long, n_edges: int):
@@ -603,6 +613,17 @@ def _ks_from_value_counts(per_val, edges, n_edges: int, feature: str):
                 .cast("decimal(28,8)"), 6).cast("double").alias("ks"),
         F.any_value("__nr").cast("long").alias("n_ref"),
         F.any_value("__nc").cast("long").alias("n_cur"))
+
+
+def _mwu_from_value_counts(per_val, edges, n_edges: int, feature: str):
+    """Mann-Whitney U from a per-distinct-value side-count table —
+    the single-feature composition the streaming twin uses: same
+    prefix-sum core as :func:`_ks_from_value_counts`, MWU back half
+    (:func:`_mwu_from_scored`)."""
+    scored = _cum_value_counts_by(
+        per_val.withColumn("__f", F.lit(feature)),
+        edges.withColumn("__f", F.lit(feature)), n_edges)
+    return _mwu_from_scored(scored)
 
 
 def _mwu_from_scored(scored):

@@ -33,8 +33,8 @@ _MODULES = (core, funcs, pipeline, llm, trainprep)
 _PRIORITY = (
     # r15-new entries (displace from the r8-era tail)
     # (uncommented as each lands this round)
-    # "stream_chisq_drift",
-    # "stream_mwu_drift",
+    "stream_chisq_drift",
+    "stream_mwu_drift",
     "dq_drift_multicol",
     # "dq_embedding_drift",
     # "dedup_snm_chained",

@@ -3160,6 +3160,134 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ks_from_value_counts(per_val, edges, n_buckets - 1, "value")
 
 
+@q("stream_chisq_drift", """
+WITH ref AS (SELECT event_type AS b FROM events
+             WHERE user_id % 2 = 0 AND event_type IS NOT NULL),
+cur AS (SELECT event_type AS b FROM events
+        WHERE user_id % 2 = 1 AND event_type IS NOT NULL),
+s AS (SELECT b, 1 AS r, 0 AS c FROM ref
+      UNION ALL SELECT b, 0, 1 FROM cur),
+cnt AS (SELECT b, sum(r) AS cr, sum(c) AS cc FROM s GROUP BY b),
+tot AS (SELECT sum(cr) AS nr, sum(cc) AS nc, count(*) AS k FROM cnt),
+t0 AS (SELECT cr, cc, nr, nc, k,
+         nr::DOUBLE * (cr+cc)::DOUBLE / (nr+nc)::DOUBLE AS er,
+         nc::DOUBLE * (cr+cc)::DOUBLE / (nr+nc)::DOUBLE AS ec
+       FROM cnt, tot),
+t AS (SELECT
+        round(CAST((cr::DOUBLE - er)*(cr::DOUBLE - er)/er
+              AS DECIMAL(28,12)), 9)::DECIMAL(20,9) AS tr,
+        round(CAST((cc::DOUBLE - ec)*(cc::DOUBLE - ec)/ec
+              AS DECIMAL(28,12)), 9)::DECIMAL(20,9) AS tc,
+        nr, nc, k
+      FROM t0)
+SELECT 'event_type' AS feature,
+       round(CAST(CAST(sum(tr)+sum(tc) AS DOUBLE)
+             AS DECIMAL(28,8)), 6)::DOUBLE AS chisq,
+       (any_value(k)-1)::INT AS dof,
+       any_value(nr)::BIGINT AS n_ref,
+       any_value(nc)::BIGINT AS n_cur
+FROM t""")
+def stream_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING chi-square homogeneity drift monitor (streaming/
+    jobs.py:stream_category_counts) — the drift trio's streaming side
+    completed (r14 gap): the live population's per-CATEGORY counts
+    accumulate over REAL micro-batches through the replay-idempotent
+    batch-keyed delta sink (a replayed batch overwrites its own
+    partition; addition is associative, so any batch split converges),
+    against the frozen reference's category counts. The final
+    statistic reuses the batch contingency-table arithmetic
+    (operators/cleaning.py:_chisq_from_counts) over the streamed
+    counts full-joined with the reference counts; the oracle is the
+    plain batch chi-square of the same parity split —
+    streaming-vs-batch equality, like every streaming twin here.
+    State is category-cardinality-sized (k rows), the smallest of the
+    three drift-state shapes."""
+    import tempfile
+
+    from walmart_project_etl_spark.operators.cleaning import \
+        _chisq_from_counts
+    from walmart_project_etl_spark.streaming import \
+        stream_category_counts
+
+    ev = events_t(spark, sf_dir)
+    cur_cnt = stream_category_counts(
+        spark, events_dir(spark, sf_dir),
+        tempfile.mkdtemp(prefix="wpe_stream_chisq_wh_"), user_parity=1)
+    ref_cnt = (ev.where(F.col("user_id") % 2 == 0)
+               .where(F.col("event_type").isNotNull())
+               .groupBy(F.col("event_type").alias("__b"))
+               .agg(F.count(F.lit(1)).alias("__cr")))
+    cnt = (ref_cnt.join(cur_cnt.select(F.col("b").alias("__b"),
+                                       F.col("c").alias("__cc")),
+                        "__b", "full")
+           .select(F.lit("event_type").alias("__f"), "__b",
+                   F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                   F.coalesce("__cc", F.lit(0)).alias("__cc")))
+    return _chisq_from_counts(cnt)
+
+
+@q("stream_mwu_drift", """
+WITH ref AS (SELECT value AS x FROM events
+             WHERE user_id % 2 = 0 AND value IS NOT NULL),
+cur AS (SELECT value AS x FROM events
+        WHERE user_id % 2 = 1 AND value IS NOT NULL),
+s AS (SELECT x, 1 AS r, 0 AS c FROM ref
+      UNION ALL SELECT x, 0, 1 FROM cur),
+pv AS (SELECT x, sum(r) AS cr, sum(c) AS cc FROM s GROUP BY x),
+n AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM pv),
+cum AS (SELECT cr, cc,
+               sum(cr) OVER (ORDER BY x) AS kr,
+               sum(cc) OVER (ORDER BY x) AS kc FROM pv),
+m AS (SELECT cc, 2*(kr+kc) - (cr+cc) + 1 AS m2 FROM cum),
+r2 AS (SELECT sum(cc::DECIMAL(19,0) * m2::DECIMAL(19,0)) AS s2 FROM m),
+uu AS (SELECT s2 - nc::DECIMAL(19,0)*(nc::DECIMAL(19,0)+1) AS u2,
+              nr, nc FROM r2, n)
+SELECT 'value' AS feature,
+       CAST(u2 AS DOUBLE)/2 AS u,
+       round(CAST(CAST(u2 AS DOUBLE) / (2*nr::DOUBLE*nc::DOUBLE)
+             AS DECIMAL(28,8)), 6)::DOUBLE AS auc,
+       nr::BIGINT AS n_ref, nc::BIGINT AS n_cur
+FROM uu""")
+def stream_mwu_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Mann-Whitney U drift monitor — the drift trio's
+    streaming side completed (r14 gap), riding the SAME accumulated
+    per-distinct-value count table the KS twin streams
+    (streaming/jobs.py:stream_value_counts — one sink, two rank
+    statistics served): U needs exactly the value-grain side counts
+    the exact-KS ECDF needs. The final statistic reuses the batch
+    doubled-midrank arithmetic (operators/cleaning.py:
+    _mwu_from_value_counts) over the streamed counts full-joined with
+    the frozen reference counts; the oracle is the plain batch MWU of
+    the same parity split — streaming-vs-batch equality. Integer-exact
+    ties: every rank computation stays in decimal(38,0)."""
+    import tempfile
+
+    from walmart_project_etl_spark.operators.cleaning import \
+        _mwu_from_value_counts
+    from walmart_project_etl_spark.streaming import stream_value_counts
+
+    ev = events_t(spark, sf_dir)
+    ref = ev.where(F.col("user_id") % 2 == 0).select("value")
+    cur_cnt = stream_value_counts(
+        spark, events_dir(spark, sf_dir),
+        tempfile.mkdtemp(prefix="wpe_stream_mwu_wh_"), user_parity=1)
+    ref_cnt = (ref.where(F.col("value").isNotNull())
+               .groupBy(F.col("value").alias("__x"))
+               .agg(F.count(F.lit(1)).alias("__cr")))
+    per_val = (ref_cnt.join(cur_cnt.select(F.col("x").alias("__x"),
+                                           F.col("c").alias("__cc")),
+                            "__x", "full")
+               .select("__x",
+                       F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                       F.coalesce("__cc", F.lit(0)).alias("__cc")))
+    n_buckets = 32
+    edges = ref.where(F.col("value").isNotNull()).agg(*[
+        F.expr(f"percentile(value, {i / n_buckets})").alias(f"__e{i}")
+        for i in range(1, n_buckets)])
+    return _mwu_from_value_counts(per_val, edges, n_buckets - 1,
+                                  "value")
+
+
 @q("stream_session_stats", """
 WITH flagged AS (
   SELECT user_id, ts, value, event_id,

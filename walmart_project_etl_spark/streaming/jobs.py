@@ -751,6 +751,46 @@ def stream_value_counts(spark: SparkSession, events_path: str,
                                 checkpoint_dir, "wpe_stream_ks_")
 
 
+def stream_category_counts(spark: SparkSession, events_path: str,
+                           warehouse_root: str, user_parity: int = 1,
+                           max_files_per_trigger: int = 4,
+                           checkpoint_dir: str | None = None) -> DataFrame:
+    """STREAMING side of a chi-square homogeneity drift monitor:
+    accumulate the current population's per-CATEGORY counts
+    (``event_type``) over real micro-batches — the sufficient
+    statistic for the 2×k contingency table (state is bounded by the
+    category cardinality, the smallest of the three drift-state
+    shapes: k rows vs KS/MWU's distinct-value grain).
+
+    Same replay-idempotent sink as :func:`stream_psi_bucket_counts`
+    (shared: :func:`_stream_count_deltas`): each micro-batch writes
+    its (b, c) category counts as a parquet delta keyed by its
+    batch_id; a replayed batch (crash between sink write and
+    checkpoint commit) overwrites its own partition instead of
+    double-adding. Addition is associative, so the accumulated counts
+    equal the batch counts for ANY micro-batch split — which is what
+    lets the registered oracle be the plain batch chi-square.
+
+    NULL categories are missingness, not categories (the
+    operators.cleaning convention) — excluded from the counts.
+
+    Returns the accumulated (b, c) counts table, also materialized at
+    ``tgt/chisq_category_counts``.
+    """
+
+    def batch_counts(batch_df: DataFrame) -> DataFrame:
+        return (batch_df.select(F.col("event_type").alias("b"))
+                .where(F.col("b").isNotNull())
+                .groupBy("b")
+                .agg(F.count(F.lit(1)).cast("long").alias("c")))
+
+    return _stream_count_deltas(spark, events_path, warehouse_root,
+                                "chisq_category_counts", "b",
+                                batch_counts, user_parity,
+                                max_files_per_trigger, checkpoint_dir,
+                                "wpe_stream_chisq_")
+
+
 def _stream_count_deltas(spark: SparkSession, events_path: str,
                          warehouse_root: str, table: str, key_col: str,
                          batch_counts, user_parity: int,
