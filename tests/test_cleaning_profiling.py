@@ -512,3 +512,46 @@ def test_drift_empty_side_raises(spark):
         ks_drift(ref, cur, ["x", "y"]).collect()
     # and the healthy single-feature call still works
     assert ks_drift(ref, cur, ["x"]).collect()[0]["n_ref"] == 2
+
+
+def test_embedding_energy_drift_closed_form(spark):
+    """Hand-computed strided energy distance: two 1-D points per side,
+    ref at 0, cur at 1 → every within-side pair distance 0, every
+    cross pair distance 1 → E = 2·1 − 0 − 0 = 2. Identical sides →
+    exactly 0 (within and cross means coincide when n exceeds the max
+    stride's self-collision). A 1-row side must raise the documented
+    ≥2-rows error; a larger shift must yield larger energy."""
+    import pytest
+    from walmart_project_etl_spark.operators.cleaning import \
+        embedding_energy_drift
+
+    ref = spark.createDataFrame([(1, [0.0]), (2, [0.0])],
+                                "id long, v array<double>")
+    cur = spark.createDataFrame([(7, [1.0]), (9, [1.0])],
+                                "id long, v array<double>")
+    r = embedding_energy_drift(ref, cur, "id", "v").collect()[0]
+    assert (r["feature"], r["energy"], r["e_cross"], r["e_ref"],
+            r["e_cur"], r["n_ref"], r["n_cur"]) \
+        == ("v", 2.0, 1.0, 0.0, 0.0, 2, 2)
+
+    big = spark.createDataFrame(
+        [(i, [float(i % 23), float((i * 3) % 17)]) for i in range(60)],
+        "id long, v array<double>")
+    same = embedding_energy_drift(big, big, "id", "v").collect()[0]
+    assert same["energy"] == 0.0 and same["e_cross"] == same["e_ref"]
+
+    one = spark.createDataFrame([(1, [0.0])], "id long, v array<double>")
+    with pytest.raises(Exception, match="at least 2 rows"):
+        embedding_energy_drift(ref, one, "id", "v").collect()
+
+    def shifted(delta):
+        return big.select(
+            "id",
+            __import__("pyspark.sql.functions", fromlist=["F"])
+            .transform("v", lambda x: x + delta).alias("v"))
+
+    small_d = embedding_energy_drift(
+        big, shifted(0.5), "id", "v").collect()[0]["energy"]
+    large_d = embedding_energy_drift(
+        big, shifted(5.0), "id", "v").collect()[0]["energy"]
+    assert 0.0 < small_d < large_d

@@ -89,6 +89,11 @@ ALLOW = {
     # back over the k-row category-count table on a constant feature
     # key (both sides category-cardinality-sized)
     "stream_chisq_drift": {"BroadcastNestedLoopJoin"},
+    # strided energy distance: crossJoins are the 4-row strides frame
+    # and 1-row side-count scalars broadcast over each side, plus the
+    # final 1×1 assembly of the three term means — every pair set is
+    # |strides|·n from equi-joins on rank, never all-pairs
+    "dq_embedding_drift": {"BroadcastNestedLoopJoin"},
     # SNM cross-boundary pass: the block-index window
     # (row_number over the DISTINCT-blocks frame — one row per block,
     # metadata-scale next to the corpus) is the only SinglePartition;

@@ -734,3 +734,122 @@ def _psi_from_counts(cnt, feature: str, k: int):
                               k_expr=F.lit(float(k)))
     return res.select(F.lit(feature).alias("feature"), "psi",
                       "n_ref", "n_cur")
+
+
+def embedding_energy_drift(ref, cur, id_col: str, vec_col: str,
+                           strides: tuple = (1, 3, 7, 17),
+                           n_buckets: int = 32):
+    """EMBEDDING-SPACE drift monitor: a strided energy-distance
+    estimator between two embedding samples — the scalar drift trio
+    (PSI/KS/chi²/MWU) covers tabular features, but LLM-pipeline
+    corpora drift in embedding space first; energy distance
+    E = 2·E‖X−Y‖ − E‖X−X'‖ − E‖Y−Y'‖ is zero iff the distributions
+    coincide and needs no binning, kernel bandwidth, or training.
+
+    SUB-QUADRATIC by a deterministic strided pair design: each side's
+    rows get a global rank r (0..n−1 by ``id_col``), and row r pairs
+    with row (r+s) mod n for each stride s (within-side terms) and
+    with the OTHER side's rank (r+s) mod n_other (cross term) — 
+    |strides|·n pairs per term instead of n², all equi-joins on rank,
+    no sampling RNG so the estimate is reproducible and carries a
+    recomputed SQL oracle (row_number over the same id order).
+    Global ranks come from the bucketed prefix-sum core
+    (:func:`_cum_value_counts` over the distinct ids — in-bucket
+    window cumsums + broadcast per-bucket offsets, no global
+    single-partition pass); ``id_col`` must be unique per side.
+
+    Exactness: vectors cast to double element-wise; each pair distance
+    is sqrt(max(0, ‖a‖² − 2·a·b + ‖b‖²)) from sequential-fold dot
+    products (the ``similarity.dot`` ≡ DuckDB ``list_dot_product``
+    equivalence every embedding oracle in this repo already relies
+    on), rounded to 6 and DECIMAL-summed; per-term means and the final
+    statistic recompute identically in SQL. Self-pairs are excluded;
+    stride collisions (s ≡ s' mod n) keep their duplicate weight on
+    both engines. Each side needs ≥ 2 rows — violations raise at
+    evaluation time (``try_mod`` keeps the degenerate modulo from
+    aborting the plan first).
+
+    Returns ONE row: (feature, energy, e_cross, e_ref, e_cur,
+    n_ref, n_cur).
+    """
+    from .similarity import _as_double, dot
+
+    def ranked(side):
+        ids = side.select(F.col(id_col).alias("__x")) \
+                  .withColumn("__cr", F.lit(1)) \
+                  .withColumn("__cc", F.lit(0))
+        qs = F.array(*[F.lit(i / n_buckets)
+                       for i in range(1, n_buckets)])
+        wide = side.agg(F.percentile(F.col(id_col), qs).alias("__a"))
+        edges = wide.select(*[F.col("__a")[i - 1].alias(f"__e{i}")
+                              for i in range(1, n_buckets)])
+        scored = _cum_value_counts(ids, edges, n_buckets - 1)
+        ranks = scored.select(
+            F.col("__x").alias(id_col),
+            (F.col("__kr").cast("long") - 1).alias("__r"),
+            F.col("__nr").cast("long").alias("__n"))
+        v = _as_double(F.col(vec_col))
+        return (side.select(id_col, v.alias("__v"))
+                .withColumn("__sq", dot(F.col("__v"), F.col("__v")))
+                .join(ranks, id_col))
+
+    sdf = ref.sparkSession.createDataFrame(
+        [(int(s),) for s in strides], "__s long")
+    a, b = ranked(ref), ranked(cur)
+
+    def pair_mean(left, right, exclude_same_rank):
+        # left row r targets right rank (r+s) mod n_right for each
+        # stride — an equi-join on rank. Within a side the r==t
+        # self-pair (possible once n ≤ stride) is excluded; across
+        # sides equal ranks are legitimate pairs.
+        n_right = right.agg(F.first("__n").alias("__nt"))
+        keys = (left.crossJoin(F.broadcast(sdf))
+                .crossJoin(F.broadcast(n_right))
+                .select(F.col("__r").alias("__ra"),
+                        F.col("__v").alias("__va"),
+                        F.col("__sq").alias("__sqa"),
+                        F.try_mod(F.col("__r") + F.col("__s"),
+                                  F.col("__nt")).alias("__t")))
+        if exclude_same_rank:
+            keys = keys.where(F.col("__t") != F.col("__ra"))
+        pj = keys.join(right.select(F.col("__r").alias("__t"),
+                                    F.col("__v").alias("__vb"),
+                                    F.col("__sq").alias("__sqb")),
+                       "__t")
+        d2 = F.greatest(
+            F.lit(0.0),
+            F.col("__sqa") - F.lit(2.0) * dot(F.col("__va"),
+                                              F.col("__vb"))
+            + F.col("__sqb"))
+        dd = F.round(F.sqrt(d2), 6).cast("decimal(20,6)")
+        return pj.agg(
+            F.round(F.try_divide(F.sum(dd).cast("double"),
+                                 F.count(F.lit(1)))
+                    .cast("decimal(28,8)"), 6).cast("double")
+            .alias("m"))
+
+    e_cross = pair_mean(a, b, False).select(F.col("m").alias("e_cross"))
+    e_ref = pair_mean(a, a, True).select(F.col("m").alias("e_ref"))
+    e_cur = pair_mean(b, b, True).select(F.col("m").alias("e_cur"))
+    nra = a.agg(F.count(F.lit(1)).alias("n_ref"))
+    ncb = b.agg(F.count(F.lit(1)).alias("n_cur"))
+    res = (e_cross.crossJoin(e_ref).crossJoin(e_cur)
+           .crossJoin(nra).crossJoin(ncb)
+           .select(
+               F.lit(vec_col).alias("feature"),
+               F.round((F.lit(2.0) * F.col("e_cross") - F.col("e_ref")
+                        - F.col("e_cur")).cast("decimal(28,8)"), 6)
+                .cast("double").alias("energy"),
+               "e_cross", "e_ref", "e_cur",
+               F.col("n_ref").cast("long").alias("n_ref"),
+               F.col("n_cur").cast("long").alias("n_cur")))
+    ok = (F.col("n_ref") > 1) & (F.col("n_cur") > 1)
+    msg = F.concat(
+        F.lit("embedding_energy_drift: each side needs at least 2 "
+              "rows (got n_ref="), F.col("n_ref").cast("string"),
+        F.lit(", n_cur="), F.col("n_cur").cast("string"), F.lit(")"))
+    return res.select(
+        "feature",
+        F.when(ok, F.col("energy")).otherwise(F.raise_error(msg))
+         .alias("energy"),
+        "e_cross", "e_ref", "e_cur", "n_ref", "n_cur")

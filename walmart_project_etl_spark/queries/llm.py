@@ -3288,6 +3288,89 @@ def stream_mwu_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "value")
 
 
+@q("dq_embedding_drift", """
+WITH refv0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id % 2 = 0),
+curv0 AS (
+  SELECT vec_id,
+         CASE WHEN label % 2 = 0
+              THEN list_transform(embedding::DOUBLE[],
+                                  x -> x * 1.25 + 0.05)
+              ELSE embedding::DOUBLE[] END AS e
+  FROM embeddings WHERE vec_id % 2 = 1),
+nr AS (SELECT count(*) AS n FROM refv0),
+nc AS (SELECT count(*) AS n FROM curv0),
+refv AS (SELECT e, list_dot_product(e, e) AS sq,
+                row_number() OVER (ORDER BY vec_id) - 1 AS r
+         FROM refv0),
+curv AS (SELECT e, list_dot_product(e, e) AS sq,
+                row_number() OVER (ORDER BY vec_id) - 1 AS r
+         FROM curv0),
+st AS (SELECT unnest([1, 3, 7, 17]) AS s),
+pxk AS (SELECT a.sq AS sqa, a.e AS ea, (a.r + st.s) % nc.n AS t
+        FROM refv a CROSS JOIN st CROSS JOIN nc),
+px AS (SELECT round(sqrt(greatest(0.0,
+               k.sqa - 2.0 * list_dot_product(k.ea, b.e) + b.sq)),
+               6)::DECIMAL(20,6) AS d
+       FROM pxk k JOIN curv b ON b.r = k.t),
+ex AS (SELECT round(CAST(CAST(sum(d) AS DOUBLE) / count(*)
+              AS DECIMAL(28,8)), 6)::DOUBLE AS m FROM px),
+prk AS (SELECT a.r AS ra, a.sq AS sqa, a.e AS ea,
+               (a.r + st.s) % nr.n AS t
+        FROM refv a CROSS JOIN st CROSS JOIN nr),
+pr AS (SELECT round(sqrt(greatest(0.0,
+               k.sqa - 2.0 * list_dot_product(k.ea, b.e) + b.sq)),
+               6)::DECIMAL(20,6) AS d
+       FROM prk k JOIN refv b ON b.r = k.t WHERE k.t <> k.ra),
+er AS (SELECT round(CAST(CAST(sum(d) AS DOUBLE) / count(*)
+              AS DECIMAL(28,8)), 6)::DOUBLE AS m FROM pr),
+puk AS (SELECT a.r AS ra, a.sq AS sqa, a.e AS ea,
+               (a.r + st.s) % nc.n AS t
+        FROM curv a CROSS JOIN st CROSS JOIN nc),
+pu AS (SELECT round(sqrt(greatest(0.0,
+               k.sqa - 2.0 * list_dot_product(k.ea, b.e) + b.sq)),
+               6)::DECIMAL(20,6) AS d
+       FROM puk k JOIN curv b ON b.r = k.t WHERE k.t <> k.ra),
+ec AS (SELECT round(CAST(CAST(sum(d) AS DOUBLE) / count(*)
+              AS DECIMAL(28,8)), 6)::DOUBLE AS m FROM pu)
+SELECT 'embedding' AS feature,
+       round(CAST(2.0 * ex.m - er.m - ec.m AS DECIMAL(28,8)),
+             6)::DOUBLE AS energy,
+       ex.m AS e_cross, er.m AS e_ref, ec.m AS e_cur,
+       nr.n::BIGINT AS n_ref, nc.n::BIGINT AS n_cur
+FROM ex, er, ec, nr, nc""")
+def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE drift monitor (operators/cleaning.py:
+    embedding_energy_drift) — the monitoring story's missing modality
+    (r14 gap): the scalar trio watches tabular features, but a
+    training corpus drifts in embedding space first. Strided
+    energy-distance estimator between the even-id reference sample
+    and an odd-id current sample whose even-label vectors are
+    deliberately shifted (×1.25 + 0.05): each side's rows rank
+    globally by id through the bucketed prefix-sum core (no global
+    single-partition pass), row r pairs with rank (r+s) mod n for
+    four fixed strides — |strides|·n pairs per term instead of n²,
+    all equi-joins on rank, RNG-free so the oracle recomputes the
+    same pairs via row_number. Distances come from the proven
+    sequential-fold dot ≡ list_dot_product equivalence, round-6 +
+    DECIMAL-summed; identical sides yield energy exactly 0 (asserted
+    in tests)."""
+    from walmart_project_etl_spark.operators.cleaning import \
+        embedding_energy_drift
+    emb = t(spark, sf_dir, "embeddings")
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    cur = emb.where(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.when(F.col("label") % 2 == 0,
+               F.transform("embedding",
+                           lambda x: x.cast("double") * 1.25 + 0.05))
+         .otherwise(F.transform("embedding",
+                                lambda x: x.cast("double")))
+         .alias("embedding"))
+    return embedding_energy_drift(ref, cur, "vec_id", "embedding")
+
+
 @q("stream_session_stats", """
 WITH flagged AS (
   SELECT user_id, ts, value, event_id,
