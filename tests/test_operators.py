@@ -205,6 +205,58 @@ def test_snm_cross_boundary_finds_edge_straddling_pair(spark):
     assert pairs(3, True) == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_snm_chained_finds_pair_across_short_block(spark):
+    """cross_boundary='chained': a dup pair separated by an ENTIRE
+    block shorter than window−1 rows (the r14 documented miss) — the
+    adjacent-only edge pass cannot see across two boundaries, the
+    chained global window must. Also: chained equals the brute global
+    sliding window on a multi-block corpus (the single-machine SNM
+    contract)."""
+    rows = [(1, "aaaa zz qq ww ee rr tt"),                 # block aaaa
+            (2, "abbb totally unrelated filler content"),  # short block
+            (3, "acaa zz qq ww ee rr tt"),                 # block acaa
+            (9, "zulu yankee xray whiskey victor umbra")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def pairs(cross):
+        return {(r["id_a"], r["id_b"])
+                for r in dedup.sorted_neighborhood_pairs(
+                    df, "doc_id", "text", window=4,
+                    threshold=0.5, cross_boundary=cross).collect()}
+
+    assert pairs(False) == set()       # blocks are singletons
+    assert pairs(True) == set()        # pair straddles TWO boundaries
+    assert pairs("chained") == {(1, 3)}  # global distance 2 <= 3
+
+    # chained == brute global window on a larger mixed corpus
+    import itertools
+    corpus = [(i, f"{'abcde'[i % 5]}{'xy'[i % 2]} common body text "
+                  f"variant {i % 3} tail {'pqr'[i % 3]}")
+              for i in range(30)]
+    big = spark.createDataFrame(corpus, "doc_id int, text string")
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.sorted_neighborhood_pairs(
+               big, "doc_id", "text", window=4, threshold=0.5,
+               cross_boundary="chained").collect()}
+    # brute force: global (key, id) order, all pairs within distance 3,
+    # word-3-gram jaccard >= 0.5
+    import re
+    def key(t):
+        return re.sub("[^a-z0-9]", "", t.lower())[:24]
+    order = sorted(corpus, key=lambda r: (key(r[1]), r[0]))
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 1))}
+    want = set()
+    for d in range(1, 4):
+        for (ia, ta), (ib, tb) in zip(order, order[d:]):
+            sa, sb = shingles(ta), shingles(tb)
+            j = len(sa & sb) / len(sa | sb)
+            if round(j, 6) >= 0.5:
+                want.add((ia, ib))
+    assert got == want and len(want) > 0
+
+
 def test_rrf_fusion_math_and_missing_candidates(spark):
     """RRF score = sum of 1/(c+rank) over the lists a candidate appears
     in; a candidate on one list only still fuses (missing term = 0);

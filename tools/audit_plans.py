@@ -94,6 +94,11 @@ ALLOW = {
     # final 1×1 assembly of the three term means — every pair set is
     # |strides|·n from equi-joins on rank, never all-pairs
     "dq_embedding_drift": {"BroadcastNestedLoopJoin"},
+    # SNM chained global window: the cumulative block-offsets window
+    # (running sum over the one-row-per-block counts frame,
+    # metadata-scale next to the corpus) is the only SinglePartition;
+    # candidates stay a chunk-keyed equi-join
+    "dedup_snm_chained": {"Exchange SinglePartition (non-scalar result)"},
     # SNM cross-boundary pass: the block-index window
     # (row_number over the DISTINCT-blocks frame — one row per block,
     # metadata-scale next to the corpus) is the only SinglePartition;

@@ -1170,7 +1170,7 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, text_col: str,
                               key_len: int = 24,
                               threshold: float = 0.5,
                               sort_key=None,
-                              cross_boundary: bool = False) -> DataFrame:
+                              cross_boundary: bool | str = False) -> DataFrame:
     """Sorted-Neighborhood Method (Hernández & Stolfo, SIGMOD '95): the
     THIRD blocking strategy next to LSH banding and k-means clustering —
     sort the corpus by a normalized key and compare each record only
@@ -1200,10 +1200,18 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, text_col: str,
     pairs per boundary; the block-index window runs over the distinct-
     blocks frame (one row per block, metadata-scale). Pairs spanning
     a whole block (a block with < window−1 rows between two dups) are
-    the remaining, documented miss. Pair generation is an equi-join on
-    (block, rn) after an offset explode (never a range join);
-    verification joins the per-doc distinct shingle arrays by id —
-    every stage a linear, uniformly-keyed shuffle.
+    ``cross_boundary=True``'s remaining miss;
+    ``cross_boundary='chained'`` closes it COMPLETELY: per-block
+    counts fold into cumulative row offsets (a block-grain frame, one
+    row per block), every row gets its GLOBAL sort rank, and
+    candidates come from one chunk-keyed equi-join (chunk =
+    rank div (window−1); each successor probes its own and the
+    previous chunk) — exactly the single-machine SNM's global sliding
+    window, independent of how many short blocks sit between a pair,
+    still ≤ 2·(window−1) candidate partners per row. Pair generation
+    is an equi-join on (block, rn) after an offset explode (never a
+    range join); verification joins the per-doc distinct shingle
+    arrays by id — every stage a linear, uniformly-keyed shuffle.
 
     Exactly engine-reproducible (normalized-key sort over [a-z0-9]
     strings is binary-collation stable; Jaccard on int counts), so the
@@ -1223,17 +1231,49 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, text_col: str,
     w = Window.partitionBy("__blk").orderBy("__key", id_col)
     rn = keyed.select(id_col, "__blk",
                       F.row_number().over(w).alias("__rn"))
-    # each row emits (blk, rn - off) probes for off in 1..window-1:
-    # an EQUI join on (blk, rn) pairs it with each predecessor
-    probes = rn.select(
-        F.col(id_col).alias("__idb"), "__blk",
-        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("__off"),
-        F.col("__rn"))
-    probes = probes.select(
-        "__idb", "__blk", (F.col("__rn") - F.col("__off")).alias("__rn"))
-    cand = (rn.select(F.col(id_col).alias("__ida"), "__blk", "__rn")
-            .join(probes, ["__blk", "__rn"])
-            .select("__ida", "__idb"))
+    if cross_boundary == "chained":
+        # GLOBAL sliding window via cumulative block offsets: blocks
+        # sort by prefix, rows by (key, id) within — so in-block rank
+        # plus the running count of all earlier blocks IS the global
+        # sort rank (the offsets window runs over the block-grain
+        # counts frame, one row per block, metadata-scale). Chunk the
+        # ranks at width window−1: a pair within global distance
+        # window−1 spans at most one chunk edge, so each successor
+        # probing its own and the previous chunk finds EVERY pair —
+        # the single-machine SNM window, no short-block miss.
+        wdist = window - 1
+        nblk = rn.groupBy("__blk").agg(F.max("__rn").alias("__n"))
+        owin = (Window.orderBy("__blk")
+                .rowsBetween(Window.unboundedPreceding, -1))
+        offs = nblk.select(
+            "__blk",
+            F.coalesce(F.sum("__n").over(owin), F.lit(0)).alias("__off"))
+        g = (rn.join(F.broadcast(offs), "__blk")
+             .select(F.col(id_col),
+                     (F.col("__off") + F.col("__rn") - 1).alias("__g")))
+        ck = F.floor(F.col("__g") / F.lit(float(wdist)))
+        aside = g.select(F.col(id_col).alias("__ida"),
+                         F.col("__g").alias("__ga"), ck.alias("__ck"))
+        bside = g.select(F.col(id_col).alias("__idb"),
+                        F.col("__g").alias("__gb"),
+                        F.explode(F.array(ck, ck - 1)).alias("__ck"))
+        cand = (aside.join(bside, "__ck")
+                .where((F.col("__gb") - F.col("__ga") >= 1)
+                       & (F.col("__gb") - F.col("__ga") <= wdist))
+                .select("__ida", "__idb"))
+        cross_boundary = False
+    else:
+        # each row emits (blk, rn - off) probes for off in 1..window-1:
+        # an EQUI join on (blk, rn) pairs it with each predecessor
+        probes = rn.select(
+            F.col(id_col).alias("__idb"), "__blk",
+            F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("__off"),
+            F.col("__rn"))
+        probes = probes.select(
+            "__idb", "__blk", (F.col("__rn") - F.col("__off")).alias("__rn"))
+        cand = (rn.select(F.col(id_col).alias("__ida"), "__blk", "__rn")
+                .join(probes, ["__blk", "__rn"])
+                .select("__ida", "__idb"))
     if cross_boundary:
         # adjacent-block edge pass: block index over the distinct-block
         # frame (one row per block), then tails(t) × heads(h) of

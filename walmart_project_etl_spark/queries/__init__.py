@@ -37,7 +37,7 @@ _PRIORITY = (
     "stream_mwu_drift",
     "dq_drift_multicol",
     "dq_embedding_drift",
-    # "dedup_snm_chained",
+    "dedup_snm_chained",
     # r8-era rotation: the 48 rows whose newest driver row is r8
     # (alphabetical; the last len(r15-new) fall past the 50-cap and
     # lead the r16 window)

@@ -2438,6 +2438,61 @@ def dedup_snm_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_len=24, threshold=0.5, cross_boundary=True)
 
 
+@q("dedup_snm_chained", f"""
+WITH corpus AS (SELECT doc_id, text FROM {_DUPES_SQL} c),
+keyed AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, 24) AS key
+  FROM corpus),
+rn AS (
+  SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS g
+  FROM keyed),
+cand AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM rn b
+  JOIN rn a ON a.g BETWEEN b.g - 3 AND b.g - 1),
+tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM corpus),
+pos AS (SELECT doc_id, w,
+               unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+        FROM tok),
+shi AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM pos),
+sized AS (SELECT doc_id, count(*) AS n FROM shi GROUP BY doc_id),
+inter AS (
+  SELECT c.ida, c.idb, count(*) AS ni
+  FROM cand c
+  JOIN shi a ON a.doc_id = c.ida
+  JOIN shi b ON b.doc_id = c.idb AND b.shingle = a.shingle
+  GROUP BY c.ida, c.idb)
+SELECT ida AS id_a, idb AS id_b,
+       round(CAST(ni::DOUBLE / (sa.n + sb.n - ni)
+             AS DECIMAL(28,8)), 6)::DOUBLE AS jaccard
+FROM inter
+JOIN sized sa ON sa.doc_id = ida
+JOIN sized sb ON sb.doc_id = idb
+WHERE round(CAST(ni::DOUBLE / (sa.n + sb.n - ni)
+            AS DECIMAL(28,8)), 6)::DOUBLE >= 0.5""")
+def dedup_snm_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNM with the CHAINED global window (operators/dedup.py:
+    sorted_neighborhood_pairs cross_boundary='chained') — closes the
+    r14 residual miss: the adjacent-block edge pass still loses a dup
+    pair separated by an ENTIRE block shorter than window−1 rows.
+    Cumulative per-block row offsets give every row its global sort
+    rank (the offsets fold runs over the one-row-per-block counts
+    frame), and one chunk-keyed equi-join (chunk = rank div
+    (window−1), successor probes own + previous chunk) reproduces the
+    single-machine SNM sliding window EXACTLY — the oracle is the
+    plain global row_number window, no block terms left. Same linear
+    candidate bound (≤ 2·(window−1) partners per row); closed-form
+    short-block fixture asserted in tests/test_operators.py."""
+    corpus = _docs_with_dupes(spark, sf_dir)
+    return dedup.sorted_neighborhood_pairs(
+        corpus, "doc_id", "text", window=4, block_len=12,
+        key_len=24, threshold=0.5, cross_boundary="chained")
+
+
 @q("dedup_snm_multipass", """
 WITH corpus AS (
   SELECT doc_id, text FROM documents
