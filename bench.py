@@ -199,7 +199,44 @@ BENCH_QUERIES = [
     "dedup_snm_boundary",
     "sim_rrf_ann_fusion",
     "dq_ks_drift",
+    # r15-new: the melted multi-feature drift pass (its single-shuffle
+    # job-count collapse must be bench-visible next to dq_ks_drift),
+    # the streaming chi-square/MWU twins, the strided embedding energy
+    # distance, and the chained-global-window SNM
+    "dq_drift_multicol",
+    "stream_chisq_drift",
+    "stream_mwu_drift",
+    "dq_embedding_drift",
+    "dq_embedding_norm_drift",
+    "dedup_snm_chained",
 ]
+
+#: Bench-subset rotation (VERDICT r14 task 6): BENCH_QUERIES pins ~105
+#: of the 300+ registry entries, so a perf regression in an unpinned
+#: entry could hide indefinitely. Every FULL run appends
+#: ROTATING_SLOTS extra queries drawn deterministically from the
+#: sorted unpinned pool: window start = round_index × ROTATING_SLOTS
+#: (mod pool size, wraparound), where round_index = number of
+#: BENCH_r*.json files beside this script (the driver writes exactly
+#: one per round, so the window advances each round and sweeps the
+#: whole pool in ~⌈pool/8⌉ rounds). Rotated timings get per-query rows
+#: in BENCH_spread.json like every query; on stdout they aggregate
+#: under the single "rotation" family so the pinned families stay
+#: round-over-round comparable and the JSON line stays under the
+#: driver's ~2 KB tail capture.
+ROTATING_SLOTS = 8
+
+
+def rotation_names(reg_names, round_index: int) -> list[str]:
+    """The deterministic rotating picks for this round (see above)."""
+    pinned = set(BENCH_QUERIES)
+    pool = sorted(n for n in reg_names if n not in pinned)
+    if not pool:
+        return []
+    start = (round_index * ROTATING_SLOTS) % len(pool)
+    picks = [pool[(start + i) % len(pool)]
+             for i in range(min(ROTATING_SLOTS, len(pool)))]
+    return list(dict.fromkeys(picks))
 
 #: pipe_* queries that should pay the full cold pipeline build; other
 #: pipe_* entries reuse the star cache built by the cold one.
@@ -328,7 +365,20 @@ def main() -> int:
     # best-of-2) to keep total bench wall time in budget — their
     # absolute size makes relative drift less able to hide a regression.
     # optional CLI subset (iterating on one query); full list by default
-    names = sys.argv[1:] or BENCH_QUERIES
+    full_run = not sys.argv[1:]
+    if full_run:
+        import glob
+        round_index = len(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_r*.json")))
+        rotated = rotation_names(reg.keys(), round_index)
+        names = BENCH_QUERIES + rotated
+        print(f"# rotation (round_index {round_index}): {rotated}",
+              file=sys.stderr)
+    else:
+        rotated = []
+        names = sys.argv[1:]
+    rotated_set = set(rotated)
     unknown = [n for n in names if n not in reg]
     assert not unknown, f"not in registry: {unknown}"
 
@@ -366,12 +416,13 @@ def main() -> int:
     # stdout for ONE compact JSON line, and r6's inline spread dict grew
     # past its capture window, truncating the medians (BENCH_r06
     # "parsed": null). The primary line is compact and printed last.
-    if names is BENCH_QUERIES:  # subset runs must not clobber the record
+    if full_run:  # subset runs must not clobber the record
         try:
             with open(os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),
                     "BENCH_spread.json"), "w") as fh:
                 json.dump({"sf": sf, "canary": canary_secs,
+                           "rotation": rotated,
                            "timings": timings, "spread": spread}, fh)
         except OSError as e:
             print(f"# spread file not written: {e}", file=sys.stderr)
@@ -385,7 +436,7 @@ def main() -> int:
     fam_secs: dict[str, float] = {}
     fam_n: dict[str, int] = {}
     for n_, t_ in timings.items():
-        f_ = _family(n_)
+        f_ = "rotation" if n_ in rotated_set else _family(n_)
         fam_secs[f_] = fam_secs.get(f_, 0.0) + t_
         fam_n[f_] = fam_n.get(f_, 0) + 1
     line = json.dumps(

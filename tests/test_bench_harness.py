@@ -97,3 +97,55 @@ class TestFinalJsonLine:
                                      for n in bench.BENCH_QUERIES}
         assert abs(sum(d["queries"].values()) - d["value"]) < 0.5
         assert d["load_skewed"] is False
+
+
+class TestRotation:
+    """Bench-subset rotation (r15): deterministic picks from the
+    unpinned pool, window advancing with the round index, wraparound,
+    no duplicates, and the line budget still holds with the extra
+    'rotation' family."""
+
+    def test_deterministic_and_disjoint_from_pinned(self):
+        reg = [f"q{i:03d}" for i in range(20)] + bench.BENCH_QUERIES[:5]
+        a = bench.rotation_names(reg, 3)
+        b = bench.rotation_names(reg, 3)
+        assert a == b
+        assert len(a) == bench.ROTATING_SLOTS == len(set(a))
+        assert not set(a) & set(bench.BENCH_QUERIES)
+
+    def test_window_advances_and_wraps(self):
+        pool = [f"q{i:03d}" for i in range(10)]  # pool smaller than 2 windows
+        r0 = bench.rotation_names(pool, 0)
+        r1 = bench.rotation_names(pool, 1)
+        assert r0 != r1
+        assert r0 == sorted(pool)[:8]
+        # wraparound: window start (1*8) % 10 = 8 → q008, q009, q000...
+        assert r1[:2] == ["q008", "q009"] and r1[2] == "q000"
+        # tiny pool: picks dedupe, never exceed the pool
+        assert bench.rotation_names(["a", "b"], 5) == ["b", "a"] or \
+            bench.rotation_names(["a", "b"], 5) == ["a", "b"]
+        assert len(bench.rotation_names(["a"], 2)) == 1
+        assert bench.rotation_names([], 0) == []
+
+    def test_line_budget_with_rotation_family(self):
+        # rotation adds ONE family key however many slots rotate
+        timings = {n: 99999.99 for n in bench.BENCH_QUERIES}
+        fam_secs, fam_n = {}, {}
+        rotated = {f"rot{i}" for i in range(bench.ROTATING_SLOTS)}
+        for n_ in rotated:
+            timings[n_] = 99999.99
+        for n_, t_ in timings.items():
+            f_ = "rotation" if n_ in rotated else bench._family(n_)
+            fam_secs[f_] = fam_secs.get(f_, 0.0) + t_
+            fam_n[f_] = fam_n.get(f_, 0) + 1
+        line = json.dumps(
+            {"metric": "total_wall_seconds",
+             "value": round(sum(timings.values()), 2), "unit": "sec",
+             "queries": {f_: round(s_, 2)
+                         for f_, s_ in sorted(fam_secs.items())},
+             "n_queries": len(timings),
+             "per_family_n": {f_: fam_n[f_] for f_ in sorted(fam_n)},
+             "sf": 0.1, "load_skewed": False,
+             "detail": "BENCH_spread.json"},
+            separators=(",", ":"))
+        assert len(line) <= 1800

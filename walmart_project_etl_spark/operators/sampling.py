@@ -270,18 +270,22 @@ def contrastive_triplets(df: DataFrame, id_col: str, text_col: str,
         "negative_id", "__ndig",
         (F.row_number().over(Window.orderBy("__h", "negative_id")) - 1)
         .alias("__idx"))
-    # draw modulo the ACTUAL pool size (a corpus smaller than pool_size
-    # yields a shorter pool; the count is over ≤ pool_size rows)
-    n_pool = pool.count()
-    if n_pool == 0:
-        # % 0 would yield NULL draws and a silently empty result
+    # % 0 would yield NULL draws and a silently empty result — raise
+    # up front. isEmpty is a limit-1 probe, NOT the r14 shape that
+    # forced the whole TakeOrdered pool at plan-build time; a
+    # non-empty corpus guarantees a non-empty pool, so the modulo
+    # below can take the pool size as a LAZY 1-row scalar broadcast
+    # (no other plan-build action left).
+    if df.isEmpty():
         raise ValueError("contrastive_triplets: empty corpus, no "
                          "negative pool to draw from")
+    npool = pool.agg(F.count(F.lit(1)).alias("__np"))
     draw = (F.conv(F.substring(
         F.md5(F.concat(F.lit("neg|"),
                        F.col("anchor_id").cast("string"))), 1, 8),
-        16, 10).cast("long") % n_pool).alias("__idx")
-    return (pos.select("__dig", "anchor_id", "positive_id", draw)
+        16, 10).cast("long") % F.col("__np")).alias("__idx")
+    return (pos.crossJoin(F.broadcast(npool))
+            .select("__dig", "anchor_id", "positive_id", draw)
             .join(F.broadcast(pool), "__idx")
             .where(F.col("__ndig") != F.col("__dig"))
             .select("anchor_id", "positive_id", "negative_id"))

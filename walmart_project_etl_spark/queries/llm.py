@@ -3426,6 +3426,65 @@ def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_energy_drift(ref, cur, "vec_id", "embedding")
 
 
+@q("dq_embedding_norm_drift", """
+WITH refn AS (
+  SELECT sqrt(list_dot_product(embedding::DOUBLE[],
+              embedding::DOUBLE[])) AS x
+  FROM embeddings WHERE vec_id % 2 = 0),
+curn AS (
+  SELECT CASE WHEN label % 2 = 0
+              THEN sqrt(list_dot_product(
+                     list_transform(embedding::DOUBLE[],
+                                    x -> x * 1.25 + 0.05),
+                     list_transform(embedding::DOUBLE[],
+                                    x -> x * 1.25 + 0.05)))
+              ELSE sqrt(list_dot_product(embedding::DOUBLE[],
+                        embedding::DOUBLE[])) END AS x
+  FROM embeddings WHERE vec_id % 2 = 1),
+s AS (SELECT x, 1 AS r, 0 AS c FROM refn
+      UNION ALL SELECT x, 0, 1 FROM curn),
+pv AS (SELECT x, sum(r) AS cr, sum(c) AS cc FROM s GROUP BY x),
+n AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM pv),
+cum AS (SELECT sum(cr) OVER (ORDER BY x) AS kr,
+               sum(cc) OVER (ORDER BY x) AS kc FROM pv),
+d AS (SELECT max(abs(kr::DECIMAL(38,0) * nc
+                     - kc::DECIMAL(38,0) * nr)) AS dn,
+             any_value(nr) AS nr, any_value(nc) AS nc
+      FROM cum, n)
+SELECT 'embedding_norm' AS feature,
+       round(CAST(CAST(dn AS DOUBLE) / (nr::DOUBLE * nc::DOUBLE)
+             AS DECIMAL(28,8)), 6)::DOUBLE AS ks,
+       nr::BIGINT AS n_ref, nc::BIGINT AS n_cur
+FROM d""")
+def dq_embedding_norm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NORM-DISTRIBUTION drift over embeddings — the cheap first-alarm
+    companion to dq_embedding_drift: an embedding-model version bump or
+    a normalization bug shifts the ‖v‖ distribution long before anyone
+    inspects pair geometry, and watching it costs ONE narrow map
+    (sequential-fold ‖v‖², sqrt) + the exact-KS prefix-sum — no pair
+    construction at all. Pure composition: similarity.dot for the norm,
+    operators/cleaning.py:ks_drift for the statistic (the norm column
+    melts like any numeric feature). Same drifted fixture as the energy
+    monitor, so the two rows read side-by-side."""
+    from walmart_project_etl_spark.operators.cleaning import ks_drift
+    from walmart_project_etl_spark.operators.similarity import (_as_double,
+                                                                dot)
+    emb = t(spark, sf_dir, "embeddings")
+
+    def norms(df, vec):
+        return df.select(F.sqrt(dot(vec, vec)).alias("embedding_norm"))
+
+    ref = norms(emb.where(F.col("vec_id") % 2 == 0),
+                _as_double(F.col("embedding")))
+    curv = F.when(F.col("label") % 2 == 0,
+                  F.transform("embedding",
+                              lambda x: x.cast("double") * 1.25 + 0.05)) \
+            .otherwise(F.transform("embedding",
+                                   lambda x: x.cast("double")))
+    cur = norms(emb.where(F.col("vec_id") % 2 == 1), curv)
+    return ks_drift(ref, cur, ["embedding_norm"])
+
+
 @q("stream_session_stats", """
 WITH flagged AS (
   SELECT user_id, ts, value, event_id,
