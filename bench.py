@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "stream_mwu_drift",
     "dq_embedding_drift",
     "dq_embedding_norm_drift",
+    "stream_embedding_norm_drift",
     "dedup_snm_chained",
 ]
 

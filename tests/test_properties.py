@@ -203,3 +203,38 @@ def test_ngram_jaccard_ppjoin_matches_bruteforce(spark, texts, threshold):
                df, "doc_id", "text", k=3, threshold=threshold,
                unit="word").collect()}
     assert got == expected
+
+
+_samples = st.lists(st.integers(min_value=-50, max_value=50),
+                    min_size=2, max_size=30)
+
+
+@given(ref_v=_samples, cur_v=_samples)
+@_settings
+def test_rank_drift_monotone_invariance_and_symmetry(spark, ref_v, cur_v):
+    """KS and MWU are RANK statistics: any strictly monotone transform
+    of both samples (here 3x+7) must leave ks/auc/n unchanged — the
+    exact property the melt's double cast relies on. KS is symmetric
+    under side swap; MWU's auc reflects to 1 − auc (up to the shared
+    round-6 grid)."""
+    from walmart_project_etl_spark.operators.cleaning import (ks_drift,
+                                                              mwu_drift)
+    ref = spark.createDataFrame([(float(v),) for v in ref_v], "x double")
+    cur = spark.createDataFrame([(float(v),) for v in cur_v], "x double")
+    tref = spark.createDataFrame([(3.0 * v + 7.0,) for v in ref_v],
+                                 "x double")
+    tcur = spark.createDataFrame([(3.0 * v + 7.0,) for v in cur_v],
+                                 "x double")
+
+    k1 = ks_drift(ref, cur, ["x"]).collect()[0]
+    k2 = ks_drift(tref, tcur, ["x"]).collect()[0]
+    assert (k1["ks"], k1["n_ref"], k1["n_cur"]) \
+        == (k2["ks"], k2["n_ref"], k2["n_cur"])
+    k3 = ks_drift(cur, ref, ["x"]).collect()[0]
+    assert k3["ks"] == k1["ks"]
+
+    m1 = mwu_drift(ref, cur, ["x"]).collect()[0]
+    m2 = mwu_drift(tref, tcur, ["x"]).collect()[0]
+    assert (m1["u"], m1["auc"]) == (m2["u"], m2["auc"])
+    m3 = mwu_drift(cur, ref, ["x"]).collect()[0]
+    assert abs((m1["auc"] + m3["auc"]) - 1.0) < 2e-6  # round-6 grid

@@ -515,3 +515,53 @@ def test_stream_drift_statistics_equal_batch_operators(spark, events,
                      ["value"]).collect()[0]
     assert (got["u"], got["auc"], got["n_ref"], got["n_cur"]) == \
         (want["u"], want["auc"], want["n_ref"], want["n_cur"])
+
+
+def test_stream_embedding_norm_counts_equal_batch(spark, tmp_path):
+    """The accumulated per-distinct-norm counts (the embedding-norm
+    KS monitor's streaming side) must equal the plain batch norm
+    counts regardless of micro-batch split, and the composed statistic
+    must equal the batch ks_drift over the same norms."""
+    import pyspark.sql.functions as F
+
+    from walmart_project_etl_spark.operators.cleaning import (
+        _ks_from_value_counts, ks_drift)
+    from walmart_project_etl_spark.operators.similarity import (_as_double,
+                                                                dot)
+    from walmart_project_etl_spark.queries.util import embeddings_dir
+    from walmart_project_etl_spark.streaming import \
+        stream_embedding_norm_counts
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    v = _as_double(F.col("embedding"))
+    norm = F.sqrt(dot(v, v))
+
+    got = stream_embedding_norm_counts(
+        spark, embeddings_dir(spark, SF_DIR), str(tmp_path / "wh"),
+        vec_parity=1, max_files_per_trigger=1)
+    want = (emb.where(F.col("vec_id") % 2 == 1)
+            .select(norm.alias("x")).where(F.col("x").isNotNull())
+            .groupBy("x").agg(F.count(F.lit(1)).alias("c")))
+    assert _rows(got, ["x", "c"]) == _rows(want, ["x", "c"])
+
+    # composed statistic == batch ks_drift on the same norm columns
+    ref = emb.where(F.col("vec_id") % 2 == 0) \
+             .select(norm.alias("embedding_norm"))
+    cur = emb.where(F.col("vec_id") % 2 == 1) \
+             .select(norm.alias("embedding_norm"))
+    ref_cnt = (ref.groupBy(F.col("embedding_norm").alias("__x"))
+               .agg(F.count(F.lit(1)).alias("__cr")))
+    per_val = (ref_cnt.join(got.select(F.col("x").alias("__x"),
+                                       F.col("c").alias("__cc")),
+                            "__x", "full")
+               .select("__x",
+                       F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                       F.coalesce("__cc", F.lit(0)).alias("__cc")))
+    edges = ref.agg(*[
+        F.expr(f"percentile(embedding_norm, {i / 32})").alias(f"__e{i}")
+        for i in range(1, 32)])
+    got_stat = _ks_from_value_counts(per_val, edges, 31,
+                                     "embedding_norm").collect()[0]
+    want_stat = ks_drift(ref, cur, ["embedding_norm"]).collect()[0]
+    assert (got_stat["ks"], got_stat["n_ref"], got_stat["n_cur"]) == \
+        (want_stat["ks"], want_stat["n_ref"], want_stat["n_cur"])

@@ -85,6 +85,12 @@ ALLOW = {
     # prefix-sum core as stream_ks_drift — same scalar broadcasts
     "stream_mwu_drift": {"BroadcastNestedLoopJoin",
                          "Exchange SinglePartition (non-scalar result)"},
+    # streaming embedding-norm KS: same scalar broadcasts (1-row edges
+    # agg crossJoined over the accumulated norm-count table) as
+    # stream_ks_drift
+    "stream_embedding_norm_drift": {
+        "BroadcastNestedLoopJoin",
+        "Exchange SinglePartition (non-scalar result)"},
     # streaming chi-square: the k-row per-feature totals frame joins
     # back over the k-row category-count table on a constant feature
     # key (both sides category-cardinality-sized)

@@ -37,6 +37,7 @@ _PRIORITY = (
     "dq_drift_multicol",
     "dq_embedding_drift",
     "dq_embedding_norm_drift",
+    "stream_embedding_norm_drift",
     "dedup_snm_chained",
     # r8-era rotation: the 48 rows whose newest driver row is r8
     # (alphabetical; the last len(r15-new) fall past the 50-cap and
@@ -90,13 +91,14 @@ _PRIORITY = (
     "w02_moving_average",
     "w03_rank_family",
 )
-#: r16 plan: after this window the stalest rows are the last 4 r8-era
-#: entries displaced past the 50-cap (txn_keyset_lookup,
-#: txn_point_lookup, w02_moving_average, w03_rank_family — verify
-#: against the CORRECTNESS_r15 actually recorded),
-#: then the r9-era block (50 rows: cdc_snapshot_diff ... onward,
-#: alphabetical). Lead r16 with any r15-new entries that missed this
-#: window, then those 4, then the first r9-era rows to the cap.
+#: r16 plan: after this window the stalest rows are the last 5 r8-era
+#: entries displaced past the 50-cap (text_redact_pii,
+#: txn_keyset_lookup, txn_point_lookup, w02_moving_average,
+#: w03_rank_family — verify against the CORRECTNESS_r15 actually
+#: recorded), then the r9-era block (50 rows: cdc_snapshot_diff ...
+#: onward, alphabetical). Lead r16 with any r15-new entries that
+#: missed this window, then those 5, then the first r9-era rows to
+#: the cap.
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 from walmart_project_etl_spark.operators import (dedup, events, multimodal,
                                                  similarity, sketch, text)
 
-from .util import dsum, events_dir, events_t, pinned, t
+from .util import dsum, embeddings_dir, events_dir, events_t, pinned, t
 
 QUERIES: dict = {}
 
@@ -3483,6 +3483,90 @@ def dq_embedding_norm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    lambda x: x.cast("double")))
     cur = norms(emb.where(F.col("vec_id") % 2 == 1), curv)
     return ks_drift(ref, cur, ["embedding_norm"])
+
+
+@q("stream_embedding_norm_drift", """
+WITH refn AS (
+  SELECT sqrt(list_dot_product(embedding::DOUBLE[],
+              embedding::DOUBLE[])) AS x
+  FROM embeddings WHERE vec_id % 2 = 0),
+curn AS (
+  SELECT CASE WHEN label % 2 = 0
+              THEN sqrt(list_dot_product(
+                     list_transform(embedding::DOUBLE[],
+                                    x -> x * 1.25 + 0.05),
+                     list_transform(embedding::DOUBLE[],
+                                    x -> x * 1.25 + 0.05)))
+              ELSE sqrt(list_dot_product(embedding::DOUBLE[],
+                        embedding::DOUBLE[])) END AS x
+  FROM embeddings WHERE vec_id % 2 = 1),
+s AS (SELECT x, 1 AS r, 0 AS c FROM refn
+      UNION ALL SELECT x, 0, 1 FROM curn),
+pv AS (SELECT x, sum(r) AS cr, sum(c) AS cc FROM s GROUP BY x),
+n AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM pv),
+cum AS (SELECT sum(cr) OVER (ORDER BY x) AS kr,
+               sum(cc) OVER (ORDER BY x) AS kc FROM pv),
+d AS (SELECT max(abs(kr::DECIMAL(38,0) * nc
+                     - kc::DECIMAL(38,0) * nr)) AS dn,
+             any_value(nr) AS nr, any_value(nc) AS nc
+      FROM cum, n)
+SELECT 'embedding_norm' AS feature,
+       round(CAST(CAST(dn AS DOUBLE) / (nr::DOUBLE * nc::DOUBLE)
+             AS DECIMAL(28,8)), 6)::DOUBLE AS ks,
+       nr::BIGINT AS n_ref, nc::BIGINT AS n_cur
+FROM d""")
+def stream_embedding_norm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING embedding-norm drift monitor (streaming/jobs.py:
+    stream_embedding_norm_counts) — the drift monitors' streaming side
+    now covers the EMBEDDING modality too: per-distinct-‖v‖ counts of
+    the live (odd-id) population accumulate over real micro-batches of
+    an embeddings file stream (norms computed inside each batch, no
+    vector state stored) through the same replay-idempotent
+    batch-keyed delta sink as every count monitor; the frozen
+    reference side is the batch norms of the even ids. The final
+    statistic reuses the exact-KS prefix-sum core over the streamed
+    counts full-joined with the reference counts; the oracle is the
+    plain batch KS of the same fixture (identical to
+    dq_embedding_norm_drift's), so streaming-vs-batch equality is the
+    check. Drift injection (×1.25 + 0.05 on even labels) rides the
+    job's vec_expr hook — the production path passes none."""
+    import tempfile
+
+    from walmart_project_etl_spark.operators.cleaning import \
+        _ks_from_value_counts
+    from walmart_project_etl_spark.operators.similarity import (_as_double,
+                                                                dot)
+    from walmart_project_etl_spark.streaming import \
+        stream_embedding_norm_counts
+
+    emb = t(spark, sf_dir, "embeddings")
+    rv = _as_double(F.col("embedding"))
+    ref = (emb.where(F.col("vec_id") % 2 == 0)
+           .select(F.sqrt(dot(rv, rv)).alias("embedding_norm")))
+    curv = F.when(F.col("label") % 2 == 0,
+                  F.transform("embedding",
+                              lambda x: x.cast("double") * 1.25 + 0.05)) \
+            .otherwise(F.transform("embedding",
+                                   lambda x: x.cast("double")))
+    cur_cnt = stream_embedding_norm_counts(
+        spark, embeddings_dir(spark, sf_dir),
+        tempfile.mkdtemp(prefix="wpe_stream_embnorm_wh_"),
+        vec_expr=curv, vec_parity=1)
+    ref_cnt = (ref.where(F.col("embedding_norm").isNotNull())
+               .groupBy(F.col("embedding_norm").alias("__x"))
+               .agg(F.count(F.lit(1)).alias("__cr")))
+    per_val = (ref_cnt.join(cur_cnt.select(F.col("x").alias("__x"),
+                                           F.col("c").alias("__cc")),
+                            "__x", "full")
+               .select("__x",
+                       F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                       F.coalesce("__cc", F.lit(0)).alias("__cc")))
+    n_buckets = 32
+    edges = ref.agg(*[
+        F.expr(f"percentile(embedding_norm, {i / n_buckets})")
+        .alias(f"__e{i}") for i in range(1, n_buckets)])
+    return _ks_from_value_counts(per_val, edges, n_buckets - 1,
+                                 "embedding_norm")
 
 
 @q("stream_session_stats", """

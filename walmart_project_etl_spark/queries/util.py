@@ -168,6 +168,34 @@ def events_dir(spark: SparkSession, sf_dir: str) -> str:
     return _EVENTS_CACHE[sf_dir]
 
 
+_EMB_DIR_CACHE: dict[str, str] = {}
+
+
+def embeddings_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Multi-file embeddings directory for the file-source stream: the
+    driver's single-file parquet would collapse to ONE micro-batch, so
+    repartition(8) by vec_id gives the stream real batches to drain
+    (per-row values unchanged — only file placement moves, and the
+    count-delta monitors are split-invariant by construction).
+    Materialized once per (process, code version) like the events dir.
+    """
+    import hashlib
+
+    if sf_dir in _EMB_DIR_CACHE:
+        return _EMB_DIR_CACHE[sf_dir]
+
+    def build(out: str) -> None:
+        (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+         .repartition(8, "vec_id")
+         .write.mode("overwrite").parquet(os.path.join(out, "data")))
+
+    root = build_once(
+        "emb_dir_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        build, marker_file="_BUILT_EMB", timeout=300.0)
+    _EMB_DIR_CACHE[sf_dir] = os.path.join(root, "data")
+    return _EMB_DIR_CACHE[sf_dir]
+
+
 def round2(col: Column, scale: int = 2) -> Column:
     """Cross-engine-deterministic HALF_UP rounding of a double expression.
 

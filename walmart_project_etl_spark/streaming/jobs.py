@@ -791,19 +791,78 @@ def stream_category_counts(spark: SparkSession, events_path: str,
                                 "wpe_stream_chisq_")
 
 
+def stream_embedding_norm_counts(spark: SparkSession, emb_path: str,
+                                 warehouse_root: str,
+                                 vec_expr=None,
+                                 vec_parity: int = 1,
+                                 max_files_per_trigger: int = 2,
+                                 checkpoint_dir: str | None = None
+                                 ) -> DataFrame:
+    """STREAMING side of the embedding NORM drift monitor: accumulate
+    per-distinct-‖v‖ counts over real micro-batches of an embeddings
+    file stream — the exact-KS sufficient statistic for the norm
+    distribution (the cheap first-alarm that catches an embedding-model
+    version bump or a normalization bug before anyone inspects pair
+    geometry). The norm is a narrow sequential-fold map per row
+    (``similarity.dot``), computed INSIDE each micro-batch — no vector
+    state is ever stored, only the (norm, count) frame, bounded by the
+    norm's distinct-value cardinality.
+
+    ``vec_expr`` optionally replaces the raw double-cast vector (e.g.
+    a drift-injection transform in the fixture, or a projection/prefix
+    in production). Same replay-idempotent batch-keyed delta sink as
+    every count monitor here (:func:`_stream_count_deltas`); addition
+    is associative, so the accumulated counts equal the batch counts
+    for ANY micro-batch split — which is what lets the registered
+    oracle be the plain batch KS over norms.
+
+    Returns the accumulated (x, c) counts table, also materialized at
+    ``tgt/emb_norm_counts``.
+    """
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    from walmart_project_etl_spark.operators.similarity import (_as_double,
+                                                                dot)
+
+    emb_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    v = _as_double(F.col("embedding")) if vec_expr is None else vec_expr
+
+    def batch_counts(batch_df: DataFrame) -> DataFrame:
+        return (batch_df.select(F.sqrt(dot(v, v)).alias("x"))
+                .where(F.col("x").isNotNull())
+                .groupBy("x")
+                .agg(F.count(F.lit(1)).cast("long").alias("c")))
+
+    return _stream_count_deltas(spark, emb_path, warehouse_root,
+                                "emb_norm_counts", "x", batch_counts,
+                                vec_parity, max_files_per_trigger,
+                                checkpoint_dir, "wpe_stream_embnorm_",
+                                schema=emb_schema,
+                                parity_col="vec_id")
+
+
 def _stream_count_deltas(spark: SparkSession, events_path: str,
                          warehouse_root: str, table: str, key_col: str,
                          batch_counts, user_parity: int,
                          max_files_per_trigger: int,
                          checkpoint_dir: str | None,
-                         ckpt_prefix: str) -> DataFrame:
+                         ckpt_prefix: str,
+                         schema=None,
+                         parity_col: str = "user_id") -> DataFrame:
     """Shared replay-idempotent count-accumulator sink: stream the
-    parity-filtered events, reduce each micro-batch to a (key, c)
-    count frame via ``batch_counts``, and write it as a parquet delta
-    keyed by the batch_id — a replayed micro-batch (crash between sink
-    write and checkpoint commit) overwrites ITS OWN partition with
-    identical content instead of double-adding into a running total.
-    The final table is the per-key sum over all deltas.
+    parity-filtered source (``schema``/``parity_col`` default to the
+    events table; the embedding monitors pass their own), reduce each
+    micro-batch to a (key, c) count frame via ``batch_counts``, and
+    write it as a parquet delta keyed by the batch_id — a replayed
+    micro-batch (crash between sink write and checkpoint commit)
+    overwrites ITS OWN partition with identical content instead of
+    double-adding into a running total. The final table is the per-key
+    sum over all deltas.
     """
     import os
     import tempfile
@@ -827,11 +886,11 @@ def _stream_count_deltas(spark: SparkSession, events_path: str,
             os.path.join(deltas_root, f"batch={int(batch_id)}"))
 
     ev = (spark.readStream
-          .schema(EVENTS_SCHEMA)
+          .schema(EVENTS_SCHEMA if schema is None else schema)
           .option("maxFilesPerTrigger", max_files_per_trigger)
           .format("parquet")
           .load(events_path)
-          .where(F.col("user_id") % 2 == user_parity))
+          .where(F.col(parity_col) % 2 == user_parity))
     q = (ev.writeStream
          .foreachBatch(add_counts)
          .option("checkpointLocation", ckpt)
