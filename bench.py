@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     # the streaming chi-square/MWU twins, the strided embedding energy
     # distance, and the chained-global-window SNM
     "dq_drift_multicol",
+    "dq_drift_report",
     "stream_chisq_drift",
     "stream_mwu_drift",
     "dq_embedding_drift",

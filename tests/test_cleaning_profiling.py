@@ -555,3 +555,45 @@ def test_embedding_energy_drift_closed_form(spark):
     large_d = embedding_energy_drift(
         big, shifted(5.0), "id", "v").collect()[0]["energy"]
     assert 0.0 < small_d < large_d
+
+
+def test_drift_report_equals_individual_operators(spark):
+    """drift_report's long-format rows must be BIT-EQUAL to the five
+    single-statistic operators on the same sides — the shared-shuffle
+    plan is a pure optimization. Empty-side raise carries over."""
+    import pytest
+    from walmart_project_etl_spark.operators.cleaning import (
+        chisq_drift, drift_report, ks_drift, mwu_drift, psi_drift)
+
+    ref = spark.createDataFrame(
+        [(float(i % 13), float((i * 3) % 7), "abc"[i % 3])
+         for i in range(150)], "x double, y double, c string")
+    cur = spark.createDataFrame(
+        [(float(i % 17) * 1.2, float((i * 5) % 7), "abd"[i % 3])
+         for i in range(110)], "x double, y double, c string")
+
+    rep = {(r["feature"], r["statistic"]): r
+           for r in drift_report(ref, cur, ["x", "y"], ["c"]).collect()}
+    assert len(rep) == 2 * 4 + 3
+
+    psi = {r["feature"]: r
+           for r in psi_drift(ref, cur, ["x", "y"], ["c"]).collect()}
+    ks = {r["feature"]: r for r in ks_drift(ref, cur, ["x", "y"]).collect()}
+    mwu = {r["feature"]: r
+           for r in mwu_drift(ref, cur, ["x", "y"]).collect()}
+    chi = chisq_drift(ref, cur, ["c"]).collect()[0]
+
+    for f in ("x", "y"):
+        assert rep[(f, "psi")]["value"] == psi[f]["psi"]
+        assert rep[(f, "ks")]["value"] == ks[f]["ks"]
+        assert rep[(f, "mwu_u")]["value"] == mwu[f]["u"]
+        assert rep[(f, "mwu_auc")]["value"] == mwu[f]["auc"]
+        assert rep[(f, "ks")]["n_ref"] == ks[f]["n_ref"]
+    assert rep[("c", "psi")]["value"] == psi["c"]["psi"]
+    assert rep[("c", "chisq")]["value"] == chi["chisq"]
+    assert rep[("c", "chisq_dof")]["value"] == float(chi["dof"])
+
+    all_null = spark.createDataFrame([(None, 1.0, "a"), (None, 2.0, "b")],
+                                     "x double, y double, c string")
+    with pytest.raises(Exception, match="feature 'x'"):
+        drift_report(ref, all_null, ["x", "y"], ["c"]).collect()

@@ -77,6 +77,10 @@ ALLOW = {
     # feature count) before its broadcast back over the value grain
     "dq_drift_multicol": {"BroadcastNestedLoopJoin",
                           "Exchange SinglePartition (non-scalar result)"},
+    # one-stop report: same exploded-edges frames (32-bucket + decile,
+    # both n_features rows) broadcast over the shared count shuffles
+    "dq_drift_report": {"BroadcastNestedLoopJoin",
+                        "Exchange SinglePartition (non-scalar result)"},
     # streaming twin of the exact-KS prefix-sum — same scalar
     # broadcast shapes over the accumulated value-counts table
     "stream_ks_drift": {"BroadcastNestedLoopJoin",

@@ -443,12 +443,20 @@ def ks_drift(ref, cur, num_cols: list[str],
     # so clamp rather than let n_buckets=1 produce an empty edges agg
     n_buckets = max(int(n_buckets), 2)
     scored = _scored_value_counts(ref, cur, num_cols, n_buckets)
+    return _guard_nonempty(_ks_from_scored(scored), num_cols,
+                           "ks_drift", "ks")
+
+
+def _ks_from_scored(scored):
+    """KS back half over a cumulative side-count frame (the
+    :func:`_cum_value_counts_by` output), grouped per feature — shared
+    by the batch operator and :func:`drift_report`."""
     dnum = F.abs(F.col("__kr") * F.col("__nc").cast("decimal(38,0)")
                  - F.col("__kc") * F.col("__nr").cast("decimal(38,0)"))
     # try_divide: the denominator is 0 only in the empty-side case the
-    # guard below turns into a clean per-feature error (ANSI mode would
-    # otherwise kill the aggregate first with a bare DIVIDE_BY_ZERO)
-    res = (scored.groupBy("__f").agg(
+    # caller's guard turns into a clean per-feature error (ANSI mode
+    # would otherwise kill the aggregate first with DIVIDE_BY_ZERO)
+    return (scored.groupBy("__f").agg(
         F.round(F.try_divide(
             F.max(dnum).cast("double"),
             F.any_value("__nr").cast("double")
@@ -457,7 +465,6 @@ def ks_drift(ref, cur, num_cols: list[str],
         F.any_value("__nr").cast("long").alias("n_ref"),
         F.any_value("__nc").cast("long").alias("n_cur"))
         .withColumnRenamed("__f", "feature"))
-    return _guard_nonempty(res, num_cols, "ks_drift", "ks")
 
 
 def _scored_value_counts(ref, cur, num_cols: list[str],
@@ -696,19 +703,25 @@ def _psi_from_counts_by(cnt, k_expr):
            .select("__f", "__b", F.col("__c").alias("__cr"))
     c = cnt.where(F.col("__side") == "c") \
            .select("__f", "__b", F.col("__c").alias("__cc"))
-    ns = (cnt.groupBy("__f").agg(
-        F.sum(F.when(F.col("__side") == "r", F.col("__c")))
-         .alias("__nr"),
-        F.sum(F.when(F.col("__side") == "c", F.col("__c")))
-         .alias("__nc")))
     j = (r.join(c, ["__f", "__b"], "full")
-         .select("__f",
+         .select("__f", "__b",
                  F.coalesce("__cr", F.lit(0)).alias("__cr"),
-                 F.coalesce("__cc", F.lit(0)).alias("__cc"))
-         .join(F.broadcast(ns), "__f"))
+                 F.coalesce("__cc", F.lit(0)).alias("__cc")))
+    return _psi_from_cr_cc(j, k_expr)
+
+
+def _psi_from_cr_cc(cnt, k_expr):
+    """PSI back half over a (__f, __b, __cr, __cc) both-sides count
+    table (the chisq count shape — buckets missing on one side carry a
+    0, which a pooled-value derivation yields by construction):
+    Laplace-smooth with k = ``k_expr`` or, when None, the per-feature
+    pooled category count derived lazily from the frame itself."""
+    ns = (cnt.groupBy("__f").agg(
+        F.sum("__cr").alias("__nr"),
+        F.sum("__cc").alias("__nc")))
+    j = cnt.join(F.broadcast(ns), "__f")
     if k_expr is None:
-        kf = (cnt.select("__f", "__b").distinct()
-              .groupBy("__f")
+        kf = (cnt.groupBy("__f")
               .agg(F.count(F.lit(1)).cast("double").alias("__k")))
         j = j.join(F.broadcast(kf), "__f")
         k_expr = F.col("__k")
@@ -853,3 +866,98 @@ def embedding_energy_drift(ref, cur, id_col: str, vec_col: str,
         F.when(ok, F.col("energy")).otherwise(F.raise_error(msg))
          .alias("energy"),
         "e_cross", "e_ref", "e_cur", "n_ref", "n_cur")
+
+
+def drift_report(ref, cur, num_cols: list[str], cat_cols: list[str],
+                 n_buckets: int = 32, psi_buckets: int = 10):
+    """ONE-STOP drift report — every monitor statistic this module
+    offers, computed from SHARED shuffles: a production monitoring
+    pass wants PSI (binned attribution), KS (nonparametric
+    difference), and MWU (directional shift) per numeric feature plus
+    PSI and chi-square per categorical feature — and running the five
+    operators separately would rebuild the same melted count frames
+    five times. Here the whole numeric feature list rides ONE
+    (feature, value) count shuffle that feeds all three numeric
+    statistics (KS and MWU from the same cumulative frame — Spark
+    reuses the exchange across the union branches; numeric PSI's
+    decile buckets aggregate from the SAME per-value counts instead of
+    re-scanning the rows), and the categorical list rides ONE
+    (feature, category) count feeding both chi-square and categorical
+    PSI. Two scans per side, two count shuffles, five statistics.
+
+    Identical arithmetic to the single-statistic operators — asserted
+    in tests — so the report carries an exact SQL oracle. NULLs are
+    missingness (the module convention). A feature empty on either
+    side raises at evaluation time via the seeded (feature, statistic)
+    guard.
+
+    Returns LONG format, one row per (feature, statistic):
+    (feature, statistic, value double, n_ref, n_cur) with statistics
+    ``psi | ks | mwu_u | mwu_auc`` (numeric) and
+    ``psi | chisq | chisq_dof`` (categorical).
+    """
+    from functools import reduce
+
+    def long_row(df, stat, col):
+        return df.select(
+            "feature", F.lit(stat).alias("statistic"),
+            F.col(col).cast("double").alias("value"),
+            "n_ref", "n_cur")
+
+    parts = []
+    seed_rows = []
+    if num_cols:
+        n_buckets = max(int(n_buckets), 2)
+        melted = _melt_sides(ref, cur, num_cols)
+        per_val = (melted.groupBy("__f", "__x")
+                   .agg(F.count(F.when(F.col("__side") == "r", 1))
+                        .alias("__cr"),
+                        F.count(F.when(F.col("__side") == "c", 1))
+                        .alias("__cc")))
+        edges = _edges_long(ref, num_cols, n_buckets)
+        scored = _cum_value_counts_by(per_val, edges, n_buckets - 1)
+        ks = _ks_from_scored(scored)
+        mwu = _mwu_from_scored(scored)
+        pedges = _edges_long(ref, num_cols, psi_buckets)
+        pcnt = (per_val.join(F.broadcast(pedges), "__f")
+                .select("__f", _bucket_expr(psi_buckets - 1).alias("__b"),
+                        "__cr", "__cc")
+                .groupBy("__f", "__b")
+                .agg(F.sum("__cr").alias("__cr"),
+                     F.sum("__cc").alias("__cc")))
+        psi_n = _psi_from_cr_cc(pcnt, F.lit(float(psi_buckets)))
+        parts += [long_row(psi_n, "psi", "psi"),
+                  long_row(ks, "ks", "ks"),
+                  long_row(mwu, "mwu_u", "u"),
+                  long_row(mwu, "mwu_auc", "auc")]
+        seed_rows += [(f, s) for f in num_cols
+                      for s in ("psi", "ks", "mwu_u", "mwu_auc")]
+    if cat_cols:
+        cnt_cat = (_melt_sides(ref, cur, cat_cols, as_string=True)
+                   .groupBy("__f", F.col("__x").alias("__b"))
+                   .agg(F.count(F.when(F.col("__side") == "r", 1))
+                        .alias("__cr"),
+                        F.count(F.when(F.col("__side") == "c", 1))
+                        .alias("__cc")))
+        chi = _chisq_from_counts(cnt_cat)
+        psi_c = _psi_from_cr_cc(cnt_cat, None)
+        parts += [long_row(psi_c, "psi", "psi"),
+                  long_row(chi, "chisq", "chisq"),
+                  long_row(chi, "chisq_dof", "dof")]
+        seed_rows += [(f, s) for f in cat_cols
+                      for s in ("psi", "chisq", "chisq_dof")]
+    res = reduce(lambda a, b: a.unionByName(b), parts)
+    seed = res.sparkSession.createDataFrame(
+        seed_rows, "feature string, statistic string")
+    j = seed.join(res, ["feature", "statistic"], "left")
+    ok = ((F.coalesce(F.col("n_ref"), F.lit(0)) > 0)
+          & (F.coalesce(F.col("n_cur"), F.lit(0)) > 0))
+    msg = F.concat(
+        F.lit("drift_report: reference and/or current side is empty "
+              "(after the NOT NULL missingness filter) for feature '"),
+        F.col("feature"), F.lit("'"))
+    return j.select(
+        "feature", "statistic",
+        F.when(ok, F.col("value")).otherwise(F.raise_error(msg))
+         .alias("value"),
+        "n_ref", "n_cur")

@@ -35,6 +35,7 @@ _PRIORITY = (
     "stream_chisq_drift",
     "stream_mwu_drift",
     "dq_drift_multicol",
+    "dq_drift_report",
     "dq_embedding_drift",
     "dq_embedding_norm_drift",
     "stream_embedding_norm_drift",
@@ -91,13 +92,13 @@ _PRIORITY = (
     "w02_moving_average",
     "w03_rank_family",
 )
-#: r16 plan: after this window the stalest rows are the last 5 r8-era
-#: entries displaced past the 50-cap (text_redact_pii,
+#: r16 plan: after this window the stalest rows are the last 6 r8-era
+#: entries displaced past the 50-cap (text_normalize, text_redact_pii,
 #: txn_keyset_lookup, txn_point_lookup, w02_moving_average,
 #: w03_rank_family — verify against the CORRECTNESS_r15 actually
 #: recorded), then the r9-era block (50 rows: cdc_snapshot_diff ...
 #: onward, alphabetical). Lead r16 with any r15-new entries that
-#: missed this window, then those 5, then the first r9-era rows to
+#: missed this window, then those 6, then the first r9-era rows to
 #: the cap.
 
 

@@ -3021,6 +3021,167 @@ _MULTICOL_FEATURES = (
 )
 
 
+@q("dq_drift_report",
+   """WITH ref AS (
+        SELECT o_totalprice, o_orderpriority FROM orders
+        WHERE o_orderkey % 2 = 0),
+      cur AS (
+        SELECT CASE WHEN o_custkey % 3 = 0 THEN o_totalprice * 1.5
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_custkey % 5 = 0 THEN '1-URGENT'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1),
+      e AS (SELECT quantile_cont(o_totalprice, 0.1) AS e0,
+                   quantile_cont(o_totalprice, 0.2) AS e1,
+                   quantile_cont(o_totalprice, 0.3) AS e2,
+                   quantile_cont(o_totalprice, 0.4) AS e3,
+                   quantile_cont(o_totalprice, 0.5) AS e4,
+                   quantile_cont(o_totalprice, 0.6) AS e5,
+                   quantile_cont(o_totalprice, 0.7) AS e6,
+                   quantile_cont(o_totalprice, 0.8) AS e7,
+                   quantile_cont(o_totalprice, 0.9) AS e8
+            FROM ref),
+      sides AS (
+        SELECT 'r' AS side, o_totalprice AS x, o_orderpriority AS cat
+        FROM ref
+        UNION ALL
+        SELECT 'c', o_totalprice, o_orderpriority FROM cur),
+      nb AS (
+        SELECT side,
+               (CASE WHEN x >= e0 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e1 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e2 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e3 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e4 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e5 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e6 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e7 THEN 1 ELSE 0 END)
+             + (CASE WHEN x >= e8 THEN 1 ELSE 0 END) AS b
+        FROM sides, e WHERE x IS NOT NULL),
+      numc AS (SELECT side, b, count(*) AS c FROM nb GROUP BY side, b),
+      catc AS (SELECT side, cat AS b, count(*) AS c FROM sides
+               WHERE cat IS NOT NULL GROUP BY side, cat),
+      catk AS (SELECT count(DISTINCT cat)::DOUBLE AS k FROM sides
+               WHERE cat IS NOT NULL),
+      r1 AS (SELECT b, c AS cr FROM numc WHERE side = 'r'),
+      c1 AS (SELECT b, c AS cc FROM numc WHERE side = 'c'),
+      nr1 AS (SELECT sum(cr) AS nr FROM r1),
+      nc1 AS (SELECT sum(cc) AS nc FROM c1),
+      j1 AS (SELECT coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+             FROM r1 FULL JOIN c1 USING (b)),
+      tm1 AS (
+        SELECT round(CAST(
+            ((cc + 1.0) / (nc + 10.0) - (cr + 1.0) / (nr + 10.0))
+            * CAST(round(ln(((cc + 1.0) / (nc + 10.0))
+                            / ((cr + 1.0) / (nr + 10.0))), 6)
+                   AS DECIMAL(20,6))::DOUBLE
+            AS DECIMAL(28,12)), 9)::DECIMAL(20,9) AS term, nr, nc
+        FROM j1, nr1, nc1),
+      r2 AS (SELECT b, c AS cr FROM catc WHERE side = 'r'),
+      c2 AS (SELECT b, c AS cc FROM catc WHERE side = 'c'),
+      nr2 AS (SELECT sum(cr) AS nr FROM r2),
+      nc2 AS (SELECT sum(cc) AS nc FROM c2),
+      j2 AS (SELECT coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+             FROM r2 FULL JOIN c2 USING (b)),
+      tm2 AS (
+        SELECT round(CAST(
+            ((cc + 1.0) / (nc + k) - (cr + 1.0) / (nr + k))
+            * CAST(round(ln(((cc + 1.0) / (nc + k))
+                            / ((cr + 1.0) / (nr + k))), 6)
+                   AS DECIMAL(20,6))::DOUBLE
+            AS DECIMAL(28,12)), 9)::DECIMAL(20,9) AS term, nr, nc
+        FROM j2, nr2, nc2, catk),
+      t0c AS (SELECT cr, cc, nr, nc, k,
+                nr::DOUBLE * (cr+cc)::DOUBLE / (nr+nc)::DOUBLE AS er,
+                nc::DOUBLE * (cr+cc)::DOUBLE / (nr+nc)::DOUBLE AS ec
+              FROM j2, nr2, nc2, (SELECT count(*) AS k FROM j2)),
+      tc AS (SELECT
+               round(CAST((cr::DOUBLE - er)*(cr::DOUBLE - er)/er
+                     AS DECIMAL(28,12)), 9)::DECIMAL(20,9) AS tr,
+               round(CAST((cc::DOUBLE - ec)*(cc::DOUBLE - ec)/ec
+                     AS DECIMAL(28,12)), 9)::DECIMAL(20,9) AS tcc,
+               nr, nc, k
+             FROM t0c),
+      pvk AS (SELECT x, sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END)
+                        AS cr,
+                     sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc
+              FROM sides WHERE x IS NOT NULL GROUP BY x),
+      nk AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM pvk),
+      cumk AS (SELECT cr, cc,
+                      sum(cr) OVER (ORDER BY x) AS kr,
+                      sum(cc) OVER (ORDER BY x) AS kc FROM pvk),
+      dk AS (SELECT max(abs(kr::DECIMAL(38,0) * nc
+                            - kc::DECIMAL(38,0) * nr)) AS dn,
+                    any_value(nr) AS nr, any_value(nc) AS nc
+             FROM cumk, nk),
+      mm AS (SELECT cc, 2*(kr+kc) - (cr+cc) + 1 AS m2 FROM cumk),
+      rm AS (SELECT sum(cc::DECIMAL(19,0) * m2::DECIMAL(19,0)) AS s2
+             FROM mm),
+      um AS (SELECT s2 - nc::DECIMAL(19,0)*(nc::DECIMAL(19,0)+1)
+                    AS u2, nr, nc FROM rm, nk)
+      SELECT 'o_totalprice' AS feature, 'psi' AS statistic,
+             round(CAST(CAST(sum(term) AS DOUBLE) AS DECIMAL(28,8)),
+                   6)::DOUBLE AS value,
+             CAST(any_value(nr) AS BIGINT) AS n_ref,
+             CAST(any_value(nc) AS BIGINT) AS n_cur
+      FROM tm1
+      UNION ALL
+      SELECT 'o_totalprice', 'ks',
+             round(CAST(CAST(dn AS DOUBLE) / (nr::DOUBLE * nc::DOUBLE)
+                   AS DECIMAL(28,8)), 6)::DOUBLE,
+             nr::BIGINT, nc::BIGINT
+      FROM dk
+      UNION ALL
+      SELECT 'o_totalprice', 'mwu_u', CAST(u2 AS DOUBLE)/2,
+             nr::BIGINT, nc::BIGINT
+      FROM um
+      UNION ALL
+      SELECT 'o_totalprice', 'mwu_auc',
+             round(CAST(CAST(u2 AS DOUBLE) / (2*nr::DOUBLE*nc::DOUBLE)
+                   AS DECIMAL(28,8)), 6)::DOUBLE,
+             nr::BIGINT, nc::BIGINT
+      FROM um
+      UNION ALL
+      SELECT 'o_orderpriority', 'psi',
+             round(CAST(CAST(sum(term) AS DOUBLE) AS DECIMAL(28,8)),
+                   6)::DOUBLE,
+             CAST(any_value(nr) AS BIGINT), CAST(any_value(nc) AS BIGINT)
+      FROM tm2
+      UNION ALL
+      SELECT 'o_orderpriority', 'chisq',
+             round(CAST(CAST(sum(tr)+sum(tcc) AS DOUBLE)
+                   AS DECIMAL(28,8)), 6)::DOUBLE,
+             any_value(nr)::BIGINT, any_value(nc)::BIGINT
+      FROM tc
+      UNION ALL
+      SELECT 'o_orderpriority', 'chisq_dof',
+             (any_value(k)-1)::DOUBLE,
+             any_value(nr)::BIGINT, any_value(nc)::BIGINT
+      FROM tc""")
+def dq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-STOP drift report (operators/cleaning.py:drift_report) on
+    the dq_psi_drift fixture: PSI + KS + MWU for the numeric feature
+    and PSI + chi-square for the categorical one, from SHARED
+    shuffles — the numeric trio all derive from ONE (feature, value)
+    count (KS/MWU via the cumulative frame, PSI's decile buckets
+    aggregated from the same per-value counts), the categorical pair
+    from ONE (feature, category) count. Two scans per side, two count
+    shuffles, five statistics — vs five separate operators rebuilding
+    the same frames. Long format (feature, statistic, value); every
+    value bit-equal to the single-statistic operators (asserted in
+    tests) and recomputed by the oracle."""
+    from walmart_project_etl_spark.operators.cleaning import drift_report
+    o = t(spark, sf_dir, "orders")
+    ref = o.where(F.col("o_orderkey") % 2 == 0) \
+           .select("o_totalprice", "o_orderpriority")
+    cur = o.where(F.col("o_orderkey") % 2 == 1).select(
+        F.when(F.col("o_custkey") % 3 == 0, F.col("o_totalprice") * 1.5)
+         .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("o_custkey") % 5 == 0, F.lit("1-URGENT"))
+         .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"))
+    return drift_report(ref, cur, ["o_totalprice"], ["o_orderpriority"])
+
+
 @q("dq_drift_multicol",
    "WITH " + ",".join(_ks_block(i, f, rx, cx)
                       for i, (f, rx, cx) in
