@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "dq_embedding_drift",
     "dq_embedding_norm_drift",
     "stream_embedding_norm_drift",
+    "stream_drift_multicol",
     "dedup_snm_chained",
 ]
 

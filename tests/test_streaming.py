@@ -565,3 +565,50 @@ def test_stream_embedding_norm_counts_equal_batch(spark, tmp_path):
     want_stat = ks_drift(ref, cur, ["embedding_norm"]).collect()[0]
     assert (got_stat["ks"], got_stat["n_ref"], got_stat["n_cur"]) == \
         (want_stat["ks"], want_stat["n_ref"], want_stat["n_cur"])
+
+
+def test_stream_feature_value_counts_equal_batch_and_replay(spark, events,
+                                                            tmp_path):
+    """The composite-key (feature, value) count sink: accumulated
+    counts equal the batch melt for any micro-batch split, and a
+    kill-and-restart replay (last commit marker deleted) must not
+    double-add — the melted monitor's streaming contract."""
+    import os
+    import time
+    import pyspark.sql.functions as F
+
+    from walmart_project_etl_spark.streaming import \
+        stream_feature_value_counts
+
+    features = {"value": F.col("value"), "hr": F.hour("ts")}
+    ckpt = str(tmp_path / "ckpt")
+    src = events_dir(spark, SF_DIR)
+    got = stream_feature_value_counts(
+        spark, src, str(tmp_path / "wh"), features=features,
+        user_parity=1, max_files_per_trigger=1, checkpoint_dir=ckpt)
+    pairs = F.array(
+        F.struct(F.lit("value").alias("f"),
+                 F.col("value").cast("double").alias("x")),
+        F.struct(F.lit("hr").alias("f"),
+                 F.hour("ts").cast("double").alias("x")))
+    want = (events.where(F.col("user_id") % 2 == 1)
+            .select(F.explode(pairs).alias("s"))
+            .select("s.f", "s.x").where(F.col("x").isNotNull())
+            .groupBy("f", "x").agg(F.count(F.lit(1)).alias("c")))
+    first_rows = _rows(got, ["f", "x", "c"])
+    assert first_rows == _rows(want, ["f", "x", "c"])
+
+    commits = sorted(int(f) for f in os.listdir(os.path.join(
+        ckpt, "commits")) if not f.startswith("."))
+    assert len(commits) >= 2
+    deadline = time.time() + 30
+    while spark.streams.active and time.time() < deadline:
+        time.sleep(0.2)
+    os.remove(os.path.join(ckpt, "commits", str(commits[-1])))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    replayed = stream_feature_value_counts(
+        spark, src, str(tmp_path / "wh"), features=features,
+        user_parity=1, max_files_per_trigger=1, checkpoint_dir=ckpt)
+    assert _rows(replayed, ["f", "x", "c"]) == first_rows

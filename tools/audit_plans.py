@@ -95,6 +95,12 @@ ALLOW = {
     "stream_embedding_norm_drift": {
         "BroadcastNestedLoopJoin",
         "Exchange SinglePartition (non-scalar result)"},
+    # streaming melted multi-feature KS: the n_features-row exploded
+    # edges frame (dq_drift_multicol's allowed shape) broadcast over
+    # the accumulated composite-key count table
+    "stream_drift_multicol": {
+        "BroadcastNestedLoopJoin",
+        "Exchange SinglePartition (non-scalar result)"},
     # streaming chi-square: the k-row per-feature totals frame joins
     # back over the k-row category-count table on a constant feature
     # key (both sides category-cardinality-sized)

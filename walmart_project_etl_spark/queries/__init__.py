@@ -39,6 +39,7 @@ _PRIORITY = (
     "dq_embedding_drift",
     "dq_embedding_norm_drift",
     "stream_embedding_norm_drift",
+    "stream_drift_multicol",
     "dedup_snm_chained",
     # r8-era rotation: the 48 rows whose newest driver row is r8
     # (alphabetical; the last len(r15-new) fall past the 50-cap and
@@ -92,14 +93,14 @@ _PRIORITY = (
     "w02_moving_average",
     "w03_rank_family",
 )
-#: r16 plan: after this window the stalest rows are the last 6 r8-era
-#: entries displaced past the 50-cap (text_normalize, text_redact_pii,
-#: txn_keyset_lookup, txn_point_lookup, w02_moving_average,
-#: w03_rank_family — verify against the CORRECTNESS_r15 actually
-#: recorded), then the r9-era block (50 rows: cdc_snapshot_diff ...
-#: onward, alphabetical). Lead r16 with any r15-new entries that
-#: missed this window, then those 6, then the first r9-era rows to
-#: the cap.
+#: r16 plan: after this window the stalest rows are the last 7 r8-era
+#: entries displaced past the 50-cap (text_fingerprint, text_normalize,
+#: text_redact_pii, txn_keyset_lookup, txn_point_lookup,
+#: w02_moving_average, w03_rank_family — verify against the
+#: CORRECTNESS_r15 actually recorded), then the r9-era block (50 rows:
+#: cdc_snapshot_diff ... onward, alphabetical). Lead r16 with any
+#: r15-new entries that missed this window, then those 7, then the
+#: first r9-era rows to the cap.
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

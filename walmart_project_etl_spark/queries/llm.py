@@ -3343,6 +3343,106 @@ def stream_mwu_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "value")
 
 
+@q("stream_drift_multicol", """
+WITH ref AS (SELECT value::DOUBLE AS value, hour(ts)::DOUBLE AS hr
+             FROM events WHERE user_id % 2 = 0),
+cur AS (SELECT CASE WHEN user_id % 3 = 0 THEN value * 1.1
+               ELSE value END::DOUBLE AS value,
+               hour(ts)::DOUBLE AS hr
+        FROM events WHERE user_id % 2 = 1),
+r0 AS (SELECT value AS x FROM ref WHERE value IS NOT NULL),
+c0 AS (SELECT value AS x FROM cur WHERE value IS NOT NULL),
+s0 AS (SELECT x, 1 AS r, 0 AS c FROM r0
+       UNION ALL SELECT x, 0, 1 FROM c0),
+pv0 AS (SELECT x, sum(r) AS cr, sum(c) AS cc FROM s0 GROUP BY x),
+n0 AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM pv0),
+cum0 AS (SELECT sum(cr) OVER (ORDER BY x) AS kr,
+                sum(cc) OVER (ORDER BY x) AS kc FROM pv0),
+d0 AS (SELECT max(abs(kr::DECIMAL(38,0) * nc
+                      - kc::DECIMAL(38,0) * nr)) AS dn,
+              any_value(nr) AS nr, any_value(nc) AS nc
+       FROM cum0, n0),
+r1 AS (SELECT hr AS x FROM ref WHERE hr IS NOT NULL),
+c1 AS (SELECT hr AS x FROM cur WHERE hr IS NOT NULL),
+s1 AS (SELECT x, 1 AS r, 0 AS c FROM r1
+       UNION ALL SELECT x, 0, 1 FROM c1),
+pv1 AS (SELECT x, sum(r) AS cr, sum(c) AS cc FROM s1 GROUP BY x),
+n1 AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM pv1),
+cum1 AS (SELECT sum(cr) OVER (ORDER BY x) AS kr,
+                sum(cc) OVER (ORDER BY x) AS kc FROM pv1),
+d1 AS (SELECT max(abs(kr::DECIMAL(38,0) * nc
+                      - kc::DECIMAL(38,0) * nr)) AS dn,
+              any_value(nr) AS nr, any_value(nc) AS nc
+       FROM cum1, n1)
+SELECT 'value' AS feature,
+       round(CAST(CAST(dn AS DOUBLE) / (nr::DOUBLE * nc::DOUBLE)
+             AS DECIMAL(28,8)), 6)::DOUBLE AS ks,
+       nr::BIGINT AS n_ref, nc::BIGINT AS n_cur
+FROM d0
+UNION ALL
+SELECT 'hr',
+       round(CAST(CAST(dn AS DOUBLE) / (nr::DOUBLE * nc::DOUBLE)
+             AS DECIMAL(28,8)), 6)::DOUBLE,
+       nr::BIGINT, nc::BIGINT
+FROM d1""")
+def stream_drift_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING melted multi-feature drift (streaming/jobs.py:
+    stream_feature_value_counts) — the multicol × streaming cell of
+    the drift matrix: the live side's (feature, value) counts for a
+    whole feature LIST (the raw metric plus an hour-of-day derivation,
+    the second drifting ×1.1 for every third user) accumulate through
+    ONE stream and one replay-idempotent composite-key delta sink —
+    one monitor, N features, the streaming twin of dq_drift_multicol's
+    job-count collapse. The final per-feature exact-KS statistics ride
+    the shared feature-grain prefix-sum core against the frozen batch
+    reference; the oracle is the plain batch KS per feature —
+    streaming-vs-batch equality, like every streaming twin here."""
+    import tempfile
+
+    from walmart_project_etl_spark.operators.cleaning import (
+        _cum_value_counts_by, _edges_long, _ks_from_scored)
+    from walmart_project_etl_spark.streaming import \
+        stream_feature_value_counts
+
+    ev = events_t(spark, sf_dir)
+    features = {
+        "value": F.col("value"),
+        "hr": F.hour("ts"),
+    }
+    drifted = {
+        "value": F.when(F.col("user_id") % 3 == 0,
+                        F.col("value") * 1.1).otherwise(F.col("value")),
+        "hr": F.hour("ts"),
+    }
+    cur_cnt = stream_feature_value_counts(
+        spark, events_dir(spark, sf_dir),
+        tempfile.mkdtemp(prefix="wpe_stream_multikv_wh_"),
+        features=drifted, user_parity=1)
+    ref2 = (ev.where(F.col("user_id") % 2 == 0)
+            .select(F.col("value").cast("double").alias("value"),
+                    F.hour("ts").cast("double").alias("hr")))
+    pairs = F.array(*[
+        F.struct(F.lit(n).alias("__f"),
+                 F.col(n).cast("double").alias("__x"))
+        for n in features])
+    ref_cnt = (ref2.select(F.explode(pairs).alias("s"))
+               .select("s.__f", "s.__x")
+               .where(F.col("__x").isNotNull())
+               .groupBy("__f", "__x")
+               .agg(F.count(F.lit(1)).alias("__cr")))
+    per_val = (ref_cnt.join(
+        cur_cnt.select(F.col("f").alias("__f"),
+                       F.col("x").alias("__x"),
+                       F.col("c").alias("__cc")),
+        ["__f", "__x"], "full")
+        .select("__f", "__x",
+                F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                F.coalesce("__cc", F.lit(0)).alias("__cc")))
+    edges = _edges_long(ref2, list(features), 32)
+    scored = _cum_value_counts_by(per_val, edges, 31)
+    return _ks_from_scored(scored)
+
+
 @q("dq_embedding_drift", """
 WITH refv0 AS (
   SELECT vec_id, embedding::DOUBLE[] AS e

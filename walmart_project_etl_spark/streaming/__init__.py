@@ -14,6 +14,7 @@ swapping the reader — nothing else changes.
 
 from .jobs import (stream_category_counts, stream_dedup_within_watermark,
                    stream_embedding_norm_counts,
+                   stream_feature_value_counts,
                    stream_enrich_tumbling, stream_latest_per_user,
                    stream_mv_refresh, stream_partition_ingest,
                    stream_psi_bucket_counts, stream_stream_attribution_join,
@@ -27,4 +28,5 @@ __all__ = ["stream_tumbling_counts", "stream_latest_per_user",
            "stream_upsert_tx", "stream_partition_ingest",
            "stream_mv_refresh", "stream_psi_bucket_counts",
            "stream_value_counts", "stream_session_stats",
-           "stream_category_counts", "stream_embedding_norm_counts"]
+           "stream_category_counts", "stream_embedding_norm_counts",
+           "stream_feature_value_counts"]

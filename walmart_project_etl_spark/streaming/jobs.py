@@ -791,6 +791,51 @@ def stream_category_counts(spark: SparkSession, events_path: str,
                                 "wpe_stream_chisq_")
 
 
+def stream_feature_value_counts(spark: SparkSession, events_path: str,
+                                warehouse_root: str, features: dict,
+                                user_parity: int = 1,
+                                max_files_per_trigger: int = 4,
+                                checkpoint_dir: str | None = None
+                                ) -> DataFrame:
+    """STREAMING side of the MELTED multi-feature drift monitor: each
+    micro-batch melts the given ``features`` (name → Column over the
+    event row) into one (feature, value) frame and accumulates
+    per-(feature, distinct value) counts — the sufficient statistic
+    for per-feature exact-KS/MWU across a whole feature LIST, through
+    ONE stream and one delta sink instead of one monitor per feature
+    (the streaming twin of the batch melt: job count O(1) in the
+    feature count). Values cast to double like the batch melt
+    (order/tie-preserving to 15 significant digits — the rank
+    statistics' only dependence).
+
+    Same replay-idempotent batch-keyed delta sink as every count
+    monitor here (:func:`_stream_count_deltas`, composite (f, x)
+    key); addition is associative, so the accumulated counts equal
+    the batch counts for ANY micro-batch split and the registered
+    oracle is the plain batch statistic. State is bounded by the sum
+    of the features' distinct-value cardinalities.
+
+    Returns the accumulated (f, x, c) counts table, also materialized
+    at ``tgt/feature_value_counts``.
+    """
+
+    def batch_counts(batch_df: DataFrame) -> DataFrame:
+        pairs = F.array(*[
+            F.struct(F.lit(n).alias("f"), c.cast("double").alias("x"))
+            for n, c in features.items()])
+        return (batch_df.select(F.explode(pairs).alias("s"))
+                .select("s.f", "s.x")
+                .where(F.col("x").isNotNull())
+                .groupBy("f", "x")
+                .agg(F.count(F.lit(1)).cast("long").alias("c")))
+
+    return _stream_count_deltas(spark, events_path, warehouse_root,
+                                "feature_value_counts", ["f", "x"],
+                                batch_counts, user_parity,
+                                max_files_per_trigger, checkpoint_dir,
+                                "wpe_stream_multikv_")
+
+
 def stream_embedding_norm_counts(spark: SparkSession, emb_path: str,
                                  warehouse_root: str,
                                  vec_expr=None,
@@ -897,8 +942,10 @@ def _stream_count_deltas(spark: SparkSession, events_path: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
     total = (spark.read.option("basePath", deltas_root)
              .parquet(deltas_root)
-             .groupBy(key_col).agg(F.sum("c").cast("long").alias("c")))
+             .groupBy(*key_cols)
+             .agg(F.sum("c").cast("long").alias("c")))
     wh.write("tgt", table, total)
     return wh.read("tgt", table)
