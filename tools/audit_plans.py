@@ -150,6 +150,11 @@ ALLOW = {
         "BroadcastNestedLoopJoin", "CartesianProduct",
         "Exchange SinglePartition (non-scalar result)"},
     "sample_weighted_mixture": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    # triplet mining: the lazy pool-size scalar (a 1-row aggregate over
+    # the ≤256-row negative pool, r15's replacement for the plan-build
+    # count() action) crossJoins into the anchor frame; the negative
+    # assignment itself stays a broadcast equi-join on the pool index
+    "sample_contrastive_triplets": {"BroadcastNestedLoopJoin"},
     # temperature normalizer Σ n_s^α is a 1-row aggregate crossJoined
     # into the source-count table (≤ #sources rows); the doc-level join
     # on source is a broadcast equi-join
