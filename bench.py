@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     # distance, and the chained-global-window SNM
     "dq_drift_multicol",
     "dq_drift_report",
+    "dq_drift_baseline_serve",
     "stream_chisq_drift",
     "stream_mwu_drift",
     "dq_embedding_drift",

@@ -597,3 +597,36 @@ def test_drift_report_equals_individual_operators(spark):
                                      "x double, y double, c string")
     with pytest.raises(Exception, match="feature 'x'"):
         drift_report(ref, all_null, ["x", "y"], ["c"]).collect()
+
+
+def test_drift_baseline_persist_serve_bit_equal(spark, tmp_path):
+    """Serving a monitoring pass from a persisted baseline must be
+    BIT-EQUAL to the two-sided drift_report — the artifact stores the
+    reference's sufficient statistics exactly (value counts, category
+    counts, edge frames), so freezing loses nothing. A second serve
+    against a different live side reuses the same artifact (the
+    build-once/serve-many contract)."""
+    from walmart_project_etl_spark.operators.cleaning import (
+        drift_report, drift_vs_baseline, persist_drift_baseline)
+
+    ref = spark.createDataFrame(
+        [(float(i % 13), float((i * 3) % 7), "abc"[i % 3])
+         for i in range(150)], "x double, y double, c string")
+    cur = spark.createDataFrame(
+        [(float(i % 17) * 1.2, float((i * 5) % 7), "abd"[i % 3])
+         for i in range(110)], "x double, y double, c string")
+    cur2 = spark.createDataFrame(
+        [(float(i % 11) * 0.5, float(i % 7), "abc"[i % 3])
+         for i in range(90)], "x double, y double, c string")
+
+    root = str(tmp_path / "baseline")
+    persist_drift_baseline(ref, ["x", "y"], ["c"], root)
+
+    def rows(df):
+        return sorted((r["feature"], r["statistic"], r["value"],
+                       r["n_ref"], r["n_cur"]) for r in df.collect())
+
+    assert rows(drift_vs_baseline(spark, root, cur)) \
+        == rows(drift_report(ref, cur, ["x", "y"], ["c"]))
+    assert rows(drift_vs_baseline(spark, root, cur2)) \
+        == rows(drift_report(ref, cur2, ["x", "y"], ["c"]))

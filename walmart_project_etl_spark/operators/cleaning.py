@@ -896,6 +896,37 @@ def drift_report(ref, cur, num_cols: list[str], cat_cols: list[str],
     ``psi | ks | mwu_u | mwu_auc`` (numeric) and
     ``psi | chisq | chisq_dof`` (categorical).
     """
+    per_val = edges = pedges = cnt_cat = None
+    if num_cols:
+        n_buckets = max(int(n_buckets), 2)
+        melted = _melt_sides(ref, cur, num_cols)
+        per_val = (melted.groupBy("__f", "__x")
+                   .agg(F.count(F.when(F.col("__side") == "r", 1))
+                        .alias("__cr"),
+                        F.count(F.when(F.col("__side") == "c", 1))
+                        .alias("__cc")))
+        edges = _edges_long(ref, num_cols, n_buckets)
+        pedges = _edges_long(ref, num_cols, psi_buckets)
+    if cat_cols:
+        cnt_cat = (_melt_sides(ref, cur, cat_cols, as_string=True)
+                   .groupBy("__f", F.col("__x").alias("__b"))
+                   .agg(F.count(F.when(F.col("__side") == "r", 1))
+                        .alias("__cr"),
+                        F.count(F.when(F.col("__side") == "c", 1))
+                        .alias("__cc")))
+    return _drift_report_from_counts(per_val, edges, pedges, cnt_cat,
+                                     num_cols, cat_cols, n_buckets,
+                                     psi_buckets)
+
+
+def _drift_report_from_counts(per_val, edges, pedges, cnt_cat,
+                              num_cols, cat_cols,
+                              n_buckets: int, psi_buckets: int):
+    """Report back half shared by :func:`drift_report` (counts built
+    from two live sides) and :func:`drift_vs_baseline` (reference
+    counts/edges read back from a persisted baseline): all five
+    statistics from the (feature, value) count frame + the (feature,
+    category) count frame, seeded (feature, statistic) guard."""
     from functools import reduce
 
     def long_row(df, stat, col):
@@ -907,18 +938,9 @@ def drift_report(ref, cur, num_cols: list[str], cat_cols: list[str],
     parts = []
     seed_rows = []
     if num_cols:
-        n_buckets = max(int(n_buckets), 2)
-        melted = _melt_sides(ref, cur, num_cols)
-        per_val = (melted.groupBy("__f", "__x")
-                   .agg(F.count(F.when(F.col("__side") == "r", 1))
-                        .alias("__cr"),
-                        F.count(F.when(F.col("__side") == "c", 1))
-                        .alias("__cc")))
-        edges = _edges_long(ref, num_cols, n_buckets)
         scored = _cum_value_counts_by(per_val, edges, n_buckets - 1)
         ks = _ks_from_scored(scored)
         mwu = _mwu_from_scored(scored)
-        pedges = _edges_long(ref, num_cols, psi_buckets)
         pcnt = (per_val.join(F.broadcast(pedges), "__f")
                 .select("__f", _bucket_expr(psi_buckets - 1).alias("__b"),
                         "__cr", "__cc")
@@ -933,12 +955,6 @@ def drift_report(ref, cur, num_cols: list[str], cat_cols: list[str],
         seed_rows += [(f, s) for f in num_cols
                       for s in ("psi", "ks", "mwu_u", "mwu_auc")]
     if cat_cols:
-        cnt_cat = (_melt_sides(ref, cur, cat_cols, as_string=True)
-                   .groupBy("__f", F.col("__x").alias("__b"))
-                   .agg(F.count(F.when(F.col("__side") == "r", 1))
-                        .alias("__cr"),
-                        F.count(F.when(F.col("__side") == "c", 1))
-                        .alias("__cc")))
         chi = _chisq_from_counts(cnt_cat)
         psi_c = _psi_from_cr_cc(cnt_cat, None)
         parts += [long_row(psi_c, "psi", "psi"),
@@ -961,3 +977,115 @@ def drift_report(ref, cur, num_cols: list[str], cat_cols: list[str],
         F.when(ok, F.col("value")).otherwise(F.raise_error(msg))
          .alias("value"),
         "n_ref", "n_cur")
+
+
+def persist_drift_baseline(ref, num_cols: list[str],
+                           cat_cols: list[str], baseline_root: str,
+                           n_buckets: int = 32,
+                           psi_buckets: int = 10) -> None:
+    """BUILD the frozen drift baseline once — the serving half of the
+    monitoring story (the ANN modules' build-once/serve-many shape,
+    applied to drift): production monitors compare live traffic
+    against a TRAINING-TIME reference distribution, so re-scanning the
+    reference corpus on every monitoring pass is wasted work that
+    grows with the corpus. This persists the reference's SUFFICIENT
+    STATISTICS — per-feature per-distinct-value counts, per-feature
+    per-category counts, and both percentile edge frames — all
+    metadata-sized relative to the corpus (bounded by distinct-value /
+    category cardinality, never row count). One melt scan of the
+    reference, total.
+
+    :func:`drift_vs_baseline` then serves any number of monitoring
+    passes from the artifact, scanning ONLY the live side — and
+    returns bit-identical statistics to :func:`drift_report` on the
+    original reference (asserted in tests).
+
+    Layout under ``baseline_root``: ``value_counts/`` (__f, __x,
+    __cr), ``cat_counts/`` (__f, __b, __cr), ``edges/`` and
+    ``psi_edges/`` (the :func:`_edges_long` frames), ``features/``
+    (feature, kind) — plus the bucket counts implied by the edge
+    frames at serve time.
+    """
+    import os
+
+    n_buckets = max(int(n_buckets), 2)
+    spark = ref.sparkSession
+    feats = [(f, "num") for f in num_cols] + [(f, "cat") for f in cat_cols]
+    spark.createDataFrame(feats, "feature string, kind string") \
+         .coalesce(1).write.mode("overwrite") \
+         .parquet(os.path.join(baseline_root, "features"))
+    if num_cols:
+        melted = _melt_sides(ref, ref.limit(0), num_cols)
+        (melted.where(F.col("__side") == "r")
+         .groupBy("__f", "__x")
+         .agg(F.count(F.lit(1)).alias("__cr"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(baseline_root, "value_counts")))
+        _edges_long(ref, num_cols, n_buckets) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(baseline_root, "edges"))
+        _edges_long(ref, num_cols, psi_buckets) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(baseline_root, "psi_edges"))
+    if cat_cols:
+        (_melt_sides(ref, ref.limit(0), cat_cols, as_string=True)
+         .where(F.col("__side") == "r")
+         .groupBy("__f", F.col("__x").alias("__b"))
+         .agg(F.count(F.lit(1)).alias("__cr"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(baseline_root, "cat_counts")))
+
+
+def drift_vs_baseline(spark, baseline_root: str, cur,
+                      n_buckets: int = 32, psi_buckets: int = 10):
+    """SERVE a monitoring pass against a persisted baseline
+    (:func:`persist_drift_baseline`): melt the LIVE side only — one
+    scan of the live data, the baseline contributes metadata-sized
+    count/edge frames — full-join the live counts with the frozen
+    reference counts, and compute the same five statistics as
+    :func:`drift_report`, bit-identically (asserted in tests; the
+    edges, bucket counts, and tie structure are exactly what the
+    two-sided pass derives). ``n_buckets``/``psi_buckets`` must match
+    the persist call (the stored edge frames carry that width).
+
+    The feature list comes from the artifact's ``features/`` frame —
+    a driver-side read of a feature-count-sized table (tens of rows),
+    the only collect in the path.
+    """
+    import os
+
+    n_buckets = max(int(n_buckets), 2)
+    feats = spark.read.parquet(
+        os.path.join(baseline_root, "features")).collect()
+    num_cols = [r["feature"] for r in feats if r["kind"] == "num"]
+    cat_cols = [r["feature"] for r in feats if r["kind"] == "cat"]
+    per_val = edges = pedges = cnt_cat = None
+    if num_cols:
+        ref_cnt = spark.read.parquet(
+            os.path.join(baseline_root, "value_counts"))
+        cur_cnt = (_melt_sides(cur.limit(0), cur, num_cols)
+                   .where(F.col("__side") == "c")
+                   .groupBy("__f", "__x")
+                   .agg(F.count(F.lit(1)).alias("__cc")))
+        per_val = (ref_cnt.join(cur_cnt, ["__f", "__x"], "full")
+                   .select("__f", "__x",
+                           F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                           F.coalesce("__cc", F.lit(0)).alias("__cc")))
+        edges = spark.read.parquet(os.path.join(baseline_root, "edges"))
+        pedges = spark.read.parquet(
+            os.path.join(baseline_root, "psi_edges"))
+    if cat_cols:
+        ref_cat = spark.read.parquet(
+            os.path.join(baseline_root, "cat_counts"))
+        cur_cat = (_melt_sides(cur.limit(0), cur, cat_cols,
+                               as_string=True)
+                   .where(F.col("__side") == "c")
+                   .groupBy("__f", F.col("__x").alias("__b"))
+                   .agg(F.count(F.lit(1)).alias("__cc")))
+        cnt_cat = (ref_cat.join(cur_cat, ["__f", "__b"], "full")
+                   .select("__f", "__b",
+                           F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                           F.coalesce("__cc", F.lit(0)).alias("__cc")))
+    return _drift_report_from_counts(per_val, edges, pedges, cnt_cat,
+                                     num_cols, cat_cols, n_buckets,
+                                     psi_buckets)

@@ -3021,8 +3021,7 @@ _MULTICOL_FEATURES = (
 )
 
 
-@q("dq_drift_report",
-   """WITH ref AS (
+_DRIFT_REPORT_ORACLE = """WITH ref AS (
         SELECT o_totalprice, o_orderpriority FROM orders
         WHERE o_orderkey % 2 = 0),
       cur AS (
@@ -3157,7 +3156,10 @@ _MULTICOL_FEATURES = (
       SELECT 'o_orderpriority', 'chisq_dof',
              (any_value(k)-1)::DOUBLE,
              any_value(nr)::BIGINT, any_value(nc)::BIGINT
-      FROM tc""")
+      FROM tc"""
+
+
+@q("dq_drift_report", _DRIFT_REPORT_ORACLE)
 def dq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE-STOP drift report (operators/cleaning.py:drift_report) on
     the dq_psi_drift fixture: PSI + KS + MWU for the numeric feature
@@ -3180,6 +3182,45 @@ def dq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_custkey") % 5 == 0, F.lit("1-URGENT"))
          .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"))
     return drift_report(ref, cur, ["o_totalprice"], ["o_orderpriority"])
+
+
+@q("dq_drift_baseline_serve", _DRIFT_REPORT_ORACLE)
+def dq_drift_baseline_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING-SHAPE drift monitoring (operators/cleaning.py:
+    persist_drift_baseline / drift_vs_baseline) — the
+    build-once/serve-many pattern the ANN modules use, applied to
+    drift: the reference side's SUFFICIENT STATISTICS (per-feature
+    value counts, category counts, both percentile edge frames — all
+    cardinality-bounded, never row-count-sized) persist once, and
+    every monitoring pass scans ONLY the live side against the frozen
+    artifact. Identical output to dq_drift_report on the same fixture
+    — the oracle IS dq_drift_report's, and bit-equality with the
+    two-sided pass is additionally asserted in tests. At 100 TB this
+    is the difference between re-scanning the training corpus per
+    monitoring run and reading a few thousand count rows.
+
+    The baseline builds ONCE per (sf_dir, code version) — its content
+    is deterministic (exact counts and percentile edges) — so repeat
+    runs measure what production repeats: the serve pass (the ANN
+    persisted entries' build_once pattern)."""
+    import hashlib
+
+    from walmart_project_etl_spark.operators.cleaning import (
+        drift_vs_baseline, persist_drift_baseline)
+    from .util import build_once
+    o = t(spark, sf_dir, "orders")
+    ref = o.where(F.col("o_orderkey") % 2 == 0) \
+           .select("o_totalprice", "o_orderpriority")
+    cur = o.where(F.col("o_orderkey") % 2 == 1).select(
+        F.when(F.col("o_custkey") % 3 == 0, F.col("o_totalprice") * 1.5)
+         .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("o_custkey") % 5 == 0, F.lit("1-URGENT"))
+         .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"))
+    root = build_once(
+        "drift_baseline_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        lambda out: persist_drift_baseline(
+            ref, ["o_totalprice"], ["o_orderpriority"], out))
+    return drift_vs_baseline(spark, root, cur)
 
 
 @q("dq_drift_multicol",
