@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "dq_drift_multicol",
     "dq_drift_report",
     "dq_drift_baseline_serve",
+    "dq_drift_timeline",
     "stream_chisq_drift",
     "stream_mwu_drift",
     "dq_embedding_drift",

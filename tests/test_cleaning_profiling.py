@@ -630,3 +630,41 @@ def test_drift_baseline_persist_serve_bit_equal(spark, tmp_path):
         == rows(drift_report(ref, cur, ["x", "y"], ["c"]))
     assert rows(drift_vs_baseline(spark, root, cur2)) \
         == rows(drift_report(ref, cur2, ["x", "y"], ["c"]))
+
+
+def test_drift_timeline_periods_equal_per_slice_serve(spark, tmp_path):
+    """Each period's timeline rows must be BIT-EQUAL to
+    drift_vs_baseline on that period's slice alone (which is itself
+    bit-equal to the two-sided drift_report) — the composite-key fuse
+    is a pure batching of independent per-period passes. Baseline
+    counts (n_ref) are identical across periods."""
+    from pyspark.sql import functions as F
+
+    from walmart_project_etl_spark.operators.cleaning import (
+        drift_timeline, drift_vs_baseline, persist_drift_baseline)
+
+    ref = spark.createDataFrame(
+        [(float(i % 13), "abc"[i % 3]) for i in range(120)],
+        "x double, c string")
+    cur = spark.createDataFrame(
+        [(float((i * 7) % 17) * (1.0 + 0.2 * (i % 3)),
+          "abd"[(i + i // 40) % 3], i // 40) for i in range(120)],
+        "x double, c string, day int")
+
+    root = str(tmp_path / "baseline")
+    persist_drift_baseline(ref, ["x"], ["c"], root)
+    tl = drift_timeline(spark, root, cur, F.col("day"))
+    rows = tl.collect()
+    assert {r["period"] for r in rows} == {"0", "1", "2"}
+    assert len(rows) == 3 * (4 + 3)
+
+    def key(rs):
+        return sorted((r["feature"], r["statistic"], r["value"],
+                       r["n_ref"], r["n_cur"]) for r in rs)
+
+    for d in (0, 1, 2):
+        want = drift_vs_baseline(
+            spark, root, cur.where(F.col("day") == d).drop("day"))
+        got = [r for r in rows if r["period"] == str(d)]
+        assert key(got) == key(want.collect()), d
+    assert len({r["n_ref"] for r in rows if r["feature"] == "x"}) == 1

@@ -81,6 +81,11 @@ ALLOW = {
     # both n_features rows) broadcast over the shared count shuffles
     "dq_drift_report": {"BroadcastNestedLoopJoin",
                         "Exchange SinglePartition (non-scalar result)"},
+    # timeline: the baseline count/edge frames replicate per period by
+    # crossJoining the broadcast timeline-length periods frame —
+    # timeline × cardinality-bounded, metadata-sized next to the live
+    # scan
+    "dq_drift_timeline": {"BroadcastNestedLoopJoin"},
     # streaming twin of the exact-KS prefix-sum — same scalar
     # broadcast shapes over the accumulated value-counts table
     "stream_ks_drift": {"BroadcastNestedLoopJoin",

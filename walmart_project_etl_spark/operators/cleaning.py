@@ -1089,3 +1089,102 @@ def drift_vs_baseline(spark, baseline_root: str, cur,
     return _drift_report_from_counts(per_val, edges, pedges, cnt_cat,
                                      num_cols, cat_cols, n_buckets,
                                      psi_buckets)
+
+
+def drift_timeline(spark, baseline_root: str, cur, period,
+                   n_buckets: int = 32, psi_buckets: int = 10):
+    """WHEN did it start drifting? Per-PERIOD drift of the live side
+    against a frozen :func:`persist_drift_baseline` artifact: the
+    point-in-time monitors say THAT a feature moved; the timeline
+    slices the live side by ``period`` (any Column over the live row —
+    a day, a year, an ingest batch id) and reports every statistic per
+    (period, feature), so the onset and trajectory are visible.
+
+    Scale shape — the composite-key trick: period and feature fuse
+    into one key (``period␟feature``), so the ENTIRE report machinery
+    (:func:`_drift_report_from_counts` — melted counts, per-key
+    prefix sums, bucket aggregation) runs unchanged at (period ×
+    feature) grain: ONE scan of the live side and one count shuffle
+    for the whole timeline, not one monitoring pass per period. The
+    baseline's count/edge frames replicate per period via a broadcast
+    join with the distinct-periods frame (timeline-length ×
+    cardinality-bounded — metadata-sized). Each period's rows are
+    BIT-EQUAL to :func:`drift_vs_baseline` on that period's slice
+    (asserted in tests), which is itself bit-equal to the two-sided
+    :func:`drift_report`.
+
+    The distinct periods and the artifact's feature list are the only
+    driver-side collects (timeline-length and feature-count rows).
+    Period values must not contain the ``\\x1f`` separator.
+
+    Returns (period string, feature, statistic, value double,
+    n_ref, n_cur) — n_ref is the frozen baseline count (identical
+    across periods), n_cur the period slice's count.
+    """
+    import os
+
+    sep = "\x1f"
+    n_buckets = max(int(n_buckets), 2)
+    feats = spark.read.parquet(
+        os.path.join(baseline_root, "features")).collect()
+    num_cols = [r["feature"] for r in feats if r["kind"] == "num"]
+    cat_cols = [r["feature"] for r in feats if r["kind"] == "cat"]
+    cur_p = (cur.withColumn("__p", period.cast("string"))
+             .where(F.col("__p").isNotNull()))
+    periods_df = cur_p.select("__p").distinct()
+    periods = sorted(r["__p"] for r in periods_df.collect())
+
+    def replicate(df):
+        # one baseline row per (period, original key): broadcast the
+        # timeline-length periods frame, fuse the composite key
+        return (df.crossJoin(F.broadcast(periods_df))
+                .withColumn("__f", F.concat(F.col("__p"), F.lit(sep),
+                                            F.col("__f")))
+                .drop("__p"))
+
+    def melt_cur(cols, as_string):
+        cast_to = "string" if as_string else "double"
+        pairs = F.array(*[
+            F.struct(F.lit(c).alias("f"),
+                     F.col(c).cast(cast_to).alias("x"))
+            for c in cols])
+        return (cur_p.select("__p", F.explode(pairs).alias("s"))
+                .select(F.concat(F.col("__p"), F.lit(sep),
+                                 F.col("s.f")).alias("__f"),
+                        F.col("s.x").alias("__x"))
+                .where(F.col("__x").isNotNull()))
+
+    per_val = edges = pedges = cnt_cat = None
+    if num_cols:
+        ref_cnt = replicate(spark.read.parquet(
+            os.path.join(baseline_root, "value_counts")))
+        cur_cnt = (melt_cur(num_cols, as_string=False)
+                   .groupBy("__f", "__x")
+                   .agg(F.count(F.lit(1)).alias("__cc")))
+        per_val = (ref_cnt.join(cur_cnt, ["__f", "__x"], "full")
+                   .select("__f", "__x",
+                           F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                           F.coalesce("__cc", F.lit(0)).alias("__cc")))
+        edges = replicate(spark.read.parquet(
+            os.path.join(baseline_root, "edges")))
+        pedges = replicate(spark.read.parquet(
+            os.path.join(baseline_root, "psi_edges")))
+    if cat_cols:
+        ref_cat = replicate(spark.read.parquet(
+            os.path.join(baseline_root, "cat_counts")))
+        cur_cat = (melt_cur(cat_cols, as_string=True)
+                   .groupBy("__f", F.col("__x").alias("__b"))
+                   .agg(F.count(F.lit(1)).alias("__cc")))
+        cnt_cat = (ref_cat.join(cur_cat, ["__f", "__b"], "full")
+                   .select("__f", "__b",
+                           F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                           F.coalesce("__cc", F.lit(0)).alias("__cc")))
+    comp_num = [f"{p}{sep}{c}" for p in periods for c in num_cols]
+    comp_cat = [f"{p}{sep}{c}" for p in periods for c in cat_cols]
+    res = _drift_report_from_counts(per_val, edges, pedges, cnt_cat,
+                                    comp_num, comp_cat, n_buckets,
+                                    psi_buckets)
+    return res.select(
+        F.substring_index("feature", sep, 1).alias("period"),
+        F.substring_index("feature", sep, -1).alias("feature"),
+        "statistic", "value", "n_ref", "n_cur")

@@ -37,6 +37,7 @@ _PRIORITY = (
     "dq_drift_multicol",
     "dq_drift_report",
     "dq_drift_baseline_serve",
+    "dq_drift_timeline",
     "dq_embedding_drift",
     "dq_embedding_norm_drift",
     "stream_embedding_norm_drift",
@@ -94,15 +95,15 @@ _PRIORITY = (
     "w02_moving_average",
     "w03_rank_family",
 )
-#: r16 plan: after this window the stalest rows are the last 8 r8-era
-#: entries displaced past the 50-cap (sketch_approx_aggs,
-#: text_fingerprint, text_normalize, text_redact_pii,
-#: txn_keyset_lookup, txn_point_lookup, w02_moving_average,
-#: w03_rank_family — verify against the CORRECTNESS_r15 actually
-#: recorded), then the r9-era block (50 rows: cdc_snapshot_diff ...
-#: onward, alphabetical). Lead r16 with any r15-new entries that
-#: missed this window, then those 8, then the first r9-era rows to
-#: the cap.
+#: r16 plan: after this window the stalest rows are the last 9 r8-era
+#: entries displaced past the 50-cap (sim_lsh_ann_topk,
+#: sketch_approx_aggs, text_fingerprint, text_normalize,
+#: text_redact_pii, txn_keyset_lookup, txn_point_lookup,
+#: w02_moving_average, w03_rank_family — verify against the
+#: CORRECTNESS_r15 actually recorded), then the r9-era block (50
+#: rows: cdc_snapshot_diff ... onward, alphabetical). Lead r16 with
+#: any r15-new entries that missed this window, then those 9, then
+#: the first r9-era rows to the cap.
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

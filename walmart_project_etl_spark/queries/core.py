@@ -3223,6 +3223,142 @@ def dq_drift_baseline_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_vs_baseline(spark, root, cur)
 
 
+@q("dq_drift_timeline",
+   """WITH refx AS (
+        SELECT o_totalprice AS x FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+      curx AS (
+        SELECT CASE WHEN o_custkey % 3 = 0 THEN o_totalprice * 1.5
+                    ELSE o_totalprice END AS x,
+               year(o_orderdate)::VARCHAR AS p
+        FROM orders
+        WHERE o_orderkey % 2 = 1 AND o_orderdate IS NOT NULL),
+      curx2 AS (SELECT p, x FROM curx WHERE x IS NOT NULL),
+      yrs AS (SELECT DISTINCT p FROM curx),
+      s AS (SELECT y.p, r.x, 1 AS r, 0 AS c FROM yrs y CROSS JOIN refx r
+            UNION ALL SELECT p, x, 0, 1 FROM curx2),
+      pv AS (SELECT p, x, sum(r) AS cr, sum(c) AS cc FROM s
+             GROUP BY p, x),
+      n AS (SELECT p, sum(cr) AS nr, sum(cc) AS nc FROM pv GROUP BY p),
+      cum AS (SELECT p, cr, cc,
+                     sum(cr) OVER (PARTITION BY p ORDER BY x) AS kr,
+                     sum(cc) OVER (PARTITION BY p ORDER BY x) AS kc
+              FROM pv),
+      d AS (SELECT c2.p,
+                   max(abs(kr::DECIMAL(38,0) * n.nc
+                           - kc::DECIMAL(38,0) * n.nr)) AS dn,
+                   any_value(n.nr) AS nr, any_value(n.nc) AS nc
+            FROM cum c2 JOIN n ON n.p = c2.p GROUP BY c2.p),
+      m AS (SELECT p, cc, 2*(kr+kc) - (cr+cc) + 1 AS m2 FROM cum),
+      rr2 AS (SELECT p, sum(cc::DECIMAL(19,0) * m2::DECIMAL(19,0))
+                     AS s2 FROM m GROUP BY p),
+      uu AS (SELECT rr2.p,
+                    s2 - n.nc::DECIMAL(19,0)*(n.nc::DECIMAL(19,0)+1)
+                    AS u2, n.nr, n.nc
+             FROM rr2 JOIN n ON n.p = rr2.p),
+      e AS (SELECT quantile_cont(x, 0.1) AS e0,
+                   quantile_cont(x, 0.2) AS e1,
+                   quantile_cont(x, 0.3) AS e2,
+                   quantile_cont(x, 0.4) AS e3,
+                   quantile_cont(x, 0.5) AS e4,
+                   quantile_cont(x, 0.6) AS e5,
+                   quantile_cont(x, 0.7) AS e6,
+                   quantile_cont(x, 0.8) AS e7,
+                   quantile_cont(x, 0.9) AS e8
+            FROM refx),
+      refb AS (SELECT b, count(*) AS cr FROM (
+                 SELECT (CASE WHEN x >= e0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e4 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e5 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e6 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e7 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e8 THEN 1 ELSE 0 END) AS b
+                 FROM refx, e) GROUP BY b),
+      curb AS (SELECT p, b, count(*) AS cc FROM (
+                 SELECT p,
+                        (CASE WHEN x >= e0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e4 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e5 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e6 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e7 THEN 1 ELSE 0 END)
+                      + (CASE WHEN x >= e8 THEN 1 ELSE 0 END) AS b
+                 FROM curx2, e) GROUP BY p, b),
+      jp AS (SELECT p, coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+             FROM (SELECT y.p AS p, rb.b AS b, rb.cr AS cr
+                   FROM yrs y CROSS JOIN refb rb) rr
+             FULL JOIN curb USING (p, b)),
+      np AS (SELECT p, sum(cr) AS nr, sum(cc) AS nc FROM jp
+             GROUP BY p),
+      tm AS (SELECT jp.p,
+               round(CAST(
+                 ((cc + 1.0) / (np.nc + 10.0)
+                  - (cr + 1.0) / (np.nr + 10.0))
+                 * CAST(round(ln(((cc + 1.0) / (np.nc + 10.0))
+                                 / ((cr + 1.0) / (np.nr + 10.0))), 6)
+                        AS DECIMAL(20,6))::DOUBLE
+                 AS DECIMAL(28,12)), 9)::DECIMAL(20,9) AS term,
+               np.nr, np.nc
+             FROM jp JOIN np ON np.p = jp.p)
+      SELECT p AS period, 'o_totalprice' AS feature,
+             'psi' AS statistic,
+             round(CAST(CAST(sum(term) AS DOUBLE) AS DECIMAL(28,8)),
+                   6)::DOUBLE AS value,
+             any_value(nr)::BIGINT AS n_ref,
+             any_value(nc)::BIGINT AS n_cur
+      FROM tm GROUP BY p
+      UNION ALL
+      SELECT p, 'o_totalprice', 'ks',
+             round(CAST(CAST(dn AS DOUBLE) / (nr::DOUBLE * nc::DOUBLE)
+                   AS DECIMAL(28,8)), 6)::DOUBLE,
+             nr::BIGINT, nc::BIGINT
+      FROM d
+      UNION ALL
+      SELECT p, 'o_totalprice', 'mwu_u', CAST(u2 AS DOUBLE)/2,
+             nr::BIGINT, nc::BIGINT
+      FROM uu
+      UNION ALL
+      SELECT p, 'o_totalprice', 'mwu_auc',
+             round(CAST(CAST(u2 AS DOUBLE) / (2*nr::DOUBLE*nc::DOUBLE)
+                   AS DECIMAL(28,8)), 6)::DOUBLE,
+             nr::BIGINT, nc::BIGINT
+      FROM uu""")
+def dq_drift_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIFT TIMELINE (operators/cleaning.py:drift_timeline): WHEN did
+    the price distribution drift? The odd-order live side slices by
+    order YEAR and reports PSI/KS/MWU per (year, feature) against the
+    frozen even-order baseline — the composite-key trick fuses
+    period␟feature into one key so the whole report machinery runs at
+    timeline grain in ONE live-side scan and one count shuffle (not
+    one pass per period); the baseline's counts/edges replicate per
+    period via a broadcast join with the timeline-length periods
+    frame. Each period's rows are bit-equal to drift_vs_baseline on
+    that period's slice (asserted in tests); the oracle recomputes
+    every per-year statistic with partitioned windows."""
+    import hashlib
+
+    from walmart_project_etl_spark.operators.cleaning import (
+        drift_timeline, persist_drift_baseline)
+    from .util import build_once
+    o = t(spark, sf_dir, "orders")
+    ref = o.where(F.col("o_orderkey") % 2 == 0).select("o_totalprice")
+    cur = o.where(F.col("o_orderkey") % 2 == 1).select(
+        F.when(F.col("o_custkey") % 3 == 0, F.col("o_totalprice") * 1.5)
+         .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate")
+    root = build_once(
+        "drift_baseline_num_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        lambda out: persist_drift_baseline(ref, ["o_totalprice"], [],
+                                           out))
+    return drift_timeline(spark, root, cur, F.year("o_orderdate"))
+
+
 @q("dq_drift_multicol",
    "WITH " + ",".join(_ks_block(i, f, rx, cx)
                       for i, (f, rx, cx) in
