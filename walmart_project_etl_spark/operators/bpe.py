@@ -92,7 +92,12 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 24,
     plus one fold rewrite of it — the corpus itself is scanned exactly
     once (the word-freq build). The per-round ``.limit(1).collect()`` is
     ONE metadata row (the argmax pair), not data."""
-    sym = _symbolize(_words(df, text_col)).localCheckpoint()
+    # LAZY checkpoints: each round's argmax (TakeOrderedAndProject —
+    # computes every partition in one job) materializes the round's
+    # checkpoint as a side effect, so a round costs ONE job instead of
+    # two (eager checkpoint + argmax) — the same recipe as
+    # connected_components' fingerprint-materialized rounds.
+    sym = _symbolize(_words(df, text_col)).localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         top = (_adjacent_pairs(sym)
@@ -104,7 +109,7 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 24,
         left, right, c = top[0]["left"], top[0]["right"], int(top[0]["c"])
         merges.append((left, right, c))
         sym = sym.withColumn("s", _merge_pass(F.col("s"), left, right)) \
-                 .localCheckpoint()
+                 .localCheckpoint(eager=False)
     return merges
 
 

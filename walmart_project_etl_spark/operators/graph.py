@@ -200,14 +200,22 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     Returns (node, pagerank double round-10).
     """
+    # The edge table, node set and out-degree-weighted edges are read
+    # EVERY round (plus the final left join): pin them once so the
+    # rounds join cached blocks instead of replaying the distinct /
+    # union / degree shuffles per iteration — the standard iterative-
+    # algorithm shape (persist the static graph, checkpoint the ranks).
+    # No explicit unpersist: the returned ranks read them lazily; the
+    # blocks free via the ContextCleaner once the result is consumed
+    # (same lifecycle as the per-round localCheckpoint blocks).
     e = edges.select(F.col(src).alias("__s"),
-                     F.col(dst).alias("__d")).distinct()
+                     F.col(dst).alias("__d")).distinct().persist()
     nodes = (e.select(F.col("__s").alias("node"))
              .unionByName(e.select(F.col("__d").alias("node")))
-             .distinct())
+             .distinct()).persist()
     n = nodes.count()
     out = e.groupBy("__s").agg(F.count("*").alias("__out"))
-    ew = e.join(out, "__s")
+    ew = e.join(out, "__s").persist()
     base = float(1.0 - damping) / n
     pr = nodes.withColumn("pagerank", F.lit(1.0 / n))
     for _ in range(iters):

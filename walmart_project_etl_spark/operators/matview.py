@@ -109,6 +109,7 @@ def refresh_agg_mv(spark: SparkSession, source, mv_root: str,
     last = mv.last_txn(MV_APP, version=base)
     if src_version <= last:
         return mv                       # already folded — no-op
+    pin = None
     try:
         changes = source.read_changes(since_version=last + 1,
                                       upto=src_version)
@@ -118,8 +119,13 @@ def refresh_agg_mv(spark: SparkSession, source, mv_root: str,
     else:
         if enrich is not None:
             changes = enrich(changes)
+        # pinned for the refresh: the delta (touched-groups-sized, tiny
+        # by construction) feeds the pruned current-state read, both
+        # sides of the fold, and — via the merge's own passes — the
+        # key pruner and the file rewrite; uncached, every one of those
+        # replays the change-feed read + the delta aggregation
         delta = _delta(changes, group_cols, sum_col) \
-            .withColumn("mv_key", _group_key(group_cols))
+            .withColumn("mv_key", _group_key(group_cols)).persist()
         # fold MV state AT base for ONLY the touched groups (pruned)
         cur = mv.read_matching(delta.select("mv_key"), version=base)
         upserts = (cur.select("mv_key", "n_rows", "total")
@@ -133,11 +139,17 @@ def refresh_agg_mv(spark: SparkSession, source, mv_root: str,
                            *[F.col(c).cast("string").alias(c)
                              for c in group_cols],
                            "n_rows", "total"))
-    # delete groups folding to zero; never INSERT one (a group created
-    # and fully deleted inside the same window must not materialize)
-    mv.merge_when(upserts, delete_cond="src.n_rows = 0",
-                  insert_cond="src.n_rows <> 0",
-                  txn=(MV_APP, src_version))
+        pin = delta
+    try:
+        # delete groups folding to zero; never INSERT one (a group
+        # created and fully deleted inside the same window must not
+        # materialize)
+        mv.merge_when(upserts, delete_cond="src.n_rows = 0",
+                      insert_cond="src.n_rows <> 0",
+                      txn=(MV_APP, src_version))
+    finally:
+        if pin is not None:
+            pin.unpersist()
     return mv
 
 
@@ -211,18 +223,24 @@ def refresh_agg_mv_minmax(spark: SparkSession, source, mv_root: str,
     last = mv.last_txn(MV_MINMAX_APP, version=base)
     if src_version <= last:
         return mv                       # already folded — no-op
+    pins: list[DataFrame] = []
     try:
-        changes = source.read_changes(since_version=last + 1,
-                                      upto=src_version)
-    except ChangeFeedRestoredError:
-        upserts = _minmax_resync_plan(mv, base, source, src_version,
-                                      group_cols, val_col)
-    else:
-        upserts = _minmax_delta_plan(mv, base, source, src_version,
-                                     group_cols, val_col, changes)
-    mv.merge_when(upserts, delete_cond="src.n_rows = 0",
-                  insert_cond="src.n_rows <> 0",
-                  txn=(MV_MINMAX_APP, src_version))
+        try:
+            changes = source.read_changes(since_version=last + 1,
+                                          upto=src_version)
+        except ChangeFeedRestoredError:
+            upserts = _minmax_resync_plan(mv, base, source, src_version,
+                                          group_cols, val_col)
+        else:
+            upserts = _minmax_delta_plan(mv, base, source, src_version,
+                                         group_cols, val_col, changes,
+                                         pins)
+        mv.merge_when(upserts, delete_cond="src.n_rows = 0",
+                      insert_cond="src.n_rows <> 0",
+                      txn=(MV_MINMAX_APP, src_version))
+    finally:
+        for p in pins:
+            p.unpersist()
     return mv
 
 
@@ -233,9 +251,12 @@ def _minmax_agg(val_col: str):
 
 
 def _minmax_delta_plan(mv, base, source, src_version, group_cols,
-                      val_col, changes) -> DataFrame:
+                      val_col, changes,
+                      pins: list | None = None) -> DataFrame:
     val = F.col(val_col).cast("double").cast("decimal(28,6)")
     is_add = F.col("_change_type").isin("insert", "update_postimage")
+    # pinned like refresh_agg_mv's delta: read by the current-state
+    # pruner, the fold join, and (through flagged) both merge branches
     delta = (changes
              .groupBy(*group_cols)
              .agg(F.sum(F.when(is_add, 1).otherwise(-1)).alias("nd"),
@@ -244,6 +265,8 @@ def _minmax_delta_plan(mv, base, source, src_version, group_cols,
                   F.min(F.when(~is_add, val)).alias("del_min"),
                   F.max(F.when(~is_add, val)).alias("del_max"))
              .withColumn("mv_key", _group_key(group_cols)))
+    if pins is not None:
+        pins.append(delta.persist())
     cur = mv.read_matching(delta.select("mv_key"), version=base) \
             .select("mv_key", F.col("n_rows").alias("cur_n"),
                     F.col("vmin").alias("cur_min"),
@@ -262,6 +285,10 @@ def _minmax_delta_plan(mv, base, source, src_version, group_cols,
     flagged = m.select("mv_key", *group_cols, new_n,
                        cand_min.alias("vmin"), cand_max.alias("vmax"),
                        need.alias("__need"))
+    if pins is not None:
+        # read by rec_groups (twice — driver collect + semi join) and
+        # the plain branch; uncached each re-runs the fold join
+        pins.append(flagged.persist())
     rec_groups = flagged.where("__need").select(*group_cols).distinct()
     plain = (flagged.where(~F.col("__need"))
              .select("mv_key",
@@ -365,19 +392,25 @@ def refresh_agg_mv_avg_distinct(spark: SparkSession, source, mv_root: str,
     last = mv.last_txn(MV_AVGDIST_APP, version=base)
     if src_version <= last:
         return mv                       # already folded — no-op
+    pins: list[DataFrame] = []
     try:
-        changes = source.read_changes(since_version=last + 1,
-                                      upto=src_version)
-    except ChangeFeedRestoredError:
-        upserts = _avgdist_resync_plan(mv, base, source, src_version,
-                                       group_cols, val_col, distinct_col)
-    else:
-        upserts = _avgdist_delta_plan(mv, base, source, src_version,
-                                      group_cols, val_col, distinct_col,
-                                      changes)
-    mv.merge_when(upserts, delete_cond="src.n_rows = 0",
-                  insert_cond="src.n_rows <> 0",
-                  txn=(MV_AVGDIST_APP, src_version))
+        try:
+            changes = source.read_changes(since_version=last + 1,
+                                          upto=src_version)
+        except ChangeFeedRestoredError:
+            upserts = _avgdist_resync_plan(mv, base, source, src_version,
+                                           group_cols, val_col,
+                                           distinct_col)
+        else:
+            upserts = _avgdist_delta_plan(mv, base, source, src_version,
+                                          group_cols, val_col,
+                                          distinct_col, changes, pins)
+        mv.merge_when(upserts, delete_cond="src.n_rows = 0",
+                      insert_cond="src.n_rows <> 0",
+                      txn=(MV_AVGDIST_APP, src_version))
+    finally:
+        for p in pins:
+            p.unpersist()
     return mv
 
 
@@ -397,7 +430,8 @@ def _hll_merge(a, b):
 
 
 def _avgdist_delta_plan(mv, base, source, src_version, group_cols,
-                        val_col, distinct_col, changes) -> DataFrame:
+                        val_col, distinct_col, changes,
+                        pins: list | None = None) -> DataFrame:
     val = F.col(val_col).cast("double").cast("decimal(28,6)")
     is_add = F.col("_change_type").isin("insert", "update_postimage")
     delta = (changes
@@ -414,6 +448,9 @@ def _avgdist_delta_plan(mv, base, source, src_version, group_cols,
                                & F.col(distinct_col).isNotNull(),
                                True).otherwise(False)).alias("has_rm"))
              .withColumn("mv_key", _group_key(group_cols)))
+    if pins is not None:
+        # pinned like refresh_agg_mv's delta (pruner + fold join)
+        pins.append(delta.persist())
     cur = mv.read_matching(delta.select("mv_key"), version=base) \
             .select("mv_key", F.col("n_rows").alias("cur_n"),
                     F.col("total").alias("cur_total"),
@@ -431,6 +468,9 @@ def _avgdist_delta_plan(mv, base, source, src_version, group_cols,
                        (F.col("has_rm")
                         & ((F.coalesce("cur_n", F.lit(0))
                             + F.col("nd")) > 0)).alias("__need"))
+    if pins is not None:
+        # read by rec_groups (collect + semi join) and the plain branch
+        pins.append(flagged.persist())
     rec_groups = flagged.where("__need").select(*group_cols).distinct()
     proj = ["mv_key",
             *[F.col(c).cast("string").alias(c) for c in group_cols],

@@ -418,9 +418,15 @@ def kmeans_labels(corpus: DataFrame, id_col: str = "vec_id",
     # score all N×k assignment cosines on a single core — the r12
     # bench's 60s kmeans_scaled row. Partitioning never changes
     # results: assignment is per-row, update sums are decimal-routed.
+    # pinned across the Lloyd rounds: every round's assignment and the
+    # final labeling scan ``work`` (iters+1 passes plus the init pick);
+    # uncached each pass replays the corpus scan + the floor shuffle.
+    # No explicit unpersist: the returned frame reads it lazily, so the
+    # blocks free via the ContextCleaner once the result is consumed
+    # (the same lifecycle as the localCheckpoint rounds elsewhere).
     work = _parallel_floor(
         corpus.select(F.col(id_col), _as_double(vec_col).alias("__v")),
-        id_col)
+        id_col).persist()
     init = (work.orderBy(F.md5(F.col(id_col).cast("string")),
                          F.col(id_col))
             .limit(k).collect())
@@ -540,15 +546,32 @@ def pq_train(corpus: DataFrame, vec_col: str = "embedding",
     sub = d // m
     norm = norm.persist()
     try:
-        books = []
-        for i in range(m):
+        # materialize the cache fully BEFORE fanning out, so the m
+        # concurrent fits read blocks instead of racing to compute them
+        norm.count()
+
+        def fit(i: int) -> list:
             train = norm.select(array_to_vector(
                 F.slice("__nvec", i * sub + 1, sub)).alias("features"))
             km = KMeans(k=2 ** nbits, seed=seed + i,
                         initMode="k-means||").fit(train)
-            books.append([[float(x) for x in c]
-                          for c in km.clusterCenters()])
-        return books
+            return [[float(x) for x in c] for c in km.clusterCenters()]
+
+        # The m subspace fits are INDEPENDENT jobs over the same cached
+        # frame — submit them from a thread pool so each fit's straggler
+        # tail back-fills with the next fit's tasks (guide §2.6) instead
+        # of serializing m × (init rounds + Lloyd iterations) of mostly-
+        # idle micro-jobs. Each fit's input partitioning and seed are
+        # unchanged, so the centroids are bit-identical to the
+        # sequential loop (pinned goldens prove it); map() preserves
+        # subspace order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        wrap = inheritable_thread_target(norm.sparkSession)
+        with ThreadPoolExecutor(max_workers=m) as pool:
+            return list(pool.map(wrap(fit), range(m)))
     finally:
         norm.unpersist()
 

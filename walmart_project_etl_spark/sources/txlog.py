@@ -1996,14 +1996,21 @@ class TxTable:
     def _validate_constraints(self, df: DataFrame, meta: dict) -> None:
         """Reject the write if any row of ``df`` violates a declared
         CHECK constraint, or carries a GENERATED column value that
-        disagrees with its expression (one short-circuit job each)."""
+        disagrees with its expression.
+
+        ALL checks run in ONE aggregation job (max-of-violation-flag
+        per check). The per-check ``limit(1).count()`` it replaces was
+        N jobs — and each of those, on CLEAN data (the common case),
+        is a CollectLimit whose take-escalation scans every partition
+        across several sub-jobs anyway; the single agg scans the batch
+        once for any number of checks. Failure messages are unchanged
+        (the first violated check in declaration order raises)."""
+        checks: list[tuple[str, F.Column]] = []
         for name, expr in (meta.get("constraints") or {}).items():
-            bad = df.where(~F.expr(expr).eqNullSafe(F.lit(True))) \
-                    .limit(1).count()
-            if bad:
-                raise ValueError(
-                    f"CHECK constraint '{name}' ({expr}) violated by "
-                    f"incoming rows — write rejected")
+            checks.append((
+                f"CHECK constraint '{name}' ({expr}) violated by "
+                f"incoming rows — write rejected",
+                ~F.expr(expr).eqNullSafe(F.lit(True))))
         for col, expr in (meta.get("generated") or {}).items():
             if col not in df.columns:
                 continue                 # computed by the caller
@@ -2012,13 +2019,20 @@ class TxTable:
                 want = want.cast(df.schema[col].dataType)
             except Exception:
                 pass
-            bad = df.where(~F.col(col).eqNullSafe(want)) \
-                    .limit(1).count()
-            if bad:
-                raise ValueError(
-                    f"generated column '{col}' must equal {expr!r} — "
-                    f"incoming rows disagree; omit the column to have "
-                    f"it computed")
+            checks.append((
+                f"generated column '{col}' must equal {expr!r} — "
+                f"incoming rows disagree; omit the column to have "
+                f"it computed",
+                ~F.col(col).eqNullSafe(want)))
+        if not checks:
+            return
+        flags = df.agg(*[
+            F.max(F.when(bad, F.lit(1)).otherwise(F.lit(0)))
+             .alias(f"__viol{i}")
+            for i, (_, bad) in enumerate(checks)]).first()
+        for i, (msg, _) in enumerate(checks):
+            if flags[f"__viol{i}"]:
+                raise ValueError(msg)
 
     def add_constraint(self, name: str, expr: str) -> None:
         """Delta-style CHECK constraint: validate that every CURRENT row
@@ -2446,6 +2460,18 @@ class TxTable:
             raise ValueError(
                 f"identity column '{ident['col']}' is GENERATED ALWAYS "
                 f"— it must not be provided on append")
+        # pinned (see merge_upsert): the batch is read by the
+        # constraint/generated validation job and again by the file
+        # write — and a foreachBatch append's re-read replays the
+        # micro-batch source
+        df = df.persist()
+        try:
+            self._append_pinned(df, meta, ident, merge_schema)
+        finally:
+            df.unpersist()
+
+    def _append_pinned(self, df: DataFrame, meta: dict, ident,
+                       merge_schema: bool) -> None:
         if not merge_schema and not ident:
             df = self._check_schema(df, meta)
             adds = self._write_files(df, meta["key_col"],
@@ -2701,6 +2727,22 @@ class TxTable:
         files surface the new columns as NULL."""
         meta = self._state()[0]
         key = meta["key_col"]
+        # Pin the source for the duration of the commit: the merge
+        # reads it for the key pruner, the rewrite, the constraint
+        # check, and (with CDF on) three change-capture branches — and
+        # in a foreachBatch sink each re-read replays the micro-batch
+        # source. One materialization (the pruner's own collect — no
+        # extra job), every later pass scans cached blocks.
+        pinned = updates = updates.persist()
+        try:
+            return self._merge_upsert_pinned(updates, meta, key, txn,
+                                             merge_schema)
+        finally:
+            pinned.unpersist()
+
+    def _merge_upsert_pinned(self, updates: DataFrame, meta: dict,
+                             key: str, txn: tuple[str, int] | None,
+                             merge_schema: bool) -> dict:
         if not merge_schema:
             # validate + normalize to the table's column order so every
             # data file carries the same physical layout
@@ -2824,7 +2866,23 @@ class TxTable:
         consumed by the delete clause and never land in a file."""
         meta = self._state()[0]
         key = meta["key_col"]
-        source = self._check_schema(source, meta, constraints=False)
+        # pinned for the commit's lifetime (see merge_upsert): read by
+        # the pruner, both sides of the clause join's data write, the
+        # constraint check, and the CDF capture
+        source = self._check_schema(source, meta,
+                                    constraints=False).persist()
+        try:
+            return self._merge_when_pinned(
+                source, meta, key, update_cond, delete_cond,
+                insert_cond, txn)
+        finally:
+            source.unpersist()
+
+    def _merge_when_pinned(self, source: DataFrame, meta: dict,
+                           key: str, update_cond: str | None,
+                           delete_cond: str | None,
+                           insert_cond: str | None,
+                           txn: tuple[str, int] | None) -> dict:
         cols = source.columns
         prune = self._key_pruner(source, key)
         upd = F.expr(update_cond) if update_cond else F.lit(True)
@@ -2920,10 +2978,22 @@ class TxTable:
                              "(read_changes' shape)")
         ord_col = F.col("_commit_version") \
             if "_commit_version" in changes.columns else F.lit(0)
+        # pin the NETTED batch (see merge_upsert): ups/dels/all_keys
+        # all derive from it, and each un-cached re-read would replay
+        # the micro-batch source (a Python data-source scan in the
+        # streaming replica) plus the netting window shuffle
         last = (changes.where(F.col("_change_type") != "update_preimage")
                 .withColumn("__rn", F.row_number().over(
                     W.partitionBy(key).orderBy(F.desc(ord_col))))
-                .where(F.col("__rn") == 1))
+                .where(F.col("__rn") == 1)).persist()
+        try:
+            return self._apply_changes_pinned(last, meta, key, txn)
+        finally:
+            last.unpersist()
+
+    def _apply_changes_pinned(self, last: DataFrame, meta: dict,
+                              key: str,
+                              txn: tuple[str, int] | None) -> dict:
         cols = [f["name"]
                 for f in json.loads(meta["schema"])["fields"]]
         ups = self._check_schema(
@@ -2992,34 +3062,39 @@ class TxTable:
         Returns the same pruning stats as :meth:`merge_upsert`."""
         meta = self._state()[0]
         key = meta["key_col"]
-        keys = keys.select(key).distinct()
-        prune = self._key_pruner(keys, key)
+        # pinned (see merge_upsert): pruner + anti-join + CDF semi-join
+        keys = keys.select(key).distinct().persist()
+        try:
+            prune = self._key_pruner(keys, key)
 
-        while True:
-            base = self.versions()[-1]          # pinned read (see merge)
-            _, live = self._state(base)
-            touched = prune(list(live.values()))
-            adds: list[dict] = []
-            cdf: list[dict] = []
-            if touched:
-                old = self._read_files(meta, touched)
-                adds = self._write_files(old.join(keys, key, "left_anti"),
-                                         key,
-                                         stats_cols=_meta_stats_cols(meta),
-                                         partition_by=meta.get(
-                                             "partition_by"), meta=meta)
-                if meta.get("change_feed"):
-                    cdf = self._write_cdf(
-                        old.join(keys, key, "semi")
-                        .withColumn("_change_type", F.lit("delete")), meta)
-            v = base + 1
-            actions = [{"op": "delete"}, *adds, *cdf,
-                       *({"remove": {"path": a["path"]}} for a in touched)]
-            if self._commit(actions, v):
-                self._maybe_checkpoint(v)
-                return {"files_scanned": len(live),
-                        "files_rewritten": len(touched),
-                        "files_untouched": len(live) - len(touched)}
+            while True:
+                base = self.versions()[-1]      # pinned read (see merge)
+                _, live = self._state(base)
+                touched = prune(list(live.values()))
+                adds: list[dict] = []
+                cdf: list[dict] = []
+                if touched:
+                    old = self._read_files(meta, touched)
+                    adds = self._write_files(
+                        old.join(keys, key, "left_anti"), key,
+                        stats_cols=_meta_stats_cols(meta),
+                        partition_by=meta.get("partition_by"), meta=meta)
+                    if meta.get("change_feed"):
+                        cdf = self._write_cdf(
+                            old.join(keys, key, "semi")
+                            .withColumn("_change_type", F.lit("delete")),
+                            meta)
+                v = base + 1
+                actions = [{"op": "delete"}, *adds, *cdf,
+                           *({"remove": {"path": a["path"]}}
+                             for a in touched)]
+                if self._commit(actions, v):
+                    self._maybe_checkpoint(v)
+                    return {"files_scanned": len(live),
+                            "files_rewritten": len(touched),
+                            "files_untouched": len(live) - len(touched)}
+        finally:
+            keys.unpersist()
 
     def delete_keys_dv(self, keys: DataFrame) -> dict:
         """MERGE-ON-READ DELETE via DELETION VECTORS (Delta DVs /
@@ -3039,7 +3114,15 @@ class TxTable:
         DV-free file. Returns {files_tagged, rows_deleted}."""
         meta = self._state()[0]
         key = meta["key_col"]
-        keys = keys.select(key).distinct()
+        # pinned (see merge_upsert): pruner + DV semi-join + CDF
+        keys = keys.select(key).distinct().persist()
+        try:
+            return self._delete_keys_dv_pinned(keys, meta, key)
+        finally:
+            keys.unpersist()
+
+    def _delete_keys_dv_pinned(self, keys: DataFrame, meta: dict,
+                               key: str) -> dict:
         prune = self._key_pruner(keys, key)
 
         while True:

@@ -304,21 +304,29 @@ def stream_upsert_tx(spark: SparkSession, events_path: str,
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if batch_stats is not None:
             batch_stats.append((batch_id, batch_df.count()))
-        batch_latest = latest_event_per_key(batch_df, ["user_id"])
-        # merge must keep the OLDER stored row when the batch's row is
-        # not actually newer — fold in current rows for these users.
-        # Cost-based read: the bloom/range-pruned key-set read
-        # (read_matching) costs one extra driver job per batch to
-        # collect the probes, which only pays once the table has enough
-        # files for pruning to beat a full-scan semi-join — the 100 TB
-        # regime. Small tables take the scan.
-        users = batch_latest.select("user_id")
-        _, live = t._state()
-        cur = (t.read_matching(users) if len(live) > 16
-               else t.snapshot().join(users, "user_id", "semi"))
-        upserts = latest_event_per_key(
-            cur.unionByName(batch_latest), ["user_id"])
-        t.merge_upsert(upserts, txn=("stream_upsert_tx", int(batch_id)))
+        # pinned per batch: read by the current-rows lookup (pruner or
+        # semi-join) and again by the upsert fold — uncached each pass
+        # replays the batch read + the latest-per-key window
+        batch_latest = latest_event_per_key(batch_df,
+                                            ["user_id"]).persist()
+        try:
+            # merge must keep the OLDER stored row when the batch's row
+            # is not actually newer — fold in current rows for these
+            # users. Cost-based read: the bloom/range-pruned key-set
+            # read (read_matching) costs one extra driver job per batch
+            # to collect the probes, which only pays once the table has
+            # enough files for pruning to beat a full-scan semi-join —
+            # the 100 TB regime. Small tables take the scan.
+            users = batch_latest.select("user_id")
+            _, live = t._state()
+            cur = (t.read_matching(users) if len(live) > 16
+                   else t.snapshot().join(users, "user_id", "semi"))
+            upserts = latest_event_per_key(
+                cur.unionByName(batch_latest), ["user_id"])
+            t.merge_upsert(upserts,
+                           txn=("stream_upsert_tx", int(batch_id)))
+        finally:
+            batch_latest.unpersist()
 
     ev = (spark.readStream
           .schema(EVENTS_SCHEMA)
@@ -366,11 +374,17 @@ def stream_partition_ingest(spark: SparkSession, events_path: str,
                  partition_by="event_type")
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.dropDuplicates(["event_id"])
-        t.merge_upsert(batch, txn=("stream_partition_ingest",
-                                   int(batch_id)))
-        touched = [r["event_type"] for r in
-                   batch.select("event_type").distinct().collect()]
+        # pinned per batch: the merge and the touched-partition probe
+        # both read it — uncached, each replays the batch read + the
+        # dropDuplicates shuffle
+        batch = batch_df.dropDuplicates(["event_id"]).persist()
+        try:
+            t.merge_upsert(batch, txn=("stream_partition_ingest",
+                                       int(batch_id)))
+            touched = [r["event_type"] for r in
+                       batch.select("event_type").distinct().collect()]
+        finally:
+            batch.unpersist()
         if touched:
             t.compact_partitions(touched, target_rows=compact_target_rows)
 
@@ -613,42 +627,48 @@ def stream_scd2_history(spark: SparkSession, source_root: str,
         evs = batch_df.where(F.col("_change_type").isin(
             "insert", "update_postimage", "delete"))
         w = Window.partitionBy(key).orderBy("_commit_version")
+        # pinned per batch: the windowed events feed the affected-key
+        # collect, the open-rows branch, and the close join — uncached
+        # each pass replays the micro-batch source read + the window
         evs = evs.withColumn("__next",
-                             F.lead("_commit_version").over(w))
-        opens = (evs.where(F.col("_change_type") != "delete")
-                 .select(F.col(key), *[F.col(a) for a in attrs],
-                         F.col("_commit_version").cast("long")
-                          .alias("eff_from"),
-                         F.col("__next").cast("long").alias("eff_to"),
-                         F.col("__next").isNull().alias("is_current")))
-        first_v = (evs.groupBy(key)
-                   .agg(F.min("_commit_version").cast("long")
-                        .alias("__first")))
-        affected = [r[key] for r in first_v.collect()]  # batch-sized
-        # current-row lookup: bloom-pruned point reads for a narrow
-        # batch; a backfill-sized batch (or the first drain, when most
-        # keys are new) does one scan+semi-join instead — 10^4 bloom
-        # probes cost more than the scan they'd save
-        if len(affected) <= 1000:
-            cur = (h.read_col_in(key, affected)
-                   .where(F.col("is_current")))
-        else:
-            cur = (h.snapshot().where(F.col("is_current"))
-                   .join(first_v.select(key), key, "left_semi"))
-        closed = (cur.drop("eff_to", "is_current", "hk")
-                  .join(first_v, key)
-                  .select(F.col(key), *[F.col(a) for a in attrs],
-                          F.col("eff_from"),
-                          F.col("__first").alias("eff_to"),
-                          F.lit(False).alias("is_current")))
-        upserts = closed.unionByName(opens).withColumn(
-            "hk", F.md5(F.concat_ws(
-                "\x1f", F.col(key).cast("string"),
-                F.col("eff_from").cast("string"))))
-        h.merge_upsert(
-            upserts.select("hk", key, *attrs, "eff_from", "eff_to",
-                           "is_current"),
-            txn=(f"scd2:{source_root}", int(batch_id)))
+                             F.lead("_commit_version").over(w)).persist()
+        try:
+            opens = (evs.where(F.col("_change_type") != "delete")
+                     .select(F.col(key), *[F.col(a) for a in attrs],
+                             F.col("_commit_version").cast("long")
+                              .alias("eff_from"),
+                             F.col("__next").cast("long").alias("eff_to"),
+                             F.col("__next").isNull().alias("is_current")))
+            first_v = (evs.groupBy(key)
+                       .agg(F.min("_commit_version").cast("long")
+                            .alias("__first")))
+            affected = [r[key] for r in first_v.collect()]  # batch-sized
+            # current-row lookup: bloom-pruned point reads for a narrow
+            # batch; a backfill-sized batch (or the first drain, when most
+            # keys are new) does one scan+semi-join instead — 10^4 bloom
+            # probes cost more than the scan they'd save
+            if len(affected) <= 1000:
+                cur = (h.read_col_in(key, affected)
+                       .where(F.col("is_current")))
+            else:
+                cur = (h.snapshot().where(F.col("is_current"))
+                       .join(first_v.select(key), key, "left_semi"))
+            closed = (cur.drop("eff_to", "is_current", "hk")
+                      .join(first_v, key)
+                      .select(F.col(key), *[F.col(a) for a in attrs],
+                              F.col("eff_from"),
+                              F.col("__first").alias("eff_to"),
+                              F.lit(False).alias("is_current")))
+            upserts = closed.unionByName(opens).withColumn(
+                "hk", F.md5(F.concat_ws(
+                    "\x1f", F.col(key).cast("string"),
+                    F.col("eff_from").cast("string"))))
+            h.merge_upsert(
+                upserts.select("hk", key, *attrs, "eff_from", "eff_to",
+                               "is_current"),
+                txn=(f"scd2:{source_root}", int(batch_id)))
+        finally:
+            evs.unpersist()
 
     q = (feed.writeStream
          .foreachBatch(apply)
