@@ -52,5 +52,13 @@ def get_spark(app_name: str = "walmart-project-etl-spark",
         # full-GC pause cost (docs/SCALE.md records the r14 bisect).
         .config("spark.cleaner.periodicGC.interval",
                 os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"))
+        # Allow the planner to pick SHUFFLED HASH JOIN where its size
+        # conditions hold instead of always preferring sort-merge
+        # (guide §3.1/§9): skips both sort passes on the many
+        # moderate-sized equi-joins in the engine. Safe at scale with
+        # AQE on (skew splitting caps build-side partitions); env-
+        # overridable for A/B bisects like the periodic-GC knob.
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"))
     )
     return builder.getOrCreate()
