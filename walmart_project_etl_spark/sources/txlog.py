@@ -3270,7 +3270,28 @@ class TxTable:
                         "rows_matched": 0}
             touched = [a for a in candidates
                        if a["path"] in touched_names]
-            old = self._read_files(meta, touched)
+            # Pin the touched-file read for the commit: the rewrite,
+            # the constraint check and (with CDF on) the pre/post-image
+            # branches each re-scan it otherwise — same per-commit
+            # source-pinning contract as merge_upsert/apply_changes.
+            old = self._read_files(meta, touched).persist()
+            try:
+                result = self._dml_where_pinned(
+                    kind, old, pred, set_exprs, meta, base,
+                    candidates, touched, live, n_matched)
+            finally:
+                old.unpersist()
+            if result is not None:
+                return result
+            # lost the race: orphan the written files and recompute
+            # against the new snapshot
+
+    def _dml_where_pinned(self, kind: str, old: DataFrame, pred,
+                          set_exprs, meta: dict, base: int,
+                          candidates, touched, live,
+                          n_matched) -> dict | None:
+            schema = StructType.fromJson(json.loads(meta["schema"]))
+            key = meta["key_col"]
             matched = old.where(pred)
             kept = old.where(~pred.eqNullSafe(F.lit(True)))
             if kind == "update":
@@ -3317,8 +3338,7 @@ class TxTable:
                         "files_rewritten": len(touched),
                         "files_untouched": len(live) - len(touched),
                         "rows_matched": int(n_matched)}
-            # lost the race: orphan the written files and recompute
-            # against the new snapshot
+            return None     # lost the race — caller retries
 
     def purge_deletes(self) -> dict:
         """Materialize outstanding deletion vectors: rewrite ONLY the
