@@ -102,3 +102,32 @@ def test_pq_train_parallel_fits_deterministic(spark):
     b1 = similarity.pq_train(emb, "embedding", m=4, nbits=3)
     b2 = similarity.pq_train(emb, "embedding", m=4, nbits=3)
     assert b1 == b2
+
+
+def test_key_bloom_bits_exact_vs_spec(spark, tmp_root):
+    """The exploded (file, word) bit_or fold must log bit-identical
+    blooms to the spec: bit ``pmod(xxhash64(key, i), _BLOOM_BITS)`` set
+    for every key in the file and every probe i < _BLOOM_K."""
+    import json
+
+    from walmart_project_etl_spark.sources.txlog import (
+        _BLOOM_BITS, _BLOOM_K, TxTable)
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    tt = TxTable(spark, tmp_root)
+    tt.create(df, "k", n_files=3)
+    _meta, live = tt._state()
+    assert len(live) == 3
+    for a in live.values():
+        rows = (spark.read.parquet(
+                    os.path.join(tt.data_dir, a["path"]))
+                .select(F.array(*[
+                    F.pmod(F.xxhash64(F.col("k"), F.lit(i)),
+                           F.lit(_BLOOM_BITS))
+                    for i in range(_BLOOM_K)]).alias("p"))).collect()
+        want = 0
+        for r in rows:
+            for p in r["p"]:
+                want |= 1 << int(p)
+        assert int(a["bloom"], 16) == want, a["path"]
