@@ -221,15 +221,49 @@ BENCH_QUERIES = [
 #: entry could hide indefinitely. Every FULL run appends
 #: ROTATING_SLOTS extra queries drawn deterministically from the
 #: sorted unpinned pool: window start = round_index × ROTATING_SLOTS
-#: (mod pool size, wraparound), where round_index = number of
-#: BENCH_r*.json files beside this script (the driver writes exactly
-#: one per round, so the window advances each round and sweeps the
-#: whole pool in ~⌈pool/8⌉ rounds). Rotated timings get per-query rows
-#: in BENCH_spread.json like every query; on stdout they aggregate
-#: under the single "rotation" family so the pinned families stay
-#: round-over-round comparable and the JSON line stays under the
+#: (mod pool size, wraparound). round_index must be IDENTICAL for every
+#: run within a round (the driver benches at 32 cores, writes
+#: BENCH_r<N>.json, then re-benches at 8 cores for the scaling block —
+#: in r15 a file-count-based index incremented between those two runs
+#: and they rotated different query sets, wrecking the scaling row).
+#: So the index comes from $SPARK_GRAFT_ROUND when set, else
+#: 1 + max(round N of the GIT-COMMITTED BENCH_rN.json files): the
+#: current round's own bench output is untracked until the end-of-round
+#: artifact commit, so every same-round run — 32-core, 8-core, re-runs
+#: — sees the same committed set and rotates identically, while the
+#: next round's commit advances the window. Rotated timings get
+#: per-query rows in BENCH_spread.json like every query; on stdout they
+#: aggregate under the single "rotation" family so the pinned families
+#: stay round-over-round comparable and the JSON line stays under the
 #: driver's ~2 KB tail capture.
 ROTATING_SLOTS = 8
+
+
+def rotation_round_index(repo_dir: str | None = None) -> int:
+    """Stable-within-a-round rotation index (see ROTATING_SLOTS note)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND", "")
+    if env.isdigit():
+        return int(env)
+    import re
+    import subprocess
+    repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    names: list[str] = []
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "BENCH_r*.json"], cwd=repo_dir,
+            capture_output=True, text=True, timeout=30)
+        if out.returncode == 0:
+            names = out.stdout.split()
+    except Exception:
+        names = []
+    if not names:  # no git (bare checkout export): fall back to glob
+        import glob
+        names = [os.path.basename(p) for p in
+                 glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))]
+    rounds = [int(m.group(1)) for m in
+              (re.match(r"BENCH_r(\d+)", os.path.basename(n))
+               for n in names) if m]
+    return (max(rounds) + 1) if rounds else 0
 
 
 def rotation_names(reg_names, round_index: int) -> list[str]:
@@ -372,10 +406,7 @@ def main() -> int:
     # optional CLI subset (iterating on one query); full list by default
     full_run = not sys.argv[1:]
     if full_run:
-        import glob
-        round_index = len(glob.glob(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "BENCH_r*.json")))
+        round_index = rotation_round_index()
         rotated = rotation_names(reg.keys(), round_index)
         names = BENCH_QUERIES + rotated
         print(f"# rotation (round_index {round_index}): {rotated}",

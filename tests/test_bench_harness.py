@@ -127,6 +127,30 @@ class TestRotation:
         assert len(bench.rotation_names(["a"], 2)) == 1
         assert bench.rotation_names([], 0) == []
 
+    def test_round_index_stable_within_a_round(self, tmp_path, monkeypatch):
+        """r16 fix (VERDICT r15 item 3): the index must NOT move when the
+        driver drops an un-committed BENCH_r<N>.json between its 32-core
+        and 8-core runs — it keys on the git-COMMITTED files (or the
+        explicit $SPARK_GRAFT_ROUND override), not a live file count."""
+        import subprocess
+        monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+        subprocess.run(["git", "init", "-q", str(tmp_path)], check=True)
+        for n in (14, 15):
+            (tmp_path / f"BENCH_r{n:02d}.json").write_text("{}")
+        (tmp_path / "BENCH_r15_c8.json").write_text("{}")
+        subprocess.run(["git", "-C", str(tmp_path), "add", "-A"], check=True)
+        subprocess.run(["git", "-C", str(tmp_path), "-c",
+                        "user.email=t@t", "-c", "user.name=t",
+                        "commit", "-qm", "r15 artifacts"], check=True)
+        idx_32core = bench.rotation_round_index(str(tmp_path))
+        assert idx_32core == 16
+        # driver writes the current round's file mid-round (untracked)
+        (tmp_path / "BENCH_r16.json").write_text("{}")
+        assert bench.rotation_round_index(str(tmp_path)) == idx_32core
+        # explicit override wins
+        monkeypatch.setenv("SPARK_GRAFT_ROUND", "21")
+        assert bench.rotation_round_index(str(tmp_path)) == 21
+
     def test_line_budget_with_rotation_family(self):
         # rotation adds ONE family key however many slots rotate
         timings = {n: 99999.99 for n in bench.BENCH_QUERIES}

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for registry entries into plans/r15/.
+"""Capture .explain("formatted") for registry entries into plans/$PLANS_ROUND (default r16)/.
 
 Usage:
     python tools/capture_plans.py before txn_agg_mv graph_pagerank_partsupp
@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r15")
+    os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r16"))
 
 
 def main() -> int:
