@@ -23,68 +23,17 @@ from . import core, funcs, llm, pipeline, trainprep
 _MODULES = (core, funcs, pipeline, llm, trainprep)
 
 #: Curated registration order. The driver's correctness harness records rows
-#: for (at most) the first 50 registry entries. Freshness entering r15
-#: (union of CORRECTNESS_r*.json): r14×50, r13×50, r12×50, r11×50, r9×50,
-#: r8×48 — every entry has a green driver row, the r8-era 48 are the stale
-#: tail. This round's window (r15, per VERDICT r14 task 1) leads with the
-#: r15-new entries, then the 48 r8-era rows (alphabetical) up to the
-#: 50-slot cap — r15-new entries displace from the r8-era tail; displaced
-#: rows lead the r16 window.
+#: for (at most) the first 50 registry entries. Freshness entering r16
+#: (union of CORRECTNESS_r*.json): r15×50, r14×50, r13×50, r12×50, r11×50,
+#: r9×50, r8×9 — every entry has a green driver row; the stale tail is the
+#: 9 r8-era rows displaced past r15's 50-cap plus the 50 r9-era rows.
+#: This round's window (r16, per the r15 plan recorded here and VERDICT
+#: r15 task 7): no r15-new entries missed the r15 window
+#: (CORRECTNESS_r15 recorded all 11), so lead with the 9 displaced
+#: r8-era rows, then the r9-era block (alphabetical) to the 50-slot cap
+#: — the last 9 r9-era rows fall past the cap and lead the r17 window.
 _PRIORITY = (
-    # r15-new entries (displace from the r8-era tail)
-    "stream_chisq_drift",
-    "stream_mwu_drift",
-    "dq_drift_multicol",
-    "dq_drift_report",
-    "dq_drift_baseline_serve",
-    "dq_drift_timeline",
-    "dq_embedding_drift",
-    "dq_embedding_norm_drift",
-    "stream_embedding_norm_drift",
-    "stream_drift_multicol",
-    "dedup_snm_chained",
-    # r8-era rotation: the 48 rows whose newest driver row is r8
-    # (alphabetical; the last len(r15-new) fall past the 50-cap and
-    # lead the r16 window)
-    "dedup_embedding_lsh",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "events_cohort_retention",
-    "events_dedup_latest",
-    "events_funnel",
-    "events_json_extract",
-    "events_sessionization",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "f14_market_from_region",
-    "f15_supplier_type",
-    "f16_f17_return_reason_rules",
-    "f18_f21_sales_rules",
-    "f22_f23_return_timing",
-    "f24_f26_inventory_rules",
-    "f30_contact_synthesis",
-    "f31_seeded_random_draws",
-    "f32_synthetic_inventory_levels",
-    "incr_distinct_maintenance",
-    "mm_byte_histogram_features",
-    "mm_resize_images",
-    "olap_percentiles",
-    "olap_pivot_event_values",
-    "olap_unpivot_metrics",
-    "pipe_a08_quality_ratios",
-    "pipe_bi_kpi_totals",
-    "pipe_bi_net_revenue_by_region",
-    "pipe_bi_profit_by_year",
-    "pipe_bi_returns_by_category",
-    "pipe_bi_sales_by_agegroup",
-    "pipe_bi_sales_by_category",
-    "pipe_bi_sales_by_segment",
-    "pipe_f31_f32_synthetic_facts",
-    "sample_hash_split",
-    "sample_weighted_mixture",
-    "scd2_merge_tx",
-    "sim_ivf_ann_topk",
-    "sim_ivf_persisted_topk",
+    # r8-era rows displaced past r15's 50-cap (stalest first)
     "sim_lsh_ann_topk",
     "sketch_approx_aggs",
     "text_fingerprint",
@@ -94,16 +43,67 @@ _PRIORITY = (
     "txn_point_lookup",
     "w02_moving_average",
     "w03_rank_family",
+    # r9-era rotation: rows whose newest driver record is r9
+    # (alphabetical; the last 9 fall past the 50-cap → r17 window)
+    "cdc_snapshot_diff",
+    "d03_fact_append_idempotent",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental",
+    "events_asof_join",
+    "f27_change_fingerprint",
+    "f28_audit_stamps",
+    "incr_agg_maintenance",
+    "j03_anti_join_fk_check",
+    "j11_range_band_join",
+    "mm_frame_sampling",
+    "mm_image_meta",
+    "mm_real_decode_ppm",
+    "pipe_a01_a02_f01_ods_customers",
+    "pipe_a09_f01_ods_products",
+    "pipe_bi_sales_by_shipmode",
+    "pipe_bi_sales_by_state",
+    "pipe_d01_d02_tgt_dim_counts",
+    "pipe_d02_tgt_scd2_shape",
+    "pipe_f01_ods_stores",
+    "pipe_f07_f08_stg_customer_ages",
+    "pipe_f11_f13_stg_products",
+    "pipe_f14_stg_store_markets",
+    "pipe_f18_f21_stg_sales_metrics",
+    "pipe_j03_a04_quality_gates",
+    "pipe_j08_j09_tgt_sales_by_category",
+    "pipe_p03_p04_ods_sales",
+    "pipe_u01_f02_f03_ods_dates",
+    "profile_key_skew",
+    "s10_partitioned_scan_pruning",
+    "s11_jsonl_roundtrip",
+    "sample_cap_per_source",
+    "sample_pack_sequences",
+    "sample_shard_assignment",
+    "sample_stratified",
+    "sample_token_budget",
+    "sample_weighted_without_replacement",
+    "sim_cosine_topk",
+    "sim_embedding_centroids",
+    "stream_dedup_watermark",
+    "stream_foreachbatch_upsert",
+    "stream_session_window",
+    "stream_stateful_user_stats",
+    "stream_stream_join",
+    "stream_tumbling_window",
+    "text_chunk_windows",
+    "text_curation_funnel",
+    "text_filter_chain",
+    "text_repetition_signals",
 )
-#: r16 plan: after this window the stalest rows are the last 9 r8-era
-#: entries displaced past the 50-cap (sim_lsh_ann_topk,
-#: sketch_approx_aggs, text_fingerprint, text_normalize,
-#: text_redact_pii, txn_keyset_lookup, txn_point_lookup,
-#: w02_moving_average, w03_rank_family — verify against the
-#: CORRECTNESS_r15 actually recorded), then the r9-era block (50
-#: rows: cdc_snapshot_diff ... onward, alphabetical). Lead r16 with
-#: any r15-new entries that missed this window, then those 9, then
-#: the first r9-era rows to the cap.
+#: r17 plan: after this window the stalest rows are the last 9 r9-era
+#: entries displaced past the 50-cap (stream_foreachbatch_upsert,
+#: stream_session_window, stream_stateful_user_stats,
+#: stream_stream_join, stream_tumbling_window, text_chunk_windows,
+#: text_curation_funnel, text_filter_chain, text_repetition_signals —
+#: verify against what CORRECTNESS_r16 actually recorded), then the
+#: r11-era block (alphabetical). Lead r17 with any r16-new entries,
+#: then those 9, then the first r11-era rows to the cap.
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
