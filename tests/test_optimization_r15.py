@@ -108,8 +108,6 @@ def test_key_bloom_bits_exact_vs_spec(spark, tmp_root):
     """The exploded (file, word) bit_or fold must log bit-identical
     blooms to the spec: bit ``pmod(xxhash64(key, i), _BLOOM_BITS)`` set
     for every key in the file and every probe i < _BLOOM_K."""
-    import json
-
     from walmart_project_etl_spark.sources.txlog import (
         _BLOOM_BITS, _BLOOM_K, TxTable)
 

@@ -879,8 +879,13 @@ class TxTable:
 
         def add_action(p: str) -> dict:
             r = by_name[p]
+            # kbloom[p] on purpose (not .get(p, 0)): a file present in
+            # the stats result but absent from the bloom job would get
+            # bloom 0, which rejects every probe — bloom-pruned key
+            # reads would silently skip the file's rows forever. A
+            # bloom/stats job mismatch must fail the write instead.
             a = {"path": p, "rows": r["rows"], "kmin": r["kmin"],
-                 "kmax": r["kmax"], "bloom": f"{kbloom.get(p, 0):x}"}
+                 "kmax": r["kmax"], "bloom": f"{kbloom[p]:x}"}
             if bloom_cols:
                 # "0" for a file whose column is all-NULL: rejects every
                 # probe, which is exact (no non-null value to match)
@@ -3282,8 +3287,8 @@ class TxTable:
             old = self._read_files(meta, touched).persist()
             try:
                 result = self._dml_where_pinned(
-                    kind, old, pred, set_exprs, meta, base,
-                    candidates, touched, live, n_matched)
+                    kind, old, pred, set_exprs, meta, schema, key,
+                    base, candidates, touched, live, n_matched)
             finally:
                 old.unpersist()
             if result is not None:
@@ -3292,58 +3297,56 @@ class TxTable:
             # against the new snapshot
 
     def _dml_where_pinned(self, kind: str, old: DataFrame, pred,
-                          set_exprs, meta: dict, base: int,
-                          candidates, touched, live,
-                          n_matched) -> dict | None:
-            schema = StructType.fromJson(json.loads(meta["schema"]))
-            key = meta["key_col"]
-            matched = old.where(pred)
-            kept = old.where(~pred.eqNullSafe(F.lit(True)))
+                          set_exprs, meta: dict, schema: StructType,
+                          key: str, base: int, candidates, touched,
+                          live, n_matched) -> dict | None:
+        matched = old.where(pred)
+        kept = old.where(~pred.eqNullSafe(F.lit(True)))
+        if kind == "update":
+            updated = matched.select(
+                *[F.expr(set_exprs[f.name]).cast(f.dataType)
+                   .alias(f.name) if f.name in set_exprs
+                  else F.col(f.name) for f in schema.fields])
+            # GENERATED columns recompute on the updated rows —
+            # a SET on one of their source columns must never
+            # leave the derived value stale
+            for c, expr in (meta.get("generated") or {}).items():
+                updated = updated.withColumn(
+                    c, F.expr(expr).cast(schema[c].dataType))
+            # constraints on the rows actually written (the kept
+            # rows were validated by their own writes)
+            self._validate_constraints(updated, meta)
+            new_rows = kept.unionByName(updated)
+        else:
+            new_rows = kept
+        adds = self._write_files(new_rows, key,
+                                 stats_cols=_meta_stats_cols(meta),
+                                 partition_by=meta.get("partition_by"),
+                                 meta=meta)
+        cdf: list[dict] = []
+        if meta.get("change_feed"):
             if kind == "update":
-                updated = matched.select(
-                    *[F.expr(set_exprs[f.name]).cast(f.dataType)
-                       .alias(f.name) if f.name in set_exprs
-                      else F.col(f.name) for f in schema.fields])
-                # GENERATED columns recompute on the updated rows —
-                # a SET on one of their source columns must never
-                # leave the derived value stale
-                for c, expr in (meta.get("generated") or {}).items():
-                    updated = updated.withColumn(
-                        c, F.expr(expr).cast(schema[c].dataType))
-                # constraints on the rows actually written (the kept
-                # rows were validated by their own writes)
-                self._validate_constraints(updated, meta)
-                new_rows = kept.unionByName(updated)
+                changes = (matched.withColumn(
+                               "_change_type",
+                               F.lit("update_preimage"))
+                           .unionByName(updated.withColumn(
+                               "_change_type",
+                               F.lit("update_postimage"))))
             else:
-                new_rows = kept
-            adds = self._write_files(new_rows, key,
-                                     stats_cols=_meta_stats_cols(meta),
-                                     partition_by=meta.get("partition_by"),
-                                     meta=meta)
-            cdf: list[dict] = []
-            if meta.get("change_feed"):
-                if kind == "update":
-                    changes = (matched.withColumn(
-                                   "_change_type",
-                                   F.lit("update_preimage"))
-                               .unionByName(updated.withColumn(
-                                   "_change_type",
-                                   F.lit("update_postimage"))))
-                else:
-                    changes = matched.withColumn("_change_type",
-                                                 F.lit("delete"))
-                cdf = self._write_cdf(changes, meta)
-            op = "update" if kind == "update" else "delete"
-            actions = [{"op": op}, *adds, *cdf,
-                       *({"remove": {"path": a["path"]}}
-                         for a in touched)]
-            if self._commit(actions, base + 1):
-                self._maybe_checkpoint(base + 1)
-                return {"files_scanned": len(candidates),
-                        "files_rewritten": len(touched),
-                        "files_untouched": len(live) - len(touched),
-                        "rows_matched": int(n_matched)}
-            return None     # lost the race — caller retries
+                changes = matched.withColumn("_change_type",
+                                             F.lit("delete"))
+            cdf = self._write_cdf(changes, meta)
+        op = "update" if kind == "update" else "delete"
+        actions = [{"op": op}, *adds, *cdf,
+                   *({"remove": {"path": a["path"]}}
+                     for a in touched)]
+        if self._commit(actions, base + 1):
+            self._maybe_checkpoint(base + 1)
+            return {"files_scanned": len(candidates),
+                    "files_rewritten": len(touched),
+                    "files_untouched": len(live) - len(touched),
+                    "rows_matched": int(n_matched)}
+        return None     # lost the race — caller retries
 
     def purge_deletes(self) -> dict:
         """Materialize outstanding deletion vectors: rewrite ONLY the
