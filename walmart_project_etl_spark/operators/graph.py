@@ -205,32 +205,43 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # rounds join cached blocks instead of replaying the distinct /
     # union / degree shuffles per iteration — the standard iterative-
     # algorithm shape (persist the static graph, checkpoint the ranks).
-    # No explicit unpersist: the returned ranks read them lazily; the
-    # blocks free via the ContextCleaner once the result is consumed
-    # (same lifecycle as the per-round localCheckpoint blocks).
+    # r16 (VERDICT r15 item 9): the LAST round's checkpoint is EAGER —
+    # the whole chain executes once inside the operator, the returned
+    # frame is a block scan of the final ranks (node, pagerank — small
+    # at any graph size), and the three graph pins release in the
+    # ``finally`` instead of dangling until the ContextCleaner.
     e = edges.select(F.col(src).alias("__s"),
                      F.col(dst).alias("__d")).distinct().persist()
     nodes = (e.select(F.col("__s").alias("node"))
              .unionByName(e.select(F.col("__d").alias("node")))
              .distinct()).persist()
-    n = nodes.count()
-    out = e.groupBy("__s").agg(F.count("*").alias("__out"))
-    ew = e.join(out, "__s").persist()
-    base = float(1.0 - damping) / n
-    pr = nodes.withColumn("pagerank", F.lit(1.0 / n))
-    for _ in range(iters):
-        contrib = (ew.join(pr.withColumnRenamed("node", "__s"), "__s")
-                   .select("__d", (F.col("pagerank") / F.col("__out"))
-                           .alias("__c"))
-                   .groupBy("__d")
-                   .agg(F.sum(F.col("__c").cast("decimal(28,14)"))
-                        .cast("double").alias("__sum")))
-        pr = (nodes.join(contrib.withColumnRenamed("__d", "node"),
-                         "node", "left")
-              .select("node",
-                      F.round((F.lit(base) + F.lit(damping)
-                               * F.coalesce("__sum", F.lit(0.0)))
-                              .cast("decimal(28,14)"), 10)
-                      .cast("double").alias("pagerank")))
-        pr = pr.localCheckpoint(eager=False)
-    return pr
+    ew = None
+    try:
+        n = nodes.count()
+        out = e.groupBy("__s").agg(F.count("*").alias("__out"))
+        ew = e.join(out, "__s").persist()
+        base = float(1.0 - damping) / n
+        pr = nodes.withColumn("pagerank", F.lit(1.0 / n))
+        for it in range(iters):
+            contrib = (ew.join(pr.withColumnRenamed("node", "__s"),
+                               "__s")
+                       .select("__d",
+                               (F.col("pagerank") / F.col("__out"))
+                               .alias("__c"))
+                       .groupBy("__d")
+                       .agg(F.sum(F.col("__c").cast("decimal(28,14)"))
+                            .cast("double").alias("__sum")))
+            pr = (nodes.join(contrib.withColumnRenamed("__d", "node"),
+                             "node", "left")
+                  .select("node",
+                          F.round((F.lit(base) + F.lit(damping)
+                                   * F.coalesce("__sum", F.lit(0.0)))
+                                  .cast("decimal(28,14)"), 10)
+                          .cast("double").alias("pagerank")))
+            pr = pr.localCheckpoint(eager=(it == iters - 1))
+        return pr
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+        if ew is not None:
+            ew.unpersist()
